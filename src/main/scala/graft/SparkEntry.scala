@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sqlgen.{DuckDialect, Gen, SparkDialect}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory behind each query key. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private lazy val sparkGen = new Gen(SparkDialect)
+  private lazy val duckGen  = new Gen(DuckDialect)
+
+  /** Flagship: watermark recall-impact pipeline (LSH buckets → kNN graph
+    * → in-degree carrier selection → QIM embed → top-k recall overlap)
+    * on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("wm_recall_impact")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sparkGen.sqls.keys.map { name =>
+      name -> ((s: SparkSession, dir: String) => {
+        Tables.register(s, dir)
+        s.sql(sparkGen.sql(name))
+      })
+    }.toMap
+
+  /** DuckDB-runnable oracle SQL, generated from the same templates. */
+  def oracleSql: Map[String, String] =
+    duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) }
 }

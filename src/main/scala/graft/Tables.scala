@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registers the driver-generated parquet tables of one scale-factor
+  * directory as temp views. Scans stay lazy; Catalyst pushes filters and
+  * prunes columns into the parquet reader (verified via .explain —
+  * PushedFilters / ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def register(spark: SparkSession, dir: String): Unit = {
+    // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+    // rejects; read it as BIGINT nanos (the SQL layer derives seconds).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.sqlgen
+
+/** SQL dialect abstraction: every oracle-checked query in this engine is
+  * generated ONCE from a shared template and rendered for both Spark SQL
+  * (the engine under test) and DuckDB 1.0 (the correctness oracle). The
+  * two renderings must be value-identical on the same parquet inputs —
+  * see SURVEY.md §3 for the determinism rules.
+  *
+  * Everything here is public-knowledge SQL: Spark SQL builtin functions
+  * (spark.apache.org/docs/latest/api/sql) and DuckDB 1.0 functions
+  * (duckdb.org/docs/sql/functions).
+  */
+sealed trait Dialect {
+  def name: String
+
+  /** Parse ≤15 lowercase hex digits into a non-negative BIGINT. */
+  def hex2int(hexExpr: String): String
+
+  /** Integer (floor-toward-zero on non-negatives) division. */
+  def idiv(a: String, b: String): String
+
+  /** Cast a float array/list column to a double array. */
+  def castDoubleArray(e: String): String
+
+  /** Array length. */
+  def arrLen(e: String): String
+
+  /** 0-based array element access (i is an int expression). */
+  def arrIdx0(arr: String, i: String): String
+
+  /** Dot product of two double arrays, summed in array order. */
+  def dot(a: String, b: String): String
+
+  /** transform(arr, x -> body(x)) — map a lambda over an array. */
+  def arrTransform(arr: String, v: String, body: String): String
+
+  /** An integer array [from..to] inclusive; empty when to < from. */
+  def intSeq(from: String, to: String): String
+
+  /** Explode `arrExpr` of table alias `t` into rows with 1-BASED position
+    * column `posCol` and value column `valCol`. Returns the FROM-clause
+    * fragment (table + lateral). */
+  def explodeFrom(table: String, arrExpr: String, posCol: String,
+                  valCol: String, extraCols: Seq[String]): String
+
+  /** Whitespace regex literal for this dialect's string escaping. */
+  def reWs: String
+  /** Regex char-class literal like [^a-z0-9 ] — same in both, but kept
+    * here so future escapes stay centralized. */
+  def reLit(re: String): String
+
+  /** Count of regex matches in a string. */
+  def regexpCount(s: String, re: String): String
+
+  /** string_agg(expr, '' ORDER BY ord) within a GROUP BY. */
+  def strAggOrdered(expr: String, ord: String): String
+
+  /** collect expr into a double array ordered by `ord` (both int-valued)
+    * within a GROUP BY — the deterministic rebuild of a vector from
+    * exploded (pos, val) rows, so downstream dots fold in pos order. */
+  def arrAggOrdered(expr: String, ord: String): String
+}
+
+object SparkDialect extends Dialect {
+  val name = "spark"
+  def hex2int(h: String) = s"cast(conv($h, 16, 10) as bigint)"
+  def idiv(a: String, b: String) = s"(($a) div ($b))"
+  def castDoubleArray(e: String) = s"cast($e as array<double>)"
+  def arrLen(e: String) = s"size($e)"
+  def arrIdx0(arr: String, i: String) = s"element_at($arr, cast(($i) + 1 as int))"
+  def dot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (s, v) -> s + v)"
+  def arrTransform(arr: String, v: String, body: String) =
+    s"transform($arr, $v -> $body)"
+  def intSeq(from: String, to: String) =
+    // Spark sequence(a,b) is bidirectional; guard the empty case.
+    s"(case when ($to) >= ($from) then sequence(cast($from as int), cast($to as int)) else array() end)"
+  def explodeFrom(table: String, arrExpr: String, posCol: String,
+                  valCol: String, extraCols: Seq[String]): String =
+    // posexplode is 0-based; normalize to 1-based to match DuckDB.
+    s"(select ${(extraCols :+ s"p0 + 1 as $posCol" :+ s"v0 as $valCol").mkString(", ")} " +
+      s"from $table lateral view posexplode($arrExpr) _pe as p0, v0)"
+  def reWs = "'\\\\s+'"
+  def reLit(re: String) = "'" + re.replace("\\", "\\\\") + "'"
+  def regexpCount(s: String, re: String) = s"size(regexp_extract_all($s, ${reLit(re)}, 0))"
+  def strAggOrdered(expr: String, ord: String) =
+    s"array_join(transform(array_sort(collect_list(struct(cast($ord as int) as o, cast($expr as string) as s))), x -> x.s), '')"
+  def arrAggOrdered(expr: String, ord: String) =
+    s"transform(array_sort(collect_list(struct(cast($ord as int) as o, cast($expr as double) as x))), e -> e.x)"
+}
+
+object DuckDialect extends Dialect {
+  val name = "duckdb"
+  def hex2int(h: String) = s"cast('0x' || ($h) as bigint)"
+  def idiv(a: String, b: String) = s"(($a) // ($b))"
+  def castDoubleArray(e: String) = s"cast($e as double[])"
+  def arrLen(e: String) = s"len($e)"
+  // cast: a SUM-derived index is HUGEINT, which array_extract rejects.
+  def arrIdx0(arr: String, i: String) = s"($arr)[cast(($i) as bigint) + 1]"
+  // NOT list_dot_product: its summation order differs from Spark's
+  // left fold, and a last-ulp difference flips round(x, 6) at rounding
+  // boundaries. An explicit left-to-right list_reduce is bit-identical
+  // to Spark's aggregate(zip_with(...)) fold (0.0 + x == x in IEEE).
+  def dot(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i]), (s, v) -> s + v)"
+  def arrTransform(arr: String, v: String, body: String) =
+    s"list_transform($arr, $v -> $body)"
+  def intSeq(from: String, to: String) =
+    s"(case when ($to) >= ($from) then generate_series(cast($from as bigint), cast($to as bigint)) else [] end)"
+  def explodeFrom(table: String, arrExpr: String, posCol: String,
+                  valCol: String, extraCols: Seq[String]): String =
+    s"(select ${(extraCols :+ s"generate_subscripts($arrExpr, 1) as $posCol" :+ s"unnest($arrExpr) as $valCol").mkString(", ")} " +
+      s"from $table)"
+  def reWs = "'\\s+'"
+  def reLit(re: String) = "'" + re + "'"
+  def regexpCount(s: String, re: String) = s"len(regexp_extract_all($s, ${reLit(re)}))"
+  def strAggOrdered(expr: String, ord: String) =
+    s"string_agg(cast($expr as varchar), '' order by $ord)"
+  def arrAggOrdered(expr: String, ord: String) =
+    s"list(cast($expr as double) order by $ord)"
+}
+
+/** Shared deterministic primitives built on the dialect. */
+object Prim {
+  /** 60-bit keyed PRF: md5 of ':'-joined parts (ints/strings only —
+    * never floats, whose text form differs across engines). */
+  def prf(d: Dialect)(parts: String*): String =
+    d.hex2int(s"substr(md5(concat_ws(':', ${parts.mkString(", ")})), 1, 15)")
+
+  /** PRF mapped to uniform (0, 1]: (h + 1) / 2^60. */
+  def prfUniform(d: Dialect)(parts: String*): String =
+    s"((${prf(d)(parts: _*)} + 1) / 1152921504606846976.0)"
+
+  /** PRF in [0, m). */
+  def prfMod(d: Dialect)(m: Int, parts: String*): String =
+    s"(${prf(d)(parts: _*)} % $m)"
+
+  /** ±1.0 sign from PRF. */
+  def prfSign(d: Dialect)(parts: String*): String =
+    s"(case when ${prfMod(d)(2, parts: _*)} = 0 then cast(1 as double) else cast(-1 as double) end)"
+
+  /** Standard-normal deviate via Box–Muller from two PRF uniforms. */
+  def prfGauss(d: Dialect)(parts: String*): String = {
+    val u1 = prfUniform(d)(("'bm1'" +: parts): _*)
+    val u2 = prfUniform(d)(("'bm2'" +: parts): _*)
+    s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
+  }
+
+  /** bit j (0 = MSB) of a k-bit non-negative int expression. */
+  def bitOf(d: Dialect)(e: String, j: String, k: Int): String =
+    s"(${d.idiv(e, s"cast(pow(2, $k - 1 - ($j)) as bigint)")} % 2)"
+}
