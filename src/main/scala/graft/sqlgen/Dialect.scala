@@ -59,6 +59,10 @@ sealed trait Dialect {
     * within a GROUP BY — the deterministic rebuild of a vector from
     * exploded (pos, val) rows, so downstream dots fold in pos order. */
   def arrAggOrdered(expr: String, ord: String): String
+
+  /** last_value(expr) IGNORE NULLS — the as-of-join window primitive;
+    * the two engines put the modifier in different places. */
+  def lastIgnoreNulls(e: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -87,6 +91,7 @@ object SparkDialect extends Dialect {
     s"array_join(transform(array_sort(collect_list(struct(cast($ord as int) as o, cast($expr as string) as s))), x -> x.s), '')"
   def arrAggOrdered(expr: String, ord: String) =
     s"transform(array_sort(collect_list(struct(cast($ord as int) as o, cast($expr as double) as x))), e -> e.x)"
+  def lastIgnoreNulls(e: String) = s"last_value($e) ignore nulls"
 }
 
 object DuckDialect extends Dialect {
@@ -118,6 +123,7 @@ object DuckDialect extends Dialect {
     s"string_agg(cast($expr as varchar), '' order by $ord)"
   def arrAggOrdered(expr: String, ord: String) =
     s"list(cast($expr as double) order by $ord)"
+  def lastIgnoreNulls(e: String) = s"last_value($e ignore nulls)"
 }
 
 /** Shared deterministic primitives built on the dialect. */

@@ -174,19 +174,23 @@ final class Gen(d: Dialect) {
        |         from cex join dimtab dt on dt.pos = cex.pos group by cex.id, cex.blk, dt.g),
        |shifts as (select p.id, p.g, ((2 * cast(floor((p.pj / $Delta - m.bit) / 2 + 0.5) as bigint) + m.bit) * $Delta - p.pj) as shift
        |           from proj p join msg24 m on m.blk = p.blk and m.j = p.g),
-       |stego as (select cex.id, cex.pos, (cex.nval + sh.shift * dt.s / gc.cnt) * cex.nrm as sval
-       |          from cex join dimtab dt on dt.pos = cex.pos
-       |                   join shifts sh on sh.id = cex.id and sh.g = dt.g
-       |                   join gcnt gc on gc.g = dt.g)""".stripMargin
+       |stego0 as (select cex.id, cex.pos, cex.nval + sh.shift * dt.s / gc.cnt as pval, cex.nrm
+       |           from cex join dimtab dt on dt.pos = cex.pos
+       |                    join shifts sh on sh.id = cex.id and sh.g = dt.g
+       |                    join gcnt gc on gc.g = dt.g),
+       |pnrm as (select id, sqrt(sum(pval * pval)) as pn from stego0 group by id),
+       |stego as (select s.id, s.pos, s.pval / p.pn * s.nrm as sval
+       |          from stego0 s join pnrm p on p.id = s.id)""".stripMargin
 
-  /** Blind extraction from the stego vectors: renormalize by CURRENT
-    * norm, re-project, decode bit = parity of nearest lattice point,
-    * gate on CRC-4 of the 4 decoded index bits, majority-vote payload
-    * bits per block (reference: pg_func.py:400-436 extract_from_db). */
-  private val extractCtes =
-    s"""snrm as (select id, sqrt(sum(sval * sval)) as nrm2 from stego group by id),
+  /** Blind extraction from the stego vectors (src = any (id, pos, sval)
+    * table): renormalize by CURRENT norm, re-project, decode bit = parity
+    * of nearest lattice point, gate on CRC-4 of the 4 decoded index bits,
+    * majority-vote payload bits per block
+    * (reference: pg_func.py:400-436 extract_from_db). */
+  private def extractCtes(src: String): String =
+    s"""snrm as (select id, sqrt(sum(sval * sval)) as nrm2 from $src group by id),
        |sproj as (select s.id, dt.g, sum((s.sval / n2.nrm2) * dt.s) as pj2
-       |          from stego s join snrm n2 on n2.id = s.id join dimtab dt on dt.pos = s.pos
+       |          from $src s join snrm n2 on n2.id = s.id join dimtab dt on dt.pos = s.pos
        |          group by s.id, dt.g),
        |dbits as (select id, g as j, ((cast(floor(pj2 / $Delta + 0.5) as bigint) % 2) + 2) % 2 as bit from sproj),
        |heads as (select id,
@@ -199,7 +203,7 @@ final class Gen(d: Dialect) {
 
   private def wmChain(upTo: String): String = {
     val parts = Seq(nvCtes, exnCte, lshCtes, knnCtes, carrierCtes,
-      msgbitsCte, msg24Cte, dimtabCtes, stegoCtes, extractCtes)
+      msgbitsCte, msg24Cte, dimtabCtes, stegoCtes, extractCtes("stego"))
     val need = upTo match {
       case "lsh"      => parts.take(3)
       case "knn"      => parts.take(4)
@@ -209,6 +213,14 @@ final class Gen(d: Dialect) {
     }
     "with " + need.mkString(",\n")
   }
+
+  /** Watermarked full table, exploded: carriers get stego values, the
+    * rest keep originals (reference: pg_func.py update_vectors writes
+    * exactly this back to the DB). */
+  private val fullCte =
+    s"""full_t as (select id, pos, sval as val from stego
+       |           union all
+       |           select x.id, x.pos, x.val from exn x where not exists (select 1 from carriers c where c.vec_id = x.id))""".stripMargin
 
   /** Word-split documents + exploded words (shared by the text suite). */
   private val wordCtes =
@@ -388,7 +400,7 @@ final class Gen(d: Dialect) {
          |pairs as (select distinct a.id as ida, b.id as idb from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id < b.id)
          |select ${bigint("p.ida")} as id_a, ${bigint("p.idb")} as id_b, round(${d.dot("na.n", "nb.n")}, 6) as cos_sim
          |from pairs p join nn na on na.id = p.ida join nn nb on nb.id = p.idb
-         |where round(${d.dot("na.n", "nb.n")}, 6) >= 0.5""".stripMargin,
+         |where round(${d.dot("na.n", "nb.n")}, 6) >= 0.3""".stripMargin,
 
     // ---------------- vector / watermark core ----------------
     "vec_stats" ->
@@ -493,9 +505,7 @@ final class Gen(d: Dialect) {
     // embedding drift; recall-overlap is the retrieval-centric metric).
     "wm_recall_impact" ->
       s"""${wmChain("stego")},
-         |full_t as (select id, pos, sval as val from stego
-         |           union all
-         |           select x.id, x.pos, x.val from exn x where not exists (select 1 from carriers c where c.vec_id = x.id)),
+         |$fullCte,
          |fv as (select id, ${d.arrAggOrdered("val", "pos")} as v from full_t group by id),
          |fn as (select id, ${d.arrTransform("v", "x", s"x / sqrt(${d.dot("v", "v")})")} as n from fv),
          |sw as (select q.id as qid, c.id as cid, round(${d.dot("q.n", "c.n")}, 6) as sim
@@ -509,6 +519,50 @@ final class Gen(d: Dialect) {
          |  round(sum(case when w.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
          |from tl o left join tw w on w.qid = o.qid and w.cid = o.cid
          |group by o.qid""".stripMargin,
+
+    // robustness: bit error rate of extraction AFTER a gaussian attack on
+    // 30% of the stego rows (reference: attack/random_modify.py + the
+    // robustness eval in backend/app.py). Per-block errors; a missing
+    // block (no surviving CRC-valid carriers) counts all 16 bits wrong.
+    "wm_ber" ->
+      s"""${wmChain("stego")},
+         |atk as (select id, pos,
+         |          case when ${prfMod(d)(10, "'bw'", "id")} < 3
+         |               then sval + 0.05 * ${prfGauss(d)("'bw2'", "id", "pos")}
+         |               else sval end as sval
+         |        from stego),
+         |${extractCtes("atk")}
+         |select ${bigint("m.blk")} as blk, ${bigint("count(*)")} as n_bits,
+         |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
+         |  round(sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end) / cast(16.0 as double), 4) as ber
+         |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
+         |group by m.blk""".stripMargin,
+
+    // as-of join: each click event ↦ the user's latest purchase at or
+    // before it. One shuffle on user_id + an ordered window — the
+    // scalable merge-asof shape (no range join blowup).
+    "events_asof" -> {
+      val w = "partition by user_id order by tns, k, event_id rows between unbounded preceding and current row"
+      s"""with e as (select event_id, user_id, ${evSec("ts")} as sec,
+         |             ${if (d.name == "spark") "ts" else "epoch_ns(ts)"} as tns,
+         |             case when event_type = 'purchase' then 0 else 1 end as k, event_type
+         |           from events where event_type in ('click', 'purchase')),
+         |w as (select event_id, user_id, sec, event_type,
+         |        ${d.lastIgnoreNulls("case when event_type = 'purchase' then event_id end")} over ($w) as pid,
+         |        ${d.lastIgnoreNulls("case when event_type = 'purchase' then sec end")} over ($w) as psec
+         |      from e)
+         |select ${bigint("event_id")} as event_id, ${bigint("user_id")} as user_id, ${bigint("sec")} as click_sec,
+         |       ${bigint("pid")} as purchase_id, ${bigint("psec")} as purchase_sec, ${bigint("sec - psec")} as gap_s
+         |from w where event_type = 'click' and pid is not null""".stripMargin
+    },
+
+    // the table update_vectors writes back: stego values for carriers,
+    // originals elsewhere (reference: pg_func.py:389-395).
+    "vec_writeback" ->
+      s"""${wmChain("stego")},
+         |$fullCte
+         |select ${bigint("id")} as vec_id, ${bigint("pos")} as pos, round(val, 6) as val
+         |from full_t""".stripMargin,
 
     "vec_dim" ->
       s"""select 'embeddings' as tbl, ${bigint("(select count(*) from embeddings)")} as n_rows,

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Crc4, Crypto}
+
+class CryptoSpec extends AnyFunSuite {
+
+  test("encrypt produces exactly 32 base64 chars") {
+    val ct = Crypto.encryptToBase64("GRAFT WATERMARK!", "pw")
+    assert(ct.length == 32)
+  }
+
+  test("round-trip recovers the plaintext") {
+    val msgs = Seq("GRAFT WATERMARK!", "0123456789abcdef", "  spaces  ok!!  ")
+    for (m <- msgs; pw <- Seq("a", "graft-key-2026")) {
+      assert(Crypto.decryptFromBase64(Crypto.encryptToBase64(m, pw), pw) == m)
+    }
+  }
+
+  test("encryption is deterministic per (message, password)") {
+    assert(Crypto.encryptToBase64("GRAFT WATERMARK!", "pw") ==
+      Crypto.encryptToBase64("GRAFT WATERMARK!", "pw"))
+    assert(Crypto.encryptToBase64("GRAFT WATERMARK!", "pw") !=
+      Crypto.encryptToBase64("GRAFT WATERMARK!", "pw2"))
+  }
+
+  test("wrong password fails the truncated-tag check") {
+    val ct = Crypto.encryptToBase64("GRAFT WATERMARK!", "pw")
+    intercept[javax.crypto.AEADBadTagException] {
+      Crypto.decryptFromBase64(ct, "wrong")
+    }
+  }
+
+  test("corrupted ciphertext fails the tag check") {
+    val ct = Crypto.encryptToBase64("GRAFT WATERMARK!", "pw")
+    val bad = (if (ct(0) == 'A') "B" else "A") + ct.substring(1)
+    intercept[javax.crypto.AEADBadTagException] {
+      Crypto.decryptFromBase64(bad, "pw")
+    }
+  }
+
+  test("non-16-byte plaintext is rejected") {
+    intercept[IllegalArgumentException] {
+      Crypto.encryptToBase64("short", "pw")
+    }
+  }
+
+  test("CRC-4 table is stable and a permutation of 0..15") {
+    // snapshot: the SQL plans inline these values, so any change here
+    // silently breaks extraction of previously-embedded watermarks
+    assert(Crc4.tableValues ==
+      Seq(0, 11, 14, 5, 1, 10, 15, 4, 3, 8, 13, 6, 2, 9, 12, 7))
+    assert(Crc4.tableValues.sorted == (0 until 16)) // every header detectable
+  }
+}

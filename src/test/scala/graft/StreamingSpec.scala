@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import java.sql.Timestamp
+
+/** Operator #38: Structured Streaming windowed aggregation with an
+  * event-time watermark, and gap sessionization via
+  * flatMapGroupsWithState — the incremental forms of `events_windowed`
+  * and `events_sessions`. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("windowed counts aggregate by 1h event-time window") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.windowedCounts(
+      in.toDF.toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try {
+      in.addData((ts("10:05"), "click", 1.0), (ts("10:40"), "click", 2.0),
+        (ts("10:50"), "view", 5.0), (ts("11:10"), "click", 3.0))
+      q.processAllAvailable()
+      val res = spark.table("wc")
+        .selectExpr("window.start as s", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(res.contains((ts("10:00"), "click", 2L, 3.0)))
+      assert(res.contains((ts("10:00"), "view", 1L, 5.0)))
+      assert(res.contains((ts("11:00"), "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from closed windows") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.windowedCounts(
+      in.toDF.toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("wc_late")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("10:05"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past 10:00-11:00 + 1h tolerance
+      in.addData((ts("14:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is 3h late: must NOT reopen the emitted 10:00 window
+      in.addData((ts("10:20"), "click", 100.0))
+      q.processAllAvailable()
+      val w10 = spark.table("wc_late")
+        .selectExpr("window.start as s", "n").as[(Timestamp, Long)]
+        .collect().filter(_._1 == ts("10:00"))
+      assert(w10.forall(_._2 == 1L), s"late row leaked into closed window: ${w10.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on a 30-min gap") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionize(in.toDS).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 7: two bursts separated by > 30 min -> first closes inline
+      in.addData((ts("10:00"), 7L), (ts("10:10"), 7L), (ts("10:20"), 7L))
+      q.processAllAvailable()
+      in.addData((ts("12:00"), 7L), (ts("12:05"), 7L))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Streams.Sess].collect()
+      val first = sessions.find(s => s.userId == 7L &&
+        s.start == ts("10:00").getTime / 1000)
+      assert(first.isDefined, s"first burst closed as a session: ${sessions.toSeq}")
+      assert(first.get.nEvents == 3 &&
+        first.get.end == ts("10:20").getTime / 1000)
+    } finally q.stop()
+  }
+}
