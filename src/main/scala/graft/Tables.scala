@@ -18,6 +18,7 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
     // rejects; read it as BIGINT nanos (the SQL layer derives seconds).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.DotProduct.register(spark)
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
   }
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+/** JVM replica of the shared SQL PRF (see sqlgen.Prim.prf): md5 of the
+  * ':'-joined parts, first 15 lowercase hex digits as a non-negative
+  * long. Byte-identical to what `md5(concat_ws(':', ...))` yields in
+  * Spark SQL and DuckDB, so plan-build-time constants derived here can
+  * be inlined as literals in BOTH dialects without breaking the keyed
+  * determinism story. */
+object Prf {
+  def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def prf(parts: Any*): Long =
+    java.lang.Long.parseLong(md5hex(parts.mkString(":")).take(15), 16)
+
+  def prfMod(m: Int, parts: Any*): Long = prf(parts: _*) % m
+
+  def prfSign(parts: Any*): Double = if (prfMod(2, parts: _*) == 0) 1.0 else -1.0
+}
+
+/** Plan-build-time watermark constants, all PRF-derived (key-seeded) and
+  * inlined as SQL literals in both dialects. Turning these into
+  * literals is what makes embed and LSH bucketing pure map-side
+  * arithmetic — no joins against generated dimension tables, full
+  * whole-stage codegen at 100 TB. */
+object WmConst {
+  import graft.sqlgen.Wm.{Blocks, Dim, Key, LshPlanes, LshTables, MsgLen}
+
+  /** Keyed balanced dim→bit-group assignment: a keyed permutation of
+    * dims round-robined into MsgLen groups (mirrors the former dimtab
+    * CTE: order by (prf('shuf', key, pos), pos), g = rank % MsgLen). */
+  val dimGroup: Array[Int] = {
+    val ranked = (1 to Dim).sortBy(p => (Prf.prf("shuf", Key, p), p))
+    val g = new Array[Int](Dim + 1)
+    ranked.zipWithIndex.foreach { case (p, r) => g(p) = r % MsgLen }
+    g // 1-based by pos; g(0) unused
+  }
+
+  /** Keyed per-dim sign pattern (former dimtab.s). */
+  val dimSign: Array[Double] =
+    (0 to Dim).map(p => if (p == 0) 0.0 else Prf.prfSign("sgn", Key, p)).toArray
+
+  /** Dims per group (2 or 3 for 64/24). */
+  val groupCnt: Array[Int] = {
+    val c = new Array[Int](MsgLen)
+    (1 to Dim).foreach(p => c(dimGroup(p)) += 1)
+    c
+  }
+
+  /** Positions (1-based) of each group, ascending — fold order for the
+    * per-group projections. */
+  val groupPos: Array[Array[Int]] =
+    (0 until MsgLen).map(g => (1 to Dim).filter(dimGroup(_) == g).toArray).toArray
+
+  /** LSH hyperplanes: planes(t)(p)(dd-1) = ±1
+    * (former planes CTE: prfMod(2, 'lsh', t, p, dd)). */
+  val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(LshTables, LshPlanes, Dim) { (t, p, dd0) =>
+      if (Prf.prfMod(2, "lsh", t, p, dd0 + 1) == 0) 1.0 else -1.0
+    }
+
+  /** Full 24-bit per-block message: 4 idx bits + CRC-4 + 16 payload bits
+    * of the AES-GCM ciphertext (former msg24 CTE). msgBit(blk)(j). */
+  def msgBits(cipherB64: String): Array[Array[Int]] =
+    Array.tabulate(Blocks, MsgLen) { (blk, j) =>
+      if (j < 4) (blk >> (3 - j)) & 1
+      else if (j < 8) (Crc4(blk) >> (7 - j)) & 1
+      else {
+        val c = cipherB64.charAt(blk * 2 + (j - 8) / 8).toInt
+        (c >> (7 - ((j - 8) % 8))) & 1
+      }
+    }
+
+  /** MinHash universal-hash coefficients: mh_r(h) = (a_r*h + b_r) mod
+    * 2^31-1, h the 31-bit shingle hash. a odd-ish nonzero. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashCoef(r: Int): (Long, Long) =
+    (Prf.prf("mha", r) % (MinhashP - 1) + 1, Prf.prf("mhb", r) % MinhashP)
+}

@@ -63,6 +63,9 @@ sealed trait Dialect {
   /** last_value(expr) IGNORE NULLS — the as-of-join window primitive;
     * the two engines put the modifier in different places. */
   def lastIgnoreNulls(e: String): String
+
+  /** len elements of arr starting at 1-based start. */
+  def arrSlice(arr: String, start1: Int, len: Int): String
 }
 
 object SparkDialect extends Dialect {
@@ -72,8 +75,10 @@ object SparkDialect extends Dialect {
   def castDoubleArray(e: String) = s"cast($e as array<double>)"
   def arrLen(e: String) = s"size($e)"
   def arrIdx0(arr: String, i: String) = s"element_at($arr, cast(($i) + 1 as int))"
-  def dot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (s, v) -> s + v)"
+  // graft_dot is the native codegen expression (functions.DotProduct),
+  // registered per-session by Tables.register; same left-to-right fold
+  // as aggregate(zip_with(...)) but a single fused loop.
+  def dot(a: String, b: String) = s"graft_dot($a, $b)"
   def arrTransform(arr: String, v: String, body: String) =
     s"transform($arr, $v -> $body)"
   def intSeq(from: String, to: String) =
@@ -92,6 +97,7 @@ object SparkDialect extends Dialect {
   def arrAggOrdered(expr: String, ord: String) =
     s"transform(array_sort(collect_list(struct(cast($ord as int) as o, cast($expr as double) as x))), e -> e.x)"
   def lastIgnoreNulls(e: String) = s"last_value($e) ignore nulls"
+  def arrSlice(arr: String, start1: Int, len: Int) = s"slice($arr, $start1, $len)"
 }
 
 object DuckDialect extends Dialect {
@@ -124,6 +130,8 @@ object DuckDialect extends Dialect {
   def arrAggOrdered(expr: String, ord: String) =
     s"list(cast($expr as double) order by $ord)"
   def lastIgnoreNulls(e: String) = s"last_value($e ignore nulls)"
+  def arrSlice(arr: String, start1: Int, len: Int) =
+    s"list_slice($arr, $start1, ${start1 + len - 1})"
 }
 
 /** Shared deterministic primitives built on the dialect. */

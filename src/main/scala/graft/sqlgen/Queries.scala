@@ -30,10 +30,11 @@ object Wm {
   val Delta = "0.15"
   /** HNSW graph out-degree analog (reference: Config.HNSW_M = 16). */
   val K = 16
-  /** LSH: 2 hash tables × 4 hyperplanes = 16 buckets/table. At 100 TB
-    * the plane count grows with log2(N / target bucket size). */
+  /** LSH: 2 hash tables × 6 hyperplanes = 64 buckets/table (sized for
+    * the bench corpus: bits ≈ log2(N / target_bucket_size), 2000/32).
+    * At 100 TB the plane count grows with that same formula. */
   val LshTables = 2
-  val LshPlanes = 4
+  val LshPlanes = 6
   /** Default embed rate (reference: Config.DEFAULT_EMBED_RATE = 0.1). */
   val Rate = "0.1"
   val Key = "graft-key-2026"
@@ -47,12 +48,40 @@ object Wm {
 final class Gen(d: Dialect) {
   import Prim._
   import Wm._
+  import graft.functions.WmConst
 
   private val P = "'" + Key + "'" // PRF key literal
   private def bigint(e: String) = s"cast($e as bigint)"
-  private val crcLit = Crc4.tableValues.mkString(
+  private def arrLit[T](vs: Iterable[T]): String = vs.mkString(
     if (d.name == "spark") "array(" else "[", ", ",
     if (d.name == "spark") ")" else "]")
+  private val crcLit = arrLit(Crc4.tableValues)
+  /** element_at with a 1-BASED literal position (el(a, 3) = a[3]). */
+  private def el(arr: String, pos1: Int) = d.arrIdx0(arr, (pos1 - 1).toString)
+
+  // ------------------------------------------------------------------ //
+  // Plan-build-time watermark constants (functions.WmConst): the keyed
+  // dim→group table, sign pattern, LSH planes, and 24-bit block
+  // messages are all PRF-derived and inlined as literals/unrolled
+  // arithmetic in BOTH dialects. This is what makes LSH bucketing and
+  // embed pure map-side codegen'd arithmetic — no joins against
+  // generated dimension tables, no shuffle.
+  // ------------------------------------------------------------------ //
+
+  /** A constant double[Dim] weight vector as a typed array literal
+    * (constant-folded to a single Literal node — keeps plans and
+    * generated code small). */
+  private def weightLit(w: Seq[Double]): String =
+    d.castDoubleArray(arrLit(w.map(v => if (v == 0.0) "0.0" else v.toString)))
+
+  /** dot against a constant weight vector: one codegen'd loop on Spark,
+    * list_reduce on DuckDB — identical ascending-position fold (zero
+    * weights contribute exactly 0.0, preserving the sum bit-for-bit). */
+  private def wdot(arr: String, w: Seq[Double]): String = d.dot(arr, weightLit(w))
+
+
+  /** Flat 16×24 message-bit literal: bit(blk, j) = el(msgLit, blk*24+j+1). */
+  private lazy val msgLit = arrLit(WmConst.msgBits(CipherB64).flatMap(_.toSeq).toSeq)
 
   private def rangeTable(alias: String, col: String, from: Int, to: Int): String =
     if (d.name == "spark")
@@ -95,16 +124,20 @@ final class Gen(d: Dialect) {
   private val exnCte =
     s"exn as (select * from ${d.explodeFrom("nv", "v", "pos", "val", Seq("id", "nrm"))} _x)"
 
-  /** Keyed hyperplane LSH buckets: (id, t, b). One shuffle (groupBy id,t).
-    * This is the 100 TB candidate-generation path for ALL pairwise vector
-    * ops (reference builds a faiss HNSW: database/pgvector/pg_func.py:104).
+  /** Keyed hyperplane LSH buckets: (id, t, b). Zero shuffles: the ±1
+    * planes are plan-time literals (WmConst.planes), so each bucket id
+    * is unrolled per-row arithmetic inside whole-stage codegen. This is
+    * the 100 TB candidate-generation path for ALL pairwise vector ops
+    * (reference builds a faiss HNSW: database/pgvector/pg_func.py:104).
     */
   private val lshCtes = {
-    val sign = s"case when ${prfMod(d)(2, "'lsh'", "t", "p", "dd")} = 0 then cast(1 as double) else cast(-1 as double) end"
-    s"""tp as (select t, p from ${rangeTable("tt", "t", 0, LshTables - 1)} cross join ${rangeTable("pp", "p", 0, LshPlanes - 1)}),
-       |planes as (select t, p, ${d.arrTransform(d.intSeq("1", Dim.toString), "dd", sign)} as plane from tp),
-       |bkt as (select nn.id, pl.t, sum(case when ${d.dot("nn.n", "pl.plane")} > 0 then cast(pow(2, pl.p) as bigint) else 0 end) as b
-       |        from nn cross join planes pl group by nn.id, pl.t)""".stripMargin
+    def bExpr(t: Int): String =
+      (0 until LshPlanes).map { p =>
+        val dotp = wdot("n", WmConst.planes(t)(p).toSeq)
+        s"(case when ($dotp) > 0 then ${1 << p} else 0 end)"
+      }.mkString("cast(", " + ", " as bigint)")
+    "bkt as (" + (0 until LshTables).map(t =>
+      s"select id, $t as t, ${bExpr(t)} as b from nn").mkString(" union all ") + ")"
   }
 
   /** Approximate kNN graph (K=16) + in-degree, the HNSW-graph analog
@@ -142,73 +175,92 @@ final class Gen(d: Dialect) {
     s"""msgbits as (select blk, j, ${bitOf(d)(s"ascii(substr('$CipherB64', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
        |            from ${rangeTable("bb", "blk", 0, Blocks - 1)} cross join ${rangeTable("jj", "j", 0, 15)})""".stripMargin
 
-  /** Full 24-bit per-block message: 4 idx bits + CRC-4 + 16 payload. */
-  private val msg24Cte =
-    s"""msg24 as (
-       |  select blk, j, ${bitOf(d)("blk", "j", 4)} as bit from ${rangeTable("b4", "blk", 0, Blocks - 1)} cross join ${rangeTable("j4", "j", 0, 3)}
-       |  union all
-       |  select blk, j + 4, ${bitOf(d)(d.arrIdx0(crcLit, "blk"), "j", 4)} from ${rangeTable("b5", "blk", 0, Blocks - 1)} cross join ${rangeTable("j5", "j", 0, 3)}
-       |  union all
-       |  select blk, j + 8, bit from msgbits)""".stripMargin
+  /** Per-pos literal lookup tables (dim→group, sign, group size) — the
+    * former dimtab, inlined. */
+  private lazy val gLit = arrLit((1 to Dim).map(WmConst.dimGroup(_)))
+  private lazy val sLit = d.castDoubleArray(
+    arrLit((1 to Dim).map(p => WmConst.dimSign(p).toString)))
+  private lazy val cntPosLit = arrLit((1 to Dim).map(p =>
+    WmConst.groupCnt(WmConst.dimGroup(p))))
+  /** group-g projection weights: sign on the group's dims, 0 elsewhere. */
+  private def wLitOf(g: Int): String = weightLit((1 to Dim).map(p =>
+    if (WmConst.dimGroup(p) == g) WmConst.dimSign(p) else 0.0))
 
-  /** Keyed balanced dim→message-bit grouping + per-dim signs. A keyed
-    * permutation of dims round-robins into MsgLen groups so every bit
-    * gets floor/ceil(Dim/MsgLen) carrier dims (a pure-PRF grouping can
-    * leave bits with zero dims). */
-  private val dimtabCtes =
-    s"""dimtab as (select pos, ${prfSign(d)("'sgn'", P, "pos")} as s,
-       |                  cast((row_number() over (order by ${prf(d)("'shuf'", P, "pos")}, pos) - 1) % $MsgLen as bigint) as g
-       |           from ${rangeTable("dp", "pos", 1, Dim)}),
-       |gcnt as (select g, count(*) as cnt from dimtab group by g)""".stripMargin
-
-  /** QIM embed: per (carrier, bit-group) project onto the keyed sign
-    * pattern, snap the projection to the nearest lattice point whose
-    * parity encodes the message bit, distribute the shift across the
-    * group's dims, restore the original norm
-    * (reference embed: pg_func.py:332-395 embed_into_db). Map-side only
-    * apart from the tiny per-(id,g) aggregation. */
-  private val stegoCtes =
+  /** QIM embed (reference embed: pg_func.py:332-395 embed_into_db): per
+    * carrier, compute the 24 keyed group projections, snap each to the
+    * nearest lattice point whose parity encodes the message bit,
+    * distribute the shift across the group's dims, renormalize to the
+    * original norm.
+    *
+    * Formulated as ONE partial-aggregation over the exploded rows (the
+    * 24 projections as masked sums) + a broadcast join back — aggregates
+    * are optimizer barriers, so every intermediate is computed once (a
+    * pure projection pipeline gets exponentially duplicated by
+    * projection collapsing). The renormalizer comes analytically from
+    * the projections: ||n+δ||² = 1 + Σ_g (2·sh_g·pj_g + sh_g²)/cnt_g —
+    * no second aggregation. One small shuffle (carrier rows only). */
+  private val stegoCtes = {
+    val pSums = (0 until MsgLen).map(g =>
+      s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|           ")
+    def shiftExpr(g: Int): String = {
+      val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
+      s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+    }
+    val pnSq = (0 until MsgLen).map(g =>
+      s"(2 * sh$g * p$g + sh$g * sh$g) / ${WmConst.groupCnt(g)}").mkString(" + ")
     s"""cex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
        |        from carriers c join exn x on x.id = c.vec_id),
-       |proj as (select cex.id, cex.blk, dt.g, sum(cex.nval * dt.s) as pj
-       |         from cex join dimtab dt on dt.pos = cex.pos group by cex.id, cex.blk, dt.g),
-       |shifts as (select p.id, p.g, ((2 * cast(floor((p.pj / $Delta - m.bit) / 2 + 0.5) as bigint) + m.bit) * $Delta - p.pj) as shift
-       |           from proj p join msg24 m on m.blk = p.blk and m.j = p.g),
-       |stego0 as (select cex.id, cex.pos, cex.nval + sh.shift * dt.s / gc.cnt as pval, cex.nrm
-       |           from cex join dimtab dt on dt.pos = cex.pos
-       |                    join shifts sh on sh.id = cex.id and sh.g = dt.g
-       |                    join gcnt gc on gc.g = dt.g),
-       |pnrm as (select id, sqrt(sum(pval * pval)) as pn from stego0 group by id),
-       |stego as (select s.id, s.pos, s.pval / p.pn * s.nrm as sval
-       |          from stego0 s join pnrm p on p.id = s.id)""".stripMargin
+       |eagg as (select id, blk, max(nrm) as nrm,
+       |           $pSums
+       |         from cex group by id, blk),
+       |esh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+       |          ${(0 until MsgLen).map(g => s"${shiftExpr(g)} as sh$g").mkString(",\n|          ")}
+       |        from eagg),
+       |eshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+       |           sqrt(1 + $pnSq) as pn
+       |         from esh),
+       |stego as (select x.id, x.pos,
+       |            (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+       |          from cex x join eshn e on e.id = x.id)""".stripMargin
+  }
 
-  /** Blind extraction from the stego vectors (src = any (id, pos, sval)
-    * table): renormalize by CURRENT norm, re-project, decode bit = parity
-    * of nearest lattice point, gate on CRC-4 of the 4 decoded index bits,
-    * majority-vote payload bits per block
-    * (reference: pg_func.py:400-436 extract_from_db). */
-  private def extractCtes(src: String): String =
-    s"""snrm as (select id, sqrt(sum(sval * sval)) as nrm2 from $src group by id),
-       |sproj as (select s.id, dt.g, sum((s.sval / n2.nrm2) * dt.s) as pj2
-       |          from $src s join snrm n2 on n2.id = s.id join dimtab dt on dt.pos = s.pos
-       |          group by s.id, dt.g),
-       |dbits as (select id, g as j, ((cast(floor(pj2 / $Delta + 0.5) as bigint) % 2) + 2) % 2 as bit from sproj),
-       |heads as (select id,
-       |            sum(case when j < 4 then bit * cast(pow(2, 3 - j) as bigint) else 0 end) as idx,
-       |            sum(case when j >= 4 and j < 8 then bit * cast(pow(2, 7 - j) as bigint) else 0 end) as crc
-       |          from dbits group by id),
-       |valid as (select id, idx as blk from heads where crc = ${d.arrIdx0(crcLit, "idx")}),
-       |votes as (select v.blk, db.j - 8 as bit_idx, sum(2 * db.bit - 1) as vote, count(*) as n
-       |          from valid v join dbits db on db.id = v.id and db.j >= 8 group by v.blk, db.j)""".stripMargin
+  /** Blind extraction (src = any exploded (id, pos, sval) table):
+    * renormalize by CURRENT norm, re-project against the literal sign
+    * pattern, decode bit = parity of nearest lattice point, gate on
+    * CRC-4 of the 4 decoded index bits, then majority-vote payload bits
+    * per block (reference: pg_func.py:400-436 extract_from_db).
+    *
+    * One partial-aggregation computes the squared norm and all 24
+    * masked projection sums per vector (optimizer barrier — see
+    * stegoCtes); everything after is cheap scalar math + the tiny vote
+    * aggregation. Two shuffles total. */
+  private def extractCtes(src: String): String = {
+    val qSums = (0 until MsgLen).map(g =>
+      s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|           ")
+    def bitExpr(g: Int) =
+      s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+    s"""xagg as (select id, sqrt(sum(sval * sval)) as nr,
+       |           $qSums
+       |         from $src group by id),
+       |xb as (select id, ${(0 until MsgLen).map(g => s"${bitExpr(g)} as b$g").mkString(",\n|         ")}
+       |       from xagg),
+       |xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+       |         ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+       |       from xb),
+       |valid as (select id, idx as blk, pbits from xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+       |vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("valid", "pbits", "p1", "b", Seq("blk"))} _vx),
+       |votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+       |          from vx group by blk, bit_idx)""".stripMargin
+  }
 
   private def wmChain(upTo: String): String = {
     val parts = Seq(nvCtes, exnCte, lshCtes, knnCtes, carrierCtes,
-      msgbitsCte, msg24Cte, dimtabCtes, stegoCtes, extractCtes("stego"))
+      msgbitsCte, stegoCtes, extractCtes("stego"))
     val need = upTo match {
       case "lsh"      => parts.take(3)
       case "knn"      => parts.take(4)
       case "carriers" => parts.take(5)
-      case "stego"    => parts.take(9)
+      case "stego"    => parts.take(7)
       case "extract"  => parts
     }
     "with " + need.mkString(",\n")
@@ -216,11 +268,12 @@ final class Gen(d: Dialect) {
 
   /** Watermarked full table, exploded: carriers get stego values, the
     * rest keep originals (reference: pg_func.py update_vectors writes
-    * exactly this back to the DB). */
+    * exactly this back to the DB). Left join (broadcastable stego side,
+    * ~rate·N rows) — NOT an anti-join against `carriers`, which would
+    * re-run the whole selection chain a second time. */
   private val fullCte =
-    s"""full_t as (select id, pos, sval as val from stego
-       |           union all
-       |           select x.id, x.pos, x.val from exn x where not exists (select 1 from carriers c where c.vec_id = x.id))""".stripMargin
+    s"""full_t as (select x.id, x.pos, coalesce(s.sval, x.val) as val
+       |           from exn x left join stego s on s.id = x.id and s.pos = x.pos)""".stripMargin
 
   /** Word-split documents + exploded words (shared by the text suite). */
   private val wordCtes =
@@ -352,23 +405,39 @@ final class Gen(d: Dialect) {
          |      from documents group by md5(text) having count(*) > 1) _g""".stripMargin,
 
     "dedup_minhash" -> {
-      val shingle = s"concat_ws(' ', ${d.arrIdx0("ws", "k - 1")}, ${d.arrIdx0("ws", "k")}, ${d.arrIdx0("ws", "k + 1")})"
+      // one md5 per distinct shingle, then 16 universal-hash minhashes
+      // (a_r*h+b_r mod 2^31-1: products stay < 2^62, exact in both
+      // engines). The 16 signature values ride along through the band
+      // explode, so candidate similarity (the standard matching-minhash
+      // Jaccard estimate) needs NO second pass over the shingle sets —
+      // the expensive text scan runs exactly once.
+      val p = WmConst.MinhashP
+      val mins = (0 until 16).map { r =>
+        val (a, b) = WmConst.minhashCoef(r)
+        s"min(($a * h + $b) % $p) as m$r"
+      }.mkString(",\n|         ")
+      val sigs = arrLit((0 until 8).map(k => s"m${2 * k} * 2147483648 + m${2 * k + 1}"))
+      val matches = (0 until 16).map(r =>
+        s"(case when a.m$r = b.m$r then 1 else 0 end)").mkString(" + ")
+      // shingles via lead() over the exploded words: the regex split
+      // runs once per doc at the Generate — a transform-lambda over the
+      // split array gets the split substituted into EVERY element
+      // access by projection collapse (observed 10x slowdown).
       s"""with $wordCtes,
-         |shing as (select doc_id, ${d.arrTransform(d.intSeq("1", d.arrLen("ws") + " - 2"), "k", shingle)} as shs from w),
-         |shx as (select distinct doc_id, sh from ${d.explodeFrom("shing", "shs", "spos", "sh", Seq("doc_id"))} _sx),
-         |mh as (select doc_id, r, min(md5(concat_ws(':', r, sh))) as mn
-         |       from shx cross join ${rangeTable("rr", "r", 0, 15)} group by doc_id, r),
-         |bands as (select doc_id, band, md5(concat(max(case when r % 2 = 0 then mn end), max(case when r % 2 = 1 then mn end))) as sig
-         |          from (select doc_id, r, ${d.idiv("r", "2")} as band, mn from mh) _b group by doc_id, band),
-         |candp as (select distinct a.doc_id as da, b.doc_id as db
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-         |inter as (select c.da, c.db, count(*) as i from candp c
-         |          join shx s1 on s1.doc_id = c.da join shx s2 on s2.doc_id = c.db and s2.sh = s1.sh
-         |          group by c.da, c.db),
-         |cnts as (select doc_id, count(*) as nsh from shx group by doc_id)
-         |select ${bigint("t.da")} as doc_a, ${bigint("t.db")} as doc_b, round(t.i / (ca.nsh + cb.nsh - t.i), 4) as jaccard
-         |from inter t join cnts ca on ca.doc_id = t.da join cnts cb on cb.doc_id = t.db
-         |where t.i / (ca.nsh + cb.nsh - t.i) >= 0.1""".stripMargin
+         |sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
+         |        from wx),
+         |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
+         |sh31 as (select doc_id, ${d.hex2int("substr(md5(sh), 1, 15)")} % $p as h from shx),
+         |mh as (select doc_id,
+         |         $mins
+         |       from sh31 group by doc_id),
+         |bands as (select b1 - 1 as band, sig, ${(0 until 16).map(r => s"m$r").mkString(", ")}, doc_id
+         |          from ${d.explodeFrom("mh", sigs, "b1", "sig", (0 until 16).map(r => s"m$r") :+ "doc_id")} _bx),
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, ($matches) / 16.0 as est
+         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
+         |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, round(cast(est as double), 4) as jaccard_est
+         |from candp where est >= 0.1""".stripMargin
     },
 
     "dedup_simhash" ->
@@ -381,18 +450,24 @@ final class Gen(d: Dialect) {
          |from sb group by doc_id""".stripMargin,
 
     "dedup_jaccard" -> {
-      val grams = d.arrTransform(d.intSeq("1", "length(lower(text)) - 4"), "k", "substr(lower(text), cast(k as int), 5)")
-      s"""with g as (select doc_id, $grams as gr from documents),
-         |gx as (select distinct doc_id, gm from ${d.explodeFrom("g", "gr", "gp", "gm", Seq("doc_id"))} _gx),
-         |pairsel as (select a.doc_id as da, b.doc_id as db from documents a join documents b on b.doc_id = a.doc_id + 1 where a.doc_id % 20 = 0),
-         |inter as (select p.da, p.db, count(*) as i from pairsel p
-         |          join gx x1 on x1.doc_id = p.da join gx x2 on x2.doc_id = p.db and x2.gm = x1.gm
-         |          group by p.da, p.db),
-         |cnts as (select doc_id, count(*) as ng from gx group by doc_id)
-         |select ${bigint("p.da")} as doc_a, ${bigint("p.db")} as doc_b,
-         |  round(coalesce(t.i, 0) / (ca.ng + cb.ng - coalesce(t.i, 0)), 4) as jaccard
-         |from pairsel p left join inter t on t.da = p.da and t.db = p.db
-         |  join cnts ca on ca.doc_id = p.da join cnts cb on cb.doc_id = p.db""".stripMargin
+      val grams = d.arrTransform(d.intSeq("1", "length(lt) - 4"), "k", "substr(lt, cast(k as int), 5)")
+      // pairs are (20k, 20k+1); each gram row is tagged with its pair id
+      // and side, so ONE groupBy (pair, gram) + ONE groupBy pair yields
+      // the intersection and both set sizes — a single pass over the
+      // grams instead of four CTE re-evaluations (Spark inlines CTEs).
+      // The DISTINCT in g0 is an aggregate barrier that materializes
+      // lower(text) once.
+      s"""with g0 as (select distinct doc_id, lower(text) as lt from documents where doc_id % 20 <= 1),
+         |g as (select doc_id, $grams as gr from g0),
+         |gp as (select doc_id - (doc_id % 20) as pair, doc_id % 20 as side, gm
+         |       from ${d.explodeFrom("g", "gr", "gpos", "gm", Seq("doc_id"))} _gx),
+         |ag as (select pair, gm, max(case when side = 0 then 1 else 0 end) as l,
+         |              max(case when side = 1 then 1 else 0 end) as r
+         |       from gp group by pair, gm),
+         |j as (select pair, sum(l * r) as i, sum(l) as na, sum(r) as nb from ag group by pair)
+         |select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
+         |  round(i / (na + nb - i), 4) as jaccard
+         |from j where na > 0 and nb > 0""".stripMargin
     },
 
     "dedup_embedding" ->
@@ -443,12 +518,15 @@ final class Gen(d: Dialect) {
          |from nn cross join ax""".stripMargin,
 
     "pca_covariance" ->
-      s"""with $nvCtes, $exnCte,
-         |e8 as (select id, pos, val from exn where pos <= 8)
-         |select ${bigint("a.pos")} as i, ${bigint("b.pos")} as j,
-         |  round(avg(a.val * b.val) - avg(a.val) * avg(b.val), 6) as cov
-         |from e8 a join e8 b on a.id = b.id and a.pos <= b.pos
-         |group by a.pos, b.pos""".stripMargin,
+      // one scan, 36 partially-aggregated groups — no explode, no
+      // self-join; the Gram accumulation pattern that scales to d x d
+      // on 100 TB (driver-side eigen-decomposition of the d x d result)
+      s"""with $nvCtes,
+         |ij as (select i, j from ${rangeTable("ii", "i", 1, 8)} cross join ${rangeTable("jj", "j", 1, 8)} where i <= j)
+         |select ${bigint("ij.i")} as i, ${bigint("ij.j")} as j,
+         |  round(avg(${d.arrIdx0("v", "i - 1")} * ${d.arrIdx0("v", "j - 1")}) - avg(${d.arrIdx0("v", "i - 1")}) * avg(${d.arrIdx0("v", "j - 1")}), 6) as cov
+         |from nv cross join ij
+         |group by ij.i, ij.j""".stripMargin,
 
     "wm_knn_edges" ->
       s"""${wmChain("knn")}
