@@ -14,11 +14,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def register(spark: SparkSession, dir: String): Unit = {
-    // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-    // rejects; read it as BIGINT nanos (the SQL layer derives seconds).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.functions.DotProduct.register(spark)
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-  }
+  // one registration per (session, dir): every query calls register, and
+  // re-reading 10 parquet footers per query dominates small benchmarks
+  private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def register(spark: SparkSession, dir: String): Unit =
+    if (lastDir.put(spark, dir) != dir) {
+      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized
+      // reader rejects; read it as BIGINT nanos (the SQL layer derives
+      // seconds).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.functions.DotProduct.register(spark)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    }
 }

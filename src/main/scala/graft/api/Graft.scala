@@ -1,0 +1,94 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{SparkEntry, Tables}
+import graft.functions.Crypto
+import graft.operators.Writeback
+import graft.sqlgen.Wm
+
+/** Typed facade over the engine — the API a user of the reference
+  * system (connect → embed → attack → extract → decrypt; top-k search;
+  * dedup/text analytics) programs against, one method per capability
+  * (reference surface: backend/app.py routes + database/pgvector/
+  * pg_func.py pipeline entry points).
+  *
+  * Every method returns a lazy DataFrame whose plan went through
+  * Catalyst; nothing is collected except [[recoverMessage]], which
+  * assembles 256 extracted bits driver-side and AES-GCM-decrypts them.
+  */
+final class Graft(spark: SparkSession, dir: String) {
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  /** Raw table access (reference: list_tables/get_columns). */
+  def table(name: String): DataFrame = { Tables.register(spark, dir); spark.table(name) }
+  def catalog: DataFrame = q("vec_dim")
+
+  // ---- vector search ----
+  def vectorStats: DataFrame = q("vec_stats")
+  def normalized: DataFrame = q("vec_normalize")
+  /** Brute-force cosine top-k (correctness baseline). */
+  def topK: DataFrame = q("vec_topk")
+  /** LSH-bucketed approximate top-k (the 100 TB path). */
+  def topKApprox: DataFrame = q("vec_topk_lsh")
+  def project2d: DataFrame = q("vec_project2d")
+  def covariance: DataFrame = q("pca_covariance")
+
+  // ---- watermark pipeline (reference: embed_watermark / extract_watermark) ----
+  def knnGraph: DataFrame = q("wm_knn_edges")
+  def inDegrees: DataFrame = q("wm_in_degree")
+  def carriers: DataFrame = q("wm_carriers")
+  def messageBits: DataFrame = q("wm_msg_bits")
+  /** Stego values of the carrier vectors (exploded). */
+  def embedded: DataFrame = q("wm_embed")
+  /** The full watermarked table as (vec_id, embedding) — what the
+    * reference's update_vectors writes back. */
+  def watermarkedTable: DataFrame = Writeback.stegoTable(spark, dir)
+  /** Write the watermarked table as parquet; returns rows written. */
+  def writeWatermarked(outPath: String): Long = Writeback.writeStego(spark, dir, outPath)
+  /** Blind per-block majority-vote bit extraction. */
+  def extracted: DataFrame = q("wm_extract")
+  def recallImpact: DataFrame = q("wm_recall_impact")
+
+  /** Blind end-to-end recovery: extract 16x16 payload bits, reassemble
+    * the 32-char base64 ciphertext, AES-GCM decrypt with the key.
+    * Throws AEADBadTagException if the watermark was destroyed. */
+  def recoverMessage(key: String = Wm.Key): String = {
+    val bits = extracted.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val chars = for (blk <- 0 until Wm.Blocks; ci <- 0 until 2) yield
+      (0 until 8).map(b => bits.getOrElse((blk.toLong, (ci * 8 + b).toLong), 0L) << (7 - b)).sum.toChar
+    Crypto.decryptFromBase64(chars.mkString, key)
+  }
+
+  // ---- attacks + robustness (reference: attack/*.py) ----
+  def attackGaussian: DataFrame = q("attack_gaussian")
+  def attackMeanReplace: DataFrame = q("attack_mean")
+  def attackSubset: DataFrame = q("attack_subset")
+  def attackTruncate: DataFrame = q("attack_truncate")
+  /** Per-block bit error rate after the gaussian attack. */
+  def berUnderAttack: DataFrame = q("wm_ber")
+
+  // ---- LLM-data-pipeline ops ----
+  def dedupExact: DataFrame = q("dedup_exact")
+  def dedupMinhash: DataFrame = q("dedup_minhash")
+  def simhash: DataFrame = q("dedup_simhash")
+  def ngramJaccard: DataFrame = q("dedup_jaccard")
+  def embeddingNearDup: DataFrame = q("dedup_embedding")
+  def languageId: DataFrame = q("text_langid")
+  def qualityScores: DataFrame = q("text_quality")
+  def tokenCounts: DataFrame = q("text_tokens")
+  def fingerprints: DataFrame = q("text_fingerprint")
+
+  // ---- relational / events ----
+  def pricingSummary: DataFrame = q("q1_pricing")
+  def topRevenue: DataFrame = q("q3_revenue")
+  def nationRevenue: DataFrame = q("q5_nation_rev")
+  def topCustomersPerNation: DataFrame = q("q_window_topn")
+  def sessions: DataFrame = q("events_sessions")
+  def hourlyEventCounts: DataFrame = q("events_windowed")
+  def clicksWithLastPurchase: DataFrame = q("events_asof")
+}
+
+object Graft {
+  def apply(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+}
