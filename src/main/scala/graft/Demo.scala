@@ -20,6 +20,14 @@ object Demo {
     println("BER_BLOCKS=" + g.berUnderAttack.count())
     println("NEAR_DUP_PAIRS=" + g.dedupMinhash.count())
 
+    // custom physical operator vs declarative formulation
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n1, tDecl) = time(g.topK.count())
+    val (n2, tNative) = time(g.topKNative(10).count())
+    println(f"TOPK_DECLARATIVE rows=$n1 ${tDecl}%.2fs  TOPK_NATIVE rows=$n2 ${tNative}%.2fs")
+
     // dir switch in one session: table registration must follow
     val g2 = Graft(spark, "/root/testdata/sf0.1")
     println("SWITCHED_N_VECTORS=" + g2.vectorStats.collect().head.getLong(0))

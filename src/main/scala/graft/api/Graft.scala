@@ -30,6 +30,22 @@ final class Graft(spark: SparkSession, dir: String) {
   def topK: DataFrame = q("vec_topk")
   /** LSH-bucketed approximate top-k (the 100 TB path). */
   def topKApprox: DataFrame = q("vec_topk_lsh")
+
+  /** Exact top-k via the custom CosineTopK physical operator: one
+    * corpus pass with bounded per-query heaps instead of a join +
+    * window sort. Same output as [[topK]]. */
+  def topKNative(k: Int = 10): DataFrame = {
+    import graft.plans.{CosineTopK, CosineTopKStrategy}
+    import org.apache.spark.sql.graftbridge.DataFrameBridge
+    CosineTopKStrategy.register(spark)
+    Tables.register(spark, dir)
+    // raw vectors: the operator normalizes each row once internally
+    val nn = spark.sql(
+      "select vec_id as id, cast(embedding as array<double>) as v from embeddings")
+    val queries = nn.where("id % 100 = 0")
+    DataFrameBridge.ofRows(spark, CosineTopK(k,
+      DataFrameBridge.logicalPlan(queries), DataFrameBridge.logicalPlan(nn)))
+  }
   def project2d: DataFrame = q("vec_project2d")
   def covariance: DataFrame = q("pca_covariance")
 
