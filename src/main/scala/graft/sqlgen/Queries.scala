@@ -634,6 +634,18 @@ final class Gen(d: Dialect) {
          |from w where event_type = 'click' and pid is not null""".stripMargin
     },
 
+    // negative control: run blind extraction against the UNwatermarked
+    // table — only ~1/16 of vectors pass the CRC gate by chance and no
+    // coherent blocks emerge (the no-false-positive property of the
+    // reference's keyed detector).
+    "wm_extract_null" ->
+      s"""with $nvCtes, $exnCte,
+         |orig as (select id, pos, val as sval from exn),
+         |${extractCtes("orig")}
+         |select ${bigint("(select count(*) from valid)")} as n_crc_pass,
+         |  ${bigint("(select count(*) from nv)")} as n_vectors,
+         |  ${bigint("(select count(distinct blk) from valid)")} as n_blocks_hit""".stripMargin,
+
     // the table update_vectors writes back: stego values for carriers,
     // originals elsewhere (reference: pg_func.py:389-395).
     "vec_writeback" ->

@@ -49,6 +49,14 @@ class WatermarkEndToEndSpec extends AnyFunSuite {
     assert(drift < 1e-4, s"norm drift $drift (round-6 output tolerance)")
   }
 
+  test("unwatermarked table yields no coherent watermark (negative control)") {
+    val r = SparkEntry.queries("wm_extract_null")(spark, TestSpark.Sf).head()
+    val crcPass = r.getAs[Long]("n_crc_pass")
+    val n = r.getAs[Long]("n_vectors")
+    // CRC-4 passes by chance for ~1/16 of random vectors
+    assert(crcPass < n / 4, s"false-positive rate too high: $crcPass of $n")
+  }
+
   test("as-of join output is consistent") {
     val rows = SparkEntry.queries("events_asof")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
