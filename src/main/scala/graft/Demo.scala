@@ -33,6 +33,23 @@ object Demo {
     println("SWITCHED_N_VECTORS=" + g2.vectorStats.collect().head.getLong(0))
     println("BACK_N_DOCS=" + Graft(spark, dir).catalog.collect()
       .find(_.getString(0) == "documents").get.getLong(1))
+    // streaming: in-stream exact dedup over a fed memory stream
+    locally {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[(java.sql.Timestamp, Long)]
+      val q = graft.streaming.Streams
+        .dedupStream(in.toDF.toDF("ts", "event_id"))
+        .writeStream.format("memory").queryName("demo_dd")
+        .outputMode("append").start()
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      in.addData((t0, 1L), (t0, 2L), (t0, 1L), (t0, 2L), (t0, 3L))
+      q.processAllAvailable()
+      println("STREAM_DEDUP_IDS=" + spark.table("demo_dd")
+        .select("event_id").collect().map(_.getLong(0)).sorted.mkString(","))
+      q.stop()
+    }
     spark.stop()
   }
 }

@@ -616,6 +616,29 @@ final class Gen(d: Dialect) {
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
          |group by m.blk""".stripMargin,
 
+    // robustness matrix, continued: BER after subset deletion (10% of
+    // rows dropped — surviving carriers still majority-vote correctly)
+    "wm_ber_subset" ->
+      s"""${wmChain("stego")},
+         |atk as (select id, pos, sval from stego where ${prfMod(d)(10, "'bkeep'", "id")} < 9),
+         |${extractCtes("atk")}
+         |select ${bigint("m.blk")} as blk,
+         |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+         |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
+         |group by m.blk""".stripMargin,
+
+    // ...and after dimension truncation (30% of dims zeroed): the keyed
+    // groups lose members and BER degrades — the honest failure mode the
+    // reference's robustness eval also shows for aggressive truncation.
+    "wm_ber_truncate" ->
+      s"""${wmChain("stego")},
+         |atk as (select id, pos, case when pos <= ${Dim * 7 / 10} then sval else 0.0 end as sval from stego),
+         |${extractCtes("atk")}
+         |select ${bigint("m.blk")} as blk,
+         |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+         |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
+         |group by m.blk""".stripMargin,
+
     // as-of join: each click event ↦ the user's latest purchase at or
     // before it. One shuffle on user_id + an ordered window — the
     // scalable merge-asof shape (no range join blowup).

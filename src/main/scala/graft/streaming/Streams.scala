@@ -23,6 +23,13 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** In-stream exact dedup: drop repeated event_ids, bounding state by
+    * the event-time watermark (the streaming form of `dedup_exact` —
+    * at 100 TB/day the state store holds one key per id inside the
+    * watermark horizon only). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
   case class Sess(userId: Long, start: Long, end: Long, nEvents: Long)
 
   /** Event-time sessionization with a 30-min gap, the streaming form of

@@ -60,6 +60,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = Streams.dedupStream(in.toDF.toDF("ts", "event_id"))
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("10:00"), 1L), (ts("10:01"), 2L), (ts("10:02"), 1L))
+      q.processAllAvailable()
+      in.addData((ts("10:10"), 2L), (ts("10:11"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on a 30-min gap") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
