@@ -509,6 +509,37 @@ final class Gen(d: Dialect) {
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin,
 
+    // L2-distance top-k on RAW vectors — the literal pgvector `<->`
+    // operator semantic (cosine variants cover `<=>`); same bounded
+    // query subset, same rank determinism rules.
+    "vec_topk_l2" -> {
+      val sqdiff =
+        if (d.name == "spark")
+          "aggregate(zip_with(q.v, c.v, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, t) -> s + t)"
+        else
+          "list_reduce(list_transform(generate_series(1, len(q.v)), i -> ((q.v)[i] - (c.v)[i]) * ((q.v)[i] - (c.v)[i])), (s, t) -> s + t)"
+      s"""with ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings),
+         |q as (select id, v from ev where id % 100 = 0),
+         |p as (select q.id as qid, c.id as cid, round(sqrt($sqdiff), 6) as dist
+         |      from q join ev c on c.id <> q.id)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, dist, ${bigint("rn")} as rn
+         |from (select qid, cid, dist, row_number() over (partition by qid order by dist, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // semi-structured: extract a field from the JSON props column and
+    // aggregate — get_json_object pushdown-friendly scan + one shuffle.
+    "events_props" -> {
+      val k =
+        if (d.name == "spark") "cast(get_json_object(props, '$.k') as bigint)"
+        else "cast(json_extract_string(props, '$.k') as bigint)"
+      s"""with e as (select event_type, $k as k from events)
+         |select event_type, ${bigint("count(*)")} as n,
+         |  ${bigint("sum(k)")} as sum_k, round(avg(k), 4) as avg_k,
+         |  ${bigint("min(k)")} as min_k, ${bigint("max(k)")} as max_k
+         |from e group by event_type""".stripMargin
+    },
+
     "vec_project2d" ->
       s"""with $nvCtes,
          |ax as (select ${d.arrTransform(d.intSeq("1", Dim.toString), "dd", s"(2.0 * ${prfMod(d)(2, "'ax0'", "dd")} - 1.0) / sqrt(cast($Dim as double))")} as a0,
