@@ -94,6 +94,9 @@ final class Graft(spark: SparkSession, dir: String) {
   def qualityScores: DataFrame = q("text_quality")
   def tokenCounts: DataFrame = q("text_tokens")
   def fingerprints: DataFrame = q("text_fingerprint")
+  /** Composite curation pipeline: quality gate → language filter →
+    * exact dedup → per-source corpus stats. */
+  def curate: DataFrame = q("pipeline_curate")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

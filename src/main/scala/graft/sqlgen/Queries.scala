@@ -477,6 +477,35 @@ final class Gen(d: Dialect) {
          |from pairs p join nn na on na.id = p.ida join nn nb on nb.id = p.idb
          |where round(${d.dot("na.n", "nb.n")}, 6) >= 0.3""".stripMargin,
 
+    // composite curation pipeline — the realistic 100 TB training-data
+    // job: quality gate → language filter → exact-dedup (keep lowest
+    // doc_id) → per-source corpus stats. One pass over documents for
+    // the row-level signals, one word explode for language, one
+    // fingerprint groupBy for dedup.
+    "pipeline_curate" ->
+      s"""with $wordCtes,
+         |hits as (select doc_id,
+         |    sum(${inList("wd", stop("en"))}) as en_hits,
+         |    sum(${inList("wd", stop("de"))}) as de_hits,
+         |    sum(${inList("wd", stop("fr"))}) as fr_hits,
+         |    sum(${inList("wd", stop("es"))}) as es_hits,
+         |    ${bigint("count(*)")} as n_words
+         |  from wx group by doc_id),
+         |sig as (select d.doc_id, d.source, d.lang, d.text, h.n_words,
+         |    length(${regexReplaceAll("d.text", "[^a-zA-Z]", "")}) / length(d.text) as alpha_ratio,
+         |    case when h.en_hits >= h.de_hits and h.en_hits >= h.fr_hits and h.en_hits >= h.es_hits then 'en'
+         |         when h.de_hits >= h.fr_hits and h.de_hits >= h.es_hits then 'de'
+         |         when h.fr_hits >= h.es_hits then 'fr' else 'es' end as pred_lang
+         |  from documents d join hits h on h.doc_id = d.doc_id),
+         |keep1 as (select * from sig where lang = 'en' and alpha_ratio >= 0.6 and n_words >= 10),
+         |dedup as (select min(doc_id) as keeper from keep1 group by md5(text)),
+         |kept as (select k.* from keep1 k join dedup dd on dd.keeper = k.doc_id)
+         |select source, ${bigint("count(*)")} as n_docs,
+         |  ${bigint("sum(n_words)")} as total_words,
+         |  round(avg(alpha_ratio), 4) as avg_alpha,
+         |  ${bigint("sum(case when pred_lang = lang then 1 else 0 end)")} as langid_agree
+         |from kept group by source""".stripMargin,
+
     // ---------------- vector / watermark core ----------------
     "vec_stats" ->
       s"""with $nvCtes
