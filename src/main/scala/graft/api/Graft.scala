@@ -48,6 +48,8 @@ final class Graft(spark: SparkSession, dir: String) {
   }
   def project2d: DataFrame = q("vec_project2d")
   def covariance: DataFrame = q("pca_covariance")
+  def centroids: DataFrame = q("vec_centroids")
+  def lengthQuantiles: DataFrame = q("text_length_quantiles")
 
   // ---- watermark pipeline (reference: embed_watermark / extract_watermark) ----
   def knnGraph: DataFrame = q("wm_knn_edges")

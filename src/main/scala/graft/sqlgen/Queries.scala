@@ -569,6 +569,28 @@ final class Gen(d: Dialect) {
          |from e group by event_type""".stripMargin
     },
 
+    // per-label centroid vectors (class means — the building block the
+    // mean-replacement attack and IVF coarse quantizers share): one
+    // partial-agg shuffle of (label, pos) cells.
+    "vec_centroids" ->
+      s"""with $nvCtes,
+         |lab as (select * from ${d.explodeFrom("nv", "v", "pos", "val", Seq("label"))} _lb)
+         |select ${bigint("label")} as label, ${bigint("pos")} as pos,
+         |  ${bigint("count(*)")} as n, round(avg(val), 6) as centroid_val
+         |from lab group by label, pos""".stripMargin,
+
+    // exact deterministic quantiles by rank selection (no engine
+    // percentile interpolation differences): doc length p50/p90/p99.
+    "text_length_quantiles" ->
+      s"""with r as (select n_chars, row_number() over (order by n_chars, doc_id) as rn,
+         |             count(*) over () as cnt
+         |           from documents)
+         |select ${bigint("sum(case when rn = cast(ceil(cnt * 0.5) as bigint) then n_chars else 0 end)")} as p50,
+         |  ${bigint("sum(case when rn = cast(ceil(cnt * 0.9) as bigint) then n_chars else 0 end)")} as p90,
+         |  ${bigint("sum(case when rn = cast(ceil(cnt * 0.99) as bigint) then n_chars else 0 end)")} as p99,
+         |  ${bigint("min(n_chars)")} as min_len, ${bigint("max(n_chars)")} as max_len
+         |from r""".stripMargin,
+
     "vec_project2d" ->
       s"""with $nvCtes,
          |ax as (select ${d.arrTransform(d.intSeq("1", Dim.toString), "dd", s"(2.0 * ${prfMod(d)(2, "'ax0'", "dd")} - 1.0) / sqrt(cast($Dim as double))")} as a0,
