@@ -90,6 +90,7 @@ final class Graft(spark: SparkSession, dir: String) {
   def dedupExact: DataFrame = q("dedup_exact")
   def dedupMinhash: DataFrame = q("dedup_minhash")
   def simhash: DataFrame = q("dedup_simhash")
+  def simhashNearDups: DataFrame = q("dedup_simhash_pairs")
   def ngramJaccard: DataFrame = q("dedup_jaccard")
   def embeddingNearDup: DataFrame = q("dedup_embedding")
   def languageId: DataFrame = q("text_langid")

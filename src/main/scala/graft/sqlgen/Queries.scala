@@ -449,6 +449,26 @@ final class Gen(d: Dialect) {
          |  ${bigint(s"sum(case when wsum > 0 then cast(pow(2, 31 - b) as bigint) else 0 end)")} as simhash
          |from sb group by doc_id""".stripMargin,
 
+    // SimHash near-dup PAIRS: split the 32-bit hash into 4 byte bands —
+    // any pair within hamming distance 4 shares at least one exact
+    // band (pigeonhole) — band-join candidates, verify with
+    // bit_count(xor). Completes the simhash dedup path at join scale.
+    "dedup_simhash_pairs" ->
+      s"""with $wordCtes,
+         |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 8)")} as h from wx group by doc_id, wd),
+         |sb as (select doc_id, b, sum(cnt * (2 * ${bitOf(d)("h", "b", 32)} - 1)) as wsum
+         |       from wh cross join ${rangeTable("bt", "b", 0, 31)} group by doc_id, b),
+         |sh as (select doc_id, ${bigint(s"sum(case when wsum > 0 then cast(pow(2, 31 - b) as bigint) else 0 end)")} as sig
+         |       from sb group by doc_id),
+         |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * 8) as bigint)) % 256 as bandv
+         |          from sh cross join ${rangeTable("b4", "bb", 0, 3)}),
+         |cand as (select distinct a.doc_id as da, a.sig as sa, b.doc_id as db, b.sig as sb2
+         |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id)
+         |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
+         |  ${bigint(s"bit_count(${if (d.name == "spark") "sa ^ sb2" else "xor(sa, sb2)"})")} as hamming
+         |from cand
+         |where bit_count(${if (d.name == "spark") "sa ^ sb2" else "xor(sa, sb2)"}) <= 4""".stripMargin,
+
     "dedup_jaccard" -> {
       val grams = d.arrTransform(d.intSeq("1", "length(lt) - 4"), "k", "substr(lt, cast(k as int), 5)")
       // pairs are (20k, 20k+1); each gram row is tagged with its pair id
