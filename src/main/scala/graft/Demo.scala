@@ -33,6 +33,15 @@ object Demo {
     println("SWITCHED_N_VECTORS=" + g2.vectorStats.collect().head.getLong(0))
     println("BACK_N_DOCS=" + Graft(spark, dir).catalog.collect()
       .find(_.getString(0) == "documents").get.getLong(1))
+    // skew-salted pair generation over real LSH-style buckets
+    locally {
+      import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+      val buckets = g.table("embeddings")
+        .select(col("vec_id").as("id"), pmod(xxhash64(col("vec_id")), org.apache.spark.sql.functions.lit(4)).as("bucket"))
+      val pairs = graft.operators.SkewSalt.saltedSelfJoinPairs(buckets, "id", "bucket", 8)
+      println("SALTED_PAIRS=" + pairs.count())
+    }
+
     // streaming: in-stream exact dedup over a fed memory stream
     locally {
       implicit val ctx = spark.sqlContext
