@@ -25,4 +25,18 @@ object Writeback {
     df.write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).count()
   }
+
+  /** Bucketed variant: hash-bucket and sort by vec_id so every
+    * downstream join/agg on vec_id is co-located — no shuffle
+    * (SURVEY §4's pre-partitioning story; at 100 TB this is how the
+    * stego table joins back against its source for audits). */
+  def writeStegoBucketed(spark: SparkSession, sfDir: String,
+                         table: String, path: String,
+                         buckets: Int = 32): Long = {
+    stegoTable(spark, sfDir).write.mode("overwrite")
+      .option("path", new java.io.File(path).getAbsolutePath)
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(table)
+    spark.table(table).count()
+  }
 }
