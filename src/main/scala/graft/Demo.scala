@@ -33,6 +33,14 @@ object Demo {
     println("SWITCHED_N_VECTORS=" + g2.vectorStats.collect().head.getLong(0))
     println("BACK_N_DOCS=" + Graft(spark, dir).catalog.collect()
       .find(_.getString(0) == "documents").get.getLong(1))
+    // one-pass d x d covariance (treeAggregate Gram accumulation)
+    locally {
+      val vecs = g.table("embeddings")
+        .selectExpr("cast(embedding as array<double>) as v")
+      val cov = graft.operators.Gram.covarianceMatrix(vecs, "v", 64)
+      println(f"COV_DIAG_MEAN=${(0 until 64).map(i => cov(i)(i)).sum / 64}%.6f")
+    }
+
     // skew-salted pair generation over real LSH-style buckets
     locally {
       import org.apache.spark.sql.functions.{col, pmod, xxhash64}
