@@ -50,6 +50,22 @@ object Demo {
       println("SALTED_PAIRS=" + pairs.count())
     }
 
+    // streaming blind watermark extraction: stego cells in, decodes out
+    locally {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val cells = g.embedded.collect()
+        .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
+      val in = MemoryStream[(Long, Int, Double)]
+      val q = graft.streaming.Streams.extractStream(in.toDS)
+        .writeStream.format("memory").queryName("demo_wmx")
+        .outputMode("append").start()
+      in.addData(cells.toSeq); q.processAllAvailable()
+      println("STREAM_DECODED_VECTORS=" + spark.table("demo_wmx").count())
+      q.stop()
+    }
+
     // streaming: in-stream exact dedup over a fed memory stream
     locally {
       implicit val ctx = spark.sqlContext

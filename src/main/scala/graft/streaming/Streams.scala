@@ -30,6 +30,32 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  case class Decoded(vecId: Long, blk: Int, bits: Array[Int])
+
+  /** Streaming blind watermark extraction: (vec_id, pos, sval) cells
+    * arrive in any order and any batch split; per-vector state
+    * assembles the 64 dims, and a completed vector is CRC-gated and
+    * decoded immediately (graft.functions.WmDecode — identical math to
+    * the batch SQL extract). State is O(open vectors); the tiny
+    * majority-vote tail stays a batch aggregation downstream. */
+  def extractStream(cells: Dataset[(Long, Int, Double)]): Dataset[Decoded] = {
+    import cells.sparkSession.implicits._
+    cells.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Int, Double], Decoded](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (vecId, it, state: GroupState[Map[Int, Double]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Int, Double])
+          it.foreach { case (_, pos, sval) => m += pos -> sval }
+          if (m.size >= graft.sqlgen.Wm.Dim) {
+            state.remove()
+            val vals = Array.tabulate(graft.sqlgen.Wm.Dim)(i => m(i + 1))
+            graft.functions.WmDecode.decode(vals)
+              .map { case (blk, bits) => Decoded(vecId, blk, bits) }
+              .iterator
+          } else { state.update(m); Iterator.empty }
+      }
+  }
+
   case class Sess(userId: Long, start: Long, end: Long, nEvents: Long)
 
   /** Event-time sessionization with a 30-min gap, the streaming form of

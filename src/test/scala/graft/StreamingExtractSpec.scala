@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import graft.sqlgen.Wm
+
+/** Batch-embedded, STREAM-extracted: the stego cells from the batch
+  * embed query, fed as an out-of-order stream in two chunks, must
+  * decode to exactly the embedded message bits. */
+class StreamingExtractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming blind extraction recovers the embedded message") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+
+    val cells = SparkEntry.queries("wm_embed")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
+    // shuffle deterministically and split so most vectors straddle
+    // the two micro-batches (state must carry partial vectors over)
+    val mixed = cells.sortBy { case (id, pos, _) => (pos, id) }
+    val (c1, c2) = mixed.splitAt(mixed.length / 2)
+
+    val in = MemoryStream[(Long, Int, Double)]
+    val q = Streams.extractStream(in.toDS)
+      .writeStream.format("memory").queryName("wmx")
+      .outputMode("append").start()
+    try {
+      in.addData(c1.toSeq); q.processAllAvailable()
+      val mid = spark.table("wmx").count()
+      in.addData(c2.toSeq); q.processAllAvailable()
+      val decoded = spark.table("wmx").as[Streams.Decoded].collect()
+      assert(mid < decoded.length, "second batch completed more vectors")
+
+      // majority-vote tail (batch, as in production)
+      val votes = decoded.groupBy(_.blk).view.mapValues { ds =>
+        (0 until 16).map(j => if (ds.map(d => 2 * d.bits(j) - 1).sum > 0) 1 else 0)
+      }.toMap
+      val expect = SparkEntry.queries("wm_msg_bits")(spark, TestSpark.Sf)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2).toInt).toMap
+      for (blk <- 0 until Wm.Blocks; j <- 0 until 16)
+        assert(votes(blk)(j) == expect((blk, j)), s"bit ($blk, $j)")
+    } finally q.stop()
+  }
+}
