@@ -30,6 +30,8 @@ final class Graft(spark: SparkSession, dir: String) {
   def topK: DataFrame = q("vec_topk")
   /** LSH-bucketed approximate top-k (the 100 TB path). */
   def topKApprox: DataFrame = q("vec_topk_lsh")
+  /** IVF-style approximate top-k (coarse centroid cells, nprobe=2). */
+  def topKIvf: DataFrame = q("vec_topk_ivf")
 
   /** Exact top-k via the custom CosineTopK physical operator: one
     * corpus pass with bounded per-query heaps instead of a join +

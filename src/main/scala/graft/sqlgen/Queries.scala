@@ -558,6 +558,27 @@ final class Gen(d: Dialect) {
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin,
 
+    // IVF-style ANN: coarse cells = per-label centroid vectors (the
+    // deterministic stand-in for k-means — same assign/probe dataflow);
+    // every vector is assigned to its nearest cell, queries probe the
+    // top-2 cells, and exact ranking runs only within the probed cells.
+    // The 100 TB shape: one tiny centroid broadcast, one shuffle on
+    // cell id, per-cell work only.
+    "vec_topk_ivf" ->
+      s"""with $nvCtes, $exnCte,
+         |cm as (select label, pos, avg(val) as cval from (select x.id, x.pos, x.val, nv.label from exn x join nv on nv.id = x.id) _lx group by label, pos),
+         |cent as (select label, ${d.arrAggOrdered("cval", "pos")} as cv from cm group by label),
+         |csim as (select nn.id, cent.label, ${d.dot("nn.n", "cent.cv")} / sqrt(${d.dot("cent.cv", "cent.cv")}) as sim
+         |         from nn cross join cent),
+         |asg as (select id, label from (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim) _a where rn = 1),
+         |qprobe as (select id, label from (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim where id % 100 = 0) _q where rn <= 2),
+         |cnd as (select qp.id as qid, a.id as cid from qprobe qp join asg a on a.label = qp.label and a.id <> qp.id),
+         |p as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+         |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
     // L2-distance top-k on RAW vectors — the literal pgvector `<->`
     // operator semantic (cosine variants cover `<=>`); same bounded
     // query subset, same rank determinism rules.
