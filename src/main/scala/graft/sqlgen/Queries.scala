@@ -275,6 +275,17 @@ final class Gen(d: Dialect) {
     s"""full_t as (select x.id, x.pos, coalesce(s.sval, x.val) as val
        |           from exn x left join stego s on s.id = x.id and s.pos = x.pos)""".stripMargin
 
+  /** SimHash per-bit signed sums as 32 masked aggregation columns
+    * (one groupBy pass — no 32x cross-join row expansion). */
+  private lazy val simhashSums: String =
+    (0 until 32).map(b =>
+      s"sum(cnt * (2 * ${bitOf(d)("h", b.toString, 32)} - 1)) as s$b")
+      .mkString(",\n|          ")
+  private lazy val simhashSigFromSums: String =
+    "cast(" + (0 until 32).map(b =>
+      s"(case when s$b > 0 then ${1L << (31 - b)} else 0 end)")
+      .mkString(" + ") + " as bigint)"
+
   /** Word-split documents + exploded words (shared by the text suite). */
   private val wordCtes =
     s"""w as (select doc_id, ${splitWs("lower(text)")} as ws from documents),
@@ -443,23 +454,21 @@ final class Gen(d: Dialect) {
     "dedup_simhash" ->
       s"""with $wordCtes,
          |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 8)")} as h from wx group by doc_id, wd),
-         |sb as (select doc_id, b, sum(cnt * (2 * ${bitOf(d)("h", "b", 32)} - 1)) as wsum
-         |       from wh cross join ${rangeTable("bt", "b", 0, 31)} group by doc_id, b)
-         |select ${bigint("doc_id")} as doc_id,
-         |  ${bigint(s"sum(case when wsum > 0 then cast(pow(2, 31 - b) as bigint) else 0 end)")} as simhash
-         |from sb group by doc_id""".stripMargin,
+         |sbw as (select doc_id, ${simhashSums} from wh group by doc_id)
+         |select ${bigint("doc_id")} as doc_id, ${simhashSigFromSums} as simhash
+         |from sbw""".stripMargin,
 
     // SimHash near-dup PAIRS: split the 32-bit hash into 4 byte bands —
     // any pair within hamming distance 4 shares at least one exact
     // band (pigeonhole) — band-join candidates, verify with
     // bit_count(xor). Completes the simhash dedup path at join scale.
+    // The 32 bit-sums are masked aggregation columns in ONE groupBy
+    // (a 32x cross-join row expansion costs more than it saves).
     "dedup_simhash_pairs" ->
       s"""with $wordCtes,
          |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 8)")} as h from wx group by doc_id, wd),
-         |sb as (select doc_id, b, sum(cnt * (2 * ${bitOf(d)("h", "b", 32)} - 1)) as wsum
-         |       from wh cross join ${rangeTable("bt", "b", 0, 31)} group by doc_id, b),
-         |sh as (select doc_id, ${bigint(s"sum(case when wsum > 0 then cast(pow(2, 31 - b) as bigint) else 0 end)")} as sig
-         |       from sb group by doc_id),
+         |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
+         |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw),
          |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * 8) as bigint)) % 256 as bandv
          |          from sh cross join ${rangeTable("b4", "bb", 0, 3)}),
          |cand as (select distinct a.doc_id as da, a.sig as sa, b.doc_id as db, b.sig as sb2
