@@ -58,7 +58,7 @@ object Demo {
       val cells = g.embedded.collect()
         .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
       val in = MemoryStream[(Long, Int, Double)]
-      val q = graft.streaming.Streams.extractStream(in.toDS)
+      val q = graft.streaming.Streams.extractStream(in.toDS())
         .writeStream.format("memory").queryName("demo_wmx")
         .outputMode("append").start()
       in.addData(cells.toSeq); q.processAllAvailable()
@@ -73,7 +73,7 @@ object Demo {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val in = MemoryStream[(java.sql.Timestamp, Long)]
       val q = graft.streaming.Streams
-        .dedupStream(in.toDF.toDF("ts", "event_id"))
+        .dedupStream(in.toDF().toDF("ts", "event_id"))
         .writeStream.format("memory").queryName("demo_dd")
         .outputMode("append").start()
       val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
