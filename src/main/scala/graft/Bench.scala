@@ -1,11 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def timeSec(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target machine runs local[32] with 128 GiB; 32 shuffle
     // partitions sized to match (not the 200 default)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,14 +23,25 @@ object Bench {
     // codegen — standard practice so query timings measure queries
     try SparkEntry.queries("vec_dim")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // the shared wm-chain materialization is timed as its own entry, so
+    // its one-off cost is visible instead of landing on whichever wm_*
+    // query happens to run first (the per-query medians then measure
+    // the steady-state plans the cache exists to enable)
+    val chainSec = timeSec(try WmCache.ensure(spark, sfDir)
+                           catch { case _: Throwable => () })
+    // median of `reps` runs per query: a transient machine-load spike
+    // (observed: driver 255.9 s vs reproducible 64.5 s in round 1)
+    // cannot inflate any single query's reported time
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = Seq.fill(reps)(
+        timeSec(try { fn(spark, sfDir).count(); () }
+                catch { case _: Throwable => () })).sorted
+      name -> runs(runs.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results + ("wm_chain_build" -> chainSec))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum + chainSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

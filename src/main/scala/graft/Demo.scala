@@ -55,9 +55,10 @@ object Demo {
       implicit val ctx = spark.sqlContext
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val t0 = new java.sql.Timestamp(1700000000000L)
       val cells = g.embedded.collect()
-        .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
-      val in = MemoryStream[(Long, Int, Double)]
+        .map(r => (t0, r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
+      val in = MemoryStream[(java.sql.Timestamp, Long, Int, Double)]
       val q = graft.streaming.Streams.extractStream(in.toDS())
         .writeStream.format("memory").queryName("demo_wmx")
         .outputMode("append").start()

@@ -6,7 +6,9 @@ import graft.sqlgen.{DuckDialect, Gen, SparkDialect}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory behind each query key. */
 object SparkEntry {
-  private lazy val sparkGen = new Gen(SparkDialect)
+  // Spark rendering reads the wm chain from WmCache's materialized
+  // views; the DuckDB oracle always renders the full inline chain.
+  private lazy val sparkGen = new Gen(SparkDialect, useViews = true)
   private lazy val duckGen  = new Gen(DuckDialect)
 
   /** Flagship: watermark recall-impact pipeline (LSH buckets → kNN graph
@@ -20,6 +22,7 @@ object SparkEntry {
     sparkGen.sqls.keys.map { name =>
       name -> ((s: SparkSession, dir: String) => {
         Tables.register(s, dir)
+        if (WmCache.dependents(name)) WmCache.ensure(s, dir)
         s.sql(sparkGen.sql(name))
       })
     }.toMap

@@ -1,10 +1,10 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.{SparkEntry, Tables}
+import graft.{SparkEntry, Tables, WmCache}
 import graft.functions.Crypto
 import graft.operators.Writeback
-import graft.sqlgen.Wm
+import graft.sqlgen.{Gen, SparkDialect, Wm, WmParams}
 
 /** Typed facade over the engine — the API a user of the reference
   * system (connect → embed → attack → extract → decrypt; top-k search;
@@ -16,8 +16,21 @@ import graft.sqlgen.Wm
   * Catalyst; nothing is collected except [[recoverMessage]], which
   * assembles 256 extracted bits driver-side and AES-GCM-decrypts them.
   */
-final class Graft(spark: SparkSession, dir: String) {
-  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+final class Graft(spark: SparkSession, dir: String,
+                  params: WmParams = WmParams.Default) {
+  // default params ride the driver contract's shared rendering (and the
+  // WmCache materialized chain); custom (message, key, rate, delta) get
+  // their own full-chain rendering — the analog of the reference's
+  // per-call embed_watermark(message, embed_rate, encryption_key)
+  // arguments (pg_func.py:616)
+  private val isDefault = params == WmParams.Default
+  private lazy val customGen = new Gen(SparkDialect, useViews = false, params)
+  private def q(name: String): DataFrame =
+    if (isDefault) SparkEntry.queries(name)(spark, dir)
+    else {
+      Tables.register(spark, dir)
+      spark.sql(customGen.sql(name))
+    }
 
   /** Raw table access (reference: list_tables/get_columns). */
   def table(name: String): DataFrame = { Tables.register(spark, dir); spark.table(name) }
@@ -44,7 +57,9 @@ final class Graft(spark: SparkSession, dir: String) {
     // raw vectors: the operator normalizes each row once internally
     val nn = spark.sql(
       "select vec_id as id, cast(embedding as array<double>) as v from embeddings")
-    val queries = nn.where("id % 100 = 0")
+    // the operator's contract is a BOUNDED query set (driver-mergeable
+    // |Q|·k partials) — use the fixed literal list, never a data fraction
+    val queries = nn.where(s"id in (${Wm.QueryIds.mkString(", ")})")
     DataFrameBridge.ofRows(spark, CosineTopK(k,
       DataFrameBridge.logicalPlan(queries), DataFrameBridge.logicalPlan(nn)))
   }
@@ -68,11 +83,14 @@ final class Graft(spark: SparkSession, dir: String) {
   /** Blind per-block majority-vote bit extraction. */
   def extracted: DataFrame = q("wm_extract")
   def recallImpact: DataFrame = q("wm_recall_impact")
+  /** Pre/post cosine drift of the carrier vectors: n/avg/min/max/std
+    * (reference: pg_func.py:933-1006 and the visualization endpoint). */
+  def driftStats: DataFrame = q("wm_drift")
 
   /** Blind end-to-end recovery: extract 16x16 payload bits, reassemble
     * the 32-char base64 ciphertext, AES-GCM decrypt with the key.
     * Throws AEADBadTagException if the watermark was destroyed. */
-  def recoverMessage(key: String = Wm.Key): String = {
+  def recoverMessage(key: String = params.key): String = {
     val bits = extracted.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val chars = for (blk <- 0 until Wm.Blocks; ci <- 0 until 2) yield

@@ -1,31 +1,36 @@
 package graft.functions
 
 import java.util.Base64
-import javax.crypto.spec.{GCMParameterSpec, PBEKeySpec, SecretKeySpec}
-import javax.crypto.{Cipher, SecretKeyFactory}
+import javax.crypto.spec.{IvParameterSpec, PBEKeySpec, SecretKeySpec}
+import javax.crypto.{Cipher, Mac, SecretKeyFactory}
 
-/** AES-GCM message wrapping for the watermark payload.
+/** Deterministic AEAD (SIV-style) message wrapping for the watermark
+  * payload.
   *
-  * Mirrors the reference semantics (reference: database/pgvector/
-  * pg_func.py:585-734): a 16-char plaintext is AES-GCM-encrypted with a
-  * PBKDF2-SHA256-derived key (100k iterations, fixed salt), producing
+  * Mirrors the reference's wire surface (reference: database/pgvector/
+  * pg_func.py:585-734): a 16-char plaintext is encrypted with a
+  * PBKDF2-SHA256-derived key (100k iterations, fixed salt) into
   * 16 ct bytes + 8 tag bytes = 24 bytes, base64 → exactly 32 chars,
   * which are then partitioned into 16 blocks × 16 payload bits.
   *
-  * One deliberate difference: the reference draws a random nonce and
-  * returns it to the caller; a distributed, re-runnable pipeline needs
-  * determinism, so the nonce is itself derived from the password via
-  * PBKDF2 with a distinct salt. Same security model as a fixed-key
-  * deterministic wrap; uniqueness per (password, message) is not a goal
-  * of the reference either (it reuses one message per DB).
+  * Construction difference: the reference uses AES-GCM with a random
+  * per-call nonce returned to the caller; a distributed, re-runnable
+  * pipeline needs determinism. A fixed (key, nonce) GCM pair would
+  * reuse the CTR keystream across distinct messages, so instead the
+  * tag IS the nonce, SIV-style (cf. RFC 5297 / AES-GCM-SIV):
+  *   siv  = HMAC-SHA256(K_mac, plaintext)[0..8)   — the 8-byte tag
+  *   ct   = AES-CTR(K_enc, iv = siv ‖ counter, plaintext)
+  *   out  = base64(ct ‖ siv)
+  * Distinct messages under one password get distinct keystreams, and
+  * decryption authenticates by recomputing the HMAC over the decrypted
+  * plaintext (misuse-resistant: determinism only reveals message
+  * equality, never keystream reuse).
   */
 object Crypto {
   private val Salt = "graft_wm_salt_v1".getBytes("UTF-8")
-  private val NonceSalt = "graft_wm_nonce_v1".getBytes("UTF-8")
+  private val MacSalt = "graft_wm_mac_v1".getBytes("UTF-8")
   private val Iterations = 100000
-  /** 8-byte truncated tag, as in the reference (mac_len=8). JCE GCM
-    * refuses TLen < 96, so we run GCM with the full 128-bit tag and
-    * truncate — same construction PyCryptodome uses internally. */
+  /** 8-byte tag, as in the reference (mac_len=8). */
   private val TagBytes = 8
 
   def pbkdf2(password: String, salt: Array[Byte], bits: Int): Array[Byte] = {
@@ -34,45 +39,48 @@ object Crypto {
       .generateSecret(spec).getEncoded
   }
 
-  private def key(password: String) =
+  private def encKey(password: String) =
     new SecretKeySpec(pbkdf2(password, Salt, 256), "AES")
-  private def nonce(password: String) = pbkdf2(password, NonceSalt, 96)
+  private def macKey(password: String) =
+    new SecretKeySpec(pbkdf2(password, MacSalt, 256), "HmacSHA256")
 
-  /** Full GCM output for pt: 16 ct bytes ++ 16 tag bytes. */
-  private def gcmFull(password: String, pt: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/GCM/NoPadding")
-    c.init(Cipher.ENCRYPT_MODE, key(password),
-      new GCMParameterSpec(128, nonce(password)))
-    c.doFinal(pt)
+  /** siv = first 8 bytes of HMAC-SHA256(K_mac, pt). */
+  private def siv(password: String, pt: Array[Byte]): Array[Byte] = {
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(macKey(password))
+    m.doFinal(pt).take(TagBytes)
+  }
+
+  /** AES-CTR with iv = siv ‖ 8-byte big-endian counter starting at 1
+    * (CTR is its own inverse, so this both encrypts and decrypts). */
+  private def ctr(password: String, iv8: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val iv16 = iv8 ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    val c = Cipher.getInstance("AES/CTR/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, encKey(password), new IvParameterSpec(iv16))
+    c.doFinal(data)
   }
 
   /** 16-char plaintext → 32-char base64 ciphertext (16 ct + 8 tag bytes). */
   def encryptToBase64(plaintext: String, password: String): String = {
     val pt = plaintext.getBytes("UTF-8")
     require(pt.length == 16, s"plaintext must be 16 bytes, got ${pt.length}")
-    val full = gcmFull(password, pt)
-    val b64 = Base64.getEncoder.encodeToString(full.take(16 + TagBytes))
+    val tag = siv(password, pt)
+    val ct = ctr(password, tag, pt)
+    val b64 = Base64.getEncoder.encodeToString(ct ++ tag)
     assert(b64.length == 32, s"expected 32 b64 chars, got ${b64.length}")
     b64
   }
 
-  /** Inverse of [[encryptToBase64]]. GCM's keystream is CTR with the
-    * counter starting at 2 for the first ct block (NIST SP 800-38D §7.1,
-    * J0 = IV || 0x00000001 for 96-bit IVs, data uses inc32(J0)); the
-    * truncated tag is verified by recomputing the full GCM output.
-    * Throws AEADBadTagException on a wrong password or corrupted bits. */
+  /** Inverse of [[encryptToBase64]]: decrypt with the transmitted siv as
+    * IV, then authenticate by recomputing the HMAC over the plaintext
+    * (constant-time compare). Throws AEADBadTagException on a wrong
+    * password or corrupted bits. */
   def decryptFromBase64(b64: String, password: String): String = {
     require(b64.length == 32, "ciphertext must be 32 b64 chars")
     val raw = Base64.getDecoder.decode(b64)
     val (ct, tag8) = raw.splitAt(16)
-    val iv16 = nonce(password) ++ Array[Byte](0, 0, 0, 2)
-    val ctr = Cipher.getInstance("AES/CTR/NoPadding")
-    ctr.init(Cipher.DECRYPT_MODE, key(password),
-      new javax.crypto.spec.IvParameterSpec(iv16))
-    val pt = ctr.doFinal(ct)
-    val expect = gcmFull(password, pt)
-    if (!java.util.Arrays.equals(expect.take(16), ct) ||
-        !java.util.Arrays.equals(expect.slice(16, 16 + TagBytes), tag8))
+    val pt = ctr(password, tag8, ct)
+    if (!java.security.MessageDigest.isEqual(siv(password, pt), tag8))
       throw new javax.crypto.AEADBadTagException("tag mismatch")
     new String(pt, "UTF-8")
   }

@@ -29,31 +29,49 @@ object Prf {
 object WmConst {
   import graft.sqlgen.Wm.{Blocks, Dim, Key, LshPlanes, LshTables, MsgLen}
 
-  /** Keyed balanced dim→bit-group assignment: a keyed permutation of
-    * dims round-robined into MsgLen groups (mirrors the former dimtab
-    * CTE: order by (prf('shuf', key, pos), pos), g = rank % MsgLen). */
-  val dimGroup: Array[Int] = {
-    val ranked = (1 to Dim).sortBy(p => (Prf.prf("shuf", Key, p), p))
-    val g = new Array[Int](Dim + 1)
-    ranked.zipWithIndex.foreach { case (p, r) => g(p) = r % MsgLen }
-    g // 1-based by pos; g(0) unused
+  /** Per-key derived tables, memoized: the embed/extract API is
+    * parameterized by encryption key (reference: embed_watermark's
+    * encryption_key argument, pg_func.py:616), and every keyed constant
+    * below is a pure function of that key. */
+  final class Keyed(key: String) {
+    /** Keyed balanced dim→bit-group assignment: a keyed permutation of
+      * dims round-robined into MsgLen groups (mirrors the former dimtab
+      * CTE: order by (prf('shuf', key, pos), pos), g = rank % MsgLen). */
+    val dimGroup: Array[Int] = {
+      val ranked = (1 to Dim).sortBy(p => (Prf.prf("shuf", key, p), p))
+      val g = new Array[Int](Dim + 1)
+      ranked.zipWithIndex.foreach { case (p, r) => g(p) = r % MsgLen }
+      g // 1-based by pos; g(0) unused
+    }
+
+    /** Keyed per-dim sign pattern (former dimtab.s). */
+    val dimSign: Array[Double] =
+      (0 to Dim).map(p => if (p == 0) 0.0 else Prf.prfSign("sgn", key, p)).toArray
+
+    /** Dims per group (2 or 3 for 64/24). */
+    val groupCnt: Array[Int] = {
+      val c = new Array[Int](MsgLen)
+      (1 to Dim).foreach(p => c(dimGroup(p)) += 1)
+      c
+    }
+
+    /** Positions (1-based) of each group, ascending — fold order for the
+      * per-group projections. */
+    val groupPos: Array[Array[Int]] =
+      (0 until MsgLen).map(g => (1 to Dim).filter(dimGroup(_) == g).toArray).toArray
   }
 
-  /** Keyed per-dim sign pattern (former dimtab.s). */
-  val dimSign: Array[Double] =
-    (0 to Dim).map(p => if (p == 0) 0.0 else Prf.prfSign("sgn", Key, p)).toArray
+  private val keyedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Keyed]()
+  def keyed(key: String): Keyed =
+    keyedCache.computeIfAbsent(key, new Keyed(_))
 
-  /** Dims per group (2 or 3 for 64/24). */
-  val groupCnt: Array[Int] = {
-    val c = new Array[Int](MsgLen)
-    (1 to Dim).foreach(p => c(dimGroup(p)) += 1)
-    c
-  }
-
-  /** Positions (1-based) of each group, ascending — fold order for the
-    * per-group projections. */
-  val groupPos: Array[Array[Int]] =
-    (0 until MsgLen).map(g => (1 to Dim).filter(dimGroup(_) == g).toArray).toArray
+  /** Default-key instances (the compiled-in demo/bench configuration). */
+  private val dflt = keyed(Key)
+  def dimGroup: Array[Int] = dflt.dimGroup
+  def dimSign: Array[Double] = dflt.dimSign
+  def groupCnt: Array[Int] = dflt.groupCnt
+  def groupPos: Array[Array[Int]] = dflt.groupPos
 
   /** LSH hyperplanes: planes(t)(p)(dd-1) = ±1
     * (former planes CTE: prfMod(2, 'lsh', t, p, dd)). */

@@ -8,13 +8,15 @@ import graft.sqlgen.Wm
   * extractor. Fold order matches the SQL masked sums (ascending pos),
   * so both paths agree bit-for-bit. */
 object WmDecode {
-  private val delta = Wm.Delta.toDouble
 
   /** vals = the vector in pos order (1-based pos → index 0-based).
     * Returns Some(blockIdx, 16 payload bits) iff the CRC header
-    * validates. */
-  def decode(vals: Array[Double]): Option[(Int, Array[Int])] = {
+    * validates. Parameterized by (key, delta) like the SQL extract
+    * (defaults reproduce the compiled-in configuration). */
+  def decode(vals: Array[Double], key: String = Wm.Key,
+             delta: Double = Wm.Delta.toDouble): Option[(Int, Array[Int])] = {
     require(vals.length == Wm.Dim, s"expected ${Wm.Dim} dims")
+    val kc = WmConst.keyed(key)
     var ss = 0.0
     var i = 0
     while (i < vals.length) { ss += vals(i) * vals(i); i += 1 }
@@ -27,7 +29,7 @@ object WmDecode {
       while (p <= Wm.Dim) {
         // masked sum: zero weight off-group, sign on-group (same
         // ascending-pos fold as the SQL w_g dot)
-        val w = if (WmConst.dimGroup(p) == g) WmConst.dimSign(p) else 0.0
+        val w = if (kc.dimGroup(p) == g) kc.dimSign(p) else 0.0
         q += vals(p - 1) * w
         p += 1
       }

@@ -24,7 +24,15 @@ object Gram {
     df.select(vecCol).rdd.treeAggregate(
       (0L, new Array[Double](dim), new Array[Double](tri)))(
       seqOp = { case ((n, s, g), row) =>
-        val v = row.getSeq[Double](0).toArray
+        // accept array<float> as well as array<double> (the raw
+        // embeddings column is float[]) and fail short vectors loudly
+        val raw = row.getSeq[Any](0)
+        require(raw != null && raw.length >= dim,
+          s"vector length ${if (raw == null) "null" else raw.length} < dim $dim")
+        val v = new Array[Double](dim)
+        val rit = raw.iterator
+        var x = 0
+        while (x < dim) { v(x) = rit.next().asInstanceOf[Number].doubleValue(); x += 1 }
         var i = 0
         var k = 0
         while (i < dim) {

@@ -93,6 +93,10 @@ case class CosineTopKExec(k: Int, queries: SparkPlan, corpus: SparkPlan,
     var ss = 0.0; var i = 0
     while (i < v.length) { ss += v(i) * v(i); i += 1 }
     val nrm = math.sqrt(ss)
+    // zero-norm guard: a zero vector has no cosine direction; leave it
+    // as zeros so every sim against it is a clean 0.0 instead of NaN
+    // (BigDecimal.valueOf(NaN) would throw and kill the job)
+    if (nrm == 0.0 || nrm.isNaN) return v
     i = 0
     while (i < v.length) { v(i) /= nrm; i += 1 }
     v
@@ -122,10 +126,13 @@ case class CosineTopKExec(k: Int, queries: SparkPlan, corpus: SparkPlan,
               while (i < n) { s += qvec(i) * cvec(i); i += 1 }
               // BigDecimal.valueOf (Double.toString canonical form), the
               // same rounding path as Spark SQL's round() — exact parity
-              // with the declarative vec_topk formulation
-              val sim = java.math.BigDecimal.valueOf(s)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-              offer(heaps(qi), (sim, cid))
+              // with the declarative vec_topk formulation. NaN sims
+              // (NaN input elements) are skipped, not rounded.
+              if (!s.isNaN) {
+                val sim = java.math.BigDecimal.valueOf(s)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                offer(heaps(qi), (sim, cid))
+              }
             }
             qi += 1
           }

@@ -32,27 +32,60 @@ object Streams {
 
   case class Decoded(vecId: Long, blk: Int, bits: Array[Int])
 
-  /** Streaming blind watermark extraction: (vec_id, pos, sval) cells
-    * arrive in any order and any batch split; per-vector state
+  /** Streaming blind watermark extraction: (ts, vec_id, pos, sval)
+    * cells arrive in any order and any batch split; per-vector state
     * assembles the 64 dims, and a completed vector is CRC-gated and
     * decoded immediately (graft.functions.WmDecode — identical math to
     * the batch SQL extract). State is O(open vectors); the tiny
-    * majority-vote tail stays a batch aggregation downstream. */
-  def extractStream(cells: Dataset[(Long, Int, Double)]): Dataset[Decoded] = {
+    * majority-vote tail stays a batch aggregation downstream.
+    *
+    * Vectors that never complete (deletion/truncation attacks drop
+    * cells) expire via EVENT-time timeout `incompleteTimeout` past the
+    * stream's watermark — not processing-time: a processing-time
+    * timeout makes every micro-batch schedule a successor (the wall
+    * clock always advances, so shouldRunAnotherBatch never goes false),
+    * which both spins empty batches at idle and hangs
+    * processAllAvailable-style drains. Event-time timeouts fire only
+    * when arriving data moves the watermark — O(open vectors) state
+    * with zero idle work. */
+  def extractStream(cells: Dataset[(Timestamp, Long, Int, Double)],
+                    incompleteTimeoutMs: Long = 3600L * 1000): Dataset[Decoded] = {
     import cells.sparkSession.implicits._
-    cells.groupByKey(_._1)
+    cells
+      .withWatermark("_1", s"$incompleteTimeoutMs milliseconds")
+      .groupByKey(_._2)
       .flatMapGroupsWithState[Map[Int, Double], Decoded](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (vecId, it, state: GroupState[Map[Int, Double]]) =>
-          var m = state.getOption.getOrElse(Map.empty[Int, Double])
-          it.foreach { case (_, pos, sval) => m += pos -> sval }
-          if (m.size >= graft.sqlgen.Wm.Dim) {
-            state.remove()
-            val vals = Array.tabulate(graft.sqlgen.Wm.Dim)(i => m(i + 1))
-            graft.functions.WmDecode.decode(vals)
-              .map { case (blk, bits) => Decoded(vecId, blk, bits) }
-              .iterator
-          } else { state.update(m); Iterator.empty }
+          if (state.hasTimedOut) {
+            // vector never completed — expire the partial state
+            // instead of leaking it
+            state.remove(); Iterator.empty
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Int, Double])
+            var maxTs = Long.MinValue
+            it.foreach { case (ts, _, pos, sval) =>
+              m += pos -> sval
+              maxTs = math.max(maxTs, ts.getTime)
+            }
+            if (m.size >= graft.sqlgen.Wm.Dim) {
+              state.remove()
+              val vals = Array.tabulate(graft.sqlgen.Wm.Dim)(i => m(i + 1))
+              graft.functions.WmDecode.decode(vals)
+                .map { case (blk, bits) => Decoded(vecId, blk, bits) }
+                .iterator
+            } else {
+              state.update(m)
+              // anchor the expiry to this vector's newest EVENT time
+              // (never the batch's watermark: during the first batch
+              // the watermark is still epoch 0, and an expiry computed
+              // from it would be immediately due once real event times
+              // advance it — expiring every in-flight vector)
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1) + incompleteTimeoutMs)
+              Iterator.empty
+            }
+          }
       }
   }
 
@@ -79,9 +112,14 @@ object Streams {
             val secs = it.map(_._1.getTime / 1000).toSeq.sorted
             var cur = state.getOption
             val closed = Seq.newBuilder[Sess]
+            // merge by interval, not by last-seen end: a late-but-within-
+            // watermark event from a later micro-batch may precede the
+            // open session, so extend [start, end] with min/max rather
+            // than overwriting end (which would move it backwards)
             for (t <- secs) cur match {
-              case Some(s) if t - s.end <= gapSec =>
-                cur = Some(s.copy(end = t, nEvents = s.nEvents + 1))
+              case Some(s) if t >= s.start - gapSec && t <= s.end + gapSec =>
+                cur = Some(s.copy(start = math.min(s.start, t),
+                  end = math.max(s.end, t), nEvents = s.nEvents + 1))
               case Some(s) =>
                 closed += s; cur = Some(Sess(user, t, t, 1))
               case None => cur = Some(Sess(user, t, t, 1))

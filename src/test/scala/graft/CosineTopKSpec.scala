@@ -29,4 +29,21 @@ class CosineTopKSpec extends AnyFunSuite {
     val rows = g.topKNative(3).collect()
     assert(rows.groupBy(_.getAs[Long]("qid")).values.forall(_.length == 3))
   }
+
+  test("zero-norm vectors produce sim 0.0 instead of crashing") {
+    val spark = TestSpark.spark
+    import graft.plans.{CosineTopK, CosineTopKStrategy}
+    import org.apache.spark.sql.graftbridge.DataFrameBridge
+    CosineTopKStrategy.register(spark)
+    val corpus = spark.sql(
+      """select * from values
+        |  (cast(1 as bigint), array(1.0d, 0.0d)),
+        |  (cast(2 as bigint), array(0.0d, 0.0d)),
+        |  (cast(3 as bigint), array(0.6d, 0.8d)) as t(id, v)""".stripMargin)
+    val queries = corpus.where("id = 1")
+    val out = DataFrameBridge.ofRows(spark, CosineTopK(2,
+      DataFrameBridge.logicalPlan(queries), DataFrameBridge.logicalPlan(corpus)))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(3L) == 0.6 && out(2L) == 0.0) // zero vector ranks by sim 0, no NaN
+  }
 }

@@ -39,6 +39,15 @@ class CryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("distinct messages under one password use distinct IVs (SIV)") {
+    // the 8 tag bytes double as the CTR IV; equal tags across distinct
+    // messages would mean keystream reuse — the GCM-fixed-nonce hazard
+    // this construction exists to avoid
+    val tags = Seq("GRAFT WATERMARK!", "0123456789abcdef", "AAAAAAAAAAAAAAAA")
+      .map(m => Crypto.encryptToBase64(m, "pw").substring(21)) // b64 tail ⊇ tag
+    assert(tags.distinct.length == tags.length)
+  }
+
   test("non-16-byte plaintext is rejected") {
     intercept[IllegalArgumentException] {
       Crypto.encryptToBase64("short", "pw")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.Graft
-import graft.sqlgen.Wm
+import graft.sqlgen.{Wm, WmParams}
 
 /** The user-facing facade: the reference's end-to-end story
   * (embed → blind extract → decrypt) through the public API. */
@@ -17,6 +17,27 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[javax.crypto.AEADBadTagException] {
       g.recoverMessage(key = "not-the-key")
     }
+  }
+
+  test("a custom (message, key, rate, delta) embeds and blind-recovers") {
+    // the reference's embed_watermark(message, embed_rate,
+    // encryption_key) surface: nothing about the pipeline is
+    // compile-time — a different payload under a different key at a
+    // different rate must round-trip blind through the same engine
+    val p = WmParams(message = "sixteen byte msg", key = "another-key-42",
+      rate = 0.15, delta = 0.2)
+    val g2 = new Graft(TestSpark.spark, TestSpark.Sf, p)
+    assert(g2.recoverMessage() == "sixteen byte msg")
+    // and the default-key engine state is untouched
+    assert(g.recoverMessage() == Wm.Message)
+  }
+
+  test("custom-key carriers differ from default-key carriers") {
+    val p = WmParams(key = "another-key-42")
+    val g2 = new Graft(TestSpark.spark, TestSpark.Sf, p)
+    val c1 = g.carriers.collect().map(_.getLong(0)).toSet
+    val c2 = g2.carriers.collect().map(_.getLong(0)).toSet
+    assert(c1 != c2, "key seeds carrier selection")
   }
 
   test("topK returns k ranked neighbors per query vector") {

@@ -26,4 +26,19 @@ class GramSpec extends AnyFunSuite {
     assert((0 until 64).forall(i => cov(i)(i) > 0))
     assert(math.abs(cov(3)(17) - cov(17)(3)) == 0.0)
   }
+
+  test("raw array<float> column is accepted (no ClassCastException)") {
+    Tables.register(spark, TestSpark.Sf)
+    val raw = spark.sql("select embedding as v from embeddings limit 50")
+    val cov = Gram.covarianceMatrix(raw, "v", 64)
+    assert(cov(0)(0) >= 0)
+  }
+
+  test("short vectors fail with a clear error") {
+    val df = spark.sql("select array(1.0d, 2.0d) as v")
+    val e = intercept[org.apache.spark.SparkException] {
+      Gram.covarianceMatrix(df, "v", 64)
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -15,14 +15,17 @@ class StreamingExtractSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
 
+    // a real event time: epoch-0 stamps would be dropped as late
+    // against Spark's initial watermark (also 0)
+    val t0 = new java.sql.Timestamp(1700000000000L)
     val cells = SparkEntry.queries("wm_embed")(spark, TestSpark.Sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
+      .collect().map(r => (t0, r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
     // shuffle deterministically and split so most vectors straddle
     // the two micro-batches (state must carry partial vectors over)
-    val mixed = cells.sortBy { case (id, pos, _) => (pos, id) }
+    val mixed = cells.sortBy { case (_, id, pos, _) => (pos, id) }
     val (c1, c2) = mixed.splitAt(mixed.length / 2)
 
-    val in = MemoryStream[(Long, Int, Double)]
+    val in = MemoryStream[(java.sql.Timestamp, Long, Int, Double)]
     val q = Streams.extractStream(in.toDS)
       .writeStream.format("memory").queryName("wmx")
       .outputMode("append").start()
@@ -41,6 +44,28 @@ class StreamingExtractSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2).toInt).toMap
       for (blk <- 0 until Wm.Blocks; j <- 0 until 16)
         assert(votes(blk)(j) == expect((blk, j)), s"bit ($blk, $j)")
+    } finally q.stop()
+  }
+
+  test("incomplete vector state expires via event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Int, Double)]
+    // 1-minute expiry for incomplete vectors
+    val q = Streams.extractStream(in.toDS, incompleteTimeoutMs = 60000L)
+      .writeStream.format("memory").queryName("wmx_expire")
+      .outputMode("append").start()
+    try {
+      // a partial vector (1 of 64 cells) — state entry created
+      in.addData((ts(t0), 1L, 1, 0.5)); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
+      // push the watermark far past the partial vector's expiry
+      // (t0 + 1 min): a cell of a DIFFERENT vector 10 minutes later
+      in.addData((ts(t0 + 600000), 2L, 1, 0.5)); q.processAllAvailable()
+      val total = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(total == 1, s"vector 1 expired, only vector 2 remains: $total")
     } finally q.stop()
   }
 }

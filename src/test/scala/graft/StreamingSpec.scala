@@ -97,4 +97,29 @@ class StreamingSpec extends AnyFunSuite {
         first.get.end == ts("10:20").getTime / 1000)
     } finally q.stop()
   }
+
+  test("late in-watermark event merges into the open session without moving end backwards") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionize(in.toDS).writeStream
+      .format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      in.addData((ts("10:00"), 9L), (ts("10:20"), 9L))
+      q.processAllAvailable()
+      // late event BEFORE the open session's start, within both the gap
+      // and the watermark (10:20 - 30 min = 09:50): must extend start
+      // backwards, not reset end to 09:55
+      in.addData((ts("09:55"), 9L))
+      q.processAllAvailable()
+      // close the session via a far-future event
+      in.addData((ts("13:00"), 9L))
+      q.processAllAvailable()
+      val closed = spark.table("sess_late").as[Streams.Sess].collect()
+        .filter(s => s.userId == 9L && s.nEvents == 3)
+      assert(closed.length == 1, s"one merged session expected: ${closed.toSeq}")
+      assert(closed.head.start == ts("09:55").getTime / 1000)
+      assert(closed.head.end == ts("10:20").getTime / 1000)
+    } finally q.stop()
+  }
 }
