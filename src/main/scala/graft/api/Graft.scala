@@ -86,6 +86,12 @@ final class Graft(spark: SparkSession, dir: String,
   /** Pre/post cosine drift of the carrier vectors: n/avg/min/max/std
     * (reference: pg_func.py:933-1006 and the visualization endpoint). */
   def driftStats: DataFrame = q("wm_drift")
+  /** Carriers' pre-embed cells — the reference's backup_vectors
+    * snapshot (pg_func.py:441). */
+  def carrierBackup: DataFrame = q("wm_backup")
+  /** Restore round-trip proof: overlay the backup on the watermarked
+    * table; n_mismatch must be 0 and CRC passes at the chance floor. */
+  def restoreCheck: DataFrame = q("wm_restore")
 
   /** Blind end-to-end recovery: extract 16x16 payload bits, reassemble
     * the 32-char base64 ciphertext, AES-GCM decrypt with the key.

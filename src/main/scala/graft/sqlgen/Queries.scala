@@ -334,8 +334,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val need = upTo match {
       case "lsh"      => parts.take(3)
       case "knn"      => parts.take(5)
-      case "carriers" => parts.take(6)
+      case "carriers" | "backup" => parts.take(6)
       case "stego"    => parts.take(8)
+      // stego + carriers visible together (backup/restore queries)
+      case "restore"  => parts.take(8)
       case "extract"  => parts
     }
     "with " + need.mkString(",\n")
@@ -350,8 +352,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     case "lsh"      => Seq(nvCtes, exnCte, viewAlias("bkt", "g_bkt"))
     case "knn"      => Seq(nvCtes, viewAlias("knn", "g_knn"), viewAlias("indeg", "g_indeg"))
     case "carriers" => Seq(viewAlias("carriers", "g_carriers"))
+    case "backup"   => Seq(nvCtes, exnCte, viewAlias("carriers", "g_carriers"))
     case "stego"    => Seq(nvCtes, exnCte, msgbitsCte,
       viewAlias("bkt", "g_bkt"), viewAlias("stego", "g_stego"))
+    case "restore"  => Seq(nvCtes, exnCte,
+      viewAlias("carriers", "g_carriers"), viewAlias("stego", "g_stego"))
     case "extract"  => Seq(viewAlias("stego", "g_stego"), extractCtes("stego"))
   }).mkString(",\n")
 
@@ -418,6 +423,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |where l_shipdate <= timestamp '1998-09-01 00:00:00'
          |group by l_returnflag, l_linestatus""".stripMargin,
 
+    // global top-10 WITHOUT an unpartitioned window: per-bucket top-10
+    // first (partitioned window over 16 hash buckets — fully parallel),
+    // then exact ranks over the ≤160 survivors by pairwise counting (a
+    // trivially small aggregation instead of a one-partition sort).
+    // Identical output to row_number() over (order by rev desc, key):
+    // (rev, key) is unique, so rank = 1 + #strictly-greater rows.
     "q3_revenue" ->
       s"""with r as (
          |  select o.o_orderkey, sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as rev
@@ -426,10 +437,16 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  where c.c_mktsegment = 'BUILDING'
          |    and o.o_orderdate < timestamp '1998-01-01 00:00:00'
          |    and l.l_shipdate > timestamp '1998-01-01 00:00:00'
-         |  group by o.o_orderkey)
+         |  group by o.o_orderkey),
+         |cand as (select o_orderkey, rev from (
+         |           select o_orderkey, rev,
+         |             row_number() over (partition by o_orderkey % 16 order by rev desc, o_orderkey) as prn
+         |           from r) _b where prn <= 10),
+         |rk as (select a.o_orderkey, a.rev,
+         |         1 + sum(case when b.rev > a.rev or (b.rev = a.rev and b.o_orderkey < a.o_orderkey) then 1 else 0 end) as rn
+         |       from cand a cross join cand b group by a.o_orderkey, a.rev)
          |select ${bigint("o_orderkey")} as o_orderkey, round(cast(rev as double), 2) as revenue, ${bigint("rn")} as rn
-         |from (select o_orderkey, rev, row_number() over (order by rev desc, o_orderkey) as rn from r) _t
-         |where rn <= 10""".stripMargin,
+         |from rk where rn <= 10""".stripMargin,
 
     "q5_nation_rev" ->
       s"""select n.n_name,
@@ -971,6 +988,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(max(cos_sim), 6) as max_cos,
          |  round(sqrt(greatest(avg(cos_sim * cos_sim) - avg(cos_sim) * avg(cos_sim), cast(0 as double))), 6) as std_cos
          |from drift""".stripMargin,
+
+    // carrier backup: snapshot of the carriers' PRE-embed cells — what
+    // the reference's backup_vectors stores before embedding so the
+    // attack suite can roll back (reference: pg_func.py:441,
+    // attack/clear.py). ~rate·N·d rows; one broadcastable join.
+    "wm_backup" ->
+      s"""${wmChain("backup")}
+         |select ${bigint("c.vec_id")} as vec_id, ${bigint("x.pos")} as pos,
+         |  round(x.val, 6) as val
+         |from carriers c join exn x on x.id = c.vec_id""".stripMargin,
+
+    // carrier restore round-trip: overlay the backup onto the
+    // watermarked table and prove (a) every cell matches the original
+    // bit-for-bit and (b) blind extraction on the restored table decays
+    // to the no-watermark chance floor (same CRC-pass count as the
+    // wm_extract_null control) — the reference's clear.py semantics.
+    "wm_restore" ->
+      s"""${wmChain("restore")},
+         |$fullCte,
+         |bk as (select c.vec_id as id, x.pos, x.val from carriers c join exn x on x.id = c.vec_id),
+         |rest as (select f.id, f.pos, coalesce(b.val, f.val) as val
+         |         from full_t f left join bk b on b.id = f.id and b.pos = f.pos),
+         |diff as (select count(*) as n_cells,
+         |           sum(case when r.val <> x.val then 1 else 0 end) as n_mismatch
+         |         from rest r join exn x on x.id = r.id and x.pos = r.pos),
+         |rs as (select id, pos, val as sval from rest),
+         |${extractCtes("rs")}
+         |select ${bigint("d.n_cells")} as n_cells,
+         |  ${bigint("d.n_mismatch")} as n_mismatch,
+         |  ${bigint("(select count(*) from bk)")} as n_restored_cells,
+         |  ${bigint("(select count(*) from valid)")} as n_crc_pass
+         |from diff d""".stripMargin,
 
     "vec_dim" ->
       s"""select 'embeddings' as tbl, ${bigint("(select count(*) from embeddings)")} as n_rows,
