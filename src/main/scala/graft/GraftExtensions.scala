@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+import graft.plans.CosineTopKStrategy
+
+/** The idiomatic Spark integration point: enable the whole library on
+  * any cluster with
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * which injects the codegen'd `graft_dot` expression into the session
+  * catalog and the CosineTopK planner strategy into Catalyst — no
+  * imperative register() calls required (the per-session helpers
+  * `DotProduct.register` / `CosineTopKStrategy.register` remain for
+  * REPL use on an already-built session). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => CosineTopKStrategy)
+  }
+}

@@ -702,22 +702,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin,
 
-    // IVF-style ANN: coarse cells = per-label centroid vectors (the
-    // deterministic stand-in for k-means — same assign/probe dataflow);
-    // every vector is assigned to its nearest cell, queries probe the
-    // top-2 cells, and exact ranking runs only within the probed cells.
-    // The 100 TB shape: one tiny centroid broadcast, one shuffle on
-    // cell id, per-cell work only. The centroid-similarity chain is
-    // evaluated ONCE: the per-id window feeds a groupBy(id) pivot
-    // (top2) — an aggregation barrier whose shuffle is reused by every
-    // downstream reference instead of re-inlining csim per consumer.
+    // IVF-style ANN: label means seed the coarse cells, then ONE Lloyd
+    // (k-means) refinement — assign every vector to its nearest seed
+    // cell, recompute the cell means over the NORMALIZED members
+    // (spherical k-means step; refined components rounded to 6 so cell
+    // membership is engine-order-proof) — before the final assign/probe
+    // pass. Queries probe the top-2 refined cells and exact ranking
+    // runs only within them. The 100 TB shape: two tiny centroid
+    // broadcasts, one shuffle per assignment, per-cell work only.
+    // Each centroid-similarity chain is evaluated ONCE (asg0 and top2
+    // are aggregation barriers whose shuffles downstream consumers
+    // reuse instead of re-inlining the chain).
     "vec_topk_ivf" ->
       s"""with $nvCtes, $exnCte,
          |cm as (select label, pos, avg(val) as cval from (select x.id, x.pos, x.val, nv.label from exn x join nv on nv.id = x.id) _lx group by label, pos),
          |cent as (select label, ${d.arrAggOrdered("cval", "pos")} as cv from cm group by label),
          |csim as (select nn.id, cent.label, ${d.dot("nn.n", "cent.cv")} / sqrt(${d.dot("cent.cv", "cent.cv")}) as sim
          |         from nn cross join cent),
-         |rnk as (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim),
+         |asg0 as (select id, label from (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim) _a0 where rn = 1),
+         |cm1 as (select a.label, x.pos, round(avg(x.val / x.nrm), 6) as cval
+         |        from asg0 a join exn x on x.id = a.id group by a.label, x.pos),
+         |cent1 as (select label, ${d.arrAggOrdered("cval", "pos")} as cv from cm1 group by label),
+         |csim1 as (select nn.id, c.label, ${d.dot("nn.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
+         |          from nn cross join cent1 c),
+         |rnk as (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim1),
          |top2 as (select id, max(case when rn = 1 then label end) as l1,
          |                max(case when rn = 2 then label end) as l2
          |         from rnk where rn <= 2 group by id),
