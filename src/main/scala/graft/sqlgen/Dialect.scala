@@ -153,14 +153,43 @@ object Prim {
   def prfSign(d: Dialect)(parts: String*): String =
     s"(case when ${prfMod(d)(2, parts: _*)} = 0 then cast(1 as double) else cast(-1 as double) end)"
 
-  /** Standard-normal deviate via Box–Muller from two PRF uniforms. */
+  /** Standard-normal deviate by Irwin–Hall (CLT) from ten 12-bit
+    * uniforms unpacked out of two 60-bit PRFs — INTEGER-ONLY inputs:
+    * no ln/cos/sqrt, whose libm implementations differ by an ulp
+    * between engines (observed: Box–Muller hash-matched at sf0.01 but
+    * flipped one of 40k rounded values at sf0.1). Every step here is
+    * either exact in double (12-bit dyadic uniforms, their sum, the
+    * power-of-two divide) or a single identically-rounded IEEE op (the
+    * final scale by sqrt(12/10) as a shared decimal literal), so both
+    * engines produce bit-identical deviates at any scale. */
   def prfGauss(d: Dialect)(parts: String*): String = {
-    val u1 = prfUniform(d)(("'bm1'" +: parts): _*)
-    val u2 = prfUniform(d)(("'bm2'" +: parts): _*)
-    s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
+    val h1 = prf(d)(("'ih1'" +: parts): _*)
+    val h2 = prf(d)(("'ih2'" +: parts): _*)
+    def terms(h: String) = (0 until 5).map(i =>
+      s"(${d.idiv(h, (1L << (12 * i)).toString)} % 4096)")
+    val sum = (terms(h1) ++ terms(h2)).mkString("(", " + ", ")")
+    // every fractional constant cast: Spark parses bare fractional
+    // literals as DECIMAL and would run the whole chain in decimal
+    // arithmetic (DuckDB: double) — ulp-divergent
+    s"(((($sum) / cast(4096 as double)) - cast(5 as double)) * cast(1.0954451150103321 as double))"
   }
 
   /** bit j (0 = MSB) of a k-bit non-negative int expression. */
   def bitOf(d: Dialect)(e: String, j: String, k: Int): String =
     s"(${d.idiv(e, s"cast(pow(2, $k - 1 - ($j)) as bigint)")} % 2)"
+
+  /** round-half-away-from-zero via floor arithmetic. Engines implement
+    * round() differently (Spark rounds the double's SHORTEST DECIMAL
+    * representation through BigDecimal; DuckDB rounds the binary
+    * value), which diverges on values whose shortest repr ends exactly
+    * in 5 at the target scale — common when the input is structured
+    * (float columns + dyadic noise), observed 21/10624 rows. floor on
+    * bit-identical doubles is bit-identical everywhere. */
+  def roundAway(d: Dialect)(e: String, dec: Int): String = {
+    val m = s"cast(1${"0" * dec} as double)"
+    // the trailing + 0 normalizes IEEE negative zero: DuckDB's floor
+    // keeps double (-floor → -0.0) while Spark's floor returns bigint
+    // (→ 0.0); -0 vs 0 are == but format differently in value hashes
+    s"(((case when ($e) >= 0 then floor(($e) * $m + 0.5) else -floor(-($e) * $m + 0.5) end) / $m) + cast(0 as double))"
+  }
 }

@@ -847,7 +847,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "attack_gaussian" ->
       s"""with $nvCtes, $exnCte
          |select ${bigint("id")} as vec_id, ${bigint("pos")} as pos,
-         |  round(val + 0.1 * ${prfGauss(d)("'ga'", "id", "pos")}, 5) as noisy_val
+         |  ${roundAway(d)(s"val + 0.1 * ${prfGauss(d)("'ga'", "id", "pos")}", 5)} as noisy_val
          |from exn where ${prfMod(d)(10, "'gpick'", "id")} < 3""".stripMargin,
 
     "attack_mean" ->

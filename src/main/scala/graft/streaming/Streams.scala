@@ -49,7 +49,9 @@ object Streams {
     * when arriving data moves the watermark — O(open vectors) state
     * with zero idle work. */
   def extractStream(cells: Dataset[(Timestamp, Long, Int, Double)],
-                    incompleteTimeoutMs: Long = 3600L * 1000): Dataset[Decoded] = {
+                    incompleteTimeoutMs: Long = 3600L * 1000,
+                    params: graft.sqlgen.WmParams = graft.sqlgen.WmParams.Default)
+      : Dataset[Decoded] = {
     import cells.sparkSession.implicits._
     cells
       .withWatermark("_1", s"$incompleteTimeoutMs milliseconds")
@@ -71,7 +73,7 @@ object Streams {
             if (m.size >= graft.sqlgen.Wm.Dim) {
               state.remove()
               val vals = Array.tabulate(graft.sqlgen.Wm.Dim)(i => m(i + 1))
-              graft.functions.WmDecode.decode(vals)
+              graft.functions.WmDecode.decode(vals, params.key, params.delta)
                 .map { case (blk, bits) => Decoded(vecId, blk, bits) }
                 .iterator
             } else {

@@ -47,6 +47,34 @@ class StreamingExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-params cells decode with the matching key/delta") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.sqlgen.WmParams
+    val p = WmParams(message = "sixteen byte msg", key = "another-key-42",
+      delta = 0.2)
+    val g2 = new graft.api.Graft(spark, TestSpark.Sf, p)
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val cells = g2.embedded.collect()
+      .map(r => (t0, r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
+    val in = MemoryStream[(java.sql.Timestamp, Long, Int, Double)]
+    val q = Streams.extractStream(in.toDS, params = p)
+      .writeStream.format("memory").queryName("wmx_custom")
+      .outputMode("append").start()
+    try {
+      in.addData(cells.toSeq); q.processAllAvailable()
+      val decoded = spark.table("wmx_custom").as[Streams.Decoded].collect()
+      assert(decoded.nonEmpty, "custom-key cells decode under the custom key")
+      val expect = g2.messageBits.collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2).toInt).toMap
+      val votes = decoded.groupBy(_.blk).view.mapValues { ds =>
+        (0 until 16).map(j => if (ds.map(d => 2 * d.bits(j) - 1).sum > 0) 1 else 0)
+      }.toMap
+      for ((blk, bits) <- votes; j <- 0 until 16)
+        assert(bits(j) == expect((blk, j)), s"bit ($blk, $j)")
+    } finally q.stop()
+  }
+
   test("incomplete vector state expires via event-time timeout") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
