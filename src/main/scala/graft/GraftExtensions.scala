@@ -21,7 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      // arity-checked at plan time: SELECT graft_dot(x) must raise a
+      // proper AnalysisException, not an IndexOutOfBoundsException
+      (exprs: Seq[Expression]) => DotProduct.build(exprs)))
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
   }
 }

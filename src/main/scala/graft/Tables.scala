@@ -24,6 +24,10 @@ object Tables {
       // reader rejects; read it as BIGINT nanos (the SQL layer derives
       // seconds).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pca_project2d's power-iteration chain is ~56 nested CTEs; the
+      // analyzer needs one resolution pass per nesting level, so the
+      // default 100-iteration fixed point is too tight for it
+      spark.conf.set("spark.sql.analyzer.maxIterations", "400")
       graft.functions.DotProduct.register(spark)
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     }

@@ -64,7 +64,16 @@ final class Graft(spark: SparkSession, dir: String,
       DataFrameBridge.logicalPlan(queries), DataFrameBridge.logicalPlan(nn)))
   }
   def project2d: DataFrame = q("vec_project2d")
+  /** True PCA 2-D projection, oracle-checked 8-dim corner (in-SQL
+    * power iteration); the full-d64 variant is operators.Pca. */
+  def pcaProject2d: DataFrame = q("pca_project2d")
+  /** Landmark-MDS 2-D layout — the deterministic analog of the
+    * reference's t-SNE visualization branch (operators.Mds). */
+  def mdsProject2d: DataFrame = graft.operators.Mds.project2d(spark, dir)
   def covariance: DataFrame = q("pca_covariance")
+  /** Primary-key catalog with data-derived uniqueness proof — the
+    * /api/primarykeys surface (reference: backend/app.py:74). */
+  def primaryKeys: DataFrame = q("catalog_pk")
   def centroids: DataFrame = q("vec_centroids")
   def lengthQuantiles: DataFrame = q("text_length_quantiles")
 
@@ -99,10 +108,14 @@ final class Graft(spark: SparkSession, dir: String,
   def recoverMessage(key: String = params.key): String = {
     val bits = extracted.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val chars = for (blk <- 0 until Wm.Blocks; ci <- 0 until 2) yield
-      (0 until 8).map(b => bits.getOrElse((blk.toLong, (ci * 8 + b).toLong), 0L) << (7 - b)).sum.toChar
-    Crypto.decryptFromBase64(chars.mkString, key)
+    Graft.assembleAndDecrypt(bits, key)
   }
+
+  /** Blind recovery from a persisted carrier-id list (no selection-
+    * chain rebuild — see operators.Backup.extractFromIds): the
+    * reference's extract_watermark(ids_file=...) flow. */
+  def recoverMessageFromIds(vectors: DataFrame, idsPath: String): String =
+    graft.operators.Backup.recoverFromIds(vectors, idsPath, params)
 
   // ---- attacks + robustness (reference: attack/*.py) ----
   def attackGaussian: DataFrame = q("attack_gaussian")
@@ -126,6 +139,14 @@ final class Graft(spark: SparkSession, dir: String,
   /** Composite curation pipeline: quality gate → language filter →
     * exact dedup → per-source corpus stats. */
   def curate: DataFrame = q("pipeline_curate")
+  /** Deterministic 80/10/10 train/val/test split stats per source. */
+  def stratifiedSplit: DataFrame = q("sample_stratified")
+  /** Corpus bigram frequency table (freq-floored, sort-free). */
+  def ngramFrequencies: DataFrame = q("text_ngram_freq")
+  /** Token-length histogram per source. */
+  def tokenHistogram: DataFrame = q("doc_token_hist")
+  /** Daily-cohort d+1/d+7 retention over events. */
+  def retention: DataFrame = q("events_retention")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")
@@ -139,4 +160,14 @@ final class Graft(spark: SparkSession, dir: String,
 
 object Graft {
   def apply(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+
+  /** Reassemble the per-(blk, bit_idx) majority-vote bits into the
+    * 32-char base64 ciphertext and AEAD-decrypt it (missing blocks
+    * decode as zero bits and fail the tag check — a destroyed
+    * watermark throws rather than returning garbage). */
+  def assembleAndDecrypt(bits: Map[(Long, Long), Long], key: String): String = {
+    val chars = for (blk <- 0 until Wm.Blocks; ci <- 0 until 2) yield
+      (0 until 8).map(b => bits.getOrElse((blk.toLong, (ci * 8 + b).toLong), 0L) << (7 - b)).sum.toChar
+    Crypto.decryptFromBase64(chars.mkString, key)
+  }
 }

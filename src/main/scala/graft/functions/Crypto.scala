@@ -27,6 +27,17 @@ import javax.crypto.{Cipher, Mac, SecretKeyFactory}
   * equality, never keystream reuse).
   */
 object Crypto {
+  // The `_v1` suffix in these PBKDF2 domain strings IS the wire-format
+  // version label: any future change to the AEAD construction must bump
+  // it (v2, ...), which re-keys both directions, so a decrypt of data
+  // written under a different format version fails its tag check
+  // deterministically instead of yielding garbage. Note the round-1
+  // prototype's derived-nonce GCM format (never persisted by any
+  // released artifact) is NOT decryptable by this v1 SIV/CTR format —
+  // the 24-byte wire layout is unchanged but the construction differs;
+  // an AEADBadTagException on old ciphertext means "wrong format or
+  // destroyed watermark" and the version label is how future formats
+  // keep those distinguishable.
   private val Salt = "graft_wm_salt_v1".getBytes("UTF-8")
   private val MacSalt = "graft_wm_mac_v1".getBytes("UTF-8")
   private val Iterations = 100000

@@ -64,10 +64,25 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+  /** Arity-checked builder shared by the session-registry and
+    * SparkSessionExtensions registration paths: wrong arity raises a
+    * plan-time AnalysisException, not IndexOutOfBoundsException. */
+  def build(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): DotProduct = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_dot`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    DotProduct(exprs.head, exprs(1))
+  }
+
   /** Register `graft_dot` in a session's function registry so generated
     * SQL can call it (Tables.register does this for every session the
     * driver hands us). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", build, "built-in")
 }

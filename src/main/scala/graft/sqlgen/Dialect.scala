@@ -66,6 +66,16 @@ sealed trait Dialect {
 
   /** len elements of arr starting at 1-based start. */
   def arrSlice(arr: String, start1: Int, len: Int): String
+
+  /** Two-field struct literal {n1: e1, n2: e2} — comparison is
+    * lexicographic by field position in BOTH engines, so
+    * max(struct(sim, -cell)) is a deterministic order-independent
+    * argmax with a tie-break, computable as ONE map-side-combinable
+    * aggregation (no window sort over the candidate rows). */
+  def structLit2(n1: String, e1: String, n2: String, e2: String): String
+
+  /** Field access on a struct-valued column alias. */
+  def fieldOf(struct: String, name: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -98,6 +108,9 @@ object SparkDialect extends Dialect {
     s"transform(array_sort(collect_list(struct(cast($ord as int) as o, cast($expr as double) as x))), e -> e.x)"
   def lastIgnoreNulls(e: String) = s"last_value($e) ignore nulls"
   def arrSlice(arr: String, start1: Int, len: Int) = s"slice($arr, $start1, $len)"
+  def structLit2(n1: String, e1: String, n2: String, e2: String) =
+    s"named_struct('$n1', $e1, '$n2', $e2)"
+  def fieldOf(struct: String, name: String) = s"$struct.$name"
 }
 
 object DuckDialect extends Dialect {
@@ -132,6 +145,9 @@ object DuckDialect extends Dialect {
   def lastIgnoreNulls(e: String) = s"last_value($e ignore nulls)"
   def arrSlice(arr: String, start1: Int, len: Int) =
     s"list_slice($arr, $start1, ${start1 + len - 1})"
+  def structLit2(n1: String, e1: String, n2: String, e2: String) =
+    s"{'$n1': $e1, '$n2': $e2}"
+  def fieldOf(struct: String, name: String) = s"($struct).$name"
 }
 
 /** Shared deterministic primitives built on the dialect. */
@@ -158,16 +174,23 @@ object Prim {
     * no ln/cos/sqrt, whose libm implementations differ by an ulp
     * between engines (observed: Box–Muller hash-matched at sf0.01 but
     * flipped one of 40k rounded values at sf0.1). Every step here is
-    * either exact in double (12-bit dyadic uniforms, their sum, the
-    * power-of-two divide) or a single identically-rounded IEEE op (the
-    * final scale by sqrt(12/10) as a shared decimal literal), so both
-    * engines produce bit-identical deviates at any scale. */
+    * either exact in double (12-bit MIDPOINT uniforms (chunk+0.5)/4096
+    * — still exact dyadic arithmetic, folded in as the integer +5 on
+    * the ten-term sum — their sum, the power-of-two divide) or a
+    * single identically-rounded IEEE op (the final scale by
+    * sqrt(12/10) as a shared decimal literal), so both engines produce
+    * bit-identical deviates at any scale. Midpoint uniforms have mean
+    * exactly 1/2, so the centered sum has mean exactly 0 (low-end
+    * uniforms (chunk/4096) would carry a -0.00122 bias). Support is
+    * bounded at ±5.0012·(12/10)^-1/2 ≈ ±5.48σ — inherent to a 10-term
+    * CLT sum, fine for attack noise, not for tail studies. */
   def prfGauss(d: Dialect)(parts: String*): String = {
     val h1 = prf(d)(("'ih1'" +: parts): _*)
     val h2 = prf(d)(("'ih2'" +: parts): _*)
     def terms(h: String) = (0 until 5).map(i =>
       s"(${d.idiv(h, (1L << (12 * i)).toString)} % 4096)")
-    val sum = (terms(h1) ++ terms(h2)).mkString("(", " + ", ")")
+    // + 5 = the ten 0.5 midpoint offsets, exact in integer arithmetic
+    val sum = (terms(h1) ++ terms(h2)).mkString("(", " + ", " + 5)")
     // every fractional constant cast: Spark parses bare fractional
     // literals as DECIMAL and would run the whole chain in decimal
     // arithmetic (DuckDB: double) — ulp-divergent

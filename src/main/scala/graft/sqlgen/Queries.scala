@@ -183,12 +183,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
 
   /** Approximate kNN graph (K=16), the HNSW-graph analog
     * (reference: pg_func.py:104-122 build_hnsw_index/compute_in_degrees).
-    * Work = sum of squared bucket sizes, not N². */
-  private val knnCtes =
-    s"""cand as (select distinct a.id as src, b.id as dst from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id),
+    * Work = sum of squared bucket sizes, not N².
+    *
+    * The Spark side SALTS the bucket self-join (left side keyed
+    * id % 4, right side replicated to all 4 salts — the SkewSalt
+    * pattern, same rewrite as dedup_embedding): a hot LSH bucket's
+    * within-bucket pair expansion fans out over 4 reducers instead of
+    * straggling the whole shared chain on one task. AQE skew handling
+    * cannot split this (the expansion happens inside the join, not in
+    * its inputs). Pair set is identical; the oracle keeps the plain
+    * join. */
+  private val knnCtes = {
+    val salted =
+      s"""cand as (select distinct a.id as src, b.id as dst
+         |         from (select id, t, b, id % 4 as s from bkt) a
+         |         join (select id, t, b, sx as s from bkt cross join (select explode(sequence(0, 3)) as sx) _kx) b
+         |           on a.t = b.t and a.b = b.b and a.s = b.s and a.id <> b.id)""".stripMargin
+    val plain =
+      "cand as (select distinct a.id as src, b.id as dst from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id)"
+    s"""${if (d.name == "spark") salted else plain},
        |sims as (select c.src, c.dst, round(${d.dot("na.n", "nb.n")}, 6) as sim
        |         from cand c join nn na on na.id = c.src join nn nb on nb.id = c.dst),
        |knn as (select src, dst, sim, rn from (select src, dst, sim, row_number() over (partition by src order by sim desc, dst) as rn from sims) _e where rn <= $K)""".stripMargin
+  }
 
   /** Graph in-degree per vector (reference: compute_in_degrees). */
   private val indegCte =
@@ -702,42 +719,58 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin,
 
-    // IVF-style ANN: label means seed the coarse cells, then ONE Lloyd
-    // (k-means) refinement — assign every vector to its nearest seed
-    // cell, recompute the cell means over the NORMALIZED members
-    // (spherical k-means step; refined components rounded to 6 so cell
-    // membership is engine-order-proof) — before the final assign/probe
-    // pass. Queries probe the top-2 refined cells and exact ranking
-    // runs only within them. The 100 TB shape: two tiny centroid
-    // broadcasts, one shuffle per assignment, per-cell work only.
-    // Each centroid-similarity chain is evaluated ONCE (asg0 and top2
-    // are aggregation barriers whose shuffles downstream consumers
-    // reuse instead of re-inlining the chain).
-    "vec_topk_ivf" ->
+    // IVF ANN, scale-true: coarse cells are KEYED-DETERMINISTICALLY
+    // SAMPLED with E[k] = ⌈√N⌉ — the standard IVF sizing, so cell
+    // count (and with it per-cell size ≈ √N and probe cost) grows with
+    // the corpus instead of being pinned at the label count — then
+    // refined with TWO Lloyd (spherical k-means) steps over the
+    // normalized members (refined components rounded to 6 so cell
+    // membership is engine-order-proof). Queries probe the top-nprobe
+    // refined cells; exact ranking runs only within them.
+    //
+    // Every cell assignment is ONE map-side-combinable aggregation:
+    // argmax(sim) with min-cell tie-break = max(struct(sim, -cell)) —
+    // order-independent (no N·k window sort; partial aggregation
+    // reduces N·k rows to N before any shuffle). The 100 TB shape:
+    // tiny centroid broadcasts (k·d doubles), three broadcast-join
+    // assignment passes, per-cell candidate work only.
+    "vec_topk_ivf" -> {
+      val nprobe = 4
+      val lloydSteps = 4
+      // deterministic integer threshold sampling: seed iff
+      // prf % 2^20 < floor(2^20·⌈√N⌉/N) — E[#seeds] = ⌈√N⌉, and the
+      // membership test is an integer compare (no float-boundary
+      // semantics to diverge between engines).
+      val thr = "cast(floor((cast(1048576 as double) * ceil(sqrt(cnt))) / cnt) as bigint)"
+      def csimFrom(ct: String, csim: String) =
+        s"""$csim as (select nn.id, c.cell, ${d.dot("nn.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
+           |          from nn cross join $ct c)""".stripMargin
+      def asgFrom(csim: String, asg: String) =
+        s"""$asg as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
+           |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from $csim group by id) _$asg)""".stripMargin
+      def lloyd(asg: String, cm: String, ct: String) =
+        s"""$cm as (select a.cell, x.pos, round(avg(x.val / x.nrm), 6) as cval
+           |        from $asg a join exn x on x.id = a.id group by a.cell, x.pos),
+           |$ct as (select cell, ${d.arrAggOrdered("cval", "pos")} as cv from $cm group by cell)""".stripMargin
+      val lloydChain = (0 until lloydSteps).map(t =>
+        s"""${csimFrom(s"ct$t", s"csim$t")},
+           |${asgFrom(s"csim$t", s"asg$t")},
+           |${lloyd(s"asg$t", s"cm${t + 1}", s"ct${t + 1}")}""".stripMargin).mkString(",\n")
       s"""with $nvCtes, $exnCte,
-         |cm as (select label, pos, avg(val) as cval from (select x.id, x.pos, x.val, nv.label from exn x join nv on nv.id = x.id) _lx group by label, pos),
-         |cent as (select label, ${d.arrAggOrdered("cval", "pos")} as cv from cm group by label),
-         |csim as (select nn.id, cent.label, ${d.dot("nn.n", "cent.cv")} / sqrt(${d.dot("cent.cv", "cent.cv")}) as sim
-         |         from nn cross join cent),
-         |asg0 as (select id, label from (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim) _a0 where rn = 1),
-         |cm1 as (select a.label, x.pos, round(avg(x.val / x.nrm), 6) as cval
-         |        from asg0 a join exn x on x.id = a.id group by a.label, x.pos),
-         |cent1 as (select label, ${d.arrAggOrdered("cval", "pos")} as cv from cm1 group by label),
-         |csim1 as (select nn.id, c.label, ${d.dot("nn.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
-         |          from nn cross join cent1 c),
-         |rnk as (select id, label, row_number() over (partition by id order by sim desc, label) as rn from csim1),
-         |top2 as (select id, max(case when rn = 1 then label end) as l1,
-         |                max(case when rn = 2 then label end) as l2
-         |         from rnk where rn <= 2 group by id),
-         |qpr as (select id, l1 as label from top2 where id in ($qIdLit)
-         |        union all
-         |        select id, l2 as label from top2 where id in ($qIdLit) and l2 is not null),
-         |cnd as (select qp.id as qid, a.id as cid from qpr qp join top2 a on a.l1 = qp.label and a.id <> qp.id),
+         |par2 as (select $thr as thr from (select cast(count(*) as double) as cnt from nn) _c),
+         |ct0 as (select nn.id as cell, nn.n as cv from nn cross join par2 where ${prfMod(d)(1048576, "'ivfseed'", "nn.id")} < thr),
+         |$lloydChain,
+         |${csimFrom(s"ct$lloydSteps", "csimF")},
+         |${asgFrom("csimF", "asgF")},
+         |qpr as (select id as qid, cell from (select id, cell, row_number() over (partition by id order by sim desc, cell) as rn
+         |                                     from csimF where id in ($qIdLit)) _q where rn <= $nprobe),
+         |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
          |p as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
          |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
-         |where rn <= 10""".stripMargin,
+         |where rn <= 10""".stripMargin
+    },
 
     // L2-distance top-k on RAW vectors — the literal pgvector `<->`
     // operator semantic (cosine variants cover `<=>`); same bounded
@@ -1033,7 +1066,171 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       s"""select 'embeddings' as tbl, ${bigint("(select count(*) from embeddings)")} as n_rows,
          |  ${bigint(s"(select max(${d.arrLen("embedding")}) from embeddings)")} as vec_dim
          |union all
-         |select 'documents' as tbl, ${bigint("(select count(*) from documents)")} as n_rows, 0 as vec_dim""".stripMargin
+         |select 'documents' as tbl, ${bigint("(select count(*) from documents)")} as n_rows, 0 as vec_dim""".stripMargin,
+
+    // deterministic stratified train/val/test split — the sampling op
+    // every training-data pipeline needs: a keyed PRF on doc_id buckets
+    // 80/10/10 per source, so the split is reproducible, stable under
+    // re-runs, and needs NO shuffle beyond the final stats aggregation
+    // (the assignment itself is pure map-side arithmetic).
+    "sample_stratified" ->
+      s"""with s as (select doc_id, source, ${prfMod(d)(100, "'split'", "doc_id")} as h from documents)
+         |select source,
+         |  case when h < 80 then 'train' when h < 90 then 'val' else 'test' end as split,
+         |  ${bigint("count(*)")} as n_docs,
+         |  ${bigint("min(doc_id)")} as min_doc, ${bigint("max(doc_id)")} as max_doc
+         |from s group by source, case when h < 80 then 'train' when h < 90 then 'val' else 'test' end""".stripMargin,
+
+    // corpus bigram frequency table (training-data analysis / contamination
+    // screening building block): one word explode + lead() pairing +
+    // one map-side-combinable count; a FREQUENCY FLOOR instead of a
+    // global top-k keeps the plan sort-free and the output total-order
+    // deterministic.
+    "text_ngram_freq" ->
+      s"""with $wordCtes,
+         |bg as (select wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
+         |fr as (select concat_ws(' ', wd, w2) as bigram, count(*) as freq from bg where w2 is not null group by concat_ws(' ', wd, w2))
+         |select bigram, ${bigint("freq")} as freq from fr where freq >= 20""".stripMargin,
+
+    // token-length histogram per source (sequence-length planning for
+    // training batches): one pass, group on (source, bucket).
+    "doc_token_hist" ->
+      s"""with t as (select source, ${d.arrLen(splitWs("text"))} as n from documents)
+         |select source, ${bigint(d.idiv("n", "10"))} as bucket,
+         |  ${bigint("count(*)")} as n_docs,
+         |  ${bigint("min(n)")} as min_tokens, ${bigint("max(n)")} as max_tokens
+         |from t group by source, ${d.idiv("n", "10")}""".stripMargin,
+
+    // daily-cohort retention over the events stream (classic analytics
+    // breadth): first-seen day per user, then d+1/d+7 activity flags —
+    // two shuffles on user_id, everything map-side-combinable.
+    "events_retention" ->
+      s"""with e as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |f as (select user_id, min(day) as d0 from e group by user_id),
+         |r as (select f.user_id, f.d0,
+         |        max(case when e.day = f.d0 + 1 then 1 else 0 end) as ret1,
+         |        max(case when e.day = f.d0 + 7 then 1 else 0 end) as ret7
+         |      from f join e on e.user_id = f.user_id group by f.user_id, f.d0)
+         |select ${bigint("d0")} as cohort_day, ${bigint("count(*)")} as n_users,
+         |  ${bigint("sum(ret1)")} as retained_d1, ${bigint("sum(ret7)")} as retained_d7
+         |from r group by d0""".stripMargin,
+
+    // primary-key catalog: per table, the key column with a DATA-DERIVED
+    // uniqueness proof (count == count distinct) — the /api/primarykeys
+    // catalog surface (reference: backend/app.py:74). lineitem's
+    // l_orderkey is deliberately included as a non-unique candidate
+    // (it's half of a composite key) so the check is visibly computed,
+    // not declared. One count-distinct aggregation per table.
+    "catalog_pk" -> {
+      def row(tbl: String, key: String) =
+        s"""select '$tbl' as tbl, '$key' as key_col, ${bigint("count(*)")} as n_rows,
+           |  ${bigint(s"count(distinct $key)")} as n_distinct,
+           |  ${bigint(s"case when count(*) = count(distinct $key) then 1 else 0 end")} as is_unique
+           |from $tbl""".stripMargin
+      Seq("embeddings" -> "vec_id", "documents" -> "doc_id",
+        "events" -> "event_id", "orders" -> "o_orderkey",
+        "customer" -> "c_custkey", "lineitem" -> "l_orderkey")
+        .map((row _).tupled).mkString("\nunion all\n")
+    },
+
+    // true PCA 2-D projection, ORACLE-CHECKED on the 8-dim corner: the
+    // top-2 eigenvectors of the rounded 8×8 covariance are computed IN
+    // SQL by power iteration (matrix squared twice → C⁴, so 10
+    // iterations ≈ 40 plain ones; deflation by λ₁v₁v₁ᵀ for the second
+    // axis). Every step after the rounded covariance/mean entries is
+    // deterministic IEEE arithmetic with explicit fold order (ordered
+    // array dots), so Spark and DuckDB agree bit-for-bit regardless of
+    // convergence; sklearn-style sign convention via the first
+    // component. Scale shape: the covariance pass is the same
+    // partial-aggregation Gram pattern as pca_covariance (O(N·d²)
+    // map-side work, d² merge traffic); the eigen-iteration CTEs touch
+    // ≤ 8-row tables; the projection is map-only against one
+    // broadcast row. (The full-d64 variant with a driver-side Jacobi
+    // solve is operators.Pca; this corner is its oracle witness.)
+    "pca_project2d" -> {
+      // Plan shape: the 8×8 covariance, its powers, and the iterated
+      // vector all live as WIDE COLUMNS of a 1-row CTE chain in which
+      // every CTE references ONLY its predecessor and is itself a
+      // (trivial 1-row max()) AGGREGATION. Linear reference chains stop
+      // Catalyst's CTE inlining from duplicating the matrix subtree
+      // into every power step (an array-CTE formulation re-inlined the
+      // covariance 40× — 200 s of pure planning), and the per-step
+      // aggregation is the optimizer barrier that stops projection
+      // collapse from exponentiating the normalize expression (the
+      // SURVEY §4 projection-collapse rule applied to scalars).
+      val d8 = 8
+      val iters = 10 // on C⁴ ≈ 40 plain power steps
+      val idx = 1 to d8
+      val nrm0 = math.sqrt(idx.map(y => y.toDouble * y).sum)
+      // DuckDB: force each 1-row stage to MATERIALIZE — its optimizer
+      // otherwise re-inlines the wide expression chain into a
+      // super-linear blowup (>10 min at sf0.01; 5 s materialized).
+      // Spark gets the same barrier from the max() Aggregate nodes.
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      // carry a column set through a 1-row aggregation unchanged
+      def keep(cols: Seq[String]) = cols.map(c => s"max($c) as $c")
+      def mat(nm: String) = for { i <- idx; j <- idx } yield s"$nm$i$j"
+      val mus = idx.map(i => s"mu$i")
+      val vs = idx.map(i => s"v$i")
+      // one aggregation CTE: keep `carry`, compute `defs` (name -> expr)
+      def stage(name: String, src: String, carry: Seq[String],
+                defs: Seq[(String, String)]) =
+        s"$name as $matKw(select ${(keep(carry) ++ defs.map { case (n, e) => s"max($e) as $n" }).mkString(",\n|  ")} from $src)"
+      // matrix square dst = src·src (explicit left-to-right 8-term sums)
+      def sqDefs(srcNm: String, dstNm: String) =
+        for { i <- idx; j <- idx } yield
+          s"$dstNm$i$j" -> idx.map(k => s"$srcNm$i$k * $srcNm$k$j").mkString(" + ")
+      // one power step v ← normalize(M v): w_i = Σ_j m_ij v_j inline
+      def wExpr(mNm: String, i: Int) = idx.map(j => s"$mNm$i$j * v$j").mkString(" + ")
+      def stepDefs(mNm: String) = {
+        val nrm = s"sqrt(${idx.map(j => s"(${wExpr(mNm, j)}) * (${wExpr(mNm, j)})").mkString(" + ")})"
+        idx.map(i => s"v$i" -> s"(${wExpr(mNm, i)}) / $nrm")
+      }
+      val v0Defs = idx.map(i => s"v$i" -> s"cast(${i / nrm0} as double)")
+      // ---- phase 1: v1 of C (iterate C⁴, Rayleigh λ₁ on C) ----
+      val p1 = Seq(
+        // rounded covariance entries + means from one 44-aggregate pass
+        s"""st0 as $matKw(select ${(idx.map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
+          (for { i <- idx; j <- idx if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
+           |        from nv)""".stripMargin,
+        stage("cw", "st0", Nil,
+          (for { i <- idx; j <- idx } yield
+            s"c$i$j" -> s"round(m${math.min(i, j)}_${math.max(i, j)} - a$i * a$j, 6)") ++
+          idx.map(i => s"mu$i" -> s"round(a$i, 6)")),
+        stage("cq2", "cw", mat("c") ++ mus, sqDefs("c", "p")),
+        stage("cq4", "cq2", mat("c") ++ mus, sqDefs("p", "q")),
+        stage("pa0", "cq4", mat("c") ++ mat("q") ++ mus, v0Defs)) ++
+        (1 to iters).map(t => stage(s"pa$t", s"pa${t - 1}",
+          mat("c") ++ mat("q") ++ mus, stepDefs("q")))
+      // ---- phase 2: Rayleigh λ₁, deflate, iterate (C−λ₁v₁v₁ᵀ)⁴ ----
+      val rayleigh = idx.map(i =>
+        s"v$i * (${idx.map(j => s"c$i$j * v$j").mkString(" + ")})").mkString(" + ")
+      val p2 = Seq(
+        stage("e1", s"pa$iters", mat("c") ++ mus,
+          idx.map(i => s"ev$i" -> s"v$i") :+ ("lam" -> rayleigh)),
+        stage("dfl", "e1", mus ++ idx.map(i => s"ev$i"),
+          for { i <- idx; j <- idx } yield s"d$i$j" -> s"c$i$j - lam * ev$i * ev$j"),
+        stage("dq2", "dfl", mus ++ idx.map(i => s"ev$i"), sqDefs("d", "r")),
+        stage("dq4", "dq2", mus ++ idx.map(i => s"ev$i"), sqDefs("r", "s")),
+        stage("pb0", "dq4", mat("s") ++ mus ++ idx.map(i => s"ev$i"), v0Defs)) ++
+        (1 to iters).map(t => stage(s"pb$t", s"pb${t - 1}",
+          mat("s") ++ mus ++ idx.map(i => s"ev$i"), stepDefs("s")))
+      // ---- sign convention + centering offsets, then map-only project
+      def sgn(c1: String) = s"(case when $c1 < 0 then cast(-1 as double) else cast(1 as double) end)"
+      val pr = stage("pr", s"pb$iters", Nil,
+        idx.map(i => s"w1$i" -> s"ev$i * ${sgn("ev1")}") ++
+        idx.map(i => s"w2$i" -> s"v$i * ${sgn("v1")}") ++
+        Seq("m1" -> idx.map(i => s"mu$i * ev$i * ${sgn("ev1")}").mkString(" + "),
+            "m2" -> idx.map(i => s"mu$i * v$i * ${sgn("v1")}").mkString(" + ")))
+      def proj(w: String, m: String) =
+        s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * pr.$w$i").mkString(" + ")} - pr.$m, 5)"
+      s"""with $nvCtes,
+         |${(p1 ++ p2 :+ pr).mkString(",\n")}
+         |select ${bigint("nv.id")} as vec_id, ${bigint("nv.label")} as label,
+         |  ${proj("w1", "m1")} as pc1,
+         |  ${proj("w2", "m2")} as pc2
+         |from nv cross join pr""".stripMargin
+    }
   )
 
   private def regexpCountBpe: String =

@@ -91,6 +91,69 @@ object Streams {
       }
   }
 
+  case class EmCell(vecId: Long, pos: Int, sval: Double)
+
+  /** Streaming watermark EMBED — the symmetric counterpart of
+    * [[extractStream]]: (ts, vec_id, pos, val) cells of ORIGINAL
+    * vectors arrive in any order/batch split; per-vector state
+    * assembles the 64 dims, and a completed CARRIER vector is QIM-
+    * embedded immediately (graft.functions.WmEmbed — identical math to
+    * the batch stego chain, see StreamingEmbedSpec for the bit-for-bit
+    * parity proof). Non-carrier vectors complete and are dropped (the
+    * batch `wm_embed` likewise emits carrier cells only; compose with
+    * the original stream for a full-table writeback).
+    *
+    * `carriers` maps vec_id → block index, i.e. the persisted carrier
+    * id list (operators.Backup.saveCarrierIds / the reference's
+    * save_low_degree_ids, pg_func.py:312-323). It is rate·N entries —
+    * broadcast-sized for typical rates; at extreme scale the same
+    * logic runs as a stream-static join against the carrier parquet
+    * keyed by vec_id, with the state/timeout handling unchanged.
+    *
+    * Incomplete vectors expire via the same event-time timeout
+    * discipline as extractStream (see that scaladoc for why
+    * processing-time timeouts are wrong here). */
+  def embedStream(cells: Dataset[(Timestamp, Long, Int, Double)],
+                  carriers: Map[Long, Int],
+                  incompleteTimeoutMs: Long = 3600L * 1000,
+                  params: graft.sqlgen.WmParams = graft.sqlgen.WmParams.Default)
+      : Dataset[EmCell] = {
+    import cells.sparkSession.implicits._
+    cells
+      .withWatermark("_1", s"$incompleteTimeoutMs milliseconds")
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[Int, Double], EmCell](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (vecId, it, state: GroupState[Map[Int, Double]]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Int, Double])
+            var maxTs = Long.MinValue
+            it.foreach { case (ts, _, pos, v) =>
+              m += pos -> v
+              maxTs = math.max(maxTs, ts.getTime)
+            }
+            if (m.size >= graft.sqlgen.Wm.Dim) {
+              state.remove()
+              carriers.get(vecId) match {
+                case Some(blk) =>
+                  val vals = Array.tabulate(graft.sqlgen.Wm.Dim)(i => m(i + 1))
+                  val sv = graft.functions.WmEmbed.embed(vals, blk, params)
+                  (1 to graft.sqlgen.Wm.Dim).iterator
+                    .map(pos => EmCell(vecId, pos, sv(pos - 1)))
+                case None => Iterator.empty
+              }
+            } else {
+              state.update(m)
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1) + incompleteTimeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   case class Sess(userId: Long, start: Long, end: Long, nEvents: Long)
 
   /** Event-time sessionization with a 30-min gap, the streaming form of
@@ -111,26 +174,30 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get; state.remove(); Iterator(s)
           } else {
-            val secs = it.map(_._1.getTime / 1000).toSeq.sorted
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Sess]
-            // merge by interval, not by last-seen end: a late-but-within-
-            // watermark event from a later micro-batch may precede the
-            // open session, so extend [start, end] with min/max rather
-            // than overwriting end (which would move it backwards)
-            for (t <- secs) cur match {
-              case Some(s) if t >= s.start - gapSec && t <= s.end + gapSec =>
-                cur = Some(s.copy(start = math.min(s.start, t),
-                  end = math.max(s.end, t), nEvents = s.nEvents + 1))
-              case Some(s) =>
-                closed += s; cur = Some(Sess(user, t, t, 1))
-              case None => cur = Some(Sess(user, t, t, 1))
+            // interval-merge the batch's events WITH the open session,
+            // sorted by start: a late-but-within-watermark event from a
+            // later micro-batch may precede the open session entirely —
+            // folding it in last-seen order would displace the newer
+            // open session and mis-split a subsequent adjacent event
+            // (e.g. 10:00,10:20 then late 09:00 then 10:25 must yield
+            // [09:00] closed + [10:00-10:25] open, not three sessions).
+            // Merged intervals are disjoint and start-ordered, so the
+            // LAST one is the open session; everything earlier closes
+            // now (its gap to the open session already exceeds gapSec).
+            val evs = it.map(t => Sess(user, t._1.getTime / 1000,
+              t._1.getTime / 1000, 1)).toSeq
+            val all = (state.getOption.toSeq ++ evs).sortBy(s => (s.start, s.end))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[Sess]
+            for (s <- all) merged.lastOption match {
+              case Some(p) if s.start <= p.end + gapSec =>
+                merged(merged.length - 1) = p.copy(
+                  end = math.max(p.end, s.end), nEvents = p.nEvents + s.nEvents)
+              case _ => merged += s
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end * 1000 + gapSec * 1000)
-            }
-            closed.result().iterator
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.end * 1000 + gapSec * 1000)
+            merged.init.iterator
           }
       }
   }

@@ -46,4 +46,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("graft_dot wrong arity raises AnalysisException at plan time") {
+    val spark = TestSpark.spark
+    graft.functions.DotProduct.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select graft_dot(array(1.0d))").collect()
+    }
+    assert(e1.getMessage.contains("graft_dot"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select graft_dot()").collect()
+    }
+    assert(e2.getMessage.contains("graft_dot"))
+  }
 }

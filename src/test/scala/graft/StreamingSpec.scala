@@ -98,6 +98,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event older than the open session closes alone, open session survives") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    // gap (5 min) < watermark delay (30 min): a within-watermark event
+    // can predate the open session by MORE than the gap
+    val q = Streams.sessionize(in.toDS, gapSec = 300).writeStream
+      .format("memory").queryName("sess_old").outputMode("append").start()
+    try {
+      in.addData((ts("10:00"), 5L), (ts("10:02"), 5L))
+      q.processAllAvailable()
+      // 09:40 is inside the watermark (10:02 - 30 min) but > gap before
+      // the open session's start: it must close as its OWN session and
+      // must NOT displace [10:00-10:02] from state
+      in.addData((ts("09:40"), 5L))
+      q.processAllAvailable()
+      // adjacent to the open session — merges iff state survived
+      in.addData((ts("10:04"), 5L))
+      q.processAllAvailable()
+      in.addData((ts("13:00"), 5L)) // closes the open session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_old").as[Streams.Sess].collect()
+        .filter(_.userId == 5L)
+      val lone = sessions.filter(s => s.start == ts("09:40").getTime / 1000)
+      assert(lone.length == 1 && lone.head.nEvents == 1 &&
+        lone.head.end == ts("09:40").getTime / 1000, s"got ${sessions.toSeq}")
+      val main = sessions.filter(s => s.start == ts("10:00").getTime / 1000)
+      assert(main.length == 1 && main.head.nEvents == 3 &&
+        main.head.end == ts("10:04").getTime / 1000, s"got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("late in-watermark event merges into the open session without moving end backwards") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
