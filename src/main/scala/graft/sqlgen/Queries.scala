@@ -723,28 +723,34 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // SAMPLED with E[k] = ⌈√N⌉ — the standard IVF sizing, so cell
     // count (and with it per-cell size ≈ √N and probe cost) grows with
     // the corpus instead of being pinned at the label count — then
-    // refined with TWO Lloyd (spherical k-means) steps over the
-    // normalized members (refined components rounded to 6 so cell
-    // membership is engine-order-proof). Queries probe the top-nprobe
+    // refined with TWO Lloyd (spherical k-means) steps over a
+    // deterministic TRAINING SAMPLE of E[8·√N] vectors (the standard
+    // IVF train/assign split: centroid training touches the sample
+    // only, and the full corpus is scanned exactly ONCE, for the
+    // final assignment). Refined components are rounded to 6 so cell
+    // membership is engine-order-proof. Queries probe the top-nprobe
     // refined cells; exact ranking runs only within them.
     //
     // Every cell assignment is ONE map-side-combinable aggregation:
     // argmax(sim) with min-cell tie-break = max(struct(sim, -cell)) —
     // order-independent (no N·k window sort; partial aggregation
-    // reduces N·k rows to N before any shuffle). The 100 TB shape:
-    // tiny centroid broadcasts (k·d doubles), three broadcast-join
-    // assignment passes, per-cell candidate work only.
+    // reduces the assignment rows to one per vector before any
+    // shuffle). The 100 TB shape: tiny centroid broadcasts (k·d
+    // doubles), Lloyd refinement on 8√N sampled rows, ONE broadcast-
+    // join assignment pass over the corpus, per-cell candidate work
+    // only.
     "vec_topk_ivf" -> {
       val nprobe = 4
-      val lloydSteps = 4
-      // deterministic integer threshold sampling: seed iff
-      // prf % 2^20 < floor(2^20·⌈√N⌉/N) — E[#seeds] = ⌈√N⌉, and the
-      // membership test is an integer compare (no float-boundary
+      val lloydSteps = 2
+      // deterministic integer threshold sampling: pick iff
+      // prf % 2^20 < floor(2^20·target/N) — expectation `target`, and
+      // the membership test is an integer compare (no float-boundary
       // semantics to diverge between engines).
       val thr = "cast(floor((cast(1048576 as double) * ceil(sqrt(cnt))) / cnt) as bigint)"
-      def csimFrom(ct: String, csim: String) =
-        s"""$csim as (select nn.id, c.cell, ${d.dot("nn.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
-           |          from nn cross join $ct c)""".stripMargin
+      val thrT = "least(1048576, cast(floor((cast(1048576 as double) * cast(8 as double) * ceil(sqrt(cnt))) / cnt) as bigint))"
+      def csimFrom(ct: String, csim: String, src: String = "nn") =
+        s"""$csim as (select $src.id, c.cell, ${d.dot(s"$src.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
+           |          from $src cross join $ct c)""".stripMargin
       def asgFrom(csim: String, asg: String) =
         s"""$asg as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
            |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from $csim group by id) _$asg)""".stripMargin
@@ -753,11 +759,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |        from $asg a join exn x on x.id = a.id group by a.cell, x.pos),
            |$ct as (select cell, ${d.arrAggOrdered("cval", "pos")} as cv from $cm group by cell)""".stripMargin
       val lloydChain = (0 until lloydSteps).map(t =>
-        s"""${csimFrom(s"ct$t", s"csim$t")},
+        s"""${csimFrom(s"ct$t", s"csim$t", "tr")},
            |${asgFrom(s"csim$t", s"asg$t")},
            |${lloyd(s"asg$t", s"cm${t + 1}", s"ct${t + 1}")}""".stripMargin).mkString(",\n")
       s"""with $nvCtes, $exnCte,
-         |par2 as (select $thr as thr from (select cast(count(*) as double) as cnt from nn) _c),
+         |par2 as (select $thr as thr, $thrT as thrt from (select cast(count(*) as double) as cnt from nn) _c),
+         |tr as (select nn.id, nn.n from nn cross join par2 where ${prfMod(d)(1048576, "'ivftrain'", "nn.id")} < thrt),
          |ct0 as (select nn.id as cell, nn.n as cv from nn cross join par2 where ${prfMod(d)(1048576, "'ivfseed'", "nn.id")} < thr),
          |$lloydChain,
          |${csimFrom(s"ct$lloydSteps", "csimF")},

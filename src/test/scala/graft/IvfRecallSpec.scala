@@ -31,7 +31,7 @@ class IvfRecallSpec extends AnyFunSuite {
   private val NClusters = 50
   private val Sigma = 0.1
   private val NProbe = 4   // must match Queries vec_topk_ivf
-  private val Lloyd = 4    // must match Queries vec_topk_ivf
+  private val Lloyd = 2    // must match Queries vec_topk_ivf
 
   // deterministic clustered corpus
   private lazy val corpus: Array[(Long, Array[Double], Long)] = {
@@ -79,25 +79,30 @@ class IvfRecallSpec extends AnyFunSuite {
           .map(c => (BigDecimal(dot(nn(q), nn(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP), c))
           .sortBy { case (s, c) => (-s, c) }.take(10).map(_._2)
 
-      // mirror of the SQL index build
+      // mirror of the SQL index build: seeds E[√N], Lloyd refinement on
+      // the E[8√N] training sample, ONE full-corpus assignment
       val thr = math.floor(1048576.0 * math.ceil(math.sqrt(N.toDouble)) / N).toLong
+      val thrT = math.min(1048576L,
+        math.floor(1048576.0 * 8 * math.ceil(math.sqrt(N.toDouble)) / N).toLong)
       val seeds = corpus.map(_._1).filter(id => Prf.prfMod(1048576, "ivfseed", id) < thr)
+      val train = corpus.map(_._1).filter(id => Prf.prfMod(1048576, "ivftrain", id) < thrT).toSet
       var cents: Map[Long, Array[Double]] = seeds.map(s => s -> nn(s)).toMap
-      def assign(c: Map[Long, Array[Double]]): Map[Long, Long] = {
+      def assign(c: Map[Long, Array[Double]], over: Map[Long, Array[Double]]): Map[Long, Long] = {
         val cn = c.map { case (k, v) => k -> normalize(v) }
-        nn.map { case (id, v) =>
+        over.map { case (id, v) =>
           id -> cn.toSeq.map { case (k, cv) => (dot(v, cv), k) }
             .maxBy { case (s, k) => (s, -k) }._2 }
       }
+      val trainVecs = nn.filter { case (id, _) => train(id) }
       for (_ <- 0 until Lloyd) {
-        val asg = assign(cents)
+        val asg = assign(cents, trainVecs)
         cents = asg.groupBy(_._2).map { case (cell, members) =>
           val ms = members.keys.toSeq.map(nn)
           cell -> Array.tabulate(Dim)(i =>
             BigDecimal(ms.map(_(i)).sum / ms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }
-      val asgF = assign(cents)
+      val asgF = assign(cents, nn)
       val cn = cents.map { case (k, v) => k -> normalize(v) }
 
       var recallSum = 0.0
