@@ -139,6 +139,16 @@ final class Graft(spark: SparkSession, dir: String,
   /** Composite curation pipeline: quality gate → language filter →
     * exact dedup → per-source corpus stats. */
   def curate: DataFrame = q("pipeline_curate")
+  /** Connected components over the SimHash near-dup pairs: doc →
+    * keeper (min doc_id of its duplicate cluster). */
+  def dedupClusters: DataFrame = graft.operators.Components.simhashClusters(spark, dir)
+  /** Per-block BER after a composite attack (10% deletion + gaussian
+    * noise on 30% of survivors). */
+  def berUnderComboAttack: DataFrame = q("wm_ber_combo")
+  /** Per-doc top TF-IDF term. */
+  def topTfidfTerms: DataFrame = q("text_tfidf")
+  /** Data-quality profile (null/distinct/min/max) of the fact table. */
+  def tableProfile: DataFrame = q("table_profile")
   /** Deterministic 80/10/10 train/val/test split stats per source. */
   def stratifiedSplit: DataFrame = q("sample_stratified")
   /** Corpus bigram frequency table (freq-floored, sort-free). */

@@ -979,6 +979,57 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
          |group by m.blk""".stripMargin,
 
+    // combined attack: gaussian noise on 30% of surviving rows AFTER a
+    // 10% subset deletion — the robustness matrix's composite cell
+    // (attacks compose in the reference's eval harness too). Same
+    // extract/vote machinery, one more filter + map.
+    "wm_ber_combo" ->
+      s"""${wmChain("stego")},
+         |atk as (select id, pos,
+         |          case when ${prfMod(d)(10, "'cbw'", "id")} < 3
+         |               then sval + 0.05 * ${prfGauss(d)("'cbw2'", "id", "pos")}
+         |               else sval end as sval
+         |        from stego where ${prfMod(d)(10, "'ckeep'", "id")} < 9),
+         |${extractCtes("atk")}
+         |select ${bigint("m.blk")} as blk,
+         |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+         |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
+         |group by m.blk""".stripMargin,
+
+    // per-doc top TF-IDF term — the classic text-relevance op. One word
+    // explode feeds both tf and df; the per-doc argmax is the two-
+    // aggregation pattern (max score, then min word among ties) — no
+    // window, fully map-side-combinable, N rows out.
+    "text_tfidf" ->
+      s"""with $wordCtes,
+         |tf as (select doc_id, wd, count(*) as tf from wx group by doc_id, wd),
+         |dfq as (select wd, count(distinct doc_id) as df from wx group by wd),
+         |nd as (select cast(count(*) as double) as n from documents),
+         |scored as (select tf.doc_id, tf.wd,
+         |             round(tf.tf * ln(nd.n / dfq.df), 6) as tfidf
+         |           from tf join dfq on dfq.wd = tf.wd cross join nd),
+         |tw as (select doc_id, max(tfidf) as best from scored group by doc_id)
+         |select ${bigint("s.doc_id")} as doc_id, min(s.wd) as top_term, t.best as tfidf
+         |from scored s join tw t on t.doc_id = s.doc_id and s.tfidf = t.best
+         |group by s.doc_id, t.best""".stripMargin,
+
+    // data-quality profile of a fact table (null/distinct/min/max per
+    // column) — the profiling pass a 100 TB ingestion runs before
+    // training jobs; one scan, 4 aggregate groups via union of
+    // single-row aggregations (each is its own partial-agg pass over
+    // the same cached scan; Spark reuses the exchange).
+    "table_profile" -> {
+      def num(colName: String) =
+        s"""select '$colName' as col, ${bigint("count(*)")} as n_rows,
+           |  ${bigint(s"count(distinct $colName)")} as n_distinct,
+           |  ${bigint(s"sum(case when $colName is null then 1 else 0 end)")} as n_null,
+           |  round(cast(min($colName) as double), 4) as min_val,
+           |  round(cast(max($colName) as double), 4) as max_val
+           |from lineitem""".stripMargin
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .map(num).mkString("\nunion all\n")
+    },
+
     // as-of join: each click event ↦ the user's latest purchase at or
     // before it. One shuffle on user_id + an ordered window — the
     // scalable merge-asof shape (no range join blowup).

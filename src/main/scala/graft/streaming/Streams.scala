@@ -91,6 +91,30 @@ object Streams {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join — the streaming form of
+    * the as-of/attribution shape (`events_asof`): each click pairs with
+    * the same user's purchases in the preceding hour. Both sides carry
+    * event-time watermarks and the join condition bounds the time
+    * range, so the state store retains only rows inside the watermark
+    * horizon (purchases need the longer retention: a purchase must
+    * wait up to 1 h of clicks plus the click stream's 1 h lateness).
+    * At 100 TB/day this is the standard two-sided state-bounded join;
+    * without BOTH the watermark and the range condition Spark would
+    * have to keep unbounded state and refuses the append-mode query.
+    *
+    * clicks/purchases: (ts timestamp, user_id long, event_id long). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts - INTERVAL 1 HOUR AND p_ts <= c_ts""".stripMargin))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   case class EmCell(vecId: Long, pos: Int, sval: Double)
 
   /** Streaming watermark EMBED — the symmetric counterpart of

@@ -77,6 +77,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = Streams.clickPurchaseJoin(clicks.toDS.toDF(), purchases.toDS.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // purchase 30 min before the click (in window), one 2 h before
+      // (out of window), one for a different user
+      purchases.addData((ts("09:30"), 1L, 100L), (ts("08:00"), 1L, 101L),
+        (ts("09:45"), 2L, 102L))
+      clicks.addData((ts("10:00"), 1L, 500L))
+      q.processAllAvailable()
+      // advance both watermarks far enough to emit/expire everything
+      purchases.addData((ts("14:00"), 9L, 199L))
+      clicks.addData((ts("14:00"), 9L, 599L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(rows.contains((500L, 100L)), s"in-window purchase joined: $rows")
+      assert(!rows.exists(_._2 == 101L), "2h-old purchase is outside the window")
+      assert(!rows.exists(_._2 == 102L), "other user's purchase not joined")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on a 30-min gap") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
