@@ -1191,6 +1191,181 @@ final class Gen(d: Dialect, useViews: Boolean = false,
         .map((row _).tupled).mkString("\nunion all\n")
     },
 
+    // hybrid (filtered) similarity search: top-k restricted to rows
+    // matching a metadata predicate — pgvector's `WHERE ... ORDER BY
+    // embedding <=> q` and Milvus's filtered search (the serving shape
+    // every production vector DB exposes). The label filter prunes the
+    // candidate side BEFORE the similarity join, so the pairwise work is
+    // |Q|·|filtered|, and at 100 TB the predicate pushes down to the
+    // parquet scan alongside the column pruning.
+    "vec_topk_filtered" ->
+      s"""with $nvCtes,
+         |q as (select id as qid, label as qlab, n as qn from nn where id in ($qIdLit)),
+         |p as (select q.qid, q.qlab, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim
+         |      from q join nn on nn.label = q.qlab and nn.id <> q.qid)
+         |select ${bigint("qid")} as qid, ${bigint("qlab")} as label, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+         |from (select qid, qlab, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
+    // range search: ALL neighbors within a similarity radius (pgvector
+    // `WHERE embedding <=> q < r`, Milvus range_search) — the other
+    // half of the ANN serving surface. Candidates come from the shared
+    // LSH buckets (one bucket join, never |Q|·N), exact similarity only
+    // on candidates; the radius keeps the output bounded.
+    "vec_range_search" ->
+      s"""${wmChain("lsh")},
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)),
+         |p as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim
+         |from p where sim >= 0.2""".stripMargin,
+
+    // int8 scalar quantization + reconstruction-error report — the SQ
+    // index/storage variant every vector DB ships (4x memory cut). Per
+    // dim: min/max over one exploded pass (tiny d-row broadcast back),
+    // code = clamped floor((val-mn)/(mx-mn)*256) (floor, not round —
+    // engine round() semantics differ), dequant at bin midpoints, and
+    // per-dim error stats. Scale: stats pass + map-side quantize; the
+    // codes themselves never shuffle.
+    "vec_quantize" ->
+      s"""with $nvCtes, $exnCte,
+         |st as (select pos, min(val) as mn, max(val) as mx from exn group by pos),
+         |qz as (select x.pos, s.mn, s.mx,
+         |         least(255, greatest(0, cast(floor((x.val - s.mn) / (s.mx - s.mn) * 256) as bigint))) as code, x.val
+         |       from exn x join st s on s.pos = x.pos),
+         |rc as (select pos, mn, mx, code, val,
+         |         mn + (code + cast(0.5 as double)) / 256 * (mx - mn) as deq
+         |       from qz)
+         |select ${bigint("pos")} as pos, round(min(mn), 6) as mn, round(max(mx), 6) as mx,
+         |  round(avg((val - deq) * (val - deq)), 9) as mse,
+         |  round(max(abs(val - deq)), 6) as max_abs_err,
+         |  ${bigint("sum(case when code = 0 or code = 255 then 1 else 0 end)")} as n_clamped
+         |from rc group by pos""".stripMargin,
+
+    // PageRank over the kNN proximity graph (3 unrolled power-iteration
+    // steps, damping 0.85) — the canonical iterative distributed graph
+    // op, here ranking vectors by neighborhood centrality (the inverse
+    // view of the in-degree signal carrier selection uses). Each step
+    // is one edge join + one map-side-combinable groupBy(dst); the
+    // rank vector is O(N) narrow rows, edges are reused from the shared
+    // chain (Spark: the g_knn materialized view; DuckDB: an explicitly
+    // materialized CTE so three references don't re-run the chain).
+    //
+    // Ranks are INTEGER picorank units (1e12 = total mass): float
+    // incoming-mass sums are aggregation-ORDER-dependent, and a 1-ulp
+    // difference flips the last rounded digit (observed: 2/500 rows at
+    // 1e-8) — integer sums with floor division are exact and
+    // order-independent in both engines, so the result hashes
+    // identically at any scale. The deterministic mass leak from
+    // flooring (< N·100 pico) is part of the operator's contract.
+    "graph_pagerank" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def step(prev: String, next: String) =
+        s"""$next as (select n.id, nd.base + ${d.idiv(s"85 * coalesce(inc.s, 0)", "100")} as r
+           |      from nn n cross join nd
+           |      left join (select e.dst, ${bigint(s"sum(${d.idiv(s"$prev.r", "e.odeg")})")} as s
+           |                 from e join $prev on $prev.id = e.src group by e.dst) inc on inc.dst = n.id)""".stripMargin
+      s"""${wmChain("knn")},
+         |nd as $matKw(select ${bigint(d.idiv("1000000000000", "count(*)"))} as r0,
+         |                    ${bigint(d.idiv("150000000000", "count(*)"))} as base from nn),
+         |od as (select src, count(*) as odeg from knn group by src),
+         |e as $matKw(select k.src, k.dst, ${bigint("o.odeg")} as odeg
+         |            from knn k join od o on o.src = k.src),
+         |r0 as (select id, nd.r0 as r from nn cross join nd),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |select ${bigint("id")} as vec_id, ${bigint("r")} as pagerank_pico from r3""".stripMargin
+    },
+
+    // HyperLogLog distinct-count sketch, fully deterministic and
+    // oracle-checked: 64 registers over the 60-bit keyed word hash
+    // (register = h mod 64, rho = leading-zero rank of the remaining
+    // 54 bits via UNROLLED integer compares — no float log2), estimate
+    // folded over the registers in register order (ordered array
+    // reduce, so the float sum is bit-identical in both engines), with
+    // the standard small-range linear-counting correction. The 100 TB
+    // story: counting distinct tokens/urls/users needs O(m) state per
+    // group instead of a count(distinct) shuffle of the raw values;
+    // the exact count runs alongside here only to report the error.
+    "sketch_distinct" -> {
+      val m = 64
+      // rho = 1 + leading zeros of the 54-bit remainder (w < 2^54)
+      val rho = (1 to 54).map(r =>
+        s"when w >= ${1L << (54 - r)} then $r").mkString(
+        "case ", " ", " else 55 end")
+      val ones = d.castDoubleArray(arrLit(Seq.fill(m)("1.0")))
+      val alpha = "cast(0.709362 as double)" // 0.7213/(1 + 1.079/64)
+      s"""with $wordCtes,
+         |wh as (select distinct ${prf(d)("'hll'", "wd")} as h from wx),
+         |wr as (select h % $m as j, ${d.idiv("h", m.toString)} as w from wh),
+         |regs as (select j, max($rho) as mr from wr group by j),
+         |allr as (select gg.j, coalesce(r.mr, 0) as mr
+         |         from ${rangeTable("gg", "j", 0, m - 1)} left join regs r on r.j = gg.j),
+         |za as (select ${d.arrAggOrdered(s"pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
+         |              ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0
+         |        from allr),
+         |est as (select case when v0 > 0 then round($m * ln(cast($m as double) / v0), 4)
+         |                    else round($alpha * $m * $m / ${d.dot("zs", ones)}, 4) end as hll, v0 from za),
+         |ex as (select ${bigint("count(distinct wd)")} as n_exact from wx)
+         |select ex.n_exact, est.hll as hll_est,
+         |  round(abs(est.hll - ex.n_exact) / ex.n_exact, 4) as rel_err
+         |from ex cross join est""".stripMargin
+    },
+
+    // sliding-window document chunking — the tokenize-and-chunk pass
+    // that turns a curated corpus into training sequences: 64-token
+    // windows with stride 48 (25% overlap). Each word lands in ≤ 2
+    // chunks via a tiny per-row k-range explode (pure map-side), then
+    // ONE groupBy (doc, chunk) builds the chunk fingerprint from the
+    // in-order token stream and counts tokens. No windows, no joins;
+    // at 100 TB this is a single explode + one combinable shuffle.
+    "text_chunk" -> {
+      val (size, stride) = (64, 48)
+      // word at wpos (1-based) belongs to chunks k with
+      // 48k+1 <= wpos <= 48k+64: k in [ceil((wpos-64)/48), floor((wpos-1)/48)]
+      // (floor-vs-trunc div divergence on the negative low end is
+      // neutralized by the greatest(0, ·) clamp)
+      val kmin = s"greatest(cast(0 as bigint), cast(${d.idiv(s"(wpos - ${size - stride + 1})", stride.toString)} as bigint))"
+      val kmax = s"cast(${d.idiv("(wpos - 1)", stride.toString)} as bigint)"
+      s"""with $wordCtes,
+         |wk as (select doc_id, wpos, wd, ${d.intSeq(kmin, kmax)} as ks from wx),
+         |wc as (select doc_id, wpos, wd, k from ${d.explodeFrom("wk", "ks", "k1", "k", Seq("doc_id", "wpos", "wd"))} _wc)
+         |select ${bigint("doc_id")} as doc_id, ${bigint("k")} as chunk_id,
+         |  ${bigint("count(*)")} as n_tokens,
+         |  md5(${d.strAggOrdered("wd || ' '", "wpos")}) as chunk_fp
+         |from wc group by doc_id, k""".stripMargin
+    },
+
+    // LSH index health stats — the index-monitoring surface a 100 TB
+    // deployment watches: per-table bucket occupancy, skew ratio
+    // (max/avg bucket), and singleton share (vectors LSH cannot pair).
+    // One tiny aggregation over the shared chain's bucket rows.
+    "lsh_bucket_stats" ->
+      s"""${wmChain("lsh")},
+         |bc as (select t, b, count(*) as c from bkt group by t, b)
+         |select ${bigint("t")} as tbl_id, ${bigint("count(*)")} as n_buckets,
+         |  ${bigint("sum(c)")} as n_rows, ${bigint("max(c)")} as max_bucket,
+         |  round(avg(c), 4) as avg_bucket,
+         |  round(max(c) / avg(c), 4) as skew_ratio,
+         |  ${bigint("sum(case when c = 1 then 1 else 0 end)")} as n_singletons
+         |from bc group by t""".stripMargin,
+
+    // PII detection/redaction pass — the compliance scrub every
+    // training-data pipeline runs before packing: per-doc counts of
+    // email / long-digit-run / URL patterns plus the fingerprint of the
+    // digit-masked text (the redacted artifact). Pure per-row regex
+    // map, no shuffle; at 100 TB this pass fuses into any other
+    // per-document map stage.
+    "pii_redact" ->
+      s"""select ${bigint("doc_id")} as doc_id,
+         |  ${bigint(d.regexpCount("text", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"))} as n_emails,
+         |  ${bigint(d.regexpCount("text", "[0-9]{4,}"))} as n_digit_runs,
+         |  ${bigint(d.regexpCount("text", "https?://[^ ]+"))} as n_urls,
+         |  md5(${regexReplaceAll("text", "[0-9]", "#")}) as redacted_fp
+         |from documents""".stripMargin,
+
     // true PCA 2-D projection, ORACLE-CHECKED on the 8-dim corner: the
     // top-2 eigenvectors of the rounded 8×8 covariance are computed IN
     // SQL by power iteration (matrix squared twice → C⁴, so 10
