@@ -45,6 +45,22 @@ final class Graft(spark: SparkSession, dir: String,
   def topKApprox: DataFrame = q("vec_topk_lsh")
   /** IVF-style approximate top-k (coarse centroid cells, nprobe=2). */
   def topKIvf: DataFrame = q("vec_topk_ivf")
+  /** Product-quantization ADC top-k: 8-subspace codebooks, per-vector
+    * 8-code compression, asymmetric-distance scan (Milvus IVF_PQ /
+    * faiss PQ shape). */
+  def topKPq: DataFrame = q("vec_topk_pq")
+  /** Filtered (hybrid) top-k — metadata predicate pruned before the
+    * similarity join (pgvector WHERE + `<=>`; Milvus filtered search). */
+  def topKFiltered: DataFrame = q("vec_topk_filtered")
+  /** Radius range search over the shared LSH buckets (pgvector
+    * `<=>` < r; Milvus range_search). */
+  def rangeSearch: DataFrame = q("vec_range_search")
+  /** int8 scalar quantization + per-dim reconstruction-error report. */
+  def quantizeStats: DataFrame = q("vec_quantize")
+  /** PageRank over the kNN proximity graph (integer picorank units). */
+  def pageRank: DataFrame = q("graph_pagerank")
+  /** LSH index health: bucket occupancy / skew / singleton share. */
+  def lshIndexStats: DataFrame = q("lsh_bucket_stats")
 
   /** Exact top-k via the custom CosineTopK physical operator: one
     * corpus pass with bounded per-query heaps instead of a join +
@@ -157,6 +173,13 @@ final class Graft(spark: SparkSession, dir: String,
   def tokenHistogram: DataFrame = q("doc_token_hist")
   /** Daily-cohort d+1/d+7 retention over events. */
   def retention: DataFrame = q("events_retention")
+  /** Deterministic 64-register HyperLogLog distinct-word sketch with
+    * exact-count error report. */
+  def distinctSketch: DataFrame = q("sketch_distinct")
+  /** Sliding-window 64/48 chunking with ordered-token fingerprints. */
+  def chunks: DataFrame = q("text_chunk")
+  /** PII pattern counts + digit-masked fingerprints per document. */
+  def piiScan: DataFrame = q("pii_redact")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

@@ -621,14 +621,18 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       // the intersection and both set sizes — a single pass over the
       // grams instead of four CTE re-evaluations (Spark inlines CTEs).
       // The DISTINCT in g0 is an aggregate barrier that materializes
-      // lower(text) once.
+      // lower(text) once. Grams shuffle as their 60-bit md5 hash, not
+      // the raw string (same Jaccard counts modulo a ~2^-40 collision
+      // chance per pair — and collisions hash identically in both
+      // engines); the narrower key cuts the dominant shuffle's bytes.
       s"""with g0 as (select distinct doc_id, lower(text) as lt from documents where doc_id % 20 <= 1),
          |g as (select doc_id, $grams as gr from g0),
-         |gp as (select doc_id - (doc_id % 20) as pair, doc_id % 20 as side, gm
+         |gp as (select doc_id - (doc_id % 20) as pair, doc_id % 20 as side,
+         |              ${d.hex2int("substr(md5(gm), 1, 15)")} as gh
          |       from ${d.explodeFrom("g", "gr", "gpos", "gm", Seq("doc_id"))} _gx),
-         |ag as (select pair, gm, max(case when side = 0 then 1 else 0 end) as l,
+         |ag as (select pair, gh, max(case when side = 0 then 1 else 0 end) as l,
          |              max(case when side = 1 then 1 else 0 end) as r
-         |       from gp group by pair, gm),
+         |       from gp group by pair, gh),
          |j as (select pair, sum(l * r) as i, sum(l) as na, sum(r) as nb from ag group by pair)
          |select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
          |  round(i / (na + nb - i), 4) as jaccard
@@ -776,6 +780,66 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // Product-quantization ADC top-k — the OTHER scale-out ANN leg
+    // (Milvus IVF_PQ / faiss PQ): 8 subspaces × 8 dims, per-subspace
+    // codebooks (target K=16) trained by one Lloyd step of L2 k-means
+    // on a deterministic PRF sample, every vector encoded as 8 small
+    // codes (a 32× memory cut: 64 doubles → 8 codes), and queries
+    // scored with ASYMMETRIC DISTANCE — exact query subvector against
+    // the code's centroid, summed across subspaces in subspace order
+    // (ordered array fold, so the float sum is bit-identical in both
+    // engines). The 100 TB story: the corpus-side scan state is the
+    // code table, not the vectors; the query-side work is a
+    // |Q|·M·K lookup table joined map-side onto the codes.
+    //
+    // Same determinism toolkit as IVF: integer threshold sampling,
+    // centroid components rounded to 6 after the averaging shuffle,
+    // every assignment a max(struct(score, -cell)) aggregation
+    // (argmin L2 = argmax dot(x,c) - |c|²/2, order-independent).
+    "vec_topk_pq" -> {
+      val (mSub, dSub) = (8, 8) // 8 subspaces x 8 dims of Dim=64
+      val ones = d.castDoubleArray(arrLit(Seq.fill(mSub)("1.0")))
+      val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
+      val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
+      // (id, m 0-based, sv double[dSub]) in ONE pass: nested-array
+      // transform + a single explode (an 8-way union of slice scans
+      // multiplied every CTE re-reference by 8 source reads)
+      val slices = d.arrTransform(d.intSeq("0", (mSub - 1).toString), "mm",
+        (1 to dSub).map(j => d.arrIdx0("n", s"mm * $dSub + ${j - 1}")).mkString(
+          if (d.name == "spark") "array(" else "[", ", ",
+          if (d.name == "spark") ")" else "]"))
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with $nvCtes,
+         |par4 as (select cast(count(*) as double) as cnt from nn),
+         |vsub as (select id, m1 - 1 as m, sv from ${d.explodeFrom("nn", slices, "m1", "sv", Seq("id"))} _vs),
+         |tr as (select v.id, v.m, v.sv from vsub v cross join par4
+         |       where ${prfMod(d)(1048576, "'pqtrain'", "v.id")} < $thrT),
+         |ct0 as (select v.m, v.id as cell, v.sv as cv from vsub v cross join par4
+         |        where ${prfMod(d)(1048576, "'pqseed'", "v.id")} < $thrS),
+         |sc0 as (select t.id, t.m, c.cell, ${d.dot("t.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
+         |        from tr t join ct0 c on c.m = t.m),
+         |a0 as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+         |         select id, m, max(${d.structLit2("s", "score", "c", "-cell")}) as mx from sc0 group by id, m) _a0),
+         |tx as (select a.m, a.cell, x.sp, x.v1 from a0 a
+         |       join ${d.explodeFrom("tr", "sv", "sp", "v1", Seq("id", "m"))} x on x.id = a.id and x.m = a.m),
+         |cm as (select m, cell, sp, round(avg(v1), 6) as cval from tx group by m, cell, sp),
+         |ct1 as $matKw(select m, cell, ${d.arrAggOrdered("cval", "sp")} as cv from cm group by m, cell),
+         |sall as $matKw(select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as dt, ${d.dot("c.cv", "c.cv")} as c2
+         |               from vsub v join ct1 c on c.m = v.m),
+         |codes as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+         |            select id, m, max(${d.structLit2("s", "dt - 0.5 * c2", "c", "-cell")}) as mx from sall group by id, m) _cf),
+         |adc as (select q.qid, k.id as cid,
+         |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
+         |        from codes k
+         |        join (select id as qid, m, cell, dt as qdot, c2 from sall where id in ($qIdLit)) q
+         |          on q.m = k.m and q.cell = k.cell and k.id <> q.qid
+         |        group by q.qid, k.id),
+         |p as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
+         |from (select qid, cid, approx_sim, row_number() over (partition by qid order by approx_sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin
     },
 

@@ -45,6 +45,21 @@ class NewOpsSpec extends AnyFunSuite {
     assert(total <= 1000000000000L && total >= 150000000000L)
   }
 
+  test("vec_topk_pq ADC scores are valid cosines and approximate the exact ranking") {
+    val pq = run("vec_topk_pq").collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == sqlgen.Wm.QueryIds.length && byQ.values.forall(_.length == 10))
+    // reconstructed-centroid cosine stays a valid similarity
+    assert(pq.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-6))
+    // ADC ranking finds a nontrivial share of the exact top-10 (PQ with
+    // K=16/subspace on 64-dim: coarse, but far above the ~10/N chance
+    // overlap of random ranking)
+    val exact = run("vec_topk").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = byQ.map { case (q, rs) => rs.map(_.getLong(1)).count(exact(q)) }.sum
+    assert(hits >= 10, s"PQ recalled only $hits/50 of the exact top-10")
+  }
+
   test("sketch_distinct HLL estimate lands near the exact count") {
     val r = run("sketch_distinct").collect().head
     val (exact, est, relErr) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
