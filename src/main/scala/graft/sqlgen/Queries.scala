@@ -478,6 +478,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  and o.o_orderdate < timestamp '1998-01-01 00:00:00'
          |group by n.n_name""".stripMargin,
 
+    // EXISTS semi-join (TPC-H Q4 shape): orders in a quarter with at
+    // least one returned line item. Catalyst plans a LeftSemi hash
+    // join — each order row flows through once, no duplicate
+    // explosion from multi-match lineitems; the date filter prunes the
+    // probe side at the scan.
+    "q4_priority" ->
+      s"""select o_orderpriority, ${bigint("count(*)")} as n_orders
+         |from orders o
+         |where o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+         |  and o.o_orderdate < timestamp '1997-07-01 00:00:00'
+         |  and exists (select 1 from lineitem l
+         |              where l.l_orderkey = o.o_orderkey and l.l_returnflag = 'R')
+         |group by o_orderpriority""".stripMargin,
+
+    // NOT EXISTS anti-join: orders with NO returned line item, by
+    // priority — the LeftAnti shape (and the validation query behind
+    // referential audits). One anti hash join + a tiny agg; the
+    // returnflag filter shrinks the build side at the scan.
+    "q_no_returns" ->
+      s"""select o.o_orderpriority, ${bigint("count(*)")} as n_orders
+         |from orders o
+         |where not exists (select 1 from lineitem l
+         |                  where l.l_orderkey = o.o_orderkey and l.l_returnflag = 'R')
+         |group by o.o_orderpriority""".stripMargin,
+
+    // ROLLUP aggregate (multi-level OLAP cube slice): per (type, day),
+    // per type, and grand total in ONE pass — Spark expands grouping
+    // sets map-side, so the shuffle carries each row once per grouping
+    // level, all partial-aggregated. Null grouping keys are coalesced
+    // to sentinels so both engines hash identically.
+    "events_rollup" ->
+      s"""with e as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day, value from events)
+         |select coalesce(event_type, 'ALL') as event_type,
+         |  ${bigint("coalesce(day, -1)")} as day,
+         |  ${bigint("count(*)")} as n,
+         |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
+         |from e group by rollup(event_type, day)""".stripMargin,
+
     "q_window_topn" ->
       s"""select n_name, ${bigint("c_custkey")} as c_custkey, round(c_acctbal, 2) as acctbal, ${bigint("rn")} as rn
          |from (select n.n_name, c.c_custkey, c.c_acctbal,
