@@ -1098,6 +1098,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
          |group by m.blk""".stripMargin,
 
+    // within-doc repetition stats — the Gopher/C4-style quality signal
+    // that catches boilerplate and degenerate generations: per doc, the
+    // share of duplicated word 3-grams and the hottest gram's count.
+    // One explode + lead() pairing + two combinable shuffles (gram
+    // counts, then per-doc rollup).
+    "text_repetition" ->
+      s"""with $wordCtes,
+         |g3 as (select doc_id, concat_ws(' ', wd, w2, w3) as g
+         |       from (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3
+         |             from wx) _g where w3 is not null),
+         |gc as (select doc_id, g, count(*) as c from g3 group by doc_id, g)
+         |select ${bigint("doc_id")} as doc_id,
+         |  ${bigint("sum(c)")} as n_grams, ${bigint("count(*)")} as n_distinct,
+         |  ${bigint("max(c)")} as max_repeat,
+         |  round(1 - count(*) / cast(sum(c) as double), 4) as dup_ratio
+         |from gc group by doc_id""".stripMargin,
+
+    // train/eval decontamination — the overlap screen every serious
+    // training pipeline runs before shipping a split: 5-word shingles
+    // of the held-out docs (here: doc_id % 50 = 0, the stratified-split
+    // analog of a benchmark set) are distinct-hashed and joined against
+    // the training docs' shingles. Eval-side shingles are a tiny
+    // broadcast (|eval| ≪ |train|); the train side streams through one
+    // hash join — no pairwise document comparison anywhere.
+    "decontaminate" ->
+      s"""with $wordCtes,
+         |sh as (select doc_id, md5(concat_ws(' ', wd, w2, w3, w4, w5)) as g
+         |       from (select doc_id, wd,
+         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
+         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
+         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
+         |             from wx) _s where w5 is not null),
+         |ev as (select distinct g, doc_id as eval_doc from sh where doc_id % 50 = 0),
+         |tr as (select distinct doc_id, g from sh where doc_id % 50 <> 0)
+         |select ${bigint("tr.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
+         |  ${bigint("count(*)")} as n_shared_shingles
+         |from tr join ev on ev.g = tr.g
+         |group by tr.doc_id, ev.eval_doc""".stripMargin,
+
     // per-doc top TF-IDF term — the classic text-relevance op. One word
     // explode feeds both tf and df; the per-doc argmax is the two-
     // aggregation pattern (max score, then min word among ties) — no
