@@ -1,0 +1,101 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import graft.sqlgen.{Gen, SparkDialect, Wm}
+
+/** Dev tool: scale-stress the engine on a FACTOR× replica of a testdata
+  * directory (default 10× sf0.1 → 50k vectors / 50k docs) and time the
+  * chain/ANN-heavy queries — the executable evidence behind SURVEY §4's
+  * "would this hold at 10×?" claims. Replica vectors get a small
+  * deterministic direction perturbation (pure scaling would put every
+  * copy in the same LSH bucket — a degenerate corpus, not a bigger one);
+  * replica docs get a suffix token.
+  *
+  * The LSH chain runs TWICE: once with the static bench plane count
+  * (Wm.LshPlanes) and once with the N-derived count (Wm.lshPlanesFor) —
+  * the gap is what the §4 sizing formula buys as the corpus grows.
+  *
+  * Usage: runMain graft.ScaleCheck [srcDir] [factor] [bigDir]
+  */
+object ScaleCheck {
+  private def timeSec(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val dir = if (args.length > 2) args(2) else "/tmp/graft-sfbig"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new File(s"$dir/_READY").exists()) buildCorpus(spark, src, factor, dir)
+
+    Tables.register(spark, dir)
+    val n = spark.table("embeddings").count()
+    val scaledPlanes = Wm.lshPlanesFor(n)
+    println(s"[scale] corpus=$dir n_vectors=$n n_docs=" +
+      spark.table("documents").count() +
+      s" planes: static=${Wm.LshPlanes} scaled=$scaledPlanes")
+
+    val genStatic = new Gen(SparkDialect)
+    val genScaled = new Gen(SparkDialect, lshPlanes = scaledPlanes)
+    // chain-heavy queries (full inline chain — no WmCache views, so the
+    // plane count under test is the one actually executed)
+    val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding")
+    // plane-independent heavies: linear text/ANN paths
+    val flatQs = Seq("vec_topk_ivf", "vec_topk_pq", "text_chunk")
+
+    def run(gen: Gen, name: String): Double = {
+      val df = spark.sql(gen.sql(name))
+      df.count() // warm: codegen + broadcast
+      timeSec { df.count(); () }
+    }
+    val results = new StringBuilder
+    for (q <- chainQs; (tag, g) <- Seq("static" -> genStatic, "scaled" -> genScaled)) {
+      val s = run(g, q)
+      println(s"[scale] $q/$tag ${s}s")
+      results.append(s"""  "$q/$tag": $s,\n""")
+    }
+    for (q <- flatQs) {
+      val s = run(genStatic, q)
+      println(s"[scale] $q ${s}s")
+      results.append(s"""  "$q": $s,\n""")
+    }
+    println(s"""{"scale_check": {\n${results.toString.stripSuffix(",\n")}\n}, "n": $n, "factor": $factor}""")
+    spark.stop()
+  }
+
+  /** FACTOR× replicas with deterministic perturbation, plus verbatim
+    * copies of the small relational tables. */
+  private def buildCorpus(spark: SparkSession, src: String, factor: Int,
+                          dir: String): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nV = emb.count()
+    emb.selectExpr(s"explode(sequence(0, ${factor - 1})) as rep", "*")
+      .selectExpr(
+        s"vec_id + rep * ${nV}L as vec_id",
+        // ±0.05-ish per-dim nudge rotates each replica off the original's
+        // hyperplane signs; deterministic (no rand()) so reruns agree
+        "transform(embedding, (x, i) -> cast(x + 0.05d * sin(cast(vec_id * 131 + rep * 7919 + i * 17 as double)) as float)) as embedding",
+        "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nD = docs.count()
+    docs.selectExpr(s"explode(sequence(0, ${factor - 1})) as rep", "*")
+      .selectExpr(s"doc_id + rep * ${nD}L as doc_id",
+        "concat(text, ' rep', rep) as text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    for (t <- Tables.names if t != "embeddings" && t != "documents")
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    new File(s"$dir/_READY").createNewFile(): Unit
+  }
+}

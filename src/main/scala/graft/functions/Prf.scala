@@ -73,12 +73,21 @@ object WmConst {
   def groupCnt: Array[Int] = dflt.groupCnt
   def groupPos: Array[Array[Int]] = dflt.groupPos
 
-  /** LSH hyperplanes: planes(t)(p)(dd-1) = ±1
+  /** LSH hyperplane (t, p): ±1 per dim, a pure PRF function — any
+    * plane index is derivable, so the plane COUNT can scale with N
+    * (Wm.lshPlanesFor) without changing any already-derived plane
     * (former planes CTE: prfMod(2, 'lsh', t, p, dd)). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def planesFor(t: Int, p: Int): Array[Double] =
+    planeCache.computeIfAbsent((t, p), { case (tt, pp) =>
+      Array.tabulate(Dim)(dd0 =>
+        if (Prf.prfMod(2, "lsh", tt, pp, dd0 + 1) == 0) 1.0 else -1.0)
+    })
+
+  /** The default-config plane matrix. */
   val planes: Array[Array[Array[Double]]] =
-    Array.tabulate(LshTables, LshPlanes, Dim) { (t, p, dd0) =>
-      if (Prf.prfMod(2, "lsh", t, p, dd0 + 1) == 0) 1.0 else -1.0
-    }
+    Array.tabulate(LshTables, LshPlanes)(planesFor)
 
   /** Full 24-bit per-block message: 4 idx bits + CRC-4 + 16 payload bits
     * of the AES-GCM ciphertext (former msg24 CTE). msgBit(blk)(j). */

@@ -35,6 +35,13 @@ object Wm {
     * At 100 TB the plane count grows with that same formula. */
   val LshTables = 2
   val LshPlanes = 6
+  /** The §4 sizing formula made executable: planes ≈ log2(N / target
+    * bucket size 32), floored at the bench default. The driver contract
+    * (SparkEntry/oracle) stays at the static [[LshPlanes]] so the dumped
+    * oracle SQL is scale-independent; scale runs construct a
+    * `Gen(lshPlanes = lshPlanesFor(n))` (see graft.ScaleCheck). */
+  def lshPlanesFor(n: Long): Int =
+    math.max(LshPlanes, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
   /** Default embed rate (reference: Config.DEFAULT_EMBED_RATE = 0.1). */
   val Rate = "0.1"
   /** FIXED top-k query ids (the reference's search surface is a bounded
@@ -74,9 +81,10 @@ object WmParams {
 }
 
 final class Gen(d: Dialect, useViews: Boolean = false,
-                params: WmParams = WmParams.Default) {
+                params: WmParams = WmParams.Default,
+                lshPlanes: Int = Wm.LshPlanes) {
   import Prim._
-  import Wm.{Blocks, Dim, K, LshPlanes, LshTables, MsgLen, QueryIds}
+  import Wm.{Blocks, Dim, K, LshTables, MsgLen, QueryIds}
   import graft.functions.WmConst
 
   /** Key-derived constant tables (dim→group, signs) for params.key. */
@@ -168,8 +176,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   /** LSH bucket rows (id, t, b) over any (id, n)-shaped source table. */
   private def lshBucketSql(src: String): String = {
     def bExpr(t: Int): String =
-      (0 until LshPlanes).map { p =>
-        val dotp = wdot("n", WmConst.planes(t)(p).toSeq)
+      (0 until lshPlanes).map { p =>
+        val dotp = wdot("n", WmConst.planesFor(t, p).toSeq)
         s"(case when ($dotp) > 0 then ${1 << p} else 0 end)"
       }.mkString("cast(", " + ", " as bigint)")
     (0 until LshTables).map(t =>
