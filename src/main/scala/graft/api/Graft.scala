@@ -180,6 +180,16 @@ final class Graft(spark: SparkSession, dir: String,
   def chunks: DataFrame = q("text_chunk")
   /** PII pattern counts + digit-masked fingerprints per document. */
   def piiScan: DataFrame = q("pii_redact")
+  /** Per-doc duplicated-3-gram share + hottest-gram count (the
+    * Gopher/C4 boilerplate-repetition signal). */
+  def repetitionStats: DataFrame = q("text_repetition")
+  /** Train/eval shingle-overlap decontamination screen. */
+  def decontamination: DataFrame = q("decontaminate")
+  /** Per-source HyperLogLog distinct-token sketches (m = 256) with
+    * per-group rel_err report. */
+  def distinctSketchBySource: DataFrame = q("sketch_distinct_by_source")
+  /** LSH-routed hybrid search: bucket candidates ∩ metadata filter. */
+  def topKFilteredLsh: DataFrame = q("vec_topk_filtered_lsh")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

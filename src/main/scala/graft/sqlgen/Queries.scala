@@ -44,6 +44,10 @@ object Wm {
     math.max(LshPlanes, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
   /** Default embed rate (reference: Config.DEFAULT_EMBED_RATE = 0.1). */
   val Rate = "0.1"
+  /** Default decontamination eval split: doc_id % DecontEvalMod = 0 is
+    * the held-out set (the stratified-split analog of a benchmark
+    * list). A Gen(decontEvalMod = …) overrides it per run. */
+  val DecontEvalMod = 50
   /** FIXED top-k query ids (the reference's search surface is a bounded
     * per-request query list, never a data-fraction): a literal set that
     * exists at every SF, so the brute-force correctness baselines and
@@ -82,7 +86,8 @@ object WmParams {
 
 final class Gen(d: Dialect, useViews: Boolean = false,
                 params: WmParams = WmParams.Default,
-                lshPlanes: Int = Wm.LshPlanes) {
+                lshPlanes: Int = Wm.LshPlanes,
+                decontEvalMod: Int = Wm.DecontEvalMod) {
   import Prim._
   import Wm.{Blocks, Dim, K, LshTables, MsgLen, QueryIds}
   import graft.functions.WmConst
@@ -407,15 +412,26 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     s"""full_t as (select x.id, x.pos, coalesce(s.sval, x.val) as val
        |           from exn x left join stego s on s.id = x.id and s.pos = x.pos)""".stripMargin
 
-  /** SimHash per-bit signed sums as 32 masked aggregation columns
-    * (one groupBy pass — no 32x cross-join row expansion). */
+  /** SimHash width: 60 bits (the full 15-hex-digit md5 prefix both
+    * engines parse exactly — see Dialect.hex2int). 60 bits split into
+    * 5 bands of 12 bits, so the banded pair join's pigeonhole
+    * guarantee genuinely covers hamming ≤ 4 (4 differing bits across
+    * 5 bands leave ≥ 1 band untouched), and each band has 4096
+    * values — expected random band collisions ≈ N²·5/(2·4096), a 13×
+    * smaller quadratic constant than the old 4×8-bit layout (which
+    * also only guaranteed h ≤ 3). */
+  private val SimhashBits = 60
+  private val SimhashBands = 5
+  private val SimhashBandBits = SimhashBits / SimhashBands
+  /** SimHash per-bit signed sums as 60 masked aggregation columns
+    * (one groupBy pass — no 60x cross-join row expansion). */
   private lazy val simhashSums: String =
-    (0 until 32).map(b =>
-      s"sum(cnt * (2 * ${bitOf(d)("h", b.toString, 32)} - 1)) as s$b")
+    (0 until SimhashBits).map(b =>
+      s"sum(cnt * (2 * ${bitOf(d)("h", b.toString, SimhashBits)} - 1)) as s$b")
       .mkString(",\n|          ")
   private lazy val simhashSigFromSums: String =
-    "cast(" + (0 until 32).map(b =>
-      s"(case when s$b > 0 then ${1L << (31 - b)} else 0 end)")
+    "cast(" + (0 until SimhashBits).map(b =>
+      s"(case when s$b > 0 then ${1L << (SimhashBits - 1 - b)} else 0 end)")
       .mkString(" + ") + " as bigint)"
 
   /** Word-split documents + exploded words (shared by the text suite). */
@@ -514,12 +530,16 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // ROLLUP aggregate (multi-level OLAP cube slice): per (type, day),
     // per type, and grand total in ONE pass — Spark expands grouping
     // sets map-side, so the shuffle carries each row once per grouping
-    // level, all partial-aggregated. Null grouping keys are coalesced
-    // to sentinels so both engines hash identically.
+    // level, all partial-aggregated. Rollup-generated NULLs are tagged
+    // via grouping() — NOT value sentinels on the key itself, so a
+    // genuine NULL event_type in the data stays a distinct data row
+    // instead of silently merging into the per-day 'ALL' level
+    // (r3 ADVICE #1); both engines implement the SQL-standard
+    // grouping() flag.
     "events_rollup" ->
       s"""with e as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day, value from events)
-         |select coalesce(event_type, 'ALL') as event_type,
-         |  ${bigint("coalesce(day, -1)")} as day,
+         |select case when grouping(event_type) = 1 then 'ALL' else event_type end as event_type,
+         |  ${bigint("case when grouping(day) = 1 then -1 else day end")} as day,
          |  ${bigint("count(*)")} as n,
          |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
          |from e group by rollup(event_type, day)""".stripMargin,
@@ -635,24 +655,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
 
     "dedup_simhash" ->
       s"""with $wordCtes,
-         |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 8)")} as h from wx group by doc_id, wd),
+         |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
          |sbw as (select doc_id, ${simhashSums} from wh group by doc_id)
          |select ${bigint("doc_id")} as doc_id, ${simhashSigFromSums} as simhash
          |from sbw""".stripMargin,
 
-    // SimHash near-dup PAIRS: split the 32-bit hash into 4 byte bands —
-    // any pair within hamming distance 4 shares at least one exact
-    // band (pigeonhole) — band-join candidates, verify with
-    // bit_count(xor). Completes the simhash dedup path at join scale.
-    // The 32 bit-sums are masked aggregation columns in ONE groupBy
-    // (a 32x cross-join row expansion costs more than it saves).
+    // SimHash near-dup PAIRS: split the 60-bit hash into 5 bands of 12
+    // bits — any pair within hamming distance 4 differs in at most 4
+    // bands, so at least one of the 5 bands matches exactly
+    // (pigeonhole; the h ≤ 4 guarantee needs ≥ 5 bands) — band-join
+    // candidates, verify with bit_count(xor). 4096-value bands keep
+    // random band collisions ≈ N²·5/(2·4096) — candidate growth stays
+    // LSH-shaped far past 10⁷ docs (the old 256-value bands saturated
+    // there). The 60 bit-sums are masked aggregation columns in ONE
+    // groupBy (a 60x cross-join row expansion costs more than it
+    // saves).
     "dedup_simhash_pairs" ->
       s"""with $wordCtes,
-         |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 8)")} as h from wx group by doc_id, wd),
+         |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
          |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
          |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw),
-         |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * 8) as bigint)) % 256 as bandv
-         |          from sh cross join ${rangeTable("b4", "bb", 0, 3)}),
+         |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
+         |          from sh cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)}),
          |cand as (select distinct a.doc_id as da, a.sig as sa, b.doc_id as db, b.sig as sb2
          |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id)
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
@@ -1020,18 +1044,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // flagship: recall@10 impact of watermarking (reference visualizes
     // embedding drift; recall-overlap is the retrieval-centric metric).
     // Both sides rank through LSH candidate generation — the original
-    // corpus reuses the chain's buckets, the watermarked table is
-    // re-bucketed with the same plan-time hyperplanes — so the two
-    // similarity joins touch candidate pairs only (O(Σ bucket²)), not
-    // |Q|·N row expansions; |Q| is the fixed literal query list. This
-    // is the retrieval stack a 100 TB deployment would actually serve,
+    // corpus reuses the chain's buckets, the watermarked side rebuilds
+    // ONLY THE CARRIER DELTA (rate·N vectors — stego holds every cell
+    // of exactly the carrier rows): carrier vectors are reassembled
+    // and re-bucketed with the same plan-time hyperplanes, while the
+    // untouched (1-rate)·N vectors reuse nn and the chain's cached
+    // bucket rows verbatim (identical doubles: fn's normalize is the
+    // same arithmetic as nn's). r3 measured the old whole-corpus
+    // re-aggregation at 1.42 s; the delta rebuild removes the N·d
+    // groupBy from the steady-state path. The two similarity joins
+    // touch candidate pairs only (O(Σ bucket²)), not |Q|·N row
+    // expansions; |Q| is the fixed literal query list. This is the
+    // retrieval stack a 100 TB deployment would actually serve,
     // measured on itself.
     "wm_recall_impact" ->
       s"""${wmChain("stego")},
-         |$fullCte,
-         |fv as (select id, ${d.arrAggOrdered("val", "pos")} as v from full_t group by id),
-         |fn as (select id, ${d.arrTransform("v", "x", s"x / sqrt(${d.dot("v", "v")})")} as n from fv),
-         |wbkt as (${lshBucketSql("fn")}),
+         |cfv as (select id, ${d.arrAggOrdered("sval", "pos")} as v from stego group by id),
+         |cfn as (select id, ${d.arrTransform("v", "x", s"x / sqrt(${d.dot("v", "v")})")} as n from cfv),
+         |fn as (select nn.id, nn.n from nn
+         |       where not exists (select 1 from stego s where s.id = nn.id)
+         |       union all select id, n from cfn),
+         |cwb as (${lshBucketSql("cfn")}),
+         |wbkt as (select bkt.id, bkt.t, bkt.b from bkt
+         |         where not exists (select 1 from stego s where s.id = bkt.id)
+         |         union all select id, t, b from cwb),
          |cw as (select distinct a.id as qid, b.id as cid from wbkt a join wbkt b on a.t = b.t and a.b = b.b and a.id <> b.id
          |       where a.id in ($qIdLit)),
          |co as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
@@ -1126,22 +1162,27 @@ final class Gen(d: Dialect, useViews: Boolean = false,
 
     // train/eval decontamination — the overlap screen every serious
     // training pipeline runs before shipping a split: 5-word shingles
-    // of the held-out docs (here: doc_id % 50 = 0, the stratified-split
-    // analog of a benchmark set) are distinct-hashed and joined against
-    // the training docs' shingles. Eval-side shingles are a tiny
-    // broadcast (|eval| ≪ |train|); the train side streams through one
-    // hash join — no pairwise document comparison anywhere.
+    // of the held-out docs (doc_id % decontEvalMod = 0, a Gen
+    // parameter — the stratified-split analog of a benchmark set) are
+    // distinct-hashed and joined against the training docs' shingles.
+    // Eval-side shingles are a tiny broadcast (|eval| ≪ |train|); the
+    // train side streams through one hash join — no pairwise document
+    // comparison anywhere. Shingles join as their 60-bit md5-prefix
+    // hash, not the raw 32-char string (same dedup_jaccard trick —
+    // ~2⁻⁴⁰ collision odds per pair, and a collision hashes
+    // identically in both engines): the dominant shuffle/broadcast
+    // carries 8-byte keys instead of 32-char strings.
     "decontaminate" ->
       s"""with $wordCtes,
-         |sh as (select doc_id, md5(concat_ws(' ', wd, w2, w3, w4, w5)) as g
+         |sh as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
          |       from (select doc_id, wd,
          |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
          |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
          |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
          |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
          |             from wx) _s where w5 is not null),
-         |ev as (select distinct g, doc_id as eval_doc from sh where doc_id % 50 = 0),
-         |tr as (select distinct doc_id, g from sh where doc_id % 50 <> 0)
+         |ev as (select distinct g, doc_id as eval_doc from sh where doc_id % $decontEvalMod = 0),
+         |tr as (select distinct doc_id, g from sh where doc_id % $decontEvalMod <> 0)
          |select ${bigint("tr.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
          |  ${bigint("count(*)")} as n_shared_shingles
          |from tr join ev on ev.g = tr.g
@@ -1358,6 +1399,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from (select qid, qlab, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin,
 
+    // LSH-ROUTED hybrid search — the scale-grade variant of
+    // vec_topk_filtered (r3 VERDICT next #2): candidates come from the
+    // shared LSH buckets and are INTERSECTED with the metadata
+    // predicate, instead of brute-forcing the whole filtered
+    // partition — the shape pgvector/Milvus filtered search takes on
+    // large collections (reference: database/milvus/milvus_func.py
+    // search with expr=). At 100 TB the filtered brute path is
+    // O(|Q|·|filtered|) where |filtered| grows with N; this path is
+    // O(Σ bucket ∩ filter), independent of the unfiltered corpus
+    // size. Exact similarity runs only on the surviving candidates.
+    "vec_topk_filtered_lsh" ->
+      s"""${wmChain("lsh")},
+         |q as (select id as qid, label as qlab, n as qn from nn where id in ($qIdLit)),
+         |cnd as (select distinct q.qid, q.qlab, b.id as cid
+         |        from q join bkt a on a.id = q.qid
+         |        join bkt b on b.t = a.t and b.b = a.b and b.id <> q.qid),
+         |fc as (select c.qid, c.qlab, c.cid from cnd c
+         |       join nn cn on cn.id = c.cid and cn.label = c.qlab),
+         |p as (select f.qid, f.qlab, f.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |      from fc f join nn qn on qn.id = f.qid join nn cn on cn.id = f.cid)
+         |select ${bigint("qid")} as qid, ${bigint("qlab")} as label, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+         |from (select qid, qlab, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
     // range search: ALL neighbors within a similarity radius (pgvector
     // `WHERE embedding <=> q < r`, Milvus range_search) — the other
     // half of the ANN serving surface. Candidates come from the shared
@@ -1377,16 +1442,22 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // dim: min/max over one exploded pass (tiny d-row broadcast back),
     // code = clamped floor((val-mn)/(mx-mn)*256) (floor, not round —
     // engine round() semantics differ), dequant at bin midpoints, and
-    // per-dim error stats. Scale: stats pass + map-side quantize; the
-    // codes themselves never shuffle.
+    // per-dim error stats. A CONSTANT dimension (mx = mn) gets the
+    // explicit code-0 / deq-mn branch: the raw formula is 0/0, where
+    // Spark (non-ANSI) yields NULL but DuckDB IEEE division yields
+    // NaN — silently breaking oracle parity on that input (r3 ADVICE
+    // #2). Scale: stats pass + map-side quantize; the codes
+    // themselves never shuffle.
     "vec_quantize" ->
       s"""with $nvCtes, $exnCte,
          |st as (select pos, min(val) as mn, max(val) as mx from exn group by pos),
          |qz as (select x.pos, s.mn, s.mx,
-         |         least(255, greatest(0, cast(floor((x.val - s.mn) / (s.mx - s.mn) * 256) as bigint))) as code, x.val
+         |         case when s.mx = s.mn then cast(0 as bigint)
+         |              else least(255, greatest(0, cast(floor((x.val - s.mn) / (s.mx - s.mn) * 256) as bigint))) end as code, x.val
          |       from exn x join st s on s.pos = x.pos),
          |rc as (select pos, mn, mx, code, val,
-         |         mn + (code + cast(0.5 as double)) / 256 * (mx - mn) as deq
+         |         case when mx = mn then mn
+         |              else mn + (code + cast(0.5 as double)) / 256 * (mx - mn) end as deq
          |       from qz)
          |select ${bigint("pos")} as pos, round(min(mn), 6) as mn, round(max(mx), 6) as mx,
          |  round(avg((val - deq) * (val - deq)), 9) as mse,
@@ -1448,6 +1519,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
         "case ", " ", " else 55 end")
       val ones = d.castDoubleArray(arrLit(Seq.fill(m)("1.0")))
       val alpha = "cast(0.709362 as double)" // 0.7213/(1 + 1.079/64)
+      // canonical HLL small-range gate: linear counting only when BOTH
+      // some register is empty AND the raw estimate is <= 2.5m — in
+      // the crossover zone the raw estimator is the more accurate one
+      // even with empty registers (r3 ADVICE #4).
+      val raw = s"round($alpha * $m * $m / ${d.dot("zs", ones)}, 4)"
       s"""with $wordCtes,
          |wh as (select distinct ${prf(d)("'hll'", "wd")} as h from wx),
          |wr as (select h % $m as j, ${d.idiv("h", m.toString)} as w from wh),
@@ -1457,12 +1533,53 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |za as (select ${d.arrAggOrdered(s"pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
          |              ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0
          |        from allr),
-         |est as (select case when v0 > 0 then round($m * ln(cast($m as double) / v0), 4)
-         |                    else round($alpha * $m * $m / ${d.dot("zs", ones)}, 4) end as hll, v0 from za),
+         |est as (select case when v0 > 0 and $raw <= ${(2.5 * m).toInt}
+         |                    then round($m * ln(cast($m as double) / v0), 4)
+         |                    else $raw end as hll, v0 from za),
          |ex as (select ${bigint("count(distinct wd)")} as n_exact from wx)
          |select ex.n_exact, est.hll as hll_est,
          |  round(abs(est.hll - ex.n_exact) / ex.n_exact, 4) as rel_err
          |from ex cross join est""".stripMargin
+    },
+
+    // per-group HLL sketches — the production shape at 100 TB: ONE
+    // sketch per (source), not one global sketch, so distinct-token
+    // monitoring is a per-partition O(m)-state aggregation instead of
+    // a count-distinct shuffle of raw values per group (r3 VERDICT
+    // next #6). m = 256 registers (standard error 1.04/√m ≈ 6.5%);
+    // same deterministic toolkit as sketch_distinct: 60-bit keyed
+    // hash, unrolled integer rho over the 52-bit remainder, ordered
+    // register fold, canonical LC gate (v0 > 0 AND raw <= 2.5m). The
+    // exact per-source count runs alongside only to report rel_err.
+    "sketch_distinct_by_source" -> {
+      val m = 256
+      val rho = (1 to 52).map(r =>
+        s"when w >= ${1L << (52 - r)} then $r").mkString(
+        "case ", " ", " else 53 end")
+      val ones = d.castDoubleArray(arrLit(Seq.fill(m)("1.0")))
+      val alpha = "cast(0.7182726 as double)" // 0.7213/(1 + 1.079/256)
+      val raw = s"round($alpha * $m * $m / ${d.dot("zs", ones)}, 4)"
+      s"""with sw as (select source, ${splitWs("lower(text)")} as ws from documents),
+         |swx as (select * from ${d.explodeFrom("sw", "ws", "wp", "wd", Seq("source"))} _sx),
+         |wh as (select distinct source, ${prf(d)("'hll'", "wd")} as h from swx),
+         |wr as (select source, h % $m as j, ${d.idiv("h", m.toString)} as w from wh),
+         |regs as (select source, j, max($rho) as mr from wr group by source, j),
+         |srcs as (select distinct source from documents),
+         |allr as (select s.source, gg.j, coalesce(r.mr, 0) as mr
+         |         from srcs s cross join ${rangeTable("gg", "j", 0, m - 1)}
+         |         left join regs r on r.source = s.source and r.j = gg.j),
+         |za as (select source,
+         |              ${d.arrAggOrdered(s"pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
+         |              ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0
+         |        from allr group by source),
+         |est as (select source,
+         |               case when v0 > 0 and $raw <= ${(2.5 * m).toInt}
+         |                    then round($m * ln(cast($m as double) / v0), 4)
+         |                    else $raw end as hll, v0 from za),
+         |ex as (select source, ${bigint("count(distinct wd)")} as n_exact from swx group by source)
+         |select ex.source, ex.n_exact, est.hll as hll_est,
+         |  round(abs(est.hll - ex.n_exact) / ex.n_exact, 4) as rel_err
+         |from ex join est on est.source = ex.source""".stripMargin
     },
 
     // sliding-window document chunking — the tokenize-and-chunk pass
