@@ -17,7 +17,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("wm_recall_impact")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. The
+    * programmatic (non-SQL-generated) entries run typed Dataset
+    * pipelines; their oracle SQL lives next to the operator. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sparkGen.sqls.keys.map { name =>
       name -> ((s: SparkSession, dir: String) => {
@@ -25,9 +27,12 @@ object SparkEntry {
         if (WmCache.dependents(name)) WmCache.ensure(s, dir)
         s.sql(sparkGen.sql(name))
       })
-    }.toMap
+    }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
+      // real WAV decode (synthesize → encode → chunk-walk parse → stats)
+      "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)))
 
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =
-    duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) }
+    duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
+      Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql)
 }

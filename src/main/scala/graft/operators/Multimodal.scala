@@ -22,18 +22,34 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            features: Array[Float])
 
-  /** STUB decoder: a real build links an image/audio library here and
-    * decodes `bytes` per `meta.format`; this deterministic fake hashes
-    * the payload so tests can assert exact values. */
+  /** STUB decoder for the formats this container has no codec for
+    * (png/jpeg/video): a real build links the library here and decodes
+    * `bytes` per `meta.format`; this deterministic fake hashes the
+    * payload so tests can assert exact values. WAV payloads do NOT go
+    * through this — operators.Wav.parse is a real decoder. */
   private[operators] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     Array.tabulate(dim)(i => (h(i % 16) & 0xff) / 255.0f)
   }
 
+  /** REAL decode for WAV payloads (operators.Wav): header + PCM facts
+    * as the feature vector — [rate/48k, bits/32, channels/8,
+    * log10(1+samples)/8, duration_s/60, mean|sample|/32768, 0-padded]. */
+  private[operators] def wavDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val m = Wav.parse(bytes)
+    val meanAbs = if (m.nSamples == 0) 0f
+      else (math.abs(m.sampleSum).toDouble / m.nSamples / 32768.0).toFloat
+    val fs = Array(m.sampleRate / 48000f, m.bitsPerSample / 32f,
+      m.channels / 8f, (math.log10(1.0 + m.nSamples) / 8).toFloat,
+      m.durationMs / 60000f, meanAbs)
+    Array.tabulate(dim)(i => if (i < fs.length) fs(i) else 0f)
+  }
+
   /** Decode each media payload to a feature vector. Runs batched inside
     * mapPartitions (batchSize rows per decoder call, the vectorized-UDF
     * shape); repartitions by media_id so a skewed source file doesn't
-    * serialize the decode. */
+    * serialize the decode. WAV payloads take the real parse path;
+    * formats with no in-container codec take the documented stub. */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 8,
                      batchSize: Int = 32): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -42,8 +58,10 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // one "library call" per batch in a real decoder
           batch.iterator.map { r =>
-            MediaFeatures(r.media_id, r.kind, r.bytes.length,
-              stubDecode(r.bytes, dim))
+            val feats =
+              if (r.meta.format == "wav" && Wav.isWav(r.bytes)) wavDecode(r.bytes, dim)
+              else stubDecode(r.bytes, dim)
+            MediaFeatures(r.media_id, r.kind, r.bytes.length, feats)
           }
         }
       }

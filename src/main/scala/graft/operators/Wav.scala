@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Real (not stubbed) multimodal decode for a pure-JVM, codec-free
+  * format: RIFF/WAVE PCM. The container ships no image/audio codec
+  * libraries, but WAV needs none — the container format is a chunk
+  * walk and the payload is raw little-endian PCM samples, so the full
+  * decode path (magic validation → chunk traversal → fmt parse → PCM
+  * sample read) runs as plain JVM code inside a batched
+  * mapPartitions, the same dataflow the stubbed image/video paths
+  * document (operators.Multimodal).
+  *
+  * The oracle story (graft.sqlgen has no binary columns to check
+  * against): media payloads are SYNTHESIZED deterministically from
+  * the documents table (sample count = n_chars, rate keyed on doc_id,
+  * a closed-form PCM waveform), encoded to real WAV bytes by
+  * [[encodePcm16]], then DECODED BACK by the independent [[parse]]
+  * chunk-walker. The aggregate stats query over the decoded fields is
+  * oracle-checked against DuckDB computing the same stats directly
+  * from the generation formula — any header-layout, chunk-size,
+  * endianness, or sample-decode bug breaks the hash match (and
+  * WavSpec additionally covers chunk-order/malformed-input cases the
+  * generator never produces).
+  */
+object Wav {
+
+  /** Decoded WAV facts: everything downstream stats consume.
+    * sampleSum (the sum of all decoded PCM16 samples) is the payload
+    * witness — headers alone can't produce it. */
+  final case class WavMeta(sampleRate: Int, bitsPerSample: Int,
+                           channels: Int, nSamples: Long, byteLen: Long,
+                           sampleSum: Long) {
+    def durationMs: Long = nSamples * 1000L / sampleRate
+  }
+
+  /** Encode mono PCM16 samples as a standard 44-byte-header WAV file
+    * (RIFF little-endian, fmt + data chunks). */
+  def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2)            // block align
+    bb.putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** True iff the first 12 bytes carry the RIFF/WAVE magics. */
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE"
+
+  /** Parse a WAV file: validate magics, walk chunks in ANY order
+    * (skipping unknown ones, honoring the odd-size pad byte), read the
+    * PCM16 fmt header, and decode every data-chunk sample. Throws
+    * IllegalArgumentException on malformed input — a decode pipeline
+    * must surface corrupt media, not hash it. */
+  def parse(bytes: Array[Byte]): WavMeta = {
+    require(isWav(bytes), "not a RIFF/WAVE file")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var sampleRate, bits, channels = -1
+    var nSamples, sampleSum = 0L
+    var sawFmt, sawData = false
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"chunk '$id' overruns the file (size=$size at offset=$off)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
+          val audioFormat = bb.getShort(off + 8).toInt
+          require(audioFormat == 1, s"not PCM (audio format $audioFormat)")
+          channels = bb.getShort(off + 10).toInt
+          sampleRate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22).toInt
+          require(channels > 0 && sampleRate > 0, "bad fmt fields")
+          require(bits == 16, s"only PCM16 supported, got $bits-bit")
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, "data chunk before fmt chunk")
+          require(size % (2 * channels) == 0, s"data size $size not frame-aligned")
+          var p = off + 8
+          val end = off + 8 + size
+          while (p < end) { sampleSum += bb.getShort(p); p += 2 }
+          nSamples += size / (2L * channels)
+          sawData = true
+        case _ => // skip unknown chunk (LIST, INFO, fact, ...)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sawFmt && sawData, "missing fmt or data chunk")
+    WavMeta(sampleRate, bits, channels, nSamples, bytes.length.toLong, sampleSum)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Deterministic synthetic corpus (the oracle-checkable generator)
+  // ---------------------------------------------------------------- //
+
+  /** Sample rate keyed on doc_id: 8/12/16 kHz. */
+  def synthRate(docId: Long): Int = 8000 + (docId % 3).toInt * 4000
+
+  /** Closed-form PCM16 waveform: sample i of doc d is
+    * ((d·31 + i·7) mod 65521) − 32760 — integer arithmetic DuckDB can
+    * reproduce exactly with generate_series. */
+  def synthSamples(docId: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((docId * 31 + i.toLong * 7) % 65521) - 32760).toShort)
+
+  /** The oracle-checked query: synthesize → encode → PARSE (the real
+    * chunk-walking decoder) → per-(source, sample_rate) stats. Decode
+    * runs batched in mapPartitions (the vectorized-UDF dataflow shape;
+    * at 100 TB the same partition-batched loop hosts a real codec
+    * call); the aggregation is one map-side-combinable shuffle. */
+  def wavStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(spark, dir)
+    val docs = spark.table("documents")
+      .selectExpr("cast(doc_id as bigint)", "source", "cast(n_chars as int)")
+      .as[(Long, String, Int)]
+    val decoded = docs.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        // one "codec call" per batch — the real-library binding site
+        batch.iterator.map { case (docId, source, nChars) =>
+          val bytes = encodePcm16(synthRate(docId), synthSamples(docId, nChars))
+          val m = parse(bytes)
+          (source, m.sampleRate.toLong, m.nSamples, m.durationMs, m.sampleSum, m.byteLen)
+        }
+      }
+    }.toDF("source", "sample_rate", "n_samples", "duration_ms", "sample_sum", "n_bytes")
+    decoded.groupBy($"source", $"sample_rate")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_samples").as("total_samples"),
+        sum($"duration_ms").as("total_duration_ms"),
+        sum($"sample_sum").as("payload_sum"),
+        sum($"n_bytes").as("total_bytes"))
+  }
+
+  /** DuckDB oracle for [[wavStats]]: the same stats computed straight
+    * from the generation formula — agreement proves the encoder and
+    * the independent parser invert each other on every field,
+    * including the full PCM payload sum. */
+  val wavStatsOracleSql: String =
+    """with p as (select doc_id, source, n_chars,
+      |            8000 + (doc_id % 3) * 4000 as sr from documents),
+      |ix as (select doc_id, unnest(generate_series(0, n_chars - 1)) as i from p),
+      |ps as (select doc_id, sum((doc_id * 31 + i * 7) % 65521 - 32760) as psum
+      |       from ix group by doc_id),
+      |s as (select p.source, p.sr, p.n_chars, coalesce(ps.psum, 0) as psum
+      |      from p left join ps on ps.doc_id = p.doc_id)
+      |select source, cast(sr as bigint) as sample_rate,
+      |  cast(count(*) as bigint) as n_files,
+      |  cast(sum(n_chars) as bigint) as total_samples,
+      |  cast(sum((n_chars * 1000) // sr) as bigint) as total_duration_ms,
+      |  cast(sum(psum) as bigint) as payload_sum,
+      |  cast(sum(44 + 2 * n_chars) as bigint) as total_bytes
+      |from s group by source, sr""".stripMargin
+}
