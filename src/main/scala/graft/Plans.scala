@@ -5,59 +5,88 @@ import java.nio.file.{Files, Paths}
 
 /** Dev tool: dump formatted physical plans of the headline queries to
   * PLANS.md — the .explain audit trail behind SURVEY §4's scale
-  * claims. Usage: runMain graft.Plans [sfDir] */
+  * claims. Two sections, matching what the bench ACTUALLY executes:
+  * the WmCache chain-stage builds (run once per session/scratch miss —
+  * this is where the salted self-join lives), then the steady-state
+  * query plans rendered with useViews (chain consumers read the g_*
+  * views). Usage: runMain graft.Plans [sfDir] */
 object Plans {
+  private val stageNotes = Map(
+    "g_bkt" -> "bucket ids are map-side literal arithmetic over the parquet scan; zero shuffles before the write",
+    "g_knn" -> "the SALTED bucket self-join: join keys are (t, b, id%4) vs (t, b, replica) — the salt sits in the join key, so when the corpus forces a shuffle join a hot bucket fans over 4 reducers; per-src top-K via partitioned window",
+    "g_indeg" -> "groupBy(dst) count + left join back — both map-side-combinable",
+    "g_carriers" -> "distributed two-pass ranking: per-bucket counts + broadcast cumulative offsets + within-bucket windows; no single-partition sort",
+    "g_stego" -> "carrier rows only: one masked-sum aggregation (24 projections) + broadcast join back; renormalizer computed analytically")
+
   private val notes = Map(
     "q1_pricing" -> "filter pushed to parquet (PushedFilters on l_shipdate), 6 of 11 columns read, single partial+final agg",
     "q5_nation_rev" -> "5-way join: dims broadcast, one shuffle on the fact join keys",
-    "vec_topk_lsh" -> "bucket ids are map-side literal arithmetic; only within-bucket pairs join",
-    "wm_embed" -> "carrier selection feeds one masked-sum aggregation + broadcast join back; no other shuffle",
+    "vec_topk_lsh" -> "steady state: candidates from the g_bkt parquet scan (bucket build amortized across the 19 chain consumers)",
+    "wm_embed" -> "steady state: one scan of the g_stego parquet",
     "wm_extract" -> "one aggregation over the stego rows + the 16x16 vote aggregation",
     "dedup_minhash" -> "one pass over the text (lead() shingles), signatures ride through the band explode",
     "events_asof" -> "one shuffle on user_id + ordered window (merge-asof shape)",
     "q_window_topn" -> "rank filter rewritten by Spark to WindowGroupLimit (partial + final)",
     "q3_revenue" -> "global top-10 with NO unpartitioned window: bucketed partitioned pre-rank, then pairwise-count ranking over <=160 survivors",
-    "dedup_embedding" -> "salted LSH bucket self-join (hot bucket fans over 4 reducers), dot product computed once behind the pair groupBy barrier",
-    "wm_carriers" -> "distributed two-pass ranking: per-bucket counts + broadcast cumulative offsets + within-bucket windows; no single-partition sort",
-    "wm_knn_edges" -> "the shared chain's bucket self-join is SALTED: join keys are (t, b, id%4) vs (t, b, replica) — at test SF both sides fit the broadcast threshold so AQE broadcasts, but when the corpus forces a shuffle join the salt is in the exchange key and a hot bucket fans over 4 reducers",
+    "dedup_embedding" -> "salted LSH bucket self-join over the g_bkt view (hot bucket fans over 4 reducers), dot product computed once behind the pair groupBy barrier",
+    "wm_carriers" -> "steady state: one scan of the g_carriers parquet",
+    "wm_knn_edges" -> "steady state: one scan of the g_knn parquet — the salted exchange is in the g_knn BUILD plan above",
+    "wm_recall_impact" -> "carrier-delta rebuild: only the rate*N stego vectors are reassembled/re-bucketed; the untouched corpus reuses nn + the g_bkt rows via anti-joins",
     "vec_topk_ivf" -> "sqrt(N) sampled cells, Lloyd steps train on an 8*sqrt(N) sample, ONE full-corpus assignment; every assignment is a map-side-combinable max(struct) hash aggregation over the broadcast centroid cross join — no N*k window sort anywhere",
     "pca_project2d" -> "one 44-aggregate covariance pass over the corpus, then a linear chain of 1-row aggregation barriers (the power iteration) and a map-only broadcast projection",
     "vec_topk_pq" -> "PQ: codebooks train on a 512-row sample, ONE corpus pass encodes 8 codes/vector (map-side max(struct) argmax over broadcast centroids), ADC scan joins the tiny |Q|*M*K lookup onto the code table — corpus-side state is codes, not vectors",
-    "graph_pagerank" -> "3 unrolled power-iteration steps: each one edge join + map-side-combinable groupBy(dst); INTEGER picorank arithmetic so the iterated sums are aggregation-order-proof",
-    "vec_quantize" -> "per-dim min/max stats shuffle + map-side clamped-floor encode; codes never shuffle, error report is one combinable agg",
+    "graph_pagerank" -> "3 unrolled power-iteration steps over the g_knn view: each one edge join + map-side-combinable groupBy(dst); INTEGER picorank arithmetic so the iterated sums are aggregation-order-proof",
+    "vec_quantize" -> "per-dim min/max stats shuffle + map-side clamped-floor encode (constant-dim branch); codes never shuffle, error report is one combinable agg",
     "sketch_distinct" -> "HLL: per-word hash map-side, one groupBy(register) with max(rho) partial-agg — O(64) state replaces a count-distinct shuffle of raw words",
+    "sketch_distinct_by_source" -> "per-group HLL (m=256): one groupBy(source, register) partial-agg — O(m) state per group, the production monitoring shape",
     "text_chunk" -> "per-word <=2-chunk k-range explode (map-side) + ONE groupBy (doc, chunk) building ordered-token fingerprints — no windows, no joins",
-    "vec_topk_filtered" -> "label predicate prunes the candidate side BEFORE the similarity join (hybrid search shape)",
+    "vec_topk_filtered" -> "label predicate prunes the candidate side BEFORE the similarity join (hybrid search shape, brute within the filter)",
+    "vec_topk_filtered_lsh" -> "LSH-routed hybrid search: bucket candidates intersected with the metadata predicate — work is O(sum bucket cap filter), independent of unfiltered corpus size",
     "vec_range_search" -> "radius search over the shared LSH buckets: candidates only, exact similarity on candidates",
     "dedup_jaccard" -> "single-pass pair-tagged gram groupBy; grams shuffle as 60-bit hashes, not strings (narrower key for the network-bound exchange at scale)",
+    "dedup_simhash_pairs" -> "60-bit simhash, 5x12-bit bands (pigeonhole genuinely covers hamming<=4); 60 masked bit-sums in ONE groupBy, band join touches candidates only",
+    "decontaminate" -> "tiny distinct eval-shingle broadcast + one hash join on 60-bit shingle hashes; no pairwise doc comparison",
     "q4_priority" -> "EXISTS rewritten to LeftSemi hash join, date filter pushed to the orders scan",
     "q_no_returns" -> "NOT EXISTS rewritten to LeftAnti hash join, returnflag filter shrinks the build side at the scan",
     "events_rollup" -> "rollup expands grouping sets map-side; every level partial-aggregated in one shuffle")
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of headline queries\n\n")
-    sb.append(s"Generated by `runMain graft.Plans` on `$sfDir`. These are\n")
-    sb.append("the `.explain(\"formatted\")` audits behind SURVEY §4.\n")
-    // render WITHOUT the WmCache views: the audit should show the full
-    // chain computation, not "Scan ExistingRDD" over a cached stage
-    val gen = new graft.sqlgen.Gen(graft.sqlgen.SparkDialect)
-    Tables.register(spark, sfDir)
-    for ((name, note) <- notes.toSeq.sortBy(_._1)) {
-      val df = spark.sql(gen.sql(name))
+    def fmt(df: org.apache.spark.sql.DataFrame): String = {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       // keep the operator tree, drop the verbose node details
-      val tree = plan.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
-      sb.append(s"\n## $name\n\n$note\n\n```\n$tree\n```\n")
+      plan.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
+    }
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries\n\n")
+    sb.append(s"Generated by `runMain graft.Plans` on `$sfDir` with\n")
+    sb.append("`useViews = true` (the WmCache-backed renderings the bench\n")
+    sb.append("actually executes) after `WmCache.ensure`. Section 1 audits\n")
+    sb.append("the one-off chain-stage BUILD plans (this is where the\n")
+    sb.append("salted self-join and the selection chain live); section 2\n")
+    sb.append("audits the steady-state query plans.\n")
+    Tables.register(spark, sfDir)
+    // build the chain views first so view-backed renderings resolve;
+    // stage-build plans are explained against the views registered
+    // before each stage, exactly as WmCache materializes them
+    WmCache.ensure(spark, sfDir)
+    val genViews = new graft.sqlgen.Gen(graft.sqlgen.SparkDialect, useViews = true)
+    sb.append("\n# Section 1 — chain stage builds (once per session / scratch miss)\n")
+    for ((view, sql) <- genViews.cacheStages) {
+      sb.append(s"\n## build $view\n\n${stageNotes(view)}\n\n```\n${fmt(spark.sql(sql))}\n```\n")
+    }
+    sb.append("\n# Section 2 — steady-state query plans (view-backed)\n")
+    for ((name, note) <- notes.toSeq.sortBy(_._1)) {
+      sb.append(s"\n## $name\n\n$note\n\n```\n${fmt(spark.sql(genViews.sql(name)))}\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${notes.size} queries)")
+    println(s"[plans] wrote PLANS.md (${genViews.cacheStages.size} stages + ${notes.size} queries) at $sfDir useViews=true")
     spark.stop()
   }
 }

@@ -95,6 +95,57 @@ object Crypto {
       throw new javax.crypto.AEADBadTagException("tag mismatch")
     new String(pt, "UTF-8")
   }
+
+  // ---------------------------------------------------------------- //
+  // Caller-supplied-nonce overloads — reference API parity
+  // ---------------------------------------------------------------- //
+
+  private def parseNonce(nonceHex: String): Array[Byte] = {
+    require(nonceHex.length == 16 && nonceHex.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      "nonce must be 16 lowercase hex chars (8 bytes)")
+    nonceHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** Reference-parity nonce surface (reference: database/pgvector/
+    * pg_func.py:479-516 returns (ciphertext, nonce); extract_watermark
+    * accepts nonce_hex at pg_func.py:723): encrypt under a
+    * CALLER-SUPPLIED 8-byte nonce (16 lowercase hex chars) instead of
+    * the plaintext-derived SIV. The nonce becomes the CTR IV; the
+    * 8-byte tag is the HMAC over (nonce ‖ plaintext), so
+    * authentication binds both and a wrong nonce fails the tag check
+    * like a wrong key. Wire shape is unchanged (16 ct + 8 tag bytes =
+    * 32 base64 chars), so the block partitioner downstream is
+    * agnostic. Nonce uniqueness is the CALLER's contract (as with
+    * GCM); the no-nonce SIV form remains the pipeline default because
+    * a distributed re-runnable embed needs determinism. */
+  def encryptToBase64(plaintext: String, password: String, nonceHex: String): String = {
+    val pt = plaintext.getBytes("UTF-8")
+    require(pt.length == 16, s"plaintext must be 16 bytes, got ${pt.length}")
+    val nonce = parseNonce(nonceHex)
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(macKey(password))
+    val tag = m.doFinal(nonce ++ pt).take(TagBytes)
+    val ct = ctr(password, nonce, pt)
+    val b64 = Base64.getEncoder.encodeToString(ct ++ tag)
+    assert(b64.length == 32, s"expected 32 b64 chars, got ${b64.length}")
+    b64
+  }
+
+  /** Inverse of the nonce overload: decrypt with the supplied nonce as
+    * CTR IV, authenticate HMAC(nonce ‖ plaintext). */
+  def decryptFromBase64(b64: String, password: String, nonceHex: String): String = {
+    require(b64.length == 32, "ciphertext must be 32 b64 chars")
+    val nonce = parseNonce(nonceHex)
+    val raw = Base64.getDecoder.decode(b64)
+    val (ct, tag8) = raw.splitAt(16)
+    val pt = ctr(password, nonce, ct)
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(macKey(password))
+    if (!java.security.MessageDigest.isEqual(m.doFinal(nonce ++ pt).take(TagBytes), tag8))
+      throw new javax.crypto.AEADBadTagException("tag mismatch")
+    new String(pt, "UTF-8")
+  }
 }
 
 /** CRC-4 (poly 0x3) over 4 message-index bits — the per-vector header

@@ -54,6 +54,28 @@ class CryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("nonce overload round-trips and binds the nonce into the tag") {
+    val m = "GRAFT WATERMARK!"
+    val ct = Crypto.encryptToBase64(m, "pw", "00112233aabbccdd")
+    assert(ct.length == 32)
+    assert(Crypto.decryptFromBase64(ct, "pw", "00112233aabbccdd") == m)
+    // distinct nonces → distinct ciphertexts for the same message
+    assert(ct != Crypto.encryptToBase64(m, "pw", "00112233aabbccde"))
+    // ...and distinct from the deterministic SIV form
+    assert(ct != Crypto.encryptToBase64(m, "pw"))
+    // wrong nonce or wrong key fails authentication
+    intercept[javax.crypto.AEADBadTagException] {
+      Crypto.decryptFromBase64(ct, "pw", "ffffffffffffffff")
+    }
+    intercept[javax.crypto.AEADBadTagException] {
+      Crypto.decryptFromBase64(ct, "other", "00112233aabbccdd")
+    }
+    // malformed nonce rejected up front
+    intercept[IllegalArgumentException] {
+      Crypto.encryptToBase64(m, "pw", "XYZ")
+    }
+  }
+
   test("CRC-4 table is stable and a permutation of 0..15") {
     // snapshot: the SQL plans inline these values, so any change here
     // silently breaks extraction of previously-embedded watermarks
