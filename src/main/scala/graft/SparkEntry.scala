@@ -29,10 +29,21 @@ object SparkEntry {
       })
     }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)
-      "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)))
+      "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
+      // near-dup pairs → deletion groups: checkpoint the pair chain
+      // once, then 6 unrolled min-label rounds over the materialized
+      // rows (Catalyst re-inlines multi-referenced CTEs, so the pure
+      // SQL form would re-run the simhash chain every round)
+      "dedup_components" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val pairs = s.sql(sparkGen.sql("dedup_simhash_pairs")).localCheckpoint()
+        pairs.createOrReplaceTempView("g_simpairs")
+        s.sql(sparkGen.dedupComponentsSql(Some("g_simpairs")))
+      }))
 
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
-      Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql)
+      Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
+        "dedup_components" -> duckGen.dedupComponentsSql(None))
 }

@@ -439,6 +439,57 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     s"""w as (select doc_id, ${splitWs("lower(text)")} as ws from documents),
        |wx as (select * from ${d.explodeFrom("w", "ws", "wpos", "wd", Seq("doc_id"))} _wx)""".stripMargin
 
+  /** SimHash candidate chain ending in cand(da, sa, db, sb2) — shared
+    * by dedup_simhash_pairs and the components grouping. */
+  private lazy val simhashCandCtes =
+    s"""$wordCtes,
+       |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
+       |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
+       |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw),
+       |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
+       |          from sh cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)}),
+       |cand as (select distinct a.doc_id as da, a.sig as sa, b.doc_id as db, b.sig as sb2
+       |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id)""".stripMargin
+  private lazy val simhashXor =
+    if (d.name == "spark") "sa ^ sb2" else "xor(sa, sb2)"
+
+  /** Unrolled 6-round min-label propagation turning near-dup PAIRS into
+    * deletion groups (doc → keeper = min doc_id of its component) —
+    * the ORACLE-CHECKED fixed-round form of operators.Components (which
+    * iterates to the true fixpoint; ComponentsSpec proves 6 rounds
+    * reach it on the real pair graph — near-dup clusters are
+    * quasi-cliques, diameter ≪ 6). Self-loops make each round ONE join
+    * + ONE min-aggregation referencing the previous label table exactly
+    * once, so the chain stays linear; labels move one hop per round and
+    * min() is execution-order-free in both engines.
+    *
+    * `pairsFrom`: None → inline the full simhash chain (the DuckDB
+    * oracle — no session state; each CTE materialized so 6 references
+    * compute once). Some(view) → read the pair list from a registered
+    * view (the Spark side checkpoints the pair chain once and
+    * propagates over the materialized rows — Catalyst re-inlines
+    * multi-referenced CTEs, which would re-run the chain 6×). */
+  def dedupComponentsSql(pairsFrom: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val rounds = 6
+    val prefix = pairsFrom match {
+      case Some(view) => s"with prs as (select doc_a as da, doc_b as db from $view),"
+      case None =>
+        s"""with $simhashCandCtes,
+           |prs as $matKw(select da, db from cand where bit_count($simhashXor) <= 4),""".stripMargin
+    }
+    val steps = (1 to rounds).map(t =>
+      s"l$t as $matKw(select s.a as id, min(l.lbl) as lbl from sym s join l${t - 1} l on l.id = s.b group by s.a)")
+    s"""$prefix
+       |nodes as $matKw(select da as id from prs union select db from prs),
+       |sym as $matKw(select da as a, db as b from prs union select db, da from prs union select id, id from nodes),
+       |l0 as (select id, id as lbl from nodes),
+       |${steps.mkString(",\n")}
+       |select ${bigint("id")} as doc_id, ${bigint("lbl")} as keeper,
+       |  ${bigint("case when id = lbl then 1 else 0 end")} as is_keeper
+       |from l$rounds""".stripMargin
+  }
+
   // ---------------------------------------------------------------- //
   // Queries
   // ---------------------------------------------------------------- //
@@ -671,18 +722,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // groupBy (a 60x cross-join row expansion costs more than it
     // saves).
     "dedup_simhash_pairs" ->
-      s"""with $wordCtes,
-         |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
-         |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
-         |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw),
-         |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
-         |          from sh cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)}),
-         |cand as (select distinct a.doc_id as da, a.sig as sa, b.doc_id as db, b.sig as sb2
-         |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id)
+      s"""with $simhashCandCtes
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
-         |  ${bigint(s"bit_count(${if (d.name == "spark") "sa ^ sb2" else "xor(sa, sb2)"})")} as hamming
+         |  ${bigint(s"bit_count($simhashXor)")} as hamming
          |from cand
-         |where bit_count(${if (d.name == "spark") "sa ^ sb2" else "xor(sa, sb2)"}) <= 4""".stripMargin,
+         |where bit_count($simhashXor) <= 4""".stripMargin,
 
     "dedup_jaccard" -> {
       val grams = d.arrTransform(d.intSeq("1", "length(lt) - 4"), "k", "substr(lt, cast(k as int), 5)")

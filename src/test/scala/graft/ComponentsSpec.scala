@@ -46,4 +46,20 @@ class ComponentsSpec extends AnyFunSuite {
     // keepers are their own component heads
     assert(got.values.toSet.forall(c => got(c) == c))
   }
+
+  test("the 6-round unrolled dedup_components query reaches the true fixpoint") {
+    // the oracle-checked SQL form runs a FIXED 6 rounds; prove that is
+    // enough on the real pair graph (near-dup clusters are
+    // quasi-cliques) by comparing against the iterate-to-fixpoint
+    // operator
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sqlForm = SparkEntry.queries("dedup_components")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlForm == unionFind(pairs))
+    // is_keeper rows are exactly the component heads
+    val keepers = SparkEntry.queries("dedup_components")(spark, TestSpark.Sf)
+      .collect().filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    assert(keepers == sqlForm.values.toSet)
+  }
 }
