@@ -49,9 +49,13 @@ object ScaleCheck {
     val genScaled = new Gen(SparkDialect, lshPlanes = scaledPlanes)
     // chain-heavy queries (full inline chain — no WmCache views, so the
     // plane count under test is the one actually executed)
-    val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding")
-    // plane-independent heavies: linear text/ANN paths
-    val flatQs = Seq("vec_topk_ivf", "vec_topk_pq", "text_chunk")
+    val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding",
+      "vec_topk_filtered_lsh")
+    // plane-independent heavies: linear text/ANN paths (the banded
+    // simhash pair join and the WAV decode pass scale with the corpus,
+    // not the plane count)
+    val flatQs = Seq("vec_topk_ivf", "vec_topk_pq", "text_chunk",
+      "dedup_simhash_pairs", "sketch_distinct_by_source")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -66,6 +70,15 @@ object ScaleCheck {
     }
     for (q <- flatQs) {
       val s = run(genStatic, q)
+      println(s"[scale] $q ${s}s")
+      results.append(s"""  "$q": $s,\n""")
+    }
+    // programmatic paths (not in Gen.sqls): real WAV decode + the
+    // unrolled components propagation
+    for (q <- Seq("multimodal_wav_stats", "dedup_components")) {
+      val fn = SparkEntry.queries(q)
+      fn(spark, dir).count() // warm
+      val s = timeSec { fn(spark, dir).count(); () }
       println(s"[scale] $q ${s}s")
       results.append(s"""  "$q": $s,\n""")
     }

@@ -20,6 +20,31 @@ class NewOpsSpec extends AnyFunSuite {
     assert(byQ.values.forall(_.map(_.getLong(1)).distinct.length == 1))
   }
 
+  test("vec_topk_filtered_lsh agrees with the brute filtered variant") {
+    val brute = run("vec_topk_filtered").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = run("vec_topk_filtered_lsh").collect()
+    assert(lsh.nonEmpty)
+    val byQ = lsh.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 10))
+    // same-label only, like the brute form
+    assert(byQ.values.forall(_.map(_.getLong(1)).distinct.length == 1))
+    // exactness on the overlap: every (qid, cid) both variants rank
+    // carries the IDENTICAL similarity — the LSH routing changes the
+    // candidate set, never the scoring
+    val shared = lsh.flatMap { r =>
+      brute.get((r.getLong(0), r.getLong(2))).map(b => (r.getDouble(3), b))
+    }
+    assert(shared.nonEmpty)
+    assert(shared.forall { case (a, b) => a == b })
+    // overlap EXISTS even on the isotropic bench corpus; the recall
+    // gate proper runs on a clustered corpus (FilteredLshRecallSpec),
+    // where partitioning ANN recall is information-theoretically
+    // possible — same split as IvfRecallSpec
+    val hit = lsh.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(hit >= 1, s"no lsh-vs-brute overlap at all: 0 of ${lsh.length}")
+  }
+
   test("vec_range_search respects the similarity radius") {
     val sims = run("vec_range_search").collect().map(_.getDouble(2))
     assert(sims.nonEmpty && sims.forall(_ >= 0.2))
