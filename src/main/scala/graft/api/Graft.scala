@@ -190,6 +190,16 @@ final class Graft(spark: SparkSession, dir: String,
   def distinctSketchBySource: DataFrame = q("sketch_distinct_by_source")
   /** LSH-routed hybrid search: bucket candidates ∩ metadata filter. */
   def topKFilteredLsh: DataFrame = q("vec_topk_filtered_lsh")
+  /** Near-dup deletion groups (doc → keeper) from the SimHash pairs —
+    * the oracle-checked unrolled form; [[dedupClusters]] is the
+    * iterate-to-fixpoint operator. */
+  def dedupGroups: DataFrame = q("dedup_components")
+  /** Per-(source, sample_rate) stats decoded from real WAV payloads. */
+  def wavStats: DataFrame = q("multimodal_wav_stats")
+  /** Per-doc word-distribution entropy (quality signal). */
+  def entropyScores: DataFrame = q("text_entropy")
+  /** View→click→purchase conversion funnel. */
+  def funnel: DataFrame = q("events_funnel")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

@@ -140,8 +140,13 @@ object DuckDialect extends Dialect {
   def regexpCount(s: String, re: String) = s"len(regexp_extract_all($s, ${reLit(re)}))"
   def strAggOrdered(expr: String, ord: String) =
     s"string_agg(cast($expr as varchar), '' order by $ord)"
+  // the value itself as a secondary sort key mirrors Spark's
+  // array_sort(struct(ord, value)) lexicographic tie-break: when two
+  // rows share an ord (e.g. a hash-ordered fold with colliding
+  // hashes), both engines still place them identically, and equal
+  // (ord, value) pairs are interchangeable in the fold
   def arrAggOrdered(expr: String, ord: String) =
-    s"list(cast($expr as double) order by $ord)"
+    s"list(cast($expr as double) order by $ord, cast($expr as double))"
   def lastIgnoreNulls(e: String) = s"last_value($e ignore nulls)"
   def arrSlice(arr: String, start1: Int, len: Int) =
     s"list_slice($arr, $start1, ${start1 + len - 1})"

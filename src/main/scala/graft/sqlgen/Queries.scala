@@ -1395,6 +1395,57 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("min(n)")} as min_tokens, ${bigint("max(n)")} as max_tokens
          |from t group by source, ${d.idiv("n", "10")}""".stripMargin,
 
+    // sequential conversion funnel (view → click → purchase): the
+    // classic product-analytics shape — each stage is the user's FIRST
+    // qualifying event at-or-after the previous stage's time, so every
+    // stage is one min-aggregation on user_id (order-free, no window
+    // sort); the three stage tables are narrow (one row per user) and
+    // the final counts are three tiny scalar aggs. At 100 TB: three
+    // map-side-combinable shuffles on user_id, nothing else.
+    "events_funnel" -> {
+      val e = s"select user_id, event_type, ${evSec("ts")} as sec from events where event_type in ('view', 'click', 'purchase')"
+      s"""with fv as (select user_id, min(sec) as v0 from ($e) _e where event_type = 'view' group by user_id),
+         |fc as (select e.user_id, min(e.sec) as c0
+         |       from ($e) e join fv on fv.user_id = e.user_id
+         |       where e.event_type = 'click' and e.sec >= fv.v0 group by e.user_id),
+         |fp as (select e.user_id, min(e.sec) as p0
+         |       from ($e) e join fc on fc.user_id = e.user_id
+         |       where e.event_type = 'purchase' and e.sec >= fc.c0 group by e.user_id),
+         |n as (select (select ${bigint("count(*)")} from fv) as n_view,
+         |             (select ${bigint("count(*)")} from fc) as n_click,
+         |             (select ${bigint("count(*)")} from fp) as n_purchase)
+         |select ${bigint("1")} as stage, 'view' as stage_name, n_view as n_users,
+         |  round(cast(1 as double), 4) as conv_from_first from n
+         |union all
+         |select ${bigint("2")}, 'click', n_click, round(n_click / cast(n_view as double), 4) from n
+         |union all
+         |select ${bigint("3")}, 'purchase', n_purchase, round(n_purchase / cast(n_view as double), 4) from n""".stripMargin
+    },
+
+    // per-doc word-distribution entropy — the CCNet-style perplexity
+    // stand-in quality signal: H = ln(n) − (Σ c·ln c)/n over the word
+    // frequencies. The c·ln(c) sum folds in 60-bit-word-hash order
+    // (ordered array reduce — float addition is order-dependent, and
+    // the two engines' hash aggregates visit groups differently);
+    // collisions at 2⁻⁶⁰ hash identically anyway. One explode + one
+    // (doc, word) groupBy + one per-doc fold.
+    "text_entropy" -> {
+      val zs = d.arrAggOrdered("c * ln(cast(c as double))", "hw")
+      s"""with $wordCtes,
+         |wc as (select doc_id, wd, ${prf(d)("'ent'", "wd")} % 1048576 as hw, count(*) as c
+         |       from wx group by doc_id, wd),
+         |agg as (select doc_id, sum(c) as n, ${bigint("count(*)")} as n_distinct,
+         |               $zs as zs
+         |        from wc group by doc_id),
+         |ent as (select doc_id, n, n_distinct,
+         |          ln(cast(n as double)) - ${d.dot("zs", d.arrTransform("zs", "x", "cast(1 as double)"))} / n as h
+         |        from agg where n > 0)
+         |select ${bigint("doc_id")} as doc_id, ${bigint("n")} as n_words,
+         |  n_distinct, round(h, 6) as entropy,
+         |  round(h / ln(cast(greatest(n_distinct, 2) as double)), 4) as norm_entropy
+         |from ent""".stripMargin
+    },
+
     // daily-cohort retention over the events stream (classic analytics
     // breadth): first-seen day per user, then d+1/d+7 activity flags —
     // two shuffles on user_id, everything map-side-combinable.
