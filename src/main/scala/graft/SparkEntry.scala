@@ -8,6 +8,21 @@ import graft.sqlgen.{DuckDialect, Gen, SparkDialect}
 object SparkEntry {
   // Spark rendering reads the wm chain from WmCache's materialized
   // views; the DuckDB oracle always renders the full inline chain.
+  //
+  // The Spark side derives its LSH plane count from the corpus size
+  // (the §4 sizing formula, wired into the entrypoint): at the
+  // verify/smoke SFs lshPlanesFor(N) floors at the static default, so
+  // the rendering is IDENTICAL to the static oracle there — the
+  // driver's sf0.01 hash compare is unaffected — while larger corpora
+  // (the sf0.1 bench, any production dir) get right-sized buckets
+  // instead of ever-fatter ones.
+  private val sparkGens =
+    new java.util.concurrent.ConcurrentHashMap[Int, Gen]()
+  private def sparkGenFor(s: SparkSession, dir: String): Gen = {
+    val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+    sparkGens.computeIfAbsent(planes,
+      p => new Gen(SparkDialect, useViews = true, lshPlanes = p))
+  }
   private lazy val sparkGen = new Gen(SparkDialect, useViews = true)
   private lazy val duckGen  = new Gen(DuckDialect)
 
@@ -25,7 +40,7 @@ object SparkEntry {
       name -> ((s: SparkSession, dir: String) => {
         Tables.register(s, dir)
         if (WmCache.dependents(name)) WmCache.ensure(s, dir)
-        s.sql(sparkGen.sql(name))
+        s.sql(sparkGenFor(s, dir).sql(name))
       })
     }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)

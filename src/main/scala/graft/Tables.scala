@@ -18,6 +18,15 @@ object Tables {
   // re-reading 10 parquet footers per query dominates small benchmarks
   private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  // corpus size per dir (parquet metadata count — no data scan),
+  // memoized: SparkEntry/WmCache derive the LSH plane count from it
+  private val vecCount = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Row count of `dir`'s embeddings table (metadata-only, memoized). */
+  def vectorCount(spark: SparkSession, dir: String): Long =
+    vecCount.computeIfAbsent(dir, _ =>
+      load(spark, dir, "embeddings").count())
+
   def register(spark: SparkSession, dir: String): Unit =
     if (lastDir.put(spark, dir) != dir) {
       // events.ts is parquet TIMESTAMP(NANOS), which the vectorized

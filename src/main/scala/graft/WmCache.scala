@@ -84,7 +84,12 @@ object WmCache {
     if (cur == null || cur.dir != dir) {
       if (cur != null) cur.dfs.foreach(_.unpersist(blocking = false))
       Tables.register(spark, dir)
-      val stages = new Gen(SparkDialect).cacheStages
+      // same N-derived plane count as SparkEntry's consumer renderings:
+      // the g_* views and every query reading them must agree on the
+      // bucket layout (the stage-SQL md5 in the scratch key invalidates
+      // any previously cached layout automatically)
+      val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(spark, dir))
+      val stages = new Gen(SparkDialect, lshPlanes = planes).cacheStages
       val viaScratch = scratchRoot(spark).exists { root =>
         try { ensureScratch(spark, dir, root, stages); true }
         catch { case e: Exception =>
