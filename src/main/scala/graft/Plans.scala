@@ -74,9 +74,12 @@ object Plans {
     Tables.register(spark, sfDir)
     // build the chain views first so view-backed renderings resolve;
     // stage-build plans are explained against the views registered
-    // before each stage, exactly as WmCache materializes them
+    // before each stage, exactly as WmCache materializes them — with
+    // the same N-derived plane count SparkEntry/WmCache use
     WmCache.ensure(spark, sfDir)
-    val genViews = new graft.sqlgen.Gen(graft.sqlgen.SparkDialect, useViews = true)
+    val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(spark, sfDir))
+    val genViews = new graft.sqlgen.Gen(graft.sqlgen.SparkDialect,
+      useViews = true, lshPlanes = planes)
     sb.append("\n# Section 1 — chain stage builds (once per session / scratch miss)\n")
     for ((view, sql) <- genViews.cacheStages) {
       sb.append(s"\n## build $view\n\n${stageNotes(view)}\n\n```\n${fmt(spark.sql(sql))}\n```\n")

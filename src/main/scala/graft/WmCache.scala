@@ -116,9 +116,18 @@ object WmCache {
       val tmp = new File(root,
         s"${base.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       tmp.mkdirs()
+      // size the write to the data: every stage is O(N)-to-O(N·d) rows,
+      // so ~1 output file per 200k vectors (capped at the session's
+      // parallelism) — a 5k-vector corpus writes 1 file per stage
+      // instead of 32 near-empty tasks + commit rounds, a 100 TB corpus
+      // still fans out. repartition (not coalesce): coalesce would
+      // narrow the whole upstream computation to `parts` tasks; the
+      // extra exchange is tiny exactly when parts is small
+      val parts = math.max(1L, math.min(32L,
+        Tables.vectorCount(spark, dir) / 200000L)).toInt
       stages.foreach { case (view, sql) =>
         val p = new File(tmp, view).getAbsolutePath
-        spark.sql(sql).write.mode("overwrite").parquet(p)
+        spark.sql(sql).repartition(parts).write.mode("overwrite").parquet(p)
         // downstream stages read the materialized rows, not the plan
         spark.read.parquet(p).createOrReplaceTempView(view)
       }
