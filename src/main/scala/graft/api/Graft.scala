@@ -200,6 +200,8 @@ final class Graft(spark: SparkSession, dir: String,
   def entropyScores: DataFrame = q("text_entropy")
   /** View→click→purchase conversion funnel. */
   def funnel: DataFrame = q("events_funnel")
+  /** Top-k over the int8-quantized table (SQ-compressed search). */
+  def topKQuantized: DataFrame = q("vec_topk_sq")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

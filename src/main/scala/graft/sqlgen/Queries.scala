@@ -1560,6 +1560,35 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("sum(case when code = 0 or code = 255 then 1 else 0 end)")} as n_clamped
          |from rc group by pos""".stripMargin,
 
+    // SQ-compressed top-k — the search leg over the int8 codes
+    // vec_quantize produces (pgvector halfvec/SQ, Milvus SQ8: search
+    // runs against the 4×-smaller quantized table, exact floats stay
+    // cold). Corpus-side state is the code table; candidates are
+    // scored as cosine between the exact query vector and the
+    // MIDPOINT-DEQUANTIZED candidate — every arithmetic step is
+    // single-rounded IEEE in array order (ordered rebuild of the deq
+    // vector, graft_dot fold), so both engines agree bit-for-bit.
+    // Same bounded query list and rank determinism as the other ANN
+    // legs; the agreement metric vs exact search is rank overlap
+    // (NewOpsSpec asserts the quantization error stays one-bin).
+    "vec_topk_sq" ->
+      s"""with $nvCtes, $exnCte,
+         |st as (select pos, min(val) as mn, max(val) as mx from exn group by pos),
+         |qz as (select x.id, x.pos,
+         |         case when s.mx = s.mn then cast(0 as bigint)
+         |              else least(255, greatest(0, cast(floor((x.val - s.mn) / (s.mx - s.mn) * 256) as bigint))) end as code
+         |       from exn x join st s on s.pos = x.pos),
+         |dq as (select q.id, ${d.arrAggOrdered(
+              "case when s.mx = s.mn then s.mn else s.mn + (q.code + cast(0.5 as double)) / 256 * (s.mx - s.mn) end", "q.pos")} as dv
+         |       from qz q join st s on s.pos = q.pos group by q.id),
+         |qv as (select id as qid, v from nv where id in ($qIdLit)),
+         |p as (select qv.qid, dq.id as cid,
+         |        round(${d.dot("qv.v", "dq.dv")} / (sqrt(${d.dot("qv.v", "qv.v")}) * sqrt(${d.dot("dq.dv", "dq.dv")})), 6) as approx_sim
+         |      from qv join dq on dq.id <> qv.qid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
+         |from (select qid, cid, approx_sim, row_number() over (partition by qid order by approx_sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
     // PageRank over the kNN proximity graph (3 unrolled power-iteration
     // steps, damping 0.85) — the canonical iterative distributed graph
     // op, here ranking vectors by neighborhood centrality (the inverse

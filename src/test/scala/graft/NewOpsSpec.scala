@@ -45,6 +45,21 @@ class NewOpsSpec extends AnyFunSuite {
     assert(hit >= 1, s"no lsh-vs-brute overlap at all: 0 of ${lsh.length}")
   }
 
+  test("vec_topk_sq ranks like exact search within quantization error") {
+    val exact = run("vec_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val sq = run("vec_topk_sq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(sq.keySet == exact.keySet)
+    // 8-bit midpoint dequantization perturbs sims by < 2^-8 per dim
+    // pair — the top-10 should survive nearly intact
+    val overlaps = exact.map { case (q, e) => (sq(q) & e).size.toDouble / e.size }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.8, f"sq-vs-exact overlap $mean%.2f below 0.8")
+  }
+
   test("vec_range_search respects the similarity radius") {
     val sims = run("vec_range_search").collect().map(_.getDouble(2))
     assert(sims.nonEmpty && sims.forall(_ >= 0.2))
