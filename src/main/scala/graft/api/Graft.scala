@@ -161,6 +161,9 @@ final class Graft(spark: SparkSession, dir: String,
   /** Per-block BER after a composite attack (10% deletion + gaussian
     * noise on 30% of survivors). */
   def berUnderComboAttack: DataFrame = q("wm_ber_combo")
+  /** Per-block BER after an int8 SQ storage round-trip (measured 0 —
+    * the watermark survives compressed-index storage). */
+  def berUnderQuantization: DataFrame = q("wm_ber_quantize")
   /** Per-doc top TF-IDF term. */
   def topTfidfTerms: DataFrame = q("text_tfidf")
   /** Data-quality profile (null/distinct/min/max) of the fact table. */

@@ -1169,6 +1169,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
          |group by m.blk""".stripMargin,
 
+    // robustness under STORAGE QUANTIZATION: round-trip the stego
+    // table through the int8 SQ codec (per-dim min/max over the
+    // watermarked values, clamped-floor codes, midpoint dequant — the
+    // exact vec_quantize/vec_topk_sq path) and extract from the
+    // dequantized cells. The deployment question the classic attack
+    // matrix misses: a vector DB that stores its index SQ-compressed
+    // quantizes every watermarked vector — per-dim noise is
+    // ≤ (mx−mn)/512 per cell, far inside the QIM decision margin
+    // (delta/2 = 0.075 per ~2.6-dim group projection), so BER must
+    // stay 0. Two tiny stats aggs + a map — no new shuffle shape.
+    "wm_ber_quantize" ->
+      s"""${wmChain("stego")},
+         |sst as (select pos, min(sval) as mn, max(sval) as mx from stego group by pos),
+         |atk as (select s.id, s.pos,
+         |          case when t.mx = t.mn then t.mn
+         |               else t.mn + (least(255, greatest(0, cast(floor((s.sval - t.mn) / (t.mx - t.mn) * 256) as bigint))) + cast(0.5 as double)) / 256 * (t.mx - t.mn) end as sval
+         |        from stego s join sst t on t.pos = s.pos),
+         |${extractCtes("atk")}
+         |select ${bigint("m.blk")} as blk,
+         |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+         |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
+         |group by m.blk""".stripMargin,
+
     // combined attack: gaussian noise on 30% of surviving rows AFTER a
     // 10% subset deletion — the robustness matrix's composite cell
     // (attacks compose in the reference's eval harness too). Same
