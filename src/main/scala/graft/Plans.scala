@@ -46,6 +46,10 @@ object Plans {
     "dedup_jaccard" -> "single-pass pair-tagged gram groupBy; grams shuffle as 60-bit hashes, not strings (narrower key for the network-bound exchange at scale)",
     "dedup_simhash_pairs" -> "60-bit simhash, 5x12-bit bands (pigeonhole genuinely covers hamming<=4); 60 masked bit-sums in ONE groupBy, band join touches candidates only",
     "decontaminate" -> "tiny distinct eval-shingle broadcast + one hash join on 60-bit shingle hashes; no pairwise doc comparison",
+    "vec_topk_sq" -> "SQ search leg: per-dim stats broadcast + ordered dequant rebuild; corpus-side state is the int8 code table, scoring is one ordered-fold cosine per candidate",
+    "wm_ber_quantize" -> "storage-robustness cell: stego stats + map-side SQ round-trip + the shared extract aggregation — no new shuffle shape",
+    "events_funnel" -> "three min-aggregations on user_id (first qualifying event at-or-after the previous stage) — order-free, no window sorts",
+    "text_entropy" -> "one explode + one (doc, word) groupBy + per-doc ordered fold — float sum order pinned by hash-order with value tie-break",
     "q4_priority" -> "EXISTS rewritten to LeftSemi hash join, date filter pushed to the orders scan",
     "q_no_returns" -> "NOT EXISTS rewritten to LeftAnti hash join, returnflag filter shrinks the build side at the scan",
     "events_rollup" -> "rollup expands grouping sets map-side; every level partial-aggregated in one shuffle")
