@@ -439,19 +439,26 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     s"""w as (select doc_id, ${splitWs("lower(text)")} as ws from documents),
        |wx as (select * from ${d.explodeFrom("w", "ws", "wpos", "wd", Seq("doc_id"))} _wx)""".stripMargin
 
-  /** SimHash candidate chain ending in cand(da, sa, db, sb2) — shared
-    * by dedup_simhash_pairs and the components grouping. */
-  private lazy val simhashCandCtes =
+  /** SimHash candidate chain ending in cand(da, db, hamming) — shared
+    * by dedup_simhash_pairs and the components grouping. The hamming
+    * verify runs INSIDE the band join, before the distinct: a random
+    * band collision (the vast majority of matches at scale) dies in
+    * the joining task, so the dedup shuffle carries only true
+    * near-dup pairs — three narrow ints instead of every collision's
+    * two 60-bit sigs. (distinct-then-filter and filter-then-distinct
+    * commute: the predicate is a pure function of the pair.) */
+  private lazy val simhashCandCtes = {
+    val xorAB = if (d.name == "spark") "a.sig ^ b.sig" else "xor(a.sig, b.sig)"
     s"""$wordCtes,
        |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
        |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
        |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw),
        |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
        |          from sh cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)}),
-       |cand as (select distinct a.doc_id as da, a.sig as sa, b.doc_id as db, b.sig as sb2
-       |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id)""".stripMargin
-  private lazy val simhashXor =
-    if (d.name == "spark") "sa ^ sb2" else "xor(sa, sb2)"
+       |cand as (select distinct a.doc_id as da, b.doc_id as db, bit_count($xorAB) as hamming
+       |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id
+       |         where bit_count($xorAB) <= 4)""".stripMargin
+  }
 
   /** Unrolled 6-round min-label propagation turning near-dup PAIRS into
     * deletion groups (doc → keeper = min doc_id of its component) —
@@ -476,7 +483,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       case Some(view) => s"with prs as (select doc_a as da, doc_b as db from $view),"
       case None =>
         s"""with $simhashCandCtes,
-           |prs as $matKw(select da, db from cand where bit_count($simhashXor) <= 4),""".stripMargin
+           |prs as $matKw(select da, db from cand),""".stripMargin
     }
     val steps = (1 to rounds).map(t =>
       s"l$t as $matKw(select s.a as id, min(l.lbl) as lbl from sym s join l${t - 1} l on l.id = s.b group by s.a)")
@@ -724,9 +731,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "dedup_simhash_pairs" ->
       s"""with $simhashCandCtes
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
-         |  ${bigint(s"bit_count($simhashXor)")} as hamming
-         |from cand
-         |where bit_count($simhashXor) <= 4""".stripMargin,
+         |  ${bigint("hamming")} as hamming
+         |from cand""".stripMargin,
 
     "dedup_jaccard" -> {
       val grams = d.arrTransform(d.intSeq("1", "length(lt) - 4"), "k", "substr(lt, cast(k as int), 5)")
