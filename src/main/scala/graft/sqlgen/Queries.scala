@@ -1446,9 +1446,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("1")} as stage, 'view' as stage_name, n_view as n_users,
          |  round(cast(1 as double), 4) as conv_from_first from n
          |union all
-         |select ${bigint("2")}, 'click', n_click, round(n_click / cast(n_view as double), 4) from n
+         |select ${bigint("2")}, 'click', n_click, round(n_click / cast(nullif(n_view, 0) as double), 4) from n
          |union all
-         |select ${bigint("3")}, 'purchase', n_purchase, round(n_purchase / cast(n_view as double), 4) from n""".stripMargin
+         |select ${bigint("3")}, 'purchase', n_purchase, round(n_purchase / cast(nullif(n_view, 0) as double), 4) from n""".stripMargin
     },
 
     // per-doc word-distribution entropy — the CCNet-style perplexity

@@ -225,4 +225,78 @@ object Streams {
           }
       }
   }
+
+  /** Incremental per-group HyperLogLog distinct sketch — the streaming
+    * form of `sketch_distinct_by_source`, and the reason sketches earn
+    * their place at 100 TB: the register array is a MERGEABLE O(m)
+    * state, so micro-batches fold in with a per-register max and the
+    * running estimate is always available — no distinct-set state, no
+    * reprocessing. Register math is the JVM mirror of the SQL sketch
+    * (same 60-bit keyed PRF via functions.Prf, same register split,
+    * same register-order fold and linear-counting gate), so on the
+    * same rows the streaming estimate EQUALS the batch query's
+    * (StreamingSketchSpec pins that, including Spark's round
+    * semantics). Emits (source, estimate) per update (Update mode —
+    * monitoring reads the latest row per key). */
+  def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
+      : Dataset[(String, Double)] = {
+    import words.sparkSession.implicits._
+    words
+      .groupByKey(_._2)
+      .mapGroupsWithState[Array[Byte], (String, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (source, it, state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](HllSketch.M))
+          it.foreach { case (_, _, word) => HllSketch.insert(regs, word) }
+          state.update(regs)
+          (source, HllSketch.estimate(regs))
+      }
+  }
+}
+
+/** JVM mirror of the SQL HLL sketch (m = 256) in
+  * `sketch_distinct_by_source`: identical hash, register split, rho,
+  * alpha literal, register-order fold, and linear-counting gate —
+  * byte-for-byte the same registers and bit-for-bit the same estimate
+  * as the batch query on the same rows. */
+object HllSketch {
+  val M = 256
+  /** the SQL's alpha literal for m=256: 0.7213/(1 + 1.079/256) */
+  private val Alpha = 0.7182726
+
+  /** max-merge one word into the register array (idempotent — raw
+    * streams need no distinct). */
+  def insert(regs: Array[Byte], word: String): Unit = {
+    val h = graft.functions.Prf.prf("hll", word)
+    val j = (h % M).toInt
+    val w = h / M // 52-bit remainder
+    // rho = first r in 1..52 with w >= 2^(52-r); w=0 -> 53 (the SQL's
+    // unrolled integer-compare CASE)
+    val rho = if (w == 0) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+    if (rho > regs(j)) regs(j) = rho.toByte
+  }
+
+  /** the SQL estimate: Z folded in register order, raw = alpha·m²/Z
+    * rounded like Spark's round(x, 4), linear counting iff v0 > 0 AND
+    * raw <= 2.5m. */
+  def estimate(regs: Array[Byte]): Double = {
+    var z = 0.0
+    var v0 = 0
+    var j = 0
+    while (j < M) {
+      z += math.pow(2.0, -regs(j).toDouble)
+      if (regs(j) == 0) v0 += 1
+      j += 1
+    }
+    val raw = sparkRound(Alpha * M * M / z, 4)
+    if (v0 > 0 && raw <= 2.5 * M)
+      sparkRound(M * math.log(M.toDouble / v0), 4)
+    else raw
+  }
+
+  /** Spark SQL round(double, s): HALF_UP on the shortest-decimal form
+    * (BigDecimal.valueOf goes through Double.toString). */
+  def sparkRound(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
 }
