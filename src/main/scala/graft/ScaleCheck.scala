@@ -55,7 +55,8 @@ object ScaleCheck {
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
     val flatQs = Seq("vec_topk_ivf", "vec_topk_pq", "text_chunk",
-      "dedup_simhash_pairs", "sketch_distinct_by_source")
+      "dedup_simhash_pairs", "sketch_distinct_by_source", "vec_topk_sq",
+      "text_entropy")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))

@@ -205,6 +205,9 @@ final class Graft(spark: SparkSession, dir: String,
   def funnel: DataFrame = q("events_funnel")
   /** Top-k over the int8-quantized table (SQ-compressed search). */
   def topKQuantized: DataFrame = q("vec_topk_sq")
+  /** LSH-routed top-k over the int8 codes — the compressed-serving
+    * shape (sublinear candidates + 4×-smaller scoring state). */
+  def topKQuantizedLsh: DataFrame = q("vec_topk_sq_lsh")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

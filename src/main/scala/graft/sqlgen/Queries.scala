@@ -1618,6 +1618,33 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from (select qid, cid, approx_sim, row_number() over (partition by qid order by approx_sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin,
 
+    // ...and the full compressed-serving shape: LSH routing for
+    // sublinear candidates + SQ codes for 4×-smaller scoring state —
+    // what a 100 TB deployment actually runs (the flat vec_topk_sq
+    // scan is its correctness baseline, as vec_topk is for the float
+    // legs). Candidates from the shared buckets, cosine between the
+    // exact query and the midpoint-dequantized candidate.
+    "vec_topk_sq_lsh" ->
+      s"""${wmChain("lsh")},
+         |sst as (select pos, min(val) as mn, max(val) as mx from exn group by pos),
+         |sqz as (select x.id, x.pos,
+         |         case when s.mx = s.mn then cast(0 as bigint)
+         |              else least(255, greatest(0, cast(floor((x.val - s.mn) / (s.mx - s.mn) * 256) as bigint))) end as code
+         |       from exn x join sst s on s.pos = x.pos),
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)),
+         |dq as (select z.id, ${d.arrAggOrdered(
+              "case when s.mx = s.mn then s.mn else s.mn + (z.code + cast(0.5 as double)) / 256 * (s.mx - s.mn) end", "z.pos")} as dv
+         |       from sqz z join sst s on s.pos = z.pos
+         |       where z.id in (select cid from cnd) group by z.id),
+         |qv as (select id as qid, v from nv where id in ($qIdLit)),
+         |p as (select c.qid, c.cid,
+         |        round(${d.dot("qv.v", "dq.dv")} / (sqrt(${d.dot("qv.v", "qv.v")}) * sqrt(${d.dot("dq.dv", "dq.dv")})), 6) as approx_sim
+         |      from cnd c join qv on qv.qid = c.qid join dq on dq.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
+         |from (select qid, cid, approx_sim, row_number() over (partition by qid order by approx_sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
     // PageRank over the kNN proximity graph (3 unrolled power-iteration
     // steps, damping 0.85) — the canonical iterative distributed graph
     // op, here ranking vectors by neighborhood centrality (the inverse

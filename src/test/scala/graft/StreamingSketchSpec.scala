@@ -53,6 +53,34 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed counts equal the batch events_windowed on the real table") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    Tables.register(spark, TestSpark.Sf)
+    val batch = SparkEntry.queries("events_windowed")(spark, TestSpark.Sf)
+      .selectExpr("hour_epoch", "event_type", "n").as[(Long, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // replay the real events table through the stream (ts arrives as
+    // BIGINT nanos via the registered view — rebuild the timestamp)
+    val rows = spark.sql(
+      "select timestamp_seconds(ts div 1000000000) as ts, event_type, value from events")
+      .as[(Timestamp, String, Double)].collect()
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.windowedCounts(in.toDF.toDF("ts", "event_type", "value"))
+      .selectExpr("cast(unix_timestamp(window.start) as bigint) as he", "event_type", "n")
+      .writeStream.format("memory").queryName("wc_parity")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1))
+        .foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      val updates = spark.table("wc_parity").as[(Long, String, Long)].collect()
+      val finalN = updates.zipWithIndex.groupBy(u => (u._1._1, u._1._2)).view
+        .mapValues(_.maxBy(_._2)._1._3).toMap
+      assert(finalN == batch,
+        s"windowed parity broke: ${finalN.size} stream keys vs ${batch.size} batch keys")
+    } finally q.stop()
+  }
+
   test("register math matches the documented HLL shape") {
     val regs = new Array[Byte](HllSketch.M)
     // idempotent: same word twice = once
