@@ -45,6 +45,8 @@ object SparkEntry {
     }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)
       "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
+      // real BMP decode (render embeddings → encode → header/row parse)
+      "multimodal_bmp_stats" -> ((s, dir) => graft.operators.Bmp.bmpStats(s, dir)),
       // near-dup pairs → deletion groups: checkpoint the pair chain
       // once, then 6 unrolled min-label rounds over the materialized
       // rows (Catalyst re-inlines multi-referenced CTEs, so the pure
@@ -68,5 +70,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
+        "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None))
 }

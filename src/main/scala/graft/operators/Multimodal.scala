@@ -32,6 +32,17 @@ object Multimodal {
     Array.tabulate(dim)(i => (h(i % 16) & 0xff) / 255.0f)
   }
 
+  /** REAL decode for BMP payloads (operators.Bmp): header + pixel
+    * facts as the feature vector — [w/4096, h/4096, bpp/32,
+    * mean-pixel/255, log10(1+bytes)/8, 0-padded]. */
+  private[operators] def bmpDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val m = Bmp.parse(bytes)
+    val meanPx = m.pixelSum.toDouble / (3.0 * m.width * m.height) / 255.0
+    val fs = Array(m.width / 4096f, m.height / 4096f, m.bitsPerPixel / 32f,
+      meanPx.toFloat, (math.log10(1.0 + m.byteLen) / 8).toFloat)
+    Array.tabulate(dim)(i => if (i < fs.length) fs(i) else 0f)
+  }
+
   /** REAL decode for WAV payloads (operators.Wav): header + PCM facts
     * as the feature vector — [rate/48k, bits/32, channels/8,
     * log10(1+samples)/8, duration_s/60, mean|sample|/32768, 0-padded]. */
@@ -60,6 +71,7 @@ object Multimodal {
           batch.iterator.map { r =>
             val feats =
               if (r.meta.format == "wav" && Wav.isWav(r.bytes)) wavDecode(r.bytes, dim)
+              else if (r.meta.format == "bmp" && Bmp.isBmp(r.bytes)) bmpDecode(r.bytes, dim)
               else stubDecode(r.bytes, dim)
             MediaFeatures(r.media_id, r.kind, r.bytes.length, feats)
           }
