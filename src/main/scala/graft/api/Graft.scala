@@ -164,6 +164,9 @@ final class Graft(spark: SparkSession, dir: String,
   /** Per-block BER after an int8 SQ storage round-trip (measured 0 —
     * the watermark survives compressed-index storage). */
   def berUnderQuantization: DataFrame = q("wm_ber_quantize")
+  /** Per-block BER after a keyed dimension permutation — the scheme's
+    * documented destructive boundary. */
+  def berUnderPermutation: DataFrame = q("wm_ber_permute")
   /** Per-doc top TF-IDF term. */
   def topTfidfTerms: DataFrame = q("text_tfidf")
   /** Data-quality profile (null/distinct/min/max) of the fact table. */

@@ -1175,6 +1175,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
          |group by m.blk""".stripMargin,
 
+    // robustness boundary: keyed dimension PERMUTATION. The QIM groups
+    // are keyed to dimension POSITIONS, so an attacker who reshuffles
+    // the 64 dims destroys the projections — decoded headers fail the
+    // CRC gate and blocks go missing (all 16 bits count as errors,
+    // same honest failure mode as aggressive truncation). This cell
+    // documents the scheme's boundary the way the reference's eval
+    // shows truncation: a deliberate, measured DESTRUCTIVE cell (an
+    // attacker paying full-corpus column reshuffling also destroys
+    // the table's utility for retrieval — every stored index breaks).
+    // The permutation is a 64-row PRF-ranked table; the attack itself
+    // is a broadcast join + map.
+    "wm_ber_permute" ->
+      s"""${wmChain("stego")},
+         |pm as (select frompos, ${bigint("row_number() over (order by pr, frompos)")} as topos
+         |       from (select pp as frompos, ${prf(d)("'perm'", "pp")} as pr
+         |             from ${rangeTable("p64", "pp", 1, Dim)}) _r),
+         |atk as (select s.id, m.topos as pos, s.sval from stego s join pm m on m.frompos = s.pos),
+         |${extractCtes("atk")}
+         |select ${bigint("m.blk")} as blk,
+         |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+         |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
+         |group by m.blk""".stripMargin,
+
     // robustness under STORAGE QUANTIZATION: round-trip the stego
     // table through the int8 SQ codec (per-dim min/max over the
     // watermarked values, clamped-floor codes, midpoint dequant — the
