@@ -48,6 +48,7 @@ object Plans {
     "decontaminate" -> "tiny distinct eval-shingle broadcast + one hash join on 60-bit shingle hashes; no pairwise doc comparison",
     "vec_topk_sq" -> "SQ search leg: per-dim stats broadcast + ordered dequant rebuild; corpus-side state is the int8 code table, scoring is one ordered-fold cosine per candidate",
     "wm_ber_quantize" -> "storage-robustness cell: stego stats + map-side SQ round-trip + the shared extract aggregation — no new shuffle shape",
+    "vec_topk_sq_lsh" -> "compressed serving shape: shared-bucket candidate routing + semi-joined dequant rebuild of candidates only — sublinear candidates, 4x-smaller scoring state",
     "events_funnel" -> "three min-aggregations on user_id (first qualifying event at-or-after the previous stage) — order-free, no window sorts",
     "text_entropy" -> "one explode + one (doc, word) groupBy + per-doc ordered fold — float sum order pinned by hash-order with value tie-break",
     "q4_priority" -> "EXISTS rewritten to LeftSemi hash join, date filter pushed to the orders scan",

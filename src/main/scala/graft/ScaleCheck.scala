@@ -76,7 +76,7 @@ object ScaleCheck {
     }
     // programmatic paths (not in Gen.sqls): real WAV decode + the
     // unrolled components propagation
-    for (q <- Seq("multimodal_wav_stats", "dedup_components")) {
+    for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats", "dedup_components")) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }
