@@ -1785,6 +1785,228 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ex join est on est.source = ex.source""".stripMargin
     },
 
+    // Bloom-filter membership sketch — the DECONTAMINATION PREFILTER:
+    // build an m-bit Bloom (k=3 keyed hashes) over the EVAL split's
+    // distinct 5-word shingles (the small side), then probe every
+    // training-side shingle. At 100 TB the filter is a 4 KB bitset
+    // broadcast to every executor, and the expensive exact
+    // `decontaminate` hash join runs only on the Bloom HITS — the
+    // training corpus streams through a map-side membership test
+    // instead of shuffling every shingle. The bitset is mergeable
+    // (bit-OR across partitions — here: distinct of set positions),
+    // and Bloom's contract is one-sided: NO false negatives (every
+    // true overlap is a hit — SketchSpec asserts it), false positives
+    // bounded by fill^k (measured vs expected reported side by side).
+    // All integer arithmetic (PRF positions, set-bit array, contains)
+    // → bit-identical engines.
+    "sketch_bloom" -> {
+      val m = 32768 // 2^15 bits; fill stays demonstrative at sf0.001-0.1
+      val k = 3
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def pos(i: Int) = s"(${prf(d)(s"'bl$i'", "g")} % $m)"
+      val arrAggIntDistinct =
+        if (d.name == "spark") "array_sort(collect_set(cast(pos as bigint)))"
+        else "list(distinct cast(pos as bigint) order by cast(pos as bigint))"
+      def contains(arr: String, v: String) =
+        if (d.name == "spark") s"array_contains($arr, cast($v as bigint))"
+        else s"list_contains($arr, cast($v as bigint))"
+      s"""with $wordCtes,
+         |sh as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
+         |       from (select doc_id, wd,
+         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
+         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
+         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
+         |             from wx) _s where w5 is not null),
+         |gb as $matKw(select g,
+         |         max(case when doc_id % $decontEvalMod = 0 then 1 else 0 end) as ise,
+         |         max(case when doc_id % $decontEvalMod <> 0 then 1 else 0 end) as ist
+         |       from sh group by g),
+         |pb as (select ${(0 until k).map(pos).mkString(if (d.name == "spark") "array(" else "[", ", ", if (d.name == "spark") ")" else "]")} as ps
+         |       from gb where ise = 1),
+         |px as (select pos from ${d.explodeFrom("pb", "ps", "pp", "pos", Nil)} _px),
+         |bs as (select $arrAggIntDistinct as bits, ${bigint(d.idiv("count(*)", k.toString))} as n_eval from px),
+         |qr as (select g, ise, ${(0 until k).map(i => s"${pos(i)} as q$i").mkString(", ")} from gb where ist = 1),
+         |ht as (select ise, case when ${(0 until k).map(i => contains("bs.bits", s"q$i")).mkString(" and ")} then 1 else 0 end as h
+         |       from qr cross join bs)
+         |select bs.n_eval as n_eval_shingles, ${bigint(s"${d.arrLen("bs.bits")}")} as n_bits_set,
+         |  ${roundAway(d)(s"${d.arrLen("bs.bits")} / cast($m as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(${d.arrLen("bs.bits")} / cast($m as double), $k)", 6)} as fpr_expected,
+         |  ${bigint("a.n_probes")} as n_probes, ${bigint("a.n_members")} as n_members,
+         |  ${bigint("a.n_hits")} as n_hits, ${bigint("a.n_false_pos")} as n_false_pos,
+         |  ${roundAway(d)("a.n_false_pos / cast(a.n_probes - a.n_members as double)", 6)} as fpr_measured
+         |from bs cross join (select count(*) as n_probes, sum(ise) as n_members,
+         |                           sum(h) as n_hits, sum(h * (1 - ise)) as n_false_pos
+         |                    from ht) a""".stripMargin
+    },
+
+    // count-min sketch — the mergeable frequency sketch: d=4 hash rows
+    // × w=16 counters accumulate the whole word stream as ONE
+    // (row, col) groupBy of integer sums (map-side combinable;
+    // merging two sketches = cell-wise addition, the property that
+    // lets 1000 executors keep local sketches and add them). Point
+    // queries take min over the 4 row cells — always ≥ the true
+    // count (one-sided error, SketchSpec asserts it). w is sized DOWN
+    // to the bench corpus's 31-word vocabulary so the collision
+    // regime is actually exercised (production sizing is w ≈ ⌈e/ε⌉
+    // columns for ε-relative error — the sketch stays KB-sized while
+    // the domain grows unbounded). Integer-only → bit-identical.
+    "sketch_cms" -> {
+      val (rows, w) = (4, 16)
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with $wordCtes,
+         |wc as $matKw(select wd, ${bigint("count(*)")} as c from wx group by wd),
+         |cells as $matKw(select rr.r, ${prf(d)("'cms'", "rr.r", "wd")} % $w as col, sum(c) as cell
+         |         from wc cross join ${rangeTable("rr", "r", 0, rows - 1)} group by rr.r, ${prf(d)("'cms'", "rr.r", "wd")} % $w),
+         |est as (select wc.wd, wc.c, min(cells.cell) as est
+         |        from wc cross join ${rangeTable("r2", "r", 0, rows - 1)}
+         |        join cells on cells.r = r2.r and cells.col = ${prf(d)("'cms'", "r2.r", "wd")} % $w
+         |        group by wc.wd, wc.c)
+         |select wd as word, ${bigint("c")} as n_exact, ${bigint("est")} as cms_est,
+         |  ${bigint("est - c")} as overestimate
+         |from est""".stripMargin
+    },
+
+    // mergeable histogram quantile sketch vs two-pass EXACT selection —
+    // the distributed-quantile story at 100 TB: pass 1 buckets every
+    // value into 128 equi-width bins (integer counts — mergeable by
+    // plain addition, the sketch an executor fleet can keep locally);
+    // the approximate quantile interpolates inside the target bin from
+    // bin counts alone (state = 128 ints, error ≤ bin width). The
+    // EXACT value needs only a SECOND pass that rank-selects WITHIN
+    // the one target bin (window partitioned by bin — parallel, no
+    // global sort anywhere), the same two-pass trick as the carrier
+    // rank. rel_err reported per quantile; integer ranks + IEEE bin
+    // arithmetic → bit-identical engines.
+    "sketch_quantiles" -> {
+      val b = 128
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with src as (select cast(l_extendedprice as double) as x from lineitem),
+         |mm as $matKw(select min(x) as mn, max(x) as mx, count(*) as n from src),
+         |bn as (select x, least(${b - 1}, greatest(0, cast(floor((x - mn) * cast($b as double) / (mx - mn)) as bigint))) as bin
+         |       from src cross join mm),
+         |bc as $matKw(select bin, ${bigint("count(*)")} as c from bn group by bin),
+         |cum as $matKw(select a.bin, a.c, ${bigint("sum(b.c)")} as cumc
+         |       from bc a join bc b on b.bin <= a.bin group by a.bin, a.c),
+         |qs as (select lbl, ${bigint("cast(ceil(qv * n) as bigint)")} as r from
+         |         (select 'p50' as lbl, cast(0.5 as double) as qv
+         |          union all select 'p90', cast(0.9 as double)
+         |          union all select 'p99', cast(0.99 as double)) _q cross join mm),
+         |tb as (select qs.lbl, qs.r, min(cum.bin) as bin from qs join cum on cum.cumc >= qs.r group by qs.lbl, qs.r),
+         |td as (select tb.lbl, tb.r, tb.bin, cum.c as bc, cum.cumc - cum.c as cumbefore
+         |       from tb join cum on cum.bin = tb.bin),
+         |ap as (select lbl, r, bin, bc, cumbefore,
+         |         ${roundAway(d)(s"mm.mn + (bin + (r - cumbefore) / cast(bc as double)) * (mm.mx - mm.mn) / cast($b as double)", 4)} as approx_v
+         |       from td cross join mm),
+         |lr as (select bn.bin, bn.x, row_number() over (partition by bn.bin order by bn.x) as lrk
+         |       from bn join (select distinct bin from td) tbins on tbins.bin = bn.bin),
+         |ex as (select t.lbl, min(l.x) as exact_v
+         |       from td t join lr l on l.bin = t.bin and l.lrk = t.r - t.cumbefore
+         |       group by t.lbl)
+         |select ap.lbl as quantile, ex.exact_v, ap.approx_v,
+         |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
+         |from ap join ex on ex.lbl = ap.lbl""".stripMargin
+    },
+
+    // triangle count / transitivity over the kNN proximity graph — the
+    // graph-quality metric next to in-degree and PageRank. The count
+    // uses DEGREE ORIENTATION (each undirected edge points from its
+    // (deg, id)-smaller to its (deg, id)-larger endpoint), so every
+    // triangle is counted exactly once at its lowest-degree vertex and
+    // the wedge join fans out only over OUT-edges — max out-degree is
+    // O(√E) regardless of hubs (the standard scalable triangle
+    // rewrite; a naive id-ordered join would square the hottest hub's
+    // in-degree). Work = one distinct, one degree agg, one
+    // wedge join + one closing semi-join — all integer keys.
+    "graph_triangles" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""${wmChain("knn")},
+         |und as $matKw(select distinct least(src, dst) as a, greatest(src, dst) as b from knn),
+         |dg as $matKw(select id, ${bigint("count(*)")} as deg
+         |       from (select a as id from und union all select b from und) _dd group by id),
+         |de as $matKw(select case when da.deg < db.deg or (da.deg = db.deg and u.a < u.b) then u.a else u.b end as s,
+         |              case when da.deg < db.deg or (da.deg = db.deg and u.a < u.b) then u.b else u.a end as t,
+         |              case when da.deg < db.deg or (da.deg = db.deg and u.a < u.b) then db.deg else da.deg end as dt
+         |       from und u join dg da on da.id = u.a join dg db on db.id = u.b),
+         |wdg as (select e1.s, e1.t as v, e2.t as w2
+         |        from de e1 join de e2 on e1.s = e2.s and (e1.dt < e2.dt or (e1.dt = e2.dt and e1.t < e2.t))),
+         |tri as (select ${bigint("count(*)")} as n_tri from wdg join de e3 on e3.s = wdg.v and e3.t = wdg.w2),
+         |wc as (select ${bigint(s"sum(${d.idiv("deg * (deg - 1)", "2")})")} as n_wedges from dg),
+         |nn2 as (select ${bigint("count(*)")} as n_nodes from dg),
+         |ne as (select ${bigint("count(*)")} as n_edges from und)
+         |select nn2.n_nodes, ne.n_edges, wc.n_wedges, tri.n_tri as n_triangles,
+         |  ${roundAway(d)("3 * tri.n_tri / cast(wc.n_wedges as double)", 6)} as transitivity
+         |from nn2 cross join ne cross join wc cross join tri""".stripMargin
+    },
+
+    // streaming-shaped anomaly detection over the events table: hourly
+    // counts per event type z-scored against the TRAILING 24-hour
+    // window (frame ends at 1 preceding — the current hour never
+    // contaminates its own baseline). Mean and variance come from
+    // INTEGER rolling sums (Σc, Σc²) — the float math happens once on
+    // exact integers, so both engines agree bit-for-bit (a float
+    // rolling avg would be fold-order-dependent). One groupBy + one
+    // partitioned window; at 100 TB the partition key (event_type) is
+    // the stream key and each partition's frame state is O(24).
+    "events_anomaly" -> {
+      val fr = "partition by event_type order by hr rows between 24 preceding and 1 preceding"
+      s"""with hc as (select event_type, ${evHourEpoch("ts")} as hr, ${bigint("count(*)")} as c
+         |       from events group by event_type, ${evHourEpoch("ts")}),
+         |roll as (select event_type, hr, c,
+         |           sum(c) over ($fr) as s,
+         |           sum(c * c) over ($fr) as s2,
+         |           count(c) over ($fr) as nh
+         |         from hc),
+         |an as (select event_type, hr, c, nh,
+         |         cast(s as double) / nh as mu,
+         |         cast(s2 as double) / nh - (cast(s as double) / nh) * (cast(s as double) / nh) as vr
+         |       from roll where nh >= 12)
+         |select event_type, ${bigint("hr")} as hour_epoch, ${bigint("c")} as n,
+         |  ${roundAway(d)("mu", 4)} as mu,
+         |  case when vr > 0 then ${roundAway(d)("(c - mu) / sqrt(vr)", 4)} end as z,
+         |  ${bigint("case when vr > 0 and abs(c - mu) >= 3 * sqrt(vr) then 1 else 0 end")} as is_anomaly
+         |from an""".stripMargin
+    },
+
+    // set-operation breadth: INTERSECT / EXCEPT with their ANSI
+    // distinct-set semantics — customers active both before AND since
+    // 1998, minus heavy-failure accounts (≥ 8 'F' orders). Each leg is
+    // a distinct over an integer key; set ops hash on the key — the
+    // shape Catalyst plans as aggregations + hash joins, no sorts.
+    "q_set_ops" ->
+      s"""with a as (select distinct o_custkey as custkey from orders where o_orderdate < timestamp '1998-01-01 00:00:00'),
+         |b as (select distinct o_custkey as custkey from orders where o_orderdate >= timestamp '1998-01-01 00:00:00'),
+         |r as (select o_custkey as custkey from orders where o_orderstatus = 'F' group by o_custkey having count(*) >= 8)
+         |select ${bigint("custkey")} as custkey from
+         |  (select custkey from a intersect select custkey from b except select custkey from r) _s""".stripMargin,
+
+    // pivot via conditional aggregation — the portable PIVOT: per-day
+    // event counts spread into one column per type. One groupBy, all
+    // integer counts; the conditional-sum form is what PIVOT desugars
+    // to and stays map-side combinable at any scale.
+    "events_pivot" -> {
+      def cnt(t: String) = bigint(s"sum(case when event_type = '$t' then 1 else 0 end)")
+      s"""select ${bigint(d.idiv(evSec("ts"), "86400"))} as day,
+         |  ${cnt("view")} as n_view, ${cnt("click")} as n_click,
+         |  ${cnt("purchase")} as n_purchase, ${cnt("signup")} as n_signup,
+         |  ${cnt("error")} as n_error, ${bigint("count(*)")} as n_total
+         |from events group by ${d.idiv(evSec("ts"), "86400")}""".stripMargin
+    },
+
+    // correlated scalar subquery — parts priced above their brand's
+    // average. Catalyst rewrites the correlated aggregate into a
+    // grouped join (RewriteCorrelatedScalarSubquery) — 25 brand rows
+    // broadcast back; the decimal-exact sum/count avg keeps the
+    // comparison deterministic in both engines (a float avg's fold
+    // order would not be).
+    "q_corr_subquery" ->
+      s"""select ${bigint("p_partkey")} as partkey, p_brand, price, brand_avg from
+         |  (select p_partkey, p_brand, cast(p_retailprice as double) as price,
+         |     (select ${roundAway(d)("cast(sum(cast(p2.p_retailprice as decimal(18,2))) as double) / count(*)", 2)}
+         |      from part p2 where p2.p_brand = p.p_brand) as brand_avg
+         |   from part p) _t
+         |where price > brand_avg""".stripMargin,
+
     // sliding-window document chunking — the tokenize-and-chunk pass
     // that turns a curated corpus into training sequences: 64-token
     // windows with stride 48 (25% overlap). Each word lands in ≤ 2
