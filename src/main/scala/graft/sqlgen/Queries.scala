@@ -1840,6 +1840,68 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |                    from ht) a""".stripMargin
     },
 
+    // the Bloom prefilter COMPOSED with the exact decontamination join
+    // — output IDENTICAL to `decontaminate` (Bloom admits no false
+    // negatives, so prefiltering the training side can only drop
+    // non-overlapping shingles; SketchSpec asserts row-set equality).
+    // This is the 100 TB execution shape: the m-bit filter broadcasts
+    // to every executor, the training corpus streams through a
+    // map-side membership test, and ONLY the hits (true overlaps +
+    // fill^k false positives) reach the exact hash join's shuffle.
+    "decontaminate_bloom" -> {
+      val m = 32768
+      val k = 3
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def pos(i: Int) = s"(${prf(d)(s"'bl$i'", "g")} % $m)"
+      val arrAggIntDistinct =
+        if (d.name == "spark") "array_sort(collect_set(cast(pos as bigint)))"
+        else "list(distinct cast(pos as bigint) order by cast(pos as bigint))"
+      def contains(arr: String, v: String) =
+        if (d.name == "spark") s"array_contains($arr, cast($v as bigint))"
+        else s"list_contains($arr, cast($v as bigint))"
+      s"""with $wordCtes,
+         |sh as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
+         |       from (select doc_id, wd,
+         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
+         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
+         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
+         |             from wx) _s where w5 is not null),
+         |ev as $matKw(select distinct g, doc_id as eval_doc from sh where doc_id % $decontEvalMod = 0),
+         |pb as (select ${(0 until k).map(pos).mkString(if (d.name == "spark") "array(" else "[", ", ", if (d.name == "spark") ")" else "]")} as ps
+         |       from (select distinct g from ev) _e),
+         |px as (select pos from ${d.explodeFrom("pb", "ps", "pp", "pos", Nil)} _px),
+         |bs as (select $arrAggIntDistinct as bits from px),
+         |tr as (select distinct doc_id, g from sh where doc_id % $decontEvalMod <> 0),
+         |trh as (select tr.doc_id, tr.g from tr cross join bs
+         |        where ${(0 until k).map(i => contains("bs.bits", pos(i))).mkString(" and ")})
+         |select ${bigint("trh.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
+         |  ${bigint("count(*)")} as n_shared_shingles
+         |from trh join ev on ev.g = trh.g
+         |group by trh.doc_id, ev.eval_doc""".stripMargin
+    },
+
+    // rolling distinct-user engagement — per-day DAU, trailing-7-day
+    // WAU, and the DAU/WAU stickiness ratio. Rolling DISTINCT does not
+    // sum across days (users repeat), so WAU joins the per-(day, user)
+    // distinct rows against the tiny day grid with a 7-day range
+    // predicate — the grid side broadcasts (days, not events), the
+    // distinct runs as ONE combinable groupBy per grid day. Integer
+    // counts + one rounded ratio → deterministic.
+    "events_rolling_dau" -> {
+      val day = bigint(d.idiv(evSec("ts"), "86400"))
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with du as $matKw(select distinct $day as day, user_id from events),
+         |days as (select distinct day from du),
+         |dau as (select day, ${bigint("count(*)")} as dau from du group by day),
+         |wau as (select dd.day, ${bigint("count(distinct u.user_id)")} as wau
+         |        from days dd join du u on u.day between dd.day - 6 and dd.day
+         |        group by dd.day)
+         |select ${bigint("dau.day")} as day, dau.dau, wau.wau,
+         |  ${roundAway(d)("dau.dau / cast(wau.wau as double)", 4)} as stickiness
+         |from dau join wau on wau.day = dau.day""".stripMargin
+    },
+
     // count-min sketch — the mergeable frequency sketch: d=4 hash rows
     // × w=16 counters accumulate the whole word stream as ONE
     // (row, col) groupBy of integer sums (map-side combinable;

@@ -106,6 +106,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate_bloom returns exactly the exact-join result") {
+    // Bloom has no false negatives, so prefiltering the training side
+    // must preserve every true overlap pair — the accelerated plan and
+    // the exact plan are row-identical, not merely similar
+    val exact = run("decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = run("decontaminate_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact)
+    assert(bloom.nonEmpty)
+  }
+
+  test("events_rolling_dau: wau bounds dau and stickiness <= 1") {
+    val rows = run("events_rolling_dau").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      assert(r.getAs[Double]("stickiness") <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_set_ops: result respects intersect/except semantics") {
     Tables.register(spark, TestSpark.Sf)
     val res = run("q_set_ops").collect().map(_.getLong(0)).toSet
