@@ -238,6 +238,60 @@ object Streams {
     * (StreamingSketchSpec pins that, including Spark's round
     * semantics). Emits (source, estimate) per update (Update mode —
     * monitoring reads the latest row per key). */
+  case class AnomalyScore(eventType: String, hourEpoch: Long, n: Long,
+                          nh: Long, mu: Double, z: Option[Double],
+                          isAnomaly: Long)
+
+  /** Streaming trailing-window anomaly scoring — the incremental form
+    * of the batch `events_anomaly` query. Input rows are FINALIZED
+    * hourly counts (the append-mode output of a watermarked
+    * 1h-window aggregation upstream — the standard composition), one
+    * per (event_type, hour), arriving in hour order per key. State per
+    * event type is the ring of the last ≤ 24 completed hours — O(24)
+    * integers, exactly the batch frame `rows between 24 preceding and
+    * 1 preceding`. The float math mirrors the generated SQL
+    * bit-for-bit (integer rolling sums, one double division, the same
+    * floor-based round-half-away), so on the same rows the streaming
+    * scores EQUAL the batch query's (StreamingAnomalySpec pins it).
+    * Hours with under 12 trailing hours emit nothing, like the batch
+    * `nh >= 12` gate. */
+  def anomalyStream(hourly: Dataset[(String, Long, Long)])
+      : Dataset[AnomalyScore] = {
+    import hourly.sparkSession.implicits._
+    def roundAway(x: Double, dec: Int): Double = {
+      // the SQL Prim.roundAway rendered in JVM doubles: identical IEEE
+      // multiply/floor/divide sequence, so results match the batch
+      // query bit-for-bit
+      val m = math.pow(10.0, dec.toDouble)
+      val r = if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)
+      r / m + 0.0
+    }
+    hourly
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Long)], AnomalyScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, it, state: GroupState[Vector[(Long, Long)]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AnomalyScore]
+          it.toSeq.sortBy(_._2).foreach { case (_, hr, c) =>
+            val frame = ring.filter(_._1 < hr).takeRight(24)
+            val nh = frame.size.toLong
+            if (nh >= 12) {
+              val s = frame.map(_._2).sum
+              val s2 = frame.map(e => e._2 * e._2).sum
+              val mu = s.toDouble / nh
+              val vr = s2.toDouble / nh - mu * mu
+              val z = if (vr > 0) Some(roundAway((c - mu) / math.sqrt(vr), 4)) else None
+              val flag = if (vr > 0 && math.abs(c - mu) >= 3 * math.sqrt(vr)) 1L else 0L
+              out += AnomalyScore(etype, hr, c, nh, roundAway(mu, 4), z, flag)
+            }
+            ring = (ring.filter(_._1 < hr) :+ (hr, c)).takeRight(24)
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+  }
+
   def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
       : Dataset[(String, Double)] = {
     import words.sparkSession.implicits._
