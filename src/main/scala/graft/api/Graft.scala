@@ -213,6 +213,23 @@ final class Graft(spark: SparkSession, dir: String,
   /** LSH-routed top-k over the int8 codes — the compressed-serving
     * shape (sublinear candidates + 4×-smaller scoring state). */
   def topKQuantizedLsh: DataFrame = q("vec_topk_sq_lsh")
+  /** Bloom membership sketch over eval shingles (fill/FPR report). */
+  def bloomSketch: DataFrame = q("sketch_bloom")
+  /** Bloom-prefiltered decontamination — row-identical to
+    * [[decontamination]], map-side membership test before the join. */
+  def decontaminationBloom: DataFrame = q("decontaminate_bloom")
+  /** Count-min frequency sketch estimates vs exact word counts. */
+  def cmsSketch: DataFrame = q("sketch_cms")
+  /** Mergeable 128-bin histogram quantiles vs two-pass exact values. */
+  def quantileSketch: DataFrame = q("sketch_quantiles")
+  /** Triangle count / transitivity of the kNN proximity graph. */
+  def triangles: DataFrame = q("graph_triangles")
+  /** Trailing-24h z-score anomalies over hourly event counts. */
+  def anomalies: DataFrame = q("events_anomaly")
+  /** Per-day DAU, trailing-7-day WAU, and stickiness. */
+  def rollingEngagement: DataFrame = q("events_rolling_dau")
+  /** Per-day event counts pivoted to one column per type. */
+  def dailyEventMatrix: DataFrame = q("events_pivot")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

@@ -220,6 +220,84 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |knn as (select src, dst, sim, rn from (select src, dst, sim, row_number() over (partition by src order by sim desc, dst) as rn from sims) _e where rn <= $K)""".stripMargin
   }
 
+  /** IVF coarse-quantizer chain, shared by `vec_topk_ivf` and the
+    * composed `vec_topk_ivf_pq` (see the vec_topk_ivf map entry for
+    * the full scale/determinism commentary): E[⌈√N⌉] sampled seed
+    * cells, 2 Lloyd steps on an E[8√N] sample, one full-corpus
+    * assignment (`asgF`), and per-query top-nprobe probed cells
+    * (`qpr`). Requires nvCtes + exnCte upstream. */
+  private lazy val ivfCtes: String = {
+    val nprobe = 4
+    val lloydSteps = 2
+    // deterministic integer threshold sampling: pick iff
+    // prf % 2^20 < floor(2^20·target/N) — expectation `target`, and
+    // the membership test is an integer compare (no float-boundary
+    // semantics to diverge between engines).
+    val thr = "cast(floor((cast(1048576 as double) * ceil(sqrt(cnt))) / cnt) as bigint)"
+    val thrT = "least(1048576, cast(floor((cast(1048576 as double) * cast(8 as double) * ceil(sqrt(cnt))) / cnt) as bigint))"
+    def csimFrom(ct: String, csim: String, src: String = "nn") =
+      s"""$csim as (select $src.id, c.cell, ${d.dot(s"$src.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
+         |          from $src cross join $ct c)""".stripMargin
+    def asgFrom(csim: String, asg: String) =
+      s"""$asg as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
+         |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from $csim group by id) _$asg)""".stripMargin
+    def lloyd(asg: String, cm: String, ct: String) =
+      s"""$cm as (select a.cell, x.pos, round(avg(x.val / x.nrm), 6) as cval
+         |        from $asg a join exn x on x.id = a.id group by a.cell, x.pos),
+         |$ct as (select cell, ${d.arrAggOrdered("cval", "pos")} as cv from $cm group by cell)""".stripMargin
+    val lloydChain = (0 until lloydSteps).map(t =>
+      s"""${csimFrom(s"ct$t", s"csim$t", "tr")},
+         |${asgFrom(s"csim$t", s"asg$t")},
+         |${lloyd(s"asg$t", s"cm${t + 1}", s"ct${t + 1}")}""".stripMargin).mkString(",\n")
+    s"""par2 as (select $thr as thr, $thrT as thrt from (select cast(count(*) as double) as cnt from nn) _c),
+       |tr as (select nn.id, nn.n from nn cross join par2 where ${prfMod(d)(1048576, "'ivftrain'", "nn.id")} < thrt),
+       |ct0 as (select nn.id as cell, nn.n as cv from nn cross join par2 where ${prfMod(d)(1048576, "'ivfseed'", "nn.id")} < thr),
+       |$lloydChain,
+       |${csimFrom(s"ct$lloydSteps", "csimF")},
+       |${asgFrom("csimF", "asgF")},
+       |qpr as (select id as qid, cell from (select id, cell, row_number() over (partition by id order by sim desc, cell) as rn
+       |                                     from csimF where id in ($qIdLit)) _q where rn <= $nprobe)""".stripMargin
+  }
+
+  /** PQ codebook/encode chain, shared by `vec_topk_pq` and the
+    * composed `vec_topk_ivf_pq` (see the vec_topk_pq map entry for
+    * commentary): 8 subspaces × 8 dims, sampled one-step Lloyd
+    * codebooks (`pct1`), the full corpus encoded as 8 codes
+    * (`codes`), and the |Q|·M·K ADC lookup source (`sall`). CTE names
+    * are p-prefixed so the chain composes with [[ivfCtes]] in one
+    * WITH clause. Requires nvCtes upstream. */
+  private lazy val pqCtes: String = {
+    val (mSub, dSub) = (8, 8) // 8 subspaces x 8 dims of Dim=64
+    val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
+    val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
+    // (id, m 0-based, sv double[dSub]) in ONE pass: nested-array
+    // transform + a single explode (an 8-way union of slice scans
+    // multiplied every CTE re-reference by 8 source reads)
+    val slices = d.arrTransform(d.intSeq("0", (mSub - 1).toString), "mm",
+      (1 to dSub).map(j => d.arrIdx0("n", s"mm * $dSub + ${j - 1}")).mkString(
+        if (d.name == "spark") "array(" else "[", ", ",
+        if (d.name == "spark") ")" else "]"))
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    s"""par4 as (select cast(count(*) as double) as cnt from nn),
+       |vsub as (select id, m1 - 1 as m, sv from ${d.explodeFrom("nn", slices, "m1", "sv", Seq("id"))} _vs),
+       |ptr as (select v.id, v.m, v.sv from vsub v cross join par4
+       |       where ${prfMod(d)(1048576, "'pqtrain'", "v.id")} < $thrT),
+       |pct0 as (select v.m, v.id as cell, v.sv as cv from vsub v cross join par4
+       |        where ${prfMod(d)(1048576, "'pqseed'", "v.id")} < $thrS),
+       |psc0 as (select t.id, t.m, c.cell, ${d.dot("t.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
+       |        from ptr t join pct0 c on c.m = t.m),
+       |pa0 as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+       |         select id, m, max(${d.structLit2("s", "score", "c", "-cell")}) as mx from psc0 group by id, m) _pa0),
+       |ptx as (select a.m, a.cell, x.sp, x.v1 from pa0 a
+       |       join ${d.explodeFrom("ptr", "sv", "sp", "v1", Seq("id", "m"))} x on x.id = a.id and x.m = a.m),
+       |pcm as (select m, cell, sp, round(avg(v1), 6) as cval from ptx group by m, cell, sp),
+       |pct1 as $matKw(select m, cell, ${d.arrAggOrdered("cval", "sp")} as cv from pcm group by m, cell),
+       |sall as $matKw(select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as dt, ${d.dot("c.cv", "c.cv")} as c2
+       |               from vsub v join pct1 c on c.m = v.m),
+       |codes as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+       |            select id, m, max(${d.structLit2("s", "dt - 0.5 * c2", "c", "-cell")}) as mx from sall group by id, m) _cf)""".stripMargin
+  }
+
   /** Graph in-degree per vector (reference: compute_in_degrees). */
   private val indegCte =
     s"""indeg as (select nn.id as vec_id, coalesce(dc.c, 0) as in_degree
@@ -863,43 +941,41 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // doubles), Lloyd refinement on 8√N sampled rows, ONE broadcast-
     // join assignment pass over the corpus, per-cell candidate work
     // only.
-    "vec_topk_ivf" -> {
-      val nprobe = 4
-      val lloydSteps = 2
-      // deterministic integer threshold sampling: pick iff
-      // prf % 2^20 < floor(2^20·target/N) — expectation `target`, and
-      // the membership test is an integer compare (no float-boundary
-      // semantics to diverge between engines).
-      val thr = "cast(floor((cast(1048576 as double) * ceil(sqrt(cnt))) / cnt) as bigint)"
-      val thrT = "least(1048576, cast(floor((cast(1048576 as double) * cast(8 as double) * ceil(sqrt(cnt))) / cnt) as bigint))"
-      def csimFrom(ct: String, csim: String, src: String = "nn") =
-        s"""$csim as (select $src.id, c.cell, ${d.dot(s"$src.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
-           |          from $src cross join $ct c)""".stripMargin
-      def asgFrom(csim: String, asg: String) =
-        s"""$asg as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
-           |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from $csim group by id) _$asg)""".stripMargin
-      def lloyd(asg: String, cm: String, ct: String) =
-        s"""$cm as (select a.cell, x.pos, round(avg(x.val / x.nrm), 6) as cval
-           |        from $asg a join exn x on x.id = a.id group by a.cell, x.pos),
-           |$ct as (select cell, ${d.arrAggOrdered("cval", "pos")} as cv from $cm group by cell)""".stripMargin
-      val lloydChain = (0 until lloydSteps).map(t =>
-        s"""${csimFrom(s"ct$t", s"csim$t", "tr")},
-           |${asgFrom(s"csim$t", s"asg$t")},
-           |${lloyd(s"asg$t", s"cm${t + 1}", s"ct${t + 1}")}""".stripMargin).mkString(",\n")
+    "vec_topk_ivf" ->
       s"""with $nvCtes, $exnCte,
-         |par2 as (select $thr as thr, $thrT as thrt from (select cast(count(*) as double) as cnt from nn) _c),
-         |tr as (select nn.id, nn.n from nn cross join par2 where ${prfMod(d)(1048576, "'ivftrain'", "nn.id")} < thrt),
-         |ct0 as (select nn.id as cell, nn.n as cv from nn cross join par2 where ${prfMod(d)(1048576, "'ivfseed'", "nn.id")} < thr),
-         |$lloydChain,
-         |${csimFrom(s"ct$lloydSteps", "csimF")},
-         |${asgFrom("csimF", "asgF")},
-         |qpr as (select id as qid, cell from (select id, cell, row_number() over (partition by id order by sim desc, cell) as rn
-         |                                     from csimF where id in ($qIdLit)) _q where rn <= $nprobe),
+         |$ivfCtes,
          |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
          |p as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
          |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
+    // IVF coarse routing COMPOSED with PQ ADC scoring — the canonical
+    // serving index of the reference's Milvus backend (IVF_PQ: faiss
+    // trains exactly this pair). Routing reuses the shared IVF chain
+    // (top-nprobe refined cells per query); scoring reuses the shared
+    // PQ chain (asymmetric distance against the candidates' 8-byte
+    // codes). The 100 TB shape is the product of both legs' stories:
+    // probe cost √N/nprobe-sublinear AND the scanned per-candidate
+    // state is codes (32× smaller), with the |Q|·M·K lookup table the
+    // only query-side join input. Exact re-ranking of the ADC winners
+    // (the standard refine step) is what `vec_topk_ivf` provides.
+    "vec_topk_ivf_pq" -> {
+      val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
+      s"""with $nvCtes, $exnCte,
+         |$ivfCtes,
+         |$pqCtes,
+         |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
+         |adc as (select c.qid, c.cid,
+         |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
+         |        from cnd c join codes k on k.id = c.cid
+         |        join (select id as qid, m, cell, dt as qdot, c2 from sall where id in ($qIdLit)) q
+         |          on q.qid = c.qid and q.m = k.m and q.cell = k.cell
+         |        group by c.qid, c.cid),
+         |p as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
+         |from (select qid, cid, approx_sim, row_number() over (partition by qid order by approx_sim desc, cid) as rn from p) _t
          |where rn <= 10""".stripMargin
     },
 
@@ -920,37 +996,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // every assignment a max(struct(score, -cell)) aggregation
     // (argmin L2 = argmax dot(x,c) - |c|²/2, order-independent).
     "vec_topk_pq" -> {
-      val (mSub, dSub) = (8, 8) // 8 subspaces x 8 dims of Dim=64
-      val ones = d.castDoubleArray(arrLit(Seq.fill(mSub)("1.0")))
-      val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
-      val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
-      // (id, m 0-based, sv double[dSub]) in ONE pass: nested-array
-      // transform + a single explode (an 8-way union of slice scans
-      // multiplied every CTE re-reference by 8 source reads)
-      val slices = d.arrTransform(d.intSeq("0", (mSub - 1).toString), "mm",
-        (1 to dSub).map(j => d.arrIdx0("n", s"mm * $dSub + ${j - 1}")).mkString(
-          if (d.name == "spark") "array(" else "[", ", ",
-          if (d.name == "spark") ")" else "]"))
-      val matKw = if (d.name == "duckdb") "materialized " else ""
+      val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
       s"""with $nvCtes,
-         |par4 as (select cast(count(*) as double) as cnt from nn),
-         |vsub as (select id, m1 - 1 as m, sv from ${d.explodeFrom("nn", slices, "m1", "sv", Seq("id"))} _vs),
-         |tr as (select v.id, v.m, v.sv from vsub v cross join par4
-         |       where ${prfMod(d)(1048576, "'pqtrain'", "v.id")} < $thrT),
-         |ct0 as (select v.m, v.id as cell, v.sv as cv from vsub v cross join par4
-         |        where ${prfMod(d)(1048576, "'pqseed'", "v.id")} < $thrS),
-         |sc0 as (select t.id, t.m, c.cell, ${d.dot("t.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
-         |        from tr t join ct0 c on c.m = t.m),
-         |a0 as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
-         |         select id, m, max(${d.structLit2("s", "score", "c", "-cell")}) as mx from sc0 group by id, m) _a0),
-         |tx as (select a.m, a.cell, x.sp, x.v1 from a0 a
-         |       join ${d.explodeFrom("tr", "sv", "sp", "v1", Seq("id", "m"))} x on x.id = a.id and x.m = a.m),
-         |cm as (select m, cell, sp, round(avg(v1), 6) as cval from tx group by m, cell, sp),
-         |ct1 as $matKw(select m, cell, ${d.arrAggOrdered("cval", "sp")} as cv from cm group by m, cell),
-         |sall as $matKw(select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as dt, ${d.dot("c.cv", "c.cv")} as c2
-         |               from vsub v join ct1 c on c.m = v.m),
-         |codes as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
-         |            select id, m, max(${d.structLit2("s", "dt - 0.5 * c2", "c", "-cell")}) as mx from sall group by id, m) _cf),
+         |$pqCtes,
          |adc as (select q.qid, k.id as cid,
          |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
          |        from codes k

@@ -127,6 +127,23 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_topk_ivf_pq routes like IVF and scores like PQ") {
+    val ivf = run("vec_topk_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfPq = run("vec_topk_ivf_pq").collect()
+    assert(ivfPq.nonEmpty)
+    val byQ = ivfPq.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 10))
+    // ADC scores are cosine approximations — bounded like cosines
+    assert(ivfPq.forall(r => math.abs(r.getDouble(2)) <= 1.05))
+    // same routing as vec_topk_ivf (identical probed cells), coarser
+    // scores: top-10 lists still overlap substantially even on the
+    // isotropic bench corpus
+    val overlap = ivfPq.count(r => ivf.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap.toDouble / ivfPq.length >= 0.3,
+      s"only $overlap/${ivfPq.length} composed hits shared with IVF")
+  }
+
   test("q_set_ops: result respects intersect/except semantics") {
     Tables.register(spark, TestSpark.Sf)
     val res = run("q_set_ops").collect().map(_.getLong(0)).toSet
