@@ -53,7 +53,17 @@ object Plans {
     "text_entropy" -> "one explode + one (doc, word) groupBy + per-doc ordered fold — float sum order pinned by hash-order with value tie-break",
     "q4_priority" -> "EXISTS rewritten to LeftSemi hash join, date filter pushed to the orders scan",
     "q_no_returns" -> "NOT EXISTS rewritten to LeftAnti hash join, returnflag filter shrinks the build side at the scan",
-    "events_rollup" -> "rollup expands grouping sets map-side; every level partial-aggregated in one shuffle")
+    "events_rollup" -> "rollup expands grouping sets map-side; every level partial-aggregated in one shuffle",
+    "vec_topk_ivf_pq" -> "composed serving index: IVF cell routing (broadcast centroids, map-side max(struct) argmax) feeding ADC scoring against the candidates' code table — probe cost sublinear AND per-candidate state 32x smaller",
+    "sketch_bloom" -> "Bloom build: distinct set-bit positions aggregate to ONE array row; probe side cross-joins the 1-row bitset (broadcast) and membership-tests map-side — the only shuffles are the two distinct aggregations",
+    "decontaminate_bloom" -> "the Bloom bitset broadcast + map-side membership test BEFORE the exact shingle join — only hits reach the join shuffle; row-identical to decontaminate by the no-false-negative contract",
+    "sketch_cms" -> "count-min: one (row, col) integer-sum groupBy builds the 4x16 grid (mergeable by addition); point queries join the tiny grid back",
+    "sketch_quantiles" -> "pass 1: min/max + 128 integer bin counts (mergeable); pass 2 rank-selects WITHIN the one target bin via a bin-partitioned window — no global sort",
+    "graph_triangles" -> "degree-oriented wedge join over g_knn-derived undirected edges: orientation bounds out-degree at O(sqrt E), closing edge is one hash semi-join; all integer keys",
+    "events_anomaly" -> "one (type, hour) groupBy then a type-partitioned 24-row window over INTEGER sums — per-partition state is O(24), float math on exact integers",
+    "events_rolling_dau" -> "per-(day,user) distinct once; WAU joins the tiny day grid with a 7-day range predicate (grid side broadcasts) + one combinable count-distinct per grid day",
+    "q_corr_subquery" -> "correlated scalar subquery rewritten by Catalyst to a grouped aggregate + broadcast hash join (25 brand rows)",
+    "q_set_ops" -> "INTERSECT/EXCEPT planned as distinct aggregations + LeftSemi/LeftAnti hash joins on the integer key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

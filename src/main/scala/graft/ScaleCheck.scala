@@ -50,13 +50,15 @@ object ScaleCheck {
     // chain-heavy queries (full inline chain — no WmCache views, so the
     // plane count under test is the one actually executed)
     val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding",
-      "vec_topk_filtered_lsh")
+      "vec_topk_filtered_lsh", "graph_triangles")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
-    val flatQs = Seq("vec_topk_ivf", "vec_topk_pq", "text_chunk",
-      "dedup_simhash_pairs", "sketch_distinct_by_source", "vec_topk_sq",
-      "text_entropy")
+    val flatQs = Seq("vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq",
+      "text_chunk", "dedup_simhash_pairs", "sketch_distinct_by_source",
+      "vec_topk_sq", "text_entropy", "sketch_bloom", "decontaminate_bloom",
+      "sketch_cms", "sketch_quantiles", "events_anomaly",
+      "events_rolling_dau")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -107,7 +109,31 @@ object ScaleCheck {
       .selectExpr(s"doc_id + rep * ${nD}L as doc_id",
         "concat(text, ' rep', rep) as text", "lang", "source", "n_chars")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
-    for (t <- Tables.names if t != "embeddings" && t != "documents")
+    // events: each replica shifted 30 days with its own user universe,
+    // so hour count AND user count scale with the factor (the axes
+    // events_anomaly / events_rolling_dau grow along). ts arrives as
+    // BIGINT nanos (nanosAsLong) and is written back as plain INT64 —
+    // evSec/evHourEpoch read either encoding identically.
+    val evs = spark.read.parquet(s"$src/events.parquet")
+    val nE = evs.count()
+    evs.selectExpr(s"explode(sequence(0, ${factor - 1})) as rep", "*")
+      .selectExpr(s"event_id + rep * ${nE}L as event_id",
+        "ts + rep * 2592000000000000L as ts",
+        "user_id + rep * 100000L as user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    // lineitem: replicas keep the price distribution with a sub-cent
+    // nudge (new distinct values — sketch_quantiles' rank selection
+    // sees a genuinely bigger value set)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liCols = li.columns.map {
+      case "l_orderkey" => s"l_orderkey + rep * 10000000L as l_orderkey"
+      case "l_extendedprice" => "l_extendedprice + rep * 0.0001d as l_extendedprice"
+      case c => c
+    }
+    li.selectExpr(s"explode(sequence(0, ${factor - 1})) as rep", "*")
+      .selectExpr(liCols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    for (t <- Tables.names if !Set("embeddings", "documents", "events", "lineitem").contains(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
     new File(s"$dir/_READY").createNewFile(): Unit

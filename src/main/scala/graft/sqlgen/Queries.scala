@@ -220,6 +220,73 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |knn as (select src, dst, sim, rn from (select src, dst, sim, row_number() over (partition by src order by sim desc, dst) as rn from sims) _e where rn <= $K)""".stripMargin
   }
 
+  /** 5-word-shingle CTE over ONE SIDE of the train/eval split: the
+    * doc_id predicate applies BELOW the lead() window (it partitions
+    * by doc_id, so filtering docs first is value-identical), which
+    * keeps each side's window pass sized to its own docs — a CTE that
+    * filtered after the window would re-run the FULL corpus window
+    * once per Spark reference (measured: 3 full passes in
+    * decontaminate_bloom before this split). */
+  private def shingleSideCte(name: String, pred: String): String =
+    s"""$name as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
+       |       from (select doc_id, wd,
+       |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+       |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
+       |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
+       |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
+       |             from (select doc_id, wpos, wd from wx where $pred) _f) _s
+       |       where w5 is not null)""".stripMargin
+
+  /** Bloom filter primitives shared by `sketch_bloom` and
+    * `decontaminate_bloom`: m = 2^15 bits packed into 1024 × 32-bit
+    * words (a ~8 KB broadcastable array — word values < 2^32 are
+    * exact in the double array agg), k = 3 keyed hash positions per
+    * element. The PROBE is an O(1) indexed bit test per hash — NOT an
+    * array_contains scan of the set-bit list, which is O(|set bits|)
+    * per probe and measured 4× slower than the exact join it is
+    * supposed to accelerate at 10× scale. */
+  private val BloomBits = 32768
+  private val BloomWords = BloomBits / 32
+  private val BloomK = 3
+  /** Position i via Kirsch–Mitzenmacher double hashing over DISJOINT
+    * bit ranges of the already-md5-derived 60-bit shingle hash g:
+    * h1 + i·(2·h2' + 1) mod m (the step forced odd, so every stride
+    * walks the full ring). Pure integer arithmetic — probing costs no
+    * md5 evaluations per row (projection collapse duplicates the
+    * position expression into the word and bit fetches, so an
+    * md5-based position would be hashed 2k× per probe row). */
+  private def bloomPos(i: Int, g: String = "g") =
+    s"((($g) % $BloomBits + $i * (2 * (${d.idiv(g, BloomBits.toString)} % ${BloomBits / 2}) + 1)) % $BloomBits)"
+  /** CTEs pb→px→pd→bw→bs over an upstream CTE `src`(g): bs is ONE row
+    * with words (the packed bitset), n_bits_set, n_eval. */
+  private def bloomBuildCtes(src: String): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    s"""pb as (select ${(0 until BloomK).map(i => bloomPos(i)).mkString(
+         if (d.name == "spark") "array(" else "[", ", ",
+         if (d.name == "spark") ")" else "]")} as ps from $src),
+       |px as (select pos from ${d.explodeFrom("pb", "ps", "pp", "pos", Nil)} _px),
+       |pd as $matKw(select distinct pos from px),
+       |bw as (select ${d.idiv("pos", "32")} as w, ${bigint("sum(cast(pow(2, pos % 32) as bigint))")} as wv
+       |       from pd group by ${d.idiv("pos", "32")}),
+       |bs as (select ${d.arrAggOrdered("coalesce(bw.wv, 0)", "gw.w")} as words,
+       |              ${bigint("sum(case when bw.wv is not null then 1 else 0 end)")} as n_words,
+       |              (select ${bigint("count(*)")} from pd) as n_bits_set,
+       |              (select ${bigint(d.idiv("count(*)", BloomK.toString))} from px) as n_eval
+       |       from ${rangeTable("gw", "w", 0, BloomWords - 1)} left join bw on bw.w = gw.w)""".stripMargin
+  }
+  /** O(1) membership test of position column/expr `p` against the
+    * 1-row bitset CTE `bs` (exact double→bigint word fetch, shift via
+    * integer divide). The bitset arrives as a SCALAR SUBQUERY, not a
+    * cross join: a 1-row broadcast nested-loop join evaluates its
+    * condition interpreted, outside whole-stage codegen (measured ~2s
+    * of pure expression interpretation on a 2.6M-row probe side),
+    * while a subquery-fed single-table filter stays codegen'd and the
+    * engines execute the bloom-build chain exactly once
+    * (ReuseSubquery / DuckDB CTE materialization). */
+  private def bloomTest(p: String): String =
+    s"((${d.idiv(s"cast(${d.arrIdx0("(select words from bs)", d.idiv(p, "32"))} as bigint)",
+      s"cast(pow(2, ($p) % 32) as bigint)")}) % 2 = 1)"
+
   /** IVF coarse-quantizer chain, shared by `vec_topk_ivf` and the
     * composed `vec_topk_ivf_pq` (see the vec_topk_ivf map entry for
     * the full scale/determinism commentary): E[⌈√N⌉] sampled seed
@@ -1318,15 +1385,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // carries 8-byte keys instead of 32-char strings.
     "decontaminate" ->
       s"""with $wordCtes,
-         |sh as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
-         |       from (select doc_id, wd,
-         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
-         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
-         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
-         |             from wx) _s where w5 is not null),
-         |ev as (select distinct g, doc_id as eval_doc from sh where doc_id % $decontEvalMod = 0),
-         |tr as (select distinct doc_id, g from sh where doc_id % $decontEvalMod <> 0)
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+         |ev as (select distinct g, doc_id as eval_doc from shev),
+         |tr as (select distinct doc_id, g from shtr)
          |select ${bigint("tr.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
          |  ${bigint("count(*)")} as n_shared_shingles
          |from tr join ev on ev.g = tr.g
@@ -1848,38 +1910,21 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // All integer arithmetic (PRF positions, set-bit array, contains)
     // → bit-identical engines.
     "sketch_bloom" -> {
-      val m = 32768 // 2^15 bits; fill stays demonstrative at sf0.001-0.1
-      val k = 3
       val matKw = if (d.name == "duckdb") "materialized " else ""
-      def pos(i: Int) = s"(${prf(d)(s"'bl$i'", "g")} % $m)"
-      val arrAggIntDistinct =
-        if (d.name == "spark") "array_sort(collect_set(cast(pos as bigint)))"
-        else "list(distinct cast(pos as bigint) order by cast(pos as bigint))"
-      def contains(arr: String, v: String) =
-        if (d.name == "spark") s"array_contains($arr, cast($v as bigint))"
-        else s"list_contains($arr, cast($v as bigint))"
       s"""with $wordCtes,
-         |sh as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
-         |       from (select doc_id, wd,
-         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
-         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
-         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
-         |             from wx) _s where w5 is not null),
-         |gb as $matKw(select g,
-         |         max(case when doc_id % $decontEvalMod = 0 then 1 else 0 end) as ise,
-         |         max(case when doc_id % $decontEvalMod <> 0 then 1 else 0 end) as ist
-         |       from sh group by g),
-         |pb as (select ${(0 until k).map(pos).mkString(if (d.name == "spark") "array(" else "[", ", ", if (d.name == "spark") ")" else "]")} as ps
-         |       from gb where ise = 1),
-         |px as (select pos from ${d.explodeFrom("pb", "ps", "pp", "pos", Nil)} _px),
-         |bs as (select $arrAggIntDistinct as bits, ${bigint(d.idiv("count(*)", k.toString))} as n_eval from px),
-         |qr as (select g, ise, ${(0 until k).map(i => s"${pos(i)} as q$i").mkString(", ")} from gb where ist = 1),
-         |ht as (select ise, case when ${(0 until k).map(i => contains("bs.bits", s"q$i")).mkString(" and ")} then 1 else 0 end as h
-         |       from qr cross join bs)
-         |select bs.n_eval as n_eval_shingles, ${bigint(s"${d.arrLen("bs.bits")}")} as n_bits_set,
-         |  ${roundAway(d)(s"${d.arrLen("bs.bits")} / cast($m as double)", 6)} as fill_ratio,
-         |  ${roundAway(d)(s"pow(${d.arrLen("bs.bits")} / cast($m as double), $k)", 6)} as fpr_expected,
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+         |evd as $matKw(select distinct g from shev),
+         |${bloomBuildCtes("evd")},
+         |trd as (select distinct g from shtr),
+         |qr as (select trd.g, case when e.g is not null then 1 else 0 end as ise,
+         |              ${(0 until BloomK).map(i => s"${bloomPos(i, "trd.g")} as q$i").mkString(", ")}
+         |       from trd left join evd e on e.g = trd.g),
+         |ht as (select ise, case when ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")} then 1 else 0 end as h
+         |       from qr)
+         |select bs.n_eval as n_eval_shingles, bs.n_bits_set,
+         |  ${roundAway(d)(s"bs.n_bits_set / cast($BloomBits as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(bs.n_bits_set / cast($BloomBits as double), $BloomK)", 6)} as fpr_expected,
          |  ${bigint("a.n_probes")} as n_probes, ${bigint("a.n_members")} as n_members,
          |  ${bigint("a.n_hits")} as n_hits, ${bigint("a.n_false_pos")} as n_false_pos,
          |  ${roundAway(d)("a.n_false_pos / cast(a.n_probes - a.n_members as double)", 6)} as fpr_measured
@@ -1897,32 +1942,18 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // map-side membership test, and ONLY the hits (true overlaps +
     // fill^k false positives) reach the exact hash join's shuffle.
     "decontaminate_bloom" -> {
-      val m = 32768
-      val k = 3
       val matKw = if (d.name == "duckdb") "materialized " else ""
-      def pos(i: Int) = s"(${prf(d)(s"'bl$i'", "g")} % $m)"
-      val arrAggIntDistinct =
-        if (d.name == "spark") "array_sort(collect_set(cast(pos as bigint)))"
-        else "list(distinct cast(pos as bigint) order by cast(pos as bigint))"
-      def contains(arr: String, v: String) =
-        if (d.name == "spark") s"array_contains($arr, cast($v as bigint))"
-        else s"list_contains($arr, cast($v as bigint))"
       s"""with $wordCtes,
-         |sh as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
-         |       from (select doc_id, wd,
-         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
-         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
-         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
-         |             from wx) _s where w5 is not null),
-         |ev as $matKw(select distinct g, doc_id as eval_doc from sh where doc_id % $decontEvalMod = 0),
-         |pb as (select ${(0 until k).map(pos).mkString(if (d.name == "spark") "array(" else "[", ", ", if (d.name == "spark") ")" else "]")} as ps
-         |       from (select distinct g from ev) _e),
-         |px as (select pos from ${d.explodeFrom("pb", "ps", "pp", "pos", Nil)} _px),
-         |bs as (select $arrAggIntDistinct as bits from px),
-         |tr as (select distinct doc_id, g from sh where doc_id % $decontEvalMod <> 0),
-         |trh as (select tr.doc_id, tr.g from tr cross join bs
-         |        where ${(0 until k).map(i => contains("bs.bits", pos(i))).mkString(" and ")})
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+         |ev as $matKw(select distinct g, doc_id as eval_doc from shev),
+         |evg as (select distinct g from ev),
+         |${bloomBuildCtes("evg")},
+         |tr as (select distinct doc_id, g from shtr),
+         |trq as (select doc_id, g, ${(0 until BloomK).map(i => s"min(${bloomPos(i)}) as q$i").mkString(", ")}
+         |        from tr group by doc_id, g),
+         |trh as (select trq.doc_id, trq.g from trq
+         |        where ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")})
          |select ${bigint("trh.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
          |  ${bigint("count(*)")} as n_shared_shingles
          |from trh join ev on ev.g = trh.g
