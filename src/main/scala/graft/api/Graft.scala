@@ -230,6 +230,12 @@ final class Graft(spark: SparkSession, dir: String,
   def rollingEngagement: DataFrame = q("events_rolling_dau")
   /** Per-day event counts pivoted to one column per type. */
   def dailyEventMatrix: DataFrame = q("events_pivot")
+  /** Asymmetric containment (quote/inclusion detection) per pair. */
+  def containment: DataFrame = q("dedup_containment")
+  /** Three-stage IVF_PQ + exact-refine search (the faiss pipeline). */
+  def topKIvfPqRefined: DataFrame = q("vec_topk_ivf_pq_rerank")
+  /** CUBE margins of the per-(type, day) event matrix. */
+  def eventCube: DataFrame = q("events_cube")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

@@ -237,6 +237,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |             from (select doc_id, wpos, wd from wx where $pred) _f) _s
        |       where w5 is not null)""".stripMargin
 
+  /** Pair-tagged 5-gram chain shared by `dedup_jaccard` /
+    * `dedup_containment`: pairs are (20k, 20k+1); each gram row is
+    * tagged with its pair id and side, so ONE groupBy (pair, gram) +
+    * ONE groupBy pair yields the intersection and both set sizes — a
+    * single pass over the grams instead of four CTE re-evaluations
+    * (Spark inlines CTEs). The DISTINCT in g0 is an aggregate barrier
+    * that materializes lower(text) once. Grams shuffle as their
+    * 60-bit md5 hash, not the raw string (same counts modulo a
+    * ~2^-40 collision chance per pair — and collisions hash
+    * identically in both engines); the narrower key cuts the dominant
+    * shuffle's bytes. Ends in j(pair, i, na, nb). */
+  private lazy val jaccardCtes: String = {
+    val grams = d.arrTransform(d.intSeq("1", "length(lt) - 4"), "k", "substr(lt, cast(k as int), 5)")
+    s"""g0 as (select distinct doc_id, lower(text) as lt from documents where doc_id % 20 <= 1),
+       |g as (select doc_id, $grams as gr from g0),
+       |gp as (select doc_id - (doc_id % 20) as pair, doc_id % 20 as side,
+       |              ${d.hex2int("substr(md5(gm), 1, 15)")} as gh
+       |       from ${d.explodeFrom("g", "gr", "gpos", "gm", Seq("doc_id"))} _gx),
+       |ag as (select pair, gh, max(case when side = 0 then 1 else 0 end) as l,
+       |              max(case when side = 1 then 1 else 0 end) as r
+       |       from gp group by pair, gh),
+       |j as (select pair, sum(l * r) as i, sum(l) as na, sum(r) as nb from ag group by pair)""".stripMargin
+  }
+
   /** Bloom filter primitives shared by `sketch_bloom` and
     * `decontaminate_bloom`: m = 2^15 bits packed into 1024 × 32-bit
     * words (a ~8 KB broadcastable array — word values < 2^32 are
@@ -747,6 +771,19 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
          |from e group by rollup(event_type, day)""".stripMargin,
 
+    // CUBE grouping sets — the rollup's sibling: all four
+    // (type, day) / (type) / (day) / () levels in one pass, levels
+    // tagged via grouping() (never value sentinels on the key itself,
+    // so a genuine NULL key cannot collide with a cube row). Same
+    // map-side grouping-set expansion + one shuffle as rollup.
+    "events_cube" ->
+      s"""with e as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day, value from events)
+         |select case when grouping(event_type) = 1 then 'ALL' else event_type end as event_type,
+         |  ${bigint("case when grouping(day) = 1 then -1 else day end")} as day,
+         |  ${bigint("count(*)")} as n,
+         |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
+         |from e group by cube(event_type, day)""".stripMargin,
+
     "q_window_topn" ->
       s"""select n_name, ${bigint("c_custkey")} as c_custkey, round(c_acctbal, 2) as acctbal, ${bigint("rn")} as rn
          |from (select n.n_name, c.c_custkey, c.c_acctbal,
@@ -879,30 +916,27 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("hamming")} as hamming
          |from cand""".stripMargin,
 
-    "dedup_jaccard" -> {
-      val grams = d.arrTransform(d.intSeq("1", "length(lt) - 4"), "k", "substr(lt, cast(k as int), 5)")
-      // pairs are (20k, 20k+1); each gram row is tagged with its pair id
-      // and side, so ONE groupBy (pair, gram) + ONE groupBy pair yields
-      // the intersection and both set sizes — a single pass over the
-      // grams instead of four CTE re-evaluations (Spark inlines CTEs).
-      // The DISTINCT in g0 is an aggregate barrier that materializes
-      // lower(text) once. Grams shuffle as their 60-bit md5 hash, not
-      // the raw string (same Jaccard counts modulo a ~2^-40 collision
-      // chance per pair — and collisions hash identically in both
-      // engines); the narrower key cuts the dominant shuffle's bytes.
-      s"""with g0 as (select distinct doc_id, lower(text) as lt from documents where doc_id % 20 <= 1),
-         |g as (select doc_id, $grams as gr from g0),
-         |gp as (select doc_id - (doc_id % 20) as pair, doc_id % 20 as side,
-         |              ${d.hex2int("substr(md5(gm), 1, 15)")} as gh
-         |       from ${d.explodeFrom("g", "gr", "gpos", "gm", Seq("doc_id"))} _gx),
-         |ag as (select pair, gh, max(case when side = 0 then 1 else 0 end) as l,
-         |              max(case when side = 1 then 1 else 0 end) as r
-         |       from gp group by pair, gh),
-         |j as (select pair, sum(l * r) as i, sum(l) as na, sum(r) as nb from ag group by pair)
+    "dedup_jaccard" ->
+      s"""with $jaccardCtes
          |select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
          |  round(i / (na + nb - i), 4) as jaccard
-         |from j where na > 0 and nb > 0""".stripMargin
-    },
+         |from j where na > 0 and nb > 0""".stripMargin,
+
+    // asymmetric set CONTAINMENT over the same candidate pairs — the
+    // quote/inclusion detector the symmetric Jaccard misses: a short
+    // document fully quoted inside a long one has tiny Jaccard
+    // (|A∩B|/|A∪B| shrinks with the size gap) but containment
+    // |A∩B|/|A| ≈ 1. Same single-pass pair-tagged gram chain as
+    // dedup_jaccard (shared jaccardCtes — one explode, two combinable
+    // groupBys), two extra divisions at the end.
+    "dedup_containment" ->
+      s"""with $jaccardCtes
+         |select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
+         |  round(i / (na + nb - i), 4) as jaccard,
+         |  round(i / na, 4) as containment_a,
+         |  round(i / nb, 4) as containment_b,
+         |  ${bigint("case when i / least(na, nb) >= 0.8 then 1 else 0 end")} as is_contained
+         |from j where na > 0 and nb > 0""".stripMargin,
 
     "dedup_embedding" -> {
       // Spark side salts the bucket self-join (left side keyed id % S,
@@ -1075,6 +1109,35 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |p as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
          |from (select qid, cid, approx_sim, row_number() over (partition by qid order by approx_sim desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // IVF_PQ + EXACT RE-RANK — the full three-stage serving pipeline
+    // (faiss's refine step / Milvus RRF): IVF routes to nprobe cells,
+    // PQ ADC scores every cell candidate from codes, the top-50 ADC
+    // survivors (only!) fetch their raw vectors for exact cosine, and
+    // the final 10 rank exactly. At scale the raw-vector fetch is a
+    // semi-join of 50·|Q| ids against the vector table — the pattern
+    // that keeps exact scoring O(refine·|Q|) while the corpus-wide
+    // work stays in code space.
+    "vec_topk_ivf_pq_rerank" -> {
+      val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
+      s"""with $nvCtes, $exnCte,
+         |$ivfCtes,
+         |$pqCtes,
+         |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
+         |adc as (select c.qid, c.cid,
+         |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
+         |        from cnd c join codes k on k.id = c.cid
+         |        join (select id as qid, m, cell, dt as qdot, c2 from sall where id in ($qIdLit)) q
+         |          on q.qid = c.qid and q.m = k.m and q.cell = k.cell
+         |        group by c.qid, c.cid),
+         |ap as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc),
+         |short as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by approx_sim desc, cid) as arn from ap) _s where arn <= 50),
+         |ex as (select s.qid, s.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |       from short s join nn na on na.id = s.qid join nn nb on nb.id = s.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+         |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from ex) _t
          |where rn <= 10""".stripMargin
     },
 

@@ -144,6 +144,36 @@ class SketchSpec extends AnyFunSuite {
       s"only $overlap/${ivfPq.length} composed hits shared with IVF")
   }
 
+  test("vec_topk_ivf_pq_rerank scores exactly where brute search does") {
+    val brute = run("vec_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rr = run("vec_topk_ivf_pq_rerank").collect()
+    assert(rr.nonEmpty)
+    assert(rr.groupBy(_.getLong(0)).values.forall(_.length <= 10))
+    // the refine stage re-scores with the same exact cosine as brute
+    // search — every overlapping (qid, cid) must carry the identical
+    // similarity (the ADC stage changes candidates, never final scores)
+    val shared = rr.flatMap(r => brute.get((r.getLong(0), r.getLong(1)))
+      .map(b => (r.getDouble(2), b)))
+    assert(shared.nonEmpty)
+    assert(shared.forall { case (a, b) => a == b })
+  }
+
+  test("dedup_containment bounds: jaccard <= containment <= 1") {
+    val rows = run("dedup_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, ca, cb) = (r.getAs[Double]("jaccard"),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))
+      assert(j <= ca + 1e-9 && j <= cb + 1e-9)
+      assert(ca <= 1.0 + 1e-9 && cb <= 1.0 + 1e-9)
+    }
+    // the symmetric jaccard key must agree with the shared chain
+    val jac = run("dedup_jaccard").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("jaccard"))).toMap
+    rows.foreach(r => assert(jac(r.getLong(0)) == r.getAs[Double]("jaccard")))
+  }
+
   test("q_set_ops: result respects intersect/except semantics") {
     Tables.register(spark, TestSpark.Sf)
     val res = run("q_set_ops").collect().map(_.getLong(0)).toSet
