@@ -63,7 +63,10 @@ object Plans {
     "events_anomaly" -> "one (type, hour) groupBy then a type-partitioned 24-row window over INTEGER sums — per-partition state is O(24), float math on exact integers",
     "events_rolling_dau" -> "per-(day,user) distinct once; WAU joins the tiny day grid with a 7-day range predicate (grid side broadcasts) + one combinable count-distinct per grid day",
     "q_corr_subquery" -> "correlated scalar subquery rewritten by Catalyst to a grouped aggregate + broadcast hash join (25 brand rows)",
-    "q_set_ops" -> "INTERSECT/EXCEPT planned as distinct aggregations + LeftSemi/LeftAnti hash joins on the integer key")
+    "q_set_ops" -> "INTERSECT/EXCEPT planned as distinct aggregations + LeftSemi/LeftAnti hash joins on the integer key",
+    "vec_topk_ivf_pq_rerank" -> "three-stage serving pipeline: IVF routing + ADC scoring in code space, then ONLY the top-50 ADC survivors semi-join raw vectors for exact re-ranking — refine cost O(50*|Q|), corpus never rescanned",
+    "dedup_containment" -> "shares the single-pass pair-tagged gram chain with dedup_jaccard; the asymmetric ratios are two extra divisions on the same j(pair, i, na, nb) aggregate",
+    "events_cube" -> "CUBE expands 4 grouping sets map-side, one shuffle; levels tagged via grouping(), not value sentinels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
