@@ -220,6 +220,8 @@ final class Graft(spark: SparkSession, dir: String,
   def decontaminationBloom: DataFrame = q("decontaminate_bloom")
   /** Count-min frequency sketch estimates vs exact word counts. */
   def cmsSketch: DataFrame = q("sketch_cms")
+  /** Large-domain CMS overestimate distribution (grid-sizing signal). */
+  def cmsErrorProfile: DataFrame = q("sketch_cms_err")
   /** Mergeable 128-bin histogram quantiles vs two-pass exact values. */
   def quantileSketch: DataFrame = q("sketch_quantiles")
   /** Triangle count / transitivity of the kNN proximity graph. */

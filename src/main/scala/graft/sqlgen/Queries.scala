@@ -2071,6 +2071,35 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from est""".stripMargin
     },
 
+    // count-min over a LARGE domain — the error-profile companion to
+    // sketch_cms's point queries: ~16k distinct 3-word shingles hashed
+    // into a 4×1024 grid (genuine collision regime: ~4 keys/cell/row),
+    // then EVERY key's overestimate (est − exact, one-sided ≥ 0 by
+    // construction) grouped into the error distribution. One window
+    // pass, two integer groupBys, a K-row lookup join — every number
+    // integer, so the profile hashes identically in both engines. The
+    // 100 TB read: the grid is 32 KB mergeable state over an unbounded
+    // key domain; the error histogram is what you'd monitor to size w.
+    "sketch_cms_err" -> {
+      val (rows, w) = (4, 1024)
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with $wordCtes,
+         |s3 as (select ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3)), 1, 15)")} as sh
+         |       from (select doc_id, wd,
+         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3
+         |             from wx) _s where w3 is not null),
+         |sc as $matKw(select sh, ${bigint("count(*)")} as c from s3 group by sh),
+         |cells as $matKw(select rr.r, ${prf(d)("'cms3'", "rr.r", "sh")} % $w as col, sum(c) as cell
+         |         from sc cross join ${rangeTable("rr", "r", 0, rows - 1)} group by rr.r, ${prf(d)("'cms3'", "rr.r", "sh")} % $w),
+         |est as (select sc.sh, sc.c, min(cells.cell) as est
+         |        from sc cross join ${rangeTable("r2", "r", 0, rows - 1)}
+         |        join cells on cells.r = r2.r and cells.col = ${prf(d)("'cms3'", "r2.r", "sh")} % $w
+         |        group by sc.sh, sc.c)
+         |select ${bigint("est - c")} as overestimate, ${bigint("count(*)")} as n_keys
+         |from est group by est - c""".stripMargin
+    },
+
     // mergeable histogram quantile sketch vs two-pass EXACT selection —
     // the distributed-quantile story at 100 TB: pass 1 buckets every
     // value into 128 equi-width bins (integer counts — mergeable by

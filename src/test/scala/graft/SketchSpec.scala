@@ -49,6 +49,26 @@ class SketchSpec extends AnyFunSuite {
         r.getAs[Long]("cms_est") - r.getAs[Long]("n_exact")))
   }
 
+  test("sketch_cms_err: one-sided error distribution over a large domain") {
+    val rows = run("sketch_cms_err").collect()
+    assert(rows.nonEmpty)
+    // every overestimate is >= 0 (CMS never undercounts)
+    assert(rows.forall(_.getAs[Long]("overestimate") >= 0))
+    // the standard CMS guarantee: P[overest > (e/w)·N] < e^-d ≈ 1.8%
+    // for d=4 — so at least 95% of keys must sit inside the ε-bound
+    Tables.register(spark, TestSpark.Sf)
+    val n = spark.sql(
+      """select count(*) from (select doc_id, split(lower(text), '\\s+') ws from documents) w
+        |lateral view posexplode(ws) _e as p, wd""".stripMargin)
+      .head().getLong(0) // shingle count ≈ word count; the bound only loosens
+    val bound = math.ceil(math.E / 1024.0 * n).toLong
+    val total = rows.map(_.getAs[Long]("n_keys")).sum
+    val inBound = rows.filter(_.getAs[Long]("overestimate") <= bound)
+      .map(_.getAs[Long]("n_keys")).sum
+    assert(inBound.toDouble / total >= 0.95,
+      s"only $inBound/$total keys within the eps bound $bound")
+  }
+
   test("sketch_quantiles: approx within one bin width of exact") {
     val rows = run("sketch_quantiles").collect()
     assert(rows.length == 3)
