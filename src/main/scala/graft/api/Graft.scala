@@ -224,6 +224,8 @@ final class Graft(spark: SparkSession, dir: String,
   def cmsErrorProfile: DataFrame = q("sketch_cms_err")
   /** Mergeable 128-bin histogram quantiles vs two-pass exact values. */
   def quantileSketch: DataFrame = q("sketch_quantiles")
+  /** Per-group (event-type) p50/p95 via grouped two-pass selection. */
+  def groupedQuantiles: DataFrame = q("events_value_quantiles")
   /** Triangle count / transitivity of the kNN proximity graph. */
   def triangles: DataFrame = q("graph_triangles")
   /** Trailing-24h z-score anomalies over hourly event counts. */

@@ -2141,6 +2141,45 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ap join ex on ex.lbl = ap.lbl""".stripMargin
     },
 
+    // PER-GROUP quantiles — the grouped form of sketch_quantiles (what
+    // sketch_distinct_by_source is to sketch_distinct): p50/p95 of the
+    // event value per event type, one 64-bin mergeable histogram per
+    // group, exact values from in-bin rank selection with the window
+    // partitioned by (group, bin). No global or per-group full sort
+    // anywhere — the shuffle keys are (type) for stats/bins and
+    // (type, bin) for the selection window; both scale with group
+    // count, not row count.
+    "events_value_quantiles" -> {
+      val b = 64
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with src as (select event_type as et, cast(value as double) as x from events),
+         |mm as $matKw(select et, min(x) as mn, max(x) as mx, count(*) as n from src group by et),
+         |bn as (select s.et, s.x, least(${b - 1}, greatest(0, cast(floor((s.x - mm.mn) * cast($b as double) / (mm.mx - mm.mn)) as bigint))) as bin
+         |       from src s join mm on mm.et = s.et),
+         |bc as $matKw(select et, bin, ${bigint("count(*)")} as c from bn group by et, bin),
+         |cum as $matKw(select a.et, a.bin, a.c, ${bigint("sum(b.c)")} as cumc
+         |       from bc a join bc b on b.et = a.et and b.bin <= a.bin group by a.et, a.bin, a.c),
+         |qs as (select mm.et, _q.lbl, ${bigint("cast(ceil(_q.qv * mm.n) as bigint)")} as r from
+         |         (select 'p50' as lbl, cast(0.5 as double) as qv
+         |          union all select 'p95', cast(0.95 as double)) _q cross join mm),
+         |tb as (select qs.et, qs.lbl, qs.r, min(cum.bin) as bin
+         |       from qs join cum on cum.et = qs.et and cum.cumc >= qs.r group by qs.et, qs.lbl, qs.r),
+         |td as (select tb.et, tb.lbl, tb.r, tb.bin, cum.c as bc2, cum.cumc - cum.c as cumbefore
+         |       from tb join cum on cum.et = tb.et and cum.bin = tb.bin),
+         |ap as (select td.et, td.lbl, td.r, td.bin, td.bc2, td.cumbefore,
+         |         ${roundAway(d)(s"mm.mn + (td.bin + (td.r - td.cumbefore) / cast(td.bc2 as double)) * (mm.mx - mm.mn) / cast($b as double)", 4)} as approx_v
+         |       from td join mm on mm.et = td.et),
+         |lr as (select bn.et, bn.bin, bn.x, row_number() over (partition by bn.et, bn.bin order by bn.x) as lrk
+         |       from bn join (select distinct et, bin from td) tb2 on tb2.et = bn.et and tb2.bin = bn.bin),
+         |ex as (select t.et, t.lbl, min(l.x) as exact_v
+         |       from td t join lr l on l.et = t.et and l.bin = t.bin and l.lrk = t.r - t.cumbefore
+         |       group by t.et, t.lbl)
+         |select ap.et as event_type, ap.lbl as quantile, ex.exact_v,
+         |  ap.approx_v,
+         |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
+         |from ap join ex on ex.et = ap.et and ex.lbl = ap.lbl""".stripMargin
+    },
+
     // triangle count / transitivity over the kNN proximity graph — the
     // graph-quality metric next to in-degree and PageRank. The count
     // uses DEGREE ORIENTATION (each undirected edge points from its

@@ -89,6 +89,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("events_value_quantiles: per-group approx within one bin width") {
+    val rows = run("events_value_quantiles").collect()
+    assert(rows.length == 10) // 5 types x {p50, p95}
+    Tables.register(spark, TestSpark.Sf)
+    val ranges = spark.sql(
+      "select event_type, (max(value) - min(value)) / 64.0 from events group by event_type")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val binW = ranges(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("approx_v") - r.getAs[Double]("exact_v")) <= binW + 1e-6,
+        s"${r.getAs[String]("event_type")}/${r.getAs[String]("quantile")} outside bin width")
+    }
+  }
+
   test("graph_triangles matches a brute-force triple count") {
     val row = run("graph_triangles").collect().head
     val nTri = row.getAs[Long]("n_triangles")
