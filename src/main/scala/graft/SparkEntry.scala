@@ -57,11 +57,22 @@ object SparkEntry {
       // over it reuses the materialized rows.
       "dedup_components" -> ((s, dir) => {
         Tables.register(s, dir)
-        val pairs = simPairsCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.sql("dedup_simhash_pairs")).localCheckpoint())
-        pairs.createOrReplaceTempView("g_simpairs")
+        simPairsView(s, dir)
         s.sql(sparkGen.dedupComponentsSql(Some("g_simpairs")))
+      }),
+      // the deletion groups APPLIED: per-source kept/dropped report
+      // over the same checkpointed pair chain
+      "dedup_apply" -> ((s, dir) => {
+        Tables.register(s, dir)
+        simPairsView(s, dir)
+        s.sql(sparkGen.dedupApplySql(Some("g_simpairs")))
       }))
+
+  private def simPairsView(s: SparkSession, dir: String): Unit = {
+    val pairs = simPairsCache.computeIfAbsent((s, dir), _ =>
+      s.sql(sparkGen.sql("dedup_simhash_pairs")).localCheckpoint())
+    pairs.createOrReplaceTempView("g_simpairs")
+  }
 
   private val simPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -71,5 +82,6 @@ object SparkEntry {
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
-        "dedup_components" -> duckGen.dedupComponentsSql(None))
+        "dedup_components" -> duckGen.dedupComponentsSql(None),
+        "dedup_apply" -> duckGen.dedupApplySql(None))
 }

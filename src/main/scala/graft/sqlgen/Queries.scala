@@ -645,7 +645,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * view (the Spark side checkpoints the pair chain once and
     * propagates over the materialized rows — Catalyst re-inlines
     * multi-referenced CTEs, which would re-run the chain 6×). */
-  def dedupComponentsSql(pairsFrom: Option[String]): String = {
+  /** The shared label-propagation CTE block: returns (cteBlock,
+    * lastLabelCte) — lastLabelCte has (id, lbl) at the fixpoint. */
+  private def componentsCtes(pairsFrom: Option[String]): (String, String) = {
     val matKw = if (d.name == "duckdb") "materialized " else ""
     val rounds = 6
     val prefix = pairsFrom match {
@@ -656,14 +658,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     }
     val steps = (1 to rounds).map(t =>
       s"l$t as $matKw(select s.a as id, min(l.lbl) as lbl from sym s join l${t - 1} l on l.id = s.b group by s.a)")
-    s"""$prefix
+    (s"""$prefix
        |nodes as $matKw(select da as id from prs union select db from prs),
        |sym as $matKw(select da as a, db as b from prs union select db, da from prs union select id, id from nodes),
        |l0 as (select id, id as lbl from nodes),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin, s"l$rounds")
+  }
+
+  def dedupComponentsSql(pairsFrom: Option[String]): String = {
+    val (ctes, last) = componentsCtes(pairsFrom)
+    s"""$ctes
        |select ${bigint("id")} as doc_id, ${bigint("lbl")} as keeper,
        |  ${bigint("case when id = lbl then 1 else 0 end")} as is_keeper
-       |from l$rounds""".stripMargin
+       |from $last""".stripMargin
+  }
+
+  /** The deletion groups APPLIED: per-source corpus report after
+    * near-dup removal — every doc whose component label is a lower
+    * doc_id is dropped; docs in no near-dup pair keep themselves. One
+    * broadcast-sized label join (labels exist only for paired docs —
+    * a small fraction of the corpus) + one per-source aggregation:
+    * the report a production dedup pass emits before deleting. */
+  def dedupApplySql(pairsFrom: Option[String]): String = {
+    val (ctes, last) = componentsCtes(pairsFrom)
+    s"""$ctes,
+       |keep as (select d.source, d.n_chars,
+       |           case when lab.id is not null and lab.lbl <> lab.id then 0 else 1 end as k
+       |         from documents d left join $last lab on lab.id = d.doc_id)
+       |select source, ${bigint("count(*)")} as n_docs,
+       |  ${bigint("sum(k)")} as n_kept, ${bigint("count(*) - sum(k)")} as n_dropped,
+       |  ${bigint("sum(n_chars * k)")} as chars_kept,
+       |  round(sum(k) / cast(count(*) as double), 4) as keep_rate
+       |from keep group by source""".stripMargin
   }
 
   // ---------------------------------------------------------------- //

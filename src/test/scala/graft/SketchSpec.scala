@@ -124,6 +124,18 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getAs[Double]("transitivity") > 0.0)
   }
 
+  test("dedup_apply agrees with the component labels") {
+    val labels = run("dedup_components").collect()
+    val dropped = labels.count(_.getAs[Long]("is_keeper") == 0L)
+    val report = run("dedup_apply").collect()
+    assert(report.nonEmpty)
+    assert(report.map(_.getAs[Long]("n_dropped")).sum == dropped)
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").count()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == docs)
+    report.foreach(r => assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+      == r.getAs[Long]("n_docs")))
+  }
+
   test("events_anomaly: baseline excludes the scored hour") {
     val rows = run("events_anomaly").collect()
     assert(rows.nonEmpty)
