@@ -2454,7 +2454,92 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${proj("w1", "m1")} as pc1,
          |  ${proj("w2", "m2")} as pc2
          |from nv cross join pr""".stripMargin
-    }
+    },
+
+    // fuzzy entity resolution over the NAME DOMAIN — the
+    // blocking-then-verify shape every record-linkage pipeline uses
+    // (block key = the name's head noun; verify = edit distance on the
+    // block's pairs). Crucially the match runs on DISTINCT names, not
+    // row pairs: duplicate spellings would make row-level matching
+    // quadratic in the duplicate count, while the name domain is
+    // bounded by the vocabulary (64 names at every SF here), so the
+    // blocked self-join is broadcast-trivial no matter how many
+    // billions of part rows sit behind it — each name carries its row
+    // count instead. levenshtein() is integer-exact in both engines.
+    "text_fuzzy_match" ->
+      s"""with nm as (select p_name, split_part(p_name, ' ', 2) as blk,
+         |              count(*) as n_rows from part group by p_name),
+         |m as (select a.p_name as name_a, b.p_name as name_b,
+         |        levenshtein(a.p_name, b.p_name) as dist,
+         |        a.n_rows as rows_a, b.n_rows as rows_b
+         |      from nm a join nm b
+         |        on a.blk = b.blk and a.p_name < b.p_name)
+         |select name_a, name_b, ${bigint("dist")} as dist,
+         |  ${bigint("rows_a")} as rows_a, ${bigint("rows_b")} as rows_b
+         |from m where dist between 1 and 3""".stripMargin,
+
+    // market-basket affinity (association rules) at the brand level:
+    // support / confidence / lift for brand pairs co-purchased in one
+    // order. The pair explode is a per-order self-join over the
+    // DISTINCT brands of each order — bounded by basket size (≤ 7
+    // lines/order in TPC-H), so the join output is O(orders · b²),
+    // never corpus-quadratic — and the dimension lookup broadcasts
+    // (part is vocabulary-sized next to lineitem). Counts are
+    // integers; the three ratios are one-shot rounds of exact integer
+    // quotients. 25 brands → ≤ 300 output rows at any scale.
+    "market_basket" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with ob as $matKw(select distinct l.l_orderkey as ok, p.p_brand as br
+         |            from lineitem l join part p on p.p_partkey = l.l_partkey),
+         |bs as (select br, count(*) as cb from ob group by br),
+         |nt as (select count(distinct ok) as total from ob),
+         |pr as (select a.br as brand_a, b.br as brand_b, count(*) as c
+         |       from ob a join ob b on a.ok = b.ok and a.br < b.br
+         |       group by a.br, b.br)
+         |select brand_a, brand_b, ${bigint("c")} as n_orders,
+         |  ${roundAway(d)("c / cast(nt.total as double)", 5)} as support,
+         |  ${roundAway(d)("c / cast(x.cb as double)", 4)} as confidence,
+         |  ${roundAway(d)("(c * cast(nt.total as double)) / (cast(x.cb as double) * cast(y.cb as double))", 4)} as lift
+         |from pr join bs x on x.br = pr.brand_a
+         |        join bs y on y.br = pr.brand_b
+         |        cross join nt
+         |where c >= 3""".stripMargin
+    },
+
+    // first-order Markov transition matrix over per-user event
+    // streams — the behavioral model product analytics fits on raw
+    // clickstreams. lead() runs in a window PARTITIONED BY user (the
+    // stream is only ordered within a user anyway), so the sort is
+    // per-user-partition and fully parallel; event_id breaks ts ties
+    // for a total order. Transition probability is a one-shot round of
+    // an integer quotient per (src, dst) — 25 cells here, |types|²
+    // in general, independent of corpus size.
+    "events_transitions" ->
+      s"""with e as (select user_id, event_id, event_type, ${evSec("ts")} as sec from events),
+         |s as (select event_type as src,
+         |        lead(event_type) over (partition by user_id order by sec, event_id) as dst
+         |      from e),
+         |t as (select src, dst, count(*) as c from s where dst is not null group by src, dst),
+         |tt as (select src, sum(c) as n from t group by src)
+         |select t.src, t.dst, ${bigint("t.c")} as n_transitions,
+         |  ${roundAway(d)("t.c / cast(tt.n as double)", 4)} as p
+         |from t join tt on tt.src = t.src""".stripMargin,
+
+    // TPC-H Q6 forecasting-revenue-change: the canonical
+    // scan-filter-aggregate — every predicate reaches the parquet
+    // scan (PushedFilters), the sum is map-side-combinable
+    // decimal-exact arithmetic, and the result is one row regardless
+    // of corpus size. The discount band uses epsilon-widened literals
+    // so the double comparison is unambiguous in both engines.
+    "q6_forecast" ->
+      s"""select
+         |  ${roundAway(d)("cast(sum(cast(l_extendedprice as decimal(18,4)) * cast(l_discount as decimal(18,4))) as double)", 2)} as revenue,
+         |  ${bigint("count(*)")} as n_items
+         |from lineitem
+         |where l_shipdate >= timestamp '1997-01-01 00:00:00'
+         |  and l_shipdate < timestamp '1998-01-01 00:00:00'
+         |  and l_discount >= cast(0.0499 as double) and l_discount <= cast(0.0701 as double)
+         |  and l_quantity < 24""".stripMargin
   )
 
   private def regexpCountBpe: String =
