@@ -66,6 +66,22 @@ object SparkEntry {
         Tables.register(s, dir)
         simPairsView(s, dir)
         s.sql(sparkGen.dedupApplySql(Some("g_simpairs")))
+      }),
+      // overlap metrics over the materialized gram profile: the
+      // 5-gram explode (the heaviest text pass) runs ONCE per
+      // session/dir; jaccard and containment are per-row divisions
+      // over the checkpointed (pair, i, na, nb) rows — the profile
+      // table a production dedup pipeline keeps. Oracle renders the
+      // full inline chain.
+      "dedup_jaccard" -> ((s, dir) => {
+        Tables.register(s, dir)
+        jaccardPairsView(s, dir)
+        s.sql(sparkGen.dedupJaccardSql(Some("g_jpairs")))
+      }),
+      "dedup_containment" -> ((s, dir) => {
+        Tables.register(s, dir)
+        jaccardPairsView(s, dir)
+        s.sql(sparkGen.dedupContainmentSql(Some("g_jpairs")))
       }))
 
   private def simPairsView(s: SparkSession, dir: String): Unit = {
@@ -77,11 +93,22 @@ object SparkEntry {
   private val simPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private def jaccardPairsView(s: SparkSession, dir: String): Unit = {
+    val prof = jaccardCache.computeIfAbsent((s, dir), _ =>
+      s.sql(sparkGen.jaccardPairsBuildSql).localCheckpoint())
+    prof.createOrReplaceTempView("g_jpairs")
+  }
+
+  private val jaccardCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),
-        "dedup_apply" -> duckGen.dedupApplySql(None))
+        "dedup_apply" -> duckGen.dedupApplySql(None),
+        "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
+        "dedup_containment" -> duckGen.dedupContainmentSql(None))
 }

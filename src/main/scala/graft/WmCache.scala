@@ -52,7 +52,7 @@ object WmCache {
     "wm_carriers", "wm_embed", "wm_extract", "wm_ber", "wm_ber_subset",
     "wm_ber_truncate", "wm_ber_combo", "wm_ber_quantize", "wm_ber_permute", "wm_recall_impact",
     "vec_writeback", "wm_drift", "wm_backup", "wm_restore",
-    "vec_range_search", "graph_pagerank", "graph_triangles", "lsh_bucket_stats",
+    "vec_range_search", "graph_pagerank", "graph_triangles", "graph_link_predict", "lsh_bucket_stats",
     "vec_topk_sq_lsh", "vec_topk_filtered_lsh")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])

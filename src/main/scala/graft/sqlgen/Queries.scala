@@ -692,6 +692,45 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from keep group by source""".stripMargin
   }
 
+  /** The shared gram-overlap profile (pair, i, na, nb) behind
+    * dedup_jaccard / dedup_containment, exposed for the Spark side's
+    * in-session scratch: the 5-gram explode is the single heaviest
+    * text pass, and a production pipeline materializes this profile
+    * table ONCE and derives every overlap metric from it (the
+    * doc-side analog of the WmCache chain stages). */
+  def jaccardPairsBuildSql: String =
+    s"""with $jaccardCtes
+       |select pair, i, na, nb from j""".stripMargin
+
+  private def jaccardWrap(from: Option[String], body: String): String =
+    from match {
+      case Some(v) => body.replace("__J__", v)
+      case None    => s"with $jaccardCtes\n" + body.replace("__J__", "j")
+    }
+
+  /** Symmetric Jaccard over the pair-tagged gram profile. Some(view)
+    * → read the materialized profile; None → full inline chain (the
+    * oracle rendering). */
+  def dedupJaccardSql(from: Option[String]): String = jaccardWrap(from,
+    s"""select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
+       |  round(i / (na + nb - i), 4) as jaccard
+       |from __J__ where na > 0 and nb > 0""".stripMargin)
+
+  /** Asymmetric set CONTAINMENT over the same profile — the
+    * quote/inclusion detector the symmetric Jaccard misses: a short
+    * document fully quoted inside a long one has tiny Jaccard
+    * (|A∩B|/|A∪B| shrinks with the size gap) but containment
+    * |A∩B|/|A| ≈ 1. Both metrics are divisions over the SAME
+    * (i, na, nb) profile row — with the profile materialized, each
+    * derived report is a trivial per-row map. */
+  def dedupContainmentSql(from: Option[String]): String = jaccardWrap(from,
+    s"""select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
+       |  round(i / (na + nb - i), 4) as jaccard,
+       |  round(i / na, 4) as containment_a,
+       |  round(i / nb, 4) as containment_b,
+       |  ${bigint("case when i / least(na, nb) >= 0.8 then 1 else 0 end")} as is_contained
+       |from __J__ where na > 0 and nb > 0""".stripMargin)
+
   // ---------------------------------------------------------------- //
   // Queries
   // ---------------------------------------------------------------- //
@@ -941,28 +980,6 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
          |  ${bigint("hamming")} as hamming
          |from cand""".stripMargin,
-
-    "dedup_jaccard" ->
-      s"""with $jaccardCtes
-         |select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
-         |  round(i / (na + nb - i), 4) as jaccard
-         |from j where na > 0 and nb > 0""".stripMargin,
-
-    // asymmetric set CONTAINMENT over the same candidate pairs — the
-    // quote/inclusion detector the symmetric Jaccard misses: a short
-    // document fully quoted inside a long one has tiny Jaccard
-    // (|A∩B|/|A∪B| shrinks with the size gap) but containment
-    // |A∩B|/|A| ≈ 1. Same single-pass pair-tagged gram chain as
-    // dedup_jaccard (shared jaccardCtes — one explode, two combinable
-    // groupBys), two extra divisions at the end.
-    "dedup_containment" ->
-      s"""with $jaccardCtes
-         |select ${bigint("pair")} as doc_a, ${bigint("pair + 1")} as doc_b,
-         |  round(i / (na + nb - i), 4) as jaccard,
-         |  round(i / na, 4) as containment_a,
-         |  round(i / nb, 4) as containment_b,
-         |  ${bigint("case when i / least(na, nb) >= 0.8 then 1 else 0 end")} as is_contained
-         |from j where na > 0 and nb > 0""".stripMargin,
 
     "dedup_embedding" -> {
       // Spark side salts the bucket self-join (left side keyed id % S,
@@ -2235,6 +2252,34 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select nn2.n_nodes, ne.n_edges, wc.n_wedges, tri.n_tri as n_triangles,
          |  ${roundAway(d)("3 * tri.n_tri / cast(wc.n_wedges as double)", 6)} as transitivity
          |from nn2 cross join ne cross join wc cross join tri""".stripMargin
+    },
+
+    // common-neighbor link prediction over the kNN graph — the
+    // classic "vectors that SHOULD be neighbors" recommendation: for
+    // every non-adjacent pair sharing ≥ 2 neighbors, the common-
+    // neighbor count and its Jaccard normalization (all-integer inputs
+    // → one-shot round). The wedge join fans out deg(w)² at each
+    // common neighbor w — bounded here because a kNN graph's degrees
+    // concentrate near k (out-degree is exactly k; reverse edges add
+    // O(k) on non-degenerate corpora), so work is O(N·k²), the same
+    // envelope as the graph build itself. The NOT EXISTS closes as an
+    // anti hash join on the (a, b) pair key.
+    "graph_link_predict" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""${wmChain("knn")},
+         |und as $matKw(select distinct least(src, dst) as a, greatest(src, dst) as b from knn),
+         |adj as $matKw(select a as u, b as w from und union all select b, a from und),
+         |cnp as (select x.u as a, y.u as b, count(*) as nc
+         |        from adj x join adj y on x.w = y.w and x.u < y.u
+         |        group by x.u, y.u),
+         |dg as (select u, count(*) as deg from adj group by u)
+         |select ${bigint("cnp.a")} as vec_a, ${bigint("cnp.b")} as vec_b,
+         |  ${bigint("cnp.nc")} as n_common,
+         |  ${bigint("da.deg")} as deg_a, ${bigint("db.deg")} as deg_b,
+         |  ${roundAway(d)("cnp.nc / cast(da.deg + db.deg - cnp.nc as double)", 4)} as jaccard
+         |from cnp join dg da on da.u = cnp.a join dg db on db.u = cnp.b
+         |where cnp.nc >= 2
+         |  and not exists (select 1 from und e where e.a = cnp.a and e.b = cnp.b)""".stripMargin
     },
 
     // streaming-shaped anomaly detection over the events table: hourly
