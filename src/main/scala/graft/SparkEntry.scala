@@ -82,6 +82,17 @@ object SparkEntry {
         Tables.register(s, dir)
         jaccardPairsView(s, dir)
         s.sql(sparkGen.dedupContainmentSql(Some("g_jpairs")))
+      }),
+      // MMR re-rank: the corpus-sized pool build checkpoints to 30
+      // rows; the unrolled selection rounds (each state CTE referenced
+      // twice → 2^t Catalyst re-evaluations) then run over the
+      // checkpoint, not the corpus chain.
+      "vec_mmr" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val pool = mmrPoolCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.mmrPoolSql).localCheckpoint())
+        pool.createOrReplaceTempView("g_mmr_pool")
+        s.sql(sparkGen.mmrSql(Some("g_mmr_pool")))
       }))
 
   private def simPairsView(s: SparkSession, dir: String): Unit = {
@@ -102,6 +113,9 @@ object SparkEntry {
   private val jaccardCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private val mmrPoolCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
@@ -110,5 +124,6 @@ object SparkEntry {
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
-        "dedup_containment" -> duckGen.dedupContainmentSql(None))
+        "dedup_containment" -> duckGen.dedupContainmentSql(None),
+        "vec_mmr" -> duckGen.mmrSql(None))
 }

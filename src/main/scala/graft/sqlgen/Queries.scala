@@ -708,6 +708,73 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       case None    => s"with $jaccardCtes\n" + body.replace("__J__", "j")
     }
 
+  /** Candidate pool for MMR re-ranking: top-30 by query cosine via
+    * the bucketed-topn + pairwise-exact-rank pattern (no
+    * unpartitioned window), carrying each candidate's normalized
+    * vector for the diversity dots. */
+  def mmrPoolSql: String =
+    s"""with $mmrPoolCtes
+       |select c.id, c.rel, c.n from cand c join rk on rk.id = c.id where rk.rn <= 30""".stripMargin
+
+  /** Maximal-marginal-relevance diversified top-5 — the serving-side
+    * re-ranker that trades relevance against redundancy
+    * (score = λ·sim(q,d) − (1−λ)·max sim(d, selected), λ = 0.7).
+    * The selection is inherently sequential, so the five rounds are
+    * UNROLLED: round state w_t = (remaining candidates, their max
+    * similarity to the picked set), each pick a deterministic
+    * max(struct) argmax with -id tie-break. All state tables are
+    * ≤ 30 rows — the corpus-sized work (the pool build) happens once
+    * upstream; Some(view) reads it from the Spark-side checkpoint
+    * (each w_t is referenced twice, so Catalyst's CTE re-inlining
+    * re-evaluates the chain 2^t times — over the 30-row checkpoint
+    * that is noise, over the inline corpus chain it would not be),
+    * None inlines it for the oracle (DuckDB materializes). */
+  def mmrSql(poolFrom: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val pre = poolFrom match {
+      case Some(v) => s"with p0 as (select id, rel, n from $v),"
+      case None =>
+        s"""with $mmrPoolCtes,
+           |p0 as $matKw(select c.id, c.rel, c.n from cand c join rk on rk.id = c.id where rk.rn <= 30),""".stripMargin
+    }
+    def pick(m: String) = s"cast(-(${d.fieldOf(s"$m.mx", "ni")}) as bigint)"
+    def w(t: Int, prevW: String, m: String) =
+      s"""w$t as $matKw(select w.id, w.rel, w.n,
+         |        ${if (t == 1) s"round(${d.dot("w.n", "s.n")}, 6)"
+            else s"greatest(w.ms, round(${d.dot("w.n", "s.n")}, 6))"} as ms
+         |      from $prevW w cross join $m join p0 s on s.id = ${pick(m)}
+         |      where w.id <> ${pick(m)})""".stripMargin
+    def m(t: Int, src: String, sc: String) =
+      s"m$t as $matKw(select max(${d.structLit2("sc", sc, "ni", "-id")}) as mx from $src)"
+    val mmrScore = "cast(0.7 as double) * rel - cast(0.3 as double) * ms"
+    val steps = Seq(
+      m(1, "p0", "rel"), w(1, "p0", "m1"),
+      m(2, "w1", mmrScore), w(2, "w1", "m2"),
+      m(3, "w2", mmrScore), w(3, "w2", "m3"),
+      m(4, "w3", mmrScore), w(4, "w3", "m4"),
+      m(5, "w4", mmrScore))
+    val out = (1 to 5).map(t =>
+      s"select ${bigint(t.toString)} as pick, ${pick(s"m$t")} as vec_id, ${d.fieldOf(s"m$t.mx", "sc")} as mmr_score from m$t")
+    s"""$pre
+       |${steps.mkString(",\n")}
+       |${out.mkString("\nunion all\n")}""".stripMargin
+  }
+
+  /** The pool CTE block (everything in mmrPoolSql up to the final
+    * select), reused by the inline-oracle rendering of mmrSql. */
+  private def mmrPoolCtes: String = {
+    val qid = QueryIds.head
+    s"""$nvCtes,
+       |q as (select n as qn from nn where id = $qid),
+       |rel as (select nn.id, nn.n, round(${d.dot("q.qn", "nn.n")}, 6) as rel
+       |        from q cross join nn where nn.id <> $qid),
+       |cand as (select id, n, rel from (
+       |           select id, n, rel, row_number() over (partition by id % 8 order by rel desc, id) as prn
+       |           from rel) _c where prn <= 30),
+       |rk as (select a.id, 1 + sum(case when b.rel > a.rel or (b.rel = a.rel and b.id < a.id) then 1 else 0 end) as rn
+       |       from cand a cross join cand b group by a.id)""".stripMargin
+  }
+
   /** Symmetric Jaccard over the pair-tagged gram profile. Some(view)
     * → read the materialized profile; None → full inline chain (the
     * oracle rendering). */
@@ -2569,6 +2636,39 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select t.src, t.dst, ${bigint("t.c")} as n_transitions,
          |  ${roundAway(d)("t.c / cast(tt.n as double)", 4)} as p
          |from t join tt on tt.src = t.src""".stripMargin,
+
+    // BM25 keyword retrieval scoring — the lexical-search half of
+    // hybrid (vector + keyword) search, over a fixed 3-term query
+    // ('dup' is selective, 'spark'/'hash' are common, so idf visibly
+    // differentiates). ONE word-explode pass → per-doc (dl, tf_t)
+    // aggregation; corpus stats (N, df_t, Σdl) are a second tiny
+    // aggregation over the per-doc rows, broadcast back as one row.
+    // The idf inputs are exact integer ratios ((2N-2df+1)/(2df+1) —
+    // no decimal literals in the math), the 3-term score sum is a
+    // FIXED-ORDER expression (no float fold), and ln() runs on
+    // bit-identical doubles in both engines. At 100 TB this is the
+    // same shape as text_tfidf: two combinable shuffles, map-side
+    // scoring, no joins wider than a 1-row broadcast.
+    "text_bm25" -> {
+      val terms = Seq("dup", "spark", "hash")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(case when wd = '$t' then 1 else 0 end) as tf${i + 1}" }
+      val dfs = terms.indices.map(i =>
+        s"sum(case when tf${i + 1} > 0 then 1 else 0 end) as df${i + 1}")
+      def idf(i: Int) =
+        s"ln(cast(1 as double) + cast(2 * st.n - 2 * st.df$i + 1 as double) / cast(2 * st.df$i + 1 as double))"
+      def w(i: Int) =
+        s"(${idf(i)} * (dt.tf$i * cast(2.2 as double)) / (dt.tf$i + cast(0.3 as double) + cast(0.9 as double) * dt.dl / (cast(st.sdl as double) / st.n)))"
+      s"""with $wordCtes,
+         |dt as (select doc_id, count(*) as dl, ${tfs.mkString(", ")}
+         |       from wx group by doc_id),
+         |st as (select count(*) as n, sum(dl) as sdl, ${dfs.mkString(", ")} from dt)
+         |select ${bigint("dt.doc_id")} as doc_id,
+         |  ${bigint("dt.tf1")} as tf_dup, ${bigint("dt.tf2")} as tf_spark, ${bigint("dt.tf3")} as tf_hash,
+         |  ${roundAway(d)(s"${w(1)} + ${w(2)} + ${w(3)}", 4)} as bm25
+         |from dt cross join st
+         |where dt.tf1 + dt.tf2 + dt.tf3 > 0""".stripMargin
+    },
 
     // TPC-H Q6 forecasting-revenue-change: the canonical
     // scan-filter-aggregate — every predicate reaches the parquet
