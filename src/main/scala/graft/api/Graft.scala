@@ -240,9 +240,24 @@ final class Graft(spark: SparkSession, dir: String,
   def topKIvfPqRefined: DataFrame = q("vec_topk_ivf_pq_rerank")
   /** CUBE margins of the per-(type, day) event matrix. */
   def eventCube: DataFrame = q("events_cube")
+  /** Per-source kept/dropped corpus report after near-dup removal. */
+  def dedupReport: DataFrame = q("dedup_apply")
+  /** Blocked fuzzy entity resolution over the part-name domain. */
+  def fuzzyNameMatches: DataFrame = q("text_fuzzy_match")
+  /** Brand-pair support/confidence/lift association rules. */
+  def marketBasket: DataFrame = q("market_basket")
+  /** First-order Markov transition matrix over user event streams. */
+  def eventTransitions: DataFrame = q("events_transitions")
+  /** Common-neighbor link prediction over the kNN graph. */
+  def linkPredictions: DataFrame = q("graph_link_predict")
+  /** BM25 lexical retrieval scores for the fixed 3-term query. */
+  def bm25Scores: DataFrame = q("text_bm25")
+  /** MMR-diversified top-5 re-ranking of the query's candidates. */
+  def diversifiedTopK: DataFrame = q("vec_mmr")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")
+  def forecastRevenue: DataFrame = q("q6_forecast")
   def topRevenue: DataFrame = q("q3_revenue")
   def nationRevenue: DataFrame = q("q5_nation_rev")
   def topCustomersPerNation: DataFrame = q("q_window_topn")

@@ -292,6 +292,37 @@ object Streams {
       }
   }
 
+  /** Streaming first-order transition extraction — the incremental
+    * form of the batch `events_transitions` lead() window: state per
+    * user is just the LAST event's (sec, event_id, type) key — O(1)
+    * per user, vs the batch window's per-partition sort — and each
+    * arriving event emits one (prev_type, type) transition row.
+    * Within a micro-batch events sort by the same (sec, event_id)
+    * total order the batch query uses, so on the same rows (however
+    * they split across micro-batches, as long as each user's stream
+    * arrives in order across batches — the per-key ordering Kafka-
+    * style sources guarantee) the emitted transition multiset EQUALS
+    * the batch query's counts (StreamingTransitionSpec pins it).
+    * Downstream, counts/probabilities are one windowed groupBy. */
+  def transitionStream(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[(Long, Long, String)]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[(String, String)]
+          it.toSeq.sortBy(e => (e._1, e._2)).foreach { case (sec, eid, _, et) =>
+            last.foreach { case (_, _, prev) => out += ((prev, et)) }
+            last = Some((sec, eid, et))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
       : Dataset[(String, Double)] = {
     import words.sparkSession.implicits._
