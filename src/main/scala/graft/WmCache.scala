@@ -53,7 +53,8 @@ object WmCache {
     "wm_ber_truncate", "wm_ber_combo", "wm_ber_quantize", "wm_ber_permute", "wm_recall_impact",
     "vec_writeback", "wm_drift", "wm_backup", "wm_restore",
     "vec_range_search", "graph_pagerank", "graph_triangles", "graph_link_predict", "lsh_bucket_stats",
-    "vec_topk_sq_lsh", "vec_topk_filtered_lsh")
+    "vec_topk_sq_lsh", "vec_topk_filtered_lsh",
+    "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq", "vec_topk_ivf_pq_rerank")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

@@ -317,8 +317,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * cells, 2 Lloyd steps on an E[8√N] sample, one full-corpus
     * assignment (`asgF`), and per-query top-nprobe probed cells
     * (`qpr`). Requires nvCtes + exnCte upstream. */
-  private lazy val ivfCtes: String = {
-    val nprobe = 4
+  private val IvfNprobe = 4
+
+  /** IVF TRAIN: sampled cells, Lloyd refinement on the sample —
+    * ends in ct2(cell, cv), the index's centroid table. */
+  private lazy val ivfTrainCtes: String = {
     val lloydSteps = 2
     // deterministic integer threshold sampling: pick iff
     // prf % 2^20 < floor(2^20·target/N) — expectation `target`, and
@@ -343,12 +346,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     s"""par2 as (select $thr as thr, $thrT as thrt from (select cast(count(*) as double) as cnt from nn) _c),
        |tr as (select nn.id, nn.n from nn cross join par2 where ${prfMod(d)(1048576, "'ivftrain'", "nn.id")} < thrt),
        |ct0 as (select nn.id as cell, nn.n as cv from nn cross join par2 where ${prfMod(d)(1048576, "'ivfseed'", "nn.id")} < thr),
-       |$lloydChain,
-       |${csimFrom(s"ct$lloydSteps", "csimF")},
-       |${asgFrom("csimF", "asgF")},
-       |qpr as (select id as qid, cell from (select id, cell, row_number() over (partition by id order by sim desc, cell) as rn
-       |                                     from csimF where id in ($qIdLit)) _q where rn <= $nprobe)""".stripMargin
+       |$lloydChain""".stripMargin
   }
+
+  private def ivfCsim(ct: String, csim: String, src: String) =
+    s"""$csim as (select $src.id, c.cell, ${d.dot(s"$src.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
+       |          from $src cross join $ct c)""".stripMargin
+
+  /** IVF ASSIGN: the ONE full-corpus pass — every vector to its
+    * nearest refined cell (argmax as a map-side-combinable
+    * max(struct) aggregation). Ends in asgF(id, cell). */
+  private lazy val ivfAssignCtes: String =
+    s"""${ivfCsim("ct2", "csimF", "nn")},
+       |asgF as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
+       |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from csimF group by id) _asgF)""".stripMargin
+
+  /** IVF PROBE: the query-side routing — |Q|·k centroid sims, top
+    * nprobe cells per query. Needs only ct2 (the index centroids)
+    * and nn for the query rows, so with the index cached this is
+    * broadcast-trivial. */
+  private lazy val ivfProbeCtes: String =
+    s"""nq as (select id, n from nn where id in ($qIdLit)),
+       |${ivfCsim("ct2", "csimQ", "nq")},
+       |qpr as (select id as qid, cell from (select id, cell, row_number() over (partition by id order by sim desc, cell) as rn
+       |                                     from csimQ) _q where rn <= $IvfNprobe)""".stripMargin
+
+  /** The IVF chain for a query template: inline train+assign for the
+    * oracle; the cached index views (g_ivf_ct = centroids,
+    * g_ivf_asg = assignments) for the Spark side — the build-once
+    * serve-many split every production ANN index makes. */
+  private def ivfChain(needAssign: Boolean): String =
+    if (views)
+      (Seq(viewAlias("ct2", "g_ivf_ct")) ++
+        (if (needAssign) Seq(viewAlias("asgF", "g_ivf_asg")) else Nil) :+
+        ivfProbeCtes).mkString(",\n")
+    else
+      (Seq(ivfTrainCtes) ++
+        (if (needAssign) Seq(ivfAssignCtes) else Nil) :+
+        ivfProbeCtes).mkString(",\n")
 
   /** PQ codebook/encode chain, shared by `vec_topk_pq` and the
     * composed `vec_topk_ivf_pq` (see the vec_topk_pq map entry for
@@ -357,21 +392,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * (`codes`), and the |Q|·M·K ADC lookup source (`sall`). CTE names
     * are p-prefixed so the chain composes with [[ivfCtes]] in one
     * WITH clause. Requires nvCtes upstream. */
-  private lazy val pqCtes: String = {
-    val (mSub, dSub) = (8, 8) // 8 subspaces x 8 dims of Dim=64
-    val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
-    val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
-    // (id, m 0-based, sv double[dSub]) in ONE pass: nested-array
-    // transform + a single explode (an 8-way union of slice scans
-    // multiplied every CTE re-reference by 8 source reads)
-    val slices = d.arrTransform(d.intSeq("0", (mSub - 1).toString), "mm",
-      (1 to dSub).map(j => d.arrIdx0("n", s"mm * $dSub + ${j - 1}")).mkString(
+  private val PqSubspaces = 8
+  private val PqSubDim = 8 // 8 subspaces x 8 dims of Dim=64
+  /** (id, m 0-based, sv double[dSub]) slices of a normalized-vector
+    * column `n`: nested-array transform + a single explode (an 8-way
+    * union of slice scans multiplied every CTE re-reference by 8
+    * source reads). */
+  private lazy val pqSlices: String =
+    d.arrTransform(d.intSeq("0", (PqSubspaces - 1).toString), "mm",
+      (1 to PqSubDim).map(j => d.arrIdx0("n", s"mm * $PqSubDim + ${j - 1}")).mkString(
         if (d.name == "spark") "array(" else "[", ", ",
         if (d.name == "spark") ")" else "]"))
-    val matKw = if (d.name == "duckdb") "materialized " else ""
+
+  /** PQ corpus slicing: par4, vsub(id, m, sv). */
+  private lazy val pqBaseCtes: String =
     s"""par4 as (select cast(count(*) as double) as cnt from nn),
-       |vsub as (select id, m1 - 1 as m, sv from ${d.explodeFrom("nn", slices, "m1", "sv", Seq("id"))} _vs),
-       |ptr as (select v.id, v.m, v.sv from vsub v cross join par4
+       |vsub as (select id, m1 - 1 as m, sv from ${d.explodeFrom("nn", pqSlices, "m1", "sv", Seq("id"))} _vs)""".stripMargin
+
+  /** PQ TRAIN: sampled one-step Lloyd per subspace — ends in
+    * pct1(m, cell, cv), the codebook table. */
+  private lazy val pqTrainCtes: String = {
+    val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
+    val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
+    s"""ptr as (select v.id, v.m, v.sv from vsub v cross join par4
        |       where ${prfMod(d)(1048576, "'pqtrain'", "v.id")} < $thrT),
        |pct0 as (select v.m, v.id as cell, v.sv as cv from vsub v cross join par4
        |        where ${prfMod(d)(1048576, "'pqseed'", "v.id")} < $thrS),
@@ -382,12 +425,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |ptx as (select a.m, a.cell, x.sp, x.v1 from pa0 a
        |       join ${d.explodeFrom("ptr", "sv", "sp", "v1", Seq("id", "m"))} x on x.id = a.id and x.m = a.m),
        |pcm as (select m, cell, sp, round(avg(v1), 6) as cval from ptx group by m, cell, sp),
-       |pct1 as $matKw(select m, cell, ${d.arrAggOrdered("cval", "sp")} as cv from pcm group by m, cell),
-       |sall as $matKw(select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as dt, ${d.dot("c.cv", "c.cv")} as c2
+       |pct1 as ${if (d.name == "duckdb") "materialized " else ""}(select m, cell, ${d.arrAggOrdered("cval", "sp")} as cv from pcm group by m, cell)""".stripMargin
+  }
+
+  /** PQ ENCODE: the one full-corpus pass — every subvector to its
+    * nearest codebook cell via the |N|·M·K score source `sall`.
+    * Ends in codes(id, m, cell), the 8-byte-per-vector index. */
+  private lazy val pqEncodeCtes: String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    s"""sall as $matKw(select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as dt, ${d.dot("c.cv", "c.cv")} as c2
        |               from vsub v join pct1 c on c.m = v.m),
        |codes as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
        |            select id, m, max(${d.structLit2("s", "dt - 0.5 * c2", "c", "-cell")}) as mx from sall group by id, m) _cf)""".stripMargin
   }
+
+  /** PQ query-side ADC lookup table: the |Q|·M·K LUT from the query
+    * subvectors against the codebook — with the index cached, this
+    * (plus the codes join) is ALL the query-time work. */
+  private lazy val pqQueryCtes: String =
+    s"""nq2 as (select id, n from nn where id in ($qIdLit)),
+       |vsubq as (select id, m1 - 1 as m, sv from ${d.explodeFrom("nq2", pqSlices, "m1", "sv", Seq("id"))} _vq),
+       |qlut as (select v.id as qid, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as qdot, ${d.dot("c.cv", "c.cv")} as c2
+       |         from vsubq v join pct1 c on c.m = v.m)""".stripMargin
+
+  /** The PQ chain for a query template: inline base+train+encode for
+    * the oracle; the cached codebook/codes views for Spark. Always
+    * ends with the query LUT. */
+  private def pqChain: String =
+    if (views)
+      Seq(viewAlias("pct1", "g_pq_ct"), viewAlias("codes", "g_pq_codes"),
+        pqQueryCtes).mkString(",\n")
+    else
+      Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes, pqQueryCtes).mkString(",\n")
 
   /** Graph in-degree per vector (reference: compute_in_degrees). */
   private val indegCte =
@@ -570,7 +639,17 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "g_knn" -> s"with ${Seq(nvCtes, viewAlias("bkt", "g_bkt"), knnCtes).mkString(",\n")}\nselect src, dst, sim, rn from knn",
     "g_indeg" -> s"with ${Seq(nvCtes, viewAlias("knn", "g_knn"), indegCte).mkString(",\n")}\nselect vec_id, in_degree from indeg",
     "g_carriers" -> s"with ${Seq(nvCtes, viewAlias("indeg", "g_indeg"), carrierCtes).mkString(",\n")}\nselect vec_id, in_degree, sel_rank, blk from carriers",
-    "g_stego" -> s"with ${Seq(nvCtes, exnCte, viewAlias("carriers", "g_carriers"), stegoCtes).mkString(",\n")}\nselect id, pos, sval from stego")
+    "g_stego" -> s"with ${Seq(nvCtes, exnCte, viewAlias("carriers", "g_carriers"), stegoCtes).mkString(",\n")}\nselect id, pos, sval from stego",
+    // ANN index build — centroids, assignments, codebooks, codes:
+    // the build-once/serve-many split every production vector index
+    // makes (faiss/Milvus train+add vs search). Each stage reads the
+    // views before it, so train runs on the sample once, and the two
+    // full-corpus passes (IVF assignment, PQ encoding) happen exactly
+    // once per session/scratch lifetime.
+    "g_ivf_ct" -> s"with ${Seq(nvCtes, exnCte, ivfTrainCtes).mkString(",\n")}\nselect cell, cv from ct2",
+    "g_ivf_asg" -> s"with ${Seq(nvCtes, viewAlias("ct2", "g_ivf_ct"), ivfAssignCtes).mkString(",\n")}\nselect id, cell from asgF",
+    "g_pq_ct" -> s"with ${Seq(nvCtes, pqBaseCtes, pqTrainCtes).mkString(",\n")}\nselect m, cell, cv from pct1",
+    "g_pq_codes" -> s"with ${Seq(nvCtes, pqBaseCtes, viewAlias("pct1", "g_pq_ct"), pqEncodeCtes).mkString(",\n")}\nselect id, m, cell from codes")
 
   /** Watermarked full table, exploded: carriers get stego values, the
     * rest keep originals (reference: pg_func.py update_vectors writes
@@ -1154,7 +1233,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // only.
     "vec_topk_ivf" ->
       s"""with $nvCtes, $exnCte,
-         |$ivfCtes,
+         |${ivfChain(needAssign = true)},
          |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
          |p as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
          |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid)
@@ -1175,14 +1254,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "vec_topk_ivf_pq" -> {
       val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
       s"""with $nvCtes, $exnCte,
-         |$ivfCtes,
-         |$pqCtes,
+         |${ivfChain(needAssign = true)},
+         |$pqChain,
          |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
          |adc as (select c.qid, c.cid,
          |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
          |        from cnd c join codes k on k.id = c.cid
-         |        join (select id as qid, m, cell, dt as qdot, c2 from sall where id in ($qIdLit)) q
-         |          on q.qid = c.qid and q.m = k.m and q.cell = k.cell
+         |        join qlut q on q.qid = c.qid and q.m = k.m and q.cell = k.cell
          |        group by c.qid, c.cid),
          |p as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
@@ -1209,12 +1287,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "vec_topk_pq" -> {
       val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
       s"""with $nvCtes,
-         |$pqCtes,
+         |$pqChain,
          |adc as (select q.qid, k.id as cid,
          |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
          |        from codes k
-         |        join (select id as qid, m, cell, dt as qdot, c2 from sall where id in ($qIdLit)) q
-         |          on q.m = k.m and q.cell = k.cell and k.id <> q.qid
+         |        join qlut q on q.m = k.m and q.cell = k.cell and k.id <> q.qid
          |        group by q.qid, k.id),
          |p as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_sim, ${bigint("rn")} as rn
@@ -1233,14 +1310,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "vec_topk_ivf_pq_rerank" -> {
       val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
       s"""with $nvCtes, $exnCte,
-         |$ivfCtes,
-         |$pqCtes,
+         |${ivfChain(needAssign = true)},
+         |$pqChain,
          |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
          |adc as (select c.qid, c.cid,
          |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
          |        from cnd c join codes k on k.id = c.cid
-         |        join (select id as qid, m, cell, dt as qdot, c2 from sall where id in ($qIdLit)) q
-         |          on q.qid = c.qid and q.m = k.m and q.cell = k.cell
+         |        join qlut q on q.qid = c.qid and q.m = k.m and q.cell = k.cell
          |        group by c.qid, c.cid),
          |ap as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc),
          |short as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by approx_sim desc, cid) as arn from ap) _s where arn <= 50),
