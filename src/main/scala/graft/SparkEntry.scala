@@ -83,6 +83,16 @@ object SparkEntry {
         jaccardPairsView(s, dir)
         s.sql(sparkGen.dedupContainmentSql(Some("g_jpairs")))
       }),
+      // association rules over the checkpointed basket table (the
+      // rule SQL references the basket five times; Catalyst would
+      // re-evaluate the join+distinct each time)
+      "market_basket" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val ob = basketCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.marketBasketBuildSql).localCheckpoint())
+        ob.createOrReplaceTempView("g_basket")
+        s.sql(sparkGen.marketBasketSql(Some("g_basket")))
+      }),
       // MMR re-rank: the corpus-sized pool build checkpoints to 30
       // rows; the unrolled selection rounds (each state CTE referenced
       // twice → 2^t Catalyst re-evaluations) then run over the
@@ -114,6 +124,9 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private val mmrPoolCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private val basketCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** DuckDB-runnable oracle SQL, generated from the same templates. */

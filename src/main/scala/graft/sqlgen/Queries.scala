@@ -771,6 +771,40 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from keep group by source""".stripMargin
   }
 
+  /** The distinct (order, brand) basket table behind market_basket —
+    * the table a production association-rule pass materializes once
+    * (Spark re-inlines every CTE reference, and the rule query
+    * references the basket five times: both sides of the pair
+    * self-join, two brand-total lookups, and the order count). */
+  def marketBasketBuildSql: String =
+    s"""select distinct l.l_orderkey as ok, p.p_brand as br
+       |from lineitem l join part p on p.p_partkey = l.l_partkey""".stripMargin
+
+  /** Brand-pair support/confidence/lift over the basket table.
+    * Some(view) → read the materialized basket; None → inline (the
+    * oracle rendering, DuckDB-materialized). */
+  def marketBasketSql(from: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val ob = from match {
+      case Some(v) => s"ob as (select ok, br from $v)"
+      case None    => s"ob as $matKw(${marketBasketBuildSql.replace("\n", " ")})"
+    }
+    s"""with $ob,
+       |bs as (select br, count(*) as cb from ob group by br),
+       |nt as (select count(distinct ok) as total from ob),
+       |pr as (select a.br as brand_a, b.br as brand_b, count(*) as c
+       |       from ob a join ob b on a.ok = b.ok and a.br < b.br
+       |       group by a.br, b.br)
+       |select brand_a, brand_b, ${bigint("c")} as n_orders,
+       |  ${roundAway(d)("c / cast(nt.total as double)", 5)} as support,
+       |  ${roundAway(d)("c / cast(x.cb as double)", 4)} as confidence,
+       |  ${roundAway(d)("(c * cast(nt.total as double)) / (cast(x.cb as double) * cast(y.cb as double))", 4)} as lift
+       |from pr join bs x on x.br = pr.brand_a
+       |        join bs y on y.br = pr.brand_b
+       |        cross join nt
+       |where c >= 3""".stripMargin
+  }
+
   /** The shared gram-overlap profile (pair, i, na, nb) behind
     * dedup_jaccard / dedup_containment, exposed for the Spark side's
     * in-session scratch: the 5-gram explode is the single heaviest
@@ -2675,24 +2709,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // (part is vocabulary-sized next to lineitem). Counts are
     // integers; the three ratios are one-shot rounds of exact integer
     // quotients. 25 brands → ≤ 300 output rows at any scale.
-    "market_basket" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      s"""with ob as $matKw(select distinct l.l_orderkey as ok, p.p_brand as br
-         |            from lineitem l join part p on p.p_partkey = l.l_partkey),
-         |bs as (select br, count(*) as cb from ob group by br),
-         |nt as (select count(distinct ok) as total from ob),
-         |pr as (select a.br as brand_a, b.br as brand_b, count(*) as c
-         |       from ob a join ob b on a.ok = b.ok and a.br < b.br
-         |       group by a.br, b.br)
-         |select brand_a, brand_b, ${bigint("c")} as n_orders,
-         |  ${roundAway(d)("c / cast(nt.total as double)", 5)} as support,
-         |  ${roundAway(d)("c / cast(x.cb as double)", 4)} as confidence,
-         |  ${roundAway(d)("(c * cast(nt.total as double)) / (cast(x.cb as double) * cast(y.cb as double))", 4)} as lift
-         |from pr join bs x on x.br = pr.brand_a
-         |        join bs y on y.br = pr.brand_b
-         |        cross join nt
-         |where c >= 3""".stripMargin
-    },
+    "market_basket" -> marketBasketSql(None),
 
     // first-order Markov transition matrix over per-user event
     // streams — the behavioral model product analytics fits on raw
