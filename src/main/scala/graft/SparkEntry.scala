@@ -103,6 +103,22 @@ object SparkEntry {
           s.sql(sparkGen.mmrPoolSql).localCheckpoint())
         pool.createOrReplaceTempView("g_mmr_pool")
         s.sql(sparkGen.mmrSql(Some("g_mmr_pool")))
+      }),
+      // decontamination over the materialized shingle index: the
+      // lead()-window shingle pass (the expensive part of BOTH decont
+      // queries) runs once per session/dir per side; exact and
+      // Bloom-prefiltered variants then join the checkpointed rows.
+      // A production pipeline keeps its eval-shingle index and screens
+      // every training batch against it.
+      "decontaminate" -> ((s, dir) => {
+        Tables.register(s, dir)
+        decontShinglesView(s, dir)
+        s.sql(sparkGen.decontaminateSql(Some(("g_dsh_ev", "g_dsh_tr"))))
+      }),
+      "decontaminate_bloom" -> ((s, dir) => {
+        Tables.register(s, dir)
+        decontShinglesView(s, dir)
+        s.sql(sparkGen.decontaminateBloomSql(Some(("g_dsh_ev", "g_dsh_tr"))))
       }))
 
   private def simPairsView(s: SparkSession, dir: String): Unit = {
@@ -128,6 +144,17 @@ object SparkEntry {
 
   private val basketCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def decontShinglesView(s: SparkSession, dir: String): Unit = {
+    val (ev, tr) = decontCache.computeIfAbsent((s, dir), _ =>
+      (s.sql(sparkGen.decontShinglesBuildSql("ev")).localCheckpoint(),
+        s.sql(sparkGen.decontShinglesBuildSql("tr")).localCheckpoint()))
+    ev.createOrReplaceTempView("g_dsh_ev")
+    tr.createOrReplaceTempView("g_dsh_tr")
+  }
+
+  private val decontCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =

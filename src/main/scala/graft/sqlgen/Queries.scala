@@ -771,6 +771,65 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from keep group by source""".stripMargin
   }
 
+  /** The distinct shingle table of one decontamination side: "ev" →
+    * (g, eval_doc) over the held-out split, "tr" → (doc_id, g) over
+    * the training split. The lead()-window shingle pass is the
+    * expensive part of both decontamination queries, and a production
+    * pipeline keeps its shingle index — the Spark side materializes
+    * each side once per session. */
+  def decontShinglesBuildSql(side: String): String = side match {
+    case "ev" =>
+      s"""with $wordCtes,
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")}
+         |select distinct g, doc_id as eval_doc from shev""".stripMargin
+    case "tr" =>
+      s"""with $wordCtes,
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")}
+         |select distinct doc_id, g from shtr""".stripMargin
+  }
+
+  private def decontSides(from: Option[(String, String)],
+                          matEv: Boolean): String = {
+    val matKw = if (d.name == "duckdb" && matEv) "materialized " else ""
+    from match {
+      case Some((evV, trV)) =>
+        s"""ev as (select g, eval_doc from $evV),
+           |tr as (select doc_id, g from $trV)""".stripMargin
+      case None =>
+        s"""$wordCtes,
+           |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+           |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+           |ev as $matKw(select distinct g, doc_id as eval_doc from shev),
+           |tr as (select distinct doc_id, g from shtr)""".stripMargin
+    }
+  }
+
+  /** Train-vs-eval shingle-overlap decontamination. Some((evView,
+    * trView)) → read the materialized shingle tables; None → inline
+    * (the oracle rendering). */
+  def decontaminateSql(from: Option[(String, String)]): String =
+    s"""with ${decontSides(from, matEv = false)}
+       |select ${bigint("tr.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
+       |  ${bigint("count(*)")} as n_shared_shingles
+       |from tr join ev on ev.g = tr.g
+       |group by tr.doc_id, ev.eval_doc""".stripMargin
+
+  /** The Bloom-prefiltered variant — row-identical by the one-sided
+    * error contract; the filter builds from the eval shingles and
+    * screens the training side map-side before the exact join. */
+  def decontaminateBloomSql(from: Option[(String, String)]): String =
+    s"""with ${decontSides(from, matEv = true)},
+       |evg as (select distinct g from ev),
+       |${bloomBuildCtes("evg")},
+       |trq as (select doc_id, g, ${(0 until BloomK).map(i => s"min(${bloomPos(i)}) as q$i").mkString(", ")}
+       |        from tr group by doc_id, g),
+       |trh as (select trq.doc_id, trq.g from trq
+       |        where ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")})
+       |select ${bigint("trh.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
+       |  ${bigint("count(*)")} as n_shared_shingles
+       |from trh join ev on ev.g = trh.g
+       |group by trh.doc_id, ev.eval_doc""".stripMargin
+
   /** The distinct (order, brand) basket table behind market_basket —
     * the table a production association-rule pass materializes once
     * (Spark re-inlines every CTE reference, and the rule query
@@ -1666,16 +1725,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // ~2⁻⁴⁰ collision odds per pair, and a collision hashes
     // identically in both engines): the dominant shuffle/broadcast
     // carries 8-byte keys instead of 32-char strings.
-    "decontaminate" ->
-      s"""with $wordCtes,
-         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
-         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
-         |ev as (select distinct g, doc_id as eval_doc from shev),
-         |tr as (select distinct doc_id, g from shtr)
-         |select ${bigint("tr.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
-         |  ${bigint("count(*)")} as n_shared_shingles
-         |from tr join ev on ev.g = tr.g
-         |group by tr.doc_id, ev.eval_doc""".stripMargin,
+    "decontaminate" -> decontaminateSql(None),
 
     // per-doc top TF-IDF term — the classic text-relevance op. One word
     // explode feeds both tf and df; the per-doc argmax is the two-
@@ -2224,24 +2274,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // to every executor, the training corpus streams through a
     // map-side membership test, and ONLY the hits (true overlaps +
     // fill^k false positives) reach the exact hash join's shuffle.
-    "decontaminate_bloom" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      s"""with $wordCtes,
-         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
-         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
-         |ev as $matKw(select distinct g, doc_id as eval_doc from shev),
-         |evg as (select distinct g from ev),
-         |${bloomBuildCtes("evg")},
-         |tr as (select distinct doc_id, g from shtr),
-         |trq as (select doc_id, g, ${(0 until BloomK).map(i => s"min(${bloomPos(i)}) as q$i").mkString(", ")}
-         |        from tr group by doc_id, g),
-         |trh as (select trq.doc_id, trq.g from trq
-         |        where ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")})
-         |select ${bigint("trh.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
-         |  ${bigint("count(*)")} as n_shared_shingles
-         |from trh join ev on ev.g = trh.g
-         |group by trh.doc_id, ev.eval_doc""".stripMargin
-    },
+    "decontaminate_bloom" -> decontaminateBloomSql(None),
 
     // rolling distinct-user engagement — per-day DAU, trailing-7-day
     // WAU, and the DAU/WAU stickiness ratio. Rolling DISTINCT does not
