@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time one query and optionally print its formatted plan.
-  * Usage: runMain graft.QDebug <name> [sfDir] [explain] */
+  * Usage: runMain graft.QDebug <name> [sfDir] [explain] [dump]
+  * `dump` writes the result + this key's oracle SQL to /tmp/qdump so
+  * `tools/check_oracle.py <sfDir> /tmp/qdump` gates ONE key locally. */
 object QDebug {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -17,6 +19,15 @@ object QDebug {
     println(s"[qdebug] $name count=${df.count()} first=${(System.nanoTime() - t0) / 1e9}s")
     t0 = System.nanoTime()
     println(s"[qdebug] $name count=${df.count()} second=${(System.nanoTime() - t0) / 1e9}s")
+    if (args.contains("dump")) {
+      val out = "/tmp/qdump"
+      df.repartition(1).write.mode("overwrite").parquet(s"$out/$name")
+      val esc = SparkEntry.oracleSql(name)
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+        s"""{"$name": "$esc"}""".getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

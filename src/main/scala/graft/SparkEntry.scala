@@ -47,6 +47,8 @@ object SparkEntry {
       "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
       // real BMP decode (render embeddings → encode → header/row parse)
       "multimodal_bmp_stats" -> ((s, dir) => graft.operators.Bmp.bmpStats(s, dir)),
+      // real PNG decode (render → deflate-encode → chunk/CRC/unfilter parse)
+      "multimodal_png_stats" -> ((s, dir) => graft.operators.Png.pngStats(s, dir)),
       // near-dup pairs → deletion groups: checkpoint the pair chain
       // once, then 6 unrolled min-label rounds over the materialized
       // rows (Catalyst re-inlines multi-referenced CTEs, so the pure
@@ -161,6 +163,7 @@ object SparkEntry {
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
+        "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),

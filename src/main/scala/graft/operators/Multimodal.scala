@@ -23,10 +23,12 @@ object Multimodal {
                            features: Array[Float])
 
   /** STUB decoder for the formats this container has no codec for
-    * (png/jpeg/video): a real build links the library here and decodes
-    * `bytes` per `meta.format`; this deterministic fake hashes the
-    * payload so tests can assert exact values. WAV payloads do NOT go
-    * through this — operators.Wav.parse is a real decoder. */
+    * (jpeg/video — DCT and inter-frame codecs aren't pure JVM): a real
+    * build links the library here and decodes `bytes` per
+    * `meta.format`; this deterministic fake hashes the payload so
+    * tests can assert exact values. WAV, BMP, and PNG payloads do NOT
+    * go through this — operators.{Wav,Bmp,Png}.parse are real
+    * decoders. */
   private[operators] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     Array.tabulate(dim)(i => (h(i % 16) & 0xff) / 255.0f)
@@ -56,11 +58,24 @@ object Multimodal {
     Array.tabulate(dim)(i => if (i < fs.length) fs(i) else 0f)
   }
 
+  /** REAL decode for PNG payloads (operators.Png): header + pixel
+    * facts as the feature vector — [w/4096, h/4096, depth/32,
+    * mean-pixel/255, log10(1+bytes)/8, filter-mean/4, 0-padded]. */
+  private[operators] def pngDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val m = Png.parse(bytes)
+    val meanPx = m.pixelSum.toDouble / (3.0 * m.width * m.height) / 255.0
+    val fs = Array(m.width / 4096f, m.height / 4096f, m.bitDepth / 32f,
+      meanPx.toFloat, (math.log10(1.0 + m.byteLen) / 8).toFloat,
+      (m.filterSum.toDouble / m.height / 4.0).toFloat)
+    Array.tabulate(dim)(i => if (i < fs.length) fs(i) else 0f)
+  }
+
   /** Decode each media payload to a feature vector. Runs batched inside
     * mapPartitions (batchSize rows per decoder call, the vectorized-UDF
     * shape); repartitions by media_id so a skewed source file doesn't
-    * serialize the decode. WAV payloads take the real parse path;
-    * formats with no in-container codec take the documented stub. */
+    * serialize the decode. WAV/BMP/PNG payloads take the real parse
+    * paths; formats with no in-container codec take the documented
+    * stub. */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 8,
                      batchSize: Int = 32): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -72,6 +87,7 @@ object Multimodal {
             val feats =
               if (r.meta.format == "wav" && Wav.isWav(r.bytes)) wavDecode(r.bytes, dim)
               else if (r.meta.format == "bmp" && Bmp.isBmp(r.bytes)) bmpDecode(r.bytes, dim)
+              else if (r.meta.format == "png" && Png.isPng(r.bytes)) pngDecode(r.bytes, dim)
               else stubDecode(r.bytes, dim)
             MediaFeatures(r.media_id, r.kind, r.bytes.length, feats)
           }

@@ -1244,6 +1244,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from sims2 where cos_sim >= 0.3""".stripMargin
     },
 
+    // Semantic dedup, SemDeDup-shaped (Abbas et al. 2023,
+    // arXiv:2303.09540): the K-MEANS CELLS of the ANN index double as
+    // the blocking keys — the cached IVF assignment (g_ivf_asg) that
+    // already serves vec_topk_ivf screens the corpus for semantic
+    // near-dups at zero extra index cost, the exact reuse SemDeDup
+    // makes of its retrieval clustering. Within-cell pairwise work is
+    // Σ|cell|² ≈ N·√N for the √N-cell sizing (never corpus-quadratic);
+    // a near-dup pair straddling a cell boundary is missed — the
+    // technique's documented recall tradeoff, complementary to
+    // dedup_embedding's LSH blocking (multi-table OR-construction, no
+    // single partition boundary). Spark salts the within-cell
+    // self-join 4-way like dedup_embedding; assignments are unique per
+    // id, so pairs need no distinct, and the dot runs once behind the
+    // same groupBy barrier. Oracle renders the inline train+assign
+    // chain.
+    "dedup_semantic" -> {
+      val chain =
+        if (views) viewAlias("asgF", "g_ivf_asg")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      val salted =
+        s"""cpr as (select a.id as ida, b.id as idb, a.cell
+           |        from (select id, cell, id % 4 as s from asgF) a
+           |        join (select id, cell, sx as s from asgF cross join (select explode(sequence(0, 3)) as sx) _sx) b
+           |          on a.cell = b.cell and a.s = b.s and a.id < b.id)""".stripMargin
+      val plain =
+        "cpr as (select a.id as ida, b.id as idb, a.cell from asgF a join asgF b on a.cell = b.cell and a.id < b.id)"
+      s"""with $nvCtes,
+         |$chain,
+         |${if (d.name == "spark") salted else plain},
+         |sims3 as (select p.ida as id_a, p.idb as id_b, max(p.cell) as cell,
+         |            max(round(${d.dot("na.n", "nb.n")}, 6)) as cos_sim
+         |          from cpr p join nn na on na.id = p.ida join nn nb on nb.id = p.idb
+         |          group by p.ida, p.idb)
+         |select ${bigint("id_a")} as id_a, ${bigint("id_b")} as id_b,
+         |  ${bigint("cell")} as cell, cos_sim
+         |from sims3 where cos_sim >= 0.3""".stripMargin
+    },
+
     // composite curation pipeline — the realistic 100 TB training-data
     // job: quality gate → language filter → exact-dedup (keep lowest
     // doc_id) → per-source corpus stats. One pass over documents for
