@@ -1817,6 +1817,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from w where event_type = 'click' and pid is not null""".stripMargin
     },
 
+    // Batch interval join — the batch rendering of the streaming
+    // attribution join (Streams.clickPurchaseJoin): EVERY (click,
+    // purchase) pair by the same user with the purchase inside
+    // [click - 1h, click], where events_asof keeps only the latest.
+    // Scale shape: a user_id equi-join carries the band predicate —
+    // the shuffle keys by user, the interval filters within a user's
+    // bounded activity, so the fanout is per-user pairs in a 1-hour
+    // band, never a time-range cross join. (The streaming form bounds
+    // the SAME state with its two-sided watermarks; StreamingSpec pins
+    // pair-set equality on floor-second inputs.)
+    "events_attribution" ->
+      s"""with c as (select event_id as click_id, user_id, ${evSec("ts")} as csec
+         |           from events where event_type = 'click'),
+         |p as (select event_id as purchase_id, user_id, ${evSec("ts")} as psec
+         |      from events where event_type = 'purchase'),
+         |j as (select c.click_id, p.purchase_id, c.user_id, c.csec - p.psec as gap
+         |      from c join p on p.user_id = c.user_id
+         |                   and p.psec >= c.csec - 3600 and p.psec <= c.csec)
+         |select ${bigint("click_id")} as click_id, ${bigint("purchase_id")} as purchase_id,
+         |  ${bigint("user_id")} as user_id, ${bigint("gap")} as gap_s
+         |from j""".stripMargin,
+
     // negative control: run blind extraction against the UNwatermarked
     // table — only ~1/16 of vectors pass the CRC gate by chance and no
     // coherent blocks emerge (the no-false-positive property of the

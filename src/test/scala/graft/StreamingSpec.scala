@@ -104,6 +104,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch events_attribution equals the streaming interval join on the real corpus") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    Tables.register(spark, TestSpark.Sf)
+    // floor ts to whole seconds: the batch query compares epoch
+    // SECONDS (evSec) while the stream joins full-precision
+    // timestamps — on floor-second inputs the boundary semantics are
+    // identical, so pair sets must match exactly
+    def side(t: String) = spark.sql(
+      s"""select timestamp_seconds(ts div 1000000000) as tss, user_id, event_id
+         |from events where event_type = '$t'""".stripMargin)
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = Streams.clickPurchaseJoin(clicks.toDS.toDF(), purchases.toDS.toDF())
+      .writeStream.format("memory").queryName("attrib_parity")
+      .outputMode("append").start()
+    try {
+      purchases.addData(side("purchase"))
+      clicks.addData(side("click"))
+      q.processAllAvailable()
+      // push both watermarks past every event so all pairs emit
+      val flush = (Timestamp.valueOf("2030-01-01 00:00:00"), 999999L, 999999L)
+      purchases.addData(flush); clicks.addData(flush)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_parity")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect()
+        .filterNot(t => t._1 == 999999L || t._2 == 999999L).toSet
+      val batch = SparkEntry.queries("events_attribution")(spark, TestSpark.Sf)
+        .collect().map(r =>
+          (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"streaming/batch pair sets differ: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on a 30-min gap") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
