@@ -206,6 +206,9 @@ final class Graft(spark: SparkSession, dir: String,
   def bmpStats: DataFrame = q("multimodal_bmp_stats")
   /** Per-doc word-distribution entropy (quality signal). */
   def entropyScores: DataFrame = q("text_entropy")
+  /** Per-doc bigram NLL/perplexity under the corpus's own bigram
+    * model (the CCNet-style predictability ranking). */
+  def lmScores: DataFrame = q("text_lm_score")
   /** View→click→purchase conversion funnel. */
   def funnel: DataFrame = q("events_funnel")
   /** Top-k over the int8-quantized table (SQ-compressed search). */
@@ -254,6 +257,12 @@ final class Graft(spark: SparkSession, dir: String,
   def bm25Scores: DataFrame = q("text_bm25")
   /** MMR-diversified top-5 re-ranking of the query's candidates. */
   def diversifiedTopK: DataFrame = q("vec_mmr")
+  /** Semantic near-dup pairs blocked by the cached IVF cells (the
+    * SemDeDup shape — the ANN index screens its own corpus). */
+  def semanticNearDup: DataFrame = q("dedup_semantic")
+  /** Per-label stats decoded from real PNG renders of the embeddings
+    * (deflate + CRC + five-filter scanline reconstruction). */
+  def pngStats: DataFrame = q("multimodal_png_stats")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")
@@ -264,6 +273,9 @@ final class Graft(spark: SparkSession, dir: String,
   def sessions: DataFrame = q("events_sessions")
   def hourlyEventCounts: DataFrame = q("events_windowed")
   def clicksWithLastPurchase: DataFrame = q("events_asof")
+  /** Every same-user (click, purchase) pair within the trailing hour —
+    * the batch form of the streaming attribution join. */
+  def clickAttribution: DataFrame = q("events_attribution")
 }
 
 object Graft {

@@ -2001,6 +2001,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ent""".stripMargin
     },
 
+    // Statistical-LM quality scoring (the CCNet/Gopher signal class):
+    // per-doc average bigram negative log-likelihood — and its exp,
+    // perplexity — under the corpus's OWN bigram model
+    // P(w2|w1) = c(w1,w2)/c(w1·). Training on the corpus itself means
+    // every doc bigram has count ≥ 1 (no smoothing needed, P ∈ (0,1]).
+    // Per bigram NLL = ln(c(w1·)/c(w1,w2)): near 0 when the context's
+    // continuation is predictable (templated/boilerplate text — and,
+    // inherently for self-trained models, hapax contexts), high when a
+    // COMMON context takes an unusual continuation — the
+    // predictability ranking CCNet gets from its external LM,
+    // self-contained. Scale shape: ONE explode + lead() pairing, model
+    // tables are vocabulary²-bounded aggregations (shuffle keyed by
+    // bigram/head, map-side-combinable), per-doc scoring is two
+    // broadcast-joinable lookups + one groupBy(doc) fold. Determinism:
+    // each term is one ln() of an exact integer ratio, folded in
+    // keyed-hash order with a value tie-break (the text_entropy
+    // pattern), rounded once at the end.
+    "text_lm_score" -> {
+      val ts = d.arrAggOrdered(
+        "c * (ln(cast(c12 as double)) - ln(cast(c1 as double)))", "hb")
+      val ones = d.arrTransform("ts", "x", "cast(1 as double)")
+      s"""with $wordCtes,
+         |bg as (select doc_id, wd as w1, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
+         |bgn as (select doc_id, w1, w2 from bg where w2 is not null),
+         |cb as (select w1, w2, count(*) as c12 from bgn group by w1, w2),
+         |chd as (select w1, count(*) as c1 from bgn group by w1),
+         |dc as (select doc_id, w1, w2, count(*) as c from bgn group by doc_id, w1, w2),
+         |t as (select d2.doc_id, ${prf(d)("'lm'", "concat_ws(' ', d2.w1, d2.w2)")} % 1048576 as hb,
+         |             d2.c, b.c12, h.c1
+         |      from dc d2 join cb b on b.w1 = d2.w1 and b.w2 = d2.w2
+         |                join chd h on h.w1 = d2.w1),
+         |agg as (select doc_id, sum(c) as n, $ts as ts from t group by doc_id),
+         |sc as (select doc_id, n, -(${d.dot("ts", ones)}) / n as nll from agg where n > 0)
+         |select ${bigint("doc_id")} as doc_id, ${bigint("n")} as n_bigrams,
+         |  round(nll, 6) as avg_nll, round(exp(nll), 4) as ppl
+         |from sc""".stripMargin
+    },
+
     // daily-cohort retention over the events stream (classic analytics
     // breadth): first-seen day per user, then d+1/d+7 activity flags —
     // two shuffles on user_id, everything map-side-combinable.

@@ -171,6 +171,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_lm_score: templated text scores lower NLL than shuffled text over the same vocabulary") {
+    import spark.implicits._
+    import graft.sqlgen.{Gen, SparkDialect}
+    graft.functions.DotProduct.register(spark)
+    // doc 0: one sentence repeated (every context's continuation is
+    // deterministic); doc 1: the SAME vocabulary in a scrambled order
+    // (common contexts, erratic continuations). Same words, same
+    // lengths — only the transition structure differs.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val template = (Seq.fill(40)(words).flatten).mkString(" ")
+    val rnd = new scala.util.Random(5)
+    val scrambled = rnd.shuffle(Seq.fill(40)(words).flatten).mkString(" ")
+    Seq((0L, template, "t", 200L), (1L, scrambled, "t", 200L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .createOrReplaceTempView("documents")
+    try {
+      val rows = spark.sql(new Gen(SparkDialect).sql("text_lm_score"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+      assert(rows(0) < rows(1),
+        s"template NLL ${rows(0)} should be below scrambled NLL ${rows(1)}")
+      // the corpus model is trained on BOTH docs, so even the template's
+      // contexts lose ~half their mass to the scrambled doc's heads:
+      // template NLL ≈ ln(80/45) ≈ 0.58, scrambled ≈ ln(80/8) ≈ 2.3 —
+      // gate the clean separation point between them
+      assert(rows(0) < 1.0, s"templated transitions should stay below ln(e), got ${rows(0)}")
+      assert(rows(1) > 1.0, s"scrambled transitions should exceed 1 nat, got ${rows(1)}")
+      rows.values.foreach(nll => assert(nll >= 0.0))
+    } finally {
+      Tables.register(spark, TestSpark.Sf)
+      spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+        .createOrReplaceTempView("documents")
+    }
+  }
+
   test("graph_link_predict: predictions are non-edges with real common neighbors") {
     val preds = run("graph_link_predict").collect()
     assert(preds.nonEmpty)
