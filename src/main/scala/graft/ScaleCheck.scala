@@ -58,7 +58,8 @@ object ScaleCheck {
       "text_chunk", "dedup_simhash_pairs", "sketch_distinct_by_source",
       "vec_topk_sq", "text_entropy", "sketch_bloom", "decontaminate_bloom",
       "sketch_cms", "sketch_quantiles", "events_anomaly",
-      "events_rolling_dau")
+      "events_rolling_dau", "dedup_semantic", "text_lm_score",
+      "events_attribution")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -78,7 +79,8 @@ object ScaleCheck {
     }
     // programmatic paths (not in Gen.sqls): real WAV decode + the
     // unrolled components propagation
-    for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats", "dedup_components")) {
+    for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats",
+      "multimodal_png_stats", "dedup_components")) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

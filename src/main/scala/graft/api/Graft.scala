@@ -173,6 +173,9 @@ final class Graft(spark: SparkSession, dir: String,
   def tableProfile: DataFrame = q("table_profile")
   /** Deterministic 80/10/10 train/val/test split stats per source. */
   def stratifiedSplit: DataFrame = q("sample_stratified")
+  /** Length-weighted top-100 document sample (Efraimidis–Spirakis
+    * exponential clocks, reproducible across runs and engines). */
+  def weightedSample: DataFrame = q("sample_weighted")
   /** Corpus bigram frequency table (freq-floored, sort-free). */
   def ngramFrequencies: DataFrame = q("text_ngram_freq")
   /** Token-length histogram per source. */

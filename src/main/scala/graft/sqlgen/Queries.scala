@@ -2001,6 +2001,34 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ent""".stripMargin
     },
 
+    // Weighted corpus sampling without replacement (Efraimidis–
+    // Spirakis, IPL 2006 — the same exponential-clock scores the
+    // carrier selection uses, surfaced as the user-facing corpus
+    // downsampler): P(doc in sample) ∝ weight, here n_chars (the
+    // "sample long documents preferentially" pass a training-mix
+    // builder runs; any per-doc quality score slots into the same
+    // formula). score = -ln(u)/w with u keyed-PRF-derived — fully
+    // deterministic, reproducible across runs/engines, no rand().
+    // Global top-K by score runs DISTRIBUTED two-pass (the carrierCtes
+    // pattern): bucket by a fixed score grid, broadcast cumulative
+    // offsets, rank within buckets — no single-partition window; at
+    // 100 TB the grid is the RangePartitioner-bounds analog.
+    "sample_weighted" ->
+      s"""with sc as (select doc_id, source, n_chars,
+         |              (-ln(${prfUniform(d)("'smp'", "doc_id")})) / cast(n_chars as double) as score
+         |            from documents),
+         |sbk as (select doc_id, source, n_chars, score,
+         |          least(cast(floor(score * 2000) as bigint), 255) as sb from sc),
+         |scnt as (select sb, count(*) as c from sbk group by sb),
+         |soff as (select a.sb, sum(case when b.sb < a.sb then b.c else cast(0 as bigint) end) as off
+         |         from scnt a cross join scnt b group by a.sb),
+         |smp as (select s.doc_id, s.source, s.n_chars, s.score,
+         |          o.off + row_number() over (partition by s.sb order by s.score, s.doc_id) as smp_rank
+         |        from sbk s join soff o on o.sb = s.sb)
+         |select ${bigint("doc_id")} as doc_id, source, ${bigint("n_chars")} as n_chars,
+         |  ${bigint("smp_rank")} as smp_rank, round(score, 8) as es_score
+         |from smp where smp_rank <= 100""".stripMargin,
+
     // Statistical-LM quality scoring (the CCNet/Gopher signal class):
     // per-doc average bigram negative log-likelihood — and its exp,
     // perplexity — under the corpus's OWN bigram model

@@ -205,6 +205,20 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_weighted: dense ranks, monotone scores, long docs overrepresented") {
+    val s = run("sample_weighted").collect()
+    assert(s.map(_.getAs[Long]("smp_rank")).sorted.toSeq == (1L to 100L))
+    val byRank = s.sortBy(_.getAs[Long]("smp_rank")).map(_.getAs[Double]("es_score"))
+    byRank.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    // weight = n_chars, so the exponential-clock sample must skew long
+    // (deterministic on the fixed corpus + fixed PRF key)
+    val sampleMean = s.map(_.getAs[Long]("n_chars")).sum.toDouble / s.length
+    val corpusMean = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean $sampleMean%.0f chars should exceed corpus mean $corpusMean%.0f")
+  }
+
   test("graph_link_predict: predictions are non-edges with real common neighbors") {
     val preds = run("graph_link_predict").collect()
     assert(preds.nonEmpty)
