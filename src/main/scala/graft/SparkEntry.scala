@@ -121,6 +121,30 @@ object SparkEntry {
         Tables.register(s, dir)
         decontShinglesView(s, dir)
         s.sql(sparkGen.decontaminateBloomSql(Some(("g_dsh_ev", "g_dsh_tr"))))
+      }),
+      // hybrid RRF over the checkpointed two-leg score table: the
+      // corpus-priced passes (word explode → BM25 + feature-hash
+      // aggs) run once per session/dir; the rank/fusion rounds
+      // (which reference the score rows several times — Catalyst
+      // re-inlines CTEs) run over candidate-sized materialized rows.
+      "search_hybrid_rrf" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val sem = hybridCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.hybridScoresBuildSql).localCheckpoint())
+        sem.createOrReplaceTempView("g_hybrid_scores")
+        s.sql(sparkGen.hybridRrfSql(Some("g_hybrid_scores")))
+      }),
+      // BPE merge rounds over the checkpointed vocabulary: the one
+      // corpus pass (word counts + char-split) materializes once;
+      // the unrolled merge rounds (each state referenced by the next
+      // round AND the output union — multiplicative under CTE
+      // re-inlining) run over the vocabulary-sized checkpoint.
+      "text_bpe_merges" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val v = bpeCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.bpeVocabBuildSql).localCheckpoint())
+        v.createOrReplaceTempView("g_bpe_vocab")
+        s.sql(sparkGen.bpeMergesSql(Some("g_bpe_vocab")))
       }))
 
   private def simPairsView(s: SparkSession, dir: String): Unit = {
@@ -145,6 +169,12 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private val basketCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private val hybridCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def decontShinglesView(s: SparkSession, dir: String): Unit = {

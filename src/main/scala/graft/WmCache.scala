@@ -55,7 +55,7 @@ object WmCache {
     "vec_range_search", "graph_pagerank", "graph_triangles", "graph_link_predict", "lsh_bucket_stats",
     "vec_topk_sq_lsh", "vec_topk_filtered_lsh",
     "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq", "vec_topk_ivf_pq_rerank",
-    "dedup_semantic")
+    "dedup_semantic", "vec_ivf_reindex")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

@@ -266,6 +266,19 @@ final class Graft(spark: SparkSession, dir: String,
   /** Per-label stats decoded from real PNG renders of the embeddings
     * (deflate + CRC + five-filter scanline reconstruction). */
   def pngStats: DataFrame = q("multimodal_png_stats")
+  /** Hybrid (BM25 + feature-hash cosine) top-10 fused by RRF k=60. */
+  def hybridSearch: DataFrame = q("search_hybrid_rrf")
+  /** Learned BPE merge table (3 rounds over the corpus vocabulary). */
+  def bpeMerges: DataFrame = q("text_bpe_merges")
+  /** Cross-document duplicated token spans (substring dedup). */
+  def duplicatedSpans: DataFrame = q("dedup_substring")
+  /** Carrier re-assignment move matrix against the served IVF cells
+    * after the embed UPDATE (the no-retrain index-maintenance path). */
+  def ivfReindexReport: DataFrame = q("vec_ivf_reindex")
+  /** Per-source temperature (α = 0.5) training-mix sampling weights. */
+  def mixWeights: DataFrame = q("data_mix_weights")
+  /** Hourly click vs purchase FULL OUTER reconciliation ledger. */
+  def activityReconciliation: DataFrame = q("events_reconcile")
 
   // ---- relational / events ----
   def pricingSummary: DataFrame = q("q1_pricing")

@@ -974,6 +974,174 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   // Queries
   // ---------------------------------------------------------------- //
 
+  // ------------ BM25 / hybrid-search shared pieces ------------ //
+  /** The fixed 3-term query ('dup' selective, 'spark'/'hash' common). */
+  private val Bm25Terms = Seq("dup", "spark", "hash")
+  /** dt (per-doc dl + per-term tf) and st (corpus N, Σdl, df_t) — the
+    * two combinable aggregations behind BM25, shared by `text_bm25`
+    * and the hybrid RRF fusion. Requires wordCtes upstream. */
+  private lazy val bm25Ctes: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(case when wd = '$t' then 1 else 0 end) as tf${i + 1}" }
+    val dfs = Bm25Terms.indices.map(i =>
+      s"sum(case when tf${i + 1} > 0 then 1 else 0 end) as df${i + 1}")
+    s"""dt as (select doc_id, count(*) as dl, ${tfs.mkString(", ")}
+       |       from wx group by doc_id),
+       |st as (select count(*) as n, sum(dl) as sdl, ${dfs.mkString(", ")} from dt)""".stripMargin
+  }
+  private def bm25Idf(i: Int) =
+    s"ln(cast(1 as double) + cast(2 * st.n - 2 * st.df$i + 1 as double) / cast(2 * st.df$i + 1 as double))"
+  private def bm25W(i: Int) =
+    s"(${bm25Idf(i)} * (dt.tf$i * cast(2.2 as double)) / (dt.tf$i + cast(0.3 as double) + cast(0.9 as double) * dt.dl / (cast(st.sdl as double) / st.n)))"
+  private lazy val bm25Score = s"${bm25W(1)} + ${bm25W(2)} + ${bm25W(3)}"
+
+  /** Signed feature hashing (the hashing-trick text embedding):
+    * index = prf('fh', word) % FhDim, sign = ±1 from prf('fhs', word).
+    * The SQL side uses Prim.prfMod with the same parts; the functions
+    * below replay the identical md5 arithmetic in the JVM so the
+    * plan-time query-vector literals agree with the SQL exactly. */
+  private val FhDim = 16
+  private def fhIdx(word: String): Int =
+    (java.lang.Long.parseLong(
+      graft.functions.Prf.md5hex("fh:" + word).take(15), 16) % FhDim).toInt
+  private def fhSign(word: String): Int =
+    if (java.lang.Long.parseLong(
+      graft.functions.Prf.md5hex("fhs:" + word).take(15), 16) % 2 == 0) 1 else -1
+  private lazy val fhQueryVec: Array[Long] = {
+    val q = new Array[Long](FhDim)
+    Bm25Terms.foreach(t => q(fhIdx(t)) += fhSign(t))
+    q
+  }
+
+  private def arrJoin(arr: String, sep: String): String =
+    if (d.name == "spark") s"array_join($arr, '$sep')" else s"array_to_string($arr, '$sep')"
+
+  /** Two-leg hybrid score table: sem(doc_id, bm25, csim) over the
+    * union-of-posting-lists candidates (any query term present). This
+    * is where ALL the corpus-priced work lives — the word explode
+    * feeding the BM25 aggregations and the signed feature-hash
+    * aggregations. The Spark side materializes it once per session
+    * (candidate-sized rows, the posting-list/score-cache table a
+    * lexical+vector serving stack keeps); the oracle inlines it as a
+    * DuckDB materialized CTE. */
+  def hybridScoresBuildSql: String = {
+    val qn2 = fhQueryVec.map(v => v * v).sum
+    val sqrtQn2 = math.sqrt(qn2.toDouble)
+    val qCase = s"(case ${(0 until FhDim).map(i =>
+      s"when f.ix = $i then ${fhQueryVec(i)}").mkString(" ")} else 0 end)"
+    s"""with $wordCtes,
+       |$bm25Ctes,
+       |bs as (select dt.doc_id, ${roundAway(d)(bm25Score, 6)} as bm25
+       |       from dt cross join st where dt.tf1 + dt.tf2 + dt.tf3 > 0),
+       |fh0 as (select doc_id, ${prfMod(d)(FhDim, "'fh'", "wd")} as ix,
+       |          case when ${prfMod(d)(2, "'fhs'", "wd")} = 0 then 1 else -1 end as sg
+       |        from wx),
+       |fh as (select doc_id, ix, ${bigint("sum(sg)")} as dv from fh0 group by doc_id, ix),
+       |dn as (select doc_id, ${bigint("sum(dv * dv)")} as nrm2 from fh group by doc_id),
+       |qd as (select f.doc_id, ${bigint(s"sum(f.dv * $qCase)")} as qdot from fh f group by f.doc_id)
+       |select b.doc_id, b.bm25,
+       |  ${roundAway(d)(s"q.qdot / (sqrt(cast(n.nrm2 as double)) * cast($sqrtQn2 as double))", 6)} as csim
+       |from bs b join dn n on n.doc_id = b.doc_id join qd q on q.doc_id = b.doc_id""".stripMargin
+  }
+
+  /** RRF fusion over the two-leg score table. Some(view) → read the
+    * materialized scores; None → inline build (the oracle rendering).
+    * Per-leg ranks are EXACT GLOBAL ranks via the carrier grid-rank
+    * pattern (coarse score-bucket counts + broadcast offsets +
+    * bucket-local row_number — no single-partition window); the fused
+    * top-10 reuses the q3 bucketed-candidates + pairwise-rank pattern
+    * over ≤ 160 survivor rows. */
+  def hybridRrfSql(from: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val sem = from match {
+      case Some(v) => s"sem as (select doc_id, bm25, csim from $v)"
+      case None    => s"sem as $matKw(${hybridScoresBuildSql.replace("\n", " ")})"
+    }
+    s"""with $sem,
+       |lb as (select doc_id, bm25, csim,
+       |         greatest(cast(-8 as bigint), least(cast(31 as bigint), cast(floor(bm25) as bigint))) as gb,
+       |         greatest(cast(-17 as bigint), least(cast(16 as bigint), cast(floor(csim * 16) as bigint))) as gs
+       |       from sem),
+       |lc as (select gb, count(*) as c from lb group by gb),
+       |lo as (select a.gb, sum(case when b.gb > a.gb then b.c else cast(0 as bigint) end) as off
+       |       from lc a cross join lc b group by a.gb),
+       |sc as (select gs, count(*) as c from lb group by gs),
+       |so as (select a.gs, sum(case when b.gs > a.gs then b.c else cast(0 as bigint) end) as off
+       |       from sc a cross join sc b group by a.gs),
+       |lr as (select l.doc_id, l.bm25, l.csim, l.gs,
+       |         o.off + row_number() over (partition by l.gb order by l.bm25 desc, l.doc_id) as rl
+       |       from lb l join lo o on o.gb = l.gb),
+       |sr as (select l.doc_id, l.rl, l.bm25, l.csim,
+       |         o.off + row_number() over (partition by l.gs order by l.csim desc, l.doc_id) as rs
+       |       from lr l join so o on o.gs = l.gs),
+       |rrf as (select doc_id, rl, rs, bm25, csim,
+       |          cast(1 as double) / (60 + rl) + cast(1 as double) / (60 + rs) as fscore
+       |        from sr),
+       |c10 as (select doc_id, rl, rs, bm25, csim, fscore from (
+       |          select doc_id, rl, rs, bm25, csim, fscore,
+       |            row_number() over (partition by doc_id % 16 order by fscore desc, doc_id) as prn
+       |          from rrf) _c where prn <= 10),
+       |fin as (select a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore,
+       |          1 + sum(case when b.fscore > a.fscore or (b.fscore = a.fscore and b.doc_id < a.doc_id) then 1 else 0 end) as rk
+       |        from c10 a cross join c10 b group by a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore)
+       |select ${bigint("doc_id")} as doc_id, ${bigint("rk")} as fused_rank,
+       |  ${bigint("rl")} as lex_rank, ${bigint("rs")} as sem_rank,
+       |  ${roundAway(d)("fscore", 6)} as rrf_score, bm25, csim as cos_sim
+       |from fin where rk <= 10""".stripMargin
+  }
+
+  /** BPE training vocabulary: s0(c, sq) — every distinct alpha word
+    * with its corpus frequency, char-split into the double-space
+    * sequence form (' a  b  c '). The ONE corpus-priced pass of BPE
+    * training; everything after is vocabulary-sized (the HuggingFace-
+    * tokenizers word-counts shape). Spark materializes it once per
+    * session; the oracle inlines it materialized. */
+  def bpeVocabBuildSql: String =
+    s"""with $wordCtes,
+       |vc as (select wd, count(*) as c from wx
+       |       where ${d.regexpCount("wd", "[^a-z]")} = 0 and length(wd) >= 2 group by wd)
+       |select c, concat(' ', ${arrJoin(d.arrTransform(d.intSeq("1", "length(wd)"), "i", "substr(wd, cast(i as int), 1)"), "  ")}, ' ') as sq
+       |from vc""".stripMargin
+
+  /** 3 unrolled BPE merge-learning rounds over the vocabulary table.
+    * Each word is a double-space-joined char sequence with
+    * single-space edges; the winning pair merges via one replace() of
+    * ' l  r ' → ' lr ' — the double-space convention makes
+    * left-to-right non-overlapping replace() merge EVERY disjoint
+    * occurrence (adjacent matches share no characters), matching
+    * BPE's leftmost-greedy application; both engines scan replace()
+    * left-to-right identically. Pair counting is array-local
+    * (transform over indices — no per-word window) and the winning
+    * pair is one max(struct(count, pair)) aggregation with a
+    * lexicographic tie-break. */
+  def bpeMergesSql(from: Option[String]): String = {
+    val rounds = 3
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val s0 = from match {
+      case Some(v) => s"s0 as (select c, sq from $v)"
+      case None    => s"s0 as $matKw(${bpeVocabBuildSql.replace("\n", " ")})"
+    }
+    val pairExpr = s"concat(${d.arrIdx0("a", "i - 1")}, ' ', ${d.arrIdx0("a", "i")})"
+    val roundCtes = (0 until rounds).map { t =>
+      s"""tk$t as (select c, ${splitWs("trim(sq)")} as a from s$t),
+         |pr$t as (select c, ${d.arrTransform(d.intSeq("1", s"${d.arrLen("a")} - 1"), "i", pairExpr)} as ps from tk$t),
+         |px$t as (select c, p from ${d.explodeFrom(s"pr$t", "ps", "pp", "p", Seq("c"))} _px$t),
+         |pc$t as (select p, ${bigint("sum(c)")} as cnt from px$t group by p),
+         |mx$t as (select ${d.fieldOf("m", "cnt")} as cnt, ${d.fieldOf("m", "p")} as pair
+         |         from (select max(${d.structLit2("cnt", "cnt", "p", "p")}) as m from pc$t) _mx$t),
+         |mg$t as (select cnt, pair, ${el(splitWs("pair"), 1)} as lhs, ${el(splitWs("pair"), 2)} as rhs from mx$t),
+         |s${t + 1} as (select s.c, replace(s.sq, concat(' ', m.lhs, '  ', m.rhs, ' '), concat(' ', m.lhs, m.rhs, ' ')) as sq
+         |           from s$t s cross join mg$t m),
+         |nt$t as (select ${bigint(s"sum(c * ${d.arrLen(splitWs("trim(sq)"))})")} as ntok from s${t + 1})""".stripMargin
+    }.mkString(",\n")
+    val outs = (0 until rounds).map(t =>
+      s"select ${bigint((t + 1).toString)} as merge_round, m.lhs, m.rhs, concat(m.lhs, m.rhs) as merged, ${bigint("m.cnt")} as n_pairs, n.ntok as n_tokens_after from mg$t m cross join nt$t n")
+      .mkString("\nunion all\n")
+    s"""with $s0,
+       |$roundCtes
+       |$outs""".stripMargin
+  }
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
@@ -2901,26 +3069,152 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // bit-identical doubles in both engines. At 100 TB this is the
     // same shape as text_tfidf: two combinable shuffles, map-side
     // scoring, no joins wider than a 1-row broadcast.
-    "text_bm25" -> {
-      val terms = Seq("dup", "spark", "hash")
-      val tfs = terms.zipWithIndex.map { case (t, i) =>
-        s"sum(case when wd = '$t' then 1 else 0 end) as tf${i + 1}" }
-      val dfs = terms.indices.map(i =>
-        s"sum(case when tf${i + 1} > 0 then 1 else 0 end) as df${i + 1}")
-      def idf(i: Int) =
-        s"ln(cast(1 as double) + cast(2 * st.n - 2 * st.df$i + 1 as double) / cast(2 * st.df$i + 1 as double))"
-      def w(i: Int) =
-        s"(${idf(i)} * (dt.tf$i * cast(2.2 as double)) / (dt.tf$i + cast(0.3 as double) + cast(0.9 as double) * dt.dl / (cast(st.sdl as double) / st.n)))"
+    "text_bm25" ->
       s"""with $wordCtes,
-         |dt as (select doc_id, count(*) as dl, ${tfs.mkString(", ")}
-         |       from wx group by doc_id),
-         |st as (select count(*) as n, sum(dl) as sdl, ${dfs.mkString(", ")} from dt)
+         |$bm25Ctes
          |select ${bigint("dt.doc_id")} as doc_id,
          |  ${bigint("dt.tf1")} as tf_dup, ${bigint("dt.tf2")} as tf_spark, ${bigint("dt.tf3")} as tf_hash,
-         |  ${roundAway(d)(s"${w(1)} + ${w(2)} + ${w(3)}", 4)} as bm25
+         |  ${roundAway(d)(bm25Score, 4)} as bm25
          |from dt cross join st
-         |where dt.tf1 + dt.tf2 + dt.tf3 > 0""".stripMargin
+         |where dt.tf1 + dt.tf2 + dt.tf3 > 0""".stripMargin,
+
+    // hybrid (lexical + semantic) retrieval fused by Reciprocal Rank
+    // Fusion (k=60) — the two-leg search shape Milvus 2.x hybrid
+    // search / pgvector+tsvector stacks serve, with RRF as the
+    // score-free fusion rule. Lexical leg = the shared BM25 chain;
+    // semantic leg = signed feature hashing (the hashing-trick
+    // embedding: FhDim signed word-PRF sums — doc values, dots, and
+    // norms² are exact INTEGERS, so each leg has exactly one float
+    // step, a division by a plan-time literal). Candidates are the
+    // union-of-posting-lists docs (any query term present) — the
+    // WAND-style bound that keeps both legs posting-list-sized, never
+    // corpus-sized. Per-leg ranks are EXACT GLOBAL ranks via the
+    // carrier grid-rank pattern (coarse score-bucket counts +
+    // broadcast offsets + bucket-local row_number — no
+    // single-partition window); the fused top-10 reuses the q3
+    // bucketed-candidates + pairwise-rank pattern over ≤ 160 rows.
+    "search_hybrid_rrf" -> hybridRrfSql(None),
+
+    // BPE tokenizer training — the merge-learning loop every LLM data
+    // pipeline runs before tokenization, trained (as real BPE trainers
+    // are) on the DISTINCT-WORD VOCABULARY with frequencies: after one
+    // corpus groupBy, every round is vocabulary-sized — corpus-size-
+    // independent, the HuggingFace-tokenizers word-counts shape. Each
+    // word is a double-space-joined char sequence with single-space
+    // edges (' a  b  c '); the winning pair merges via one replace()
+    // of ' l  r ' → ' lr ' — the double-space convention makes
+    // left-to-right non-overlapping replace() merge EVERY disjoint
+    // occurrence (adjacent matches share no characters), matching
+    // BPE's leftmost-greedy application; both engines scan replace()
+    // left-to-right identically. Pair counting is array-local
+    // (transform over indices — no per-word window), the winning pair
+    // is one max(struct(count, pair)) aggregation with a
+    // lexicographic tie-break, and 3 unrolled rounds emit
+    // (round, lhs, rhs, merged, n_pairs, n_tokens_after).
+    "text_bpe_merges" -> bpeMergesSql(None),
+
+    // cross-document duplicated-substring detection (the
+    // suffix-array substring dedup of Lee et al. 2022, re-expressed
+    // as distributed dataflow): 8-word rolling windows per doc
+    // (lead()-built inside the doc-partitioned window — one parallel
+    // pass), hashed to 60 bits; a window duplicated across ≥ 2
+    // distinct docs marks its positions; adjacent/overlapping marked
+    // windows (gap ≤ 8 → token ranges touch) merge into MAXIMAL
+    // spans via the break-flag + running-sum island trick (both
+    // windows doc-partitioned), so span token counts are exact, not
+    // window-overcounted. Scale: one groupBy on the 60-bit window
+    // hash + a semi-join back — the duplicated-hash set is tiny next
+    // to the corpus; nothing is ever pairwise in docs.
+    "dedup_substring" -> {
+      val leads = (2 to 8).map(k =>
+        s"lead(wd, ${k - 1}) over (partition by doc_id order by wpos) as x$k")
+        .mkString(",\n|               ")
+      s"""with $wordCtes,
+         |w8 as (select doc_id, wpos, ${d.hex2int("substr(md5(concat_ws(' ', wd, x2, x3, x4, x5, x6, x7, x8)), 1, 15)")} as h
+         |       from (select doc_id, wpos, wd,
+         |               $leads
+         |             from wx) _w where x8 is not null),
+         |dh as (select h from w8 group by h having count(distinct doc_id) >= 2),
+         |dw as (select w8.doc_id, w8.wpos from w8 join dh on dh.h = w8.h),
+         |br as (select doc_id, wpos,
+         |         case when wpos - lag(wpos) over (partition by doc_id order by wpos) <= 8 then 0 else 1 end as brk
+         |       from dw),
+         |gi as (select doc_id, wpos,
+         |         sum(brk) over (partition by doc_id order by wpos rows between unbounded preceding and current row) as grp
+         |       from br),
+         |sp as (select doc_id, grp, min(wpos) as ws, max(wpos) + 7 as we from gi group by doc_id, grp)
+         |select ${bigint("doc_id")} as doc_id, ${bigint("count(*)")} as n_spans,
+         |  ${bigint("max(we - ws + 1)")} as max_span_tokens, ${bigint("sum(we - ws + 1)")} as dup_tokens
+         |from sp group by doc_id""".stripMargin
     },
+
+    // post-update index maintenance (the Milvus/pgvector UPDATE →
+    // re-index path): after the watermark embed rewrites the carrier
+    // vectors in place, re-assign ONLY the rate·N stego vectors
+    // against the SERVED IVF centroids (no retrain — the production
+    // insert/update path never retrains per batch) and report the
+    // old-cell → new-cell move matrix. Spark reads the cached chain
+    // (g_stego) and the cached index (g_ivf_ct / g_ivf_asg); the
+    // oracle inlines both chains. Stego vectors rebuild via the
+    // ordered (pos) array fold, so every dot is deterministic.
+    "vec_ivf_reindex" -> {
+      val ivfPart =
+        if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
+        else Seq(ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""${wmChain("stego")},
+         |$ivfPart,
+         |sv as (select id, ${d.arrAggOrdered("sval", "pos")} as v from stego group by id),
+         |svn as (select id, v, sqrt(${d.dot("v", "v")}) as nr from sv),
+         |rsim as (select s.id, c.cell, ${d.dot("s.v", "c.cv")} / (s.nr * sqrt(${d.dot("c.cv", "c.cv")})) as sim
+         |         from svn s cross join ct2 c),
+         |rasg as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
+         |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from rsim group by id) _ra),
+         |mv as (select a.cell as old_cell, r.cell as new_cell, count(*) as n
+         |       from rasg r join asgF a on a.id = r.id group by a.cell, r.cell)
+         |select ${bigint("old_cell")} as old_cell, ${bigint("new_cell")} as new_cell,
+         |  ${bigint("n")} as n_carriers, ${bigint("case when old_cell = new_cell then 0 else 1 end")} as moved
+         |from mv""".stripMargin
+    },
+
+    // training-mix temperature sampling — the per-source sampling
+    // weights a data-mix builder feeds the training loader:
+    // w_i ∝ n_tokens_i^0.5 (temperature α = 0.5, the multinomial
+    // upsampling of low-resource sources every multilingual/
+    // multi-domain recipe applies). α = 0.5 on purpose: sqrt is
+    // IEEE-correctly-rounded in both engines (pow(x, 0.3)'s libm is
+    // not), and the normalizer folds the per-source sqrt terms in
+    // md5-bucket order via the ordered-array dot — no float-sum
+    // aggregation order to diverge. Expected epoch count at a fixed
+    // token budget shows the oversampling factor per source.
+    "data_mix_weights" -> {
+      val ordExpr = d.hex2int("substr(md5(source), 1, 7)")
+      s"""with $wordCtes,
+         |tk as (select doc_id, count(*) as ntok from wx group by doc_id),
+         |ds as (select d2.source, ${bigint("count(*)")} as n_docs, ${bigint("sum(t.ntok)")} as n_tokens
+         |       from documents d2 join tk t on t.doc_id = d2.doc_id group by d2.source),
+         |sq as (select source, n_docs, n_tokens, sqrt(cast(n_tokens as double)) as sv, $ordExpr as ord from ds),
+         |za as (select ${d.arrAggOrdered("sv", "ord")} as arr from sq),
+         |z as (select ${d.dot("arr", d.arrTransform("arr", "x", "cast(1 as double)"))} as z from za)
+         |select sq.source, sq.n_docs, sq.n_tokens,
+         |  ${roundAway(d)("sq.sv / z.z", 6)} as mix_weight,
+         |  ${roundAway(d)("(sq.sv / z.z) * cast(1000000 as double) / cast(sq.n_tokens as double)", 4)} as epochs_at_1m_tokens
+         |from sq cross join z""".stripMargin
+    },
+
+    // FULL OUTER JOIN reconciliation — hourly click activity vs
+    // purchase activity with both-sided null tagging: the
+    // two-ledger audit shape (and the one outer-join form the
+    // relational suite didn't yet exercise). One shuffle per side on
+    // the hour key; the full-outer hash join carries unmatched rows
+    // from BOTH sides, statused via which key is null.
+    "events_reconcile" ->
+      s"""with e as (select ${d.idiv(evSec("ts"), "3600")} as hr, event_type from events),
+         |c as (select hr, count(*) as n from e where event_type = 'click' group by hr),
+         |p as (select hr, count(*) as n from e where event_type = 'purchase' group by hr)
+         |select ${bigint("coalesce(c.hr, p.hr)")} as hr, ${bigint("coalesce(c.n, 0)")} as n_clicks,
+         |  ${bigint("coalesce(p.n, 0)")} as n_purchases,
+         |  case when c.hr is null then 'purchase_only' when p.hr is null then 'click_only' else 'both' end as status
+         |from c full outer join p on p.hr = c.hr""".stripMargin,
 
     // TPC-H Q6 forecasting-revenue-change: the canonical
     // scan-filter-aggregate — every predicate reaches the parquet
