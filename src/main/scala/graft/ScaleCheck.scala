@@ -59,7 +59,8 @@ object ScaleCheck {
       "vec_topk_sq", "text_entropy", "sketch_bloom", "decontaminate_bloom",
       "sketch_cms", "sketch_quantiles", "events_anomaly",
       "events_rolling_dau", "dedup_semantic", "text_lm_score",
-      "events_attribution")
+      "events_attribution", "dedup_substring", "data_mix_weights",
+      "events_reconcile")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -77,10 +78,13 @@ object ScaleCheck {
       println(s"[scale] $q ${s}s")
       results.append(s"""  "$q": $s,\n""")
     }
-    // programmatic paths (not in Gen.sqls): real WAV decode + the
-    // unrolled components propagation
+    // programmatic paths (checkpointed build tables / cached chain
+    // views): real codec decodes, unrolled components propagation,
+    // the two-leg hybrid score table, the BPE vocabulary rounds, and
+    // the served-index carrier re-assignment
     for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats",
-      "multimodal_png_stats", "dedup_components")) {
+      "multimodal_png_stats", "dedup_components", "search_hybrid_rrf",
+      "text_bpe_merges", "vec_ivf_reindex")) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

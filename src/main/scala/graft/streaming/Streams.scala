@@ -323,6 +323,46 @@ object Streams {
       }
   }
 
+  case class IvfAsg(vecId: Long, cell: Long)
+
+  /** Streaming-ingest half of the index-maintenance story (batch half:
+    * `vec_ivf_reindex`): assign arriving vectors against the SERVED
+    * centroid table — broadcast once, never retrained per batch, the
+    * Milvus/faiss insert path. A stateless per-row map: no state
+    * store, no shuffle; at 100 TB/day ingest this is embarrassingly
+    * parallel over √N·d centroid bytes per executor. The JVM math
+    * mirrors the generated SQL exactly — normalize by the left-fold
+    * norm, per-cell sim = leftfold(n·cv)/sqrt(leftfold(cv·cv)),
+    * argmax by max(struct(sim, -cell)) i.e. smallest cell on ties —
+    * so the streamed assignment is BIT-IDENTICAL to the batch
+    * g_ivf_asg view on the same vectors (StreamingIvfAssignSpec). */
+  def ivfAssignStream(vecs: Dataset[(Timestamp, Long, Seq[Double])],
+                      centroids: Map[Long, Array[Double]]): Dataset[IvfAsg] = {
+    import vecs.sparkSession.implicits._
+    val cells = centroids.toArray.sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(cells)
+    vecs.map { case (_, id, v) =>
+      val arr = v.toArray
+      var s = 0.0; var i = 0
+      while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+      val nrm = math.sqrt(s)
+      var bestSim = Double.NegativeInfinity
+      var bestCell = Long.MaxValue
+      bc.value.foreach { case (cell, cv) =>
+        var dot = 0.0; var cn = 0.0; var j = 0
+        val n = math.min(arr.length, cv.length)
+        while (j < n) {
+          dot += (arr(j) / nrm) * cv(j); cn += cv(j) * cv(j); j += 1
+        }
+        val sim = dot / math.sqrt(cn)
+        if (sim > bestSim || (sim == bestSim && cell < bestCell)) {
+          bestSim = sim; bestCell = cell
+        }
+      }
+      IvfAsg(id, bestCell)
+    }
+  }
+
   def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
       : Dataset[(String, Double)] = {
     import words.sparkSession.implicits._
