@@ -98,15 +98,55 @@ object WmCache {
           System.err.println(s"[wmcache] scratch failed (${e.getMessage}), " +
             "falling back to localCheckpoint"); false }
       }
-      val dfs = if (viaScratch) Nil else stages.map { case (view, sql) =>
-        // eager: computes the stage NOW (against the views registered so
-        // far) and registers a lineage-free LogicalRDD view
-        val df = spark.sql(sql).localCheckpoint()
-        df.createOrReplaceTempView(view)
-        df
-      }
+      val dfs = if (viaScratch) Nil else
+        inChains(stages) { case (view, sql) =>
+          // eager: computes the stage NOW (against the views registered
+          // so far) and registers a lineage-free LogicalRDD view
+          val df = spark.sql(sql).localCheckpoint()
+          df.createOrReplaceTempView(view)
+          df
+        }
       state.put(spark, Entry(dir, dfs))
     }
+  }
+
+  /** The stage list is three INDEPENDENT dependency chains — the wm
+    * selection chain (bkt → knn → indeg → carriers → stego), the IVF
+    * index build (ct → asg), and the PQ index build (ct → codes);
+    * none references another chain's views (each starts from the raw
+    * `embeddings` scan). A cold build is overhead-dominated (codegen
+    * compile + parquet commit per stage — §4), so the three chains
+    * build CONCURRENTLY (Spark job submission is thread-safe; temp
+    * views register through the session catalog), cutting the one-off
+    * cold cost to the longest chain instead of the stage-count sum.
+    * Within a chain, order is preserved — each stage reads the views
+    * its own thread registered before it. */
+  private def inChains[T](stages: Seq[(String, String)])(
+      build: ((String, String)) => T): Seq[T] = {
+    val wmStages = Set("g_bkt", "g_knn", "g_indeg", "g_carriers", "g_stego")
+    val chains = Seq(
+      stages.filter(s => wmStages(s._1)),
+      stages.filter(_._1.startsWith("g_ivf_")),
+      stages.filter(_._1.startsWith("g_pq_")),
+      // anything new / unclassified builds sequentially after its
+      // predecessors in declaration order, on the first chain's thread
+      stages.filterNot(s => wmStages(s._1) ||
+        s._1.startsWith("g_ivf_") || s._1.startsWith("g_pq_"))
+    ).filter(_.nonEmpty)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, T]()
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = chains.map { chain =>
+      val t = new Thread(() =>
+        try chain.foreach(s => out.put(s._1, build(s)))
+        catch { case e: Throwable => err.compareAndSet(null, e) })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (err.get() != null) throw err.get() match {
+      case e: Exception => e
+      case e => new RuntimeException(e)
+    }
+    stages.flatMap(s => Option(out.get(s._1)))
   }
 
   /** Build-or-reuse the parquet scratch for (dir, chain SQL), then
@@ -127,7 +167,7 @@ object WmCache {
       // extra exchange is tiny exactly when parts is small
       val parts = math.max(1L, math.min(32L,
         Tables.vectorCount(spark, dir) / 200000L)).toInt
-      stages.foreach { case (view, sql) =>
+      inChains(stages) { case (view, sql) =>
         val p = new File(tmp, view).getAbsolutePath
         spark.sql(sql).repartition(parts).write.mode("overwrite").parquet(p)
         // downstream stages read the materialized rows, not the plan

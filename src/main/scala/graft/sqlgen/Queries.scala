@@ -3216,6 +3216,50 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  case when c.hr is null then 'purchase_only' when p.hr is null then 'click_only' else 'both' end as status
          |from c full outer join p on p.hr = c.hr""".stripMargin,
 
+    // per-user trailing-hour rolling spend — the RANGE-frame window
+    // shape (every other frame in the suite is ROWS-based): the frame
+    // is defined by the ORDER-KEY VALUE (sec), so same-second events
+    // aggregate together regardless of physical order — deterministic
+    // without a tie-break, which is exactly why RANGE is the right
+    // frame for event-time rolling metrics. Values roll as exact
+    // integer cents (the one float step is the final /100 display
+    // division); the window partitions per user, so sorts are
+    // per-user-partition and fully parallel.
+    "events_user_rolling" ->
+      s"""with e as (select user_id, event_id, ${evSec("ts")} as sec,
+         |            ${bigint("case when value >= 0 then floor(value * 100 + 0.5) else -floor(-value * 100 + 0.5) end")} as cents
+         |          from events where event_type = 'purchase'),
+         |r as (select user_id, event_id, sec,
+         |        sum(cents) over (partition by user_id order by sec range between 3599 preceding and current row) as csum,
+         |        count(*) over (partition by user_id order by sec range between 3599 preceding and current row) as cn
+         |      from e)
+         |select ${bigint("user_id")} as user_id, ${bigint("event_id")} as event_id, ${bigint("sec")} as sec,
+         |  ${roundAway(d)("csum / cast(100 as double)", 2)} as rolling_hour_spend,
+         |  ${bigint("cn")} as n_purchases_in_hour
+         |from r""".stripMargin,
+
+    // daily-activity trend: ordinary least squares over (day index,
+    // daily click count) — the trend-detection primitive behind every
+    // metrics dashboard, computed EXACTLY: all five sufficient
+    // statistics (Σx, Σy, Σxy, Σx², Σy²) are integer aggregations
+    // (day indexes rebased to day 0), so slope / intercept / r² are
+    // single divisions of exact integers — no float accumulation
+    // order anywhere, and the stats are one map-side-combinable
+    // groupBy + a second one-row aggregation at any corpus size.
+    "events_trend" ->
+      s"""with e as (select ${d.idiv(evSec("ts"), "86400")} as day from events where event_type = 'click'),
+         |dc as (select day, count(*) as n from e group by day),
+         |b as (select min(day) as d0 from dc),
+         |s as (select ${bigint("count(*)")} as m, ${bigint("sum(day - d0)")} as sx, ${bigint("sum(n)")} as sy,
+         |        ${bigint("sum((day - d0) * n)")} as sxy, ${bigint("sum((day - d0) * (day - d0))")} as sxx,
+         |        ${bigint("sum(n * n)")} as syy
+         |      from dc cross join b)
+         |select ${bigint("m")} as n_days,
+         |  ${roundAway(d)("(m * sxy - sx * sy) / cast(m * sxx - sx * sx as double)", 6)} as slope_per_day,
+         |  ${roundAway(d)("(sy * sxx - sx * sxy) / cast(m * sxx - sx * sx as double)", 4)} as intercept,
+         |  ${roundAway(d)("(cast((m * sxy - sx * sy) * (m * sxy - sx * sy) as double)) / (cast(m * sxx - sx * sx as double) * cast(m * syy - sy * sy as double))", 6)} as r2
+         |from s""".stripMargin,
+
     // TPC-H Q6 forecasting-revenue-change: the canonical
     // scan-filter-aggregate — every predicate reaches the parquet
     // scan (PushedFilters), the sum is map-side-combinable

@@ -154,6 +154,40 @@ class HybridOpsSpec extends AnyFunSuite {
       byTok.last.getAs[Double]("epochs_at_1m_tokens"))
   }
 
+  test("events_user_rolling: the rolling sum covers at least the row's own purchase") {
+    import spark.implicits._
+    val rows = run("events_user_rolling").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchases_in_hour") >= 1L)
+      assert(r.getAs[Double]("rolling_hour_spend") >= 0.0)
+    }
+    // cross-foot: number of output rows == number of purchase events
+    val purchases = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .filter($"event_type" === "purchase").count()
+    assert(rows.length.toLong == purchases)
+  }
+
+  test("events_trend: r2 is a valid share and the fit matches a JVM OLS") {
+    import spark.implicits._
+    val r = run("events_trend").collect().head
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // independent OLS over the same daily counts
+    val days = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .filter($"event_type" === "click")
+      .selectExpr("cast(ts as long) div 86400000000000 as day")
+      .groupBy("day").count().as[(Long, Long)].collect()
+    val d0 = days.map(_._1).min
+    val xs = days.map(d => (d._1 - d0).toDouble)
+    val ys = days.map(_._2.toDouble)
+    val m = xs.length
+    val slope = (m * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) / (m * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(r.getAs[Double]("slope_per_day") - slope) < 1e-4)
+    assert(r.getAs[Long]("n_days") == m)
+  }
+
   test("events_reconcile: statuses agree with null sides and totals cross-foot") {
     import spark.implicits._
     val rows = run("events_reconcile").collect()
