@@ -38,11 +38,14 @@ object Bench {
                 catch { case _: Throwable => () })).sorted
       name -> runs(runs.length / 2)
     }
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
     val qs = (results + ("wm_chain_build" -> chainSec))
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.values.sum + chainSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(results.values.sum + chainSec)
+    // headline fields LAST: the harness keeps only the tail of stdout,
+    // and a >2000-char line would otherwise truncate the total away
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

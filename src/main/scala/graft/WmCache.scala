@@ -54,6 +54,7 @@ object WmCache {
     "vec_writeback", "wm_drift", "wm_backup", "wm_restore",
     "vec_range_search", "graph_pagerank", "graph_triangles", "graph_link_predict", "lsh_bucket_stats",
     "vec_topk_sq_lsh", "vec_topk_filtered_lsh",
+    "vec_hard_negatives", "ann_recall_eval",
     "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq", "vec_topk_ivf_pq_rerank",
     "dedup_semantic", "vec_ivf_reindex")
 

@@ -1629,20 +1629,22 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // L2-distance top-k on RAW vectors — the literal pgvector `<->`
     // operator semantic (cosine variants cover `<=>`); same bounded
     // query subset, same rank determinism rules.
-    "vec_topk_l2" -> {
-      val sqdiff =
-        if (d.name == "spark")
-          "aggregate(zip_with(q.v, c.v, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, t) -> s + t)"
-        else
-          "list_reduce(list_transform(generate_series(1, len(q.v)), i -> ((q.v)[i] - (c.v)[i]) * ((q.v)[i] - (c.v)[i])), (s, t) -> s + t)"
+    // ||q-c||² expands to q·q + c·c − 2·q·c so the per-pair work is ONE
+    // codegen'd ordered dot (graft_dot / list_reduce) instead of an
+    // interpreted zip_with+aggregate HOF chain (measured 2.4 s → dot-leg
+    // speed at sf0.1); squared norms compute once per side. Both
+    // dialects evaluate the same expression tree in the same order, so
+    // the rounded distances stay engine-identical.
+    "vec_topk_l2" ->
       s"""with ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings),
-         |q as (select id, v from ev where id in ($qIdLit)),
-         |p as (select q.id as qid, c.id as cid, round(sqrt($sqdiff), 6) as dist
-         |      from q join ev c on c.id <> q.id)
+         |c2 as (select id, v, ${d.dot("v", "v")} as s2 from ev),
+         |q as (select id, v, s2 from c2 where id in ($qIdLit)),
+         |p as (select q.id as qid, c.id as cid,
+         |        round(sqrt(greatest(q.s2 + c.s2 - 2 * ${d.dot("q.v", "c.v")}, 0.0)), 6) as dist
+         |      from q join c2 c on c.id <> q.id)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, dist, ${bigint("rn")} as rn
          |from (select qid, cid, dist, row_number() over (partition by qid order by dist, cid) as rn from p) _t
-         |where rn <= 10""".stripMargin
-    },
+         |where rn <= 10""".stripMargin,
 
     // semi-structured: extract a field from the JSON props column and
     // aggregate — get_json_object pushdown-friendly scan + one shuffle.
@@ -3274,7 +3276,128 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |where l_shipdate >= timestamp '1997-01-01 00:00:00'
          |  and l_shipdate < timestamp '1998-01-01 00:00:00'
          |  and l_discount >= cast(0.0499 as double) and l_discount <= cast(0.0701 as double)
-         |  and l_quantity < 24""".stripMargin
+         |  and l_quantity < 24""".stripMargin,
+
+    // 1-BIT binary quantization + Hamming top-k — the third leg of the
+    // compression matrix (int8 SQ = 4×, PQ-8 = 32×, sign-bit BQ = 512×
+    // memory cut) and the shape pgvector's bit(n)/Milvus's
+    // BIN_IVF_FLAT serve. Corpus state per vector is TWO 32-bit
+    // halves packed into bigints (bit 63 of a single word would
+    // overflow signed bigint in the oracle); Hamming distance =
+    // popcount of the two XORs — pure integer arithmetic, exact in
+    // both engines, and the cheapest possible scan at 100 TB (the
+    // code table is 8 bytes/vector; the scan is codegen'd bit math,
+    // no floats anywhere). Rank determinism: hamming asc with cid
+    // tie-break (integer keys — no rounding concerns at all).
+    "vec_topk_binary" -> {
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      s"""with $nvCtes, $exnCte,
+         |bq as (select id,
+         |         ${bigint("sum(case when pos <= 32 and val > 0 then cast(pow(2, 32 - pos) as bigint) else 0 end)")} as hi,
+         |         ${bigint("sum(case when pos > 32 and val > 0 then cast(pow(2, 64 - pos) as bigint) else 0 end)")} as lo
+         |       from exn group by id),
+         |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
+         |p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+         |      from qb q join bq b on b.id <> q.qid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, ${bigint("hamming")} as hamming, ${bigint("rn")} as rn
+         |from (select qid, cid, hamming, row_number() over (partition by qid order by hamming, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // ...and the two-stage BQ serving pipeline (faiss binary + refine,
+    // pgvector's bit() prefilter + exact rerank): Hamming top-50 over
+    // the 8-byte codes prunes the corpus, exact cosine re-ranks only
+    // the survivors — corpus-wide work stays in bit space, float work
+    // is O(refine·|Q|). The same shape as vec_topk_ivf_pq_rerank with
+    // a 512× (not 32×) compressed first stage.
+    "vec_topk_binary_rerank" -> {
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      s"""with $nvCtes, $exnCte,
+         |bq as (select id,
+         |         ${bigint("sum(case when pos <= 32 and val > 0 then cast(pow(2, 32 - pos) as bigint) else 0 end)")} as hi,
+         |         ${bigint("sum(case when pos > 32 and val > 0 then cast(pow(2, 64 - pos) as bigint) else 0 end)")} as lo
+         |       from exn group by id),
+         |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
+         |p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+         |      from qb q join bq b on b.id <> q.qid),
+         |c50 as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from p) _c where rn <= 50),
+         |r as (select c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |      from c50 c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+         |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from r) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // Hard-negative mining — the contrastive-training data op every
+    // embedding-model pipeline runs (in-batch negatives aren't hard
+    // enough; the standard recipe mines nearest neighbors with a
+    // DIFFERENT label as negatives). Candidates come from the shared
+    // LSH buckets (the ANN serving path — never a corpus cross join);
+    // the label test rides the candidate join, so the per-query work
+    // is O(bucket ∩ other-label). Top-5 by similarity: the hardest
+    // negatives are the most similar wrong-label vectors.
+    "vec_hard_negatives" ->
+      s"""${wmChain("lsh")},
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)),
+         |p as (select c.qid, qn.label as qlab, c.cid, cn.label as clab, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |      from cnd c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid and cn.label <> qn.label)
+         |select ${bigint("qid")} as qid, ${bigint("qlab")} as query_label,
+         |  ${bigint("cid")} as negative_id, ${bigint("clab")} as negative_label, sim, ${bigint("rn")} as rn
+         |from (select qid, qlab, cid, clab, sim, row_number() over (partition by qid order by sim desc, cid) as rn from p) _t
+         |where rn <= 5""".stripMargin,
+
+    // ANN index-quality monitoring: recall@10 of the served LSH index
+    // vs exact brute-force, per query, IN SQL — the evaluation job a
+    // production vector deployment schedules against a sampled query
+    // log (faiss/Milvus report the same metric offline). The brute leg
+    // is bounded O(|Q|·N) on the fixed query list (an evaluation
+    // SAMPLE, never the full query stream); the LSH leg reads the
+    // shared buckets. n_cand exposes the probe cost the recall was
+    // bought at — recall/cost is THE index-tuning tradeoff curve.
+    "ann_recall_eval" ->
+      s"""${wmChain("lsh")},
+         |q as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim from q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)),
+         |lp as (select c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |       from cnd c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid),
+         |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from lp) _l where rn <= 10),
+         |nc as (select qid, count(*) as n_cand from cnd group by qid)
+         |select ${bigint("b.qid")} as qid, ${bigint("min(nc.n_cand)")} as n_cand,
+         |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
+         |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
+         |from bt b join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+         |group by b.qid""".stripMargin,
+
+    // Training-sequence packing — the concat-and-split batch assembly
+    // (GPT-style: concatenate the stream of tokenized docs, cut every
+    // SeqLen tokens) every LLM pipeline runs between curation and
+    // training. Packing is per SOURCE (training mixes keep domains
+    // separate), so the running token sum is a window partitioned by
+    // source ordered by doc_id — per-partition sorts only, the same
+    // envelope as every events window; at 1000 executors each source
+    // shard prefix-sums independently (and a source too big for one
+    // partition shards by doc_id range with offset reconciliation —
+    // the standard distributed prefix-sum). All arithmetic is exact
+    // integers until the final fill-rate division: a doc's token span
+    // is [cume-ntok, cume), its first/last sequence ids are integer
+    // divisions, and a doc straddling a cut point is a boundary doc
+    // (truncation/continuation candidate — the stat packing jobs
+    // monitor, since boundary splits hurt sample quality).
+    "pack_sequences" ->
+      s"""with tok as (select doc_id, source, ${bigint(d.arrLen(splitWs("lower(text)")))} as ntok from documents),
+         |cum as (select source, doc_id, ntok, ${bigint("sum(ntok) over (partition by source order by doc_id)")} as cume from tok),
+         |asg as (select source, ntok, ${d.idiv("cume - ntok", "256")} as seq_first, ${d.idiv("cume - 1", "256")} as seq_last from cum)
+         |select source, ${bigint("count(*)")} as n_docs, ${bigint("sum(ntok)")} as n_tokens,
+         |  ${bigint("max(seq_last) + 1")} as n_seqs,
+         |  ${bigint("sum(case when seq_last > seq_first then 1 else 0 end)")} as n_boundary_docs,
+         |  round(sum(ntok) / cast((max(seq_last) + 1) * 256 as double), 4) as fill_rate
+         |from asg group by source""".stripMargin
   )
 
   private def regexpCountBpe: String =
