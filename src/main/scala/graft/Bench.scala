@@ -39,13 +39,33 @@ object Bench {
       name -> runs(runs.length / 2)
     }
     def r3(v: Double) = math.round(v * 1000) / 1000.0
-    val qs = (results + ("wm_chain_build" -> chainSec))
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val all = results + ("wm_chain_build" -> chainSec)
+    def json(m: Iterable[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.values.sum + chainSec)
-    // headline fields LAST: the harness keeps only the tail of stdout,
-    // and a >2000-char line would otherwise truncate the total away
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // The harness keeps only the last ~2 KB of stdout and parses the
+    // final JSON line. With 120+ timed keys the full map alone is ~3 KB,
+    // so it goes on a '#'-prefixed informational line (and to a file),
+    // and the parsed line carries the headline subset + total — sized
+    // to survive the tail capture whole.
+    println("#full " + json(all))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"queries":${json(all)},"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    val headline = Seq("wm_chain_build", "wm_recall_impact", "wm_embed",
+      "wm_extract", "wm_ber", "wm_knn_edges", "vec_topk", "vec_topk_lsh",
+      "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq_rerank",
+      "vec_topk_binary", "vec_topk_filtered_lsh", "dedup_exact",
+      "dedup_minhash", "dedup_simhash_pairs", "dedup_jaccard",
+      "dedup_embedding", "dedup_semantic", "dedup_components",
+      "decontaminate", "text_tfidf", "text_bm25", "text_chunk",
+      "pack_sequences", "search_hybrid_rrf", "pca_project2d",
+      "sketch_distinct", "q1_pricing", "q3_revenue", "q5_nation_rev",
+      "q_window_topn", "events_sessions", "events_windowed",
+      "events_asof", "events_retention", "ann_recall_eval")
+      .flatMap(k => all.get(k).map(k -> _))
+    println(s"""{"queries":${json(headline)},"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

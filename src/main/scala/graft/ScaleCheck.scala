@@ -117,10 +117,15 @@ object ScaleCheck {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
     // events: each replica shifted 30 days with its own user universe,
     // so hour count AND user count scale with the factor (the axes
-    // events_anomaly / events_rolling_dau grow along). ts arrives as
-    // BIGINT nanos (nanosAsLong) and is written back as plain INT64 —
-    // evSec/evHourEpoch read either encoding identically.
-    val evs = spark.read.parquet(s"$src/events.parquet")
+    // events_anomaly / events_rolling_dau grow along). ts is normalized
+    // to BIGINT nanos up front (the source file has shipped as both
+    // TIMESTAMP(NANOS) and TIMESTAMP(US)) and written back as INT64,
+    // which Tables.register passes through unchanged.
+    val evs0 = spark.read.parquet(s"$src/events.parquet")
+    val evs =
+      if (evs0.schema("ts").dataType.isInstanceOf[org.apache.spark.sql.types.LongType]) evs0
+      else evs0.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp_ltz)) * 1000"))
     val nE = evs.count()
     evs.selectExpr(s"explode(sequence(0, ${factor - 1})) as rep", "*")
       .selectExpr(s"event_id + rep * ${nE}L as event_id",

@@ -29,15 +29,30 @@ object Tables {
 
   def register(spark: SparkSession, dir: String): Unit =
     if (lastDir.put(spark, dir) != dir) {
-      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-      // reader rejects; read it as BIGINT nanos (the SQL layer derives
-      // seconds).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark reads as BIGINT nanos under this flag) and TIMESTAMP(US)
+      // (which Spark reads as TIMESTAMP_NTZ); the view normalizes both
+      // to BIGINT nanos so every query sees one schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NTZ→epoch conversion goes through the session zone; pin UTC so
+      // it matches DuckDB's naive-as-UTC epoch() regardless of machine
+      // timezone.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       // pca_project2d's power-iteration chain is ~56 nested CTEs; the
       // analyzer needs one resolution pass per nesting level, so the
       // default 100-iteration fixed point is too tight for it
       spark.conf.set("spark.sql.analyzer.maxIterations", "400")
       graft.functions.DotProduct.register(spark)
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      names.foreach { n =>
+        val df = load(spark, dir, n)
+        val out =
+          if (n == "events" &&
+              !df.schema("ts").dataType.isInstanceOf[org.apache.spark.sql.types.LongType])
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.expr(
+                "unix_micros(cast(ts as timestamp_ltz)) * 1000"))
+          else df
+        out.createOrReplaceTempView(n)
+      }
     }
 }

@@ -174,7 +174,9 @@ class HybridOpsSpec extends AnyFunSuite {
     val r2 = r.getAs[Double]("r2")
     assert(r2 >= 0.0 && r2 <= 1.0)
     // independent OLS over the same daily counts
-    val days = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    // registered view (ts normalized to BIGINT nanos), not the raw
+    // parquet — the file has shipped as both ns and µs encodings
+    val days = spark.table("events")
       .filter($"event_type" === "click")
       .selectExpr("cast(ts as long) div 86400000000000 as day")
       .groupBy("day").count().as[(Long, Long)].collect()

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic guarantees of the round-5 ops beyond the oracle gate:
+  * binary-quantization distances re-derived in the JVM, the rerank
+  * stage's exact-cosine consistency, hard-negative label contracts,
+  * recall-eval arithmetic, and sequence-packing conservation laws.
+  */
+class R5OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.Sf)
+
+  private lazy val normalized: Map[Long, Array[Double]] =
+    spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getAs[Long]("vec_id") -> v.map(_ / n)
+      }.toMap
+
+  test("vec_topk_binary: hamming equals a JVM sign-bit recount for every pair") {
+    val rows = run("vec_topk_binary").collect()
+    assert(rows.nonEmpty)
+    def code(v: Array[Double]): Array[Int] = v.map(x => if (x > 0) 1 else 0)
+    rows.foreach { r =>
+      val q = code(normalized(r.getAs[Long]("qid")))
+      val c = code(normalized(r.getAs[Long]("neighbor_id")))
+      val ham = q.zip(c).count { case (a, b) => a != b }
+      assert(r.getAs[Long]("hamming") == ham.toLong,
+        s"qid=${r.getAs[Long]("qid")} cid=${r.getAs[Long]("neighbor_id")}")
+    }
+    // per query: 10 ranks, hamming non-decreasing in rank
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_.getAs[Long]("rn"))
+      assert(byRn.map(_.getAs[Long]("rn")).toSeq == (1L to 10L))
+      byRn.map(_.getAs[Long]("hamming")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b)
+        case _         => ()
+      }
+    }
+  }
+
+  test("vec_topk_binary_rerank: sims are exact cosines and beat the unrefined Hamming ranking") {
+    val rer = run("vec_topk_binary_rerank").collect()
+    assert(rer.nonEmpty)
+    rer.foreach { r =>
+      val q = normalized(r.getAs[Long]("qid"))
+      val c = normalized(r.getAs[Long]("neighbor_id"))
+      val dot = q.zip(c).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getAs[Double]("sim") - dot) < 1e-4)
+    }
+    // the refine stage must not lose to raw Hamming order: for each
+    // query, mean exact cosine of the reranked top-10 >= mean exact
+    // cosine of the Hamming top-10 (the rerank picks the best cosines
+    // out of a strictly larger candidate set)
+    val ham = run("vec_topk_binary").collect()
+    val hamTop = ham.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Long]("rn")).take(10).map { r =>
+        val a = normalized(q); val b = normalized(r.getAs[Long]("neighbor_id"))
+        a.zip(b).map { case (x, y) => x * y }.sum
+      }.sum / 10.0
+    }
+    rer.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val rerMean = rs.map(_.getAs[Double]("sim")).sum / rs.length
+      assert(rerMean >= hamTop(q) - 1e-9, s"qid=$q")
+    }
+  }
+
+  test("vec_hard_negatives: every negative has a different label and sims order the ranks") {
+    val rows = run("vec_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_label") != r.getAs[Long]("negative_label"))
+      assert(r.getAs[Long]("rn") >= 1L && r.getAs[Long]("rn") <= 5L)
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_.getAs[Long]("rn"))
+      byRn.map(_.getAs[Double]("sim")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b - 1e-12)
+        case _         => ()
+      }
+    }
+  }
+
+  test("ann_recall_eval: recall = hits/10, hits bounded by candidates") {
+    val rows = run("ann_recall_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 10L)
+      assert(hits <= r.getAs[Long]("n_cand"))
+      assert(math.abs(r.getAs[Double]("recall10") - hits / 10.0) < 1e-9)
+    }
+  }
+
+  test("pack_sequences: token/sequence conservation against a direct recount") {
+    import spark.implicits._
+    val rows = run("pack_sequences").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens"); val nSeq = r.getAs[Long]("n_seqs")
+      // every token lands in exactly one 256-slot sequence
+      assert(nTok <= nSeq * 256 && nTok > (nSeq - 1) * 256)
+      assert(math.abs(r.getAs[Double]("fill_rate") - nTok.toDouble / (nSeq * 256)) < 1e-3)
+      assert(r.getAs[Long]("n_boundary_docs") <= r.getAs[Long]("n_docs"))
+      // at most one doc straddles each of the nSeq-1 interior cuts
+      assert(r.getAs[Long]("n_boundary_docs") <= nSeq - 1)
+    }
+    // per-source doc/token totals equal a direct whitespace recount
+    val direct = spark.table("documents")
+      .selectExpr("source", "size(split(lower(text), '\\\\s+')) as ntok")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("sum(ntok) as n_tokens"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    rows.foreach { r =>
+      val (nd, nt) = direct(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_tokens") == nt)
+    }
+  }
+}
