@@ -668,6 +668,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * values — expected random band collisions ≈ N²·5/(2·4096), a 13×
     * smaller quadratic constant than the old 4×8-bit layout (which
     * also only guaranteed h ≤ 3). */
+  /** MinHash signature + LSH band chain, shared by `dedup_minhash`
+    * (corpus self-join) and `dedup_incremental` (delta-vs-corpus).
+    * Requires wordCtes upstream; ends in
+    * bands(band, sig, m0..m15, doc_id). Shingles via lead() over the
+    * exploded words: the regex split runs once per doc at the
+    * Generate — a transform-lambda over the split array gets the
+    * split substituted into EVERY element access by projection
+    * collapse (observed 10x slowdown). */
+  private lazy val minhashBandsCtes: String = {
+    val p = WmConst.MinhashP
+    val mins = (0 until 16).map { r =>
+      val (a, b) = WmConst.minhashCoef(r)
+      s"min(($a * h + $b) % $p) as m$r"
+    }.mkString(",\n|         ")
+    val sigs = arrLit((0 until 8).map(k => s"m${2 * k} * 2147483648 + m${2 * k + 1}"))
+    s"""sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+       |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
+       |        from wx),
+       |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
+       |sh31 as (select doc_id, ${d.hex2int("substr(md5(sh), 1, 15)")} % $p as h from shx),
+       |mh as (select doc_id,
+       |         $mins
+       |       from sh31 group by doc_id),
+       |bands as (select b1 - 1 as band, sig, ${(0 until 16).map(r => s"m$r").mkString(", ")}, doc_id
+       |          from ${d.explodeFrom("mh", sigs, "b1", "sig", (0 until 16).map(r => s"m$r") :+ "doc_id")} _bx)""".stripMargin
+  }
+
+  /** Matching-minhash count between two band-row aliases. */
+  private def minhashMatches(a: String, b: String): String =
+    (0 until 16).map(r =>
+      s"(case when $a.m$r = $b.m$r then 1 else 0 end)").mkString(" + ")
+
   private val SimhashBits = 60
   private val SimhashBands = 5
   private val SimhashBandBits = SimhashBits / SimhashBands
@@ -1329,41 +1361,45 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from (select md5(text) as h, count(*) as c, min(doc_id) as first_doc
          |      from documents group by md5(text) having count(*) > 1) _g""".stripMargin,
 
-    "dedup_minhash" -> {
+    "dedup_minhash" ->
       // one md5 per distinct shingle, then 16 universal-hash minhashes
       // (a_r*h+b_r mod 2^31-1: products stay < 2^62, exact in both
       // engines). The 16 signature values ride along through the band
       // explode, so candidate similarity (the standard matching-minhash
       // Jaccard estimate) needs NO second pass over the shingle sets —
-      // the expensive text scan runs exactly once.
-      val p = WmConst.MinhashP
-      val mins = (0 until 16).map { r =>
-        val (a, b) = WmConst.minhashCoef(r)
-        s"min(($a * h + $b) % $p) as m$r"
-      }.mkString(",\n|         ")
-      val sigs = arrLit((0 until 8).map(k => s"m${2 * k} * 2147483648 + m${2 * k + 1}"))
-      val matches = (0 until 16).map(r =>
-        s"(case when a.m$r = b.m$r then 1 else 0 end)").mkString(" + ")
-      // shingles via lead() over the exploded words: the regex split
-      // runs once per doc at the Generate — a transform-lambda over the
-      // split array gets the split substituted into EVERY element
-      // access by projection collapse (observed 10x slowdown).
+      // the expensive text scan runs exactly once. The wordCtes→bands
+      // chain is shared with dedup_incremental (minhashBandsCtes).
       s"""with $wordCtes,
-         |sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
-         |        from wx),
-         |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
-         |sh31 as (select doc_id, ${d.hex2int("substr(md5(sh), 1, 15)")} % $p as h from shx),
-         |mh as (select doc_id,
-         |         $mins
-         |       from sh31 group by doc_id),
-         |bands as (select b1 - 1 as band, sig, ${(0 until 16).map(r => s"m$r").mkString(", ")}, doc_id
-         |          from ${d.explodeFrom("mh", sigs, "b1", "sig", (0 until 16).map(r => s"m$r") :+ "doc_id")} _bx),
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, ($matches) / 16.0 as est
+         |$minhashBandsCtes,
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
          |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, round(cast(est as double), 4) as jaccard_est
-         |from candp where est >= 0.1""".stripMargin
-    },
+         |from candp where est >= 0.1""".stripMargin,
+
+    // INCREMENTAL dedup — the production shape after the corpus is
+    // already deduped: a new delta batch (doc_id % 10 = 0 stands in
+    // for today's crawl) screens against the EXISTING corpus without
+    // re-pairing corpus docs with each other. Candidates come from the
+    // same minhash band join, but one side is batch-only and the other
+    // corpus-only: expected work is O(|delta| · bands), independent of
+    // corpus self-pairs — at 100 TB the corpus band table is the
+    // persisted index (exactly the WmCache scratch pattern) and ONLY
+    // the delta computes fresh signatures. Per new doc the best corpus
+    // match comes from one max(struct) aggregation (no window); is_dup
+    // applies the standard 0.5 MinHash-Jaccard dedup threshold.
+    "dedup_incremental" ->
+      s"""with $wordCtes,
+         |$minhashBandsCtes,
+         |bt as (select * from bands where doc_id % 10 = 0),
+         |cb as (select * from bands where doc_id % 10 <> 0),
+         |candp as (select distinct bt.doc_id as nd, cb.doc_id as cd, (${minhashMatches("bt", "cb")}) / 16.0 as est
+         |          from bt join cb on bt.band = cb.band and bt.sig = cb.sig),
+         |best as (select nd, max(${d.structLit2("e", "est", "c", "-cd")}) as mx
+         |         from candp where est >= 0.1 group by nd)
+         |select ${bigint("nd")} as new_doc, ${bigint(s"-(${d.fieldOf("mx", "c")})")} as match_doc,
+         |  round(cast(${d.fieldOf("mx", "e")} as double), 4) as jaccard_est,
+         |  ${bigint(s"case when ${d.fieldOf("mx", "e")} >= 0.5 then 1 else 0 end")} as is_dup
+         |from best""".stripMargin,
 
     "dedup_simhash" ->
       s"""with $wordCtes,
@@ -3397,7 +3433,77 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("max(seq_last) + 1")} as n_seqs,
          |  ${bigint("sum(case when seq_last > seq_first then 1 else 0 end)")} as n_boundary_docs,
          |  round(sum(ntok) / cast((max(seq_last) + 1) * 256 as double), 4) as fill_rate
-         |from asg group by source""".stripMargin
+         |from asg group by source""".stripMargin,
+
+    // TPC-H Q18 (large-volume customers): the classic
+    // aggregate-then-join shape — the HAVING collapses lineitem to the
+    // few hundred qualifying orders BEFORE any join, so the orders and
+    // customer joins run on the survivor set (broadcast-sized at any
+    // SF), never on the fact table. l_quantity is integer-valued, so
+    // the double sum is order-free exact.
+    "q18_big_orders" ->
+      s"""with big as (select l_orderkey, sum(l_quantity) as sum_qty
+         |             from lineitem group by l_orderkey having sum(l_quantity) > 250)
+         |select ${bigint("o.o_orderkey")} as o_orderkey, c.c_name as c_name,
+         |  round(o.o_totalprice, 2) as o_totalprice, ${bigint("b.sum_qty")} as sum_qty
+         |from big b
+         |join orders o on o.o_orderkey = b.l_orderkey
+         |join customer c on c.c_custkey = o.o_custkey""".stripMargin,
+
+    // A/B experiment readout — the two-proportion z-test every
+    // product-analytics deployment runs. Variant = deterministic
+    // user_id hash bucket (the standard assignment); metric =
+    // click-through over views. The per-variant counts are ONE
+    // combinable groupBy over events (map-side partial at any scale);
+    // the z arithmetic is a single fixed expression tree over 4
+    // integers — no float aggregation anywhere, so both engines
+    // evaluate it bit-identically. |z| >= 1.96 = the 95% gate.
+    "events_ab_test" -> {
+      // proportion = clicks / (clicks + views): a true [0,1] binomial
+      // share (clicks and views are independent event streams here, so
+      // clicks/views alone can exceed 1 — not a valid proportion)
+      val pa = "(a.n_click / cast(a.n as double))"
+      val pb = "(b.n_click / cast(b.n as double))"
+      val pp = "((a.n_click + b.n_click) / cast(a.n + b.n as double))"
+      val z = s"(($pa - $pb) / sqrt($pp * (1 - $pp) * (1.0 / a.n + 1.0 / b.n)))"
+      s"""with v as (select user_id % 2 as variant,
+         |             sum(case when event_type = 'click' then 1 else 0 end) as n_click,
+         |             sum(case when event_type in ('click', 'view') then 1 else 0 end) as n
+         |           from events group by user_id % 2),
+         |a as (select n_click, n from v where variant = 0),
+         |b as (select n_click, n from v where variant = 1)
+         |select ${bigint("a.n")} as n_a, ${bigint("a.n_click")} as clicks_a,
+         |  ${bigint("b.n")} as n_b, ${bigint("b.n_click")} as clicks_b,
+         |  round($pa, 4) as rate_a, round($pb, 4) as rate_b,
+         |  round($z, 4) as z,
+         |  ${bigint(s"case when abs($z) >= 1.96 then 1 else 0 end")} as significant
+         |from a cross join b""".stripMargin
+    },
+
+    // IVF index health — per-cell size and coherence over the SERVED
+    // assignment (the faiss/Milvus `index stats` readout, the ANN
+    // analog of lsh_bucket_stats): cell population spread diagnoses
+    // unbalanced cells (probe-cost variance), mean/min similarity to
+    // the own centroid diagnoses cells whose vectors don't belong
+    // together (recall risk). Spark reads the cached index views
+    // (g_ivf_ct / g_ivf_asg) — the monitoring query costs one
+    // assignment-table join, never a retrain; the oracle renders the
+    // inline train+assign chain. Per-row sims round to 6dp FIRST,
+    // then sum exactly as decimals (order-free), then one double
+    // division — no float-fold nondeterminism.
+    "vec_cluster_stats" -> {
+      val chain =
+        if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |cs as (select a.cell, round(${d.dot("nn.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}), 6) as sim
+         |       from asgF a join nn on nn.id = a.id join ct2 c on c.cell = a.cell)
+         |select ${bigint("cell")} as cell, ${bigint("count(*)")} as n_vectors,
+         |  round(cast(sum(cast(sim as decimal(18, 6))) as double) / count(*), 4) as mean_sim,
+         |  min(sim) as min_sim
+         |from cs group by cell""".stripMargin
+    }
   )
 
   private def regexpCountBpe: String =

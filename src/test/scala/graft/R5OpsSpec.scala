@@ -95,6 +95,71 @@ class R5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_incremental: batch-only left side, corpus-only matches, threshold flag consistent") {
+    val rows = run("dedup_incremental").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_doc") % 10 == 0)       // delta side only
+      assert(r.getAs[Long]("match_doc") % 10 != 0)     // corpus side only
+      val est = r.getAs[Double]("jaccard_est")
+      assert(est >= 0.1 && est <= 1.0)
+      assert(r.getAs[Long]("is_dup") == (if (est >= 0.5) 1L else 0L))
+    }
+    // one row per new doc (best match only)
+    val nds = rows.map(_.getAs[Long]("new_doc"))
+    assert(nds.distinct.length == nds.length)
+    // every reported pair must also be a dedup_minhash candidate pair
+    // with the same estimate (shared chain ⇒ consistent estimates)
+    val mh = run("dedup_minhash").collect().map { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      (math.min(a, b), math.max(a, b)) -> r.getAs[Double]("jaccard_est")
+    }.toMap
+    rows.foreach { r =>
+      val k = (math.min(r.getAs[Long]("new_doc"), r.getAs[Long]("match_doc")),
+        math.max(r.getAs[Long]("new_doc"), r.getAs[Long]("match_doc")))
+      assert(mh.get(k).exists(e => math.abs(e - r.getAs[Double]("jaccard_est")) < 1e-9), s"$k")
+    }
+  }
+
+  test("events_ab_test: z recomputed from the four integers, significance consistent") {
+    val r = run("events_ab_test").collect().head
+    val (na, ca) = (r.getAs[Long]("n_a"), r.getAs[Long]("clicks_a"))
+    val (nb, cb) = (r.getAs[Long]("n_b"), r.getAs[Long]("clicks_b"))
+    assert(ca <= na && cb <= nb)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+    assert(r.getAs[Long]("significant") == (if (math.abs(z) >= 1.96) 1L else 0L))
+  }
+
+  test("q18_big_orders: every order's quantity sum recounted above threshold") {
+    import spark.implicits._
+    val rows = run("q18_big_orders").collect()
+    assert(rows.nonEmpty)
+    val sums = spark.table("lineitem").groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(sums(ok) > 250)
+      assert(r.getAs[Long]("sum_qty") == sums(ok).toLong)
+    }
+    // completeness: count matches the direct recount
+    assert(rows.length == sums.count(_._2 > 250))
+  }
+
+  test("vec_cluster_stats: populations cover the corpus, coherence bounds hold") {
+    val rows = run("vec_cluster_stats").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == normalized.size)                   // every vector in exactly one cell
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_sim") <= r.getAs[Double]("mean_sim") + 1e-4)
+      assert(r.getAs[Double]("mean_sim") <= 1.0 + 1e-9)
+    }
+  }
+
   test("pack_sequences: token/sequence conservation against a direct recount") {
     import spark.implicits._
     val rows = run("pack_sequences").collect()
