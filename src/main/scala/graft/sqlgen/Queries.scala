@@ -458,6 +458,23 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     else
       Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes, pqQueryCtes).mkString(",\n")
 
+  /** Binary-quantization code table: every vector's 64 sign bits
+    * packed into two 32-bit bigint halves — the 8-byte-per-vector
+    * index state vec_topk_binary / vec_topk_binary_rerank scan.
+    * Requires nvCtes upstream; inline form adds exnCte. */
+  private lazy val bqCte: String =
+    s"""bq as (select id,
+       |         ${bigint("sum(case when pos <= 32 and val > 0 then cast(pow(2, 32 - pos) as bigint) else 0 end)")} as hi,
+       |         ${bigint("sum(case when pos > 32 and val > 0 then cast(pow(2, 64 - pos) as bigint) else 0 end)")} as lo
+       |       from exn group by id)""".stripMargin
+
+  /** The BQ chain: cached code-table view for Spark, inline
+    * explode+pack for the oracle — the same build-once/serve-many
+    * split as the IVF/PQ stages. */
+  private def bqChain: String =
+    if (views) viewAlias("bq", "g_bq")
+    else Seq(exnCte, bqCte).mkString(",\n")
+
   /** Graph in-degree per vector (reference: compute_in_degrees). */
   private val indegCte =
     s"""indeg as (select nn.id as vec_id, coalesce(dc.c, 0) as in_degree
@@ -649,7 +666,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "g_ivf_ct" -> s"with ${Seq(nvCtes, exnCte, ivfTrainCtes).mkString(",\n")}\nselect cell, cv from ct2",
     "g_ivf_asg" -> s"with ${Seq(nvCtes, viewAlias("ct2", "g_ivf_ct"), ivfAssignCtes).mkString(",\n")}\nselect id, cell from asgF",
     "g_pq_ct" -> s"with ${Seq(nvCtes, pqBaseCtes, pqTrainCtes).mkString(",\n")}\nselect m, cell, cv from pct1",
-    "g_pq_codes" -> s"with ${Seq(nvCtes, pqBaseCtes, viewAlias("pct1", "g_pq_ct"), pqEncodeCtes).mkString(",\n")}\nselect id, m, cell from codes")
+    "g_pq_codes" -> s"with ${Seq(nvCtes, pqBaseCtes, viewAlias("pct1", "g_pq_ct"), pqEncodeCtes).mkString(",\n")}\nselect id, m, cell from codes",
+    "g_bq" -> s"with ${Seq(nvCtes, exnCte, bqCte).mkString(",\n")}\nselect id, hi, lo from bq")
 
   /** Watermarked full table, exploded: carriers get stego values, the
     * rest keep originals (reference: pg_func.py update_vectors writes
@@ -699,6 +717,14 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private def minhashMatches(a: String, b: String): String =
     (0 until 16).map(r =>
       s"(case when $a.m$r = $b.m$r then 1 else 0 end)").mkString(" + ")
+
+  /** Spark broadcast hint for provably tiny join sides (candidate
+    * shortlists bounded by refine·|Q|): windowed/aggregated subtrees
+    * carry no size statistics, so without the hint Spark broadcasts
+    * the CORPUS side (a ~16 MB normalized-vector build per join) or
+    * falls back to a sort-merge exchange. No-op in the oracle dialect. */
+  private def bcast(aliases: String*): String =
+    if (d.name == "spark") s"/*+ BROADCAST(${aliases.mkString(", ")}) */ " else ""
 
   private val SimhashBits = 60
   private val SimhashBands = 5
@@ -1592,7 +1618,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |${ivfChain(needAssign = true)},
          |$pqChain,
          |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
-         |adc as (select c.qid, c.cid,
+         |adc as (select ${bcast("c")}c.qid, c.cid,
          |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
          |        from cnd c join codes k on k.id = c.cid
          |        join qlut q on q.qid = c.qid and q.m = k.m and q.cell = k.cell
@@ -1648,15 +1674,16 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |${ivfChain(needAssign = true)},
          |$pqChain,
          |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
-         |adc as (select c.qid, c.cid,
+         |adc as (select ${bcast("c")}c.qid, c.cid,
          |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
          |        from cnd c join codes k on k.id = c.cid
          |        join qlut q on q.qid = c.qid and q.m = k.m and q.cell = k.cell
          |        group by c.qid, c.cid),
          |ap as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc),
          |short as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by approx_sim desc, cid) as arn from ap) _s where arn <= 50),
-         |ex as (select s.qid, s.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
-         |       from short s join nn na on na.id = s.qid join nn nb on nb.id = s.cid)
+         |exq as (select id, n from nn where id in ($qIdLit)),
+         |ex as (select ${bcast("s", "qa")}s.qid, s.cid, round(${d.dot("qa.n", "nb.n")}, 6) as sim
+         |       from short s join exq qa on qa.id = s.qid join nn nb on nb.id = s.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from ex) _t
          |where rn <= 10""".stripMargin
@@ -3328,11 +3355,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "vec_topk_binary" -> {
       val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
                      else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
-      s"""with $nvCtes, $exnCte,
-         |bq as (select id,
-         |         ${bigint("sum(case when pos <= 32 and val > 0 then cast(pow(2, 32 - pos) as bigint) else 0 end)")} as hi,
-         |         ${bigint("sum(case when pos > 32 and val > 0 then cast(pow(2, 64 - pos) as bigint) else 0 end)")} as lo
-         |       from exn group by id),
+      s"""with $nvCtes,
+         |$bqChain,
          |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
          |p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
          |      from qb q join bq b on b.id <> q.qid)
@@ -3350,17 +3374,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "vec_topk_binary_rerank" -> {
       val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
                      else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
-      s"""with $nvCtes, $exnCte,
-         |bq as (select id,
-         |         ${bigint("sum(case when pos <= 32 and val > 0 then cast(pow(2, 32 - pos) as bigint) else 0 end)")} as hi,
-         |         ${bigint("sum(case when pos > 32 and val > 0 then cast(pow(2, 64 - pos) as bigint) else 0 end)")} as lo
-         |       from exn group by id),
+      s"""with $nvCtes,
+         |$bqChain,
          |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
          |p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
          |      from qb q join bq b on b.id <> q.qid),
          |c50 as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from p) _c where rn <= 50),
-         |r as (select c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
-         |      from c50 c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid)
+         |bex as (select id, n from nn where id in ($qIdLit)),
+         |r as (select ${bcast("c", "qn")}c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |      from c50 c join bex qn on qn.id = c.qid join nn cn on cn.id = c.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from r) _t
          |where rn <= 10""".stripMargin
