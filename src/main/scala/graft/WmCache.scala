@@ -57,7 +57,8 @@ object WmCache {
     "vec_hard_negatives", "ann_recall_eval",
     "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq", "vec_topk_ivf_pq_rerank",
     "dedup_semantic", "vec_ivf_reindex", "vec_cluster_stats",
-    "vec_topk_binary", "vec_topk_binary_rerank")
+    "vec_topk_binary", "vec_topk_binary_rerank",
+    "ann_nprobe_curve", "wm_capacity")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

@@ -3525,7 +3525,59 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(cast(sum(cast(sim as decimal(18, 6))) as double) / count(*), 4) as mean_sim,
          |  min(sim) as min_sim
          |from cs group by cell""".stripMargin
-    }
+    },
+
+    // IVF nprobe TUNING CURVE — recall@10 and candidate cost at
+    // nprobe ∈ {1,2,4,8} in ONE query: the measurement every
+    // faiss/Milvus deployment runs to place itself on the
+    // recall-vs-probe-cost frontier before fixing nprobe. Exact sims
+    // compute ONCE for the nprobe=8 candidate superset (each vector
+    // lives in exactly one cell, so a candidate's cellrank tags which
+    // probe levels see it); the per-level top-10 is a filter + window
+    // over that one table, and the brute reference leg is bounded
+    // O(|Q|·N) on the fixed evaluation sample. All counts integer
+    // until the final recall division.
+    "ann_nprobe_curve" -> {
+      val chain =
+        if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |exq as (select id, n from nn where id in ($qIdLit)),
+         |csA as (select q.id as qid, c.cell, ${d.dot("q.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim from exq q cross join ct2 c),
+         |qpr8 as (select qid, cell, rn as cellrank from (select qid, cell, row_number() over (partition by qid order by sim desc, cell) as rn from csA) _q where rn <= 8),
+         |cnd as (select q.qid, a.id as cid, q.cellrank from qpr8 q join asgF a on a.cell = q.cell and a.id <> q.qid),
+         |sims as (select ${bcast("c", "qn")}c.qid, c.cid, c.cellrank, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |         from cnd c join exq qn on qn.id = c.qid join nn cn on cn.id = c.cid),
+         |grid as (select 1 as p union all select 2 as p union all select 4 as p union all select 8 as p),
+         |lt as (select p, qid, cid from (select g.p, s.qid, s.cid, row_number() over (partition by g.p, s.qid order by s.sim desc, s.cid) as rn
+         |                                from sims s join grid g on s.cellrank <= g.p) _l where rn <= 10),
+         |bp as (select q.id as qid, cn.id as cid, round(${d.dot("q.n", "cn.n")}, 6) as sim from exq q join nn cn on cn.id <> q.id),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |nqv as (select count(*) as nq from exq),
+         |nc as (select g.p, count(*) as n_cand from cnd c join grid g on c.cellrank <= g.p group by g.p),
+         |ht as (select l.p, count(*) as hits from lt l join bt b on b.qid = l.qid and b.cid = l.cid group by l.p)
+         |select ${bigint("nc.p")} as nprobe, ${bigint("nc.n_cand")} as n_cand,
+         |  ${bigint("coalesce(ht.hits, 0)")} as hits,
+         |  round(coalesce(ht.hits, 0) / (cast(10 as double) * nqv.nq), 4) as recall10
+         |from nc cross join nqv left join ht on ht.p = nc.p""".stripMargin
+    },
+
+    // Watermark capacity/redundancy report — the embedding-budget
+    // readout (how many carriers vote for each 16-bit message block,
+    // and where the weakest block sits): majority-vote extraction
+    // tolerates ⌊(r-1)/2⌋ corrupted carriers per block, so
+    // min_redundancy IS the robustness floor the BER matrix measures
+    // empirically. One groupBy over the cached carrier table.
+    "wm_capacity" ->
+      s"""${wmChain("carriers")},
+         |blkc as (select blk, count(*) as n_carriers from carriers group by blk),
+         |tot as (select sum(n_carriers) as nc, min(n_carriers) as mn from blkc)
+         |select ${bigint("b.blk")} as blk, ${bigint("b.n_carriers")} as n_carriers,
+         |  ${bigint("16")} as block_bits,
+         |  round(b.n_carriers / cast(t.nc as double), 4) as carrier_share,
+         |  ${bigint("t.mn")} as min_redundancy
+         |from blkc b cross join tot t""".stripMargin
   )
 
   private def regexpCountBpe: String =

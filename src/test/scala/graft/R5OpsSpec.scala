@@ -160,6 +160,36 @@ class R5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_nprobe_curve: recall and candidate cost are monotone in nprobe") {
+    val rows = run("ann_nprobe_curve").collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") <= 10 * 5)
+      assert(math.abs(r.getAs[Double]("recall10") - r.getAs[Long]("hits") / 50.0) < 1e-9)
+    }
+    rows.map(_.getAs[Long]("n_cand")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a < b)   // more probes, strictly more candidates
+      case _         => ()
+    }
+    rows.map(_.getAs[Long]("hits")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b)  // a superset of candidates cannot lose hits
+      case _         => ()
+    }
+  }
+
+  test("wm_capacity: 16 blocks, shares sum to 1, floor is the true minimum") {
+    val rows = run("wm_capacity").collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getAs[Long]("blk")).sorted.toSeq == (0L to 15L))
+    val mn = rows.map(_.getAs[Long]("n_carriers")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_redundancy") == mn)
+      assert(r.getAs[Long]("block_bits") == 16L)
+    }
+    val share = rows.map(_.getAs[Double]("carrier_share")).sum
+    assert(math.abs(share - 1.0) < 0.01)
+  }
+
   test("pack_sequences: token/sequence conservation against a direct recount") {
     import spark.implicits._
     val rows = run("pack_sequences").collect()
