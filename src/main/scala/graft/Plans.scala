@@ -16,7 +16,12 @@ object Plans {
     "g_knn" -> "the SALTED bucket self-join: join keys are (t, b, id%4) vs (t, b, replica) — the salt sits in the join key, so when the corpus forces a shuffle join a hot bucket fans over 4 reducers; per-src top-K via partitioned window",
     "g_indeg" -> "groupBy(dst) count + left join back — both map-side-combinable",
     "g_carriers" -> "distributed two-pass ranking: per-bucket counts + broadcast cumulative offsets + within-bucket windows; no single-partition sort",
-    "g_stego" -> "carrier rows only: one masked-sum aggregation (24 projections) + broadcast join back; renormalizer computed analytically")
+    "g_stego" -> "carrier rows only: one masked-sum aggregation (24 projections) + broadcast join back; renormalizer computed analytically",
+    "g_ivf_ct" -> "IVF train: integer-threshold PRF sample (E[8*sqrt(N)] rows), 2 Lloyd steps on the sample only — the corpus is scanned once for sampling, never for training",
+    "g_ivf_asg" -> "IVF assign: the ONE full-corpus pass — broadcast centroids, map-side-combinable max(struct) argmax, no window",
+    "g_pq_ct" -> "PQ train: 512-row PRF sample sliced into 8 subspaces, one Lloyd step per subspace over the sample",
+    "g_pq_codes" -> "PQ encode: one corpus pass, 8 codes/vector via map-side max(struct) argmax over broadcast codebooks",
+    "g_bq" -> "BQ pack: one corpus explode + integer bit-sum groupBy — 8 bytes/vector of index state")
 
   private val notes = Map(
     "q1_pricing" -> "filter pushed to parquet (PushedFilters on l_shipdate), 6 of 11 columns read, single partial+final agg",
@@ -66,7 +71,18 @@ object Plans {
     "q_set_ops" -> "INTERSECT/EXCEPT planned as distinct aggregations + LeftSemi/LeftAnti hash joins on the integer key",
     "vec_topk_ivf_pq_rerank" -> "three-stage serving pipeline: IVF routing + ADC scoring in code space, then ONLY the top-50 ADC survivors semi-join raw vectors for exact re-ranking — refine cost O(50*|Q|), corpus never rescanned",
     "dedup_containment" -> "shares the single-pass pair-tagged gram chain with dedup_jaccard; the asymmetric ratios are two extra divisions on the same j(pair, i, na, nb) aggregate",
-    "events_cube" -> "CUBE expands 4 grouping sets map-side, one shuffle; levels tagged via grouping(), not value sentinels")
+    "events_cube" -> "CUBE expands 4 grouping sets map-side, one shuffle; levels tagged via grouping(), not value sentinels",
+    "vec_topk_binary" -> "BQ Hamming scan over the cached g_bq code table: 8 bytes/vector state, codegen'd xor+bit_count, integer ranks — the cheapest possible corpus scan",
+    "vec_topk_binary_rerank" -> "two-stage BQ serving: Hamming top-50 in bit space, then the 250-row shortlist BROADCASTS (hinted — windowed subtrees carry no stats) against the vector table for exact cosine — no corpus-side float work",
+    "dedup_incremental" -> "delta-vs-corpus minhash: batch-only bands join corpus-only bands — no corpus self-pairs; best match per new doc is one max(struct) aggregation",
+    "ann_nprobe_curve" -> "exact sims computed once for the nprobe=8 candidate superset (cellrank tags levels); per-level top-10 is a filter+window; brute leg bounded O(|Q|*N) on the evaluation sample",
+    "vec_cluster_stats" -> "index monitoring: one join of the cached assignment table to broadcast centroids + one groupBy(cell); decimal-exact mean after per-row rounding",
+    "pack_sequences" -> "per-source running token sum = window partitioned by source (per-partition sorts only); integer sequence ids by division; one groupBy(source)",
+    "events_ab_test" -> "one combinable groupBy(variant) over events; the z-statistic is a fixed expression tree over 4 integers from two 1-row CTEs",
+    "q18_big_orders" -> "HAVING collapses lineitem before any join; orders/customer broadcast-join the survivor set",
+    "wm_capacity" -> "one groupBy(blk) over the cached g_carriers parquet + a 1-row total/min cross join",
+    "vec_hard_negatives" -> "LSH bucket candidates intersected with the label predicate riding the join — per-query work O(bucket ∩ other-label)",
+    "ann_recall_eval" -> "served-index recall audit: LSH leg reads g_bkt, brute leg bounded on the query sample, hits via one left join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -104,7 +120,12 @@ object Plans {
     }
     sb.append("\n# Section 2 — steady-state query plans (view-backed)\n")
     for ((name, note) <- notes.toSeq.sortBy(_._1)) {
-      sb.append(s"\n## $name\n\n$note\n\n```\n${fmt(spark.sql(genViews.sql(name)))}\n```\n")
+      // method-based keys (checkpointed-scratch consumers) render via
+      // the driver entrypoint, which sets up their g_* temp views
+      val df =
+        if (genViews.sqls.contains(name)) spark.sql(genViews.sql(name))
+        else SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n$note\n\n```\n${fmt(df)}\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"[plans] wrote PLANS.md (${genViews.cacheStages.size} stages + ${notes.size} queries) at $sfDir useViews=true")

@@ -60,7 +60,9 @@ object ScaleCheck {
       "sketch_cms", "sketch_quantiles", "events_anomaly",
       "events_rolling_dau", "dedup_semantic", "text_lm_score",
       "events_attribution", "dedup_substring", "data_mix_weights",
-      "events_reconcile")
+      "events_reconcile", "vec_topk_binary", "dedup_incremental",
+      "pack_sequences", "events_ab_test", "q18_big_orders",
+      "ann_nprobe_curve")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))

@@ -1682,8 +1682,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |ap as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as approx_sim from adc),
          |short as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by approx_sim desc, cid) as arn from ap) _s where arn <= 50),
          |exq as (select id, n from nn where id in ($qIdLit)),
-         |ex as (select ${bcast("s", "qa")}s.qid, s.cid, round(${d.dot("qa.n", "nb.n")}, 6) as sim
-         |       from short s join exq qa on qa.id = s.qid join nn nb on nb.id = s.cid)
+         |sq as (select ${bcast("s", "qa")}s.qid, s.cid, qa.n as qv from short s join exq qa on qa.id = s.qid),
+         |ex as (select ${bcast("s2")}s2.qid, s2.cid, round(${d.dot("s2.qv", "nb.n")}, 6) as sim
+         |       from sq s2 join nn nb on nb.id = s2.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from ex) _t
          |where rn <= 10""".stripMargin
@@ -3381,8 +3382,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |      from qb q join bq b on b.id <> q.qid),
          |c50 as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from p) _c where rn <= 50),
          |bex as (select id, n from nn where id in ($qIdLit)),
-         |r as (select ${bcast("c", "qn")}c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
-         |      from c50 c join bex qn on qn.id = c.qid join nn cn on cn.id = c.cid)
+         |sq as (select ${bcast("c", "qn")}c.qid, c.cid, qn.n as qv from c50 c join bex qn on qn.id = c.qid),
+         |r as (select ${bcast("s")}s.qid, s.cid, round(${d.dot("s.qv", "cn.n")}, 6) as sim
+         |      from sq s join nn cn on cn.id = s.cid)
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn from r) _t
          |where rn <= 10""".stripMargin
@@ -3547,8 +3549,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |csA as (select q.id as qid, c.cell, ${d.dot("q.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim from exq q cross join ct2 c),
          |qpr8 as (select qid, cell, rn as cellrank from (select qid, cell, row_number() over (partition by qid order by sim desc, cell) as rn from csA) _q where rn <= 8),
          |cnd as (select q.qid, a.id as cid, q.cellrank from qpr8 q join asgF a on a.cell = q.cell and a.id <> q.qid),
-         |sims as (select ${bcast("c", "qn")}c.qid, c.cid, c.cellrank, round(${d.dot("qn.n", "cn.n")}, 6) as sim
-         |         from cnd c join exq qn on qn.id = c.qid join nn cn on cn.id = c.cid),
+         |cq as (select ${bcast("c", "qn")}c.qid, c.cid, c.cellrank, qn.n as qv from cnd c join exq qn on qn.id = c.qid),
+         |sims as (select ${bcast("s0")}s0.qid, s0.cid, s0.cellrank, round(${d.dot("s0.qv", "cn.n")}, 6) as sim
+         |         from cq s0 join nn cn on cn.id = s0.cid),
          |grid as (select 1 as p union all select 2 as p union all select 4 as p union all select 8 as p),
          |lt as (select p, qid, cid from (select g.p, s.qid, s.cid, row_number() over (partition by g.p, s.qid order by s.sim desc, s.cid) as rn
          |                                from sims s join grid g on s.cellrank <= g.p) _l where rn <= 10),
