@@ -323,6 +323,22 @@ object Streams {
       }
   }
 
+  /** Incremental A/B experiment monitor (batch form: `events_ab_test`):
+    * per-variant impression/click counts as a streaming aggregation in
+    * complete mode — two rows of state total, updated per micro-batch,
+    * so the z-test readout is available continuously while the
+    * experiment runs instead of at batch boundaries. Counts are exact
+    * integer sums (mergeable across any micro-batch split), so the
+    * final state equals the batch query's counts on the same rows
+    * (StreamingAbTestSpec). */
+  def abTestStream(events: DataFrame): DataFrame =
+    events
+      .selectExpr("user_id % 2 as variant",
+        "case when event_type = 'click' then 1 else 0 end as c",
+        "case when event_type in ('click', 'view') then 1 else 0 end as imp")
+      .groupBy("variant")
+      .agg(sum("c").as("n_click"), sum("imp").as("n"))
+
   case class IvfAsg(vecId: Long, cell: Long)
 
   /** Streaming-ingest half of the index-maintenance story (batch half:
