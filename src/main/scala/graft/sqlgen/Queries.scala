@@ -3390,6 +3390,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |where rn <= 10""".stripMargin
     },
 
+    // IVF routing × BQ Hamming scoring — the Milvus BIN_IVF_FLAT
+    // serving shape, completing the routing × quantization matrix
+    // (LSH×{flat,SQ}, IVF×{flat,PQ,PQ+rerank}, flat×{SQ,PQ,BQ},
+    // BQ+rerank): probe cost √N-sublinear AND per-candidate state 8
+    // bytes. Both index products (g_ivf_asg cells, g_bq codes) are
+    // cached chain stages, so query time is the |Q|·k probe + a
+    // bit-math scan of ~nprobe/√N of the code table.
+    "vec_topk_ivf_bq" -> {
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      s"""with $nvCtes,
+         |$bqChain,
+         |${ivfChain(needAssign = true)},
+         |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
+         |cnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
+         |p as (select ${bcast("c", "q")}c.qid, c.cid, bit_count($xh) + bit_count($xl) as hamming
+         |      from cnd c join qb q on q.qid = c.qid join bq b on b.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, ${bigint("hamming")} as hamming, ${bigint("rn")} as rn
+         |from (select qid, cid, hamming, row_number() over (partition by qid order by hamming, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
     // Hard-negative mining — the contrastive-training data op every
     // embedding-model pipeline runs (in-batch negatives aren't hard
     // enough; the standard recipe mines nearest neighbors with a

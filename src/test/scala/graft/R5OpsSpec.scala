@@ -68,6 +68,27 @@ class R5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_topk_ivf_bq: hamming matches the JVM recount and candidates come from probed cells") {
+    val rows = run("vec_topk_ivf_bq").collect()
+    assert(rows.nonEmpty)
+    def code(v: Array[Double]): Array[Int] = v.map(x => if (x > 0) 1 else 0)
+    rows.foreach { r =>
+      val q = code(normalized(r.getAs[Long]("qid")))
+      val c = code(normalized(r.getAs[Long]("neighbor_id")))
+      val ham = q.zip(c).count { case (a, b) => a != b }
+      assert(r.getAs[Long]("hamming") == ham.toLong)
+    }
+    // the IVF-routed result set is a subset of the full-corpus Hamming
+    // scan's candidate universe, so per query the composed top-10's
+    // best distance cannot beat the flat scan's best distance
+    val flatBest = run("vec_topk_binary").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("hamming")).min }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("hamming")).min >= flatBest(q))
+    }
+  }
+
   test("vec_hard_negatives: every negative has a different label and sims order the ranks") {
     val rows = run("vec_hard_negatives").collect()
     assert(rows.nonEmpty)
