@@ -82,7 +82,8 @@ object Plans {
     "q18_big_orders" -> "HAVING collapses lineitem before any join; orders/customer broadcast-join the survivor set",
     "wm_capacity" -> "one groupBy(blk) over the cached g_carriers parquet + a 1-row total/min cross join",
     "vec_hard_negatives" -> "LSH bucket candidates intersected with the label predicate riding the join — per-query work O(bucket ∩ other-label)",
-    "ann_recall_eval" -> "served-index recall audit: LSH leg reads g_bkt, brute leg bounded on the query sample, hits via one left join")
+    "ann_recall_eval" -> "served-index recall audit: LSH leg reads g_bkt, brute leg bounded on the query sample, hits via one left join",
+    "vec_topk_ivf_bq" -> "BIN_IVF composed: IVF cell routing + Hamming over the cached g_bq codes for cell candidates only — sublinear probe, 8-byte scan state, integer math end-to-end")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
