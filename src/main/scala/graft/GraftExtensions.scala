@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HllAgg}
 import graft.plans.CosineTopKStrategy
 
 /** The idiomatic Spark integration point: enable the whole library on
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // arity-checked at plan time: SELECT graft_dot(x) must raise a
       // proper AnalysisException, not an IndexOutOfBoundsException
       (exprs: Seq[Expression]) => DotProduct.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[graft.functions.HllAgg].getName, "graft_hll"),
+      (exprs: Seq[Expression]) => HllAgg.build(exprs)))
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
   }
 }

@@ -134,6 +134,21 @@ object SparkEntry {
         sem.createOrReplaceTempView("g_hybrid_scores")
         s.sql(sparkGen.hybridRrfSql(Some("g_hybrid_scores")))
       }),
+      // the native TypedImperativeAggregate HLL (functions.HllAgg):
+      // the aggregation buffer IS the register array, merged
+      // register-wise across partitions — bit-identical math to the
+      // SQL chain, so the oracle is sketch_distinct_by_source's pure
+      // SQL rendering
+      "sketch_distinct_native" -> ((s, dir) => {
+        Tables.register(s, dir)
+        s.sql("""
+          |with sw as (select source, split(lower(text), '\\s+') as ws from documents),
+          |swx as (select source, wd from sw lateral view explode(ws) _e as wd),
+          |ag as (select source, graft_hll(wd) as hll, count(distinct wd) as nd from swx group by source)
+          |select source, cast(nd as bigint) as n_exact, hll as hll_est,
+          |  round(abs(hll - nd) / nd, 4) as rel_err
+          |from ag""".stripMargin)
+      }),
       // BPE merge rounds over the checkpointed vocabulary: the one
       // corpus pass (word counts + char-split) materializes once;
       // the unrolled merge rounds (each state referenced by the next
@@ -198,5 +213,8 @@ object SparkEntry {
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
         "dedup_containment" -> duckGen.dedupContainmentSql(None),
-        "vec_mmr" -> duckGen.mmrSql(None))
+        "vec_mmr" -> duckGen.mmrSql(None),
+        // the native aggregate must reproduce the SQL sketch exactly,
+        // so its oracle IS the by-source SQL rendering
+        "sketch_distinct_native" -> duckGen.sql("sketch_distinct_by_source"))
 }

@@ -43,6 +43,7 @@ object Tables {
       // default 100-iteration fixed point is too tight for it
       spark.conf.set("spark.sql.analyzer.maxIterations", "400")
       graft.functions.DotProduct.register(spark)
+      graft.functions.HllAgg.register(spark)
       names.foreach { n =>
         val df = load(spark, dir, n)
         val out =
