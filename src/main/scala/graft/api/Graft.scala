@@ -292,6 +292,34 @@ final class Graft(spark: SparkSession, dir: String,
   /** Every same-user (click, purchase) pair within the trailing hour —
     * the batch form of the streaming attribution join. */
   def clickAttribution: DataFrame = q("events_attribution")
+
+  // round-5 surface
+  /** Sign-bit binary-quantized Hamming top-k (8 bytes/vector index). */
+  def topKBinary: DataFrame = q("vec_topk_binary")
+  /** Two-stage BQ serving: Hamming shortlist + exact cosine refine. */
+  def topKBinaryRefined: DataFrame = q("vec_topk_binary_rerank")
+  /** IVF routing × BQ Hamming scoring (BIN_IVF_FLAT shape). */
+  def topKIvfBinary: DataFrame = q("vec_topk_ivf_bq")
+  /** Hardest wrong-label neighbors per query (contrastive mining). */
+  def hardNegatives: DataFrame = q("vec_hard_negatives")
+  /** Served-LSH recall@10 vs exact, with probe-cost exposure. */
+  def annRecallAudit: DataFrame = q("ann_recall_eval")
+  /** Recall/cost frontier at nprobe ∈ {1,2,4,8}. */
+  def nprobeCurve: DataFrame = q("ann_nprobe_curve")
+  /** Per-cell IVF population and centroid coherence. */
+  def clusterStats: DataFrame = q("vec_cluster_stats")
+  /** Per-block carrier redundancy (majority-vote robustness floor). */
+  def watermarkCapacity: DataFrame = q("wm_capacity")
+  /** Delta-batch near-dups against the existing corpus index. */
+  def dedupIncremental: DataFrame = q("dedup_incremental")
+  /** Per-source GPT-style sequence-packing report. */
+  def packedSequences: DataFrame = q("pack_sequences")
+  /** Two-proportion z-test on user-hash experiment variants. */
+  def abTest: DataFrame = q("events_ab_test")
+  /** TPC-H Q18 large-volume customers. */
+  def bigOrders: DataFrame = q("q18_big_orders")
+  /** Native TypedImperativeAggregate HLL per source. */
+  def distinctSketchNative: DataFrame = q("sketch_distinct_native")
 }
 
 object Graft {
