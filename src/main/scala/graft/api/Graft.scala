@@ -318,6 +318,8 @@ final class Graft(spark: SparkSession, dir: String,
   def abTest: DataFrame = q("events_ab_test")
   /** TPC-H Q18 large-volume customers. */
   def bigOrders: DataFrame = q("q18_big_orders")
+  /** HLL union/intersection/Jaccard across source pairs. */
+  def sourceOverlap: DataFrame = q("sketch_source_overlap")
   /** Native TypedImperativeAggregate HLL per source. */
   def distinctSketchNative: DataFrame = q("sketch_distinct_native")
 }

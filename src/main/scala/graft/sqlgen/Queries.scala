@@ -458,6 +458,45 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     else
       Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes, pqQueryCtes).mkString(",\n")
 
+  private val HllM = 256
+  /** Per-source m=256 HLL register chain shared by
+    * `sketch_distinct_by_source` / `sketch_source_overlap` /
+    * (as the JVM mirror) functions.HllAgg: 60-bit keyed hash,
+    * unrolled integer rho over the 52-bit remainder. Ends in
+    * swx(source, wd) and allr(source, j, mr) — every source's full
+    * register vector with empty registers zero-filled. */
+  private lazy val hll256Ctes: String = {
+    val rho = (1 to 52).map(r =>
+      s"when w >= ${1L << (52 - r)} then $r").mkString(
+      "case ", " ", " else 53 end")
+    s"""sw as (select source, ${splitWs("lower(text)")} as ws from documents),
+       |swx as (select * from ${d.explodeFrom("sw", "ws", "wp", "wd", Seq("source"))} _sx),
+       |wh as (select distinct source, ${prf(d)("'hll'", "wd")} as h from swx),
+       |wr as (select source, h % $HllM as j, ${d.idiv("h", HllM.toString)} as w from wh),
+       |regs as (select source, j, max($rho) as mr from wr group by source, j),
+       |srcs as (select distinct source from documents),
+       |allr as (select s.source, gg.j, coalesce(r.mr, 0) as mr
+       |         from srcs s cross join ${rangeTable("gg", "j", 0, HllM - 1)}
+       |         left join regs r on r.source = s.source and r.j = gg.j)""".stripMargin
+  }
+
+  /** The two aggregates an HLL estimate needs over register rows:
+    * the ordered 2^-mr fold and the empty-register count. */
+  private def hllZsV0(src: String): String =
+    s"""${d.arrAggOrdered(s"pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
+       |              ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0""".stripMargin
+
+  /** The estimate expression over (zs, v0): alpha·m²/Z with the
+    * canonical linear-counting gate (v0 > 0 AND raw ≤ 2.5m). */
+  private lazy val hllEstimate: String = {
+    val ones = d.castDoubleArray(arrLit(Seq.fill(HllM)("1.0")))
+    val alpha = "cast(0.7182726 as double)" // 0.7213/(1 + 1.079/256)
+    val raw = s"round($alpha * $HllM * $HllM / ${d.dot("zs", ones)}, 4)"
+    s"""case when v0 > 0 and $raw <= ${(2.5 * HllM).toInt}
+       |                    then round($HllM * ln(cast($HllM as double) / v0), 4)
+       |                    else $raw end""".stripMargin
+  }
+
   /** Binary-quantization code table: every vector's 64 sign bits
     * packed into two 32-bit bigint halves — the 8-byte-per-vector
     * index state vec_topk_binary / vec_topk_binary_rerank scan.
@@ -2557,36 +2596,40 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // hash, unrolled integer rho over the 52-bit remainder, ordered
     // register fold, canonical LC gate (v0 > 0 AND raw <= 2.5m). The
     // exact per-source count runs alongside only to report rel_err.
-    "sketch_distinct_by_source" -> {
-      val m = 256
-      val rho = (1 to 52).map(r =>
-        s"when w >= ${1L << (52 - r)} then $r").mkString(
-        "case ", " ", " else 53 end")
-      val ones = d.castDoubleArray(arrLit(Seq.fill(m)("1.0")))
-      val alpha = "cast(0.7182726 as double)" // 0.7213/(1 + 1.079/256)
-      val raw = s"round($alpha * $m * $m / ${d.dot("zs", ones)}, 4)"
-      s"""with sw as (select source, ${splitWs("lower(text)")} as ws from documents),
-         |swx as (select * from ${d.explodeFrom("sw", "ws", "wp", "wd", Seq("source"))} _sx),
-         |wh as (select distinct source, ${prf(d)("'hll'", "wd")} as h from swx),
-         |wr as (select source, h % $m as j, ${d.idiv("h", m.toString)} as w from wh),
-         |regs as (select source, j, max($rho) as mr from wr group by source, j),
-         |srcs as (select distinct source from documents),
-         |allr as (select s.source, gg.j, coalesce(r.mr, 0) as mr
-         |         from srcs s cross join ${rangeTable("gg", "j", 0, m - 1)}
-         |         left join regs r on r.source = s.source and r.j = gg.j),
+    "sketch_distinct_by_source" ->
+      s"""with $hll256Ctes,
          |za as (select source,
-         |              ${d.arrAggOrdered(s"pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
-         |              ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0
+         |              ${hllZsV0("allr")}
          |        from allr group by source),
-         |est as (select source,
-         |               case when v0 > 0 and $raw <= ${(2.5 * m).toInt}
-         |                    then round($m * ln(cast($m as double) / v0), 4)
-         |                    else $raw end as hll, v0 from za),
+         |est as (select source, ${hllEstimate} as hll, v0 from za),
          |ex as (select source, ${bigint("count(distinct wd)")} as n_exact from swx group by source)
          |select ex.source, ex.n_exact, est.hll as hll_est,
          |  round(abs(est.hll - ex.n_exact) / ex.n_exact, 4) as rel_err
-         |from ex join est on est.source = ex.source""".stripMargin
-    },
+         |from ex join est on est.source = ex.source""".stripMargin,
+
+    // HLL SET ALGEBRA across sources — the payoff of sketch
+    // mergeability: |A∪B| comes from register-wise max of the two
+    // sources' sketches (the HLL union is EXACT over sketches — it
+    // equals the sketch of the concatenated streams), |A∩B| by
+    // inclusion-exclusion, and a Jaccard estimate from the two.
+    // Cross-source vocabulary overlap is what a mix designer checks
+    // before blending domains; at 100 TB the pairwise work is
+    // |sources|²·m tiny integer rows — the raw corpora are never
+    // re-read, never joined. Same deterministic toolkit as the other
+    // HLL keys; per-pair estimates reuse the shared chain.
+    "sketch_source_overlap" ->
+      s"""with $hll256Ctes,
+         |pr as (select a.source as src_a, b.source as src_b, a.j, greatest(a.mr, b.mr) as mr
+         |       from allr a join allr b on b.j = a.j and a.source < b.source),
+         |zu as (select src_a, src_b, ${hllZsV0("pr")}
+         |       from pr group by src_a, src_b),
+         |eu as (select src_a, src_b, ${hllEstimate} as hll_u from zu),
+         |za as (select source, ${hllZsV0("allr")} from allr group by source),
+         |es as (select source, ${hllEstimate} as hll from za)
+         |select e.src_a, e.src_b, a.hll as est_a, b.hll as est_b, e.hll_u as est_union,
+         |  round(a.hll + b.hll - e.hll_u, 4) as est_overlap,
+         |  round((a.hll + b.hll - e.hll_u) / e.hll_u, 4) as jaccard_est
+         |from eu e join es a on a.source = e.src_a join es b on b.source = e.src_b""".stripMargin,
 
     // Bloom-filter membership sketch — the DECONTAMINATION PREFILTER:
     // build an m-bit Bloom (k=3 keyed hashes) over the EVAL split's

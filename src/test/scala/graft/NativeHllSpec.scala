@@ -24,6 +24,33 @@ class NativeHllSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("sketch_source_overlap: union estimates equal JVM-merged registers for every pair") {
+    import graft.streaming.HllSketch
+    import spark.implicits._
+    val rows = run("sketch_source_overlap").collect()
+    assert(rows.length > 1)
+    // one register array per source, built in the JVM from the same
+    // word stream (insert is idempotent — no distinct needed)
+    val regs = scala.collection.mutable.Map[String, Array[Byte]]()
+    spark.table("documents")
+      .selectExpr("source", "explode(split(lower(text), '\\\\s+')) as wd")
+      .as[(String, String)].collect()
+      .foreach { case (src, wd) =>
+        HllSketch.insert(regs.getOrElseUpdate(src, new Array[Byte](HllSketch.M)), wd)
+      }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val merged = regs(a).zip(regs(b)).map { case (x, y) => math.max(x, y).toByte }
+      assert(r.getAs[Double]("est_union") == HllSketch.estimate(merged), s"($a,$b)")
+      // union of sketches can never estimate below either side's floor
+      // by more than rounding, and never above the sum
+      assert(r.getAs[Double]("est_union") <=
+        r.getAs[Double]("est_a") + r.getAs[Double]("est_b") + 1e-6)
+      assert(math.abs(r.getAs[Double]("est_overlap") -
+        (r.getAs[Double]("est_a") + r.getAs[Double]("est_b") - r.getAs[Double]("est_union"))) < 1e-3)
+    }
+  }
+
   test("graft_hll arity error is a plan-time AnalysisException") {
     Tables.register(spark, TestSpark.Sf)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
