@@ -83,7 +83,9 @@ object Plans {
     "wm_capacity" -> "one groupBy(blk) over the cached g_carriers parquet + a 1-row total/min cross join",
     "vec_hard_negatives" -> "LSH bucket candidates intersected with the label predicate riding the join — per-query work O(bucket ∩ other-label)",
     "ann_recall_eval" -> "served-index recall audit: LSH leg reads g_bkt, brute leg bounded on the query sample, hits via one left join",
-    "vec_topk_ivf_bq" -> "BIN_IVF composed: IVF cell routing + Hamming over the cached g_bq codes for cell candidates only — sublinear probe, 8-byte scan state, integer math end-to-end")
+    "vec_topk_ivf_bq" -> "BIN_IVF composed: IVF cell routing + Hamming over the cached g_bq codes for cell candidates only — sublinear probe, 8-byte scan state, integer math end-to-end",
+    "vec_topk_graph" -> "HNSW-style beam search: hub entry via TakeOrderedAndProject (no global window), 3 unrolled hops each = one hash join to the materialized g_knn edge view + broadcast-shortlist scoring + a qid-partitioned window; per-hop state |Q|*16 rows — corpus-size-independent once the graph is built",
+    "vec_append" -> "incremental append: the PRF-selected batch streams once through broadcast joins against the KB-sized served centroids/codebooks (max(struct) argmax, no window) + one explode groupBy for the BQ words — the corpus index is never rescanned, g_ivf_asg never touched")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

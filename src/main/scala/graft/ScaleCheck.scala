@@ -32,6 +32,11 @@ object ScaleCheck {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // buildCorpus normalizes TIMESTAMP(US) events BEFORE
+      // Tables.register pins the session zone, so pin it here too —
+      // otherwise a non-UTC machine shifts every replica timestamp
+      // by the zone offset relative to the registered view
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,17 +45,23 @@ object ScaleCheck {
 
     Tables.register(spark, dir)
     val n = spark.table("embeddings").count()
+    val nDocs = spark.table("documents").count()
     val scaledPlanes = Wm.lshPlanesFor(n)
-    println(s"[scale] corpus=$dir n_vectors=$n n_docs=" +
-      spark.table("documents").count() +
-      s" planes: static=${Wm.LshPlanes} scaled=$scaledPlanes")
+    val scaledBands = Wm.simhashBandsFor(nDocs)
+    println(s"[scale] corpus=$dir n_vectors=$n n_docs=$nDocs" +
+      s" planes: static=${Wm.LshPlanes} scaled=$scaledPlanes" +
+      s" simhash_bands: static=${Wm.SimhashBands} scaled=$scaledBands")
 
     val genStatic = new Gen(SparkDialect)
     val genScaled = new Gen(SparkDialect, lshPlanes = scaledPlanes)
+    // the N-derived SimHash band geometry (Wm.simhashBandsFor): same
+    // pair semantics at the oracle floor, wider bands once the corpus
+    // outgrows 5×12 — the gap is what the §4 band ladder buys
+    val genBands = new Gen(SparkDialect, simhashBands = scaledBands)
     // chain-heavy queries (full inline chain — no WmCache views, so the
     // plane count under test is the one actually executed)
     val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding",
-      "vec_topk_filtered_lsh", "graph_triangles")
+      "vec_topk_filtered_lsh", "graph_triangles", "vec_topk_graph")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -62,7 +73,7 @@ object ScaleCheck {
       "events_attribution", "dedup_substring", "data_mix_weights",
       "events_reconcile", "vec_topk_binary", "dedup_incremental",
       "pack_sequences", "events_ab_test", "q18_big_orders",
-      "ann_nprobe_curve")
+      "ann_nprobe_curve", "vec_append")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -79,6 +90,11 @@ object ScaleCheck {
       val s = run(genStatic, q)
       println(s"[scale] $q ${s}s")
       results.append(s"""  "$q": $s,\n""")
+    }
+    if (scaledBands != Wm.SimhashBands) {
+      val s = run(genBands, "dedup_simhash_pairs")
+      println(s"[scale] dedup_simhash_pairs/bands$scaledBands ${s}s")
+      results.append(s"""  "dedup_simhash_pairs/bands$scaledBands": $s,\n""")
     }
     // programmatic paths (checkpointed build tables / cached chain
     // views): real codec decodes, unrolled components propagation,

@@ -160,6 +160,16 @@ object SparkEntry {
           s.sql(sparkGen.bpeVocabBuildSql).localCheckpoint())
         v.createOrReplaceTempView("g_bpe_vocab")
         s.sql(sparkGen.bpeMergesSql(Some("g_bpe_vocab")))
+      }),
+      // the learned merges APPLIED: distinct words encode once against
+      // the same checkpointed vocabulary (the tokenizer's shipped
+      // lookup table), docs join token lengths back
+      "text_bpe_encode" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val v = bpeCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.bpeVocabBuildSql).localCheckpoint())
+        v.createOrReplaceTempView("g_bpe_vocab")
+        s.sql(sparkGen.bpeEncodeSql(Some("g_bpe_vocab")))
       }))
 
   private def simPairsView(s: SparkSession, dir: String): Unit = {
@@ -216,5 +226,6 @@ object SparkEntry {
         "vec_mmr" -> duckGen.mmrSql(None),
         // the native aggregate must reproduce the SQL sketch exactly,
         // so its oracle IS the by-source SQL rendering
-        "sketch_distinct_native" -> duckGen.sql("sketch_distinct_by_source"))
+        "sketch_distinct_native" -> duckGen.sql("sketch_distinct_by_source"),
+        "text_bpe_encode" -> duckGen.bpeEncodeSql(None))
 }

@@ -27,10 +27,14 @@ final class Graft(spark: SparkSession, dir: String,
   private lazy val customGen = new Gen(SparkDialect, useViews = false, params)
   private def q(name: String): DataFrame =
     if (isDefault) SparkEntry.queries(name)(spark, dir)
-    else {
+    else if (customGen.sqls.contains(name)) {
       Tables.register(spark, dir)
       spark.sql(customGen.sql(name))
-    }
+    } else
+      // method-based registry keys (checkpointed build tables, native
+      // aggregates, codec paths) don't involve the watermark params, so
+      // the shared rendering IS the custom-params result
+      SparkEntry.queries(name)(spark, dir)
 
   /** Raw table access (reference: list_tables/get_columns). */
   def table(name: String): DataFrame = { Tables.register(spark, dir); spark.table(name) }
@@ -322,6 +326,21 @@ final class Graft(spark: SparkSession, dir: String,
   def sourceOverlap: DataFrame = q("sketch_source_overlap")
   /** Native TypedImperativeAggregate HLL per source. */
   def distinctSketchNative: DataFrame = q("sketch_distinct_native")
+
+  // round-6 surface
+  /** HNSW-style beam search over the served kNN graph (reference:
+    * pg_func.py:104 hnswlib / milvus HNSW M=16). */
+  def topKGraph: DataFrame = q("vec_topk_graph")
+  /** Batch append: new vectors' IVF/BQ/PQ index records against the
+    * served centroids/codebooks, no retrain, no rescan (the insert leg
+    * of database/(pgvector|milvus)/docker/insert.py). */
+  def appendBatch: DataFrame = q("vec_append")
+  /** describe_index across every served index product (§4 state ladder
+    * as a data-derived report). */
+  def indexCatalog: DataFrame = q("index_catalog")
+  /** The learned BPE merges applied: per-doc token counts +
+    * compression (the tokenizer encode() path). */
+  def bpeEncode: DataFrame = q("text_bpe_encode")
 }
 
 object Graft {

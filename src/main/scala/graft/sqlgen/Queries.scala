@@ -42,6 +42,24 @@ object Wm {
     * `Gen(lshPlanes = lshPlanesFor(n))` (see graft.ScaleCheck). */
   def lshPlanesFor(n: Long): Int =
     math.max(LshPlanes, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+  /** SimHash banding default: 5 bands × 12 bits of the 60-bit hash —
+    * the pigeonhole guarantee covers hamming ≤ bands−1 = 4. */
+  val SimhashBands = 5
+  /** The §4 band-geometry arithmetic made executable (the SimHash
+    * analog of [[lshPlanesFor]]): the total signature width is pinned
+    * at 60 bits (15 exact hex digits in both engines), so the scale
+    * knob is the BAND SPLIT — the widest band set (most bands =
+    * strongest h ≤ bands−1 pigeonhole guarantee) whose expected random
+    * band collisions, bands·N²/2^(bits+1), stay linear (≤ 50·N):
+    * 5×12 holds to ~800k docs, 4×15 to ~3M, 3×20 to ~35M, 2×30 past
+    * 10¹⁰ — trading guaranteed recall radius (h ≤ 4 → 3 → 2 → 1) for
+    * bounded candidate work, the documented SURVEY §4 ladder. The
+    * driver contract stays at the static default (the dumped oracle
+    * SQL is scale-independent); scale runs construct a
+    * `Gen(simhashBands = simhashBandsFor(n))` (see graft.ScaleCheck). */
+  def simhashBandsFor(nDocs: Long): Int =
+    Seq(5, 4, 3, 2).find(b =>
+      math.pow(2.0, 60.0 / b + 1.0) >= nDocs.toDouble * b / 50.0).getOrElse(2)
   /** Default embed rate (reference: Config.DEFAULT_EMBED_RATE = 0.1). */
   val Rate = "0.1"
   /** Default decontamination eval split: doc_id % DecontEvalMod = 0 is
@@ -87,7 +105,10 @@ object WmParams {
 final class Gen(d: Dialect, useViews: Boolean = false,
                 params: WmParams = WmParams.Default,
                 lshPlanes: Int = Wm.LshPlanes,
-                decontEvalMod: Int = Wm.DecontEvalMod) {
+                decontEvalMod: Int = Wm.DecontEvalMod,
+                simhashBands: Int = Wm.SimhashBands) {
+  require(60 % simhashBands == 0,
+    s"simhashBands must divide the 60-bit signature: $simhashBands")
   import Prim._
   import Wm.{Blocks, Dim, K, LshTables, MsgLen, QueryIds}
   import graft.functions.WmConst
@@ -483,8 +504,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   /** The two aggregates an HLL estimate needs over register rows:
     * the ordered 2^-mr fold and the empty-register count. */
   private def hllZsV0(src: String): String =
-    s"""${d.arrAggOrdered(s"pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
-       |              ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0""".stripMargin
+    s"""${d.arrAggOrdered(s"pow(cast(2 as double), -cast($src.mr as double))", s"$src.j")} as zs,
+       |              ${bigint(s"sum(case when $src.mr = 0 then 1 else 0 end)")} as v0""".stripMargin
 
   /** The estimate expression over (zs, v0): alpha·m²/Z with the
     * canonical linear-counting gate (v0 > 0 AND raw ≤ 2.5m). */
@@ -766,7 +787,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     if (d.name == "spark") s"/*+ BROADCAST(${aliases.mkString(", ")}) */ " else ""
 
   private val SimhashBits = 60
-  private val SimhashBands = 5
+  private val SimhashBands = simhashBands
   private val SimhashBandBits = SimhashBits / SimhashBands
   /** SimHash per-bit signed sums as 60 masked aggregation columns
     * (one groupBy pass — no 60x cross-join row expansion). */
@@ -802,7 +823,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |          from sh cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)}),
        |cand as (select distinct a.doc_id as da, b.doc_id as db, bit_count($xorAB) as hamming
        |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id
-       |         where bit_count($xorAB) <= 4)""".stripMargin
+       |         where bit_count($xorAB) <= ${SimhashBands - 1})""".stripMargin
   }
 
   /** Unrolled 6-round min-label propagation turning near-dup PAIRS into
@@ -1211,8 +1232,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * (transform over indices — no per-word window) and the winning
     * pair is one max(struct(count, pair)) aggregation with a
     * lexicographic tie-break. */
-  def bpeMergesSql(from: Option[String]): String = {
-    val rounds = 3
+  /** The s0 vocabulary CTE (from the Spark-side checkpoint or inlined
+    * for the oracle) + `rounds` unrolled merge-learning rounds — the
+    * shared trainer behind text_bpe_merges (reports the merges) and
+    * text_bpe_encode (applies them). Ends with mg0..mg{r-1}
+    * (cnt, pair, lhs, rhs) and nt0..nt{r-1}. */
+  private def bpeRoundCtes(from: Option[String], rounds: Int): String = {
     val matKw = if (d.name == "duckdb") "materialized " else ""
     val s0 = from match {
       case Some(v) => s"s0 as (select c, sq from $v)"
@@ -1231,12 +1256,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |           from s$t s cross join mg$t m),
          |nt$t as (select ${bigint(s"sum(c * ${d.arrLen(splitWs("trim(sq)"))})")} as ntok from s${t + 1})""".stripMargin
     }.mkString(",\n")
+    s"$s0,\n$roundCtes"
+  }
+
+  def bpeMergesSql(from: Option[String]): String = {
+    val rounds = 3
     val outs = (0 until rounds).map(t =>
       s"select ${bigint((t + 1).toString)} as merge_round, m.lhs, m.rhs, concat(m.lhs, m.rhs) as merged, ${bigint("m.cnt")} as n_pairs, n.ntok as n_tokens_after from mg$t m cross join nt$t n")
       .mkString("\nunion all\n")
-    s"""with $s0,
-       |$roundCtes
+    s"""with ${bpeRoundCtes(from, rounds)}
        |$outs""".stripMargin
+  }
+
+  /** BPE ENCODE — the learned merges APPLIED, the tokenizer encode()
+    * path every pipeline runs after training: each DISTINCT alpha word
+    * encodes ONCE through the merge sequence (vocabulary-sized work —
+    * the lookup-table shape a production tokenizer ships), then docs
+    * join their words' token lengths back and aggregate. Non-alpha /
+    * single-char words count 1 token. At 100 TB the encode table is a
+    * broadcastable vocabulary artifact; the per-doc pass is one
+    * explode + one hash join + one combinable groupBy — no per-doc
+    * merge scanning. Integer counts end-to-end; one rounded division. */
+  def bpeEncodeSql(from: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val charSeq = s"concat(' ', ${arrJoin(d.arrTransform(d.intSeq("1", "length(wd)"), "i", "substr(wd, cast(i as int), 1)"), "  ")}, ' ')"
+    def rep(m: String) =
+      s"replace(sq, concat(' ', $m.lhs, '  ', $m.rhs, ' '), concat(' ', $m.lhs, $m.rhs, ' '))"
+    s"""with $wordCtes,
+       |${bpeRoundCtes(from, 3)},
+       |dvoc as $matKw(select distinct wd from wx where ${d.regexpCount("wd", "[^a-z]")} = 0 and length(wd) >= 2),
+       |e0 as (select wd, $charSeq as sq from dvoc),
+       |e1 as (select wd, ${rep("m0")} as sq from e0 cross join mg0 m0),
+       |e2 as (select wd, ${rep("m1")} as sq from e1 cross join mg1 m1),
+       |e3 as (select wd, ${rep("m2")} as sq from e2 cross join mg2 m2),
+       |enc as $matKw(select wd, ${bigint(d.arrLen(splitWs("trim(sq)")))} as ntok from e3),
+       |per as (select w.doc_id, ${bigint("count(*)")} as n_words,
+       |          ${bigint("sum(case when e.ntok is not null then length(w.wd) else 1 end)")} as n_tokens_char,
+       |          ${bigint("sum(coalesce(e.ntok, 1))")} as n_tokens_bpe
+       |        from wx w left join enc e on e.wd = w.wd group by w.doc_id)
+       |select ${bigint("doc_id")} as doc_id, n_words, n_tokens_char, n_tokens_bpe,
+       |  round(n_tokens_char / cast(n_tokens_bpe as double), 4) as compression
+       |from per""".stripMargin
   }
 
   private val stop = Map(
@@ -1473,16 +1533,17 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("doc_id")} as doc_id, ${simhashSigFromSums} as simhash
          |from sbw""".stripMargin,
 
-    // SimHash near-dup PAIRS: split the 60-bit hash into 5 bands of 12
-    // bits — any pair within hamming distance 4 differs in at most 4
-    // bands, so at least one of the 5 bands matches exactly
-    // (pigeonhole; the h ≤ 4 guarantee needs ≥ 5 bands) — band-join
-    // candidates, verify with bit_count(xor). 4096-value bands keep
-    // random band collisions ≈ N²·5/(2·4096) — candidate growth stays
-    // LSH-shaped far past 10⁷ docs (the old 256-value bands saturated
-    // there). The 60 bit-sums are masked aggregation columns in ONE
-    // groupBy (a 60x cross-join row expansion costs more than it
-    // saves).
+    // SimHash near-dup PAIRS: split the 60-bit hash into `bands` bands
+    // (default 5 × 12 bits) — any pair within hamming distance
+    // bands−1 differs in at most bands−1 bands, so at least one band
+    // matches exactly (pigeonhole) — band-join candidates, verify with
+    // bit_count(xor). The band GEOMETRY is N-derived for scale runs
+    // (Wm.simhashBandsFor — the executable §4 ladder: 5×12 to ~800k
+    // docs, 4×15 to ~3M, 3×20 to ~35M, trading guaranteed radius for
+    // linear candidate work); the driver contract stays at the static
+    // default so the dumped oracle SQL is scale-independent. The 60
+    // bit-sums are masked aggregation columns in ONE groupBy (a 60x
+    // cross-join row expansion costs more than it saves).
     "dedup_simhash_pairs" ->
       s"""with $simhashCandCtes
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
@@ -1952,19 +2013,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // shows truncation: a deliberate, measured DESTRUCTIVE cell (an
     // attacker paying full-corpus column reshuffling also destroys
     // the table's utility for retrieval — every stored index breaks).
-    // The permutation is a 64-row PRF-ranked table; the attack itself
-    // is a broadcast join + map.
-    "wm_ber_permute" ->
+    // The permutation is PRF-ranked over the 64 dims — a pure function
+    // of plan-time constants, so it inlines as a 64-int array literal
+    // (the WmConst pattern): the attack is ONE map over stego, no join,
+    // no window. (The former 64-row row_number() ranking was the only
+    // WindowExec-without-partition in the whole suite — bounded at 64
+    // rows but needless.)
+    "wm_ber_permute" -> {
+      // topos(frompos) = rank of prf('perm', frompos) by (prf, frompos)
+      // — the same (pr, frompos) ordering the SQL ranking used; JVM md5
+      // is byte-identical to both engines' md5(concat_ws(':', ...)).
+      val ranked = (1 to Dim)
+        .map(p => (graft.functions.Prf.prf("perm", p), p)).sorted
+      val toPos = ranked.zipWithIndex
+        .map { case ((_, p), i) => p -> (i + 1) }.toMap
+      val permLit = arrLit((1 to Dim).map(toPos))
       s"""${wmChain("stego")},
-         |pm as (select frompos, ${bigint("row_number() over (order by pr, frompos)")} as topos
-         |       from (select pp as frompos, ${prf(d)("'perm'", "pp")} as pr
-         |             from ${rangeTable("p64", "pp", 1, Dim)}) _r),
-         |atk as (select s.id, m.topos as pos, s.sval from stego s join pm m on m.frompos = s.pos),
+         |atk as (select id, ${bigint(d.arrIdx0(permLit, "pos - 1"))} as pos, sval from stego),
          |${extractCtes("atk")}
          |select ${bigint("m.blk")} as blk,
          |  ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
-         |group by m.blk""".stripMargin,
+         |group by m.blk""".stripMargin
+    },
 
     // robustness under STORAGE QUANTIZATION: round-trip the stego
     // table through the int8 SQ codec (per-dim min/max over the
@@ -3645,11 +3716,147 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("16")} as block_bits,
          |  round(b.n_carriers / cast(t.nc as double), 4) as carrier_share,
          |  ${bigint("t.mn")} as min_redundancy
-         |from blkc b cross join tot t""".stripMargin
+         |from blkc b cross join tot t""".stripMargin,
+
+    // HNSW-style graph-navigable search over the served kNN graph —
+    // see graphTopkSql for the full design + scale commentary.
+    "vec_topk_graph" -> graphTopkSql(3),
+
+    // INDEX CATALOG — the describe_index / index-stats readout across
+    // EVERY served index product in one report (Milvus
+    // describe_index, pgvector \di+): per index family its routing
+    // granularity (buckets / graph sources / cells / codebook entries
+    // / code words), its row count, and the per-vector state cost —
+    // the §4 memory ladder (512 B raw → 16 B LSH → 8 B IVF/PQ/BQ) as
+    // a DATA-DERIVED report instead of prose. Spark reads the six
+    // cached index views (this is pure monitoring — six metadata-cheap
+    // aggregations, no rebuild); the oracle inlines every build chain.
+    "index_catalog" -> {
+      val chain =
+        if (views) Seq(viewAlias("bkt", "g_bkt"), viewAlias("knn", "g_knn"),
+          viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg"),
+          viewAlias("pct1", "g_pq_ct"), viewAlias("codes", "g_pq_codes"),
+          viewAlias("bq", "g_bq")).mkString(",\n")
+        else Seq(exnCte, lshCtes, knnCtes, ivfTrainCtes, ivfAssignCtes,
+          pqBaseCtes, pqTrainCtes, pqEncodeCtes, bqCte).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain
+         |select 'raw_vectors' as index_name, ${bigint("1")} as n_partitions,
+         |  ${bigint("count(*)")} as n_rows, ${bigint((Dim * 8).toString)} as bytes_per_vector from nn
+         |union all
+         |select 'lsh_buckets', ${bigint("count(distinct t * 1048576 + b)")}, ${bigint("count(*)")}, ${bigint((LshTables * 8).toString)} from bkt
+         |union all
+         |select 'knn_graph', ${bigint("count(distinct src)")}, ${bigint("count(*)")}, ${bigint((K * 16).toString)} from knn
+         |union all
+         |select 'ivf_flat', (select ${bigint("count(*)")} from ct2), ${bigint("count(*)")}, ${bigint("8")} from asgF
+         |union all
+         |select 'pq8', (select ${bigint("count(*)")} from pct1), ${bigint("count(*)")}, ${bigint("8")} from codes
+         |union all
+         |select 'bq_sign', ${bigint("2")}, ${bigint("count(*)")}, ${bigint("8")} from bq""".stripMargin
+    },
+
+    // BATCH APPEND + INCREMENTAL INDEX EXTENSION — the ingestion leg
+    // of the reference (database/*/docker/insert.py: batch insert,
+    // then index), the vector twin of dedup_incremental: a NEW vector
+    // batch (a deterministic PRF-selected tenth of the corpus,
+    // re-identified and direction-perturbed so the rows are genuinely
+    // new) gets its full index record — IVF cell, sign-bit BQ words,
+    // PQ codes — computed against the SERVED centroids/codebooks
+    // (g_ivf_ct / g_pq_ct) WITHOUT retraining and without touching a
+    // single existing assignment (AppendSpec pins g_ivf_asg unchanged).
+    // Scale: the batch streams once through three broadcast joins
+    // (√N centroids ≈ KB, 8×16 codebooks ≈ KB) — cost O(|batch|·√N),
+    // independent of corpus size; the corpus index is never rescanned.
+    // Centroid/codebook choice is the same max(struct) argmax as the
+    // build side, so an appended copy of an existing vector would land
+    // in exactly its cell.
+    "vec_append" -> {
+      val chain =
+        if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("pct1", "g_pq_ct")).mkString(",\n")
+        else Seq(exnCte, ivfTrainCtes, pqBaseCtes, pqTrainCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |ab0 as (select id, v, ${prfMod(d)(64, "'appos'", "id")} as pp from nv
+         |        where ${prfMod(d)(1048576, "'append'", "id")} < 104858),
+         |ab1 as (select id + 1000000 as id, pp, v from ab0),
+         |abv as (select id, ${d.arrTransform(d.intSeq("0", (Dim - 1).toString), "k",
+                    s"${d.arrIdx0("v", "k")} + (case when k = pp then cast(0.2 as double) else cast(0 as double) end)")} as v
+         |        from ab1),
+         |abn0 as (select id, v, sqrt(${d.dot("v", "v")}) as nrm from abv),
+         |abn as (select id, ${d.arrTransform("v", "x", "x / nrm")} as n from abn0),
+         |acs as (select a.id, c.cell, ${d.dot("a.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}) as sim
+         |        from abn a cross join ct2 c),
+         |aasg as (select id, -(${d.fieldOf("mx", "c")}) as cell from (
+         |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from acs group by id) _aa),
+         |abx as (select * from ${d.explodeFrom("abn0", "v", "pos", "val", Seq("id"))} _ax),
+         |abq as (select id,
+         |          ${bigint("sum(case when pos <= 32 and val > 0 then cast(pow(2, 32 - pos) as bigint) else 0 end)")} as hi,
+         |          ${bigint("sum(case when pos > 32 and val > 0 then cast(pow(2, 64 - pos) as bigint) else 0 end)")} as lo
+         |        from abx group by id),
+         |avs as (select id, m1 - 1 as m, sv from ${d.explodeFrom("abn", pqSlices, "m1", "sv", Seq("id"))} _av),
+         |apsc as (select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
+         |         from avs v join pct1 c on c.m = v.m),
+         |apq as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+         |  select id, m, max(${d.structLit2("s", "score", "c", "-cell")}) as mx from apsc group by id, m) _ap),
+         |psig as (select id, ${bigint("sum(cell * (m + 1))")} as pq_sig from apq group by id)
+         |select ${bigint("g.id")} as vec_id, ${bigint("g.cell")} as ivf_cell,
+         |  b.hi as bq_hi, b.lo as bq_lo, p.pq_sig as pq_sig
+         |from aasg g join abq b on b.id = g.id join psig p on p.id = g.id""".stripMargin
+    }
   )
 
   private def regexpCountBpe: String =
     d.regexpCount("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+
+  /** Graph-navigable ANN top-k — the HNSW-search analog over the SERVED
+    * kNN proximity graph (the reference literally builds and searches
+    * HNSW: database/pgvector/pg_func.py:104 via hnswlib,
+    * database/milvus/milvus_func.py:201 index_type HNSW M=16; g_knn IS
+    * the M=16 neighbor graph). Greedy BEAM SEARCH as bounded unrolled
+    * hops, the graph_pagerank unrolling pattern:
+    *
+    *  - entry points: the top-4 in-degree hubs (the routing role
+    *    HNSW's upper layers play) — a global top-k BY LIMIT, which
+    *    Spark plans as TakeOrderedAndProject (map-side partial top-k,
+    *    no single-partition window);
+    *  - each hop expands the per-query beam over the edge table
+    *    PLUS identity edges, so current members carry forward and
+    *    every state CTE is referenced exactly ONCE — no Catalyst CTE
+    *    re-inlining blowup, and beam quality is monotone in hops
+    *    elementwise (GraphTopkSpec pins the recall-vs-hops curve);
+    *  - survivors re-score by exact cosine, keep beam width 16.
+    *
+    * Scale: per-hop state is |Q|·16 rows; the expansion join reads the
+    * materialized edge view; the scoring joins BROADCAST the candidate
+    * shortlist against the vector table. Query cost is
+    * O(hops·|Q|·B·K) score rows — independent of corpus size once the
+    * graph is built (the HNSW promise, distributed). `hops` is
+    * exposed for the spec's recall curve; the served key uses 3. */
+  def graphTopkSql(hops: Int): String = {
+    val beam = 16
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    // each hop: dedup (qid, dst) one-hop expansion, score once per
+    // survivor, keep the per-query top-`beam`
+    def hopSimple(prev: String, next: String): String =
+      s"""$next as (select qid, cid, sim from (
+         |  select s.qid, s.cid, s.sim, row_number() over (partition by s.qid order by s.sim desc, s.cid) as rn
+         |  from (select ${bcast("x")}x.qid, x.cid, round(${d.dot("q.qn", "nb.n")}, 6) as sim
+         |        from (select distinct b.qid, e.dst as cid from $prev b join e2 e on e.src = b.cid) x
+         |        join q on q.qid = x.qid join nn nb on nb.id = x.cid) s) _h
+         |where rn <= $beam)""".stripMargin
+    val hopChain = (1 to hops).map(t => hopSimple(s"b${t - 1}", s"b$t")).mkString(",\n")
+    s"""${wmChain("knn")},
+       |e2 as $matKw(select src, dst from knn union all select id as src, id as dst from nn),
+       |q as $matKw(select id as qid, n as qn from nn where id in ($qIdLit)),
+       |ent as (select vec_id as id from indeg order by in_degree desc, vec_id limit 4),
+       |b0 as (select ${bcast("qe")}qe.qid, qe.id as cid, round(${d.dot("qe.qn", "nb.n")}, 6) as sim
+       |       from (select q.qid, q.qn, e.id from q cross join ent e) qe join nn nb on nb.id = qe.id),
+       |$hopChain
+       |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+       |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn
+       |      from b$hops where cid <> qid) _t
+       |where rn <= 10""".stripMargin
+  }
 
   def sql(name: String): String = sqls(name)
 }
