@@ -69,6 +69,13 @@ object SparkEntry {
         simPairsView(s, dir)
         s.sql(sparkGen.dedupApplySql(Some("g_simpairs")))
       }),
+      // quality-aware canonical selection: best text_quality member
+      // per near-dup component, over the same checkpointed pair chain
+      "dedup_cluster_rep" -> ((s, dir) => {
+        Tables.register(s, dir)
+        simPairsView(s, dir)
+        s.sql(sparkGen.dedupClusterRepSql(Some("g_simpairs")))
+      }),
       // overlap metrics over the materialized gram profile: the
       // 5-gram explode (the heaviest text pass) runs ONCE per
       // session/dir; jaccard and containment are per-row divisions
@@ -221,6 +228,7 @@ object SparkEntry {
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
+        "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
         "dedup_containment" -> duckGen.dedupContainmentSql(None),
         "vec_mmr" -> duckGen.mmrSql(None),

@@ -889,6 +889,32 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from keep group by source""".stripMargin
   }
 
+  /** QUALITY-AWARE canonical selection per near-dup cluster — the
+    * production dedup shape the min-doc_id keeper policy approximates:
+    * within each connected component keep the HIGHEST-QUALITY member
+    * (the text_quality score; ties → lowest doc_id) — near-dup groups
+    * keep their best-written copy, not their oldest id. One quality
+    * projection over the component MEMBERS only (paired docs are a
+    * small fraction of the corpus), then a per-component
+    * max(struct(quality, -id)) argmax: ONE combinable aggregation, no
+    * window sort. Same pairsFrom contract as dedupComponentsSql. */
+  def dedupClusterRepSql(pairsFrom: Option[String]): String = {
+    val (ctes, last) = componentsCtes(pairsFrom)
+    s"""$ctes,
+       |dq as (select doc_id, length(text) as n_chars, ${d.arrLen(splitWs("text"))} as n_words,
+       |         length(${regexReplaceAll("text", "[^a-zA-Z]", "")}) as n_alpha
+       |       from documents),
+       |mem as (select l.lbl as comp, l.id,
+       |          round((case when q.n_words >= 20 and q.n_words <= 80 then 1.0 else 0.5 end) * (q.n_alpha / q.n_chars), 4) as quality
+       |        from $last l join dq q on q.doc_id = l.id),
+       |agg as (select comp, count(*) as n_members,
+       |          max(${d.structLit2("q", "quality", "ni", "-id")}) as mx
+       |        from mem group by comp)
+       |select ${bigint("comp")} as component, ${bigint(s"-(${d.fieldOf("mx", "ni")})")} as rep_doc,
+       |  ${bigint("n_members")} as n_members, ${d.fieldOf("mx", "q")} as rep_quality
+       |from agg""".stripMargin
+  }
+
   /** The distinct shingle table of one decontamination side: "ev" →
     * (g, eval_doc) over the held-out split, "tr" → (doc_id, g) over
     * the training split. The lead()-window shingle pass is the
@@ -3802,6 +3828,177 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("g.id")} as vec_id, ${bigint("g.cell")} as ivf_cell,
          |  b.hi as bq_hi, b.lo as bq_lo, p.pq_sig as pq_sig
          |from aasg g join abq b on b.id = g.id join psig p on p.id = g.id""".stripMargin
+    },
+
+    // TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    // a quarter — the "who should the recovery team call" report.
+    // Three joins narrow early (the returnflag filter prunes lineitem
+    // AT THE SCAN, the quarter filter prunes orders), nation is a
+    // broadcast dim; the global top-20 uses the q3 bucketed pre-rank
+    // (16-way partitioned window, then exact pairwise ranks over ≤320
+    // survivors — no single-partition sort at any scale).
+    "q10_returns" ->
+      s"""with r as (
+         |  select c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2) as acctbal,
+         |    sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as rev
+         |  from customer c join nation n on n.n_nationkey = c.c_nationkey
+         |    join orders o on o.o_custkey = c.c_custkey
+         |    join lineitem l on l.l_orderkey = o.o_orderkey
+         |  where o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+         |    and o.o_orderdate < timestamp '1997-04-01 00:00:00'
+         |    and l.l_returnflag = 'R'
+         |  group by c.c_custkey, c.c_name, n.n_name, c.c_acctbal),
+         |cand as (select c_custkey, c_name, n_name, acctbal, rev from (
+         |           select c_custkey, c_name, n_name, acctbal, rev,
+         |             row_number() over (partition by c_custkey % 16 order by rev desc, c_custkey) as prn
+         |           from r) _b where prn <= 20),
+         |rk as (select a.c_custkey, 1 + sum(case when b.rev > a.rev or (b.rev = a.rev and b.c_custkey < a.c_custkey) then 1 else 0 end) as rn
+         |       from cand a cross join cand b group by a.c_custkey)
+         |select ${bigint("c.c_custkey")} as c_custkey, c.c_name, c.n_name, c.acctbal,
+         |  round(cast(c.rev as double), 2) as revenue, ${bigint("rk.rn")} as rn
+         |from cand c join rk on rk.c_custkey = c.c_custkey
+         |where rk.rn <= 20""".stripMargin,
+
+    // TPC-H Q14 shape: promo revenue share for one ship month — the
+    // conditional-aggregate-over-join scan: ONE pass over the
+    // month-pruned lineitem (the date range reaches the parquet scan),
+    // part broadcast, both sums decimal-exact with a single double
+    // division at the end.
+    "q14_promo" ->
+      s"""select
+         |  round(cast(sum(case when p.p_type = 'PROMO'
+         |          then cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))
+         |          else cast(0 as decimal(18,4)) end) as double) * cast(100 as double)
+         |    / cast(sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as double), 4) as promo_share_pct,
+         |  ${bigint("count(*)")} as n_items
+         |from lineitem l join part p on p.p_partkey = l.l_partkey
+         |where l.l_shipdate >= timestamp '1997-06-01 00:00:00'
+         |  and l.l_shipdate < timestamp '1997-07-01 00:00:00'""".stripMargin,
+
+    // TPC-H Q19 shape: DISJUNCTIVE (OR-of-ANDs) brand/size/quantity
+    // predicate — the pushdown witness for predicates that span BOTH
+    // join sides: Catalyst factors per-side residuals out of the OR
+    // (p_size ≤ 15 ∧ brand ∈ {...} to the part scan, quantity ≤ 30 to
+    // the lineitem scan) so each scan prunes before the join, then the
+    // full disjunction re-applies on the joined row. One broadcast
+    // join + one scalar aggregate.
+    "q19_disjunctive" ->
+      s"""select ${bigint("count(*)")} as n_items,
+         |  round(cast(sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as double), 2) as revenue
+         |from lineitem l join part p on p.p_partkey = l.l_partkey
+         |where (p.p_brand = 'Brand#1' and p.p_size >= 1 and p.p_size <= 5  and l.l_quantity >= 1  and l.l_quantity <= 11)
+         |   or (p.p_brand = 'Brand#3' and p.p_size >= 1 and p.p_size <= 10 and l.l_quantity >= 10 and l.l_quantity <= 20)
+         |   or (p.p_brand = 'Brand#5' and p.p_size >= 1 and p.p_size <= 15 and l.l_quantity >= 20 and l.l_quantity <= 30)""".stripMargin,
+
+    // Readability scoring (Flesch reading-ease + Flesch–Kincaid grade,
+    // Flesch 1948 / Kincaid 1975) — the curation signal quality
+    // classifiers gate on alongside text_quality. Sentences = runs of
+    // [.!?], syllables = vowel-group runs (the standard regex
+    // heuristic); both floored at 1 so the ratios are total. Pure
+    // map-side per-doc arithmetic: three regexp counts inside one
+    // projection, no shuffle at any scale. All literals cast to
+    // double (Spark parses bare fractional literals as DECIMAL);
+    // floor-arithmetic rounding (Prim.roundAway) keeps the two
+    // engines' round() semantics out of the hash.
+    "text_readability" -> {
+      val wps = "(cast(n_words as double) / cast(n_sent as double))"
+      val spw = "(cast(n_syll as double) / cast(n_words as double))"
+      val flesch = s"cast(206.835 as double) - cast(1.015 as double) * $wps - cast(84.6 as double) * $spw"
+      val fk = s"cast(0.39 as double) * $wps + cast(11.8 as double) * $spw - cast(15.59 as double)"
+      s"""with t as (select doc_id,
+         |  greatest(${d.arrLen(splitWs("text"))}, 1) as n_words,
+         |  greatest(${d.regexpCount("text", "[.!?]+")}, 1) as n_sent,
+         |  greatest(${d.regexpCount("lower(text)", "[aeiouy]+")}, 1) as n_syll
+         |from documents)
+         |select ${bigint("doc_id")} as doc_id, ${bigint("n_words")} as n_words,
+         |  ${bigint("n_sent")} as n_sentences, ${bigint("n_syll")} as n_syllables,
+         |  ${roundAway(d)(flesch, 4)} as flesch,
+         |  ${roundAway(d)(fk, 4)} as fk_grade
+         |from t""".stripMargin
+    },
+
+    // Winnowing fingerprint dedup (Schleimer–Wilkerson–Aiken 2003, the
+    // MOSS algorithm) — the POSITION-ROBUST substring detector between
+    // whole-doc fingerprints (shift-fragile) and dedup_substring
+    // (fixed-stride spans): per doc, hash every 5-word shingle, then
+    // keep the MINIMUM hash of each 4-window of consecutive shingles.
+    // The winnowing guarantee: any shared word run of ≥ w+k−1 = 8
+    // words yields ≥1 shared fingerprint, while only ~2/(w+1) ≈ 40% of
+    // positions are kept. Selected-set note: we keep distinct min
+    // VALUES per doc (not per-position picks), so the rightmost-tie
+    // rule of the paper is moot — value sets are deterministic.
+    // Scale: the shingle pass is one lead() window per doc (the
+    // decontaminate shape); the DF-cap window (partition by
+    // fingerprint) kills boilerplate fingerprints BEFORE the pair
+    // join — the step that keeps shared-phrase hot keys from going
+    // quadratic at 100 TB (same role as the simhash band cap);
+    // the join itself is hash-partitioned on fingerprint value.
+    "dedup_winnow" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with $wordCtes,
+         |kg as (select doc_id, wpos, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as h
+         |       from (select doc_id, wpos, wd,
+         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
+         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
+         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
+         |             from wx) _s where w5 is not null),
+         |wn as (select doc_id,
+         |         min(h) over (partition by doc_id order by wpos rows between current row and 3 following) as wh,
+         |         lead(wpos, 3) over (partition by doc_id order by wpos) as wend
+         |       from kg),
+         |fp as $matKw(select distinct doc_id, wh as f from wn where wend is not null),
+         |ok as $matKw(select doc_id, f from (
+         |        select doc_id, f, count(*) over (partition by f) as df from fp) _o
+         |      where df <= 64)
+         |select ${bigint("a.doc_id")} as doc_a, ${bigint("b.doc_id")} as doc_b,
+         |  ${bigint("count(*)")} as n_shared_fp
+         |from ok a join ok b on a.f = b.f and a.doc_id < b.doc_id
+         |group by a.doc_id, b.doc_id
+         |having count(*) >= 2""".stripMargin
+    },
+
+    // Embedding OUTLIER / OOD detection — the training-data filter
+    // that surfaces vectors far from their own cluster (mislabeled,
+    // corrupted, or out-of-distribution rows; the SemDeDup-family
+    // "prune by centroid distance" leg): per-vector cosine to its OWN
+    // assigned IVF centroid (computed once over the SERVED index —
+    // one assignment-table join, no retrain), z-scored against the
+    // global (μ, σ) from ONE scalar moment aggregate. The report is
+    // the deterministic BOTTOM-25 review queue (the q3 bucketed
+    // pre-rank — 8-way partitioned window then exact pairwise ranks
+    // over ≤200 survivors, no single-partition sort), each row
+    // carrying its z-score and the μ−2σ outlier flag a production
+    // filter would apply corpus-wide. Determinism: per-row sims round
+    // to 6dp first, the moment sums run in exact decimal
+    // (order-free), so both engines hit identical doubles for μ/σ and
+    // the flag agrees. Scale: two corpus passes (sim projection,
+    // ranked filter) and a one-row broadcast — nothing quadratic,
+    // nothing collected.
+    "vec_outliers" -> {
+      val chain =
+        if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |cs as (select a.id, a.cell, round(${d.dot("nn.n", "c.cv")} / sqrt(${d.dot("c.cv", "c.cv")}), 6) as sim
+         |       from asgF a join nn on nn.id = a.id join ct2 c on c.cell = a.cell),
+         |st as (select cast(sum(cast(sim as decimal(18,6))) as double) / count(*) as mu,
+         |         cast(count(*) as bigint) as n,
+         |         cast(sum(cast(sim as decimal(18,6)) * cast(sim as decimal(18,6))) as double) as s2
+         |       from cs),
+         |sg as (select mu, sqrt(greatest(s2 / n - mu * mu, cast(0 as double))) as sigma from st),
+         |cand as (select id, cell, sim from (
+         |           select id, cell, sim, row_number() over (partition by id % 8 order by sim, id) as prn
+         |           from cs) _c where prn <= 25),
+         |rk as (select a.id, 1 + sum(case when b.sim < a.sim or (b.sim = a.sim and b.id < a.id) then 1 else 0 end) as rn
+         |       from cand a cross join cand b group by a.id)
+         |select ${bigint("c.id")} as vec_id, ${bigint("c.cell")} as cell, c.sim,
+         |  round(case when sg.sigma = 0 then cast(0 as double) else (c.sim - sg.mu) / sg.sigma end, 4) as z,
+         |  ${bigint("case when c.sim < sg.mu - cast(2 as double) * sg.sigma then 1 else 0 end")} as is_outlier,
+         |  ${bigint("rk.rn")} as rn
+         |from cand c join rk on rk.id = c.id cross join sg
+         |where rk.rn <= 25""".stripMargin
     }
   )
 
