@@ -3999,7 +3999,107 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("rk.rn")} as rn
          |from cand c join rk on rk.id = c.id cross join sg
          |where rk.rn <= 25""".stripMargin
-    }
+    },
+
+    // MinHash LSH VERIFY stage — the exact-Jaccard confirmation pass a
+    // production MinHash pipeline runs over its candidate pairs (the
+    // two-stage contract: bands generate candidates cheaply, exact
+    // verification de-noises them; estimates alone over/under-shoot by
+    // ±1/16 quantization). Candidates come from the same band join as
+    // dedup_minhash; the exact leg joins each candidate's DISTINCT
+    // 3-shingle sets — work bounded by Σ|cand| · |shingles/doc|, never
+    // corpus-pairwise. All-integer intersection/union counts; the
+    // estimate and the truth land side by side with the calibration
+    // error. Scale: the shingle table is the already-priced corpus
+    // pass; the verify joins are candidate-bounded (the whole point
+    // of LSH).
+    "dedup_minhash_verify" ->
+      s"""with $wordCtes,
+         |$minhashBandsCtes,
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+         |cand as (select da, db, est from candp where est >= 0.1),
+         |sz as (select doc_id, count(*) as ns from shx group by doc_id),
+         |iv as (select c.da, c.db, count(*) as i
+         |       from cand c join shx sa on sa.doc_id = c.da
+         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
+         |       group by c.da, c.db)
+         |select ${bigint("c.da")} as doc_a, ${bigint("c.db")} as doc_b,
+         |  round(cast(c.est as double), 4) as jaccard_est,
+         |  round(coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0)), 4) as jaccard_true,
+         |  round(abs(cast(c.est as double) - coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0))), 4) as abs_err
+         |from cand c
+         |join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
+         |left join iv on iv.da = c.da and iv.db = c.db""".stripMargin,
+
+    // Bigram PMI association mining — the collocation signal behind
+    // phrase detection (word2vec's phrase pass, Mikolov et al. 2013:
+    // score(wi,wj) ∝ c(wi,wj)/(c(wi)·c(wj))) and tokenizer-vocabulary
+    // curation: PMI = ln(c12·NW²/(NB·c1·c2)) over corpus unigram/
+    // bigram counts. Three combinable aggregations off ONE word
+    // explode + two broadcast-sized dimension joins (the vocabulary
+    // is corpus-sublinear); counts stay integer, ONE double expression
+    // at the end (identical operand order in both engines). min-count
+    // 20 keeps the output the analyst-sized collocation report.
+    "text_pmi" ->
+      s"""with $wordCtes,
+         |ug as (select wd, count(*) as c1 from wx group by wd),
+         |nw as (select count(*) as t from wx),
+         |bg as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
+         |bc as (select wd, w2, count(*) as c12 from bg where w2 is not null group by wd, w2),
+         |nb as (select count(*) as t from bg where w2 is not null)
+         |select concat_ws(' ', bc.wd, bc.w2) as bigram, ${bigint("bc.c12")} as freq,
+         |  ${roundAway(d)("""ln(cast(bc.c12 as double) * cast(nw.t as double) * cast(nw.t as double)
+         |           / (cast(nb.t as double) * cast(a.c1 as double) * cast(b.c1 as double)))""", 4)} as pmi
+         |from bc join ug a on a.wd = bc.wd join ug b on b.wd = bc.w2
+         |cross join nw cross join nb
+         |where bc.c12 >= 20""".stripMargin,
+
+    // Per-DIMENSION embedding profile — the feature-health audit run
+    // before training on an embedding column (dead dimensions, scale
+    // drift across dims, clipped ranges — the table-profile analog for
+    // vectors): one explode to (pos, val), one combinable groupBy(pos).
+    // Determinism: per-value round to 6dp FIRST (identical doubles),
+    // moment sums in exact decimal (order-free), min/max order-free,
+    // zero-count integer; σ and the final rounds are single identical
+    // IEEE ops. Scale: explode is N·d rows map-side into ONE shuffle
+    // of d=64 groups with partial aggregation — no corpus pass is
+    // repeated, no row ever collected.
+    "vec_dim_profile" ->
+      s"""with $nvCtes,
+         |$exnCte,
+         |xr as (select pos, round(val, 6) as v from exn),
+         |ag as (select pos, count(*) as n,
+         |         cast(sum(cast(v as decimal(18,6))) as double) as s1,
+         |         cast(sum(cast(v as decimal(18,6)) * cast(v as decimal(18,6))) as double) as s2,
+         |         min(v) as mn, max(v) as mx,
+         |         sum(case when v = 0 then 1 else 0 end) as nz
+         |       from xr group by pos)
+         |select ${bigint("pos - 1")} as dim, ${bigint("n")} as n,
+         |  round(s1 / n, 6) as mean,
+         |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), cast(0 as double))), 6) as std,
+         |  mn as min_val, mx as max_val, ${bigint("nz")} as n_zero
+         |from ag""".stripMargin,
+
+    // Day-of-week SEASONALITY profile — the calendar decomposition a
+    // traffic/ingest pipeline checks before alerting on volume (the
+    // seasonal-naive baseline events_anomaly's flat z-score cannot
+    // see): daily totals roll up per weekday into mean volume and a
+    // seasonality index (dow mean / overall daily mean). Two tiny
+    // combinable aggregations over the day grid; counts integer until
+    // the two final divisions (identical operand order both engines).
+    "events_seasonal" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, count(*) as n
+         |              from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |prof as (select day % 7 as dow, count(*) as n_days,
+         |           sum(n) as tot, cast(sum(n) as double) / count(*) as mean_n
+         |         from daily group by day % 7),
+         |base as (select cast(sum(tot) as double) / sum(n_days) as overall from prof)
+         |select ${bigint("p.dow")} as dow, ${bigint("p.n_days")} as n_days,
+         |  ${bigint("p.tot")} as n_events,
+         |  round(p.mean_n, 2) as mean_daily,
+         |  round(p.mean_n / b.overall, 4) as seasonal_idx
+         |from prof p cross join base b""".stripMargin
   )
 
   private def regexpCountBpe: String =
