@@ -52,6 +52,14 @@ object ScaleCheck {
       s" planes: static=${Wm.LshPlanes} scaled=$scaledPlanes" +
       s" simhash_bands: static=${Wm.SimhashBands} scaled=$scaledBands")
 
+    // optional comma-separated op filter: the 30-100× decade runs only
+    // re-measure the heaviest families instead of the full sweep
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_SCALE_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+        .map(s => (q: String) => s.contains(q))
+        .getOrElse(_ => true)
+
     val genStatic = new Gen(SparkDialect)
     val genScaled = new Gen(SparkDialect, lshPlanes = scaledPlanes)
     // the N-derived SimHash band geometry (Wm.simhashBandsFor): same
@@ -81,17 +89,17 @@ object ScaleCheck {
       timeSec { df.count(); () }
     }
     val results = new StringBuilder
-    for (q <- chainQs; (tag, g) <- Seq("static" -> genStatic, "scaled" -> genScaled)) {
+    for (q <- chainQs.filter(only); (tag, g) <- Seq("static" -> genStatic, "scaled" -> genScaled)) {
       val s = run(g, q)
       println(s"[scale] $q/$tag ${s}s")
       results.append(s"""  "$q/$tag": $s,\n""")
     }
-    for (q <- flatQs) {
+    for (q <- flatQs.filter(only)) {
       val s = run(genStatic, q)
       println(s"[scale] $q ${s}s")
       results.append(s"""  "$q": $s,\n""")
     }
-    if (scaledBands != Wm.SimhashBands) {
+    if (scaledBands != Wm.SimhashBands && only("dedup_simhash_pairs")) {
       val s = run(genBands, "dedup_simhash_pairs")
       println(s"[scale] dedup_simhash_pairs/bands$scaledBands ${s}s")
       results.append(s"""  "dedup_simhash_pairs/bands$scaledBands": $s,\n""")
@@ -102,7 +110,7 @@ object ScaleCheck {
     // the served-index carrier re-assignment
     for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats",
       "multimodal_png_stats", "dedup_components", "search_hybrid_rrf",
-      "text_bpe_merges", "vec_ivf_reindex")) {
+      "text_bpe_merges", "vec_ivf_reindex", "dedup_jaccard").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -4099,7 +4099,219 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("p.tot")} as n_events,
          |  round(p.mean_n, 2) as mean_daily,
          |  round(p.mean_n / b.overall, 4) as seasonal_idx
-         |from prof p cross join base b""".stripMargin
+         |from prof p cross join base b""".stripMargin,
+
+    // MATRYOSHKA (MRL) prefix-dimension search — the dimension-
+    // truncation rung of the quantization ladder (Kusupati et al. 2022,
+    // adopted by OpenAI/Nomic embedding APIs): coarse-score on the
+    // FIRST 16 of 64 dims re-normalized (a representation trained to
+    // front-load information; here the audit of how the served ladder
+    // behaves under truncation), shortlist top-50 per query, exact
+    // full-dim rerank. Scale: the coarse scan reads a 4× narrower
+    // column (at 100 TB the prefix is stored as its own column —
+    // column pruning makes the cut real I/O, the same story as the
+    // SQ/PQ/BQ code tables); the rerank touches only |Q|·50 full
+    // vectors through a broadcast-hinted shortlist join. The prefix
+    // norm guard (zero-prefix vectors score 0) is deterministic in
+    // both engines.
+    "vec_topk_matryoshka" ->
+      s"""with $nvCtes,
+         |pre as (select id, ${d.arrSlice("n", 1, 16)} as p16 from nn),
+         |pn as (select id, p16, sqrt(${d.dot("p16", "p16")}) as pnrm from pre),
+         |qp as (select id as qid, p16 as qp16, pnrm as qnrm from pn where id in ($qIdLit)),
+         |ps as (select ${bcast("q")}q.qid, c.id as cid,
+         |         round(case when q.qnrm = 0 or c.pnrm = 0 then cast(0 as double)
+         |               else ${d.dot("q.qp16", "c.p16")} / (q.qnrm * c.pnrm) end, 6) as psim
+         |       from qp q join pn c on c.id <> q.qid),
+         |sl as (select qid, cid, psim from (
+         |         select qid, cid, psim, row_number() over (partition by qid order by psim desc, cid) as rn
+         |         from ps) _s where rn <= 50),
+         |ex as (select ${bcast("s")}s.qid, s.cid, s.psim, round(${d.dot("qa.n", "nb.n")}, 6) as sim
+         |       from sl s join nn qa on qa.id = s.qid join nn nb on nb.id = s.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, psim as prefix_sim, sim, ${bigint("rn")} as rn
+         |from (select qid, cid, psim, sim, row_number() over (partition by qid order by sim desc, cid) as rn from ex) _t
+         |where rn <= 10""".stripMargin,
+
+    // Leave-one-out kNN CLASSIFICATION over the LSH serving path — the
+    // label-propagation readout every embedding pipeline runs to sanity-
+    // check its vectors (do neighbors share labels?): each query's
+    // top-10 LSH-candidate neighbors vote by label, prediction =
+    // majority with min-label tie-break — ONE map-side-combinable
+    // argmax (max over (votes, -label) structs), no per-query window
+    // beyond the candidate top-k. Integer votes and flags end to end —
+    // nothing float-aggregated. Scale: candidates ride the same bucket
+    // join as vec_topk_lsh; the vote aggregation touches |Q|·10 rows.
+    "vec_knn_classify" ->
+      s"""${wmChain("lsh")},
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)),
+         |p as (select c.qid, c.cid, nb.label, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |      from cnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid),
+         |top as (select qid, label from (
+         |          select qid, label, row_number() over (partition by qid order by sim desc, cid) as rn
+         |          from p) _t where rn <= 10),
+         |vote as (select qid, label, count(*) as votes from top group by qid, label),
+         |pred as (select qid, -(${d.fieldOf("mx", "l")}) as pred_label, ${d.fieldOf("mx", "c")} as n_votes from (
+         |           select qid, max(${d.structLit2("c", "votes", "l", "-label")}) as mx from vote group by qid) _p)
+         |select ${bigint("p.qid")} as qid, ${bigint("t.label")} as true_label,
+         |  ${bigint("p.pred_label")} as pred_label, ${bigint("p.n_votes")} as n_votes,
+         |  ${bigint("case when p.pred_label = t.label then 1 else 0 end")} as correct
+         |from pred p join nn t on t.id = p.qid""".stripMargin,
+
+    // TPC-H Q13 shape: order-count-per-customer DISTRIBUTION — the
+    // left-outer-join + double-aggregation pattern (customers with
+    // zero orders must appear in the 0 bucket, which an inner join
+    // silently drops). Two shuffles: the outer join/count groups on
+    // c_custkey (combinable), the histogram groups on the tiny count
+    // domain. All integer — hash-proof by construction.
+    "q13_custdist" ->
+      s"""with co as (select c.c_custkey, count(o.o_orderkey) as c_count
+         |            from customer c left join orders o on o.o_custkey = c.c_custkey
+         |            group by c.c_custkey)
+         |select ${bigint("c_count")} as c_count, ${bigint("count(*)")} as custdist
+         |from co group by c_count""".stripMargin,
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the per-group
+    // AVERAGE-THRESHOLD correlated aggregate (spend if we stopped
+    // taking orders below 20% of a part's average quantity). The
+    // correlated subquery decorrelates to ONE combinable per-part
+    // aggregation joined back on the partkey (co-partitioned with the
+    // fact scan — no extra shuffle shape at scale); the brand filter
+    // prunes part AT THE SCAN and broadcasts. Decimal-exact sums;
+    // the threshold is one double division chain with identical
+    // operand order in both engines.
+    "q17_small_qty" ->
+      s"""with pa as (select l_partkey,
+         |              cast(sum(cast(l_quantity as decimal(18,2))) as double) / cast(count(*) as double) / cast(5 as double) as thr
+         |            from lineitem group by l_partkey)
+         |select round(coalesce(cast(sum(cast(l.l_extendedprice as decimal(18,4))) as double), cast(0 as double)) / cast(7 as double), 2) as avg_yearly,
+         |  ${bigint("count(*)")} as n_items
+         |from lineitem l
+         |join part p on p.p_partkey = l.l_partkey and p.p_brand = 'Brand#23'
+         |join pa on pa.l_partkey = l.l_partkey
+         |where l.l_quantity < pa.thr""".stripMargin,
+
+    // DELETE + TOMBSTONE index maintenance — the third leg of the
+    // index-lifecycle triad (vec_writeback = update, vec_append =
+    // insert, this = delete): a PRF-selected tenth of the corpus is
+    // tombstoned and every served index product reports its residual
+    // state — rows dropped, routing granules (buckets / graph sources
+    // / cells) EMPTIED — the signal that schedules compaction
+    // (Milvus's sealed-segment compaction, Lucene's merge-on-delete).
+    // Spark reads the cached index views; each product's before/after
+    // is an anti-join (NOT EXISTS) against the tombstone set plus two
+    // metadata-cheap aggregations — the corpus is never rescanned and
+    // nothing is retrained. The kNN graph drops edges touching a
+    // tombstone on EITHER side (the graph-repair trigger: sources
+    // whose adjacency emptied need re-linking). All counts integer.
+    "vec_delete" -> {
+      val chain =
+        if (views) Seq(viewAlias("bkt", "g_bkt"), viewAlias("knn", "g_knn"),
+          viewAlias("asgF", "g_ivf_asg"), viewAlias("codes", "g_pq_codes"),
+          viewAlias("bq", "g_bq")).mkString(",\n")
+        else Seq(exnCte, lshCtes, knnCtes, ivfTrainCtes, ivfAssignCtes,
+          pqBaseCtes, pqTrainCtes, pqEncodeCtes, bqCte).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |del as (select id from nn where ${prfMod(d)(1048576, "'vdel'", "id")} < 104858),
+         |b0 as (select count(*) as r0, count(distinct t * 1048576 + b) as g0 from bkt),
+         |b1 as (select count(*) as r1, count(distinct t * 1048576 + b) as g1 from bkt k
+         |       where not exists (select 1 from del where del.id = k.id)),
+         |k0 as (select count(*) as r0, count(distinct src) as g0 from knn),
+         |k1 as (select count(*) as r1, count(distinct src) as g1 from knn e
+         |       where not exists (select 1 from del where del.id = e.src)
+         |         and not exists (select 1 from del where del.id = e.dst)),
+         |i0 as (select count(*) as r0, count(distinct cell) as g0 from asgF),
+         |i1 as (select count(*) as r1, count(distinct cell) as g1 from asgF a
+         |       where not exists (select 1 from del where del.id = a.id)),
+         |p0 as (select count(*) as r0, count(distinct m * 1024 + cell) as g0 from codes),
+         |p1 as (select count(*) as r1, count(distinct m * 1024 + cell) as g1 from codes c
+         |       where not exists (select 1 from del where del.id = c.id)),
+         |q0 as (select count(*) as r0, ${bigint("2")} as g0 from bq),
+         |q1 as (select count(*) as r1, ${bigint("2")} as g1 from bq w
+         |       where not exists (select 1 from del where del.id = w.id))
+         |select 'lsh_buckets' as index_name, ${bigint("b0.r0")} as rows_before, ${bigint("b1.r1")} as rows_after,
+         |  ${bigint("b0.g0")} as granules_before, ${bigint("b1.g1")} as granules_after,
+         |  ${bigint("b0.g0 - b1.g1")} as granules_emptied
+         |from b0 cross join b1
+         |union all
+         |select 'knn_graph', ${bigint("k0.r0")}, ${bigint("k1.r1")}, ${bigint("k0.g0")}, ${bigint("k1.g1")}, ${bigint("k0.g0 - k1.g1")} from k0 cross join k1
+         |union all
+         |select 'ivf_flat', ${bigint("i0.r0")}, ${bigint("i1.r1")}, ${bigint("i0.g0")}, ${bigint("i1.g1")}, ${bigint("i0.g0 - i1.g1")} from i0 cross join i1
+         |union all
+         |select 'pq8', ${bigint("p0.r0")}, ${bigint("p1.r1")}, ${bigint("p0.g0")}, ${bigint("p1.g1")}, ${bigint("p0.g0 - p1.g1")} from p0 cross join p1
+         |union all
+         |select 'bq_sign', ${bigint("q0.r0")}, ${bigint("q1.r1")}, ${bigint("q0.g0")}, ${bigint("q1.g1")}, ${bigint("q0.g0 - q1.g1")} from q0 cross join q1""".stripMargin
+    },
+
+    // RFM SEGMENTATION — the recency/frequency/monetary user-value
+    // grid every growth/analytics stack cuts its user base into: per-
+    // user integer recency days, integer event count, decimal-exact
+    // spend, each split at its MEDIAN into high/low → 8 segments with
+    // per-segment means. Medians use the established cum-join rank
+    // selection (text_length_quantiles) over each metric's DOMAIN —
+    // recency days and frequency are naturally small domains; spend is
+    // gridded to 10-unit buckets first (the same domain-bounding trick
+    // as sketch_quantiles' 128 bins), so no quantile join ever touches
+    // a per-user-sized table. Per-user aggregation is one combinable
+    // groupBy; segment assembly is three broadcast-able scalar joins.
+    // Spend sums are decimal-exact; each mean is ONE double division.
+    "events_rfm" ->
+      s"""with ue as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day, cast(value as decimal(18,6)) as v from events),
+         |mxd as (select max(day) as mx from ue),
+         |u as (select user_id, count(*) as freq, sum(v) as mon,
+         |        min(mxd.mx) - max(day) as rec
+         |      from ue cross join mxd group by user_id),
+         |ug as (select user_id, rec, freq, mon,
+         |         cast(floor(cast(mon as double) / cast(10 as double)) as bigint) as mg
+         |       from u),
+         |nt as (select count(*) as cnt from u),
+         |rd as (select rec as x, count(*) as c from ug group by rec),
+         |rc as (select a.x, sum(b.c) as cum from rd a join rd b on b.x <= a.x group by a.x),
+         |rmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from rc cross join nt),
+         |fd as (select freq as x, count(*) as c from ug group by freq),
+         |fc as (select a.x, sum(b.c) as cum from fd a join fd b on b.x <= a.x group by a.x),
+         |fmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from fc cross join nt),
+         |md as (select mg as x, count(*) as c from ug group by mg),
+         |mc as (select a.x, sum(b.c) as cum from md a join md b on b.x <= a.x group by a.x),
+         |mmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from mc cross join nt),
+         |seg as (select u.user_id, u.rec, u.freq, u.mon,
+         |          concat(case when u.rec <= r.med then 'R+' else 'R-' end,
+         |                 case when u.freq > f.med then 'F+' else 'F-' end,
+         |                 case when u.mg > m.med then 'M+' else 'M-' end) as segment
+         |        from ug u cross join rmed r cross join fmed f cross join mmed m)
+         |select segment, ${bigint("count(*)")} as n_users,
+         |  round(sum(rec) / cast(count(*) as double), 2) as avg_recency_days,
+         |  round(sum(freq) / cast(count(*) as double), 2) as avg_frequency,
+         |  round(cast(sum(mon) as double) / cast(count(*) as double), 2) as avg_monetary
+         |from seg group by segment""".stripMargin,
+
+    // TOP EVENT-TYPE PATHS — sequential-pattern mining lite (the
+    // "what do users actually do" trigram report behind funnel design;
+    // the order-3 extension of events_transitions' Markov pairs): per
+    // user, consecutive event-type trigrams by time order with the
+    // event_id tie-break both engines share, counted, top-20 by count.
+    // The global top-k uses the bucketed pre-rank (16-way partitioned
+    // window keyed by a PRF of the path, then exact pairwise ranks
+    // over ≤ 320 survivors) — no single-partition sort at any scale.
+    // The lead() windows partition per user — bounded state, the
+    // sessionization shape. Integer counts only.
+    "events_paths" ->
+      s"""with ev as (select user_id, ${evSec("ts")} as sec, event_id, event_type from events),
+         |sq as (select user_id, event_type as e1,
+         |         lead(event_type, 1) over (partition by user_id order by sec, event_id) as e2,
+         |         lead(event_type, 2) over (partition by user_id order by sec, event_id) as e3
+         |       from ev),
+         |pc as (select concat_ws(' > ', e1, e2, e3) as path, count(*) as n
+         |       from sq where e3 is not null group by e1, e2, e3),
+         |cand as (select path, n from (
+         |           select path, n, row_number() over (partition by ${prfMod(d)(16, "'pb'", "path")} order by n desc, path) as prn
+         |           from pc) _b where prn <= 20),
+         |rk as (select a.path, 1 + sum(case when b.n > a.n or (b.n = a.n and b.path < a.path) then 1 else 0 end) as rn
+         |       from cand a cross join cand b group by a.path)
+         |select c.path, ${bigint("c.n")} as n_occurrences, ${bigint("rk.rn")} as rn
+         |from cand c join rk on rk.path = c.path
+         |where rk.rn <= 20""".stripMargin
   )
 
   private def regexpCountBpe: String =
