@@ -168,6 +168,18 @@ object SparkEntry {
         v.createOrReplaceTempView("g_bpe_vocab")
         s.sql(sparkGen.bpeMergesSql(Some("g_bpe_vocab")))
       }),
+      // band-geometry tuning curve over the checkpointed minhash
+      // signature table (the curve SQL references the signatures 17
+      // times — Catalyst re-inlines multi-referenced CTEs, so the
+      // corpus chain materializes ONCE per session/dir; the production
+      // scratch every LSH dedup pipeline persists anyway)
+      "minhash_band_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val sig = mhSigCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.minhashSigBuildSql).localCheckpoint())
+        sig.createOrReplaceTempView("g_mhsig")
+        s.sql(sparkGen.minhashCurveSql(Some("g_mhsig")))
+      }),
       // the learned merges APPLIED: distinct words encode once against
       // the same checkpointed vocabulary (the tokenizer's shipped
       // lookup table), docs join token lengths back
@@ -209,6 +221,9 @@ object SparkEntry {
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private val mhSigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def decontShinglesView(s: SparkSession, dir: String): Unit = {
     val (ev, tr) = decontCache.computeIfAbsent((s, dir), _ =>
       (s.sql(sparkGen.decontShinglesBuildSql("ev")).localCheckpoint(),
@@ -235,5 +250,6 @@ object SparkEntry {
         // the native aggregate must reproduce the SQL sketch exactly,
         // so its oracle IS the by-source SQL rendering
         "sketch_distinct_native" -> duckGen.sql("sketch_distinct_by_source"),
-        "text_bpe_encode" -> duckGen.bpeEncodeSql(None))
+        "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
+        "minhash_band_curve" -> duckGen.minhashCurveSql(None))
 }

@@ -4311,8 +4311,201 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       from cand a cross join cand b group by a.path)
          |select c.path, ${bigint("c.n")} as n_occurrences, ${bigint("rk.rn")} as rn
          |from cand c join rk on rk.path = c.path
-         |where rk.rn <= 20""".stripMargin
+         |where rk.rn <= 20""".stripMargin,
+
+    // TPC-H Q7 shape: bilateral trade volume — the DOUBLE-ROLE
+    // dimension pattern (nation joins the fact twice, once through the
+    // supplier and once through the customer) with a symmetric
+    // two-nation predicate and per-year rollup. The nation/supplier/
+    // customer dims broadcast; the two-year ship window prunes the
+    // fact AT THE SCAN; one combinable aggregation. Decimal-exact
+    // revenue, one rounded double at the end.
+    "q7_nation_volume" ->
+      s"""with vol as (
+         |  select sn.n_name as supp_nation, cn.n_name as cust_nation,
+         |    year(l.l_shipdate) as l_year,
+         |    sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as rev
+         |  from lineitem l
+         |  join orders o on o.o_orderkey = l.l_orderkey
+         |  join customer c on c.c_custkey = o.o_custkey
+         |  join nation cn on cn.n_nationkey = c.c_nationkey
+         |  join supplier s on s.s_suppkey = l.l_suppkey
+         |  join nation sn on sn.n_nationkey = s.s_nationkey
+         |  where ((sn.n_name = 'NATION_1' and cn.n_name = 'NATION_2')
+         |      or (sn.n_name = 'NATION_2' and cn.n_name = 'NATION_1'))
+         |    and l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+         |    and l.l_shipdate < timestamp '1998-01-01 00:00:00'
+         |  group by sn.n_name, cn.n_name, year(l.l_shipdate))
+         |select supp_nation, cust_nation, ${bigint("l_year")} as l_year,
+         |  round(cast(rev as double), 2) as revenue
+         |from vol""".stripMargin,
+
+    // TPC-H Q8 shape: market share — nested conditional aggregation
+    // over a five-join star: of all revenue flowing to region-0
+    // customers per year, the share supplied by one nation. The CASE
+    // rides the same combinable aggregate as the total (ONE pass, no
+    // second join tree); both sums decimal-exact, one double division
+    // per year row.
+    "q8_market_share" ->
+      s"""with allrev as (
+         |  select year(l.l_shipdate) as l_year,
+         |    sum(case when sn.n_name = 'NATION_5'
+         |        then cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))
+         |        else cast(0 as decimal(18,4)) end) as nat_rev,
+         |    sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as tot_rev
+         |  from lineitem l
+         |  join orders o on o.o_orderkey = l.l_orderkey
+         |  join customer c on c.c_custkey = o.o_custkey
+         |  join nation cn on cn.n_nationkey = c.c_nationkey
+         |  join region r on r.r_regionkey = cn.n_regionkey and r.r_name = 'AFRICA'
+         |  join supplier s on s.s_suppkey = l.l_suppkey
+         |  join nation sn on sn.n_nationkey = s.s_nationkey
+         |  where l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+         |    and l.l_shipdate < timestamp '1998-01-01 00:00:00'
+         |  group by year(l.l_shipdate))
+         |select ${bigint("l_year")} as l_year,
+         |  round(cast(nat_rev as double), 2) as nation_revenue,
+         |  round(cast(tot_rev as double), 2) as total_revenue,
+         |  round(cast(nat_rev as double) / cast(tot_rev as double), 4) as mkt_share
+         |from allrev""".stripMargin,
+
+    // TPC-H Q15 shape: top supplier by view + scalar-max equality —
+    // the aggregate-then-join-on-the-max pattern (a GLOBAL argmax
+    // with NO window and no single-partition sort: the max is a
+    // one-row broadcast and ties surface as extra rows, exactly the
+    // TPC-H semantics). Revenue sums decimal-exact so the equality
+    // against the max is EXACT, not a float ==.
+    "q15_top_supplier" ->
+      s"""with rev as (
+         |  select l_suppkey, sum(cast(l_extendedprice as decimal(18,4)) * cast(1 - l_discount as decimal(18,4))) as total_rev
+         |  from lineitem
+         |  where l_shipdate >= timestamp '1997-01-01 00:00:00'
+         |    and l_shipdate < timestamp '1997-04-01 00:00:00'
+         |  group by l_suppkey),
+         |mx as (select max(total_rev) as m from rev)
+         |select ${bigint("s.s_suppkey")} as s_suppkey, s.s_name,
+         |  round(cast(r.total_rev as double), 2) as total_rev
+         |from supplier s join rev r on r.l_suppkey = s.s_suppkey
+         |cross join mx where r.total_rev = mx.m""".stripMargin,
+
+    // VOCABULARY COVERAGE PROFILE — the tokenizer-design readout (how
+    // much of the corpus do the frequent types cover; where to cap the
+    // vocabulary): for a geometric ladder of frequency thresholds, the
+    // number of word types at-or-above it and the share of all tokens
+    // they cover. Heaps'/Zipf-law head-coverage measured directly, as
+    // pure aggregation: ONE corpus word count (combinable), then a
+    // vocab × 11 grid cross join — no global rank window anywhere
+    // (a top-k-by-rank formulation would need one; thresholds give
+    // the same curve shuffle-free). Integer counts until the final
+    // share division.
+    "text_vocab_coverage" ->
+      s"""with $wordCtes,
+         |wc as (select wd, count(*) as c from wx group by wd),
+         |tot as (select sum(c) as t, count(*) as types from wc),
+         |grid as (select ${bigint("pow(2, g)")} as thr from ${rangeTable("gg", "g", 0, 10)}),
+         |cov as (select g.thr,
+         |          sum(case when w.c >= g.thr then 1 else 0 end) as n_types,
+         |          sum(case when w.c >= g.thr then w.c else 0 end) as n_tokens
+         |        from wc w cross join grid g group by g.thr)
+         |select ${bigint("cv.thr")} as min_freq, ${bigint("cv.n_types")} as n_types,
+         |  ${bigint("cv.n_tokens")} as n_tokens,
+         |  round(cv.n_tokens / cast(t.t as double), 4) as token_share,
+         |  round(cv.n_types / cast(t.types as double), 4) as type_share
+         |from cov cv cross join tot t""".stripMargin,
+
+    // ACTIVITY STREAKS — the gaps-and-islands pattern (the one classic
+    // SQL shape the window suite still lacked): per user, consecutive
+    // active-day runs via the day − row_number() island id, longest
+    // streak per user, then the corpus-wide streak distribution — the
+    // engagement readout behind every retention feature ("7-day
+    // streak"). Windows partition per user (bounded state, the
+    // sessionization shape); everything else is combinable groupBys.
+    // Integer end to end.
+    "events_streaks" ->
+      s"""with ud as (select distinct user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |isl as (select user_id, day,
+         |          day - row_number() over (partition by user_id order by day) as grp
+         |        from ud),
+         |st as (select user_id, count(*) as len from isl group by user_id, grp),
+         |mx as (select user_id, max(len) as longest from st group by user_id)
+         |select ${bigint("longest")} as streak_days, ${bigint("count(*)")} as n_users
+         |from mx group by longest""".stripMargin,
+
+    // TPC-H Q22 shape: sales opportunity — the SCALAR-AVERAGE gate +
+    // NOT-EXISTS anti-join combo (above-average-balance customers with
+    // no recent orders, rolled up by nation): the average is a one-row
+    // broadcast (decimal-exact sum, one double division), the anti-join
+    // prunes with the order-date filter pushed INTO the probe side,
+    // nation broadcasts. Deterministic: balances compare against one
+    // identically-computed double.
+    "q22_sales_opp" ->
+      s"""with avgb as (select cast(sum(cast(c_acctbal as decimal(18,2))) as double) / cast(count(*) as double) as ab
+         |              from customer where c_acctbal > 0),
+         |cand as (select c.c_custkey, c.c_nationkey, c.c_acctbal
+         |         from customer c cross join avgb
+         |         where c.c_acctbal > avgb.ab
+         |           and not exists (select 1 from orders o
+         |                           where o.o_custkey = c.c_custkey
+         |                             and o.o_orderdate >= timestamp '2000-01-01 00:00:00'))
+         |select n.n_name, ${bigint("count(*)")} as n_customers,
+         |  round(cast(sum(cast(cand.c_acctbal as decimal(18,2))) as double), 2) as total_balance
+         |from cand join nation n on n.n_nationkey = cand.c_nationkey
+         |group by n.n_name""".stripMargin
   )
+
+  /** The corpus minhash-signature table (doc_id, m0..m15) — the
+    * production scratch every LSH dedup pipeline persists; the band
+    * curve references it 17 times, so the Spark side checkpoints it
+    * once per session (SparkEntry) instead of letting Catalyst
+    * re-inline the corpus chain per reference. */
+  def minhashSigBuildSql: String =
+    s"""with $wordCtes,
+       |$minhashBandsCtes
+       |select doc_id, ${(0 until 16).map(r => s"m$r").mkString(", ")} from mh""".stripMargin
+
+  /** MINHASH BAND-GEOMETRY TUNING CURVE — the dedup analog of
+    * ann_nprobe_curve: the same 16-hash signatures re-banded at widths
+    * 2/4/8/16 (8/4/2/1 bands), per width the candidate-pair count and
+    * how many candidates the signatures themselves call true
+    * (est ≥ 0.5 ⟺ ≥ 8/16 matching hashes) — the S-curve precision/
+    * recall trade every production LSH pipeline tunes before running
+    * at scale (band width is THE knob in §4's ladder). One corpus
+    * signature pass (checkpointed on the Spark side, materialized in
+    * the oracle); per-width pair sets are band-collision-bounded
+    * (never corpus-pairwise); match counting joins signatures back on
+    * candidate pairs only. Integer counts until the final share. */
+  def minhashCurveSql(src: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    // `mm` is the signature table every downstream CTE reads: the
+    // checkpointed view on the Spark side, a materialized copy of the
+    // inline chain in the oracle (mh is referenced 17 times below —
+    // unmaterialized it would recompute the corpus chain per use)
+    val mhCte = src match {
+      case Some(view) => s"mm as (select * from $view)"
+      case None =>
+        s"""$wordCtes,
+           |$minhashBandsCtes,
+           |mm as $matKw(select doc_id, ${(0 until 16).map(r => s"m$r").mkString(", ")} from mh)""".stripMargin
+    }
+    def sigExpr(w: Int, b: Int): String =
+      (0 until w).map(j => s"cast(m${b * w + j} as string)").mkString("concat_ws('_', ", ", ", ")")
+    def bandTable(w: Int): String =
+      (0 until 16 / w).map(b =>
+        s"select $w as w, $b as band, ${sigExpr(w, b)} as sig, doc_id from mm").mkString(" union all ")
+    s"""with $mhCte,
+       |bw as $matKw(${Seq(2, 4, 8, 16).map(bandTable).mkString(" union all ")}),
+       |cand as (select distinct a.w, a.doc_id as da, b.doc_id as db
+       |         from bw a join bw b on a.w = b.w and a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+       |scored as (select c.w, (${minhashMatches("x", "y")}) as nmatch
+       |           from cand c join mm x on x.doc_id = c.da join mm y on y.doc_id = c.db),
+       |agg as (select w, count(*) as n_cand,
+       |          sum(case when nmatch >= 8 then 1 else 0 end) as n_true
+       |        from scored group by w)
+       |select ${bigint("w")} as band_width, ${bigint("16 / w")} as n_bands,
+       |  ${bigint("n_cand")} as n_candidates, ${bigint("n_true")} as n_est_true,
+       |  round(n_true / cast(n_cand as double), 4) as precision_proxy
+       |from agg where n_cand > 0""".stripMargin
+  }
 
   private def regexpCountBpe: String =
     d.regexpCount("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
