@@ -180,6 +180,14 @@ object SparkEntry {
         sig.createOrReplaceTempView("g_mhsig")
         s.sql(sparkGen.minhashCurveSql(Some("g_mhsig")))
       }),
+      // native bounded-state per-group top-k (functions.TopKAgg):
+      // map-side partials keep ≤ k pairs per group, so the exchange
+      // carries O(groups·k) rows where the oracle's window form sorts
+      // the full candidate stream
+      "vec_topk_grouped" -> ((s, dir) => {
+        Tables.register(s, dir)
+        s.sql(sparkGen.groupedTopkSql())
+      }),
       // the learned merges APPLIED: distinct words encode once against
       // the same checkpointed vocabulary (the tokenizer's shipped
       // lookup table), docs join token lengths back
@@ -250,6 +258,9 @@ object SparkEntry {
         // the native aggregate must reproduce the SQL sketch exactly,
         // so its oracle IS the by-source SQL rendering
         "sketch_distinct_native" -> duckGen.sql("sketch_distinct_by_source"),
+        // the native aggregate must reproduce the window ranking
+        // exactly, so its oracle is the window rendering
+        "vec_topk_grouped" -> duckGen.groupedTopkSql(),
         "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
         "minhash_band_curve" -> duckGen.minhashCurveSql(None))
 }

@@ -44,6 +44,7 @@ object Tables {
       spark.conf.set("spark.sql.analyzer.maxIterations", "400")
       graft.functions.DotProduct.register(spark)
       graft.functions.HllAgg.register(spark)
+      graft.functions.TopKAgg.register(spark)
       names.foreach { n =>
         val df = load(spark, dir, n)
         val out =

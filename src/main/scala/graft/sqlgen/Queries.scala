@@ -4331,8 +4331,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  join nation cn on cn.n_nationkey = c.c_nationkey
          |  join supplier s on s.s_suppkey = l.l_suppkey
          |  join nation sn on sn.n_nationkey = s.s_nationkey
-         |  where ((sn.n_name = 'NATION_1' and cn.n_name = 'NATION_2')
-         |      or (sn.n_name = 'NATION_2' and cn.n_name = 'NATION_1'))
+         |  where ((sn.n_name = 'NATION_13' and cn.n_name = 'NATION_19')
+         |      or (sn.n_name = 'NATION_19' and cn.n_name = 'NATION_13'))
          |    and l.l_shipdate >= timestamp '1996-01-01 00:00:00'
          |    and l.l_shipdate < timestamp '1998-01-01 00:00:00'
          |  group by sn.n_name, cn.n_name, year(l.l_shipdate))
@@ -4450,7 +4450,234 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select n.n_name, ${bigint("count(*)")} as n_customers,
          |  round(cast(sum(cast(cand.c_acctbal as decimal(18,2))) as double), 2) as total_balance
          |from cand join nation n on n.n_nationkey = cand.c_nationkey
-         |group by n.n_name""".stripMargin
+         |group by n.n_name""".stripMargin,
+
+    // TPC-H Q2 shape: minimum-cost supplier — the GROUP-WISE argmin
+    // join-back (per part, the cheapest qualifying supplier; ties
+    // surface as extra rows, the TPC-H semantics). The shipped schema
+    // has no partsupp, so the observed unit cost IS the supply-cost
+    // table: min(l_extendedprice / l_quantity) per (part, supplier) —
+    // one combinable groupBy over the fact. The region-filtered
+    // supplier dim broadcasts into both the per-part min and the
+    // join-back; equality against the min is EXACT (both sides are the
+    // same IEEE division, min is order-free). Two shuffles total, both
+    // on l_partkey — AQE coalesces them at any scale.
+    "q2_min_cost_supp" ->
+      s"""with pc as (select l_partkey, l_suppkey, min(l_extendedprice / l_quantity) as cost
+         |            from lineitem group by l_partkey, l_suppkey),
+         |eu as (select s.s_suppkey, s.s_name, n.n_name
+         |       from supplier s
+         |       join nation n on n.n_nationkey = s.s_nationkey
+         |       join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'EUROPE'),
+         |pm as (select pc.l_partkey, min(pc.cost) as mc
+         |       from pc join eu on eu.s_suppkey = pc.l_suppkey
+         |       join part p on p.p_partkey = pc.l_partkey and p.p_type = 'LARGE'
+         |       group by pc.l_partkey)
+         |select ${bigint("pc.l_partkey")} as p_partkey, ${bigint("pc.l_suppkey")} as s_suppkey,
+         |  eu.s_name, eu.n_name, ${roundAway(d)("pc.cost", 4)} as unit_cost
+         |from pc
+         |join eu on eu.s_suppkey = pc.l_suppkey
+         |join pm on pm.l_partkey = pc.l_partkey and pc.cost = pm.mc""".stripMargin,
+
+    // TPC-H Q9 shape: product-type profit — the five-join star with a
+    // SUBTRACTIVE aggregate (revenue minus supply cost) rolled up by
+    // supplier nation × order year, part-name LIKE filter pushed to
+    // the part scan (broadcast). No partsupp in the shipped schema, so
+    // supply cost = 0.4 · p_retailprice · quantity (the TPC-H generator
+    // itself derives ps_supplycost from retail price). BOTH sums stay
+    // decimal-exact in ONE combinable aggregation pass — retail price
+    // is an exact 1-dp decimal, quantity a whole number, so the cost
+    // sum is exact at scale 1 and the revenue sum exact at scale 8;
+    // the 0.4 factor and the subtraction happen ONCE per output row in
+    // double (identical IEEE ops both engines).
+    "q9_product_profit" ->
+      s"""with pr as (select p_partkey, cast(p_retailprice as decimal(8,1)) as rp
+         |            from part where p_name like '%widget%'),
+         |pf as (select sn.n_name as nation, year(o.o_orderdate) as o_year,
+         |    sum(cast(l.l_extendedprice as decimal(18,4)) * cast(1 - l.l_discount as decimal(18,4))) as rev,
+         |    sum(pr.rp * cast(l.l_quantity as decimal(4,0))) as cost
+         |  from lineitem l
+         |  join pr on pr.p_partkey = l.l_partkey
+         |  join orders o on o.o_orderkey = l.l_orderkey
+         |  join supplier s on s.s_suppkey = l.l_suppkey
+         |  join nation sn on sn.n_nationkey = s.s_nationkey
+         |  group by sn.n_name, year(o.o_orderdate))
+         |select nation, ${bigint("o_year")} as o_year,
+         |  ${roundAway(d)("cast(rev as double) - cast(0.4 as double) * cast(cost as double)", 2)} as profit
+         |from pf""".stripMargin,
+
+    // TPC-H Q11 shape: important stock — the HAVING-against-a-global-
+    // scalar pattern (per-part value exceeding a FRACTION of the total
+    // over the same filtered set): the per-part aggregation is one
+    // combinable groupBy, the total a one-row re-aggregation of its
+    // output (NOT a second fact scan), broadcast back as a cross join.
+    // Both sides of the gate cast the exact decimal sums to double
+    // ONCE — identical IEEE values in both engines, so the boundary
+    // comparison is deterministic. The region-filtered supplier dim
+    // broadcasts into the scan-side join.
+    "q11_important_parts" ->
+      s"""with pv as (select l.l_partkey, sum(cast(l.l_extendedprice as decimal(18,4))) as val
+         |  from lineitem l
+         |  join supplier s on s.s_suppkey = l.l_suppkey
+         |  join nation n on n.n_nationkey = s.s_nationkey
+         |  join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'EUROPE'
+         |  group by l.l_partkey),
+         |tot as (select sum(val) as t from pv)
+         |select ${bigint("pv.l_partkey")} as p_partkey,
+         |  round(cast(pv.val as double), 2) as part_value
+         |from pv cross join tot
+         |where cast(pv.val as double) > cast(tot.t as double) * cast(0.0012 as double)""".stripMargin,
+
+    // TPC-H Q16 shape: parts/supplier relationship — COUNT DISTINCT
+    // suppliers per (brand, type, size) with a NOT-IN exclusion
+    // subquery (negative-balance suppliers standing in for the
+    // complaints filter; the subquery side is provably non-null so the
+    // null-aware anti-join degenerates to a plain broadcast anti-join).
+    // The distinct-pair projection replaces count(distinct) with a
+    // two-level combinable aggregate — the map-side-partial-friendly
+    // form; the part dim filter prunes at its scan and broadcasts.
+    // Integer-only end to end.
+    "q16_supplier_cnt" ->
+      s"""with ps as (select distinct p.p_brand, p.p_type, p.p_size, l.l_suppkey
+         |  from lineitem l
+         |  join part p on p.p_partkey = l.l_partkey
+         |  where p.p_brand <> 'Brand#4' and p.p_size in (5, 10, 15, 20, 25, 30)
+         |    and l.l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0))
+         |select p_brand, p_type, ${bigint("p_size")} as p_size,
+         |  ${bigint("count(*)")} as supplier_cnt
+         |from ps group by p_brand, p_type, p_size""".stripMargin,
+
+    // TPC-H Q20 shape: potential part promotion — the NESTED SEMI-JOIN
+    // chain (part-name filter → per-(supplier, part) shipped-quantity
+    // gate → supplier IN-subquery → region-filtered dim rollout). The
+    // quantity threshold stands in for the availqty comparison (no
+    // partsupp in the shipped schema); quantities sum as exact whole-
+    // number decimals so the gate is exact. The filtered part list
+    // broadcasts into the fact scan; the qualifying-supplier set is a
+    // one-column broadcast semi-join against the supplier dim. One
+    // fact shuffle total.
+    "q20_excess_ship" ->
+      s"""with fp as (select p_partkey from part where p_name like '%bolt%'),
+         |sq as (select l.l_suppkey, l.l_partkey, sum(cast(l.l_quantity as decimal(10,0))) as qty
+         |       from lineitem l
+         |       join fp on fp.p_partkey = l.l_partkey
+         |       where l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+         |         and l.l_shipdate < timestamp '1998-01-01 00:00:00'
+         |       group by l.l_suppkey, l.l_partkey)
+         |select ${bigint("s.s_suppkey")} as s_suppkey, s.s_name, n.n_name
+         |from supplier s
+         |join nation n on n.n_nationkey = s.s_nationkey
+         |join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'ASIA'
+         |where s.s_suppkey in (select l_suppkey from sq where qty > 30)""".stripMargin,
+
+    // SKIP-GRAM CO-OCCURRENCE MINING — the word2vec/GloVe training-data
+    // pass (Mikolov et al. 2013 §2; Pennington et al. 2014 eq. 1): for
+    // every word pair within window distance ≤ 3, the per-distance and
+    // total co-occurrence counts, top-20 pairs. NO self-join over the
+    // exploded tokens: the three context words ride ONE per-doc window
+    // pass as lead(1..3) (per-partition sort keyed by doc — docs are
+    // KB-sized, so state is bounded and fully parallel), the (distance,
+    // context) columns then explode 3× map-side — the 1-based explode
+    // position IS the distance. Pairs canonicalize unordered
+    // (symmetric-window semantics); the global top-20 uses the
+    // 16-bucket pre-rank + pairwise-rank pattern (no unpartitioned
+    // window anywhere). Integer counts end to end.
+    "text_cooccur" ->
+      s"""with $wordCtes,
+         |co as (select doc_id, wd,
+         |         lead(wd, 1) over (partition by doc_id order by wpos) as c1,
+         |         lead(wd, 2) over (partition by doc_id order by wpos) as c2,
+         |         lead(wd, 3) over (partition by doc_id order by wpos) as c3
+         |       from wx),
+         |px as (select * from ${d.explodeFrom("co", arrLit(Seq("c1", "c2", "c3")), "dist", "cw", Seq("wd"))} _px),
+         |pc as (select case when wd <= cw then wd else cw end as w1,
+         |              case when wd <= cw then cw else wd end as w2,
+         |              dist
+         |       from px where cw is not null),
+         |agg as (select w1, w2,
+         |          sum(case when dist = 1 then 1 else 0 end) as n_d1,
+         |          sum(case when dist = 2 then 1 else 0 end) as n_d2,
+         |          sum(case when dist = 3 then 1 else 0 end) as n_d3,
+         |          count(*) as n_total
+         |        from pc group by w1, w2),
+         |cand as (select w1, w2, n_d1, n_d2, n_d3, n_total from (
+         |           select a.*, row_number() over (
+         |             partition by ${prfMod(d)(16, "'cb'", "w1", "w2")}
+         |             order by n_total desc, w1, w2) as prn
+         |           from agg a) _b where prn <= 20),
+         |rk as (select a.w1, a.w2,
+         |         1 + sum(case when b.n_total > a.n_total
+         |                   or (b.n_total = a.n_total and (b.w1 < a.w1 or (b.w1 = a.w1 and b.w2 < a.w2)))
+         |                 then 1 else 0 end) as rn
+         |       from cand a cross join cand b group by a.w1, a.w2)
+         |select c.w1, c.w2, ${bigint("c.n_d1")} as n_d1, ${bigint("c.n_d2")} as n_d2,
+         |  ${bigint("c.n_d3")} as n_d3, ${bigint("c.n_total")} as n_total, ${bigint("rk.rn")} as rn
+         |from cand c join rk on rk.w1 = c.w1 and rk.w2 = c.w2
+         |where rk.rn <= 20""".stripMargin,
+
+    // LABEL-PROPAGATION COMMUNITIES — synchronous LPA (Raghavan et al.
+    // 2007) over the served kNN proximity graph: each round every node
+    // adopts the MODE of its neighbours' labels (tie → smallest
+    // label), 3 unrolled rounds, then the community-size census. The
+    // mode-argmax is the SAME map-side-combinable max(struct(count,
+    // -label)) trick as the IVF assignment — no per-node window sort
+    // anywhere; each round is one equality join (labels onto the
+    // symmetrized edge table) + two combinable aggregations, and each
+    // label state is referenced exactly ONCE (linear CTE chain, no
+    // Catalyst re-inlining blowup). Self-edges keep every node's own
+    // label in its vote (the stability variant) and make isolated
+    // nodes well-defined. Distinct from dedup_components: components
+    // converge to connectivity classes, LPA finds DENSITY communities
+    // inside one connected component — the cluster readout behind
+    // corpus domain discovery. Integer end to end.
+    "graph_communities" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def step(prev: String, t: Int) =
+        s"""vc$t as (select e2.src as id, p.lab, ${bigint("count(*)")} as c
+           |        from e2 join $prev p on p.id = e2.dst group by e2.src, p.lab),
+           |l$t as (select id, -(${d.fieldOf("mx", "nl")}) as lab from (
+           |  select id, max(${d.structLit2("c", "c", "nl", "-lab")}) as mx
+           |  from vc$t group by id) _l$t)""".stripMargin
+      s"""${wmChain("knn")},
+         |e2 as $matKw(select src, dst from knn
+         |             union all select dst as src, src as dst from knn
+         |             union all select id as src, id as dst from nn),
+         |l0 as (select id, ${bigint("id")} as lab from nn),
+         |${step("l0", 1)},
+         |${step("l1", 2)},
+         |${step("l2", 3)}
+         |select ${bigint("lab")} as community_id, ${bigint("count(*)")} as n_members
+         |from l3 group by lab""".stripMargin
+    },
+
+    // CURRICULUM STAGING — the quality-ordered training schedule
+    // (curriculum learning, Bengio et al. 2009, as every data-centric
+    // pretraining recipe applies it: feed cleaner data in later
+    // stages): per SOURCE, docs split into quality quartiles via
+    // ntile(4) over a TOTAL order (quality double, doc_id tiebreak —
+    // deterministic in both engines), then the per-(source, stage)
+    // manifest: doc count, token budget, quality envelope. The window
+    // partitions per source (bounded per-partition sort, the
+    // sessionization shape — at 10⁹ docs/source swap ntile for the
+    // rank-vs-count division, same semantics); the rollup is one
+    // combinable groupBy. Per-row qualities pre-round to 6dp and sum
+    // as exact decimals (order-free); one double division at the end.
+    "data_curriculum" ->
+      s"""with q as (select doc_id, source, ${d.arrLen(splitWs("text"))} as n_words,
+         |  length(text) as n_chars,
+         |  length(${regexReplaceAll("text", "[^a-zA-Z]", "")}) as n_alpha
+         |from documents),
+         |sc as (select doc_id, source, n_words,
+         |  ${roundAway(d)("(case when n_words >= 20 and n_words <= 80 then cast(1.0 as double) else cast(0.5 as double) end) * (n_alpha / n_chars)", 6)} as quality
+         |from q),
+         |st as (select source, n_words, quality,
+         |         ntile(4) over (partition by source order by quality, doc_id) as stage
+         |       from sc)
+         |select source, ${bigint("stage")} as stage, ${bigint("count(*)")} as n_docs,
+         |  ${bigint("sum(n_words)")} as n_tokens,
+         |  round(cast(sum(cast(quality as decimal(12,6))) as double) / count(*), 4) as avg_quality,
+         |  min(quality) as min_quality, max(quality) as max_quality
+         |from st group by source, stage""".stripMargin
   )
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the
@@ -4558,6 +4785,41 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn
        |      from b$hops where cid <> qid) _t
        |where rn <= 10""".stripMargin
+  }
+
+  /** Per-(query, label) top-3 neighbors — the serving key for the
+    * native bounded-state top-k aggregate (functions.TopKAgg). The
+    * Spark rendering aggregates the |Q|·N candidate stream with
+    * `graft_topk(cid, sim, 3)` — map-side partials keep ≤ k pairs per
+    * (query, label) per partition, so the exchange carries
+    * O(|Q|·labels·k) rows instead of sorting the full candidate
+    * stream the way a rank window must; the ranked array then explodes
+    * back to rows. The oracle is the WINDOW form of the same ranking
+    * (row_number over sim desc, cid — the identical total order, so
+    * the two renderings hash-match). Sims pre-round to 6dp, rank ties
+    * break by id: deterministic under any partitioning (NativeTopkSpec
+    * pins partitioning-invariance of the aggregate itself). */
+  def groupedTopkSql(src: Option[String] = None): String = {
+    val base =
+      s"""q as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |p as (select q.qid, nn.label, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim
+         |      from q join nn on nn.id <> q.qid)""".stripMargin
+    if (d.name == "spark")
+      s"""with $nvCtes,
+         |$base,
+         |t as (select qid, label, graft_topk(cid, sim, 3) as tk from p group by qid, label)
+         |select ${bigint("qid")} as qid, ${bigint("label")} as label,
+         |  ${bigint("e.id")} as neighbor_id, e.score as sim, ${bigint("p0 + 1")} as rn
+         |from t lateral view posexplode(tk) _e as p0, e""".stripMargin
+    else
+      s"""with $nvCtes,
+         |$base,
+         |r as (select qid, label, cid, sim,
+         |        row_number() over (partition by qid, label order by sim desc, cid) as rn
+         |      from p)
+         |select ${bigint("qid")} as qid, ${bigint("label")} as label,
+         |  ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
+         |from r where rn <= 3""".stripMargin
   }
 
   def sql(name: String): String = sqls(name)

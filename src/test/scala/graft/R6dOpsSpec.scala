@@ -35,29 +35,16 @@ class R6dOpsSpec extends AnyFunSuite {
   private def inWindow(sd: String, lo: String, hi: String) = sd >= lo && sd < hi
 
   test("q7_nation_volume: bilateral per-year revenue matches the JVM mirror") {
-    // the two-nation flow is empty at sf0.001 (60 customers); this
-    // spec runs one SF up so the shape is actually exercised
-    val sf01 = "/root/testdata/sf0.01"
-    def bigMap(table: String, k: String, v: String): Map[Long, Long] =
-      spark.read.parquet(s"$sf01/$table.parquet")
-        .selectExpr(s"cast($k as bigint) as k", s"cast($v as bigint) as v")
-        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
-    val oc = bigMap("orders", "o_orderkey", "o_custkey")
-    val cn01 = bigMap("customer", "c_custkey", "c_nationkey")
-    val sn01 = bigMap("supplier", "s_suppkey", "s_nationkey")
-    val li01 = spark.read.parquet(s"$sf01/lineitem.parquet")
-      .selectExpr("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-        "year(l_shipdate) as y", "cast(l_shipdate as string) as sd").collect()
-      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
-        dec4(r.getAs[Double]("l_extendedprice")) * dec4(1 - r.getAs[Double]("l_discount")),
-        r.getAs[Int]("y"), r.getAs[String]("sd")))
-    val expect = li01.filter(r => inWindow(r._5, "1996-01-01", "1998-01-01"))
+    // NATION_13/NATION_19 is the densest bilateral flow in the
+    // synthetic corpus — non-empty at every SF (the original 1/2 pair
+    // was empty at sf0.001, failing the all-keys smoke gate)
+    val expect = li.filter(r => inWindow(r._5, "1996-01-01", "1998-01-01"))
       .flatMap { case (ok, sk, rev, y, _) =>
-        val sn = sn01(sk); val cn = cn01(oc(ok))
-        if ((sn == 1 && cn == 2) || (sn == 2 && cn == 1))
+        val sn = suppNation(sk); val cn = custNation(ordCust(ok))
+        if ((sn == 13 && cn == 19) || (sn == 19 && cn == 13))
           Some(((s"NATION_$sn", s"NATION_$cn", y.toLong), rev)) else None
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-    val rows = SparkEntry.queries("q7_nation_volume")(spark, sf01).collect()
+    val rows = run("q7_nation_volume").collect()
     assert(rows.length == expect.size && rows.nonEmpty)
     rows.foreach { r =>
       val k = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the round-6 training-data batch: skip-gram
+  * co-occurrence mining (full JVM recount of every pair at every
+  * distance) and curriculum staging (ntile quartile manifest mirrored
+  * with explicit tile arithmetic).
+  */
+class R6gOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.Sf)
+
+  private lazy val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    .selectExpr("doc_id", "text", "source").collect()
+    .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("source")))
+
+  test("text_cooccur: per-distance pair counts match a full JVM recount") {
+    val counts = scala.collection.mutable.Map.empty[(String, String), Array[Long]]
+    docs.foreach { case (_, text, _) =>
+      val ws = text.toLowerCase.split("\\s+")
+      for (i <- ws.indices; dist <- 1 to 3; if i + dist < ws.length) {
+        val (a, b) = (ws(i), ws(i + dist))
+        val key = if (a <= b) (a, b) else (b, a)
+        val arr = counts.getOrElseUpdate(key, Array(0L, 0L, 0L))
+        arr(dist - 1) += 1
+      }
+    }
+    val ranked = counts.toSeq
+      .map { case (k, a) => (k, a(0), a(1), a(2), a.sum) }
+      .sortBy { case ((w1, w2), _, _, _, tot) => (-tot, w1, w2) }
+    val top = ranked.take(20)
+    val rows = run("text_cooccur").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val e = top(r.getAs[Long]("rn").toInt - 1)
+      assert(e._1 == k, s"rank ${r.getAs[Long]("rn")}")
+      assert(r.getAs[Long]("n_d1") == e._2 && r.getAs[Long]("n_d2") == e._3 &&
+        r.getAs[Long]("n_d3") == e._4 && r.getAs[Long]("n_total") == e._5)
+    }
+  }
+
+  test("data_curriculum: quartile manifest matches explicit tile arithmetic") {
+    def round6(x: Double) = {
+      val m = 1e6
+      (if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)) / m
+    }
+    val scored = docs.map { case (id, text, source) =>
+      val nWords = text.split("\\s+").length
+      val nChars = text.length
+      val nAlpha = text.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+      val q = round6((if (nWords >= 20 && nWords <= 80) 1.0 else 0.5) * (nAlpha.toDouble / nChars))
+      (source, id, nWords.toLong, q)
+    }
+    val expect = scored.groupBy(_._1).flatMap { case (source, ds) =>
+      val sorted = ds.sortBy { case (_, id, _, q) => (q, id) }
+      val n = sorted.length; val base = n / 4; val rem = n % 4
+      // ntile(4): the first `rem` tiles get base+1 rows
+      val stages = (1 to 4).flatMap(t =>
+        Seq.fill(if (t <= rem) base + 1 else base)(t))
+      sorted.zip(stages).groupBy(_._2).map { case (stage, rs) =>
+        val qs = rs.map(_._1._4)
+        (source, stage.toLong) ->
+          (rs.length.toLong, rs.map(_._1._3).sum, qs.min, qs.max,
+            qs.map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rs.length)
+      }
+    }
+    val rows = run("data_curriculum").collect()
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tok, qmin, qmax, avg) = expect((r.getAs[String]("source"), r.getAs[Long]("stage")))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("n_tokens") == tok)
+      assert(math.abs(r.getAs[Double]("min_quality") - qmin) < 1e-9)
+      assert(math.abs(r.getAs[Double]("max_quality") - qmax) < 1e-9)
+      assert(math.abs(r.getAs[Double]("avg_quality") - avg) < 0.00011)
+    }
+    // within a source, later stages are at least as clean: stage
+    // boundaries are non-decreasing in quality
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val byStage = rs.sortBy(_.getAs[Long]("stage"))
+      byStage.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_quality") <= b.getAs[Double]("min_quality") + 1e-9)
+        case _ => ()
+      }
+    }
+  }
+}
