@@ -4630,25 +4630,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // converge to connectivity classes, LPA finds DENSITY communities
     // inside one connected component — the cluster readout behind
     // corpus domain discovery. Integer end to end.
-    "graph_communities" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      def step(prev: String, t: Int) =
-        s"""vc$t as (select e2.src as id, p.lab, ${bigint("count(*)")} as c
-           |        from e2 join $prev p on p.id = e2.dst group by e2.src, p.lab),
-           |l$t as (select id, -(${d.fieldOf("mx", "nl")}) as lab from (
-           |  select id, max(${d.structLit2("c", "c", "nl", "-lab")}) as mx
-           |  from vc$t group by id) _l$t)""".stripMargin
+    "graph_communities" ->
       s"""${wmChain("knn")},
-         |e2 as $matKw(select src, dst from knn
-         |             union all select dst as src, src as dst from knn
-         |             union all select id as src, id as dst from nn),
-         |l0 as (select id, ${bigint("id")} as lab from nn),
-         |${step("l0", 1)},
-         |${step("l1", 2)},
-         |${step("l2", 3)}
+         |$lpaCtes
          |select ${bigint("lab")} as community_id, ${bigint("count(*)")} as n_members
-         |from l3 group by lab""".stripMargin
-    },
+         |from l3 group by lab""".stripMargin,
 
     // CURRICULUM STAGING — the quality-ordered training schedule
     // (curriculum learning, Bengio et al. 2009, as every data-centric
@@ -4785,6 +4771,74 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn
        |      from b$hops where cid <> qid) _t
        |where rn <= 10""".stripMargin
+  }
+
+  /** Synchronous label-propagation rounds over the served kNN graph
+    * (see the `graph_communities` map entry for the full commentary):
+    * symmetrized + self-loop edges, 3 rounds of the map-side-
+    * combinable max(struct(count, -label)) mode-argmax. Ends in
+    * l3(id, lab). Requires wmChain("knn") upstream. */
+  private lazy val lpaCtes: String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    def step(prev: String, t: Int) =
+      s"""vc$t as (select e2.src as id, p.lab, ${bigint("count(*)")} as c
+         |        from e2 join $prev p on p.id = e2.dst group by e2.src, p.lab),
+         |l$t as (select id, -(${d.fieldOf("mx", "nl")}) as lab from (
+         |  select id, max(${d.structLit2("c", "c", "nl", "-lab")}) as mx
+         |  from vc$t group by id) _l$t)""".stripMargin
+    s"""e2 as $matKw(select src, dst from knn
+       |             union all select dst as src, src as dst from knn
+       |             union all select id as src, id as dst from nn),
+       |l0 as (select id, ${bigint("id")} as lab from nn),
+       |${step("l0", 1)},
+       |${step("l1", 2)},
+       |${step("l2", 3)}""".stripMargin
+  }
+
+  /** The LPA label table as a standalone build (id, lab) — the
+    * Spark side checkpoints this once per (session, dir) because the
+    * modularity readout references the labels three times (Catalyst
+    * re-inlines multi-referenced CTEs, which would re-run the 3 LPA
+    * rounds per reference). */
+  def lpaBuildSql: String =
+    s"""${wmChain("knn")},
+       |$lpaCtes
+       |select id, lab from l3""".stripMargin
+
+  /** NEWMAN MODULARITY of the LPA communities — the "did the
+    * clustering capture density" gate every community detection run
+    * needs (Newman & Girvan 2004 eq. 5): Q = Σ_c [m_c/m − (d_c/2m)²]
+    * over the SIMPLE undirected graph (distinct unordered kNN pairs,
+    * self-loops dropped). Folded to INTEGER sums before any division:
+    * Q = intra/m − Σd_c²/(4m²), with intra (intra-community pair
+    * count), m (pair count) and Σd_c² (squared community degree sums)
+    * all exact bigints — two IEEE divisions at the end, identical in
+    * both engines. One global row: edge census + community count +
+    * modularity. The Spark side reads the checkpointed label view
+    * (`src`); the oracle re-derives labels inline (materialized). */
+  def graphModularitySql(src: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val head = src match {
+      case Some(view) => s"${wmChain("knn")},\nl3 as (select id, lab from $view),"
+      case None => s"${wmChain("knn")},\n$lpaCtes,"
+    }
+    s"""$head
+       |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+       |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+       |mm as (select ${bigint("count(*)")} as m from und),
+       |deg as (select v, ${bigint("count(*)")} as dg from (
+       |          select a as v from und union all select b as v from und) _d group by v),
+       |intra as (select ${bigint("count(*)")} as ic
+       |          from und join l3 la on la.id = und.a join l3 lb on lb.id = und.b
+       |          where la.lab = lb.lab),
+       |dc as (select l3.lab, sum(coalesce(deg.dg, 0)) as dsum
+       |       from l3 left join deg on deg.v = l3.id group by l3.lab),
+       |dq as (select ${bigint("sum(dsum * dsum)")} as sds, ${bigint("count(*)")} as n_communities from dc)
+       |select mm.m as m_edges, dq.n_communities, intra.ic as intra_edges, dq.sds as sum_deg_sq,
+       |  ${roundAway(d)(
+            "cast(intra.ic as double) / cast(mm.m as double) - cast(dq.sds as double) / (cast(4 as double) * cast(mm.m as double) * cast(mm.m as double))",
+            6)} as modularity
+       |from mm cross join intra cross join dq""".stripMargin
   }
 
   /** Per-(query, label) top-3 neighbors — the serving key for the

@@ -379,6 +379,34 @@ object Streams {
     }
   }
 
+  /** Streaming per-group bounded top-k — the incremental twin of the
+    * native `graft_topk` aggregate (functions.TopKAgg): state is the
+    * ≤ k (score, id) shortlist per group under the SAME total order
+    * (score desc, id asc), merged per micro-batch exactly like the
+    * batch aggregate merges partials — so on the same rows the final
+    * streamed shortlist EQUALS the batch query's, under any
+    * micro-batch split (StreamingTopkSpec pins it). The 100 TB serving
+    * story: a live candidate stream (new embeddings scoring against a
+    * standing query set) keeps O(groups · k) state total — no
+    * retained candidate history, no per-trigger re-rank. */
+  def groupedTopkStream(scored: Dataset[(Timestamp, String, Long, Double)], k: Int)
+      : Dataset[(String, Seq[Long], Seq[Double])] = {
+    import scored.sparkSession.implicits._
+    scored
+      .groupByKey(_._2)
+      .mapGroupsWithState[Array[(Double, Long)], (String, Seq[Long], Seq[Double])](
+        GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[Array[(Double, Long)]]) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          state.getOption.foreach(buf ++= _)
+          it.foreach { case (_, _, id, sc) => buf += ((sc, id)) }
+          val kept = buf.sortWith((a, b) =>
+            a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k).toArray
+          state.update(kept)
+          (g, kept.map(_._2).toList, kept.map(_._1).toList)
+      }
+  }
+
   def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
       : Dataset[(String, Double)] = {
     import words.sparkSession.implicits._
