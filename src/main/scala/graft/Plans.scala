@@ -85,7 +85,17 @@ object Plans {
     "ann_recall_eval" -> "served-index recall audit: LSH leg reads g_bkt, brute leg bounded on the query sample, hits via one left join",
     "vec_topk_ivf_bq" -> "BIN_IVF composed: IVF cell routing + Hamming over the cached g_bq codes for cell candidates only — sublinear probe, 8-byte scan state, integer math end-to-end",
     "vec_topk_graph" -> "HNSW-style beam search: hub entry via TakeOrderedAndProject (no global window), 3 unrolled hops each = one hash join to the materialized g_knn edge view + broadcast-shortlist scoring + a qid-partitioned window; per-hop state |Q|*16 rows — corpus-size-independent once the graph is built",
-    "vec_append" -> "incremental append: the PRF-selected batch streams once through broadcast joins against the KB-sized served centroids/codebooks (max(struct) argmax, no window) + one explode groupBy for the BQ words — the corpus index is never rescanned, g_ivf_asg never touched")
+    "vec_append" -> "incremental append: the PRF-selected batch streams once through broadcast joins against the KB-sized served centroids/codebooks (max(struct) argmax, no window) + one explode groupBy for the BQ words — the corpus index is never rescanned, g_ivf_asg never touched",
+    "vec_topk_grouped" -> "the native bounded-state top-k: partial_graft_topk runs MAP-SIDE (ObjectHashAggregate before the Exchange), so the shuffle carries <=k pairs per (query, label) per partition instead of the full candidate stream a rank window would sort",
+    "q2_min_cost_supp" -> "group-wise argmin join-back: two combinable aggs + two partkey shuffles, region-filtered supplier dim broadcasts into both the per-part min and the join-back; the min equality is exact (same IEEE division both sides)",
+    "q9_product_profit" -> "five-join star: part LIKE filter prunes at its scan and broadcasts, revenue AND cost ride ONE combinable aggregation pass — no second join tree for the subtrahend",
+    "q11_important_parts" -> "fraction-of-global HAVING: the total re-aggregates the per-part OUTPUT (never a second fact scan) and broadcasts back as a 1-row cross join",
+    "q16_supplier_cnt" -> "NOT IN over a provably non-null subquery plans as a plain broadcast anti-join; count(distinct) becomes the two-level combinable aggregate via the distinct-pair projection",
+    "q20_excess_ship" -> "nested semi-joins: the part filter broadcasts into the fact scan, the qualifying-supplier set is a one-column broadcast LeftSemi against the supplier dim — one fact shuffle total",
+    "text_cooccur" -> "skip-gram pairs with NO token self-join: one per-doc lead(1..3) window (per-partition sort), explode position = distance, pair counts in one combinable groupBy; global top-20 via the 16-bucket pre-rank",
+    "data_curriculum" -> "per-source ntile over a total order (bounded per-partition sort, the sessionization shape) + one combinable rollup; per-row qualities pre-rounded and summed as exact decimals",
+    "graph_communities" -> "3 LPA rounds over the materialized g_knn edges: each round one hash join (labels onto edges) + the map-side-combinable max(struct(count,-label)) mode-argmax — no per-node window, label state referenced once per round",
+    "graph_modularity" -> "modularity over the checkpointed label view: integer-only census joins (simple-edge dedup, degree sums, intra-pair count), two double divisions in a 1-row projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
