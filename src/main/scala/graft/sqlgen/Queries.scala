@@ -4663,7 +4663,60 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("sum(n_words)")} as n_tokens,
          |  round(cast(sum(cast(quality as decimal(12,6))) as double) / count(*), 4) as avg_quality,
          |  min(quality) as min_quality, max(quality) as max_quality
-         |from st group by source, stage""".stripMargin
+         |from st group by source, stage""".stripMargin,
+
+    // LANGUAGE-ID EVALUATION — the classifier-eval harness the corpus
+    // ships ground truth for (documents.lang): the full confusion
+    // matrix of the stopword-vote heuristic vs the labeled language,
+    // with per-true-language recall. 'zh' has NO stopword list, so its
+    // row is the heuristic's honest blind spot (every zh doc lands on
+    // a European guess) — exactly what the eval is for. Two combinable
+    // aggregations (per-doc votes, then the |langs|² cell count) + a
+    // vocabulary-sized join back for the row totals. Integer counts,
+    // one division per cell.
+    "text_langid_eval" ->
+      s"""with $wordCtes,
+         |hits as (select doc_id,
+         |    sum(${inList("wd", stop("en"))}) as en_hits,
+         |    sum(${inList("wd", stop("de"))}) as de_hits,
+         |    sum(${inList("wd", stop("fr"))}) as fr_hits,
+         |    sum(${inList("wd", stop("es"))}) as es_hits
+         |  from wx group by doc_id),
+         |pred as (select doc_id,
+         |  case when en_hits >= de_hits and en_hits >= fr_hits and en_hits >= es_hits then 'en'
+         |       when de_hits >= fr_hits and de_hits >= es_hits then 'de'
+         |       when fr_hits >= es_hits then 'fr' else 'es' end as pred_lang
+         |from hits),
+         |cm as (select d.lang as true_lang, p.pred_lang, ${bigint("count(*)")} as n
+         |       from documents d join pred p on p.doc_id = d.doc_id
+         |       group by d.lang, p.pred_lang),
+         |rt as (select true_lang, sum(n) as t from cm group by true_lang)
+         |select cm.true_lang, cm.pred_lang, cm.n,
+         |  round(cm.n / cast(rt.t as double), 4) as recall
+         |from cm join rt on rt.true_lang = cm.true_lang""".stripMargin,
+
+    // TRAIN/VAL/TEST SPLIT MANIFEST — the deterministic hash split
+    // every training pipeline pins before anything else (80/10/10 on a
+    // keyed PRF of the doc id — stable under corpus growth: a doc's
+    // split never changes when neighbours arrive, unlike any
+    // rank/ntile split). Reports the per-(source, split) doc/token
+    // census and the realized fraction — the drift check against the
+    // intended ratios. One map-side projection + one combinable
+    // groupBy + a source-sized join for shares. Integer counts, one
+    // division.
+    "data_split" ->
+      s"""with sp as (select doc_id, source, ${d.arrLen(splitWs("text"))} as n_words,
+         |  case when ${prfMod(d)(100, "'split'", "doc_id")} < 80 then 'train'
+         |       when ${prfMod(d)(100, "'split'", "doc_id")} < 90 then 'val'
+         |       else 'test' end as split
+         |from documents),
+         |ag as (select source, split, ${bigint("count(*)")} as n_docs,
+         |         ${bigint("sum(n_words)")} as n_tokens
+         |       from sp group by source, split),
+         |st as (select source, sum(n_docs) as t from ag group by source)
+         |select ag.source, ag.split, ag.n_docs, ag.n_tokens,
+         |  round(ag.n_docs / cast(st.t as double), 4) as frac
+         |from ag join st on st.source = ag.source""".stripMargin
   )
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the

@@ -87,4 +87,58 @@ class R6gOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("text_langid_eval: confusion matrix matches a JVM vote mirror and conserves docs") {
+    val stop = Map(
+      "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+      "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"),
+      "es" -> Set("el", "los", "y", "es", "en", "un", "una", "de", "con", "por"))
+    val truth = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val expect = docs.map { case (id, text, _) =>
+      val ws = text.toLowerCase.split("\\s+")
+      def hits(l: String) = ws.count(stop(l))
+      val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+      val pred =
+        if (en >= de && en >= fr && en >= es) "en"
+        else if (de >= fr && de >= es) "de"
+        else if (fr >= es) "fr" else "es"
+      (truth(id), pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = run("text_langid_eval").collect()
+    val got = rows.map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")) ->
+      r.getAs[Long]("n")).toMap
+    assert(got == expect)
+    // conservation + recall definition
+    assert(got.values.sum == docs.length.toLong)
+    val rowTot = got.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    rows.foreach { r =>
+      val rec = r.getAs[Long]("n").toDouble / rowTot(r.getAs[String]("true_lang"))
+      assert(math.abs(r.getAs[Double]("recall") - rec) < 0.00011)
+    }
+  }
+
+  test("data_split: the hash split is the PRF mirror's and fractions track 80/10/10") {
+    val expect = docs.map { case (id, text, source) =>
+      val b = graft.functions.Prf.prfMod(100, "split", id)
+      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+      ((source, split), text.split("\\s+").length.toLong)
+    }.groupBy(_._1).map { case (k, v) => k -> (v.length.toLong, v.map(_._2).sum) }
+    val rows = run("data_split").collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, tok) = expect((r.getAs[String]("source"), r.getAs[String]("split")))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("n_tokens") == tok)
+    }
+    // realized global fractions stay near the intended 80/10/10 (the
+    // PRF is uniform; 3-sigma binomial bounds at corpus size)
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum.toDouble).toMap
+    val total = bySplit.values.sum
+    assert(math.abs(bySplit("train") / total - 0.80) < 0.06)
+    assert(math.abs(bySplit("val") / total - 0.10) < 0.05)
+    assert(math.abs(bySplit("test") / total - 0.10) < 0.05)
+  }
 }
