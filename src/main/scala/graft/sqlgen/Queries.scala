@@ -4716,7 +4716,63 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |st as (select source, sum(n_docs) as t from ag group by source)
          |select ag.source, ag.split, ag.n_docs, ag.n_tokens,
          |  round(ag.n_docs / cast(st.t as double), 4) as frac
-         |from ag join st on st.source = ag.source""".stripMargin
+         |from ag join st on st.source = ag.source""".stripMargin,
+
+    // TREND × SEASONALITY FORECAST — the capacity-planning composite of
+    // events_trend (OLS on daily counts) and events_seasonal (day-of-
+    // week indices): ŷ(d) = (intercept + slope·(d − d0)) · idx(d mod 7)
+    // for the next 7 days — the classical multiplicative decomposition
+    // forecast (Holt–Winters' seasonal idea with a closed-form fit, no
+    // sequential smoothing — every component is a combinable integer
+    // aggregation, so the fit is one pass at any scale). The OLS
+    // moments and dow profile are exact bigint sums off ONE daily
+    // rollup; the 7-row forecast grid joins them broadcast-trivially;
+    // all float math happens once per output row from integer inputs.
+    "events_forecast" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as n
+         |              from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |b as (select min(day) as d0, max(day) as dmax from daily),
+         |s as (select ${bigint("count(*)")} as m, ${bigint("sum(day - d0)")} as sx, ${bigint("sum(n)")} as sy,
+         |        ${bigint("sum((day - d0) * n)")} as sxy, ${bigint("sum((day - d0) * (day - d0))")} as sxx
+         |      from daily cross join b),
+         |prof as (select day % 7 as dow, ${bigint("count(*)")} as nd, ${bigint("sum(n)")} as tot
+         |         from daily group by day % 7),
+         |base as (select ${bigint("sum(tot)")} as gt, ${bigint("sum(nd)")} as gd from prof),
+         |grid as (select h from ${rangeTable("gh", "h", 1, 7)})
+         |select ${bigint("g.h")} as horizon_days, ${bigint("b.dmax + g.h")} as day,
+         |  ${bigint("(b.dmax + g.h) % 7")} as dow,
+         |  ${roundAway(d)("(cast(s.sy * s.sxx - s.sx * s.sxy as double) + cast(s.m * s.sxy - s.sx * s.sy as double) * (b.dmax + g.h - b.d0)) / cast(s.m * s.sxx - s.sx * s.sx as double)", 4)} as trend,
+         |  ${roundAway(d)("(cast(p.tot as double) / p.nd) / (cast(ba.gt as double) / ba.gd)", 4)} as seasonal_idx,
+         |  ${roundAway(d)("((cast(s.sy * s.sxx - s.sx * s.sxy as double) + cast(s.m * s.sxy - s.sx * s.sy as double) * (b.dmax + g.h - b.d0)) / cast(s.m * s.sxx - s.sx * s.sx as double)) * ((cast(p.tot as double) / p.nd) / (cast(ba.gt as double) / ba.gd))", 2)} as forecast
+         |from grid g cross join b cross join s cross join base ba
+         |join prof p on p.dow = (b.dmax + g.h) % 7""".stripMargin,
+
+    // BOT / AUTOMATION DETECTION — the training-data-hygiene gate over
+    // behavioral telemetry: per user, the coefficient of variation of
+    // inter-event gaps (humans are bursty, cv ≈ 1+; schedulers are
+    // metronomes, cv → 0 — the standard first-pass signal). Gaps in
+    // integer SECONDS from the per-user lag() window (bounded
+    // per-partition sort, the sessionization shape; second-granularity
+    // keeps the squared sums far from bigint overflow); mean and cv
+    // from EXACT integer moment sums per user — cv = √(n·Σg² − (Σg)²)
+    // / Σg, non-negative by Cauchy–Schwarz in exact arithmetic, one
+    // sqrt + one division per user row. Users with < 5 gaps abstain.
+    "events_bot_detect" ->
+      s"""with ev as (select user_id, ${evSec("ts")} as sec, event_id from events),
+         |sq as (select user_id,
+         |         sec - lag(sec) over (partition by user_id order by sec, event_id) as gap
+         |       from ev),
+         |g as (select user_id, ${bigint("count(*)")} as n_gaps, ${bigint("sum(gap)")} as sg,
+         |        ${bigint("sum(gap * gap)")} as sgg
+         |      from sq where gap is not null group by user_id
+         |      having count(*) >= 5)
+         |select ${bigint("user_id")} as user_id, n_gaps,
+         |  ${roundAway(d)("cast(sg as double) / n_gaps", 2)} as mean_gap_s,
+         |  case when sg > 0
+         |       then ${roundAway(d)("sqrt(cast(n_gaps * sgg - sg * sg as double)) / cast(sg as double)", 4)}
+         |       else cast(0 as double) end as gap_cv,
+         |  ${bigint(s"case when (sg > 0 and ${roundAway(d)("sqrt(cast(n_gaps * sgg - sg * sg as double)) / cast(sg as double)", 4)} < cast(0.3 as double)) or sg = 0 then 1 else 0 end")} as bot_like
+         |from g""".stripMargin
   )
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the
