@@ -69,7 +69,8 @@ object ScaleCheck {
     // chain-heavy queries (full inline chain — no WmCache views, so the
     // plane count under test is the one actually executed)
     val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding",
-      "vec_topk_filtered_lsh", "graph_triangles", "vec_topk_graph")
+      "vec_topk_filtered_lsh", "graph_triangles", "vec_topk_graph",
+      "graph_communities")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -81,7 +82,9 @@ object ScaleCheck {
       "events_attribution", "dedup_substring", "data_mix_weights",
       "events_reconcile", "vec_topk_binary", "dedup_incremental",
       "pack_sequences", "events_ab_test", "q18_big_orders",
-      "ann_nprobe_curve", "vec_append")
+      "ann_nprobe_curve", "vec_append",
+      "text_cooccur", "q2_min_cost_supp", "events_bot_detect",
+      "events_forecast", "data_curriculum")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -110,7 +113,8 @@ object ScaleCheck {
     // the served-index carrier re-assignment
     for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats",
       "multimodal_png_stats", "dedup_components", "search_hybrid_rrf",
-      "text_bpe_merges", "vec_ivf_reindex", "dedup_jaccard").filter(only)) {
+      "text_bpe_merges", "vec_ivf_reindex", "dedup_jaccard",
+      "vec_topk_grouped", "graph_modularity").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

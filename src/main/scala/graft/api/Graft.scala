@@ -341,6 +341,28 @@ final class Graft(spark: SparkSession, dir: String,
   /** The learned BPE merges applied: per-doc token counts +
     * compression (the tokenizer encode() path). */
   def bpeEncode: DataFrame = q("text_bpe_encode")
+  /** Native bounded-state per-(query, label) top-k (graft_topk). */
+  def topKGrouped: DataFrame = q("vec_topk_grouped")
+  /** Label-propagation communities over the served kNN graph. */
+  def communities: DataFrame = q("graph_communities")
+  /** Newman modularity of the LPA communities (clustering-quality gate). */
+  def modularity: DataFrame = q("graph_modularity")
+  /** Skip-gram co-occurrence pairs at window distance ≤ 3 (word2vec/
+    * GloVe training-data pass). */
+  def cooccurrence: DataFrame = q("text_cooccur")
+  /** Per-source quality-quartile curriculum manifest. */
+  def curriculum: DataFrame = q("data_curriculum")
+  /** Language-ID confusion matrix against the ground-truth lang column. */
+  def langidEval: DataFrame = q("text_langid_eval")
+  /** Deterministic 80/10/10 keyed-PRF train/val/test split census. */
+  def split: DataFrame = q("data_split")
+  /** 7-day trend × day-of-week-seasonality forecast. */
+  def forecast: DataFrame = q("events_forecast")
+  /** Inter-event-gap regularity (bot/automation) flags per user. */
+  def botDetect: DataFrame = q("events_bot_detect")
+  /** Group-wise argmin supplier (TPC-H Q2 shape); the other adapted
+    * TPC-H keys are reachable via query()/oracle-checked names. */
+  def minCostSuppliers: DataFrame = q("q2_min_cost_supp")
 }
 
 object Graft {
