@@ -4772,7 +4772,42 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       then ${roundAway(d)("sqrt(cast(n_gaps * sgg - sg * sg as double)) / cast(sg as double)", 4)}
          |       else cast(0 as double) end as gap_cv,
          |  ${bigint(s"case when (sg > 0 and ${roundAway(d)("sqrt(cast(n_gaps * sgg - sg * sg as double)) / cast(sg as double)", 4)} < cast(0.3 as double)) or sg = 0 then 1 else 0 end")} as bot_like
-         |from g""".stripMargin
+         |from g""".stripMargin,
+
+    // CUSUM CHANGEPOINT DETECTION — the level-shift monitor the
+    // trailing z-score (events_anomaly) can't see (a persistent step
+    // spreads over every window; the cumulative sum localizes it, Page
+    // 1954): argmax_k |Σ_{i≤k}(n_i − mean)| over daily counts. The
+    // deviation is EXACT: D_k = m·C_k − k·S (cumulative count C_k,
+    // total S, day count m — all bigint, no float drift over the
+    // cumulative sum), argmax via one max(struct(|D|, -day)) — the
+    // IVF-assignment trick, no second pass. The cumulative window runs
+    // over ONE partition of |days| rows — bounded by the CALENDAR, not
+    // the corpus (the events_anomaly O(24)-state argument); everything
+    // upstream is a combinable daily rollup. Before/after means via
+    // one conditional re-aggregation against the broadcast changepoint.
+    "events_changepoint" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as n
+         |              from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |tot as (select ${bigint("count(*)")} as m, ${bigint("sum(n)")} as s from daily),
+         |cum as (select day, ${bigint("sum(n) over (order by day rows between unbounded preceding and current row)")} as cn,
+         |               ${bigint("row_number() over (order by day)")} as rn
+         |        from daily),
+         |dev as (select c.day, abs(t.m * c.cn - c.rn * t.s) as ad
+         |        from cum c cross join tot t),
+         |cp as (select -(${d.fieldOf("mx", "nd")}) as cp_day, ${d.fieldOf("mx", "a")} as peak from (
+         |  select max(${d.structLit2("a", "ad", "nd", "-day")}) as mx from dev) _cp),
+         |ba as (select ${bigint("sum(case when d.day <= cp.cp_day then d.n else 0 end)")} as nb,
+         |         ${bigint("sum(case when d.day <= cp.cp_day then 1 else 0 end)")} as db,
+         |         ${bigint("sum(case when d.day > cp.cp_day then d.n else 0 end)")} as na,
+         |         ${bigint("sum(case when d.day > cp.cp_day then 1 else 0 end)")} as da
+         |       from daily d cross join cp)
+         |select ${bigint("cp.cp_day")} as cp_day, ${bigint("t.m")} as n_days,
+         |  ${roundAway(d)("cast(cp.peak as double) / t.m", 2)} as cusum_peak,
+         |  ${roundAway(d)("cast(ba.nb as double) / ba.db", 2)} as mean_before,
+         |  ${roundAway(d)("cast(ba.na as double) / ba.da", 2)} as mean_after,
+         |  ${roundAway(d)("cast(ba.na as double) / ba.da - cast(ba.nb as double) / ba.db", 2)} as level_shift
+         |from cp cross join tot t cross join ba""".stripMargin
   )
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the

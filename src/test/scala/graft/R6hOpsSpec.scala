@@ -75,4 +75,28 @@ class R6hOpsSpec extends AnyFunSuite {
     // the synthetic corpus is organic traffic: bursty users dominate
     assert(rows.count(_.getAs[Long]("bot_like") == 1L) < rows.length / 2)
   }
+
+  test("events_changepoint: the CUSUM argmax and level shift match the exact-integer mirror") {
+    val daily = events.map(_._2 / 86400L).groupBy(identity)
+      .map { case (day, vs) => day -> vs.length.toLong }
+    val m = daily.size.toLong
+    val s = daily.values.sum
+    val sorted = daily.toSeq.sortBy(_._1)
+    val cums = sorted.scanLeft((0L, 0L, 0L)) { case ((_, cn, rn), (day, n)) =>
+      (day, cn + n, rn + 1)
+    }.tail
+    val (cpDay, peak) = cums.map { case (day, cn, rn) =>
+      (day, math.abs(m * cn - rn * s))
+    }.maxBy { case (day, ad) => (ad, -day) }
+    val before = sorted.filter(_._1 <= cpDay); val after = sorted.filter(_._1 > cpDay)
+    val row = run("events_changepoint").collect().head
+    assert(row.getAs[Long]("cp_day") == cpDay)
+    assert(row.getAs[Long]("n_days") == m)
+    assert(math.abs(row.getAs[Double]("cusum_peak") - peak.toDouble / m) < 0.011)
+    val mb = before.map(_._2).sum.toDouble / before.length
+    val ma = after.map(_._2).sum.toDouble / after.length
+    assert(math.abs(row.getAs[Double]("mean_before") - mb) < 0.011)
+    assert(math.abs(row.getAs[Double]("mean_after") - ma) < 0.011)
+    assert(math.abs(row.getAs[Double]("level_shift") - (ma - mb)) < 0.021)
+  }
 }
