@@ -363,6 +363,10 @@ final class Graft(spark: SparkSession, dir: String,
   /** Group-wise argmin supplier (TPC-H Q2 shape); the other adapted
     * TPC-H keys are reachable via query()/oracle-checked names. */
   def minCostSuppliers: DataFrame = q("q2_min_cost_supp")
+  /** CUSUM level-shift changepoint over daily event counts. */
+  def changepoint: DataFrame = q("events_changepoint")
+  /** AMS second-moment / self-join-size sketch with measured error. */
+  def f2Sketch: DataFrame = q("sketch_f2_ams")
 }
 
 object Graft {

@@ -4807,7 +4807,36 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(ba.nb as double) / ba.db", 2)} as mean_before,
          |  ${roundAway(d)("cast(ba.na as double) / ba.da", 2)} as mean_after,
          |  ${roundAway(d)("cast(ba.na as double) / ba.da - cast(ba.nb as double) / ba.db", 2)} as level_shift
-         |from cp cross join tot t cross join ba""".stripMargin
+         |from cp cross join tot t cross join ba""".stripMargin,
+
+    // AMS F₂ SKETCH — the second-moment / SELF-JOIN-SIZE estimator
+    // (Alon–Matias–Szegedy 1996): sixteen ±1-signed frequency sums
+    // Z_t = Σ_w sign_t(w)·f(w), F̂₂ = mean(Z_t²) — the sketch behind
+    // join-cardinality estimation and skew detection (F₂ = the size of
+    // the word table self-joined on word; a planner's join-size stat
+    // at O(16) state where the exact answer needs the full frequency
+    // table). EVERYTHING integer-exact until the final divisions: the
+    // 16 signed sums ride ONE combinable aggregation as masked columns
+    // (the simhash trick — no 16× row expansion), signs are keyed PRF
+    // bits, Z ≤ total tokens so Z² fits bigint with 10⁹ headroom; the
+    // sketch is mergeable by addition (partials sum exactly). Exact F₂
+    // computed alongside to report rel_err — the estimator's measured
+    // accuracy (std err √(2/16) ≈ 35% per AMS; the mean-of-16 keeps
+    // the demo honest rather than cherry-picked).
+    "sketch_f2_ams" -> {
+      val zsums = (0 until 16).map(t =>
+        s"sum(c * (1 - 2 * ${prfMod(d)(2, s"'ams$t'", "wd")})) as z$t").mkString(",\n|          ")
+      val estNum = (0 until 16).map(t => s"z$t * z$t").mkString(" + ")
+      s"""with $wordCtes,
+         |wc as (select wd, ${bigint("count(*)")} as c from wx group by wd),
+         |zz as (select ${bigint("count(*)")} as n_types, ${bigint("sum(c * c)")} as f2,
+         |          $zsums
+         |       from wc)
+         |select n_types, f2 as f2_exact,
+         |  ${roundAway(d)(s"cast($estNum as double) / 16", 2)} as f2_est,
+         |  ${roundAway(d)(s"abs(cast($estNum as double) / 16 - cast(f2 as double)) / cast(f2 as double)", 4)} as rel_err
+         |from zz""".stripMargin
+    }
   )
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the

@@ -141,4 +141,24 @@ class R6gOpsSpec extends AnyFunSuite {
     assert(math.abs(bySplit("val") / total - 0.10) < 0.05)
     assert(math.abs(bySplit("test") / total - 0.10) < 0.05)
   }
+
+  test("sketch_f2_ams: the 16 signed sums and both moments match the exact mirror") {
+    val freq = docs.flatMap(_._2.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (w, vs) => w -> vs.length.toLong }
+    val f2 = freq.values.map(c => c * c).sum
+    val zs = (0 until 16).map { t =>
+      freq.map { case (w, c) =>
+        c * (1 - 2 * graft.functions.Prf.prfMod(2, s"ams$t", w))
+      }.sum
+    }
+    val est = zs.map(z => z.toDouble * z).sum / 16
+    val row = run("sketch_f2_ams").collect().head
+    assert(row.getAs[Long]("n_types") == freq.size.toLong)
+    assert(row.getAs[Long]("f2_exact") == f2)
+    assert(math.abs(row.getAs[Double]("f2_est") - est) < 0.5 + est * 1e-9)
+    assert(math.abs(row.getAs[Double]("rel_err") - math.abs(est - f2) / f2) < 1e-3)
+    // the AMS bound with 16 estimators: the mean lands within a few
+    // standard errors of the truth (std err = sqrt(2/16) ~ 35%)
+    assert(math.abs(est - f2) < 2.0 * f2)
+  }
 }
