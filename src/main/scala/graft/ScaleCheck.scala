@@ -84,7 +84,8 @@ object ScaleCheck {
       "pack_sequences", "events_ab_test", "q18_big_orders",
       "ann_nprobe_curve", "vec_append",
       "text_cooccur", "q2_min_cost_supp", "events_bot_detect",
-      "events_forecast", "data_curriculum")
+      "events_forecast", "data_curriculum", "events_changepoint",
+      "sketch_f2_ams")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
