@@ -367,6 +367,14 @@ final class Graft(spark: SparkSession, dir: String,
   def changepoint: DataFrame = q("events_changepoint")
   /** AMS second-moment / self-join-size sketch with measured error. */
   def f2Sketch: DataFrame = q("sketch_f2_ams")
+  /** Personalized PageRank from the query set (serving diffusion). */
+  def personalizedPagerank: DataFrame = q("graph_ppr")
+  /** Deterministic node2vec-style random-walk corpus. */
+  def randomWalks: DataFrame = q("graph_walks")
+  /** Reciprocal-kNN (mutual) edge filter. */
+  def mutualKnn: DataFrame = q("graph_mutual_knn")
+  /** Conversion-window funnel census (1 h click, 24 h purchase). */
+  def funnelWindowed: DataFrame = q("events_funnel_windowed")
 }
 
 object Graft {

@@ -4809,6 +4809,112 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(ba.na as double) / ba.da - cast(ba.nb as double) / ba.db", 2)} as level_shift
          |from cp cross join tot t cross join ba""".stripMargin,
 
+    // PERSONALIZED PAGERANK — the recommendation-serving twin of
+    // graph_pagerank (teleport to the QUERY set, not uniform: PPR is
+    // the relevance diffusion behind graph-based retrieval, Haveliwala
+    // 2002): 3 unrolled power-iteration steps in the SAME exact
+    // integer picorank arithmetic (teleport mass 10¹²/|Q| to the five
+    // query nodes, damping 0.85 via integer 85·x div 100), each step
+    // ONE edge join + ONE combinable groupBy(dst), each state
+    // referenced exactly once. The teleport base is a plan-time
+    // literal membership test — no teleport-table join. Output: every
+    // node the diffusion reaches, exact bigint picoranks (zero rows
+    // never surface — the reachability frontier IS the result).
+    "graph_ppr" -> {
+      def step(prev: String, next: String) =
+        s"""$next as (select n.id,
+           |      (case when n.id in ($qIdLit) then 30000000000 else 0 end)
+           |        + ${d.idiv(s"85 * coalesce(inc.s, 0)", "100")} as r
+           |      from nn n
+           |      left join (select e.dst, ${bigint(s"sum(${d.idiv(s"$prev.r", "e.odeg")})")} as s
+           |                 from e join $prev on $prev.id = e.src group by e.dst) inc on inc.dst = n.id)""".stripMargin
+      s"""${wmChain("knn")},
+         |od as (select src, count(*) as odeg from knn group by src),
+         |e as (select k.src, k.dst, ${bigint("o.odeg")} as odeg
+         |      from knn k join od o on o.src = k.src),
+         |r0 as (select id, cast(case when id in ($qIdLit) then 200000000000 else 0 end as bigint) as r from nn),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |select ${bigint("id")} as vec_id, ${bigint("r")} as ppr_pico
+         |from r3 where r > 0""".stripMargin
+    },
+
+    // DETERMINISTIC RANDOM-WALK CORPUS — the node2vec/DeepWalk
+    // training-data pass (Perozzi 2014, Grover 2016: walks ARE the
+    // sentences the embedding trains on): one 3-step walk per node
+    // over the served kNN graph, the "random" next hop chosen by a
+    // keyed-PRF argmax over the current node's out-edges — fully
+    // deterministic (reproducible corpus, the property a training
+    // pipeline actually needs) yet hash-distributed like a uniform
+    // pick. Each step = one edge join + one map-side-combinable
+    // max(struct(prf, -dst)); every step CTE carries the whole prefix
+    // forward and is referenced exactly ONCE (the beam-carry trick —
+    // no Catalyst CTE re-inlining blowup). Output: N rows × the full
+    // path, all bigint.
+    "graph_walks" -> {
+      def step(prev: String, t: Int, cols: String) =
+        s"""s$t as (select p.wid, $cols, -(${d.fieldOf("mx", "nd")}) as n$t from (
+           |  select $prev.wid, ${(0 until t).map(i => s"$prev.n$i").mkString(", ")},
+           |    max(${d.structLit2("h", prf(d)("'walk'", s"$prev.wid", s"'$t'", "e.dst"), "nd", "-e.dst")}) as mx
+           |  from $prev join knn e on e.src = $prev.n${t - 1}
+           |  group by $prev.wid, ${(0 until t).map(i => s"$prev.n$i").mkString(", ")}) p)""".stripMargin
+      s"""${wmChain("knn")},
+         |s0 as (select id as wid, id as n0 from nn),
+         |${step("s0", 1, "p.n0")},
+         |${step("s1", 2, "p.n0, p.n1")},
+         |${step("s2", 3, "p.n0, p.n1, p.n2")}
+         |select ${bigint("wid")} as walk_id, ${bigint("n0")} as n0, ${bigint("n1")} as n1,
+         |  ${bigint("n2")} as n2, ${bigint("n3")} as n3
+         |from s3""".stripMargin
+    },
+
+    // MUTUAL (RECIPROCAL) kNN FILTER — the noise-robust edge subset
+    // behind shared-nearest-neighbor clustering and reciprocal-rank
+    // dedup gating (Jarvis–Patrick 1973; a one-way kNN edge into a hub
+    // is weak evidence, a RECIPROCATED edge is strong): one self-join
+    // of the served kNN table on the reversed key, canonical a < b
+    // ordering, both directions' sims and ranks carried. Equality join
+    // on integer ids over the materialized graph — no similarity
+    // recomputation. The summary row count / fraction rides a
+    // downstream aggregate in the spec; the key serves the pairs.
+    "graph_mutual_knn" ->
+      s"""${wmChain("knn")}
+         |select ${bigint("a.src")} as id_a, ${bigint("a.dst")} as id_b,
+         |  a.sim as sim_ab, b.sim as sim_ba,
+         |  ${bigint("a.rn")} as rank_ab, ${bigint("b.rn")} as rank_ba
+         |from knn a join knn b on b.src = a.dst and b.dst = a.src
+         |where a.src < a.dst""".stripMargin,
+
+    // TIME-WINDOWED CONVERSION FUNNEL — events_funnel with the
+    // CONVERSION-WINDOW semantics every product-analytics funnel
+    // actually applies (a click counts only within 1 h of the first
+    // view; a purchase only within 24 h of that click): each stage is
+    // still a min-aggregation (order-free, no window sorts), the time
+    // bound rides the stage join predicate, and the report is the
+    // per-stage census + conversion rates. Three combinable user_id
+    // shuffles; integers until the two final divisions.
+    "events_funnel_windowed" ->
+      s"""with ev as (select user_id, event_type, ${evSec("ts")} as sec from events),
+         |v as (select user_id, min(sec) as t_view from ev where event_type = 'view' group by user_id),
+         |c as (select e.user_id, min(e.sec) as t_click
+         |      from ev e join v on v.user_id = e.user_id
+         |      where e.event_type = 'click' and e.sec >= v.t_view and e.sec <= v.t_view + 3600
+         |      group by e.user_id),
+         |p as (select e.user_id, min(e.sec) as t_buy
+         |      from ev e join c on c.user_id = e.user_id
+         |      where e.event_type = 'purchase' and e.sec >= c.t_click and e.sec <= c.t_click + 86400
+         |      group by e.user_id),
+         |f as (select ${bigint("count(*)")} as nv,
+         |        ${bigint("sum(case when c.user_id is not null then 1 else 0 end)")} as nc,
+         |        ${bigint("sum(case when p.user_id is not null then 1 else 0 end)")} as np
+         |      from v left join c on c.user_id = v.user_id
+         |             left join p on p.user_id = v.user_id)
+         |select nv as n_viewed, nc as n_clicked_1h, np as n_purchased_24h,
+         |  ${roundAway(d)("nc / cast(nv as double)", 4)} as view_to_click,
+         |  ${roundAway(d)("np / cast(nc as double)", 4)} as click_to_buy
+         |from f""".stripMargin,
+
     // AMS F₂ SKETCH — the second-moment / SELF-JOIN-SIZE estimator
     // (Alon–Matias–Szegedy 1996): sixteen ±1-signed frequency sums
     // Z_t = Σ_w sign_t(w)·f(w), F̂₂ = mean(Z_t²) — the sketch behind
