@@ -375,6 +375,8 @@ final class Graft(spark: SparkSession, dir: String,
   def mutualKnn: DataFrame = q("graph_mutual_knn")
   /** Conversion-window funnel census (1 h click, 24 h purchase). */
   def funnelWindowed: DataFrame = q("events_funnel_windowed")
+  /** Nearest-centroid (Rocchio) source classifier with accuracy census. */
+  def centroidClassify: DataFrame = q("text_centroid_classify")
 }
 
 object Graft {

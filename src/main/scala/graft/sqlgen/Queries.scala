@@ -4915,6 +4915,46 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("np / cast(nc as double)", 4)} as click_to_buy
          |from f""".stripMargin,
 
+    // NEAREST-CENTROID (ROCCHIO) SOURCE CLASSIFIER — the in-engine
+    // text classifier (Rocchio 1971; the shape behind fastText-style
+    // domain/quality filters, trained and applied in one query): each
+    // source's centroid is its document-frequency vector over the
+    // presence vocabulary, a doc classifies to the centroid with the
+    // highest cosine. DETERMINISM BY CONSTRUCTION, no per-cell
+    // logarithms (a naive-Bayes scoring would compute vocab×sources
+    // libm lns — each one a cross-engine ulp risk): the dot product is
+    // an INTEGER sum of df counts, both norms are single sqrts of
+    // integer sums, one division per (doc, source) pair — identical
+    // IEEE ops in both engines; argmax via max(struct(score, source)).
+    // In-corpus fit readout (a doc's own words sit in its source's
+    // centroid — the lm_score convention, stated not hidden). One word
+    // explode, two combinable groupBys, one vocabulary join; the
+    // (doc × matched-source) stream is ≤ |sources| × doc presence
+    // rows, all map-side-combinable. Output: per-source census +
+    // accuracy.
+    "text_centroid_classify" ->
+      s"""with $wordCtes,
+         |dw as (select distinct doc_id, wd from wx),
+         |dn as (select doc_id, ${bigint("count(*)")} as ndw from dw group by doc_id),
+         |src as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as df
+         |       from dw w join src s on s.doc_id = w.doc_id group by s.source, w.wd),
+         |cn as (select source, ${bigint("sum(df * df)")} as n2 from wf group by source),
+         |dt as (select w.doc_id, f.source, ${bigint("sum(f.df)")} as dot
+         |       from dw w join wf f on f.wd = w.wd group by w.doc_id, f.source),
+         |sc as (select dt.doc_id, dt.source,
+         |         ${roundAway(d)("dt.dot / (sqrt(cast(dn.ndw as double)) * sqrt(cast(cn.n2 as double)))", 6)} as score
+         |       from dt join dn on dn.doc_id = dt.doc_id
+         |               join cn on cn.source = dt.source),
+         |pr as (select doc_id, ${d.fieldOf("mx", "s")} as pred from (
+         |  select doc_id, max(${d.structLit2("sc", "score", "s", "source")}) as mx
+         |  from sc group by doc_id) _pr)
+         |select s.source as true_source, ${bigint("count(*)")} as n_docs,
+         |  ${bigint("sum(case when pr.pred = s.source then 1 else 0 end)")} as n_correct,
+         |  round(sum(case when pr.pred = s.source then 1 else 0 end) / cast(count(*) as double), 4) as accuracy
+         |from src s join pr on pr.doc_id = s.doc_id
+         |group by s.source""".stripMargin,
+
     // AMS F₂ SKETCH — the second-moment / SELF-JOIN-SIZE estimator
     // (Alon–Matias–Szegedy 1996): sixteen ±1-signed frequency sums
     // Z_t = Σ_w sign_t(w)·f(w), F̂₂ = mean(Z_t²) — the sketch behind

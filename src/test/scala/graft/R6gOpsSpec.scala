@@ -161,4 +161,46 @@ class R6gOpsSpec extends AnyFunSuite {
     // standard errors of the truth (std err = sqrt(2/16) ~ 35%)
     assert(math.abs(est - f2) < 2.0 * f2)
   }
+
+  test("text_centroid_classify: the per-source census matches a full Rocchio mirror") {
+    def round6(x: Double) = {
+      val m = 1e6
+      (if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)) / m
+    }
+    val presence = docs.map { case (id, text, source) =>
+      (id, source, text.toLowerCase.split("\\s+").toSet)
+    }
+    val df = scala.collection.mutable.Map.empty[(String, String), Long]
+    presence.foreach { case (_, s, ws) =>
+      ws.foreach(w => df((s, w)) = df.getOrElse((s, w), 0L) + 1L)
+    }
+    val norms = df.toSeq.groupBy(_._1._1)
+      .map { case (s, es) => s -> math.sqrt(es.map(e => (e._2 * e._2).toDouble).sum) }
+    val preds = presence.map { case (id, s, ws) =>
+      val scores = norms.keys.flatMap { cand =>
+        val dot = ws.toSeq.map(w => df.getOrElse((cand, w), 0L)).sum
+        if (dot > 0)
+          Some(cand -> round6(dot / (math.sqrt(ws.size.toDouble) * norms(cand))))
+        else None
+      }
+      // max(struct(score, source)): score first, source string on ties
+      val best = scores.maxBy { case (cand, sc) => (sc, cand) }._1
+      (s, best)
+    }
+    val expect = preds.groupBy(_._1).map { case (s, ps) =>
+      s -> (ps.length.toLong, ps.count(p => p._2 == s).toLong)
+    }
+    val rows = run("text_centroid_classify").collect()
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, correct) = expect(r.getAs[String]("true_source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_correct") == correct)
+      assert(math.abs(r.getAs[Double]("accuracy") - correct.toDouble / n) < 0.00011)
+    }
+    // the classifier beats the 1/|sources| chance floor overall — the
+    // centroids carry real signal
+    val (tot, corr) = expect.values.foldLeft((0L, 0L)) { case ((a, b), (n, c)) => (a + n, b + c) }
+    assert(corr.toDouble / tot > 1.0 / expect.size)
+  }
 }
