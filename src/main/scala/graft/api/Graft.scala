@@ -377,6 +377,8 @@ final class Graft(spark: SparkSession, dir: String,
   def funnelWindowed: DataFrame = q("events_funnel_windowed")
   /** Nearest-centroid (Rocchio) source classifier with accuracy census. */
   def centroidClassify: DataFrame = q("text_centroid_classify")
+  /** Steganalysis-resistance readout: KS + mean shift of the embed. */
+  def steganalysis: DataFrame = q("wm_steganalysis")
 }
 
 object Graft {

@@ -2249,6 +2249,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(sqrt(greatest(avg(cos_sim * cos_sim) - avg(cos_sim) * avg(cos_sim), cast(0 as double))), 6) as std_cos
          |from drift""".stripMargin,
 
+    // STEGANALYSIS RESISTANCE — the security-evaluation leg of the
+    // watermark suite (can an attacker DETECT the mark from value
+    // distributions alone? Cachin 1998's statistical-undetectability
+    // criterion): grid-approximated two-sample KS distance between the
+    // carriers' original and watermarked cell values (normalized
+    // space), plus the exact mean shift. ONE pass buckets both sides
+    // into 41 integer histogram cells (no pair×grid row expansion);
+    // the CDF race runs over the 41×41 grid join (plan-time tiny);
+    // KS = max integer count gap at the bucket boundaries, exact. The
+    // mean shift uses 6dp pre-rounded decimal sums (order-free). The
+    // pair join reads the cached g_stego/exn views; QIM's expected
+    // per-cell displacement is ≤ delta/2 in a unit-norm space, so a
+    // healthy embed shows KS ≈ bucket width and mean_shift ≈ 0 —
+    // drift beyond that is the steganalysis alarm.
+    "wm_steganalysis" ->
+      s"""${wmChain("stego")},
+         |pair as (select x.val / x.nrm as ov, s.sval / x.nrm as sv
+         |         from exn x join stego s on s.id = x.id and s.pos = x.pos),
+         |hist as (select least(40, greatest(0, ${bigint("floor((ov + 1) * 20)")})) as bo,
+         |                least(40, greatest(0, ${bigint("floor((sv + 1) * 20)")})) as bs
+         |         from pair),
+         |ho as (select bo as b, ${bigint("count(*)")} as c from hist group by bo),
+         |hs as (select bs as b, ${bigint("count(*)")} as c from hist group by bs),
+         |grid as (select ${bigint("g")} as b from ${rangeTable("gg", "g", 0, 40)}),
+         |cdf as (select g.b,
+         |          ${bigint("sum(case when ho.b <= g.b then ho.c else 0 end)")} as co
+         |        from grid g cross join ho group by g.b),
+         |cds as (select g.b,
+         |          ${bigint("sum(case when hs.b <= g.b then hs.c else 0 end)")} as cs
+         |        from grid g cross join hs group by g.b),
+         |ks as (select max(abs(cdf.co - cds.cs)) as dmax
+         |       from cdf join cds on cds.b = cdf.b),
+         |mo as (select ${bigint("count(*)")} as n_cells,
+         |         sum(cast(${roundAway(d)("ov", 6)} as decimal(16,6))) as so,
+         |         sum(cast(${roundAway(d)("sv", 6)} as decimal(16,6))) as ss
+         |       from pair)
+         |select mo.n_cells,
+         |  ${roundAway(d)("cast(ks.dmax as double) / mo.n_cells", 4)} as ks_stat,
+         |  ${roundAway(d)("cast(mo.ss - mo.so as double) / mo.n_cells", 6)} as mean_shift
+         |from ks cross join mo""".stripMargin,
+
     // carrier backup: snapshot of the carriers' PRE-embed cells — what
     // the reference's backup_vectors stores before embedding so the
     // attack suite can roll back (reference: pg_func.py:441,

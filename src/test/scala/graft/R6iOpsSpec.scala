@@ -102,4 +102,42 @@ class R6iOpsSpec extends AnyFunSuite {
     // the windowed funnel is a subset of the unwindowed one
     assert(views.size >= clicks.size && clicks.size >= buys.size)
   }
+
+  test("wm_steganalysis: KS + mean shift match a mirror over the backup/embed cells") {
+    // originals from the oracle-checked backup key, stego values from
+    // the embed key — both 6dp-rounded; the normalized mirror divides
+    // by the per-vector norm recomputed from raw parquet
+    val nrm = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+        r.getAs[Long]("vec_id") -> math.sqrt(v.map(x => x * x).sum)
+      }.toMap
+    val orig = SparkEntry.queries("wm_backup")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")) -> r.getAs[Double]("val")).toMap
+    val steg = SparkEntry.queries("wm_embed")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")) -> r.getAs[Double]("stego_val")).toMap
+    assert(orig.keySet == steg.keySet)
+    val pairs = orig.keys.toSeq.map { k =>
+      (orig(k) / nrm(k._1), steg(k) / nrm(k._1))
+    }
+    def bucket(v: Double) = math.min(40L, math.max(0L, math.floor((v + 1) * 20).toLong))
+    val n = pairs.length
+    val ho = pairs.groupBy(p => bucket(p._1)).view.mapValues(_.size.toLong).toMap
+    val hs = pairs.groupBy(p => bucket(p._2)).view.mapValues(_.size.toLong).toMap
+    val ks = (0L to 40L).map { b =>
+      val co = (0L to b).map(ho.getOrElse(_, 0L)).sum
+      val cs = (0L to b).map(hs.getOrElse(_, 0L)).sum
+      math.abs(co - cs)
+    }.max.toDouble / n
+    val meanShift = pairs.map { case (o, s) => s - o }.sum / n
+    val row = run("wm_steganalysis").collect().head
+    assert(row.getAs[Long]("n_cells") == n.toLong)
+    // the mirror works from 6dp-rounded cells; allow bucket-edge slack
+    assert(math.abs(row.getAs[Double]("ks_stat") - ks) <= 2.0 / n + 1e-9)
+    assert(math.abs(row.getAs[Double]("mean_shift") - meanShift) < 1e-5)
+    // statistical undetectability: QIM displacement stays within a
+    // bucket or two of mass, and the mark is mean-free
+    assert(row.getAs[Double]("ks_stat") < 0.2)
+    assert(math.abs(row.getAs[Double]("mean_shift")) < 0.005)
+  }
 }
