@@ -4759,6 +4759,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(ag.n_docs / cast(st.t as double), 4) as frac
          |from ag join st on st.source = ag.source""".stripMargin,
 
+    // COHORT RETENTION MATRIX — the full weekly cohort × age triangle
+    // (events_retention reports fixed d+1/d+7 flags; this is the whole
+    // curve product analytics actually reads): users cohorted by
+    // first-activity week, per (cohort, weeks-since) the distinct
+    // active users and the retention share against the cohort size.
+    // The distinct-(cohort, age, user) projection makes the matrix one
+    // two-level combinable aggregation (no count-distinct shuffle of
+    // raw events); cohort sizes re-aggregate the age-0 row — never a
+    // second scan. |weeks|² output cells, corpus-size-independent.
+    "events_cohort_matrix" ->
+      s"""with ev as (select user_id, ${d.idiv(evSec("ts"), "604800")} as wk from events),
+         |fc as (select user_id, min(wk) as w0 from ev group by user_id),
+         |act as (select distinct e.user_id, fc.w0 as cohort_wk, e.wk - fc.w0 as age_wk
+         |        from ev e join fc on fc.user_id = e.user_id),
+         |mx as (select cohort_wk, age_wk, ${bigint("count(*)")} as n_active
+         |       from act group by cohort_wk, age_wk),
+         |cs as (select cohort_wk, n_active as n_cohort from mx where age_wk = 0)
+         |select ${bigint("m.cohort_wk")} as cohort_wk, ${bigint("m.age_wk")} as age_wk,
+         |  m.n_active, cs.n_cohort,
+         |  round(m.n_active / cast(cs.n_cohort as double), 4) as retention
+         |from mx m join cs on cs.cohort_wk = m.cohort_wk""".stripMargin,
+
     // TREND × SEASONALITY FORECAST — the capacity-planning composite of
     // events_trend (OLS on daily counts) and events_seasonal (day-of-
     // week indices): ŷ(d) = (intercept + slope·(d − d0)) · idx(d mod 7)

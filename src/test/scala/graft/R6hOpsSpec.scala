@@ -76,6 +76,27 @@ class R6hOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("bot_like") == 1L) < rows.length / 2)
   }
 
+  test("events_cohort_matrix: the weekly cohort triangle matches the mirror") {
+    val wk = events.map(e => (e._1, e._2 / 604800L))
+    val first = wk.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val act = wk.map { case (u, w) => (first(u), w - first(u), u) }.distinct
+    val mx = act.groupBy(a => (a._1, a._2)).map { case (k, as) => k -> as.length.toLong }
+    val cs = mx.collect { case ((c, 0L), n) => c -> n }
+    val rows = run("events_cohort_matrix").collect()
+    assert(rows.length == mx.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("cohort_wk"), r.getAs[Long]("age_wk"))
+      assert(r.getAs[Long]("n_active") == mx(k))
+      assert(r.getAs[Long]("n_cohort") == cs(k._1))
+      assert(math.abs(r.getAs[Double]("retention") - mx(k).toDouble / cs(k._1)) < 0.00011)
+      // retention is a share of the cohort
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+    }
+    // age 0 is by definition full retention
+    rows.filter(_.getAs[Long]("age_wk") == 0L)
+      .foreach(r => assert(r.getAs[Double]("retention") == 1.0))
+  }
+
   test("events_changepoint: the CUSUM argmax and level shift match the exact-integer mirror") {
     val daily = events.map(_._2 / 86400L).groupBy(identity)
       .map { case (day, vs) => day -> vs.length.toLong }
