@@ -5045,7 +5045,84 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)(s"cast($estNum as double) / 16", 2)} as f2_est,
          |  ${roundAway(d)(s"abs(cast($estNum as double) / 16 - cast(f2 as double)) / cast(f2 as double)", 4)} as rel_err
          |from zz""".stripMargin
-    }
+    },
+
+    // LAG-k AUTOCORRELATION (ACF) — the seasonality/memory diagnostic
+    // over the daily event-count series (Box–Jenkins 1970; the check
+    // a forecasting pipeline runs before fitting anything): r_k for
+    // k = 1..7 in EXACT integer arithmetic — the centered moments are
+    // multiplied out by m², so numerator and denominator are bigint
+    // sums of daily counts (m²·P_k − m·S·(A_k+B_k) + (m−k)·S² over
+    // m²·Q − m·S²: no float accumulation order for the engines to
+    // disagree on), ONE double division per lag at the end. The daily
+    // series is an aggregated ≤ n_days-row table, so the row_number
+    // and the 7-lag alignment self-join touch tens of rows — the
+    // events-table scan is the only at-scale cost and it is one
+    // combinable count shuffle. Bigint ceiling: x² caps daily counts
+    // at ~3·10⁹/day; past that, aggregate the series at a coarser
+    // count unit first (the §4 ladder move).
+    "events_autocorr" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as x
+         |               from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |idx as (select day, x, ${bigint("row_number() over (order by day)")} as rn from daily),
+         |tot as (select ${bigint("count(*)")} as m, ${bigint("sum(x)")} as s, ${bigint("sum(x * x)")} as q from daily),
+         |lagged as (select kk.k, ${bigint("count(*)")} as np, ${bigint("sum(a.x * b.x)")} as pk,
+         |             ${bigint("sum(a.x)")} as ak, ${bigint("sum(b.x)")} as bk
+         |           from idx a cross join ${rangeTable("kk", "k", 1, 7)}
+         |           join idx b on b.rn = a.rn - kk.k
+         |           group by kk.k)
+         |select ${bigint("l.k")} as lag, ${bigint("l.np")} as n_pairs,
+         |  ${roundAway(d)("cast(t.m * t.m * l.pk - t.m * t.s * (l.ak + l.bk) + l.np * t.s * t.s as double) / cast(t.m * t.m * t.q - t.m * t.s * t.s as double)", 4)} as acf
+         |from lagged l cross join tot t""".stripMargin,
+
+    // KAPLAN–MEIER CONVERSION SURVIVAL — time-to-first-HIGH-VALUE
+    // purchase (value ≥ 180) from each user's first event, with RIGHT
+    // CENSORING at the corpus end (Kaplan & Meier 1958; the estimator
+    // product analytics runs for "how long until users convert" when
+    // many never do inside the window — dropping them would bias the
+    // curve, censoring keeps them in every risk set they survived).
+    // Float determinism: ln/exp cross the libm boundary once each —
+    // the per-duration hazard ln(1 − d/n) is quantized onto an exact
+    // 1e-7 integer grid (engine ulp differences vanish at the grid,
+    // quantization itself is identical in both engines), the running
+    // KM product is then an EXACT bigint prefix sum over the
+    // ≤ n_days aggregated duration rows, and exp surfaces only in the
+    // final rounded output column. The per-user reduction is one
+    // combinable groupBy of the events scan; everything after runs on
+    // a table no larger than the day span (the windows here order ≤
+    // n_days aggregated rows — not a corpus window).
+    "events_survival" ->
+      s"""with ed as (select user_id, event_type, value, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |bounds as (select ${bigint("max(day)")} as last_day from ed),
+         |u0 as (select user_id, ${bigint("min(day)")} as d0 from ed group by user_id),
+         |cv as (select user_id, ${bigint("min(case when event_type = 'purchase' and value >= 180 then day end)")} as tp
+         |       from ed group by user_id),
+         |life as (select u.user_id,
+         |           case when c.tp is not null then c.tp - u.d0 else b.last_day - u.d0 end as dur,
+         |           case when c.tp is not null then 0 else 1 end as cens
+         |         from u0 u join cv c on c.user_id = u.user_id cross join bounds b),
+         |tot as (select ${bigint("count(*)")} as n from life),
+         |ev as (select dur, ${bigint("sum(1 - cens)")} as d_ev, ${bigint("sum(cens)")} as d_cs,
+         |              ${bigint("count(*)")} as leaving
+         |       from life group by dur),
+         |risk as (select ev.dur, ev.d_ev, ev.d_cs,
+         |           t.n - coalesce(${bigint("sum(ev.leaving) over (order by ev.dur rows between unbounded preceding and 1 preceding)")}, 0) as n_risk
+         |         from ev cross join tot t),
+         |hz as (select dur, d_ev, d_cs, n_risk,
+         |         case when d_ev > 0 and d_ev < n_risk
+         |              then ${bigint(roundAway(d)("ln(1.0 - d_ev / cast(n_risk as double)) * 10000000", 0))}
+         |              else 0 end as lhz,
+         |         case when d_ev >= n_risk then 1 else 0 end as absorbed
+         |       from risk),
+         |km as (select dur, n_risk, d_ev, d_cs,
+         |         ${bigint("sum(lhz) over (order by dur rows between unbounded preceding and current row)")} as clhz,
+         |         max(absorbed) over (order by dur rows between unbounded preceding and current row) as ab
+         |       from hz)
+         |select ${bigint("dur")} as dur_days, ${bigint("n_risk")} as n_risk,
+         |  ${bigint("d_ev")} as n_conversions, ${bigint("d_cs")} as n_censored,
+         |  case when ab = 1 then cast(0.0 as double)
+         |       else ${roundAway(d)("exp(cast(clhz as double) / 10000000)", 4)} end as survival
+         |from km""".stripMargin
   )
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the
