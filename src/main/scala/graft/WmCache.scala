@@ -61,7 +61,8 @@ object WmCache {
     "ann_nprobe_curve", "wm_capacity", "vec_topk_ivf_bq",
     "vec_topk_graph", "vec_append", "index_catalog", "vec_outliers",
     "vec_knn_classify", "vec_delete", "graph_communities",
-    "graph_ppr", "graph_walks", "graph_mutual_knn", "wm_steganalysis")
+    "graph_ppr", "graph_walks", "graph_mutual_knn", "wm_steganalysis",
+    "vec_kmeans_step", "graph_kcore")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

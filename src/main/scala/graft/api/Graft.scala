@@ -379,6 +379,14 @@ final class Graft(spark: SparkSession, dir: String,
   def centroidClassify: DataFrame = q("text_centroid_classify")
   /** Steganalysis-resistance readout: KS + mean shift of the embed. */
   def steganalysis: DataFrame = q("wm_steganalysis")
+  /** Lag-1..7 autocorrelation of the daily event-count series. */
+  def autocorrelation: DataFrame = q("events_autocorr")
+  /** Kaplan–Meier time-to-conversion curve with right censoring. */
+  def survivalCurve: DataFrame = q("events_survival")
+  /** One Lloyd refinement round over the served IVF index. */
+  def kmeansStep: DataFrame = q("vec_kmeans_step")
+  /** 8-core of the mutual-kNN graph (unrolled peeling). */
+  def kCore: DataFrame = q("graph_kcore")
 }
 
 object Graft {

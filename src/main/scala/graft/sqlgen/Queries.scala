@@ -5075,6 +5075,85 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(t.m * t.m * l.pk - t.m * t.s * (l.ak + l.bk) + l.np * t.s * t.s as double) / cast(t.m * t.m * t.q - t.m * t.s * t.s as double)", 4)} as acf
          |from lagged l cross join tot t""".stripMargin,
 
+    // ONE LLOYD REFINEMENT ROUND over the served IVF index — the
+    // index-retraining leg (faiss trains k-means to convergence; a
+    // production deployment re-runs refinement rounds as the corpus
+    // drifts, and THIS is what one round costs at scale): per-cell
+    // mean of the assigned members (the 64·N exploded groupBy — the
+    // same shape as vec_centroids), centroid movement ‖c_new − c_old‖,
+    // and the within-cell inertia before vs after. The after-inertia
+    // needs NO second member pass: Σ‖x − x̄‖² = Σ‖x‖² − n·‖x̄‖² (unit
+    // members), so it folds from the new centroid alone — and Lloyd
+    // guarantees after ≤ before, the spec-pinned monotonicity. Float
+    // determinism: member components and per-member dots are
+    // roundAway-quantized BEFORE the exact decimal sums (the
+    // cluster_stats rule: a rounded double sits ~1e-16 from its
+    // decimal grid point, so the decimal cast is unambiguous in both
+    // engines); per-cell folds are ordered array reductions.
+    "vec_kmeans_step" -> {
+      val chain =
+        if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |mem as (select a.cell, nn.n from asgF a join nn on nn.id = a.id),
+         |mx as (select cell, pos, val from ${d.explodeFrom("mem", "n", "pos", "val", Seq("cell"))} _mx),
+         |ncomp as (select cell, pos,
+         |            cast(sum(cast(${roundAway(d)("val", 9)} as decimal(28, 9))) as double) / count(*) as np
+         |          from mx group by cell, pos),
+         |diff as (select n.cell, n.pos, n.np, ${d.arrIdx0("c.cv", "n.pos - 1")} as op
+         |         from ncomp n join ct2 c on c.cell = n.cell),
+         |agg as (select cell, ${d.arrAggOrdered("np", "pos")} as na,
+         |               ${d.arrAggOrdered("np - op", "pos")} as da
+         |        from diff group by cell),
+         |ib as (select a.cell, ${bigint("count(*)")} as n_members,
+         |         cast(sum(cast(${roundAway(d)(d.dot("nn.n", "c.cv"), 6)} as decimal(18, 6))) as double) as sdot,
+         |         min(${roundAway(d)(d.dot("c.cv", "c.cv"), 6)}) as cc2
+         |       from asgF a join nn on nn.id = a.id join ct2 c on c.cell = a.cell
+         |       group by a.cell)
+         |select ${bigint("ib.cell")} as cell, ib.n_members,
+         |  ${roundAway(d)(s"sqrt(${d.dot("ag.da", "ag.da")})", 6)} as movement,
+         |  ${roundAway(d)("ib.n_members * (1 + ib.cc2) - 2 * ib.sdot", 4)} as inertia_before,
+         |  ${roundAway(d)(s"ib.n_members * (1 - ${d.dot("ag.na", "ag.na")})", 4)} as inertia_after
+         |from ib join agg ag on ag.cell = ib.cell""".stripMargin
+    },
+
+    // k-CORE DECOMPOSITION over the reciprocal-kNN graph — the
+    // density backbone (Seidman 1983; the community-core filter
+    // behind graph-based cluster seeding, and the kNN-graph twin of
+    // the reference's HNSW neighborhood structure): iteratively peel
+    // nodes with fewer than k = 8 mutual neighbors until the 8-core
+    // fixpoint. The directed kNN out-degree is K for every node, so
+    // the MUTUAL graph is where degree varies — peeling it keeps the
+    // genuinely dense regions. Each unrolled round carries the EDGE
+    // set forward and derives both endpoint degrees from two
+    // node-partitioned count windows (≤ K rows per partition — never
+    // a corpus sort), so every round's state is referenced exactly
+    // ONCE (no Catalyst CTE re-inlining blowup, the beam-carry rule)
+    // and a round costs two bounded window passes over the edge
+    // table. 8 unrolled rounds is the convergence-depth knob (the
+    // pagerank convention); the spec peels to fixpoint in the JVM
+    // and pins that 8 rounds reach it at this corpus.
+    "graph_kcore" -> {
+      def peel(prev: String, next: String) =
+        s"""$next as (select src, dst from (
+           |  select src, dst, count(*) over (partition by src) as ds,
+           |         count(*) over (partition by dst) as dd
+           |  from $prev) _$next where ds >= 8 and dd >= 8)""".stripMargin
+      s"""${wmChain("knn")},
+         |mu as (select a.src, a.dst from knn a join knn b on b.src = a.dst and b.dst = a.src),
+         |${peel("mu", "p1")},
+         |${peel("p1", "p2")},
+         |${peel("p2", "p3")},
+         |${peel("p3", "p4")},
+         |${peel("p4", "p5")},
+         |${peel("p5", "p6")},
+         |${peel("p6", "p7")},
+         |${peel("p7", "p8")}
+         |select ${bigint("src")} as vec_id, ${bigint("count(*)")} as core_deg
+         |from p8 group by src""".stripMargin
+    },
+
     // KAPLAN–MEIER CONVERSION SURVIVAL — time-to-first-HIGH-VALUE
     // purchase (value ≥ 180) from each user's first event, with RIGHT
     // CENSORING at the corpus end (Kaplan & Meier 1958; the estimator

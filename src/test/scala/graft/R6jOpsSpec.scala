@@ -77,4 +77,76 @@ class R6jOpsSpec extends AnyFunSuite {
     // the censoring is real on this corpus: some users never convert
     assert(got.map(_._4).sum > 0 && got.map(_._3).sum > 0)
   }
+
+  /** roundAway mirror: round-half-away-from-zero via floor. */
+  private def rnd(x: Double, dec: Int): Double = {
+    val m = math.pow(10, dec)
+    (if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)) / m
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private lazy val normVecs: Map[Long, Array[Double]] =
+    spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      val nrm = math.sqrt(dot(v, v))
+      r.getAs[Long]("vec_id") -> v.map(_ / nrm)
+    }.toMap
+
+  test("graph_kcore: the 8-round peel equals the JVM fixpoint 8-core of the mutual graph") {
+    val dirEdges = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val mutual = dirEdges.filter { case (a, b) => dirEdges.contains((b, a)) }
+    var edges = mutual
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val next = edges.filter { case (a, b) => deg(a) >= 8 && deg(b) >= 8 }
+      changed = next != edges
+      if (changed) rounds += 1
+      edges = next
+    }
+    assert(rounds <= 8, s"peel needs $rounds rounds; the unrolled key has 8")
+    val expect = edges.toSeq.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val got = run("graph_kcore").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("core_deg")).toMap
+    assert(got == expect)
+    // the peel bites: the 8-core is a strict subset of the mutual graph
+    assert(got.nonEmpty && got.size < mutual.map(_._1).size)
+    got.values.foreach(dg => assert(dg >= 8))
+  }
+
+  test("vec_kmeans_step: one Lloyd round matches the mirror and never increases inertia") {
+    val rows = run("vec_kmeans_step").collect()
+    val cents = spark.table("g_ivf_ct").collect()
+      .map(r => r.getAs[Long]("cell") -> r.getSeq[Double](r.fieldIndex("cv")).toArray).toMap
+    val members = spark.table("g_ivf_asg").collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(x => normVecs(x._2)) }
+    assert(rows.map(_.getAs[Long]("cell")).toSet == members.keySet)
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val ms = members(cell)
+      val cv = cents(cell)
+      val dim = cv.length
+      assert(r.getAs[Long]("n_members") == ms.length.toLong)
+      val np = Array.tabulate(dim)(p => ms.map(v => rnd(v(p), 9)).sum / ms.length)
+      val da = Array.tabulate(dim)(p => np(p) - cv(p))
+      val sdot = ms.map(v => rnd(dot(v, cv), 6)).sum
+      val cc2 = rnd(dot(cv, cv), 6)
+      assert(math.abs(r.getAs[Double]("movement") - math.sqrt(dot(da, da))) < 1e-5, s"movement cell $cell")
+      val before = ms.length * (1 + cc2) - 2 * sdot
+      val after = ms.length * (1 - dot(np, np))
+      assert(math.abs(r.getAs[Double]("inertia_before") - before) < 5e-4, s"before cell $cell")
+      assert(math.abs(r.getAs[Double]("inertia_after") - after) < 5e-4, s"after cell $cell")
+      // Lloyd monotonicity: the mean is the within-cell minimizer
+      assert(r.getAs[Double]("inertia_after") <= r.getAs[Double]("inertia_before") + 1e-3,
+        s"inertia increased in cell $cell")
+    }
+  }
 }
