@@ -387,6 +387,10 @@ final class Graft(spark: SparkSession, dir: String,
   def kmeansStep: DataFrame = q("vec_kmeans_step")
   /** 8-core of the mutual-kNN graph (unrolled peeling). */
   def kCore: DataFrame = q("graph_kcore")
+  /** Recall@10 vs beam width for the graph-navigable search. */
+  def beamCurve: DataFrame = q("graph_beam_curve")
+  /** Overwriting attack: pirate re-embed + dual-mark extraction. */
+  def overwriteAttack: DataFrame = q("wm_overwrite")
 }
 
 object Graft {

@@ -681,8 +681,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       case "knn"      => parts.take(5)
       case "carriers" | "backup" => parts.take(6)
       case "stego"    => parts.take(8)
-      // stego + carriers visible together (backup/restore queries)
-      case "restore"  => parts.take(8)
+      // stego + carriers visible together (backup/restore/overwrite)
+      case "restore" | "overwrite" => parts.take(8)
       case "extract"  => parts
     }
     "with " + need.mkString(",\n")
@@ -701,6 +701,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     case "stego"    => Seq(nvCtes, exnCte, msgbitsCte,
       viewAlias("bkt", "g_bkt"), viewAlias("stego", "g_stego"))
     case "restore"  => Seq(nvCtes, exnCte,
+      viewAlias("carriers", "g_carriers"), viewAlias("stego", "g_stego"))
+    case "overwrite" => Seq(nvCtes, exnCte, msgbitsCte,
       viewAlias("carriers", "g_carriers"), viewAlias("stego", "g_stego"))
     case "extract"  => Seq(viewAlias("stego", "g_stego"), extractCtes("stego"))
   }).mkString(",\n")
@@ -5045,6 +5047,141 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)(s"cast($estNum as double) / 16", 2)} as f2_est,
          |  ${roundAway(d)(s"abs(cast($estNum as double) / 16 - cast(f2 as double)) / cast(f2 as double)", 4)} as rel_err
          |from zz""".stripMargin
+    },
+
+    // GRAPH-SEARCH BEAM-WIDTH TUNING CURVE — recall@10 at beam ∈
+    // {4, 8, 16} for the HNSW-style search (the ef_search knob every
+    // hnswlib/Milvus deployment tunes; the graph twin of
+    // ann_nprobe_curve and minhash_band_curve): three independent
+    // 3-hop beam chains over the served kNN graph (each hop = one
+    // dedup'd frontier expansion + one scored broadcast join + one
+    // per-query partitioned top-beam window, every hop state
+    // referenced exactly ONCE — the beam-carry rule), a tagged union
+    // of the three final beams re-ranked to top-10, and the bounded
+    // O(|Q|·N) brute leg as the recall reference. All candidate
+    // tables are |Q|·beam-sized between hops — the corpus appears
+    // only in the scored joins.
+    "graph_beam_curve" -> {
+      def hopB(beam: Int)(prev: String, next: String): String =
+        s"""$next as (select qid, cid, sim from (
+           |  select s.qid, s.cid, s.sim, row_number() over (partition by s.qid order by s.sim desc, s.cid) as rn
+           |  from (select ${bcast("x")}x.qid, x.cid, round(${d.dot("q.qn", "nb.n")}, 6) as sim
+           |        from (select distinct b.qid, e.dst as cid from $prev b join e2 e on e.src = b.cid) x
+           |        join q on q.qid = x.qid join nn nb on nb.id = x.cid) s) _$next
+           |where rn <= $beam)""".stripMargin
+      def chain(beam: Int): String = {
+        val ent0 =
+          s"""b0w$beam as (select ${bcast("qe")}qe.qid, qe.id as cid, round(${d.dot("qe.qn", "nb.n")}, 6) as sim
+             |       from (select q.qid, q.qn, e.id from q cross join ent e) qe join nn nb on nb.id = qe.id)""".stripMargin
+        (ent0 +: (1 to 3).map(t =>
+          hopB(beam)(if (t == 1) s"b0w$beam" else s"w${beam}_${t - 1}", s"w${beam}_$t"))).mkString(",\n")
+      }
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      val tagged = Seq(4, 8, 16).map(b => s"select $b as w, qid, cid, sim from w${b}_3").mkString(" union all ")
+      s"""${wmChain("knn")},
+         |e2 as $matKw(select src, dst from knn union all select id as src, id as dst from nn),
+         |q as $matKw(select id as qid, n as qn from nn where id in ($qIdLit)),
+         |ent as $matKw(select vec_id as id from indeg order by in_degree desc, vec_id limit 4),
+         |${chain(4)},
+         |${chain(8)},
+         |${chain(16)},
+         |lt as (select w, qid, cid from (
+         |  select w, qid, cid, row_number() over (partition by w, qid order by sim desc, cid) as rn
+         |  from ($tagged) _u where cid <> qid) _lt where rn <= 10),
+         |bp as (select q.qid, cn.id as cid, round(${d.dot("q.qn", "cn.n")}, 6) as sim from q join nn cn on cn.id <> q.qid),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |nqv as (select count(*) as nq from q),
+         |gw as (select w from (select 4 as w union all select 8 as w union all select 16 as w) _g),
+         |ht as (select l.w, count(*) as hits from lt l join bt b on b.qid = l.qid and b.cid = l.cid group by l.w)
+         |select ${bigint("gw.w")} as beam, ${bigint("coalesce(ht.hits, 0)")} as hits,
+         |  round(coalesce(ht.hits, 0) / (cast(10 as double) * nqv.nq), 4) as recall10
+         |from gw cross join nqv left join ht on ht.w = gw.w""".stripMargin
+    },
+
+    // WATERMARK OVERWRITING ATTACK — a second QIM embed under a
+    // PIRATE key+message over the already-marked table, then BOTH
+    // marks extracted (the multiple-watermarking / overwriting cell
+    // of every robustness matrix — Craver et al. 1998 framed it as
+    // the ownership-deadlock question; the measured answer here is
+    // the scheme's honest boundary: the pirate's keyed dim groups
+    // cross-cut the original's, so re-snapping the pirate projections
+    // scrambles the original's lattice cells — original blocks fail
+    // the CRC gate and count fully errored, while the pirate mark
+    // decodes clean). Same shapes as embed/extract: the second embed
+    // is ONE partial-aggregation over the carrier rows (the pirate
+    // key's 24 masked projection sums) + a broadcast join back; each
+    // extraction is one aggregation + the tiny vote; all pirate
+    // constants (groups, signs, message bits) are plan-time literals
+    // of the second key — no extra corpus pass anywhere.
+    "wm_overwrite" -> {
+      val key2 = "pirate-key"
+      val msg2 = "PIRATE-MARK-0002" // exactly 16 bytes, like Wm.Message
+      val kc2 = WmConst.keyed(key2)
+      val cipher2 = Crypto.encryptToBase64(msg2, key2)
+      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
+      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
+      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
+      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
+      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
+      val pSums2 = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shift2(g: Int) = {
+        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSq2 = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
+      // blind extraction from the overwritten rows with either key's
+      // weights (the extractCtes shape, names prefixed per leg)
+      def exCtes(pfx: String, wf: Int => String, src: String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from $src group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      val msg2bitsCte =
+        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
+           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
+      def errExpr(v: String, m: String) =
+        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
+      s"""${wmChain("overwrite")},
+         |ocex as (select c.vec_id as id, c.blk, s.pos, s.sval / x.nrm as nval, x.nrm
+         |         from carriers c join stego s on s.id = c.vec_id join exn x on x.id = s.id and x.pos = s.pos),
+         |oeagg as (select id, blk, max(nrm) as nrm,
+         |            $pSums2
+         |          from ocex group by id, blk),
+         |oesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
+         |         from oeagg),
+         |oeshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSq2) as pn
+         |          from oesh),
+         |ostego as (select x.id, x.pos,
+         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |           from ocex x join oeshn e on e.id = x.id),
+         |${exCtes("a_", wLitOf, "ostego")},
+         |${exCtes("b_", w2LitOf, "ostego")},
+         |$msg2bitsCte,
+         |eo as (select m.blk as blk, ${errExpr("v", "m")} as errors_original
+         |       from msgbits m left join a_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
+         |en as (select m.blk as blk, ${errExpr("v", "m")} as errors_pirate
+         |       from msgbits2 m left join b_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
+         |select ${bigint("eo.blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("eo.errors_original")} as errors_original,
+         |  ${bigint("en.errors_pirate")} as errors_pirate
+         |from eo join en on en.blk = eo.blk""".stripMargin
     },
 
     // LAG-k AUTOCORRELATION (ACF) — the seasonality/memory diagnostic

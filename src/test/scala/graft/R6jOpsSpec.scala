@@ -121,6 +121,87 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("graph_beam_curve: every width's recall matches a JVM beam-search mirror; curve is monotone") {
+    val qids = Seq(0L, 100L, 200L, 300L, 400L)
+    val adj = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val entries = SparkEntry.queries("wm_in_degree")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("in_degree")))
+      .sortBy { case (id, deg) => (-deg, id) }.take(4).map(_._1)
+    // Spark's round(): HALF_UP over the shortest decimal representation
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def beamTop10(qid: Long, beam: Int): Set[Long] = {
+      val qn = normVecs(qid)
+      var frontier: Seq[Long] = entries
+      for (_ <- 1 to 3) {
+        // e2 = kNN edges + self-loops, so the frontier survives expansion
+        val cand = frontier.flatMap(c => adj.getOrElse(c, Set.empty) + c).distinct
+        frontier = cand.map(c => (c, r6(dot(qn, normVecs(c)))))
+          .sortBy { case (c, s) => (-s, c) }.take(beam).map(_._1)
+      }
+      frontier.filter(_ != qid)
+        .map(c => (c, r6(dot(qn, normVecs(c))))).sortBy { case (c, s) => (-s, c) }
+        .take(10).map(_._1).toSet
+    }
+    val brute = qids.map { q =>
+      val qn = normVecs(q)
+      q -> normVecs.keys.filter(_ != q).map(c => (c, r6(dot(qn, normVecs(c)))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(10).map(_._1).toSet
+    }.toMap
+    val got = run("graph_beam_curve").collect()
+      .map(r => r.getAs[Long]("beam") -> (r.getAs[Long]("hits"), r.getAs[Double]("recall10"))).toMap
+    assert(got.keySet == Set(4L, 8L, 16L))
+    Seq(4, 8, 16).foreach { b =>
+      val hits = qids.map(q => (beamTop10(q, b) intersect brute(q)).size).sum.toLong
+      assert(got(b.toLong)._1 == hits, s"beam $b")
+      assert(math.abs(got(b.toLong)._2 - hits / 50.0) < 1e-9)
+    }
+    // wider beams never lose recall
+    assert(got(4L)._1 <= got(8L)._1 && got(8L)._1 <= got(16L)._1)
+  }
+
+  test("wm_overwrite: pirate re-embed + dual extraction match the JVM embed/decode mirror") {
+    import graft.functions.{WmConst, WmDecode, WmEmbed}
+    import graft.sqlgen.WmParams
+    val p2 = WmParams(message = "PIRATE-MARK-0002", key = "pirate-key")
+    val carriers = SparkEntry.queries("wm_carriers")(spark, TestSpark.Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("blk").toInt).toMap
+    val steg = SparkEntry.queries("wm_embed")(spark, TestSpark.Sf).collect()
+      .groupBy(_.getAs[Long]("vec_id")).map { case (id, rows) =>
+        val v = new Array[Double](64)
+        rows.foreach(r => v(r.getAs[Long]("pos").toInt - 1) = r.getAs[Double]("stego_val"))
+        id -> v
+      }
+    // the pirate embed over every marked carrier, then both decodes
+    val over = steg.map { case (id, v) => id -> WmEmbed.embed(v, carriers(id), p2) }
+    def errs(cipher: String, decode: Array[Double] => Option[(Int, Array[Int])]): Map[Int, Int] = {
+      val msg = WmConst.msgBits(cipher)
+      val votes = scala.collection.mutable.Map[(Int, Int), Int]().withDefaultValue(0)
+      over.values.foreach(v => decode(v).foreach { case (blk, pb) =>
+        pb.zipWithIndex.foreach { case (b, i) => votes((blk, i)) += 2 * b - 1 }
+      })
+      (0 until 16).map(blk => blk -> (0 until 16).count { i =>
+        val vt = votes.get((blk, i))
+        vt.isEmpty || (if (vt.get > 0) 1 else 0) != msg(blk)(8 + i)
+      }).toMap
+    }
+    val expOrig = errs(graft.sqlgen.WmParams.Default.cipherB64, v => WmDecode.decode(v))
+    val expPir = errs(p2.cipherB64, v => WmDecode.decode(v, "pirate-key"))
+    val got = run("wm_overwrite").collect()
+    assert(got.length == 16)
+    got.foreach { r =>
+      val blk = r.getAs[Long]("blk").toInt
+      assert(r.getAs[Long]("errors_original") == expOrig(blk).toLong, s"orig blk $blk")
+      assert(r.getAs[Long]("errors_pirate") == expPir(blk).toLong, s"pirate blk $blk")
+    }
+    // the semantic finding: the pirate mark decodes clean while the
+    // original is substantially corrupted
+    assert(got.map(_.getAs[Long]("errors_pirate")).sum == 0L)
+    assert(got.map(_.getAs[Long]("errors_original")).sum > 16L)
+  }
+
   test("vec_kmeans_step: one Lloyd round matches the mirror and never increases inertia") {
     val rows = run("vec_kmeans_step").collect()
     val cents = spark.table("g_ivf_ct").collect()
