@@ -391,6 +391,10 @@ final class Graft(spark: SparkSession, dir: String,
   def beamCurve: DataFrame = q("graph_beam_curve")
   /** Overwriting attack: pirate re-embed + dual-mark extraction. */
   def overwriteAttack: DataFrame = q("wm_overwrite")
+  /** Per-subspace PQ reconstruction error + codebook utilization. */
+  def pqDistortion: DataFrame = q("vec_pq_distortion")
+  /** Degree assortativity of the kNN graph (hub-to-hub linkage). */
+  def assortativity: DataFrame = q("graph_assortativity")
 }
 
 object Graft {

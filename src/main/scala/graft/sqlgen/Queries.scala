@@ -5049,6 +5049,64 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from zz""".stripMargin
     },
 
+    // PQ RECONSTRUCTION-DISTORTION REPORT — the quantization-error
+    // monitor for the served PQ index (faiss's reconstruct-error /
+    // imbalance diagnostics; the signal that says "retrain the
+    // codebook" before recall quietly degrades): per subspace, the
+    // member count, codebook utilization (cells actually used — dead
+    // centroids are wasted bits), and the mean/max reconstruction
+    // MSE ‖sub(x) − cv(code)‖². The MSE expands to dots only
+    // (‖a‖² − 2a·b + ‖b‖², each an ordered fold — no array zip), the
+    // per-row value is roundAway-quantized then decimal-summed (the
+    // cluster_stats rule), and the whole report is ONE join of the
+    // cached code table against the subvector projection + codebook
+    // (both broadcastable sides at any corpus size: codes is the 8
+    // B/vector table, pct1 is KB-sized).
+    "vec_pq_distortion" -> {
+      val chain =
+        if (views) Seq(pqBaseCtes, viewAlias("pct1", "g_pq_ct"),
+          viewAlias("codes", "g_pq_codes")).mkString(",\n")
+        else Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |er as (select k.m, k.cell,
+         |         ${roundAway(d)(s"${d.dot("v.sv", "v.sv")} - 2 * ${d.dot("v.sv", "c.cv")} + ${d.dot("c.cv", "c.cv")}", 9)} as mse
+         |       from codes k join vsub v on v.id = k.id and v.m = k.m
+         |                    join pct1 c on c.m = k.m and c.cell = k.cell)
+         |select ${bigint("m")} as subspace, ${bigint("count(*)")} as n_vectors,
+         |  ${bigint("count(distinct cell)")} as n_cells_used,
+         |  ${roundAway(d)("cast(sum(cast(mse as decimal(28, 9))) as double) / count(*)", 6)} as mean_mse,
+         |  max(mse) as max_mse
+         |from er group by m""".stripMargin
+    },
+
+    // DEGREE ASSORTATIVITY of the kNN graph — do high-degree hubs
+    // link to hubs (Newman 2002)? Negative assortativity is the
+    // signature of hub-and-spoke kNN topologies and predicts both the
+    // hub-entry effectiveness of the graph search AND the skew the
+    // salted self-joins guard against — one number connecting the two
+    // §4 stories. Same simple-graph census as graph_modularity
+    // (distinct unordered pairs, self-loops dropped); r folds from
+    // FOUR exact integer sums over the edge list (both-directions
+    // convention multiplied out: r = (4M·Σjk − (Σj+k)²) /
+    // (2M·Σ(j²+k²) − (Σj+k)²)), ONE double division at the end.
+    // Bigint headroom: degree ≤ 2K, so the quartic term caps at
+    // ~10⁹ edges — past that, pre-scale the moments (§4 ladder).
+    "graph_assortativity" ->
+      s"""${wmChain("knn")},
+         |und as (select least(src, dst) as a, greatest(src, dst) as b
+         |        from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+         |deg as (select v, ${bigint("count(*)")} as dg from (
+         |          select a as v from und union all select b as v from und) _d group by v),
+         |ed as (select da.dg as j, db.dg as k
+         |       from und join deg da on da.v = und.a join deg db on db.v = und.b),
+         |mo as (select ${bigint("count(*)")} as m, ${bigint("sum(j * k)")} as sjk,
+         |              ${bigint("sum(j + k)")} as sj, ${bigint("sum(j * j + k * k)")} as sj2
+         |       from ed)
+         |select m as m_edges, sjk as sum_jk,
+         |  ${roundAway(d)("cast(4 * m * sjk - sj * sj as double) / cast(2 * m * sj2 - sj * sj as double)", 6)} as assortativity
+         |from mo""".stripMargin,
+
     // GRAPH-SEARCH BEAM-WIDTH TUNING CURVE — recall@10 at beam ∈
     // {4, 8, 16} for the HNSW-style search (the ef_search knob every
     // hnswlib/Milvus deployment tunes; the graph twin of

@@ -121,6 +121,54 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("graph_assortativity: the integer-moment fold matches a double-precision Pearson mirror") {
+    val dirEdges = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val und = dirEdges.filter(e => e._1 != e._2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toDouble }
+    // Pearson correlation of (source, target) degrees over DIRECTED copies
+    val pairs = und.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val n = pairs.size
+    val mx = pairs.map(_._1).sum / n
+    val cov = pairs.map { case (j, k) => (j - mx) * (k - mx) }.sum / n
+    val vr = pairs.map { case (j, _) => (j - mx) * (j - mx) }.sum / n
+    val row = run("graph_assortativity").collect().head
+    assert(row.getAs[Long]("m_edges") == und.size.toLong)
+    assert(math.abs(row.getAs[Double]("assortativity") - cov / vr) < 1e-5)
+    assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0 + 1e-9)
+  }
+
+  test("vec_pq_distortion: per-subspace MSE matches the codebook-reconstruction mirror") {
+    val rows = run("vec_pq_distortion").collect()
+    val books = spark.table("g_pq_ct").collect()
+      .map(r => ((r.getAs[Number]("m").longValue, r.getAs[Number]("cell").longValue),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray)).toMap
+    val codes = spark.table("g_pq_codes").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Number]("m").longValue,
+        r.getAs[Number]("cell").longValue))
+    assert(rows.map(_.getAs[Long]("subspace")).toSet == (0L until 8L).toSet)
+    val byM = codes.groupBy(_._2)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("subspace")
+      val cs = byM(m)
+      assert(r.getAs[Long]("n_vectors") == cs.length.toLong)
+      assert(r.getAs[Long]("n_cells_used") == cs.map(_._3).distinct.length.toLong)
+      val mses = cs.map { case (id, _, cell) =>
+        val sv = normVecs(id).slice(m.toInt * 8, m.toInt * 8 + 8)
+        val cv = books((m, cell))
+        rnd(dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv), 9)
+      }
+      assert(math.abs(r.getAs[Double]("mean_mse") - mses.sum / mses.length) < 2e-6, s"m $m")
+      assert(math.abs(r.getAs[Double]("max_mse") - mses.max) < 1e-8, s"m $m")
+      // reconstruction error is non-negative and small for unit subvectors
+      assert(r.getAs[Double]("mean_mse") >= -1e-9 && r.getAs[Double]("mean_mse") < 1.0)
+    }
+  }
+
   test("graph_beam_curve: every width's recall matches a JVM beam-search mirror; curve is monotone") {
     val qids = Seq(0L, 100L, 200L, 300L, 400L)
     val adj = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
