@@ -95,7 +95,15 @@ object Plans {
     "text_cooccur" -> "skip-gram pairs with NO token self-join: one per-doc lead(1..3) window (per-partition sort), explode position = distance, pair counts in one combinable groupBy; global top-20 via the 16-bucket pre-rank",
     "data_curriculum" -> "per-source ntile over a total order (bounded per-partition sort, the sessionization shape) + one combinable rollup; per-row qualities pre-rounded and summed as exact decimals",
     "graph_communities" -> "3 LPA rounds over the materialized g_knn edges: each round one hash join (labels onto edges) + the map-side-combinable max(struct(count,-label)) mode-argmax — no per-node window, label state referenced once per round",
-    "graph_modularity" -> "modularity over the checkpointed label view: integer-only census joins (simple-edge dedup, degree sums, intra-pair count), two double divisions in a 1-row projection")
+    "graph_modularity" -> "modularity over the checkpointed label view: integer-only census joins (simple-edge dedup, degree sums, intra-pair count), two double divisions in a 1-row projection",
+    "events_autocorr" -> "one combinable daily-count groupBy is the only corpus pass; the 7-lag alignment self-join and row_number run on the <=|days| aggregated rows; ACF folds from exact bigint moments, one division per lag",
+    "events_survival" -> "one combinable per-user groupBy; risk sets, hazards and the KM running product live on <=|days| duration rows — the product is an exact integer prefix sum of 1e-7-grid hazards, exp only in the output column",
+    "vec_kmeans_step" -> "one 64*N exploded groupBy(cell,pos) for the member means (decimal-exact after the roundAway grid) + one member-dot pass for before-inertia; after-inertia folds from the new centroid alone — no second member pass",
+    "graph_kcore" -> "8 peel rounds carrying the EDGE set forward; both endpoint degrees from node-partitioned count windows (<=K rows per partition, never a corpus sort); every round's state referenced exactly once",
+    "graph_assortativity" -> "simple-graph census joins (the modularity shape) + ONE aggregation folding four exact integer degree moments; assortativity is one double division",
+    "graph_beam_curve" -> "three independent |Q|*beam-bounded hop chains over the g_knn view (each hop: dedup'd expansion + scored broadcast join + per-query top-beam window), tagged union re-rank, brute reference bounded O(|Q|*N)",
+    "wm_overwrite" -> "the pirate embed is ONE masked-sum partial-aggregation over the cached carrier rows + a broadcast join back (the stego build shape under the second key's literals); both extractions are one aggregation + the tiny vote each",
+    "vec_pq_distortion" -> "one join of the cached 8-byte/vector code table to the subvector projection + KB-sized codebook; MSE expands to ordered-fold dots (no array zip), means decimal-exact after the roundAway grid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -70,7 +70,8 @@ object ScaleCheck {
     // plane count under test is the one actually executed)
     val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding",
       "vec_topk_filtered_lsh", "graph_triangles", "vec_topk_graph",
-      "graph_communities")
+      "graph_communities", "graph_kcore", "graph_beam_curve",
+      "graph_assortativity", "wm_overwrite")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -85,7 +86,8 @@ object ScaleCheck {
       "ann_nprobe_curve", "vec_append",
       "text_cooccur", "q2_min_cost_supp", "events_bot_detect",
       "events_forecast", "data_curriculum", "events_changepoint",
-      "sketch_f2_ams")
+      "sketch_f2_ams", "events_autocorr", "events_survival",
+      "vec_kmeans_step", "vec_pq_distortion")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
