@@ -129,6 +129,18 @@ object SparkEntry {
         decontShinglesView(s, dir)
         s.sql(sparkGen.decontaminateBloomSql(Some(("g_dsh_ev", "g_dsh_tr"))))
       }),
+      // removal-effect attribution over the checkpointed transition
+      // table: the journey pass (lag windows over the events scan)
+      // runs once per session/dir; the 8-step power iteration and its
+      // five variant chains reference only the tiny materialized
+      // (src, dst, c) rows
+      "events_attribution_markov" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val tr = markovCache.computeIfAbsent((s, dir), _ =>
+          s.sql(sparkGen.markovTransBuildSql).localCheckpoint())
+        tr.createOrReplaceTempView("g_mtrans")
+        s.sql(sparkGen.markovAttributionSql(Some("g_mtrans")))
+      }),
       // hybrid RRF over the checkpointed two-leg score table: the
       // corpus-priced passes (word explode → BM25 + feature-hash
       // aggs) run once per session/dir; the rank/fusion rounds
@@ -243,6 +255,9 @@ object SparkEntry {
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private val markovCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private val mhSigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -279,6 +294,7 @@ object SparkEntry {
         // exactly, so its oracle is the window rendering
         "vec_topk_grouped" -> duckGen.groupedTopkSql(),
         "graph_modularity" -> duckGen.graphModularitySql(None),
+        "events_attribution_markov" -> duckGen.markovAttributionSql(None),
         "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
         "minhash_band_curve" -> duckGen.minhashCurveSql(None))
 }

@@ -395,6 +395,12 @@ final class Graft(spark: SparkSession, dir: String,
   def pqDistortion: DataFrame = q("vec_pq_distortion")
   /** Degree assortativity of the kNN graph (hub-to-hub linkage). */
   def assortativity: DataFrame = q("graph_assortativity")
+  /** Markov removal-effect channel attribution. */
+  def channelAttribution: DataFrame = q("events_attribution_markov")
+  /** Revenue concentration: top-share + Gini over gridded revenue. */
+  def paretoShare: DataFrame = q("q_pareto_share")
+  /** Zipf-law OLS fit over the top-100 word frequencies. */
+  def zipfFit: DataFrame = q("text_zipf_fit")
 }
 
 object Graft {

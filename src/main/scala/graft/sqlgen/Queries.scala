@@ -5049,6 +5049,78 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from zz""".stripMargin
     },
 
+    // REVENUE CONCENTRATION / PARETO REPORT — the whale-curve readout
+    // (top-decile and top-percentile revenue share + Gini) every
+    // revenue team runs: per-customer revenue gridded to a 100-unit
+    // value DOMAIN (the RFM/sketch_quantiles bounding trick — every
+    // window below runs over ≤ |distinct buckets| rows, never a
+    // per-customer sort), Lorenz cumulative sums from the bucket
+    // histogram in EXACT decimals, Gini by the grouped formula
+    // (uniform-within-bucket — the documented grid approximation,
+    // error bounded by grid/mean), boundary buckets pro-rated by
+    // their per-member average so the top-k shares are deterministic
+    // under ties. One combinable customer groupBy is the only
+    // corpus-scale pass.
+    "q_pareto_share" ->
+      s"""with cr as (select o_custkey, sum(cast(o_totalprice as decimal(18,2))) as rev from orders group by o_custkey),
+         |bk as (select ${bigint("floor(cast(rev as double) / 100)")} as g, ${bigint("count(*)")} as n, sum(rev) as s
+         |       from cr group by ${bigint("floor(cast(rev as double) / 100)")}),
+         |tot as (select ${bigint("sum(n)")} as nt, sum(s) as st from bk),
+         |lz as (select g, n, s,
+         |         coalesce(${bigint("sum(n) over (order by g rows between unbounded preceding and 1 preceding)")}, 0) as n_below,
+         |         coalesce(sum(s) over (order by g rows between unbounded preceding and 1 preceding), cast(0 as decimal(18,2))) as s_below,
+         |         coalesce(${bigint("sum(n) over (order by g desc rows between unbounded preceding and 1 preceding)")}, 0) as n_above,
+         |         coalesce(sum(s) over (order by g desc rows between unbounded preceding and 1 preceding), cast(0 as decimal(18,2))) as s_above
+         |       from bk),
+         |gin as (select sum(n * (2 * s_below + s)) as terms from lz),
+         |kk as (select cast(ceil(nt * 0.1) as bigint) as k10, cast(ceil(nt * 0.01) as bigint) as k1 from tot),
+         |t10 as (select cast(s_above as double) + (kk.k10 - n_above) * (cast(s as double) / n) as top_rev
+         |        from lz cross join kk where n_above < kk.k10 and n_above + n >= kk.k10),
+         |t1 as (select cast(s_above as double) + (kk.k1 - n_above) * (cast(s as double) / n) as top_rev
+         |       from lz cross join kk where n_above < kk.k1 and n_above + n >= kk.k1)
+         |select tot.nt as n_customers, round(cast(tot.st as double), 2) as total_revenue,
+         |  ${roundAway(d)("t10.top_rev / cast(tot.st as double)", 4)} as top10pct_share,
+         |  ${roundAway(d)("t1.top_rev / cast(tot.st as double)", 4)} as top1pct_share,
+         |  ${roundAway(d)("1.0 - cast(gin.terms as double) / (cast(tot.nt as double) * cast(tot.st as double))", 4)} as gini
+         |from tot cross join gin cross join t10 cross join t1""".stripMargin,
+
+    // ZIPF-LAW FIT — OLS of ln(frequency) on ln(rank) over the
+    // top-100 words (Zipf 1949; the vocabulary-health diagnostic
+    // behind text_vocab_coverage's empirical ladder — a corpus whose
+    // slope drifts far from −1 is boilerplate- or spam-shaped):
+    // global top-100 via the bucketed pre-rank (16-way PRF-keyed
+    // partitioned windows, exact pairwise ranks over ≤ 1600
+    // survivors — no single-partition sort), both logs quantized onto
+    // an exact 1e-6 integer grid (libm ulp differences vanish; the
+    // micro-ints keep every OLS moment inside bigint), slope /
+    // intercept / r² from the exact integer moments with float math
+    // only in the final expressions.
+    "text_zipf_fit" -> {
+      s"""with $wordCtes,
+         |wc as (select wd, ${bigint("count(*)")} as c from wx group by wd),
+         |pre as (select wd, c from (
+         |  select wd, c, row_number() over (partition by ${prfMod(d)(16, "'zbkt'", "wd")} order by c desc, wd) as prn
+         |  from wc) _p where prn <= 100),
+         |rk as (select a.c, ${bigint("1 + count(*)")} as rank from pre a
+         |       join pre b on b.c > a.c or (b.c = a.c and b.wd < a.wd)
+         |       group by a.wd, a.c
+         |       union all
+         |       select a.c, ${bigint("1")} as rank from pre a
+         |       where not exists (select 1 from pre b where b.c > a.c or (b.c = a.c and b.wd < a.wd))),
+         |top as (select rank, c from rk where rank <= 100),
+         |lg as (select ${bigint(roundAway(d)("ln(cast(rank as double)) * 1000000", 0))} as x,
+         |              ${bigint(roundAway(d)("ln(cast(c as double)) * 1000000", 0))} as y
+         |       from top),
+         |mo as (select ${bigint("count(*)")} as n, ${bigint("sum(x)")} as sx, ${bigint("sum(y)")} as sy,
+         |              ${bigint("sum(x * y)")} as sxy, ${bigint("sum(x * x)")} as sxx, ${bigint("sum(y * y)")} as syy
+         |       from lg)
+         |select n as n_words,
+         |  ${roundAway(d)("cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)", 4)} as zipf_slope,
+         |  ${roundAway(d)("(cast(sy as double) - (cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)) * sx) / (n * 1000000.0)", 4)} as intercept_ln,
+         |  ${roundAway(d)("(cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double)) / (cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))", 4)} as r2
+         |from mo""".stripMargin
+    },
+
     // PQ RECONSTRUCTION-DISTORTION REPORT — the quantization-error
     // monitor for the served PQ index (faiss's reconstruct-error /
     // imbalance diagnostics; the signal that says "retrain the
@@ -5398,6 +5470,96 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       else ${roundAway(d)("exp(cast(clhz as double) / 10000000)", 4)} end as survival
          |from km""".stripMargin
   )
+
+  /** Journey-transition CTE chain: per-user event sequences TRUNCATED
+    * at the first purchase (the conversion), 'start' prefix rows,
+    * 'null' terminal rows for non-converters. Ends in
+    * trans0(src, dst, c). The non-converter terminal uses a
+    * sec·10⁸+event_id composite argmax key (fits bigint while
+    * event_id < 10⁸; past that, decompose into a two-stage argmax). */
+  private lazy val markovTransCtes: String =
+    s"""mev as (select user_id, event_type, ${evSec("ts")} as sec, event_id from events),
+       |fp as (select user_id,
+       |         min(case when event_type = 'purchase' then sec * 100000000 + event_id end) as tpk,
+       |         max(sec * 100000000 + event_id) as lastk
+       |       from mev group by user_id),
+       |mj as (select e.user_id, e.event_type, e.sec, e.event_id
+       |       from mev e join fp on fp.user_id = e.user_id
+       |       where fp.tpk is null or e.sec * 100000000 + e.event_id <= fp.tpk),
+       |msq as (select user_id, event_type as dst,
+       |          coalesce(lag(event_type) over (partition by user_id order by sec, event_id), 'start') as src
+       |        from mj),
+       |mterm as (select f.user_id, 'null' as dst, e.event_type as src
+       |          from fp f join mev e on e.user_id = f.user_id
+       |            and e.sec * 100000000 + e.event_id = f.lastk
+       |          where f.tpk is null),
+       |trans0 as (select src, dst, ${bigint("count(*)")} as c from (
+       |  select src, dst from msq union all select src, dst from mterm) _t group by src, dst)""".stripMargin
+
+  /** The transition-count table as a standalone build (src, dst, c) —
+    * the Spark side checkpoints it once per (session, dir) because the
+    * removal-effect power iteration references it 8+ times. */
+  def markovTransBuildSql: String =
+    s"with $markovTransCtes\nselect src, dst, c from trans0"
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the
+    * channel-attribution model behind "which touchpoint actually
+    * drives conversion"): first-purchase-truncated journeys define a
+    * Markov chain over event types with absorbing 'purchase'
+    * (conversion) and 'null' (journey end, no conversion) states; the
+    * conversion probability from 'start' is computed by 8 unrolled
+    * power-iteration steps in EXACT integer arithmetic (transition
+    * probs quantized to ppm so p·ppm stays in bigint at ANY corpus
+    * size; absorbing states carry their mass via ppm=10⁶ self-loops,
+    * so every step references its predecessor exactly ONCE — the
+    * pagerank convention), once for the full chain and once per
+    * channel with that channel's inflow redirected to 'null' (the
+    * removal semantics: paths through the removed channel fail).
+    * removal_effect_c = 1 − conv_removed/conv_full; attribution
+    * normalizes the effects. The 8-step horizon is the documented
+    * convergence knob; the unabsorbed remainder is reported. */
+  def markovAttributionSql(srcV: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val transCte = srcV match {
+      case Some(view) => s"trans as (select * from $view)"
+      case None => s"$markovTransCtes,\ntrans as $matKw(select src, dst, c from trans0)"
+    }
+    def step(prev: String, next: String) =
+      s"""$next as (select p.v, t.dst as state, ${bigint(s"sum(${d.idiv("p.p * t.ppm", "1000000")})")} as p
+         |      from $prev p join vt t on t.v = p.v and t.src = p.state
+         |      group by p.v, t.dst)""".stripMargin
+    val chann = Seq("view", "click", "signup", "error")
+    val varRows = ("select 'full' as v" +: chann.map(c => s"select '$c' as v")).mkString(" union all ")
+    s"""with $transCte,
+       |outc as (select src, ${bigint("sum(c)")} as oc from trans group by src),
+       |ppm as (select t.src, t.dst, ${bigint(d.idiv("t.c * 1000000", "o.oc"))} as ppm
+       |        from trans t join outc o on o.src = t.src),
+       |vars as ($varRows),
+       |vt as $matKw(select v, src, dst, ${bigint("sum(ppm)")} as ppm from (
+       |  select v.v, p.src, case when p.dst = v.v then 'null' else p.dst end as dst, p.ppm
+       |  from ppm p cross join vars v where p.src <> v.v
+       |  union all select v.v, 'purchase' as src, 'purchase' as dst, ${bigint("1000000")} as ppm from vars v
+       |  union all select v.v, 'null' as src, 'null' as dst, ${bigint("1000000")} as ppm from vars v) _vt
+       |  group by v, src, dst),
+       |p0 as (select v, 'start' as state, ${bigint("1000000000000")} as p from vars),
+       |${(1 to 8).map(t => step(if (t == 1) "p0" else s"p${t - 1}", s"p$t")).mkString(",\n")},
+       |conv as (select v, ${bigint("sum(case when state = 'purchase' then p else 0 end)")} as cp,
+       |                ${bigint("sum(case when state in ('purchase', 'null') then p else 0 end)")} as ab
+       |         from p8 group by v),
+       |res as (select c.v as channel, b.cp as fp_, c.cp as rp_, b.ab as ab_
+       |        from conv c cross join (select cp, ab from conv where v = 'full') b
+       |        where c.v <> 'full'),
+       |re as (select channel, fp_, rp_, ab_,
+       |         1.0 - cast(rp_ as double) / fp_ as eff from res),
+       |sre as (select sum(1.0 - cast(rp_ as double) / fp_) as s from res)
+       |select channel,
+       |  ${roundAway(d)("cast(fp_ as double) / 1000000000000", 6)} as conv_full,
+       |  ${roundAway(d)("cast(rp_ as double) / 1000000000000", 6)} as conv_removed,
+       |  ${roundAway(d)("eff", 6)} as removal_effect,
+       |  ${roundAway(d)("eff / sre.s", 4)} as attribution,
+       |  ${roundAway(d)("1.0 - cast(ab_ as double) / 1000000000000", 6)} as mass_unabsorbed
+       |from re cross join sre""".stripMargin
+  }
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the
     * production scratch every LSH dedup pipeline persists; the band

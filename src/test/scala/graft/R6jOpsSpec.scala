@@ -121,6 +121,118 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("q_pareto_share: gridded Lorenz shares and Gini match the mirror") {
+    val revs = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .groupBy("o_custkey").sum("o_totalprice").collect()
+      .map(r => BigDecimal(r.getAs[Double]("sum(o_totalprice)")).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val n = revs.length
+    val buckets = revs.groupBy(r => (r.toDouble / 100).floor.toLong).toSeq.sortBy(_._1)
+      .map { case (g, xs) => (g, xs.length.toLong, xs.sum) }
+    val st = buckets.map(_._3).sum.toDouble
+    var nBelow = 0L; var sBelow = BigDecimal(0)
+    var terms = BigDecimal(0)
+    buckets.foreach { case (_, nb, sb) =>
+      terms += nb * (2 * sBelow + sb); nBelow += nb; sBelow += sb
+    }
+    val gini = 1.0 - terms.toDouble / (n * st)
+    def topShare(k: Long): Double = {
+      var need = k; var s = 0.0
+      buckets.reverse.foreach { case (_, nb, sb) =>
+        if (need > 0) {
+          val take = math.min(need, nb)
+          s += (if (take == nb) sb.toDouble else take * (sb.toDouble / nb))
+          need -= take
+        }
+      }
+      s / st
+    }
+    val row = run("q_pareto_share").collect().head
+    assert(row.getAs[Long]("n_customers") == n.toLong)
+    assert(math.abs(row.getAs[Double]("top10pct_share") - topShare(math.ceil(n * 0.1).toLong)) < 2e-4)
+    assert(math.abs(row.getAs[Double]("top1pct_share") - topShare(math.ceil(n * 0.01).toLong)) < 2e-4)
+    assert(math.abs(row.getAs[Double]("gini") - gini) < 2e-4)
+    assert(row.getAs[Double]("gini") >= 0 && row.getAs[Double]("gini") < 1)
+  }
+
+  test("text_zipf_fit: the integer-moment OLS matches the mirror over the true top words") {
+    val counts = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val top = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(rnd(math.log(i + 1.0) * 1e6, 0)), math.round(rnd(math.log(c.toDouble) * 1e6, 0)))
+    }
+    val nn = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx)
+    val r2 = math.pow((nn * sxy - sx * sy).toDouble, 2) /
+      ((nn * sxx - sx * sx).toDouble * (nn * syy - sy * sy))
+    val row = run("text_zipf_fit").collect().head
+    assert(row.getAs[Long]("n_words") == nn)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 2e-4)
+    assert(math.abs(row.getAs[Double]("r2") - r2) < 2e-4)
+    assert(row.getAs[Double]("zipf_slope") <= 0.0)
+  }
+
+  test("events_attribution_markov: removal effects match the integer power-iteration mirror") {
+    val evs = {
+      Tables.register(spark, TestSpark.Sf)
+      spark.sql("select user_id, event_type, ts div 1000000000 as sec, event_id from events")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("sec"), r.getAs[Long]("event_id")))
+    }
+    // journey transitions truncated at first purchase
+    val trans = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      val cut = ordered.indexWhere(_._2 == "purchase")
+      val j = if (cut >= 0) ordered.take(cut + 1) else ordered
+      var prev = "start"
+      j.foreach { e => trans((prev, e._2)) += 1; prev = e._2 }
+      if (cut < 0) trans((ordered.last._2, "null")) += 1
+    }
+    val outc = trans.toSeq.groupBy(_._1._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val ppm = trans.map { case ((s, t), c) => (s, t) -> c * 1000000L / outc(s) }
+    def conv(removed: Option[String]): (Long, Long) = {
+      val vtm = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      ppm.foreach { case ((s, t), p) =>
+        if (!removed.contains(s)) {
+          val t2 = if (removed.contains(t)) "null" else t
+          vtm((s, t2)) += p
+        }
+      }
+      vtm(("purchase", "purchase")) += 1000000L
+      vtm(("null", "null")) += 1000000L
+      var p = Map("start" -> 1000000000000L).withDefaultValue(0L)
+      for (_ <- 1 to 8) {
+        val nx = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        vtm.foreach { case ((s, t), pm) => if (p(s) > 0) nx(t) += p(s) * pm / 1000000L }
+        p = nx.toMap.withDefaultValue(0L)
+      }
+      (p("purchase"), p("purchase") + p("null"))
+    }
+    val (fullP, fullAb) = conv(None)
+    val effs = Seq("view", "click", "signup", "error").map { c =>
+      c -> (1.0 - conv(Some(c))._1.toDouble / fullP)
+    }.toMap
+    val sEff = effs.values.sum
+    val got = run("events_attribution_markov").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(math.abs(r.getAs[Double]("conv_full") - fullP / 1e12) < 2e-6, c)
+      assert(math.abs(r.getAs[Double]("removal_effect") - effs(c)) < 2e-6, c)
+      assert(math.abs(r.getAs[Double]("attribution") - effs(c) / sEff) < 2e-4, c)
+      assert(math.abs(r.getAs[Double]("mass_unabsorbed") - (1.0 - fullAb / 1e12)) < 2e-6, c)
+      // removing a channel can only lose conversion paths
+      assert(r.getAs[Double]("conv_removed") <= r.getAs[Double]("conv_full") + 1e-9, c)
+    }
+    // the shares are a proper attribution
+    assert(math.abs(got.map(_.getAs[Double]("attribution")).sum - 1.0) < 1e-3)
+  }
+
   test("graph_assortativity: the integer-moment fold matches a double-precision Pearson mirror") {
     val dirEdges = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
