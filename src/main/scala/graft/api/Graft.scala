@@ -401,6 +401,10 @@ final class Graft(spark: SparkSession, dir: String,
   def paretoShare: DataFrame = q("q_pareto_share")
   /** Zipf-law OLS fit over the top-100 word frequencies. */
   def zipfFit: DataFrame = q("text_zipf_fit")
+  /** HLL estimate accuracy at m = 16/64/256 registers. */
+  def hllCurve: DataFrame = q("sketch_hll_curve")
+  /** Neighborhood function: reach at 1..4 hops per query node. */
+  def hopsReach: DataFrame = q("graph_hops_reach")
 }
 
 object Graft {

@@ -5049,6 +5049,78 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from zz""".stripMargin
     },
 
+    // HLL REGISTER-COUNT TUNING CURVE — estimate accuracy at
+    // m ∈ {16, 64, 256} registers from ONE shared distinct-hash pass
+    // (the sketch-family member of the tuning-curve set: nprobe,
+    // minhash bands, beam width, now HLL m — the state-vs-error knob
+    // every monitoring deployment sizes: std err ≈ 1.04/√m, 16 B →
+    // 2 KB of state per group): per m the canonical register fold
+    // (unrolled integer rho over the 60−log₂m remaining bits, ordered
+    // 2^-mr reduce, canonical LC gate with the per-m alpha constant),
+    // exact distinct alongside for the measured rel_err. The hash
+    // pass is the only corpus-scale work; every register table is m
+    // rows.
+    "sketch_hll_curve" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def leg(m: Int): String = {
+        val bits = 60 - (math.log(m) / math.log(2)).round.toInt
+        val rho = (1 to bits).map(r =>
+          s"when w >= ${1L << (bits - r)} then $r").mkString(
+          "case ", " ", s" else ${bits + 1} end")
+        val alpha = m match {
+          case 16 => "0.673"
+          case 64 => "0.709"
+          case _  => "0.7182726" // 0.7213/(1 + 1.079/256)
+        }
+        val ones = d.castDoubleArray(arrLit(Seq.fill(m)("1.0")))
+        val raw = s"round(cast($alpha as double) * $m * $m / ${d.dot("zs", ones)}, 4)"
+        s"""select $m as m, case when v0 > 0 and $raw <= ${(2.5 * m).toInt}
+           |         then round($m * ln(cast($m as double) / v0), 4) else $raw end as hll_est
+           |  from (select ${d.arrAggOrdered("pow(cast(2 as double), -cast(mr as double))", "j")} as zs,
+           |               ${bigint("sum(case when mr = 0 then 1 else 0 end)")} as v0
+           |        from (select gg.j, coalesce(r.mr, 0) as mr
+           |              from ${rangeTable("gg", "j", 0, m - 1)}
+           |              left join (select h % $m as j, max($rho) as mr
+           |                         from (select h, ${d.idiv("h", m.toString)} as w from wh) _w$m
+           |                         group by h % $m) r on r.j = gg.j) _a$m) _z$m""".stripMargin
+      }
+      s"""with $wordCtes,
+         |wh as $matKw(select distinct ${prf(d)("'hll'", "wd")} as h from wx),
+         |ex as (select ${bigint("count(*)")} as n_exact from wh),
+         |legs as (${Seq(16, 64, 256).map(leg).mkString(" union all ")})
+         |select ${bigint("l.m")} as m_registers, ex.n_exact, l.hll_est,
+         |  round(abs(l.hll_est - ex.n_exact) / ex.n_exact, 4) as rel_err
+         |from legs l cross join ex""".stripMargin
+    },
+
+    // NEIGHBORHOOD FUNCTION over the served kNN graph — reach(h) =
+    // how many nodes are within h hops of each query node (the ANF /
+    // effective-diameter readout, Palmer et al. 2002; for a
+    // navigable-graph index this measures whether beam search CAN
+    // reach the corpus from the entry points — the connectivity twin
+    // of graph_beam_curve's recall): unrolled frontier expansion over
+    // self-loop-augmented edges (the frontier survives its own
+    // expansion, so each step is ONE distinct join — the beam-carry
+    // rule), counts unioned per hop. Each hop state is referenced
+    // twice (next hop + census), so hop h re-derives ≤ h edge joins
+    // of the cached view — O(h²) bounded joins total, corpus-priced
+    // only through the edge table.
+    "graph_hops_reach" -> {
+      def hop(prev: String, next: String) =
+        s"$next as (select distinct f.qid, e.dst as id from $prev f join e2 e on e.src = f.id)"
+      s"""${wmChain("knn")},
+         |e2 as (select src, dst from knn union all select id as src, id as dst from nn),
+         |f0 as (select id as qid, id from nn where id in ($qIdLit)),
+         |${hop("f0", "f1")},
+         |${hop("f1", "f2")},
+         |${hop("f2", "f3")},
+         |${hop("f3", "f4")}
+         |select ${bigint("qid")} as qid, ${bigint("hops")} as hops, ${bigint("count(*)")} as n_reached
+         |from (select qid, 1 as hops, id from f1 union all select qid, 2 as hops, id from f2
+         |      union all select qid, 3 as hops, id from f3 union all select qid, 4 as hops, id from f4) _u
+         |group by qid, hops""".stripMargin
+    },
+
     // REVENUE CONCENTRATION / PARETO REPORT — the whale-curve readout
     // (top-decile and top-percentile revenue share + Gini) every
     // revenue team runs: per-customer revenue gridded to a 100-unit

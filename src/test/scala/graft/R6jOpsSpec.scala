@@ -121,6 +121,58 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("sketch_hll_curve: every register count's estimate matches the JVM register mirror") {
+    val hashes = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .distinct.map(w => graft.functions.Prf.prf("hll", w)).distinct
+    def est(m: Int): Double = {
+      val bits = 60 - (math.log(m) / math.log(2)).round.toInt
+      val regs = new Array[Int](m)
+      hashes.foreach { h =>
+        val j = (h % m).toInt
+        val w = h / m
+        val rho = (1 to bits).find(r => w >= (1L << (bits - r))).getOrElse(bits + 1)
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val z = regs.map(mr => math.pow(2.0, -mr)).sum
+      val v0 = regs.count(_ == 0)
+      val alpha = m match { case 16 => 0.673; case 64 => 0.709; case _ => 0.7182726 }
+      val raw = BigDecimal(alpha * m * m / z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (v0 > 0 && raw <= 2.5 * m)
+        BigDecimal(m * math.log(m.toDouble / v0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else raw
+    }
+    val got = run("sketch_hll_curve").collect()
+      .map(r => r.getAs[Long]("m_registers").toInt -> (r.getAs[Long]("n_exact"), r.getAs[Double]("hll_est"))).toMap
+    assert(got.keySet == Set(16, 64, 256))
+    got.foreach { case (m, (ex, e)) =>
+      assert(ex == hashes.length.toLong, s"m $m") // no 60-bit collisions at this corpus
+      assert(math.abs(e - est(m)) < 1e-3, s"m $m: got $e want ${est(m)}")
+    }
+    // more registers, less error (monotone on this corpus)
+    def err(m: Int) = math.abs(got(m)._2 - got(m)._1)
+    assert(err(256) <= err(16))
+  }
+
+  test("graph_hops_reach: hop censuses equal the BFS mirror and expand monotonically") {
+    val adj = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val qids = Seq(0L, 100L, 200L, 300L, 400L)
+    val got = run("graph_hops_reach").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("hops")) -> r.getAs[Long]("n_reached")).toMap
+    qids.foreach { q =>
+      var frontier = Set(q)
+      for (h <- 1 to 4) {
+        frontier = frontier ++ frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        assert(got((q, h.toLong)) == frontier.size.toLong, s"qid $q hop $h")
+      }
+    }
+    // reach never shrinks with hops
+    qids.foreach(q => (1 to 3).foreach(h =>
+      assert(got((q, h.toLong)) <= got((q, h.toLong + 1)))))
+  }
+
   test("q_pareto_share: gridded Lorenz shares and Gini match the mirror") {
     val revs = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
       .groupBy("o_custkey").sum("o_totalprice").collect()
