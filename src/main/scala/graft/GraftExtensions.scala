@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[graft.functions.HllAgg].getName, "graft_hll"),
       (exprs: Seq[Expression]) => HllAgg.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[graft.functions.CmsAgg].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => graft.functions.CmsAgg.build(exprs)))
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
   }
 }

@@ -168,6 +168,29 @@ object SparkEntry {
           |  round(abs(hll - nd) / nd, 4) as rel_err
           |from ag""".stripMargin)
       }),
+      // the native TypedImperativeAggregate count-min sketch
+      // (functions.CmsAgg): the aggregation buffer IS the 4x16 long
+      // grid, merged by elementwise addition — point queries over the
+      // native grid are bit-identical integer math to the SQL grid,
+      // so the oracle is sketch_cms's pure SQL rendering
+      "sketch_cms_native" -> ((s, dir) => {
+        Tables.register(s, dir)
+        def prfCol(r: Int) =
+          s"cast(conv(substr(md5(concat_ws(':', 'cms', '$r', wc.wd)), 1, 15), 16, 10) as bigint) % 16"
+        def cell(r: Int) =
+          s"element_at(g.grid, cast($r * 16 + ${prfCol(r)} + 1 as int)) as e$r"
+        s.sql(s"""
+          |with sw as (select split(lower(text), '\\\\s+') as ws from documents),
+          |wx as (select wd from sw lateral view explode(ws) _e as wd),
+          |g as (select graft_cms(wd) as grid from wx),
+          |wc as (select wd, count(*) as c from wx group by wd),
+          |sel as (select wd, c, least(e0, e1, e2, e3) as est from (
+          |  select wc.wd, wc.c, ${(0 until 4).map(cell).mkString(", ")}
+          |  from wc cross join g) _x)
+          |select wd as word, cast(c as bigint) as n_exact,
+          |  cast(est as bigint) as cms_est, cast(est - c as bigint) as overestimate
+          |from sel""".stripMargin)
+      }),
       // BPE merge rounds over the checkpointed vocabulary: the one
       // corpus pass (word counts + char-split) materializes once;
       // the unrolled merge rounds (each state referenced by the next
@@ -290,6 +313,10 @@ object SparkEntry {
         // the native aggregate must reproduce the SQL sketch exactly,
         // so its oracle IS the by-source SQL rendering
         "sketch_distinct_native" -> duckGen.sql("sketch_distinct_by_source"),
+        // the native CMS grid must reproduce the SQL grid exactly
+        // (integer counts, same PRF rows), so its oracle IS the SQL
+        // point-query rendering
+        "sketch_cms_native" -> duckGen.sql("sketch_cms"),
         // the native aggregate must reproduce the window ranking
         // exactly, so its oracle is the window rendering
         "vec_topk_grouped" -> duckGen.groupedTopkSql(),

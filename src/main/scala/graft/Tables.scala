@@ -45,6 +45,7 @@ object Tables {
       graft.functions.DotProduct.register(spark)
       graft.functions.HllAgg.register(spark)
       graft.functions.TopKAgg.register(spark)
+      graft.functions.CmsAgg.register(spark)
       names.foreach { n =>
         val df = load(spark, dir, n)
         val out =

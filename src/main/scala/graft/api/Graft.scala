@@ -405,6 +405,8 @@ final class Graft(spark: SparkSession, dir: String,
   def hllCurve: DataFrame = q("sketch_hll_curve")
   /** Neighborhood function: reach at 1..4 hops per query node. */
   def hopsReach: DataFrame = q("graph_hops_reach")
+  /** Native TypedImperativeAggregate count-min grid point queries. */
+  def cmsNative: DataFrame = q("sketch_cms_native")
 }
 
 object Graft {
