@@ -407,6 +407,33 @@ object Streams {
       }
   }
 
+  /** Streaming per-group count-min grid — the incremental form of the
+    * native `graft_cms` aggregate (functions.CmsAgg): the 4×16 long
+    * grid is mergeable-by-addition state, updated per micro-batch with
+    * the SAME keyed PRF rows as the batch aggregate and the generated
+    * SQL, so on the same rows the streamed grid is LONG-FOR-LONG equal
+    * to the batch grid (StreamingCmsSpec pins it). */
+  def cmsStream(words: Dataset[(Timestamp, String, String)])
+      : Dataset[(String, Seq[Long])] = {
+    import words.sparkSession.implicits._
+    words
+      .groupByKey(_._2)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (source, it, state: GroupState[Array[Long]]) =>
+          val grid = state.getOption.getOrElse(new Array[Long](64))
+          it.foreach { case (_, _, word) =>
+            var r = 0
+            while (r < 4) {
+              grid(r * 16 + (graft.functions.Prf.prf("cms", r, word) % 16).toInt) += 1L
+              r += 1
+            }
+          }
+          state.update(grid)
+          (source, grid.toSeq)
+      }
+  }
+
   def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
       : Dataset[(String, Double)] = {
     import words.sparkSession.implicits._
