@@ -407,6 +407,10 @@ final class Graft(spark: SparkSession, dir: String,
   def hopsReach: DataFrame = q("graph_hops_reach")
   /** Native TypedImperativeAggregate count-min grid point queries. */
   def cmsNative: DataFrame = q("sketch_cms_native")
+  /** Per-node local clustering coefficient over the kNN graph. */
+  def clusteringCoeff: DataFrame = q("graph_clustering_coeff")
+  /** Deterministic epoch-reshuffle shard manifest (census+checksums). */
+  def shardManifest: DataFrame = q("data_shard_manifest")
 }
 
 object Graft {

@@ -5049,6 +5049,62 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from zz""".stripMargin
     },
 
+    // LOCAL CLUSTERING COEFFICIENT — per-node cc = 2·t_v/(d_v(d_v−1))
+    // over the simple kNN graph (Watts & Strogatz 1998; the per-node
+    // refinement of graph_triangles' global transitivity — the
+    // "is this node in a dense pocket" signal behind cluster seeding
+    // and hub filtering): the SAME degree-oriented wedge join as the
+    // triangle count (orientation bounds wedge fan-out at O(√E) per
+    // node), each closed triangle credited to all THREE vertices by a
+    // 3-way union + one combinable groupBy, cc from exact integers
+    // with one division per node. Zero new join shapes — the triangle
+    // machinery re-emits vertices instead of a count.
+    "graph_clustering_coeff" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""${wmChain("knn")},
+         |und as $matKw(select distinct least(src, dst) as a, greatest(src, dst) as b from knn),
+         |dg as $matKw(select id, ${bigint("count(*)")} as deg
+         |       from (select a as id from und union all select b from und) _dd group by id),
+         |de as $matKw(select case when da.deg < db.deg or (da.deg = db.deg and u.a < u.b) then u.a else u.b end as s,
+         |              case when da.deg < db.deg or (da.deg = db.deg and u.a < u.b) then u.b else u.a end as t,
+         |              case when da.deg < db.deg or (da.deg = db.deg and u.a < u.b) then db.deg else da.deg end as dt
+         |       from und u join dg da on da.id = u.a join dg db on db.id = u.b),
+         |wdg as (select e1.s, e1.t as v, e2.t as w2
+         |        from de e1 join de e2 on e1.s = e2.s and (e1.dt < e2.dt or (e1.dt = e2.dt and e1.t < e2.t))),
+         |tri3 as (select wdg.s as x1, wdg.v as x2, wdg.w2 as x3
+         |         from wdg join de e3 on e3.s = wdg.v and e3.t = wdg.w2),
+         |tv as (select id, ${bigint("count(*)")} as t from (
+         |  select x1 as id from tri3 union all select x2 from tri3 union all select x3 from tri3) _t
+         |  group by id)
+         |select ${bigint("dg.id")} as vec_id, ${bigint("dg.deg")} as degree,
+         |  ${bigint("coalesce(tv.t, 0)")} as n_triangles,
+         |  case when dg.deg < 2 then cast(0.0 as double)
+         |       else ${roundAway(d)("2.0 * coalesce(tv.t, 0) / (dg.deg * (dg.deg - 1.0))", 6)} end as local_cc
+         |from dg left join tv on tv.id = dg.id""".stripMargin
+    },
+
+    // EPOCH-RESHUFFLE SHARD MANIFEST — the deterministic training-data
+    // shuffle a multi-epoch run publishes (every epoch a DIFFERENT
+    // keyed permutation of docs onto shards, reproducible from the
+    // seed alone — the property a training pipeline audits before
+    // trusting a resume): shard = PRF(epoch, doc_id) mod 8, per
+    // (epoch, shard) the doc census, token budget, and an order-free
+    // integer checksum (sum of keyed doc hashes mod 10⁶ — catches
+    // membership drift without storing membership; the mod keeps the
+    // sum in bigint to ~10¹² docs/shard). Pure map-side shard
+    // assignment + ONE combinable groupBy; no ordering anywhere (a
+    // global shuffle ORDER would be a corpus sort — sharding is the
+    // scalable unit of training-data randomization).
+    "data_shard_manifest" ->
+      s"""with dt as (select doc_id, ${bigint(s"${d.arrLen(splitWs("lower(text)"))}")} as toks from documents),
+         |sh as (select ee.epoch, ${prfMod(d)(8, "'shard'", "ee.epoch", "doc_id")} as shard,
+         |              doc_id, toks
+         |       from dt cross join ${rangeTable("ee", "epoch", 0, 1)})
+         |select ${bigint("epoch")} as epoch, ${bigint("shard")} as shard,
+         |  ${bigint("count(*)")} as n_docs, ${bigint("sum(toks)")} as n_tokens,
+         |  ${bigint(s"sum(${prfMod(d)(1000000, "'ck'", "doc_id")})")} as checksum
+         |from sh group by epoch, shard""".stripMargin,
+
     // HLL REGISTER-COUNT TUNING CURVE — estimate accuracy at
     // m ∈ {16, 64, 256} registers from ONE shared distinct-hash pass
     // (the sketch-family member of the tuning-curve set: nprobe,

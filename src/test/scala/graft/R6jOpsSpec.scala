@@ -121,6 +121,58 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("graph_clustering_coeff: per-node cc matches the neighbor-set mirror; credit sums to 3x triangles") {
+    val dirEdges = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val und = dirEdges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nbr = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val got = run("graph_clustering_coeff").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"), r.getAs[Double]("local_cc"))).toMap
+    assert(got.keySet == nbr.keySet)
+    var triCredit = 0L
+    got.foreach { case (v, (deg, t, cc)) =>
+      val ns = nbr(v)
+      assert(deg == ns.size.toLong, s"deg $v")
+      val tExp = ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        und.contains((math.min(x, y), math.max(x, y)))
+      }
+      assert(t == tExp.toLong, s"triangles at $v")
+      val ccExp = if (deg < 2) 0.0 else 2.0 * tExp / (deg * (deg - 1.0))
+      assert(math.abs(cc - ccExp) < 1e-5, s"cc at $v")
+      triCredit += t
+    }
+    // every triangle credited exactly three times
+    val tri = SparkEntry.queries("graph_triangles")(spark, TestSpark.Sf)
+      .collect().head.getAs[Long]("n_triangles")
+    assert(triCredit == 3 * tri)
+  }
+
+  test("data_shard_manifest: per-cell census/checksums mirror the PRF; epochs reshuffle") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)))
+    val got = run("data_shard_manifest").collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("checksum"))).toMap
+    for (epoch <- 0 to 1) {
+      val cells = docs.groupBy(d => graft.functions.Prf.prfMod(8, "shard", epoch, d._1))
+      (0 until 8).foreach { s =>
+        val members = cells.getOrElse(s.toLong, Array.empty)
+        val (n, tk, ck) = got((epoch.toLong, s.toLong))
+        assert(n == members.length.toLong, s"e$epoch s$s")
+        assert(tk == members.map(_._2.toLong).sum, s"tokens e$epoch s$s")
+        assert(ck == members.map(d => graft.functions.Prf.prfMod(1000000, "ck", d._1)).sum, s"ck e$epoch s$s")
+      }
+      // complete + disjoint partition of the corpus
+      assert((0 until 8).map(s => got((epoch.toLong, s.toLong))._1).sum == docs.length.toLong)
+    }
+    // the reshuffle is real: the two epochs place docs differently
+    assert((0 until 8).map(s => got((0L, s.toLong))._3) !=
+      (0 until 8).map(s => got((1L, s.toLong))._3))
+  }
+
   test("sketch_hll_curve: every register count's estimate matches the JVM register mirror") {
     val hashes = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").collect()
       .flatMap(_.getAs[String]("text").toLowerCase.split("\\s+")).filter(_.nonEmpty)
