@@ -45,6 +45,9 @@ object SparkEntry {
     }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)
       "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
+      // real audio FEATURE extraction over the decoded PCM payload
+      // (ZCR / energy / Walsh sequency correlates — exact integers)
+      "multimodal_wav_features" -> ((s, dir) => graft.operators.Wav.wavFeatures(s, dir)),
       // real BMP decode (render embeddings → encode → header/row parse)
       "multimodal_bmp_stats" -> ((s, dir) => graft.operators.Bmp.bmpStats(s, dir)),
       // real PNG decode (render → deflate-encode → chunk/CRC/unfilter parse)
@@ -302,6 +305,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
+        "multimodal_wav_features" -> graft.operators.Wav.wavFeaturesOracleSql,
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),

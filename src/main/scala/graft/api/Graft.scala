@@ -411,6 +411,8 @@ final class Graft(spark: SparkSession, dir: String,
   def clusteringCoeff: DataFrame = q("graph_clustering_coeff")
   /** Deterministic epoch-reshuffle shard manifest (census+checksums). */
   def shardManifest: DataFrame = q("data_shard_manifest")
+  /** Audio features (ZCR/energy/Walsh) over decoded PCM payloads. */
+  def wavFeatures: DataFrame = q("multimodal_wav_features")
 }
 
 object Graft {

@@ -147,6 +147,110 @@ object Wav {
         sum($"n_bytes").as("total_bytes"))
   }
 
+  /** Decoded PCM16 samples in file order (mono frame order for the
+    * synthetic corpus) — the feature-extraction input. Walks the same
+    * chunk layout as [[parse]]; callers run parse first for full
+    * validation. */
+  def pcmSamples(bytes: Array[Byte]): Array[Short] = {
+    require(isWav(bytes), "not a RIFF/WAVE file")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuilder.make[Short]
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length, "chunk overrun")
+      if (id == "data") {
+        var p = off + 8
+        val end = off + 8 + size
+        while (p < end) { out += bb.getShort(p); p += 2 }
+      }
+      off += 8 + size + (size & 1)
+    }
+    out.result()
+  }
+
+  /** Classic audio features over decoded PCM — ALL exact integers so
+    * the oracle can recompute them from the generation formula with
+    * order-free sums: zero-crossing count (the voiced/unvoiced and
+    * noisiness workhorse), total energy Σs², and two Walsh sequency
+    * correlates B_k = Σ sᵢ·(1 − 2·((i≫k)&1)) (the ±1 square-wave
+    * transform — a real sequency-domain feature with none of the
+    * float-accumulation ambiguity a DFT would put across the engine
+    * boundary). */
+  final case class WavFeats(zcr: Long, energy: Long, b2: Long, b4: Long)
+  def features(samples: Array[Short]): WavFeats = {
+    var zcr = 0L; var en = 0L; var b2 = 0L; var b4 = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      en += s * s
+      if (i > 0 && ((s >= 0) != (samples(i - 1) >= 0))) zcr += 1
+      b2 += s * (1 - 2 * ((i >> 2) & 1))
+      b4 += s * (1 - 2 * ((i >> 4) & 1))
+      i += 1
+    }
+    WavFeats(zcr, en, b2, b4)
+  }
+
+  /** The oracle-checked FEATURE query: synthesize → encode → decode →
+    * per-clip ZCR/energy/Walsh features (real DSP over the decoded
+    * payload, not the header) → per-(source, rate) integer census.
+    * Same batched-mapPartitions dataflow as [[wavStats]]; at 100 TB
+    * the same loop hosts a real feature extractor (librosa/essentia
+    * equivalents), and the aggregation stays one combinable shuffle. */
+  def wavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(spark, dir)
+    val docs = spark.table("documents")
+      .selectExpr("cast(doc_id as bigint)", "source", "cast(n_chars as int)")
+      .as[(Long, String, Int)]
+    val feats = docs.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        batch.iterator.map { case (docId, source, nChars) =>
+          val bytes = encodePcm16(synthRate(docId), synthSamples(docId, nChars))
+          val m = parse(bytes) // full validation walk
+          val f = features(pcmSamples(bytes))
+          (source, m.sampleRate.toLong, f.zcr, f.energy, f.b2, f.b4)
+        }
+      }
+    }.toDF("source", "sample_rate", "zcr", "energy", "b2", "b4")
+    feats.groupBy($"source", $"sample_rate")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"zcr").as("total_zcr"),
+        sum($"energy").as("total_energy"),
+        sum($"b2").as("walsh_b2"),
+        sum($"b4").as("walsh_b4"))
+  }
+
+  /** DuckDB oracle for [[wavFeatures]]: the same integer features
+    * recomputed from the generation formula — agreement proves the
+    * decode→feature path reads every sample in order (ZCR is
+    * adjacency-sensitive; the Walsh correlates are position-keyed). */
+  val wavFeaturesOracleSql: String =
+    """with p as (select doc_id, source, n_chars,
+      |            8000 + (doc_id % 3) * 4000 as sr from documents),
+      |ix as (select doc_id, unnest(generate_series(0, n_chars - 1)) as i from p),
+      |sx as (select doc_id, i, (doc_id * 31 + i * 7) % 65521 - 32760 as s from ix),
+      |w as (select doc_id, i, s, lag(s) over (partition by doc_id order by i) as ls from sx),
+      |f as (select doc_id,
+      |        sum(case when i > 0 and ((s >= 0) <> (ls >= 0)) then 1 else 0 end) as zcr,
+      |        sum(s * s) as energy,
+      |        sum(s * (1 - 2 * ((i // 4) % 2))) as b2,
+      |        sum(s * (1 - 2 * ((i // 16) % 2))) as b4
+      |      from w group by doc_id),
+      |j as (select p.source, p.sr, coalesce(f.zcr, 0) as zcr, coalesce(f.energy, 0) as energy,
+      |             coalesce(f.b2, 0) as b2, coalesce(f.b4, 0) as b4
+      |      from p left join f on f.doc_id = p.doc_id)
+      |select source, cast(sr as bigint) as sample_rate,
+      |  cast(count(*) as bigint) as n_files,
+      |  cast(sum(zcr) as bigint) as total_zcr,
+      |  cast(sum(energy) as bigint) as total_energy,
+      |  cast(sum(b2) as bigint) as walsh_b2,
+      |  cast(sum(b4) as bigint) as walsh_b4
+      |from j group by source, sr""".stripMargin
+
   /** DuckDB oracle for [[wavStats]]: the same stats computed straight
     * from the generation formula — agreement proves the encoder and
     * the independent parser invert each other on every field,

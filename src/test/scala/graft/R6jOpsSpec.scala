@@ -121,6 +121,29 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("multimodal_wav_features: decode inversion + feature semantics on constructed PCM") {
+    import graft.operators.Wav
+    // hand-checked features on an alternating buffer (the synthetic
+    // corpus ramp has ZCR 0 — its crossing period exceeds clip length,
+    // so adjacency sensitivity is pinned here instead)
+    val f = Wav.features(Array[Short](5, -3, 4, -2))
+    assert(f.zcr == 3 && f.energy == 54 && f.b2 == 4 && f.b4 == 4)
+    // Walsh correlates flip with position: i in 4..7 gets weight -1 at k=2
+    val g = Wav.features(Array[Short](1, 1, 1, 1, 1, 1, 1, 1))
+    assert(g.zcr == 0 && g.energy == 8 && g.b2 == 0 && g.b4 == 8)
+    // encode -> decode inverts: features from decoded bytes equal
+    // features from the raw samples, for every synthetic shape
+    Seq(0L, 1L, 2L).foreach { d =>
+      val smp = Wav.synthSamples(d, 1000)
+      val bytes = Wav.encodePcm16(Wav.synthRate(d), smp)
+      assert(Wav.features(Wav.pcmSamples(bytes)) == Wav.features(smp), s"doc $d")
+    }
+    // the oracle-checked aggregate runs and covers every source x rate
+    val rows = run("multimodal_wav_features").collect()
+    assert(rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("sample_rate"))).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getAs[Long]("total_energy") > 0))
+  }
+
   test("graph_clustering_coeff: per-node cc matches the neighbor-set mirror; credit sums to 3x triangles") {
     val dirEdges = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
