@@ -413,6 +413,12 @@ final class Graft(spark: SparkSession, dir: String,
   def shardManifest: DataFrame = q("data_shard_manifest")
   /** Audio features (ZCR/energy/Walsh) over decoded PCM payloads. */
   def wavFeatures: DataFrame = q("multimodal_wav_features")
+  /** Per-source distinctive keywords by log-likelihood ratio. */
+  def keywordsLlr: DataFrame = q("text_keywords_llr")
+  /** Daily new-vs-returning census with cumulative acquisition. */
+  def newVsReturning: DataFrame = q("events_new_vs_returning")
+  /** Engagement-tier migration matrix across the window halves. */
+  def segmentMigration: DataFrame = q("events_segment_migration")
 }
 
 object Graft {

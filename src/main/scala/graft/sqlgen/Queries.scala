@@ -5049,6 +5049,99 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from zz""".stripMargin
     },
 
+    // PER-SOURCE DISTINCTIVE KEYWORDS via LOG-LIKELIHOOD RATIO
+    // (Dunning 1993 — the corpus-comparison statistic behind "what
+    // words make this source different", more honest than raw TF-IDF
+    // on skewed counts): for every (source, word) the 2×2 contingency
+    // LLR = 2·[Σk·ln k − Σrow·ln row − Σcol·ln col + N·ln N], with
+    // every x·ln x term computed as integer · 1e-9-grid-quantized ln
+    // (libm ulp differences vanish at the grid; the nine terms sum
+    // EXACTLY in bigint), top-5 per source by a source-partitioned
+    // window over the word-type-sized table. Two combinable groupBys
+    // (word×source, word) over one explode; everything after is
+    // vocabulary-sized.
+    "text_keywords_llr" -> {
+      // x·round(ln(x)·1e9) with the x = 0 → 0 convention
+      def xlnx(x: String): String =
+        s"(case when ($x) > 0 then ($x) * ${bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))} else 0 end)"
+      s"""with $wordCtes,
+         |src as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join src s on s.doc_id = w.doc_id group by s.source, w.wd),
+         |ns as (select source, ${bigint("sum(k)")} as n_src from wf group by source),
+         |cw as (select wd, ${bigint("sum(k)")} as c_wd from wf group by wd),
+         |nt as (select ${bigint("sum(k)")} as n from wf),
+         |cell as (select wf.source, wf.wd, wf.k,
+         |           cw.c_wd - wf.k as k12, ns.n_src - wf.k as k21,
+         |           nt.n - ns.n_src - (cw.c_wd - wf.k) as k22,
+         |           ns.n_src, cw.c_wd, nt.n
+         |         from wf join ns on ns.source = wf.source
+         |                 join cw on cw.wd = wf.wd cross join nt),
+         |llr as (select source, wd, k,
+         |          ${xlnx("k")} + ${xlnx("k12")} + ${xlnx("k21")} + ${xlnx("k22")}
+         |          - ${xlnx("n_src")} - ${xlnx("n - n_src")}
+         |          - ${xlnx("c_wd")} - ${xlnx("n - c_wd")}
+         |          + ${xlnx("n")} as t9
+         |        from cell),
+         |rk as (select source, wd, k, t9,
+         |         row_number() over (partition by source order by t9 desc, wd) as rn
+         |       from llr)
+         |select source, wd as word, ${bigint("k")} as n_in_source,
+         |  ${roundAway(d)("2.0 * t9 / 1000000000", 4)} as llr, ${bigint("rn")} as rank
+         |from rk where rn <= 5""".stripMargin
+    },
+
+    // NEW vs RETURNING DAILY CENSUS — the simplest growth readout
+    // every analytics deck opens with (and the events suite lacked):
+    // a user is NEW on their first active day, RETURNING on every
+    // later active day. One (user, day) distinct projection + one
+    // per-user min + one daily census; the cumulative acquired-user
+    // curve rides a window over the ≤ n_days aggregated rows. Integer
+    // end to end.
+    "events_new_vs_returning" ->
+      s"""with ud as (select distinct user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |u0 as (select user_id, min(day) as d0 from ud group by user_id),
+         |daily as (select ud.day,
+         |            ${bigint("sum(case when ud.day = u0.d0 then 1 else 0 end)")} as n_new,
+         |            ${bigint("sum(case when ud.day > u0.d0 then 1 else 0 end)")} as n_returning
+         |          from ud join u0 on u0.user_id = ud.user_id group by ud.day)
+         |select ${bigint("day")} as day, n_new, n_returning,
+         |  ${bigint("sum(n_new) over (order by day rows between unbounded preceding and current row)")} as cum_users
+         |from daily""".stripMargin,
+
+    // ENGAGEMENT-TIER MIGRATION MATRIX — the churn/upsell readout
+    // (which users moved tiers between the two halves of the window):
+    // per-user event counts per 15-day half, tier cut at each half's
+    // MEDIAN count (the RFM rank-selection trick over the small count
+    // DOMAIN — no per-user sort), plus the 'absent' tier for users
+    // missing from a half (churn/acquisition ARE the interesting
+    // cells). One combinable (user, half) groupBy; the matrix is ≤ 9
+    // cells. Integer end to end.
+    "events_segment_migration" ->
+      s"""with ev as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |bounds as (select min(day) as d0 from ev),
+         |uh as (select user_id, case when day < b.d0 + 15 then 0 else 1 end as half, ${bigint("count(*)")} as c
+         |       from ev cross join bounds b group by user_id, case when day < b.d0 + 15 then 0 else 1 end),
+         |med as (select half, min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as m from (
+         |  select a.half, a.c as x, sum(b.cnt2) as cum from
+         |    (select half, c, count(*) as cnt2 from uh group by half, c) a
+         |    join (select half, c, count(*) as cnt2 from uh group by half, c) b
+         |      on b.half = a.half and b.c <= a.c
+         |  group by a.half, a.c) _r
+         |  cross join (select half as h2, count(*) as cnt from uh group by half) _n
+         |  where _r.half = _n.h2 group by half),
+         |tier as (select u.user_id, u.half,
+         |           case when u.c > m.m then 'high' else 'low' end as tier
+         |         from uh u join med m on m.half = u.half),
+         |allu as (select distinct user_id from ev),
+         |mat as (select coalesce(t0.tier, 'absent') as tier_from,
+         |               coalesce(t1.tier, 'absent') as tier_to, a.user_id
+         |        from allu a
+         |        left join (select user_id, tier from tier where half = 0) t0 on t0.user_id = a.user_id
+         |        left join (select user_id, tier from tier where half = 1) t1 on t1.user_id = a.user_id)
+         |select tier_from, tier_to, ${bigint("count(*)")} as n_users
+         |from mat group by tier_from, tier_to""".stripMargin,
+
     // LOCAL CLUSTERING COEFFICIENT — per-node cc = 2·t_v/(d_v(d_v−1))
     // over the simple kNN graph (Watts & Strogatz 1998; the per-node
     // refinement of graph_triangles' global transitivity — the

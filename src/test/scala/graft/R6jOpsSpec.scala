@@ -121,6 +121,75 @@ class R6jOpsSpec extends AnyFunSuite {
     got.values.foreach(dg => assert(dg >= 8))
   }
 
+  test("text_keywords_llr: quantized-xlnx LLR and per-source top-5 match the mirror") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val wf = docs.flatMap { case (s, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(w => (s, w))
+    }.groupBy(identity).map { case ((s, w), xs) => (s, w) -> xs.length.toLong }
+    val nSrc = wf.toSeq.groupBy(_._1._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val cWd = wf.toSeq.groupBy(_._1._2).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val n = wf.values.sum
+    def xlnx(x: Long): Long =
+      if (x > 0) x * math.round(rnd(math.log(x.toDouble) * 1e9, 0)) else 0L
+    val t9 = wf.map { case ((s, w), k) =>
+      (s, w) -> (xlnx(k) + xlnx(cWd(w) - k) + xlnx(nSrc(s) - k) +
+        xlnx(n - nSrc(s) - (cWd(w) - k)) - xlnx(nSrc(s)) - xlnx(n - nSrc(s)) -
+        xlnx(cWd(w)) - xlnx(n - cWd(w)) + xlnx(n))
+    }
+    val expect = t9.toSeq.groupBy(_._1._1).flatMap { case (s, xs) =>
+      xs.sortBy { case ((_, w), t) => (-t, w) }.take(5).zipWithIndex.map {
+        case (((_, w), t), i) => (s, w) -> (2.0 * t / 1e9, (i + 1).toLong)
+      }
+    }
+    val got = run("text_keywords_llr").collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("word"))
+      val (llr, rank) = expect(key)
+      assert(r.getAs[Long]("rank") == rank, key)
+      assert(math.abs(r.getAs[Double]("llr") - llr) < 2e-4, key)
+      assert(r.getAs[Long]("n_in_source") == wf(key))
+    }
+  }
+
+  test("events_new_vs_returning: daily census mirrors first-active-day; cumulative conserves") {
+    val userDays = eventRows.map(e => (e._1, e._4)).distinct
+    val d0 = userDays.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val got = run("events_new_vs_returning").collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_returning"), r.getAs[Long]("cum_users"))).toMap
+    userDays.groupBy(_._2).foreach { case (day, xs) =>
+      val nNew = xs.count { case (u, d) => d0(u) == d }.toLong
+      assert(got(day)._1 == nNew && got(day)._2 == xs.length - nNew, s"day $day")
+    }
+    // all users acquired exactly once; the cumulative curve tops out at the census
+    assert(got.values.map(_._1).sum == d0.size.toLong)
+    assert(got(got.keys.max)._3 == d0.size.toLong)
+  }
+
+  test("events_segment_migration: tier matrix matches the per-half median-cut mirror") {
+    val days = eventRows.map(e => (e._1, e._4))
+    val dMin = days.map(_._2).min
+    def tiers(half: Int): Map[Long, String] = {
+      val counts = days.filter(e => (if (e._2 < dMin + 15) 0 else 1) == half)
+        .groupBy(_._1).map { case (u, xs) => u -> xs.length.toLong }
+      val sorted = counts.values.toSeq.sorted
+      val med = sorted(((sorted.size + 1) / 2 - 1).max(0)) // smallest x with cum >= ceil(n/2)
+      counts.map { case (u, c) => u -> (if (c > med) "high" else "low") }
+    }
+    val t0 = tiers(0); val t1 = tiers(1)
+    val users = days.map(_._1).distinct
+    val expect = users.groupBy(u =>
+      (t0.getOrElse(u, "absent"), t1.getOrElse(u, "absent")))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val got = run("events_segment_migration").collect()
+      .map(r => (r.getAs[String]("tier_from"), r.getAs[String]("tier_to")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == expect)
+    assert(got.values.sum == users.length.toLong)
+  }
+
   test("multimodal_wav_features: decode inversion + feature semantics on constructed PCM") {
     import graft.operators.Wav
     // hand-checked features on an alternating buffer (the synthetic
