@@ -132,17 +132,54 @@ object SparkEntry {
         decontShinglesView(s, dir)
         s.sql(sparkGen.decontaminateBloomSql(Some(("g_dsh_ev", "g_dsh_tr"))))
       }),
-      // removal-effect attribution over the checkpointed transition
-      // table: the journey pass (lag windows over the events scan)
-      // runs once per session/dir; the 8-step power iteration and its
-      // five variant chains reference only the tiny materialized
-      // (src, dst, c) rows
+      // removal-effect attribution: the journey pass (lag windows over
+      // the events scan) is the only corpus-priced work and runs once
+      // per session/dir; the 8-step × 5-variant power iteration is
+      // BOUNDED driver math over the collected ≤ |event_types|²-row
+      // transition census (the Pca/Mds convention — 40 tiny shuffled
+      // aggregations cost ~4 s of pure exchange latency for ≤ 35 live
+      // state rows; the driver does the same exact integer arithmetic
+      // in microseconds). The oracle re-derives the identical ppm
+      // iteration in pure SQL (markovAttributionSql), so the hash
+      // match pins the driver math to the SQL rendering.
       "events_attribution_markov" -> ((s, dir) => {
         Tables.register(s, dir)
         val tr = markovCache.computeIfAbsent((s, dir), _ =>
           s.sql(sparkGen.markovTransBuildSql).localCheckpoint())
-        tr.createOrReplaceTempView("g_mtrans")
-        s.sql(sparkGen.markovAttributionSql(Some("g_mtrans")))
+        val trans = tr.collect().map(r => (r.getAs[String]("src"),
+          r.getAs[String]("dst"), r.getAs[Long]("c")))
+        val outc = trans.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+        val ppm = trans.map { case (src, dst, c) => (src, dst, c * 1000000L / outc(src)) }
+        def conv(removed: Option[String]): (Long, Long) = {
+          val vt = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+          ppm.foreach { case (src, dst, p) =>
+            if (!removed.contains(src))
+              vt((src, if (removed.contains(dst)) "null" else dst)) += p
+          }
+          vt(("purchase", "purchase")) += 1000000L
+          vt(("null", "null")) += 1000000L
+          var st = Map("start" -> 1000000000000L).withDefaultValue(0L)
+          for (_ <- 1 to 8) {
+            val nx = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+            vt.foreach { case ((a, b), p) => if (st(a) != 0L) nx(b) += st(a) * p / 1000000L }
+            st = nx.toMap.withDefaultValue(0L)
+          }
+          (st("purchase"), st("purchase") + st("null"))
+        }
+        val (fullP, fullAb) = conv(None)
+        val chans = Seq("view", "click", "signup", "error")
+        val effs = chans.map(c => c -> (1.0 - conv(Some(c))._1.toDouble / fullP))
+        val sEff = effs.map(_._2).sum
+        def r(x: Double, dec: Int) = {
+          val m = math.pow(10, dec)
+          (if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)) / m
+        }
+        import s.implicits._
+        effs.map { case (c, eff) =>
+          (c, r(fullP / 1e12, 6), r(conv(Some(c))._1 / 1e12, 6), r(eff, 6),
+            r(eff / sEff, 4), r(1.0 - fullAb / 1e12, 6))
+        }.toDF("channel", "conv_full", "conv_removed", "removal_effect",
+          "attribution", "mass_unabsorbed")
       }),
       // hybrid RRF over the checkpointed two-leg score table: the
       // corpus-priced passes (word explode → BM25 + feature-hash
