@@ -71,7 +71,8 @@ object ScaleCheck {
     val chainQs = Seq("wm_extract", "vec_topk_lsh", "dedup_embedding",
       "vec_topk_filtered_lsh", "graph_triangles", "vec_topk_graph",
       "graph_communities", "graph_kcore", "graph_beam_curve",
-      "graph_assortativity", "wm_overwrite")
+      "graph_assortativity", "wm_overwrite", "graph_hops_reach",
+      "graph_clustering_coeff")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -87,7 +88,10 @@ object ScaleCheck {
       "text_cooccur", "q2_min_cost_supp", "events_bot_detect",
       "events_forecast", "data_curriculum", "events_changepoint",
       "sketch_f2_ams", "events_autocorr", "events_survival",
-      "vec_kmeans_step", "vec_pq_distortion")
+      "vec_kmeans_step", "vec_pq_distortion", "text_keywords_llr",
+      "q_pareto_share", "events_new_vs_returning",
+      "events_segment_migration", "text_zipf_fit", "sketch_hll_curve",
+      "data_shard_manifest")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -117,7 +121,8 @@ object ScaleCheck {
     for (q <- Seq("multimodal_wav_stats", "multimodal_bmp_stats",
       "multimodal_png_stats", "dedup_components", "search_hybrid_rrf",
       "text_bpe_merges", "vec_ivf_reindex", "dedup_jaccard",
-      "vec_topk_grouped", "graph_modularity").filter(only)) {
+      "vec_topk_grouped", "graph_modularity", "events_attribution_markov",
+      "multimodal_wav_features", "sketch_cms_native").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }
