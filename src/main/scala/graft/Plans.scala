@@ -103,7 +103,19 @@ object Plans {
     "graph_assortativity" -> "simple-graph census joins (the modularity shape) + ONE aggregation folding four exact integer degree moments; assortativity is one double division",
     "graph_beam_curve" -> "three independent |Q|*beam-bounded hop chains over the g_knn view (each hop: dedup'd expansion + scored broadcast join + per-query top-beam window), tagged union re-rank, brute reference bounded O(|Q|*N)",
     "wm_overwrite" -> "the pirate embed is ONE masked-sum partial-aggregation over the cached carrier rows + a broadcast join back (the stego build shape under the second key's literals); both extractions are one aggregation + the tiny vote each",
-    "vec_pq_distortion" -> "one join of the cached 8-byte/vector code table to the subvector projection + KB-sized codebook; MSE expands to ordered-fold dots (no array zip), means decimal-exact after the roundAway grid")
+    "vec_pq_distortion" -> "one join of the cached 8-byte/vector code table to the subvector projection + KB-sized codebook; MSE expands to ordered-fold dots (no array zip), means decimal-exact after the roundAway grid",
+    "events_attribution_markov" -> "the journey lag-window pass checkpoints once (the only corpus work); the 8-step x 5-variant ppm power iteration is bounded driver math over the collected <=|types|^2 census, oracle-pinned to the pure-SQL iteration",
+    "q_pareto_share" -> "one combinable customer groupBy; Lorenz windows run over the <=|buckets| gridded value domain (the RFM bounding trick) — no per-customer sort at any scale",
+    "text_zipf_fit" -> "global top-100 words via the 16-bucket pre-rank + pairwise exact ranks over <=1600 survivors; OLS from exact integer micro-ln moments",
+    "sketch_hll_curve" -> "ONE distinct-hash corpus pass shared by all three register counts; each register table is m rows, the estimate an ordered fold",
+    "graph_hops_reach" -> "unrolled frontier expansion over self-loop-augmented edges (one distinct join per hop, the beam-carry rule); per-hop census union re-derives O(h^2) bounded edge joins of the cached view",
+    "graph_clustering_coeff" -> "the triangle count's degree-oriented wedge join re-emitting vertices; per-node credit via a 3-way union + one combinable groupBy",
+    "data_shard_manifest" -> "pure map-side PRF shard assignment + ONE combinable groupBy — no ordering anywhere (sharding, not sorting, is the scalable randomization unit)",
+    "text_keywords_llr" -> "two combinable groupBys over one explode; the nine quantized-ln LLR terms sum exactly in bigint; top-5 per source over the vocabulary-sized table",
+    "events_new_vs_returning" -> "one (user, day) distinct + per-user min + daily census; the cumulative curve is a window over <=|days| aggregated rows",
+    "events_segment_migration" -> "one combinable (user, half) groupBy; median cuts by rank selection over the count DOMAIN; the matrix is <=9 cells",
+    "multimodal_wav_features" -> "batched mapPartitions decode + integer DSP per clip; one combinable (source, rate) shuffle — the same dataflow a real feature extractor binds into",
+    "sketch_cms_native" -> "ObjectHashAggregate with the 4x16 grid AS the buffer: map-side partials merge by addition, the point-query join touches the 1-row grid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
