@@ -419,6 +419,8 @@ final class Graft(spark: SparkSession, dir: String,
   def newVsReturning: DataFrame = q("events_new_vs_returning")
   /** Engagement-tier migration matrix across the window halves. */
   def segmentMigration: DataFrame = q("events_segment_migration")
+  /** BER-vs-noise operating curve (the QIM robustness frontier). */
+  def berCurve: DataFrame = q("wm_ber_curve")
 }
 
 object Graft {

@@ -5449,6 +5449,53 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from gw cross join nqv left join ht on ht.w = gw.w""".stripMargin
     },
 
+    // BER-vs-NOISE ROBUSTNESS CURVE — the watermark's operating curve
+    // (the robustness-matrix cells measure single points; THIS is the
+    // "how much perturbation until the mark dies" frontier every
+    // watermarking eval publishes, and the QIM theory predicts: clean
+    // decode while the PROJECTION noise σ·√cnt_g ≪ Δ/2, collapse at
+    // the lattice half-step σ ≈ Δ/(2√3) ≈ 0.043 — the measured cliff
+    // sits exactly there): the SAME keyed gaussian noise stream scaled
+    // to σ ∈ {0.01, 0.02, 0.03, 0.05} on EVERY stego cell (unlike
+    // wm_ber's 30%-of-rows single point), one extraction chain per level
+    // (the extract shape: one aggregation + the tiny vote), per-level
+    // total errors over all 16 blocks × 16 bits. Four bounded
+    // carrier-row passes over the cached stego view — no corpus work.
+    "wm_ber_curve" -> {
+      def exC(pfx: String, src: String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from $src group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      val levels = Seq(1, 2, 3, 5) // sigma in centi-units
+      def legs = levels.map { c =>
+        val sigma = s"0.${"%02d".format(c)}"
+        s"""a$c as (select id, pos, sval + $sigma * ${prfGauss(d)("'bwc'", "id", "pos")} as sval from stego),
+           |${exC(s"l${c}_", s"a$c")},
+           |e$c as (select ${bigint(c.toString)} as sigma_centi,
+           |          ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+           |        from msgbits m left join l${c}_votes v on v.blk = m.blk and v.bit_idx = m.j)""".stripMargin
+      }
+      s"""${wmChain("stego")},
+         |${legs.mkString(",\n")},
+         |cu as (${levels.map(c => s"select sigma_centi, errors from e$c").mkString(" union all ")})
+         |select sigma_centi, ${bigint("256")} as n_bits, errors,
+         |  ${roundAway(d)("errors / cast(256 as double)", 4)} as ber
+         |from cu""".stripMargin
+    },
+
     // WATERMARK OVERWRITING ATTACK — a second QIM embed under a
     // PIRATE key+message over the already-marked table, then BOTH
     // marks extracted (the multiple-watermarking / overwriting cell

@@ -429,6 +429,48 @@ class R6jOpsSpec extends AnyFunSuite {
     assert(math.abs(got.map(_.getAs[Double]("attribution")).sum - 1.0) < 1e-3)
   }
 
+  test("wm_ber_curve: every noise level's BER matches the JVM attack+decode mirror; curve is monotone") {
+    import graft.functions.{Prf, WmConst, WmDecode}
+    // JVM twin of the SQL Irwin–Hall gaussian (Dialect.prfGauss)
+    def gauss(parts: Any*): Double = {
+      def chunks(h: Long) = (0 until 5).map(i => ((h >> (12 * i)) & 4095L).toDouble)
+      val h1 = Prf.prf(("ih1" +: parts): _*)
+      val h2 = Prf.prf(("ih2" +: parts): _*)
+      val s = (chunks(h1) ++ chunks(h2)).sum + 5.0
+      (s / 4096.0 - 5.0) * 1.0954451150103321
+    }
+    val steg = SparkEntry.queries("wm_embed")(spark, TestSpark.Sf).collect()
+      .groupBy(_.getAs[Long]("vec_id")).map { case (id, rows) =>
+        val v = new Array[Double](64)
+        rows.foreach(r => v(r.getAs[Long]("pos").toInt - 1) = r.getAs[Double]("stego_val"))
+        id -> v
+      }
+    val msg = WmConst.msgBits(graft.sqlgen.WmParams.Default.cipherB64)
+    def errors(sigma: Double): Long = {
+      val votes = scala.collection.mutable.Map[(Int, Int), Int]().withDefaultValue(0)
+      steg.foreach { case (id, v) =>
+        val atk = Array.tabulate(64)(p => v(p) + sigma * gauss("bwc", id, p + 1))
+        WmDecode.decode(atk).foreach { case (blk, pb) =>
+          pb.zipWithIndex.foreach { case (b, i) => votes((blk, i)) += 2 * b - 1 }
+        }
+      }
+      (0 until 16).flatMap(blk => (0 until 16).map { i =>
+        val vt = votes.get((blk, i))
+        if (vt.isEmpty || (if (vt.get > 0) 1 else 0) != msg(blk)(8 + i)) 1L else 0L
+      }).sum
+    }
+    val got = run("wm_ber_curve").collect()
+      .map(r => r.getAs[Long]("sigma_centi") -> r.getAs[Long]("errors")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    Seq(1, 2, 3, 5).foreach { c =>
+      assert(got(c.toLong) == errors(c / 100.0), s"sigma 0.0$c")
+    }
+    // the operating curve: more noise never decodes better, and the
+    // QIM cliff sits inside the sampled range
+    assert(got(1L) <= got(2L) && got(2L) <= got(3L) && got(3L) <= got(5L))
+    assert(got(1L) < 26 && got(5L) > 128)
+  }
+
   test("graph_assortativity: the integer-moment fold matches a double-precision Pearson mirror") {
     val dirEdges = SparkEntry.queries("wm_knn_edges")(spark, TestSpark.Sf).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
