@@ -49,7 +49,7 @@ object WmCache {
   /** Query keys whose Spark rendering reads the g_* views. */
   val dependents: Set[String] = Set(
     "dedup_embedding", "vec_topk_lsh", "wm_knn_edges", "wm_in_degree",
-    "wm_carriers", "wm_embed", "wm_extract", "wm_ber", "wm_ber_curve", "wm_ber_subset",
+    "wm_carriers", "wm_embed", "wm_extract", "wm_vote_margin", "wm_ber", "wm_ber_curve", "wm_ber_subset",
     "wm_ber_truncate", "wm_ber_combo", "wm_ber_quantize", "wm_ber_permute", "wm_recall_impact",
     "vec_writeback", "wm_drift", "wm_backup", "wm_restore",
     "vec_range_search", "graph_pagerank", "graph_triangles", "graph_link_predict", "lsh_bucket_stats",

@@ -5449,6 +5449,27 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from gw cross join nqv left join ht on ht.w = gw.w""".stripMargin
     },
 
+    // EXTRACTION VOTE-MARGIN REPORT — the confidence monitor that
+    // fires BEFORE BER does (a bit decodes wrong only after its
+    // majority margin |vote|/n crosses zero, so shrinking margins are
+    // the early-warning signal a deployed extractor watches between
+    // scheduled BER audits): per block the carrier census, the
+    // minimum and mean bit margins, and WHICH bit is weakest (the
+    // deterministic min(struct) argmin). Rides the cached extraction
+    // votes — one tiny aggregation over the 16×16 vote table, no new
+    // corpus work.
+    "wm_vote_margin" ->
+      s"""${wmChain("extract")},
+         |mg as (select blk, bit_idx, n, ${roundAway(d)("abs(vote) / cast(n as double)", 6)} as margin from votes),
+         |pb as (select blk, ${bigint("count(*)")} as n_bits, ${bigint("max(n)")} as n_carriers,
+         |         min(margin) as min_margin,
+         |         ${roundAway(d)("cast(sum(cast(margin as decimal(18, 6))) as double) / count(*)", 4)} as mean_margin,
+         |         min(${d.structLit2("m", "margin", "b", "bit_idx")}) as mn
+         |       from mg group by blk)
+         |select ${bigint("blk")} as blk, n_bits, n_carriers, min_margin, mean_margin,
+         |  ${bigint(d.fieldOf("mn", "b"))} as weakest_bit
+         |from pb""".stripMargin,
+
     // BER-vs-NOISE ROBUSTNESS CURVE — the watermark's operating curve
     // (the robustness-matrix cells measure single points; THIS is the
     // "how much perturbation until the mark dies" frontier every
