@@ -100,9 +100,7 @@ object SparkEntry {
       // re-evaluate the join+distinct each time)
       "market_basket" -> ((s, dir) => {
         Tables.register(s, dir)
-        val ob = basketCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.marketBasketBuildSql).localCheckpoint())
-        ob.createOrReplaceTempView("g_basket")
+        Scratch.table(s, dir, "g_basket", sparkGen.marketBasketBuildSql)
         s.sql(sparkGen.marketBasketSql(Some("g_basket")))
       }),
       // MMR re-rank: the corpus-sized pool build checkpoints to 30
@@ -111,9 +109,7 @@ object SparkEntry {
       // checkpoint, not the corpus chain.
       "vec_mmr" -> ((s, dir) => {
         Tables.register(s, dir)
-        val pool = mmrPoolCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.mmrPoolSql).localCheckpoint())
-        pool.createOrReplaceTempView("g_mmr_pool")
+        Scratch.table(s, dir, "g_mmr_pool", sparkGen.mmrPoolSql)
         s.sql(sparkGen.mmrSql(Some("g_mmr_pool")))
       }),
       // decontamination over the materialized shingle index: the
@@ -144,8 +140,7 @@ object SparkEntry {
       // match pins the driver math to the SQL rendering.
       "events_attribution_markov" -> ((s, dir) => {
         Tables.register(s, dir)
-        val tr = markovCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.markovTransBuildSql).localCheckpoint())
+        val tr = Scratch.table(s, dir, "g_markov_trans", sparkGen.markovTransBuildSql)
         val trans = tr.collect().map(r => (r.getAs[String]("src"),
           r.getAs[String]("dst"), r.getAs[Long]("c")))
         val outc = trans.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
@@ -188,9 +183,7 @@ object SparkEntry {
       // re-inlines CTEs) run over candidate-sized materialized rows.
       "search_hybrid_rrf" -> ((s, dir) => {
         Tables.register(s, dir)
-        val sem = hybridCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.hybridScoresBuildSql).localCheckpoint())
-        sem.createOrReplaceTempView("g_hybrid_scores")
+        Scratch.table(s, dir, "g_hybrid_scores", sparkGen.hybridScoresBuildSql)
         s.sql(sparkGen.hybridRrfSql(Some("g_hybrid_scores")))
       }),
       // the native TypedImperativeAggregate HLL (functions.HllAgg):
@@ -238,9 +231,7 @@ object SparkEntry {
       // re-inlining) run over the vocabulary-sized checkpoint.
       "text_bpe_merges" -> ((s, dir) => {
         Tables.register(s, dir)
-        val v = bpeCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.bpeVocabBuildSql).localCheckpoint())
-        v.createOrReplaceTempView("g_bpe_vocab")
+        Scratch.table(s, dir, "g_bpe_vocab", sparkGen.bpeVocabBuildSql)
         s.sql(sparkGen.bpeMergesSql(Some("g_bpe_vocab")))
       }),
       // band-geometry tuning curve over the checkpointed minhash
@@ -250,9 +241,7 @@ object SparkEntry {
       // scratch every LSH dedup pipeline persists anyway)
       "minhash_band_curve" -> ((s, dir) => {
         Tables.register(s, dir)
-        val sig = mhSigCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.minhashSigBuildSql).localCheckpoint())
-        sig.createOrReplaceTempView("g_mhsig")
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
         s.sql(sparkGen.minhashCurveSql(Some("g_mhsig")))
       }),
       // modularity over the checkpointed LPA labels: the readout
@@ -264,9 +253,7 @@ object SparkEntry {
       "graph_modularity" -> ((s, dir) => {
         Tables.register(s, dir)
         WmCache.ensure(s, dir)
-        val lab = lpaCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.lpaBuildSql).localCheckpoint())
-        lab.createOrReplaceTempView("g_lpa")
+        Scratch.table(s, dir, "g_lpa", sparkGen.lpaBuildSql)
         s.sql(sparkGen.graphModularitySql(Some("g_lpa")))
       }),
       // native bounded-state per-group top-k (functions.TopKAgg):
@@ -282,61 +269,25 @@ object SparkEntry {
       // lookup table), docs join token lengths back
       "text_bpe_encode" -> ((s, dir) => {
         Tables.register(s, dir)
-        val v = bpeCache.computeIfAbsent((s, dir), _ =>
-          s.sql(sparkGen.bpeVocabBuildSql).localCheckpoint())
-        v.createOrReplaceTempView("g_bpe_vocab")
+        Scratch.table(s, dir, "g_bpe_vocab", sparkGen.bpeVocabBuildSql)
         s.sql(sparkGen.bpeEncodeSql(Some("g_bpe_vocab")))
       }))
 
-  private def simPairsView(s: SparkSession, dir: String): Unit = {
-    val pairs = simPairsCache.computeIfAbsent((s, dir), _ =>
-      s.sql(sparkGen.sql("dedup_simhash_pairs")).localCheckpoint())
-    pairs.createOrReplaceTempView("g_simpairs")
-  }
+  // every doc-side session table goes through the cross-session
+  // parquet scratch (graft.Scratch — the WmCache pattern): a fresh
+  // session READS the kept artifact instead of re-paying the
+  // corpus-priced build; scratch off / write failure falls back to
+  // the in-session localCheckpoint, value-identical
+  private def simPairsView(s: SparkSession, dir: String): Unit =
+    Scratch.table(s, dir, "g_simpairs", sparkGen.sql("dedup_simhash_pairs")): Unit
 
-  private val simPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def jaccardPairsView(s: SparkSession, dir: String): Unit = {
-    val prof = jaccardCache.computeIfAbsent((s, dir), _ =>
-      s.sql(sparkGen.jaccardPairsBuildSql).localCheckpoint())
-    prof.createOrReplaceTempView("g_jpairs")
-  }
-
-  private val jaccardCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val mmrPoolCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val basketCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val hybridCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val markovCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val mhSigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val lpaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def jaccardPairsView(s: SparkSession, dir: String): Unit =
+    Scratch.table(s, dir, "g_jpairs", sparkGen.jaccardPairsBuildSql): Unit
 
   private def decontShinglesView(s: SparkSession, dir: String): Unit = {
-    val (ev, tr) = decontCache.computeIfAbsent((s, dir), _ =>
-      (s.sql(sparkGen.decontShinglesBuildSql("ev")).localCheckpoint(),
-        s.sql(sparkGen.decontShinglesBuildSql("tr")).localCheckpoint()))
-    ev.createOrReplaceTempView("g_dsh_ev")
-    tr.createOrReplaceTempView("g_dsh_tr")
+    Scratch.table(s, dir, "g_dsh_ev", sparkGen.decontShinglesBuildSql("ev"))
+    Scratch.table(s, dir, "g_dsh_tr", sparkGen.decontShinglesBuildSql("tr")): Unit
   }
-
-  private val decontCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
   /** DuckDB-runnable oracle SQL, generated from the same templates. */
   def oracleSql: Map[String, String] =

@@ -48,7 +48,7 @@ object WmCache {
 
   /** Query keys whose Spark rendering reads the g_* views. */
   val dependents: Set[String] = Set(
-    "dedup_embedding", "vec_topk_lsh", "wm_knn_edges", "wm_in_degree",
+    "dedup_embedding", "vec_topk_lsh", "wm_knn_edges", "knn_edges_salted", "wm_in_degree",
     "wm_carriers", "wm_embed", "wm_extract", "wm_vote_margin", "wm_ber", "wm_ber_curve", "wm_ber_subset",
     "wm_ber_truncate", "wm_ber_combo", "wm_ber_quantize", "wm_ber_permute", "wm_recall_impact",
     "vec_writeback", "wm_drift", "wm_backup", "wm_restore",
@@ -69,8 +69,9 @@ object WmCache {
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()
 
-  /** Scratch root, or None when disabled. */
-  private def scratchRoot(spark: SparkSession): Option[File] = {
+  /** Scratch root, or None when disabled (shared with the doc-side
+    * Scratch layer so one conf governs both). */
+  private[graft] def scratchRoot(spark: SparkSession): Option[File] = {
     val conf = try spark.conf.get("spark.graft.scratch") catch {
       case _: Exception =>
         sys.env.getOrElse("SPARK_GRAFT_SCRATCH", new File(".graft-scratch").getAbsolutePath)

@@ -161,9 +161,13 @@ object Wav {
       val size = bb.getInt(off + 4)
       require(size >= 0 && off + 8 + size <= bytes.length, "chunk overrun")
       if (id == "data") {
+        // PCM16 invariant: sample data is an even byte count — an odd
+        // size would pull the pad byte (or the next chunk header) into
+        // the last sample, or read past the buffer on a final chunk
+        require((size & 1) == 0, "odd PCM16 data chunk")
         var p = off + 8
         val end = off + 8 + size
-        while (p < end) { out += bb.getShort(p); p += 2 }
+        while (p + 2 <= end) { out += bb.getShort(p); p += 2 }
       }
       off += 8 + size + (size & 1)
     }

@@ -1901,6 +1901,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       s"""${wmChain("knn")}
          |select ${bigint("src")} as src, ${bigint("dst")} as dst, ${bigint("rn")} as rn, sim from knn""".stripMargin,
 
+    // SKEW-SALTED BUCKET PAIRS, EQUALITY-WITNESSED — the §4 skew
+    // fallback (operators.SkewSalt) proven value-identical IN SQL:
+    // both the plain within-bucket self-join and the salted form
+    // (left row takes ONE deterministic salt id % 4, right side
+    // replicated to ALL 4 salts — each qualifying pair matches on
+    // exactly one replica) run in the same query; per bucket the two
+    // pair counts plus the intersection count witness set equality
+    // (n_plain = n_salted = n_matched ⇔ identical pair sets, since
+    // neither form can emit a duplicate). The salted form is what the
+    // shared chain actually ships (knnCtes): a hot LSH bucket's pair
+    // expansion fans over 4 reducers instead of straggling one task.
+    "knn_edges_salted" ->
+      s"""${wmChain("lsh")},
+         |sa as (select t, b, id, id % 4 as s from bkt),
+         |sb as (select t, b, id, sx as s from bkt cross join ${rangeTable("kx", "sx", 0, 3)}),
+         |sp as (select a.t, a.b, a.id as ai, b.id as bi
+         |       from sa a join sb b on a.t = b.t and a.b = b.b and a.s = b.s and a.id < b.id),
+         |pp as (select a.t, a.b, a.id as ai, b.id as bi
+         |       from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id < b.id),
+         |sc as (select t, b, count(*) as n_salted from sp group by t, b),
+         |pc as (select t, b, count(*) as n_plain from pp group by t, b),
+         |mc as (select s.t, s.b, count(*) as n_matched
+         |       from sp s join pp p on p.t = s.t and p.b = s.b and p.ai = s.ai and p.bi = s.bi
+         |       group by s.t, s.b)
+         |select ${bigint("pc.t")} as t, ${bigint("pc.b")} as bucket,
+         |  ${bigint("pc.n_plain")} as n_plain,
+         |  ${bigint("coalesce(sc.n_salted, 0)")} as n_salted,
+         |  ${bigint("coalesce(mc.n_matched, 0)")} as n_matched,
+         |  ${bigint("case when pc.n_plain = coalesce(sc.n_salted, 0) and pc.n_plain = coalesce(mc.n_matched, 0) then 1 else 0 end")} as sets_equal
+         |from pc left join sc on sc.t = pc.t and sc.b = pc.b
+         |        left join mc on mc.t = pc.t and mc.b = pc.b""".stripMargin,
+
     "wm_in_degree" ->
       s"""${wmChain("knn")}
          |select ${bigint("vec_id")} as vec_id, ${bigint("in_degree")} as in_degree from indeg""".stripMargin,
@@ -5059,7 +5091,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // EXACTLY in bigint), top-5 per source by a source-partitioned
     // window over the word-type-sized table. Two combinable groupBys
     // (word×source, word) over one explode; everything after is
-    // vocabulary-sized.
+    // vocabulary-sized. Scale ceiling: the x·round(ln(x)·1e9) term
+    // overflows bigint once the total token count N exceeds ~4e8
+    // (N·ln(N)·1e9 > 2^63); past that, pre-scale the contingency cells
+    // (divide all four by a common 10^s before the xlnx terms — LLR is
+    // scale-equivariant up to the same factor) or coarsen the ln grid
+    // to 1e-6, same escape hatch as the other bigint-grid keys
+    // (events_autocorr, graph_assortativity, data_shard_manifest).
     "text_keywords_llr" -> {
       // x·round(ln(x)·1e9) with the x = 0 → 0 convention
       def xlnx(x: String): String =

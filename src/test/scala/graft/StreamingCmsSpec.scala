@@ -43,8 +43,11 @@ class StreamingCmsSpec extends AnyFunSuite {
       }
       val updates = spark.table("cms_stream")
         .as[(String, Seq[Long])].collect()
-      val finalGrid = updates.zipWithIndex.groupBy(_._1._1).view
-        .mapValues(_.maxBy(_._2)._1._2.toList).toMap
+      // update-mode sink row order is not contractually batch order;
+      // CMS grids grow monotonically, so the FINAL grid per source is
+      // the one with the maximal cell sum
+      val finalGrid = updates.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2.sum)._2.toList).toMap
       assert(finalGrid.keySet == batch.keySet)
       for ((src, g) <- batch)
         assert(finalGrid(src) == g, s"grid mismatch for $src")
