@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CmsAgg].getName, "graft_cms"),
       (exprs: Seq[Expression]) => graft.functions.CmsAgg.build(exprs)))
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
+    // rank-window top-k → bounded-state graft_topk_rows aggregate
+    // (unchanged SQL, O(groups·k) exchange instead of a full sort)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

@@ -24,6 +24,17 @@ object Plans {
     "g_bq" -> "BQ pack: one corpus explode + integer bit-sum groupBy — 8 bytes/vector of index state")
 
   private val notes = Map(
+    "dedup_cluster_rep" -> "components over the checkpointed g_simpairs scratch (6 min-label rounds, each one join + combinable min agg over materialized pair rows), then ONE quality join and a max(struct(quality, -doc)) argmax per component — no window over the corpus",
+    "q10_returns" -> "TPC-H Q10: order-date range + returnflag pushed to the scans, nation broadcast, fact shuffles on the join keys, revenue agg decimal-exact; global top-20 via the q3 bucketed-pre-rank + <=320-survivor pairwise rank — no unpartitioned window",
+    "wm_steganalysis" -> "ONE pass buckets original vs stego carrier cells into 41 integer histogram cells (map-side-combinable), KS = max CDF race over a plan-time 41x41 literal grid, mean shift from pre-rounded decimal sums — no pair-by-grid expansion, reads the cached g_stego view",
+    "vec_knn_classify" -> "bucket-routed candidates (shared g_bkt view) for the fixed query set only, exact cosine on candidates, per-query top-10 window over candidate rows, majority label via map-side max(struct) argmax — query-set-sized throughout, never a corpus ranking",
+    "text_centroid_classify" -> "one word explode feeding two combinable groupBys (doc presence, source df-centroid); scoring joins the doc-word rows onto the vocabulary-bounded centroid table — integer df dots, one division per (doc, source); work linear in corpus, sources vocabulary-bounded",
+    "dedup_substring" -> "doc-partitioned lead() windows build token spans (<= tokens-per-doc per partition), ONE window-hash groupBy finds repeated spans, semi-join tags the containing docs — nothing pairwise, no global sort",
+    "dedup_winnow" -> "winnowing fingerprints from doc-partitioned lead() windows + per-window min (map-side); the DF-cap filter kills boilerplate hot fingerprints BEFORE the pair join, so the candidate join is bounded per fingerprint — the step that keeps shared phrases from going quadratic",
+    "dedup_minhash_verify" -> "candidate pairs from the banded minhash join (g_mhsig scratch), then the EXACT-verify stage recomputes true Jaccard only on candidates via the pair-tagged gram groupBy — verification cost scales with candidates, not the corpus",
+    "market_basket" -> "basket table checkpointed once (scratch); support/confidence/lift joins run over materialized basket rows — item-pair generation is bounded by per-basket width, aggregations all map-side-combinable",
+    "knn_edges_salted" -> "both pair legs read the shared g_bkt view: plain self-join on (t, b), salted join on (t, b, salt) with the 4-replica side exploded map-side; per-bucket counts + the intersection count are three combinable groupBys — the equality witness never leaves the bucket partitioning",
+    "wm_vote_margin" -> "one tiny aggregation over the cached 16x16 extraction vote table (min/mean margins + min(struct) weakest-bit argmin) — no corpus work in the steady state",
     "q1_pricing" -> "filter pushed to parquet (PushedFilters on l_shipdate), 6 of 11 columns read, single partial+final agg",
     "q5_nation_rev" -> "5-way join: dims broadcast, one shuffle on the fact join keys",
     "vec_topk_lsh" -> "steady state: candidates from the g_bkt parquet scan (bucket build amortized across the 19 chain consumers)",

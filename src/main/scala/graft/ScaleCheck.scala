@@ -91,7 +91,7 @@ object ScaleCheck {
       "vec_kmeans_step", "vec_pq_distortion", "text_keywords_llr",
       "q_pareto_share", "events_new_vs_returning",
       "events_segment_migration", "text_zipf_fit", "sketch_hll_curve",
-      "data_shard_manifest")
+      "data_shard_manifest", "dedup_winnow")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -99,7 +99,14 @@ object ScaleCheck {
       timeSec { df.count(); () }
     }
     val results = new StringBuilder
-    for (q <- chainQs.filter(only); (tag, g) <- Seq("static" -> genStatic, "scaled" -> genScaled)) {
+    // the 100× decade runs skip the static leg: the 30× table already
+    // shows the static geometry collapsing (507/431/753 s), and another
+    // decade of a known-quadratic curve is hours of machine time for no
+    // new information — the derived leg is the claim under test
+    val legs =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_SKIP_STATIC")) Seq("scaled" -> genScaled)
+      else Seq("static" -> genStatic, "scaled" -> genScaled)
+    for (q <- chainQs.filter(only); (tag, g) <- legs) {
       val s = run(g, q)
       println(s"[scale] $q/$tag ${s}s")
       results.append(s"""  "$q/$tag": $s,\n""")

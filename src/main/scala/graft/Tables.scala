@@ -46,6 +46,12 @@ object Tables {
       graft.functions.HllAgg.register(spark)
       graft.functions.TopKAgg.register(spark)
       graft.functions.CmsAgg.register(spark)
+      // the engine-level rank-window top-k rewrite, for sessions built
+      // without spark.sql.extensions=graft.GraftExtensions (the
+      // extension-built path injects the same rule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteWindowTopK))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RewriteWindowTopK
       names.foreach { n =>
         val df = load(spark, dir, n)
         val out =

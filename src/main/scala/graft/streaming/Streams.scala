@@ -434,6 +434,53 @@ object Streams {
       }
   }
 
+  /** Per-user funnel stage row: epoch-second timestamps of the first
+    * view, the first qualifying click, the first qualifying purchase
+    * (-1 = stage not reached yet). */
+  case class FunnelRow(userId: Long, tView: Long, tClick: Long, tBuy: Long)
+
+  /** Streaming windowed conversion funnel — the incremental form of
+    * `events_funnel_windowed`: view → click within 1 h of the first
+    * view → purchase within 24 h of the first qualifying click. State
+    * per user is just the three stage timestamps (O(1) — never the
+    * event history): each stage only ever LATCHES the first qualifying
+    * event, so with events arriving in per-user event-time order (the
+    * anomalyStream contract; same-sec stage races resolved
+    * view < click < purchase inside a batch) the latched times equal
+    * the batch query's min-based stage times on the same rows —
+    * StreamingFunnelSpec pins per-user equality AND the aggregated
+    * funnel censuses across micro-batch splits. Update mode: the
+    * latest row per user is the current funnel position; the batch
+    * report is one aggregation over those rows. */
+  def funnelStream(events: Dataset[(Timestamp, Long, String)],
+                   clickWinSec: Long = 3600,
+                   buyWinSec: Long = 86400): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    def rank(tp: String): Int = tp match {
+      case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+    }
+    events
+      .groupByKey(_._2)
+      .mapGroupsWithState[FunnelRow, FunnelRow](GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[FunnelRow]) =>
+          var s = state.getOption.getOrElse(FunnelRow(user, -1L, -1L, -1L))
+          val evs = it.map(e => (e._1.getTime / 1000, e._3)).toSeq
+            .sortBy { case (sec, tp) => (sec, rank(tp)) }
+          for ((sec, tp) <- evs) tp match {
+            case "view" if s.tView < 0 => s = s.copy(tView = sec)
+            case "click" if s.tView >= 0 && s.tClick < 0 &&
+              sec >= s.tView && sec <= s.tView + clickWinSec =>
+              s = s.copy(tClick = sec)
+            case "purchase" if s.tClick >= 0 && s.tBuy < 0 &&
+              sec >= s.tClick && sec <= s.tClick + buyWinSec =>
+              s = s.copy(tBuy = sec)
+            case _ =>
+          }
+          state.update(s)
+          s
+      }
+  }
+
   def distinctSketchStream(words: Dataset[(Timestamp, String, String)])
       : Dataset[(String, Double)] = {
     import words.sparkSession.implicits._
