@@ -2841,6 +2841,55 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |                    from ht) a""".stripMargin
     },
 
+    // BLOOM m-BITS TUNING CURVE — the bits-per-key frontier that sizes
+    // every production Bloom deployment (next to sketch_hll_curve and
+    // minhash_band_curve in the tuning-curve family): the SAME eval
+    // shingle set built at m ∈ {4096, 32768, 262144} bits (k = 3 fixed
+    // — the double-hashing position formula takes m as a COLUMN, so
+    // all three geometries expand in ONE projection; neither corpus
+    // side is re-scanned per level), the SAME train-side probe set
+    // tested against each, measured false-positive rate vs the (1 −
+    // e^−kn/m)^k ≈ fill^k prediction. Membership = all k probe
+    // positions present in the level's distinct-position set (value-
+    // identical to the packed-bitset test, and the join stays
+    // per-(m, pos) bounded). Integer counts until the final divisions.
+    "sketch_bloom_curve" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      // double-hashing probe position i under m bits, m a column
+      def posM(g: String, i: String, m: String) =
+        s"((($g) % $m + ($i) * (2 * (${d.idiv(g, m)} % ${d.idiv(m, "2")}) + 1)) % $m)"
+      s"""with $wordCtes,
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+         |evd as $matKw(select distinct g from shev),
+         |trd as $matKw(select distinct g from shtr),
+         |geo as (select ${bigint("4096")} as m union all select ${bigint("32768")} as m union all select ${bigint("262144")} as m),
+         |evp as (select x.m, ${posM("evd.g", "ki.i", "x.m")} as pos
+         |        from evd cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
+         |pd as (select distinct m, pos from evp),
+         |ns as (select m, ${bigint("count(*)")} as n_bits_set from pd group by m),
+         |ne as (select ${bigint("count(*)")} as n_eval from evd),
+         |tq as (select t.g, case when e.g is not null then 1 else 0 end as ise,
+         |              x.m, ${posM("t.g", "ki.i", "x.m")} as pos
+         |       from trd t left join evd e on e.g = t.g
+         |       cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
+         |hq as (select t.m, t.g, ${bigint("max(t.ise)")} as ise,
+         |              ${bigint("sum(case when p.pos is not null then 1 else 0 end)")} as nm
+         |       from tq t left join pd p on p.m = t.m and p.pos = t.pos
+         |       group by t.m, t.g),
+         |res as (select m, ${bigint("count(*)")} as n_probes, ${bigint("sum(ise)")} as n_members,
+         |               ${bigint(s"sum(case when nm = $BloomK and ise = 0 then 1 else 0 end)")} as n_false_pos
+         |        from hq group by m)
+         |select ${bigint("r.m")} as m_bits,
+         |  ${roundAway(d)("r.m / cast(ne.n_eval as double)", 2)} as bits_per_key,
+         |  ns.n_bits_set,
+         |  ${roundAway(d)("ns.n_bits_set / cast(r.m as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(ns.n_bits_set / cast(r.m as double), $BloomK)", 6)} as fpr_expected,
+         |  r.n_probes, r.n_members, r.n_false_pos,
+         |  ${roundAway(d)("r.n_false_pos / cast(r.n_probes - r.n_members as double)", 6)} as fpr_measured
+         |from res r join ns on ns.m = r.m cross join ne""".stripMargin
+    },
+
     // the Bloom prefilter COMPOSED with the exact decontamination join
     // — output IDENTICAL to `decontaminate` (Bloom admits no false
     // negatives, so prefiltering the training side can only drop
@@ -3776,6 +3825,54 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // over that one table, and the brute reference leg is bounded
     // O(|Q|·N) on the fixed evaluation sample. All counts integer
     // until the final recall division.
+    // MULTI-PROBE LSH TUNING CURVE (Lv et al. 2007 — probe the query's
+    // own bucket PLUS buckets one plane-flip away, trading probe cost
+    // for recall WITHOUT adding hash tables; the memory-free knob
+    // every LSH deployment turns before fattening the index): recall@10
+    // + candidate cost at probes ∈ {own bucket, +4 single-flips, +all
+    // single-flips}. One probe expansion per query (P+1 buckets per
+    // table, pure bucket-id arithmetic — flipping bit j is add/subtract
+    // 2^j, no xor needed), candidates tagged with the MINIMUM flip
+    // index that reaches them (the nprobe cellrank trick: exact sims
+    // compute ONCE for the widest level's superset, inner levels are
+    // filters), per-level top-10 vs the bounded O(|Q|·N) brute leg.
+    // Integer counts until the final recall division.
+    "ann_multiprobe_curve" -> {
+      val P = lshPlanes
+      def flip(j: Int) = {
+        val pj = 1 << j
+        s"b + (1 - 2 * ((${d.idiv("b", pj.toString)}) % 2)) * $pj"
+      }
+      val probeUnion = (s"select qid, t, b as pb, 0 as flip from qb" +:
+        (0 until P).map(j =>
+          s"select qid, t, ${flip(j)} as pb, ${j + 1} as flip from qb")).mkString("\n|       union all ")
+      s"""${wmChain("lsh")},
+         |q as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim from q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |qb as (select id as qid, t, b from bkt where id in ($qIdLit)),
+         |pr as ($probeUnion),
+         |mf as (select p.qid, k.id as cid, ${bigint("min(p.flip)")} as minflip
+         |       from pr p join bkt k on k.t = p.t and k.b = p.pb and k.id <> p.qid
+         |       group by p.qid, k.id),
+         |sims as (select m.qid, m.cid, m.minflip, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |         from mf m join nn qn on qn.id = m.qid join nn cn on cn.id = m.cid),
+         |lv as (select 1 as lvl, 0 as mfmax union all select 2 as lvl, ${math.min(4, P)} as mfmax union all select 3 as lvl, $P as mfmax),
+         |lt as (select lvl, qid, cid from (
+         |         select l.lvl, s.qid, s.cid, row_number() over (partition by l.lvl, s.qid order by s.sim desc, s.cid) as rn
+         |         from sims s join lv l on s.minflip <= l.mfmax) _t where rn <= 10),
+         |nc as (select l.lvl, ${bigint("count(*)")} as n_cand from mf m join lv l on m.minflip <= l.mfmax group by l.lvl),
+         |ht as (select t.lvl, ${bigint("count(*)")} as hits from lt t join bt b on b.qid = t.qid and b.cid = t.cid group by t.lvl),
+         |nq as (select ${bigint("count(*)")} as n from q)
+         |select ${bigint("lv.lvl")} as lvl, ${bigint("lv.mfmax")} as extra_probes,
+         |  ${bigint("coalesce(nc.n_cand, 0)")} as n_cand,
+         |  ${bigint("coalesce(ht.hits, 0)")} as hits,
+         |  ${roundAway(d)("coalesce(ht.hits, 0) / (cast(10 as double) * nq.n)", 4)} as recall10
+         |from lv cross join nq
+         |  left join nc on nc.lvl = lv.lvl
+         |  left join ht on ht.lvl = lv.lvl""".stripMargin
+    },
+
     "ann_nprobe_curve" -> {
       val chain =
         if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
@@ -4711,6 +4808,36 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("lab")} as community_id, ${bigint("count(*)")} as n_members
          |from l3 group by lab""".stripMargin,
 
+    // CONNECTED-COMPONENT SIZE CENSUS over the served kNN graph — the
+    // connectivity complement to LPA's density communities (LPA splits
+    // a component into dense cells; THIS answers "is the index graph
+    // even navigable" — the vector-side analog of dedup_components,
+    // which only ever sees the doc near-dup graph): 8 unrolled
+    // min-label propagation rounds over the symmetrized + self-looped
+    // edge table (self-loops make each round's new label min(own,
+    // neighbors) while referencing the previous state exactly ONCE —
+    // the beam-carry rule; the edge CTE is the cached g_knn view on
+    // the Spark side and DuckDB-materialized in the oracle, so the 8
+    // references never re-run the chain). 8 rounds is the stated
+    // convergence horizon (pagerank convention — label distance
+    // travels 2^r edges worst-case only for path graphs; the spec
+    // pins fixpoint on the served graph). Output: component id (its
+    // minimum member id) → size.
+    "graph_component_sizes" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def step(prev: String, t: Int) =
+        s"""c$t as (select e.src as id, ${bigint("min(p.lab)")} as lab
+           |       from ecc e join $prev p on p.id = e.dst group by e.src)""".stripMargin
+      s"""${wmChain("knn")},
+         |ecc as $matKw(select src, dst from knn
+         |             union all select dst as src, src as dst from knn
+         |             union all select id as src, id as dst from nn),
+         |c0 as (select id, ${bigint("id")} as lab from nn),
+         |${(1 to 8).map(t => step(s"c${t - 1}", t)).mkString(",\n")}
+         |select ${bigint("lab")} as component_id, ${bigint("count(*)")} as n_members
+         |from c8 group by lab""".stripMargin
+    },
+
     // CURRICULUM STAGING — the quality-ordered training schedule
     // (curriculum learning, Bengio et al. 2009, as every data-centric
     // pretraining recipe applies it: feed cleaner data in later
@@ -5379,6 +5506,72 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("(cast(n * sxy - sx * sy as double) * cast(n * sxy - sx * sy as double)) / (cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))", 4)} as r2
          |from mo""".stripMargin
     },
+
+    // HEAPS'-LAW VOCABULARY GROWTH CURVE (Heaps 1978, V(N) ≈ K·N^β —
+    // the companion statistic to the Zipf fit: predicts tokenizer
+    // vocabulary coverage and dedup novelty rates as the corpus
+    // grows): vocabulary size measured at four nested corpus prefixes
+    // (1/8, 1/4, 1/2, all — doc_id thresholds off the max id, no
+    // global ordering pass), computed WITHOUT scanning per prefix:
+    // one explode, then per word its MINIMUM prefix level (one
+    // combinable groupBy over word types) — cumulative counts over 4
+    // levels reconstruct every prefix's vocabulary. β from the OLS
+    // fit over the 4 (ln N, ln V) points on the zipf 1e-6 integer ln
+    // grid (exact bigint sums, one double division).
+    "text_heaps_law" -> {
+      s"""with $wordCtes,
+         |nd as (select ${bigint("max(doc_id)")} as mx from documents),
+         |dl as (select doc_id, case when doc_id * 8 <= mx then 1
+         |                           when doc_id * 4 <= mx then 2
+         |                           when doc_id * 2 <= mx then 3 else 4 end as lvl
+         |       from documents cross join nd),
+         |wl as (select wx.wd, min(dl.lvl) as ml, ${bigint("count(*)")} as c
+         |       from wx join dl on dl.doc_id = wx.doc_id group by wx.wd),
+         |tok as (select dl.lvl, ${bigint("count(*)")} as toks
+         |        from wx join dl on dl.doc_id = wx.doc_id group by dl.lvl),
+         |vc as (select ml as lvl, ${bigint("count(*)")} as v_new from wl group by ml),
+         |cum as (select l.lvl, ${bigint("sum(t.toks)")} as n_tokens
+         |        from ${rangeTable("l", "lvl", 1, 4)} join tok t on t.lvl <= l.lvl group by l.lvl),
+         |cv as (select l.lvl, ${bigint("sum(v.v_new)")} as v_types
+         |       from ${rangeTable("l", "lvl", 1, 4)} join vc v on v.lvl <= l.lvl group by l.lvl),
+         |lg as (select ${bigint(roundAway(d)("ln(cast(c.n_tokens as double)) * 1000000", 0))} as x,
+         |              ${bigint(roundAway(d)("ln(cast(v.v_types as double)) * 1000000", 0))} as y
+         |       from cum c join cv v on v.lvl = c.lvl),
+         |mo as (select ${bigint("count(*)")} as n, ${bigint("sum(x)")} as sx, ${bigint("sum(y)")} as sy,
+         |              ${bigint("sum(x * y)")} as sxy, ${bigint("sum(x * x)")} as sxx
+         |       from lg)
+         |select ${bigint("c.lvl")} as prefix_lvl, c.n_tokens, v.v_types,
+         |  ${roundAway(d)("v.v_types / cast(c.n_tokens as double)", 6)} as type_token_ratio,
+         |  ${roundAway(d)("cast(mo.n * mo.sxy - mo.sx * mo.sy as double) / cast(mo.n * mo.sxx - mo.sx * mo.sx as double)", 4)} as heaps_beta,
+         |  ${roundAway(d)("(cast(mo.sy as double) - (cast(mo.n * mo.sxy - mo.sx * mo.sy as double) / cast(mo.n * mo.sxx - mo.sx * mo.sx as double)) * mo.sx) / (mo.n * 1000000.0)", 4)} as heaps_lnk
+         |from cum c join cv v on v.lvl = c.lvl cross join mo""".stripMargin
+    },
+
+    // LEXICAL-DIVERSITY PROFILE — the vocabulary-richness curation
+    // signal (type-token ratio + hapax share; low TTR flags templated
+    // / machine-generated text that length or stopword filters miss,
+    // high hapax share flags OCR noise and codes): per doc, tokens /
+    // types / TTR / in-doc hapax share from ONE (doc, word) groupBy
+    // (tokens = sum of counts, types = rows, hapax = count-of-ones —
+    // all combinable); the corpus-level hapax share (how much of the
+    // vocabulary appears exactly once — the Zipf tail mass) rides a
+    // second vocabulary-sized groupBy, cross-joined as a constant
+    // report column. Integers until the final divisions.
+    "text_lexical_diversity" ->
+      s"""with $wordCtes,
+         |dw as (select doc_id, wd, ${bigint("count(*)")} as c from wx group by doc_id, wd),
+         |dt as (select doc_id, ${bigint("sum(c)")} as n_tokens, ${bigint("count(*)")} as n_types,
+         |              ${bigint("sum(case when c = 1 then 1 else 0 end)")} as n_hapax
+         |       from dw group by doc_id),
+         |gw as (select wd, ${bigint("sum(c)")} as c from dw group by wd),
+         |gh as (select ${bigint("count(*)")} as v_types,
+         |              ${bigint("sum(case when c = 1 then 1 else 0 end)")} as v_hapax
+         |       from gw)
+         |select ${bigint("dt.doc_id")} as doc_id, dt.n_tokens, dt.n_types, dt.n_hapax,
+         |  ${roundAway(d)("dt.n_types / cast(dt.n_tokens as double)", 4)} as ttr,
+         |  ${roundAway(d)("dt.n_hapax / cast(dt.n_types as double)", 4)} as hapax_share,
+         |  ${roundAway(d)("gh.v_hapax / cast(gh.v_types as double)", 4)} as corpus_hapax_share
+         |from dt cross join gh""".stripMargin,
 
     // PQ RECONSTRUCTION-DISTORTION REPORT — the quantization-error
     // monitor for the served PQ index (faiss's reconstruct-error /
