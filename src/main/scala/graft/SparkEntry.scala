@@ -50,6 +50,10 @@ object SparkEntry {
       "multimodal_wav_features" -> ((s, dir) => graft.operators.Wav.wavFeatures(s, dir)),
       // real BMP decode (render embeddings → encode → header/row parse)
       "multimodal_bmp_stats" -> ((s, dir) => graft.operators.Bmp.bmpStats(s, dir)),
+      // real image FEATURE extraction over the decoded pixels
+      // (gradients / checkerboard Walsh / brightness — exact integers,
+      // each sensitive to a different aspect of decode order)
+      "multimodal_bmp_features" -> ((s, dir) => graft.operators.Bmp.bmpFeatures(s, dir)),
       // real PNG decode (render → deflate-encode → chunk/CRC/unfilter parse)
       "multimodal_png_stats" -> ((s, dir) => graft.operators.Png.pngStats(s, dir)),
       // near-dup pairs → deletion groups: checkpoint the pair chain
@@ -295,6 +299,7 @@ object SparkEntry {
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
         "multimodal_wav_features" -> graft.operators.Wav.wavFeaturesOracleSql,
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
+        "multimodal_bmp_features" -> graft.operators.Bmp.bmpFeaturesOracleSql,
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),

@@ -121,6 +121,114 @@ object Bmp {
         sum($"n_bytes").as("total_bytes"))
   }
 
+  /** Decoded grayscale pixels in IMAGE order (row-major top-down):
+    * honors the pixel-data offset, the 4-byte row stride, and the
+    * bottom-up storage order (file row r is image row height-1-r) —
+    * the part of the decode the feature extraction below witnesses.
+    * Callers run [[parse]] first for full validation. */
+  def pixels(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    val stride = (width * 3 + 3) / 4 * 4
+    val out = new Array[Int](width * height)
+    var row = 0
+    while (row < height) {
+      val imgRow = height - 1 - row
+      val base = dataOff + row * stride
+      var x = 0
+      while (x < width) {
+        out(imgRow * width + x) = bytes(base + x * 3) & 0xff // blue channel (gray)
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  final case class BmpFeats(hgrad: Long, vgrad: Long, checker: Long, bright: Long)
+
+  /** Classic image features over decoded pixels — ALL exact integers,
+    * and each one sensitive to a different aspect of decode ORDER:
+    * horizontal gradient (within-row adjacency), vertical gradient
+    * (row order — a decoder that forgets BMP's bottom-up storage gets
+    * this wrong on any vertically-structured image), the ±1
+    * checkerboard Walsh correlate (absolute position), bright-pixel
+    * census (value fidelity). */
+  def features(px: Array[Int], width: Int): BmpFeats = {
+    val height = px.length / width
+    var hg = 0L; var vg = 0L; var ck = 0L; var br = 0L
+    var i = 0
+    while (i < px.length) {
+      val x = i % width
+      val y = i / width
+      if (x > 0) hg += math.abs(px(i) - px(i - 1))
+      if (y > 0) vg += math.abs(px(i) - px(i - width))
+      ck += px(i).toLong * (1 - 2 * ((x + y) % 2))
+      if (px(i) >= 128) br += 1
+      i += 1
+    }
+    BmpFeats(hg, vg, ck, br)
+  }
+
+  /** Oracle-checked query: render → encode → decode → feature-extract
+    * per image, aggregate per label — the image analog of
+    * wavFeatures (real feature DSP over the decoded payload, not the
+    * header). Batched mapPartitions, one combinable shuffle. */
+  def bmpFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(spark, dir)
+    val vecs = spark.table("embeddings")
+      .selectExpr("cast(vec_id as bigint)", "cast(label as bigint)",
+        "cast(embedding as array<double>)")
+      .as[(Long, Long, Seq[Double])]
+    val feats = vecs.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { case (_, label, v) =>
+          val gray = v.map(x => pixelByte(x).toByte).toArray
+          val bytes = encode24(8, 8, gray)
+          parse(bytes) // full validation walk
+          val f = features(pixels(bytes), 8)
+          (label, f.hgrad, f.vgrad, f.checker, f.bright)
+        }
+      }
+    }.toDF("label", "hgrad", "vgrad", "checker", "bright")
+    feats.groupBy($"label")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"hgrad").as("total_hgrad"),
+        sum($"vgrad").as("total_vgrad"),
+        sum($"checker").as("walsh_checker"),
+        sum($"bright").as("n_bright"))
+  }
+
+  /** DuckDB oracle for [[bmpFeatures]]: the same integer features
+    * recomputed from the pixel formula at row-major positions —
+    * agreement proves the decode path un-flips BMP's bottom-up rows
+    * and walks the padded stride correctly (vgrad is row-order-
+    * sensitive, checker is position-keyed). */
+  val bmpFeaturesOracleSql: String =
+    """with ix as (select vec_id, label, cast(embedding as double[]) as e,
+      |             unnest(generate_series(1, 64)) as i from embeddings),
+      |px as (select vec_id, label, i,
+      |        least(255, greatest(0, cast(floor((e[i] + 1) * 128) as bigint))) as p,
+      |        case when i % 8 <> 1 then least(255, greatest(0, cast(floor((e[i - 1] + 1) * 128) as bigint))) end as pl,
+      |        case when i > 8 then least(255, greatest(0, cast(floor((e[i - 8] + 1) * 128) as bigint))) end as pu
+      |       from ix),
+      |f as (select vec_id, label,
+      |        sum(case when pl is not null then abs(p - pl) else 0 end) as hgrad,
+      |        sum(case when pu is not null then abs(p - pu) else 0 end) as vgrad,
+      |        sum(p * (1 - 2 * (((i - 1) // 8 + (i - 1) % 8) % 2))) as checker,
+      |        sum(case when p >= 128 then 1 else 0 end) as bright
+      |      from px group by vec_id, label)
+      |select cast(label as bigint) as label, cast(count(*) as bigint) as n_images,
+      |  cast(sum(hgrad) as bigint) as total_hgrad,
+      |  cast(sum(vgrad) as bigint) as total_vgrad,
+      |  cast(sum(checker) as bigint) as walsh_checker,
+      |  cast(sum(bright) as bigint) as n_bright
+      |from f group by label""".stripMargin
+
   /** DuckDB oracle: the same stats straight from the pixel formula —
     * 3 channel bytes per component, 8×8 image, 54 + 192-byte files
     * (stride 24 is already 4-byte aligned at width 8). */

@@ -2027,6 +2027,55 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // 30% of the stego rows (reference: attack/random_modify.py + the
     // robustness eval in backend/app.py). Per-block errors; a missing
     // block (no surviving CRC-valid carriers) counts all 16 bits wrong.
+    // KEY-MISMATCH NEGATIVE CONTROL — the Kerckhoffs gate every keyed
+    // watermark must pass (wm_extract_null proves no mark reads as
+    // present in CLEAN data; THIS proves the mark in MARKED data is
+    // unreadable without the key): the same stego table extracted with
+    // the genuine key's weights AND with a wrong key's — the wrong
+    // key's dim groups cross-cut the genuine lattice cells, so its
+    // projections are arbitrary w.r.t. the embedded QIM grid: blocks
+    // overwhelmingly fail the CRC gate and the few chance-valid ones
+    // decode noise (the spec pins the asymmetry: genuine = 16 blocks /
+    // 0 errors, wrong ≈ nothing). Two extract aggregation chains over
+    // the cached stego view — no corpus work, all key constants are
+    // plan-time literals.
+    "wm_key_mismatch" -> {
+      val keyW = "not-the-key"
+      val kcW = WmConst.keyed(keyW)
+      def wWLitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kcW.dimGroup(p) == g) kcW.dimSign(p) else 0.0))
+      def exC(pfx: String, wf: Int => String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from stego group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      def errExpr(v: String) =
+        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)"
+      def legSel(tag: String, pfx: String) =
+        s"""select '$tag' as leg,
+           |  (select ${bigint("count(*)")} from ${pfx}valid) as n_valid_vectors,
+           |  (select ${bigint("count(distinct blk)")} from ${pfx}valid) as n_blocks_recovered,
+           |  (select ${bigint(errExpr("v"))} from msgbits m left join ${pfx}votes v on v.blk = m.blk and v.bit_idx = m.j) as bit_errors""".stripMargin
+      s"""${wmChain("stego")},
+         |${exC("a_", wLitOf)},
+         |${exC("w_", wWLitOf)}
+         |${legSel("genuine", "a_")}
+         |union all
+         |${legSel("wrong_key", "w_")}""".stripMargin
+    },
+
     "wm_ber" ->
       s"""${wmChain("stego")},
          |atk as (select id, pos,

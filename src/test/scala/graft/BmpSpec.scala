@@ -66,4 +66,36 @@ class BmpSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) == 8 && r.getLong(2) == 8))
     assert(rows.forall(_.getLong(4) > 0)) // total_pixel_sum
   }
+
+  test("pixels() inverts encode24, un-flipping the bottom-up row order") {
+    val gray = Array.tabulate(64)(i => (i * 3 + 7).toByte) // every pixel distinct
+    val decoded = Bmp.pixels(Bmp.encode24(8, 8, gray))
+    assert(decoded.toSeq == gray.map(_ & 0xff).toSeq,
+      "decoded pixels must come back in image order, not file (bottom-up) order")
+    // a non-multiple-of-4 stride exercises the row padding too
+    val g5 = Array.tabulate(15)(i => (200 - i).toByte) // 5x3, stride 16 != 15
+    assert(Bmp.pixels(Bmp.encode24(5, 3, g5)).toSeq == g5.map(_ & 0xff).toSeq)
+  }
+
+  test("features are decode-order witnesses: vgrad sees vertical structure, checker sees position") {
+    // two horizontal bands: rows 0-3 = 0, rows 4-7 = 100
+    val bands = Array.tabulate(64)(i => if (i / 8 < 4) 0.toByte else 100.toByte)
+    val f = Bmp.features(Bmp.pixels(Bmp.encode24(8, 8, bands)), 8)
+    assert(f.hgrad == 0L) // rows are flat
+    assert(f.vgrad == 8L * 100L) // one band boundary, 8 columns
+    assert(f.checker == 0L) // balanced checkerboard on constant bands
+    // a vertical stripe image transposes the gradients
+    val stripes = Array.tabulate(64)(i => if (i % 8 < 4) 0.toByte else 100.toByte)
+    val g = Bmp.features(Bmp.pixels(Bmp.encode24(8, 8, stripes)), 8)
+    assert(g.vgrad == 0L && g.hgrad == 8L * 100L)
+  }
+
+  test("bmpFeatures aggregates the decoded-feature corpus per label") {
+    val rows = Bmp.bmpFeatures(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_images") > 0))
+    // gradients of real (non-constant) images are strictly positive
+    assert(rows.forall(_.getAs[Long]("total_hgrad") > 0))
+    assert(rows.forall(_.getAs[Long]("total_vgrad") > 0))
+  }
 }

@@ -60,6 +60,41 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wm_key_mismatch: both legs match the JVM decode mirror; the asymmetry is the security property") {
+    import graft.functions.{WmConst, WmDecode}
+    val steg = SparkEntry.queries("wm_embed")(spark, TestSpark.Sf).collect()
+      .groupBy(_.getAs[Long]("vec_id")).map { case (id, rows) =>
+        val v = new Array[Double](64)
+        rows.foreach(r => v(r.getAs[Long]("pos").toInt - 1) = r.getAs[Double]("stego_val"))
+        id -> v
+      }
+    val msg = WmConst.msgBits(graft.sqlgen.WmParams.Default.cipherB64)
+    def leg(key: String): (Long, Long, Long) = {
+      val decs = steg.values.flatMap(v => WmDecode.decode(v, key = key)).toSeq
+      val votes = scala.collection.mutable.Map[(Int, Int), Int]().withDefaultValue(0)
+      decs.foreach { case (blk, pb) =>
+        pb.zipWithIndex.foreach { case (b, i) => votes((blk, i)) += 2 * b - 1 }
+      }
+      val errs = (0 until 16).flatMap(blk => (0 until 16).map { i =>
+        val vt = votes.get((blk, i))
+        if (vt.isEmpty || (if (vt.get > 0) 1 else 0) != msg(blk)(8 + i)) 1L else 0L
+      }).sum
+      (decs.size.toLong, decs.map(_._1).distinct.size.toLong, errs)
+    }
+    val expect = Map("genuine" -> leg(graft.sqlgen.Wm.Key),
+      "wrong_key" -> leg("not-the-key"))
+    val got = run("wm_key_mismatch").collect()
+      .map(r => r.getAs[String]("leg") -> (r.getAs[Long]("n_valid_vectors"),
+        r.getAs[Long]("n_blocks_recovered"), r.getAs[Long]("bit_errors"))).toMap
+    assert(got == expect)
+    // the property under test: with the key, everything; without, noise
+    assert(got("genuine")._2 == 16L && got("genuine")._3 == 0L)
+    assert(got("wrong_key")._1 < got("genuine")._1 / 10,
+      "the CRC gate must reject almost every wrong-key decode")
+    assert(got("wrong_key")._3 > 200L,
+      "whatever chance-decodes must not reconstruct the message")
+  }
+
   test("knn_edges_salted: every bucket's salted pair set equals the plain self-join's") {
     val rows = run("knn_edges_salted").collect()
     assert(rows.nonEmpty)
