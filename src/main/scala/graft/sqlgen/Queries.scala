@@ -3794,6 +3794,65 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(sum(ntok) / cast((max(seq_last) + 1) * 256 as double), 4) as fill_rate
          |from asg group by source""".stripMargin,
 
+    // ORDER-TO-SHIP LATENCY DISTRIBUTION — the fulfillment-SLA readout
+    // (per month: how long from order to first shipment, exact
+    // median/p90 — the operations dashboard every order system runs):
+    // day-integer latencies from epoch arithmetic (timestamps are
+    // date-valued midnights, so the division is exact), per-month
+    // quantiles via the exact cumulative-count race over the BOUNDED
+    // latency domain (the text_length_quantiles pattern, grouped — the
+    // self-join is |distinct latencies|² per month, calendar-bounded,
+    // never corpus-sized). Mean from an exact integer sum.
+    "q_ship_latency" -> {
+      def ep(c: String) =
+        if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
+        else s"cast(epoch($c) as bigint)"
+      s"""with lat as (select year(o.o_orderdate) as yr, month(o.o_orderdate) as mo,
+         |              ${d.idiv(s"${ep("l.l_shipdate")} - ${ep("o.o_orderdate")}", "86400")} as lat_days
+         |       from orders o join lineitem l on l.l_orderkey = o.o_orderkey),
+         |lc as (select yr, mo, lat_days, ${bigint("count(*)")} as c from lat group by yr, mo, lat_days),
+         |cum as (select a.yr, a.mo, a.lat_days, ${bigint("sum(b.c)")} as cum
+         |        from lc a join lc b on b.yr = a.yr and b.mo = a.mo and b.lat_days <= a.lat_days
+         |        group by a.yr, a.mo, a.lat_days),
+         |tot as (select yr, mo, ${bigint("count(*)")} as cnt, ${bigint("sum(lat_days)")} as s
+         |        from lat group by yr, mo)
+         |select ${bigint("t.yr")} as yr, ${bigint("t.mo")} as mo, t.cnt as n_lineitems,
+         |  ${roundAway(d)("t.s / cast(t.cnt as double)", 4)} as mean_days,
+         |  ${bigint("min(case when c.cum >= cast(ceil(t.cnt * 0.5) as bigint) then c.lat_days end)")} as p50_days,
+         |  ${bigint("min(case when c.cum >= cast(ceil(t.cnt * 0.9) as bigint) then c.lat_days end)")} as p90_days,
+         |  ${bigint("max(c.lat_days)")} as max_days
+         |from tot t join cum c on c.yr = t.yr and c.mo = t.mo
+         |group by t.yr, t.mo, t.cnt, t.s""".stripMargin
+    },
+
+    // PACKING-EFFICIENCY TUNING CURVE — the sequence-length knob of
+    // the training assembler (pack_sequences fixes L = 256; THIS
+    // measures what changing L costs: longer sequences pack tighter
+    // per boundary but truncate more docs — the fill-rate vs
+    // boundary-doc frontier a pretraining pipeline checks before
+    // fixing its context length): the per-source running token sum
+    // computes ONCE (one partitioned window — the pack_sequences
+    // envelope); each L ∈ {128, 256, 512} is a map-side integer
+    // division over the same cume column (cross join with the 3-row
+    // level table, no second window). Integers until the fill-rate
+    // division.
+    "pack_efficiency_curve" ->
+      s"""with tok as (select doc_id, source, ${bigint(d.arrLen(splitWs("lower(text)")))} as ntok from documents),
+         |cum as (select source, doc_id, ntok, ${bigint("sum(ntok) over (partition by source order by doc_id)")} as cume from tok),
+         |lens as (select ${bigint("128")} as len union all select ${bigint("256")} union all select ${bigint("512")}),
+         |asg as (select l.len, c.source, c.ntok, ${d.idiv("c.cume - c.ntok", "l.len")} as sf, ${d.idiv("c.cume - 1", "l.len")} as sl
+         |        from cum c cross join lens l),
+         |per as (select len, source, ${bigint("count(*)")} as n_docs, ${bigint("sum(ntok)")} as n_tokens,
+         |               ${bigint("max(sl) + 1")} as n_seqs,
+         |               ${bigint("sum(case when sl > sf then 1 else 0 end)")} as n_boundary
+         |        from asg group by len, source)
+         |select ${bigint("len")} as seq_len, ${bigint("sum(n_docs)")} as n_docs,
+         |  ${bigint("sum(n_tokens)")} as n_tokens, ${bigint("sum(n_seqs)")} as n_seqs,
+         |  ${bigint("sum(n_boundary)")} as n_boundary_docs,
+         |  ${roundAway(d)("sum(n_tokens) / cast(sum(n_seqs) * len as double)", 4)} as fill_rate,
+         |  ${roundAway(d)("sum(n_boundary) / cast(sum(n_docs) as double)", 4)} as boundary_share
+         |from per group by len""".stripMargin,
+
     // TPC-H Q18 (large-volume customers): the classic
     // aggregate-then-join shape — the HAVING collapses lineitem to the
     // few hundred qualifying orders BEFORE any join, so the orders and
@@ -4252,6 +4311,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from cand c
          |join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
          |left join iv on iv.da = c.da and iv.db = c.db""".stripMargin,
+
+    // DEDUP THRESHOLD TUNING CURVE — the aggressiveness knob every
+    // dedup deployment sets (how many pairs merge, how many docs are
+    // implicated, at jaccard ≥ {0.5, 0.7, 0.9}): rides the SAME
+    // banded-candidate + exact-verify chain as dedup_minhash_verify
+    // (one signature pass, one band join, one shingle-intersection
+    // groupBy — the thresholds are filters over the verified pair
+    // table, never new corpus work). Per threshold: surviving pair
+    // count, distinct docs implicated (the union of both sides —
+    // what a keep-one policy would touch), and the mean true jaccard
+    // of survivors (6dp-quantized before the exact decimal mean).
+    "dedup_threshold_curve" ->
+      s"""with $wordCtes,
+         |$minhashBandsCtes,
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+         |cand as (select da, db, est from candp where est >= 0.1),
+         |sz as (select doc_id, ${bigint("count(*)")} as ns from shx group by doc_id),
+         |iv as (select c.da, c.db, ${bigint("count(*)")} as i
+         |       from cand c join shx sa on sa.doc_id = c.da
+         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
+         |       group by c.da, c.db),
+         |tj as (select c.da, c.db,
+         |         ${roundAway(d)("coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0))", 6)} as jt
+         |       from cand c
+         |       join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
+         |       left join iv on iv.da = c.da and iv.db = c.db),
+         |th as (select ${bigint("50")} as t_centi union all select ${bigint("70")} union all select ${bigint("90")}),
+         |pa as (select t.t_centi, ${bigint("count(*)")} as n_pairs,
+         |         ${roundAway(d)("cast(sum(cast(j.jt as decimal(18, 6))) as double) / count(*)", 4)} as mean_jaccard
+         |       from tj j join th t on j.jt >= t.t_centi / 100.0 group by t.t_centi),
+         |sides as (select t.t_centi, j.da as d2 from tj j join th t on j.jt >= t.t_centi / 100.0
+         |          union
+         |          select t.t_centi, j.db as d2 from tj j join th t on j.jt >= t.t_centi / 100.0),
+         |nd as (select t_centi, ${bigint("count(*)")} as n_docs from sides group by t_centi)
+         |select ${bigint("th.t_centi")} as t_centi,
+         |  ${bigint("coalesce(pa.n_pairs, 0)")} as n_dup_pairs,
+         |  ${bigint("coalesce(nd.n_docs, 0)")} as n_docs_implicated,
+         |  pa.mean_jaccard
+         |from th left join pa on pa.t_centi = th.t_centi
+         |        left join nd on nd.t_centi = th.t_centi""".stripMargin,
 
     // Bigram PMI association mining — the collocation signal behind
     // phrase detection (word2vec's phrase pass, Mikolov et al. 2013:
