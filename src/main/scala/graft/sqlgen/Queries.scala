@@ -4386,6 +4386,64 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // IEEE ops. Scale: explode is N·d rows map-side into ONE shuffle
     // of d=64 groups with partial aggregation — no corpus pass is
     // repeated, no row ever collected.
+    // PAIRWISE-SIMILARITY HISTOGRAM — the intrinsic-dimensionality /
+    // relative-contrast diagnostic an ANN deployment checks BEFORE
+    // choosing an index (a similarity distribution concentrated near
+    // its mean means LSH/IVF buy little — Beyer et al. 1999): cosine
+    // over three keyed TRANSLATIONAL pair families (partner = (id +
+    // δ_k) mod N with plan-time PRF deltas — 3·N pairs, LINEAR in the
+    // corpus, deterministic, no sampled-pair quadratic blowup), 20
+    // similarity bins. Exact counts; 6dp-quantized sims summed as
+    // decimals for the per-bin mean.
+    "vec_pairwise_dist_hist" -> {
+      val dks = (0 until 3).map(k => graft.functions.Prf.prf("pdh", k))
+      s"""with $nvCtes,
+         |nx as (select ${bigint("max(id) + 1")} as n from nn),
+         |dl as (${dks.zipWithIndex.map { case (dk, k) =>
+           s"select $k as k, 1 + ($dk % (nx.n - 1)) as delta from nx" }.mkString("\n|       union all ")}),
+         |pr as (select a.id as ia, (a.id + dl.delta) % nx.n as ib
+         |       from nn a cross join dl cross join nx),
+         |ps as (select ${roundAway(d)(d.dot("na.n", "nb.n"), 6)} as sim
+         |       from pr p join nn na on na.id = p.ia join nn nb on nb.id = p.ib
+         |       where p.ia <> p.ib),
+         |bi as (select least(19, cast(floor((sim + 1) * 10) as bigint)) as bin, sim from ps)
+         |select ${bigint("bin")} as bin,
+         |  ${roundAway(d)("bin / 10.0 - 1.0", 1)} as sim_lo,
+         |  ${bigint("count(*)")} as n_pairs,
+         |  ${roundAway(d)("cast(sum(cast(sim as decimal(18, 6))) as double) / count(*)", 4)} as mean_sim
+         |from bi group by bin""".stripMargin
+    },
+
+    // EMBEDDING DATA-DRIFT REPORT — the train/serve skew monitor
+    // (wm_drift watches the WATERMARK's effect; THIS watches the
+    // DATA: per-dimension distribution shift between the first and
+    // second half of the corpus by ingestion id — the readout that
+    // says "retrain the index / recalibrate the quantizer" when a new
+    // crawl slice shifts the embedding distribution): per (half, dim)
+    // the 6dp-quantized exact decimal sum and sum-of-squares from one
+    // exploded pass, then mean/pooled-std/standardized shift per
+    // dimension — one corpus pass, 2·d aggregation rows, all float
+    // work on identical operand orders in both engines.
+    "vec_data_drift" ->
+      s"""with $nvCtes, $exnCte,
+         |mx as (select ${bigint("max(id)")} as m from ev),
+         |h as (select case when e.id * 2 <= mx.m then 0 else 1 end as half, e.pos,
+         |             cast(${roundAway(d)("e.val", 6)} as decimal(18, 6)) as qv
+         |      from exn e cross join mx),
+         |ag as (select half, pos, ${bigint("count(*)")} as c,
+         |              sum(qv) as s1, sum(qv * qv) as s2
+         |       from h group by half, pos),
+         |j as (select a0.pos, a0.c as c0, a1.c as c1,
+         |        cast(a0.s1 as double) / a0.c as mu0, cast(a1.s1 as double) / a1.c as mu1,
+         |        cast(a0.s2 as double) / a0.c - (cast(a0.s1 as double) / a0.c) * (cast(a0.s1 as double) / a0.c) as v0,
+         |        cast(a1.s2 as double) / a1.c - (cast(a1.s1 as double) / a1.c) * (cast(a1.s1 as double) / a1.c) as v1
+         |      from ag a0 join ag a1 on a1.pos = a0.pos and a0.half = 0 and a1.half = 1)
+         |select ${bigint("pos")} as dim, ${bigint("c0")} as n_first, ${bigint("c1")} as n_second,
+         |  round(mu0, 6) as mu_first, round(mu1, 6) as mu_second,
+         |  round(sqrt((v0 + v1) / 2), 6) as std_pooled,
+         |  round(abs(mu0 - mu1) / sqrt((v0 + v1) / 2 + 0.000001), 4) as z_shift
+         |from j""".stripMargin,
+
     "vec_dim_profile" ->
       s"""with $nvCtes,
          |$exnCte,
@@ -5130,6 +5188,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // from EXACT integer moment sums per user — cv = √(n·Σg² − (Σg)²)
     // / Σg, non-negative by Cauchy–Schwarz in exact arithmetic, one
     // sqrt + one division per user row. Users with < 5 gaps abstain.
+    // INTER-EVENT-TIME HISTOGRAM — the arrival-process fingerprint
+    // (log₂-bucketed per-user gaps; human traffic is heavy-tailed
+    // across decades of seconds, automation concentrates mass in one
+    // or two buckets — the distribution-level signal behind
+    // events_bot_detect's per-user verdicts): consecutive gaps from
+    // ONE user-partitioned lag window (integer seconds), bucketed by
+    // a 22-row power-of-two range join (2^22 s > the 30-day corpus
+    // span; zero-gaps get their own -1 bucket via the left-join
+    // fallthrough). Exact integer counts and sums; one division for
+    // the per-bucket mean.
+    "events_inter_event_hist" ->
+      s"""with e as (select user_id, event_id, ${evSec("ts")} as sec from events),
+         |g as (select sec - lag(sec) over (partition by user_id order by sec, event_id) as gap from e),
+         |gz as (select gap from g where gap is not null),
+         |bt as (select k, cast(pow(2, k) as bigint) as lo, cast(pow(2, k + 1) as bigint) as hi
+         |       from ${rangeTable("bk", "k", 0, 21)}),
+         |b as (select coalesce(bt.k, -1) as bucket, gz.gap
+         |      from gz left join bt on gz.gap >= bt.lo and gz.gap < bt.hi)
+         |select ${bigint("bucket")} as bucket,
+         |  ${bigint("case when bucket = -1 then 0 else cast(pow(2, bucket) as bigint) end")} as gap_lo_s,
+         |  ${bigint("count(*)")} as n_gaps,
+         |  ${roundAway(d)("sum(gap) / cast(count(*) as double)", 2)} as mean_gap_s
+         |from b group by bucket""".stripMargin,
+
     "events_bot_detect" ->
       s"""with ev as (select user_id, ${evSec("ts")} as sec, event_id from events),
          |sq as (select user_id,
