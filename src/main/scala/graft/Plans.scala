@@ -35,6 +35,22 @@ object Plans {
     "market_basket" -> "basket table checkpointed once (scratch); support/confidence/lift joins run over materialized basket rows — item-pair generation is bounded by per-basket width, aggregations all map-side-combinable",
     "knn_edges_salted" -> "both pair legs read the shared g_bkt view: plain self-join on (t, b), salted join on (t, b, salt) with the 4-replica side exploded map-side; per-bucket counts + the intersection count are three combinable groupBys — the equality witness never leaves the bucket partitioning",
     "wm_vote_margin" -> "one tiny aggregation over the cached 16x16 extraction vote table (min/mean margins + min(struct) weakest-bit argmin) — no corpus work in the steady state",
+    "ann_multiprobe_curve" -> "probe expansion is a P+1-way union of map-side bucket-id arithmetic over the query rows; candidates tagged with min-flip in one groupBy, sims computed once for the widest superset, per-level top-10 windows over candidate rows only",
+    "sketch_bloom_curve" -> "one shingle pass per side; the 3 geometries expand in ONE projection (m is a column in the position formula), membership is a per-(m,pos) bounded join against the distinct-position sets — no per-level corpus re-scan",
+    "text_heaps_law" -> "one explode + per-word MIN prefix level in one combinable groupBy; cumulative counts over 4 levels reconstruct every prefix without per-prefix scans; the OLS fit is a 4-row aggregation",
+    "text_lexical_diversity" -> "one (doc, word) groupBy (tokens/types/hapax all combinable) + one vocabulary-sized groupBy cross-joined as a constant column",
+    "graph_component_sizes" -> "8 min-label rounds over the cached g_knn view (symmetrized + self-looped union per round — each round references the previous state exactly once); the census is one combinable groupBy over the final labels",
+    "multimodal_bmp_features" -> "batched mapPartitions decode (encode24 -> parse -> pixels -> integer features), one combinable label shuffle — same envelope as multimodal_wav_features",
+    "wm_key_mismatch" -> "two extract aggregation chains over the cached g_stego view (genuine + wrong-key weights, all plan-time literals) + tiny vote/census joins — no corpus work beyond the two aggregations",
+    "q_ship_latency" -> "one orders-lineitem join feeding a (month, latency-day) count; quantiles from a cumulative window over the domain-bounded count table (one window node also carries the per-month totals, so the fact join runs once)",
+    "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
+    "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
+    "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",
+    "vec_pairwise_dist_hist" -> "3N translational pairs ((id + delta) mod N, plan-time PRF deltas) — linear, two id joins against the normalized view, one bin groupBy",
+    "vec_data_drift" -> "one exploded pass into 2*64 aggregation rows (quantized decimal sums), self-join of the two half rows per dim — corpus work is the single explode",
+    "vec_label_separation" -> "one corpus explode into per-(label, dim) quantized means, centroids reassembled as ordered arrays (every downstream dot is an ordered fold); the corpus-sized work is one dot join per vector against its own broadcast centroid; the |labels|^2 pair matrix is tiny",
+    "events_retention_halflife" -> "per-user first-day table x 14-row k range, one left join against distinct (user, day) — calendar-bounded; the OLS fit is a 14-row aggregation on the integer ln grid",
+    "text_novelty_rate" -> "one shingle pass, first-seer per shingle in one combinable min groupBy, novelty share via one join back — no pairwise work",
     "q1_pricing" -> "filter pushed to parquet (PushedFilters on l_shipdate), 6 of 11 columns read, single partial+final agg",
     "q5_nation_rev" -> "5-way join: dims broadcast, one shuffle on the fact join keys",
     "vec_topk_lsh" -> "steady state: candidates from the g_bkt parquet scan (bucket build amortized across the 19 chain consumers)",

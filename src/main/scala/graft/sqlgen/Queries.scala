@@ -1854,6 +1854,40 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // per-label centroid vectors (class means — the building block the
     // mean-replacement attack and IVF coarse quantizers share): one
     // partial-agg shuffle of (label, pos) cells.
+    // LABEL-SEPARATION REPORT (Fisher-style class-quality diagnostic)
+    // — "are these embeddings worth training a classifier on": per
+    // label the mean within-class cosine to its own centroid vs the
+    // most-confusable other centroid's cosine; the margin between the
+    // two is the separability readout (kNN-classify measures per-query
+    // accuracy; THIS is the distribution-level statement). Centroids
+    // from one exploded groupBy (6dp-quantized per-dim means — the
+    // vec_centroids convention) reassembled into ORDERED arrays, so
+    // every downstream similarity is an ordered-fold dot (no float
+    // sum-order risk); within-class sims quantized then decimal-
+    // averaged; the |labels|² centroid-pair matrix is tiny. One corpus
+    // explode + one corpus-sized dot join is all the heavy work.
+    "vec_label_separation" ->
+      s"""with $nvCtes,
+         |lab as (select * from ${d.explodeFrom("nn", "n", "pos", "val", Seq("label"))} _lb),
+         |ctq as (select label, pos, ${roundAway(d)("avg(val)", 6)} as cv from lab group by label, pos),
+         |cta as (select label, ${d.arrAggOrdered("cv", "pos")} as c from ctq group by label),
+         |cn as (select label, c, sqrt(${d.dot("c", "c")}) as cnrm from cta),
+         |w as (select nn.label, ${roundAway(d)(s"${d.dot("nn.n", "cn.c")} / cn.cnrm", 6)} as sim
+         |      from nn join cn on cn.label = nn.label),
+         |ws as (select label, ${bigint("count(*)")} as n_members,
+         |         ${roundAway(d)("cast(sum(cast(sim as decimal(18, 6))) as double) / count(*)", 4)} as within_sim
+         |       from w group by label),
+         |bc as (select a.label as la, b.label as lb,
+         |         ${roundAway(d)(s"${d.dot("a.c", "b.c")} / (a.cnrm * b.cnrm)", 6)} as bsim
+         |       from cn a join cn b on a.label <> b.label),
+         |bn as (select la as label, -(${d.fieldOf("mx", "nl")}) as nearest_label, ${d.fieldOf("mx", "s")} as between_sim
+         |       from (select la, max(${d.structLit2("s", "bsim", "nl", "-lb")}) as mx from bc group by la) _bn)
+         |select ${bigint("ws.label")} as label, ws.n_members, ws.within_sim,
+         |  ${bigint("bn.nearest_label")} as nearest_label,
+         |  round(bn.between_sim, 4) as between_sim,
+         |  round(ws.within_sim - bn.between_sim, 4) as separation_margin
+         |from ws join bn on bn.label = ws.label""".stripMargin,
+
     "vec_centroids" ->
       s"""with $nvCtes,
          |lab as (select * from ${d.explodeFrom("nv", "v", "pos", "val", Seq("label"))} _lb)
@@ -2564,6 +2598,43 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // daily-cohort retention over the events stream (classic analytics
     // breadth): first-seen day per user, then d+1/d+7 activity flags —
     // two shuffles on user_id, everything map-side-combinable.
+    // RETENTION DECAY CURVE + HALF-LIFE FIT — the day-k retention
+    // frontier with the exponential-decay summary every growth team
+    // fits (retention ≈ r₀·2^(−k/halflife); the half-life number is
+    // the comparable statistic across products): day-k retention for
+    // k ∈ 1..14 pooled across cohorts (one events×14 range join over
+    // the per-user first-day table — calendar-bounded), then OLS of
+    // ln(rate) on k over the zipf 1e-6 integer ln grid (k is an exact
+    // small integer, so the sums are exact bigints), half-life =
+    // ln 2/(−slope). Censoring honesty: day-k retention only counts
+    // cohorts OLD enough to have a day k (d0 + k ≤ last corpus day) —
+    // the denominator shrinks with k instead of diluting the tail.
+    "events_retention_halflife" ->
+      s"""with e as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |f as (select user_id, min(day) as d0 from e group by user_id),
+         |mxd as (select ${bigint("max(day)")} as md from e),
+         |ks as (select k from ${rangeTable("_ks", "k", 1, 14)}),
+         |el as (select f.user_id, f.d0, ks.k,
+         |         case when e2.user_id is not null then 1 else 0 end as ret
+         |       from f cross join ks cross join mxd
+         |       left join (select distinct user_id, day from e) e2
+         |         on e2.user_id = f.user_id and e2.day = f.d0 + ks.k
+         |       where f.d0 + ks.k <= mxd.md),
+         |rk as (select k, ${bigint("count(*)")} as n_eligible, ${bigint("sum(ret)")} as n_retained
+         |       from el group by k),
+         |lg as (select k, ${bigint(roundAway(d)("ln(n_retained / cast(n_eligible as double)) * 1000000", 0))} as y
+         |       from rk where n_retained > 0),
+         |mo as (select ${bigint("count(*)")} as n, ${bigint("sum(k)")} as sx, ${bigint("sum(y)")} as sy,
+         |              ${bigint("sum(k * y)")} as sxy, ${bigint("sum(k * k)")} as sxx
+         |       from lg)
+         |select ${bigint("rk.k")} as k, rk.n_eligible, rk.n_retained,
+         |  ${roundAway(d)("rk.n_retained / cast(rk.n_eligible as double)", 4)} as retention,
+         |  ${roundAway(d)("cast(mo.n * mo.sxy - mo.sx * mo.sy as double) / cast(mo.n * mo.sxx - mo.sx * mo.sx as double) / 1000000.0", 6)} as decay_slope,
+         |  case when mo.n * mo.sxy - mo.sx * mo.sy < 0
+         |       then ${roundAway(d)("-693147.18 * cast(mo.n * mo.sxx - mo.sx * mo.sx as double) / cast(mo.n * mo.sxy - mo.sx * mo.sy as double)", 4)}
+         |       else cast(null as double) end as halflife_days
+         |from rk cross join mo""".stripMargin,
+
     "events_retention" ->
       s"""with e as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
          |f as (select user_id, min(day) as d0 from e group by user_id),
@@ -3799,10 +3870,16 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // median/p90 — the operations dashboard every order system runs):
     // day-integer latencies from epoch arithmetic (timestamps are
     // date-valued midnights, so the division is exact), per-month
-    // quantiles via the exact cumulative-count race over the BOUNDED
-    // latency domain (the text_length_quantiles pattern, grouped — the
-    // self-join is |distinct latencies|² per month, calendar-bounded,
-    // never corpus-sized). Mean from an exact integer sum.
+    // quantiles via a cumulative-count WINDOW over the (month,
+    // latency) count table — partitions are bounded by the latency
+    // DOMAIN per month (≈5k distinct values here), never the fact
+    // table. (The text_length_quantiles self-join race is O(D²) per
+    // month; this corpus's synthetic shipdates span ±2400 days, where
+    // D² was measured at 27 s vs 0.8 s for the window — the window
+    // form is the right shape once D leaves the hundreds.) Per-month
+    // totals ride the same window node as unbounded frames, so the
+    // fact join is evaluated exactly ONCE. Mean from an exact integer
+    // sum.
     "q_ship_latency" -> {
       def ep(c: String) =
         if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
@@ -3811,18 +3888,17 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |              ${d.idiv(s"${ep("l.l_shipdate")} - ${ep("o.o_orderdate")}", "86400")} as lat_days
          |       from orders o join lineitem l on l.l_orderkey = o.o_orderkey),
          |lc as (select yr, mo, lat_days, ${bigint("count(*)")} as c from lat group by yr, mo, lat_days),
-         |cum as (select a.yr, a.mo, a.lat_days, ${bigint("sum(b.c)")} as cum
-         |        from lc a join lc b on b.yr = a.yr and b.mo = a.mo and b.lat_days <= a.lat_days
-         |        group by a.yr, a.mo, a.lat_days),
-         |tot as (select yr, mo, ${bigint("count(*)")} as cnt, ${bigint("sum(lat_days)")} as s
-         |        from lat group by yr, mo)
-         |select ${bigint("t.yr")} as yr, ${bigint("t.mo")} as mo, t.cnt as n_lineitems,
-         |  ${roundAway(d)("t.s / cast(t.cnt as double)", 4)} as mean_days,
-         |  ${bigint("min(case when c.cum >= cast(ceil(t.cnt * 0.5) as bigint) then c.lat_days end)")} as p50_days,
-         |  ${bigint("min(case when c.cum >= cast(ceil(t.cnt * 0.9) as bigint) then c.lat_days end)")} as p90_days,
-         |  ${bigint("max(c.lat_days)")} as max_days
-         |from tot t join cum c on c.yr = t.yr and c.mo = t.mo
-         |group by t.yr, t.mo, t.cnt, t.s""".stripMargin
+         |cum as (select yr, mo, lat_days,
+         |          ${bigint("sum(c) over (partition by yr, mo order by lat_days)")} as cum,
+         |          ${bigint("sum(c) over (partition by yr, mo)")} as cnt,
+         |          ${bigint("sum(lat_days * c) over (partition by yr, mo)")} as s
+         |        from lc)
+         |select ${bigint("yr")} as yr, ${bigint("mo")} as mo, ${bigint("max(cnt)")} as n_lineitems,
+         |  ${roundAway(d)("max(s) / cast(max(cnt) as double)", 4)} as mean_days,
+         |  ${bigint("min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then lat_days end)")} as p50_days,
+         |  ${bigint("min(case when cum >= cast(ceil(cnt * 0.9) as bigint) then lat_days end)")} as p90_days,
+         |  ${bigint("max(lat_days)")} as max_days
+         |from cum group by yr, mo""".stripMargin
     },
 
     // PACKING-EFFICIENCY TUNING CURVE — the sequence-length knob of
@@ -4311,6 +4387,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from cand c
          |join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
          |left join iv on iv.da = c.da and iv.db = c.db""".stripMargin,
+
+    // PER-DOC NOVELTY RATE — the marginal-content signal a streaming
+    // curation pipeline scores every incoming doc with (Heaps' law
+    // gives the corpus-level novelty CURVE; this is the per-doc
+    // decomposition: what share of a doc's 5-shingles has never been
+    // seen in any earlier doc by ingestion order — near-dups score ≈0,
+    // fresh content ≈1, boilerplate-heavy docs in between): one
+    // shingle pass, first-seer per shingle = min(doc_id) in one
+    // combinable groupBy, novelty = share of the doc's distinct
+    // shingles it first-saw. Docs under 5 words have no shingles and
+    // are absent (stated). Exact integers until the final division.
+    "text_novelty_rate" ->
+      s"""with $wordCtes,
+         |${shingleSideCte("shn", "1 = 1")},
+         |dg as (select distinct doc_id, g from shn),
+         |fs as (select g, ${bigint("min(doc_id)")} as fdoc from dg group by g),
+         |nv as (select d.doc_id, ${bigint("count(*)")} as n_shingles,
+         |         ${bigint("sum(case when fs.fdoc = d.doc_id then 1 else 0 end)")} as n_novel
+         |       from dg d join fs on fs.g = d.g group by d.doc_id)
+         |select ${bigint("doc_id")} as doc_id, n_shingles, n_novel,
+         |  ${roundAway(d)("n_novel / cast(n_shingles as double)", 4)} as novelty_rate
+         |from nv""".stripMargin,
 
     // DEDUP THRESHOLD TUNING CURVE — the aggressiveness knob every
     // dedup deployment sets (how many pairs merge, how many docs are
