@@ -123,6 +123,12 @@ object Plans {
     "data_curriculum" -> "per-source ntile over a total order (bounded per-partition sort, the sessionization shape) + one combinable rollup; per-row qualities pre-rounded and summed as exact decimals",
     "graph_communities" -> "3 LPA rounds over the materialized g_knn edges: each round one hash join (labels onto edges) + the map-side-combinable max(struct(count,-label)) mode-argmax — no per-node window, label state referenced once per round",
     "graph_modularity" -> "modularity over the checkpointed label view: integer-only census joins (simple-edge dedup, degree sums, intra-pair count), two double divisions in a 1-row projection",
+    "q_benford" -> "one combinable digit groupBy over the fact scan; the 9-row census joins a literal spine, chi2 folds from 1e-6-grid bigint terms — everything after the scan is constant-sized",
+    "q_theilsen" -> "one combinable monthly decimal groupBy is the only corpus pass; the pairwise-slope table is calendar^2-bounded (<=3.5k rows), rank selections and the cents-grid OLS moments run on aggregate-sized tables",
+    "events_ewma" -> "one combinable daily-count groupBy; the dyadic-weight cumulative window and the lag forecast run over the <=|days| rows — exact bigint numerators, division only in output columns",
+    "events_heatmap" -> "one combinable groupBy onto the <=168-cell grid + one (cell, user) distinct for reach; dow/hod are map-side epoch arithmetic, the share joins the 1-row broadcast total — no windows, no corpus-sized intermediate",
+    "events_anomaly_mad" -> "one combinable daily-count groupBy is the only corpus pass; both lower-median rank selections and the z flags run on the <=|days| aggregated rows (calendar-bounded windows)",
+    "events_fano" -> "one combinable (type, day) groupBy; the |types| x |days| zero-filling grid and the bigint moment folds are aggregate-sized; F and CV2 are one division each",
     "events_autocorr" -> "one combinable daily-count groupBy is the only corpus pass; the 7-lag alignment self-join and row_number run on the <=|days| aggregated rows; ACF folds from exact bigint moments, one division per lag",
     "events_survival" -> "one combinable per-user groupBy; risk sets, hazards and the KM running product live on <=|days| duration rows — the product is an exact integer prefix sum of 1e-7-grid hazards, exp only in the output column",
     "vec_kmeans_step" -> "one 64*N exploded groupBy(cell,pos) for the member means (decimal-exact after the roundAway grid) + one member-dot pass for before-inertia; after-inertia folds from the new centroid alone — no second member pass",

@@ -6286,6 +6286,205 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // combinable groupBy of the events scan; everything after runs on
     // a table no larger than the day span (the windows here order ≤
     // n_days aggregated rows — not a corpus window).
+    // ACTIVITY HEATMAP — the hour-of-day × day-of-week usage matrix
+    // every ops dashboard opens with (when do users show up; where do
+    // the quiet maintenance windows live): one combinable groupBy onto
+    // a ≤ 168-cell grid, distinct users per cell via a second
+    // combinable (cell, user) distinct + count, cell share against the
+    // 1-row total (broadcast). Day-of-week from pure epoch-day
+    // arithmetic ((day + 4) % 7 — day 0 = 1970-01-01 was a Thursday;
+    // 0 = Sunday), so no engine calendar/locale functions are
+    // involved. Integer end to end; one rounded division per cell.
+    "events_heatmap" ->
+      s"""with ec as (select user_id,
+         |              (${d.idiv(evSec("ts"), "86400")} + 4) % 7 as dow,
+         |              ${d.idiv(s"${evSec("ts")} % 86400", "3600")} as hod
+         |            from events),
+         |cells as (select dow, hod, ${bigint("count(*)")} as n_events from ec group by dow, hod),
+         |cu as (select dow, hod, ${bigint("count(*)")} as n_users
+         |       from (select distinct dow, hod, user_id from ec) _u group by dow, hod),
+         |tot as (select ${bigint("sum(n_events)")} as n from cells)
+         |select ${bigint("c.dow")} as dow, ${bigint("c.hod")} as hour,
+         |  c.n_events, u.n_users,
+         |  ${roundAway(d)("100.0 * c.n_events / t.n", 4)} as pct_events
+         |from cells c join cu u on u.dow = c.dow and u.hod = c.hod
+         |cross join tot t""".stripMargin,
+
+    // ROBUST DAILY-ANOMALY READOUT via MEDIAN / MAD (Iglewicz &
+    // Hoaglin 1993 — the robust twin of events_anomaly's trailing
+    // z-score: a z-score's mean AND sd are both dragged by the very
+    // spike being tested, so a 2-day outage can hide a 1-day spike;
+    // median/MAD break down only past 50% contamination): daily
+    // counts, the series median, MAD = median(|x − med|), modified
+    // z = 0.6745·(x − med)/MAD, flag at |z| > 3.5 (the I-H cutoff).
+    // Both medians are LOWER-median rank selections (rank ⌈m/2⌉ in
+    // (value, day) order — integer-exact, no engine interpolation)
+    // via windows over the ≤ n_days aggregated daily rows — calendar-
+    // bounded, never corpus windows. Null guard: a constant series
+    // has MAD = 0 → z null, flag 0 (the degenerate-fit convention).
+    "events_anomaly_mad" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as x
+         |               from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |mt as (select ${bigint("count(*)")} as m from daily),
+         |rk as (select day, x, ${bigint("row_number() over (order by x, day)")} as rn from daily),
+         |med as (select min(x) as md from rk cross join mt
+         |        where rn = cast(ceil(m * 0.5) as bigint)),
+         |dev as (select r.day, r.x, abs(r.x - m.md) as ad from rk r cross join med m),
+         |drk as (select day, x, ad, ${bigint("row_number() over (order by ad, day)")} as rn from dev),
+         |mad as (select min(ad) as mv from drk cross join mt
+         |        where rn = cast(ceil(m * 0.5) as bigint))
+         |select ${bigint("d2.day")} as day, ${bigint("d2.x")} as n_events,
+         |  ${bigint("m.md")} as median_events, ${bigint("a.mv")} as mad,
+         |  case when a.mv > 0
+         |       then ${roundAway(d)("0.6745 * (d2.x - m.md) / cast(a.mv as double)", 4)} end as robust_z,
+         |  case when a.mv > 0 and abs(0.6745 * (d2.x - m.md) / cast(a.mv as double)) > 3.5
+         |       then 1 else 0 end as is_outlier
+         |from dev d2 cross join med m cross join mad a""".stripMargin,
+
+    // OVERDISPERSION / BURSTINESS CENSUS per event type — the Fano
+    // factor (variance-to-mean ratio of DAILY counts; a Poisson
+    // arrival stream has F = 1, human-driven traffic is overdispersed
+    // F > 1, a rate-limited bot pins F < 1): the complement of
+    // events_bot_detect's per-user gap test at the per-TYPE daily
+    // granularity. Calendar spine = the distinct active days (the
+    // corpus's 30 contiguous days), so silent days count as real
+    // zeros via the grid left join (|types| × |days| ≤ 150 rows).
+    // Moments fold as exact bigints (m·Σx² − (Σx)²); F and CV² are
+    // one double division each. Bigint ceiling: Σx² overflows past
+    // ~3·10⁹ events/type/day — far beyond any daily partition; past
+    // that pre-scale counts to thousands (F is scale-linear,
+    // documented). Fano of a constant-zero type would be 0/0 — the
+    // grid only carries types observed ≥ once, so mean > 0 always.
+    "events_fano" ->
+      s"""with ed as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |days as (select distinct day from ed),
+         |types as (select distinct event_type from ed),
+         |dc as (select event_type, day, ${bigint("count(*)")} as c from ed group by event_type, day),
+         |grid as (select t.event_type, dd.day, coalesce(dc.c, ${bigint("0")}) as x
+         |         from types t cross join days dd
+         |         left join dc on dc.event_type = t.event_type and dc.day = dd.day),
+         |mom as (select event_type, ${bigint("count(*)")} as m, ${bigint("sum(x)")} as s,
+         |               ${bigint("sum(x * x)")} as q
+         |        from grid group by event_type)
+         |select event_type, m as n_days,
+         |  ${roundAway(d)("cast(s as double) / m", 4)} as mean_daily,
+         |  ${roundAway(d)("cast(m * q - s * s as double) / cast(m as double) / cast(s as double)", 4)} as fano,
+         |  ${roundAway(d)("cast(m * q - s * s as double) / cast(s as double) / cast(s as double)", 4)} as cv2,
+         |  case when cast(m * q - s * s as double) / cast(m as double) / cast(s as double) > 1.0
+         |       then 1 else 0 end as overdispersed
+         |from mom""".stripMargin,
+
+    // BENFORD FIRST-DIGIT AUDIT over line-item prices — the classic
+    // fabricated-data / ETL-defect screen (Benford 1938; a synthetic
+    // generator or a unit-mixup shifts the leading-digit mass in ways
+    // row counts and checksums never see): leading digit from INTEGER
+    // CENTS via string arithmetic (no log10 — floor(log10(x)) flips at
+    // exact powers of ten when libm returns 2.9999…; digit-of-varchar
+    // is engine-identical), 9-digit census zero-filled from a literal
+    // spine, observed vs log10(1+1/d) expected shares, and the χ²
+    // statistic with each of the 9 terms quantized onto a 1e-6
+    // integer grid so the 9-term sum is EXACT (aggregation order
+    // cannot differ). One combinable groupBy over the fact scan.
+    "q_benford" -> {
+      val pCase = (1 to 9).map(dd =>
+        s"when $dd then cast(${math.log10(1 + 1.0 / dd)} as double)")
+        .mkString("case dg.dig ", " ", " end")
+      val toStr = if (d.name == "spark") "string" else "varchar"
+      s"""with cents as (select ${bigint(roundAway(d)("l_extendedprice * 100", 0))} as c
+         |               from lineitem where l_extendedprice > 0),
+         |digs as (select cast(substr(cast(c as $toStr), 1, 1) as bigint) as dig from cents),
+         |cnt as (select dig, ${bigint("count(*)")} as n_obs from digs group by dig),
+         |census as (select dg.dig, coalesce(c.n_obs, ${bigint("0")}) as n_obs, $pCase as p_exp
+         |           from ${rangeTable("dg", "dig", 1, 9)} left join cnt c on c.dig = dg.dig),
+         |tot as (select ${bigint("sum(n_obs)")} as n from census),
+         |terms as (select c.dig, c.n_obs, c.p_exp, t.n,
+         |            ${bigint(roundAway(d)("(c.n_obs - t.n * c.p_exp) * (c.n_obs - t.n * c.p_exp) / (t.n * c.p_exp) * 1000000", 0))} as t6
+         |          from census c cross join tot t),
+         |chi as (select ${bigint("sum(t6)")} as chi6 from terms)
+         |select ${bigint("t.dig")} as digit, t.n_obs,
+         |  ${roundAway(d)("cast(t.n_obs as double) / t.n", 6)} as obs_share,
+         |  ${roundAway(d)("t.p_exp", 6)} as exp_share,
+         |  ${roundAway(d)("cast(t.n_obs as double) / t.n - t.p_exp", 6)} as deviation,
+         |  ${roundAway(d)("cast(ch.chi6 as double) / 1000000", 4)} as chi2
+         |from terms t cross join chi ch""".stripMargin
+    },
+
+    // THEIL–SEN ROBUST TREND over monthly order revenue — the
+    // outlier-proof twin of events_trend's OLS (one promo-spike month
+    // drags a least-squares slope; the median of pairwise slopes has a
+    // 29% breakdown point — Sen 1968): monthly revenue folds as exact
+    // decimals in ONE combinable groupBy; the pairwise-slope table is
+    // CALENDAR²-bounded (~84 months → ≤ 3.5k pairs — never corpus
+    // rows), slopes are single IEEE divisions of exact sums, the
+    // median slope and median intercept are lower-median rank
+    // selections in (value, key) order (integer-exact selection, no
+    // interpolation). Reports the OLS slope beside it from the same
+    // monthly table — its moments fold on the CENTS integer grid with
+    // a REBASED month index (slope is shift-invariant; rebasing keeps
+    // m·Σ(t·c) inside bigint to ~100× this corpus, the documented
+    // ceiling — past that coarsen cents to whole units), so both
+    // slopes are aggregation-order-proof. Robust-vs-LS gap is the
+    // readout.
+    "q_theilsen" -> {
+      val mrev = "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
+      s"""with mon as (select (year(o_orderdate) * 12 + month(o_orderdate)) as t, $mrev as rev
+         |             from orders group by year(o_orderdate) * 12 + month(o_orderdate)),
+         |nm as (select ${bigint("count(*)")} as m from mon),
+         |pairs as (select a.t as ti, b.t as tj, (b.rev - a.rev) / (b.t - a.t) as sl
+         |          from mon a join mon b on b.t > a.t),
+         |np as (select ${bigint("count(*)")} as p from pairs),
+         |prk as (select sl, ${bigint("row_number() over (order by sl, ti, tj)")} as rn from pairs),
+         |slope as (select min(sl) as s from prk cross join np
+         |          where rn = cast(ceil(p * 0.5) as bigint)),
+         |ic as (select m.t, m.rev - s.s * m.t as ic from mon m cross join slope s),
+         |irk as (select ic, ${bigint("row_number() over (order by ic, t)")} as rn from ic),
+         |icept as (select min(ic) as i from irk cross join nm
+         |          where rn = cast(ceil(m * 0.5) as bigint)),
+         |ols0 as (select m.t - t0.t0 as tr, ${bigint(roundAway(d)("m.rev * 100", 0))} as c
+         |         from mon m cross join (select min(t) as t0 from mon) t0),
+         |om as (select ${bigint("count(*)")} as m2, ${bigint("sum(tr)")} as st, ${bigint("sum(tr * tr)")} as stt,
+         |              ${bigint("sum(c)")} as sc, ${bigint("sum(tr * c)")} as stc from ols0),
+         |ols as (select cast(m2 * stc - st * sc as double) / cast(m2 * stt - st * st as double) / 100 as b1
+         |        from om)
+         |select n.m as n_months, p.p as n_pairs,
+         |  ${roundAway(d)("s.s", 2)} as ts_slope,
+         |  ${roundAway(d)("i.i", 2)} as ts_intercept,
+         |  ${roundAway(d)("o.b1", 2)} as ols_slope,
+         |  ${roundAway(d)("s.s - o.b1", 2)} as robust_gap
+         |from slope s cross join icept i cross join ols o
+         |cross join nm n cross join np p""".stripMargin
+    },
+
+    // EXACT DYADIC EWMA + 1-STEP FORECAST over daily event counts —
+    // exponential smoothing with α = 1/2, the one smoothing constant
+    // whose kernel (2^-k) makes the WHOLE recursion exact in integer
+    // arithmetic: S_t·2^t = x_0 + Σ_{i=1..t} x_i·2^{i-1}, a cumulative
+    // BIGINT window over the ≤ |days| daily rows (calendar-bounded),
+    // and the final division by 2^t is a pure exponent shift — exact
+    // in IEEE whenever the numerator fits a double's 53-bit mantissa.
+    // No pow/exp enters any intermediate (the libm-free analog of the
+    // survival key's ln-grid trick — here the grid is the dyadics).
+    // Ceiling: x_max·2^T < 2^53 → T ≤ ~39 days at 10⁴ events/day;
+    // past that REBASE to the last 39 days (the truncated kernel mass
+    // is < 2^-39 — far below the 4dp output rounding). Forecast for
+    // day t is S_{t-1} (the EWMA one-step-ahead identity); residuals
+    // surface per day.
+    "events_ewma" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as x
+         |               from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |idx as (select day, x, ${bigint("row_number() over (order by day)")} - 1 as i from daily),
+         |wt as (select day, x, i,
+         |         case when i = 0 then x else x * ${bigint("pow(2, i - 1)")} end as w from idx),
+         |cum as (select day, x, i,
+         |          ${bigint("sum(w) over (order by i rows between unbounded preceding and current row)")} as mt
+         |        from wt),
+         |sm as (select day, x, i, cast(mt as double) / pow(2, cast(i as double)) as ewma from cum)
+         |select ${bigint("day")} as day, ${bigint("x")} as n_events,
+         |  ${roundAway(d)("ewma", 4)} as ewma,
+         |  ${roundAway(d)("lag(ewma) over (order by i)", 4)} as forecast,
+         |  ${roundAway(d)("x - lag(ewma) over (order by i)", 4)} as residual
+         |from sm""".stripMargin,
+
     "events_survival" ->
       s"""with ed as (select user_id, event_type, value, ${d.idiv(evSec("ts"), "86400")} as day from events),
          |bounds as (select ${bigint("max(day)")} as last_day from ed),
