@@ -205,6 +205,17 @@ object SparkEntry {
           |  round(abs(hll - nd) / nd, 4) as rel_err
           |from ag""".stripMargin)
       }),
+      // the native TypedImperativeAggregate KMV bottom-k sketch
+      // (functions.KmvAgg): the aggregation buffer IS the k-bounded
+      // distinct-min hash set — O(k) state per group where the SQL
+      // window rendering ranks the full per-source hash stream. The
+      // buffer is a pure function of the input SET, so the result is
+      // partitioning-invariant by construction; the oracle is the
+      // pure-SQL k=64 window rendering (kmvSql)
+      "sketch_kmv_native" -> ((s, dir) => {
+        Tables.register(s, dir)
+        s.sql(sparkGen.kmvSql(Seq(64), native = true))
+      }),
       // the native TypedImperativeAggregate count-min sketch
       // (functions.CmsAgg): the aggregation buffer IS the 4x16 long
       // grid, merged by elementwise addition — point queries over the
@@ -314,6 +325,9 @@ object SparkEntry {
         // (integer counts, same PRF rows), so its oracle IS the SQL
         // point-query rendering
         "sketch_cms_native" -> duckGen.sql("sketch_cms"),
+        // the native bottom-k set must reproduce the SQL k-min
+        // shortlist exactly, so its oracle is the k=64 window rendering
+        "sketch_kmv_native" -> duckGen.kmvSql(Seq(64)),
         // the native aggregate must reproduce the window ranking
         // exactly, so its oracle is the window rendering
         "vec_topk_grouped" -> duckGen.groupedTopkSql(),

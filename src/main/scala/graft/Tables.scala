@@ -46,6 +46,7 @@ object Tables {
       graft.functions.HllAgg.register(spark)
       graft.functions.TopKAgg.register(spark)
       graft.functions.CmsAgg.register(spark)
+      graft.functions.KmvAgg.register(spark)
       // the engine-level rank-window top-k rewrite, for sessions built
       // without spark.sql.extensions=graft.GraftExtensions (the
       // extension-built path injects the same rule)

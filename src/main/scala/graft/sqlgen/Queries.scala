@@ -6516,7 +6516,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("d_ev")} as n_conversions, ${bigint("d_cs")} as n_censored,
          |  case when ab = 1 then cast(0.0 as double)
          |       else ${roundAway(d)("exp(cast(clhz as double) / 10000000)", 4)} end as survival
-         |from km""".stripMargin
+         |from km""".stripMargin,
+
+    // see kmvSql for the full design note
+    "sketch_kmv" -> kmvSql(Seq(16, 64, 256))
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
@@ -6817,6 +6820,65 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("qid")} as qid, ${bigint("label")} as label,
          |  ${bigint("cid")} as neighbor_id, sim, ${bigint("rn")} as rn
          |from r where rn <= 3""".stripMargin
+  }
+
+  /** KMV (K-minimum-values / bottom-k) DISTINCT SKETCH with a k
+    * tuning curve — the third distinct-estimator family beside the
+    * HLL register sketch and the exact count (Bar-Yossef et al. 2002;
+    * the KMV estimate n̂ = (k−1)/U_(k) needs only the k smallest
+    * DISTINCT hash values, so the sketch is a mergeable bounded SET —
+    * union/intersection algebra falls out for free, which registers
+    * can't give at small k): per source the k-min shortlist comes from
+    * ONE source-partitioned rank window filtered at rn ≤ k_max — a
+    * bounded-rank shape the engine keeps scale-safe either way:
+    * levels ≤ 100 rewrite to the bounded-state `graft_topk_rows`
+    * aggregate (RewriteWindowTopK), and above its maxK guard Spark's
+    * own partial+final WindowGroupLimit caps the exchange at ≤ k_max
+    * rows per source per partition (verified in the plan) — never the
+    * per-source hash stream —
+    * and every curve level reads its kth value off the SAME shortlist
+    * (one conditional max per level, no per-level re-rank). The
+    * estimator is exact-arithmetic end to end: U_(k) = (h_k+1)/2⁶⁰ is
+    * dyadic, (k−1)·2⁶⁰ is exact in double for k ≤ 2⁵³⁻⁶⁰… i.e. any
+    * practical k, and the single IEEE division is bit-identical in
+    * both engines. Sources with fewer than k distinct values ARE the
+    * sketch (nk < k ⇒ the estimate is the exact count — the standard
+    * KMV small-set convention). */
+  def kmvSql(levels: Seq[Int], native: Boolean = false): String = {
+    val kmax = levels.max
+    val lvCte = levels.map(k => s"select $k as k").mkString(" union all ")
+    val est = "case when nk < k then cast(nk as double) " +
+      "else cast(k - 1 as double) * cast(1152921504606846976 as double) / cast(hk + 1 as double) end"
+    val shared =
+      s"""with $wordCtes,
+         |src as (select doc_id, source from documents),
+         |wh as (select distinct s.source, ${prf(d)("'kmv'", "w.wd")} as h
+         |       from wx w join src s on s.doc_id = w.doc_id)""".stripMargin
+    val sketch =
+      if (native) {
+        require(levels.length == 1, "native KMV renders one level")
+        s"""ag as (select source, graft_kmv(h, $kmax) as mins, ${bigint("count(*)")} as n_exact
+           |       from wh group by source),
+           |kk as (select source, $kmax as k, ${bigint("size(mins)")} as nk,
+           |              element_at(mins, size(mins)) as hk, n_exact
+           |       from ag)""".stripMargin
+      } else
+        s"""rk as (select source, h, row_number() over (partition by source order by h) as rn from wh),
+           |top as (select source, h, rn from rk where rn <= $kmax),
+           |ex as (select source, ${bigint("count(*)")} as n_exact from wh group by source),
+           |lv as ($lvCte),
+           |kk0 as (select t.source, l.k, max(case when t.rn <= l.k then t.h end) as hk,
+           |          ${bigint("sum(case when t.rn <= l.k then 1 else 0 end)")} as nk
+           |        from top t cross join lv l group by t.source, l.k),
+           |kk as (select k0.source, k0.k, k0.nk, k0.hk, e.n_exact
+           |       from kk0 k0 join ex e on e.source = k0.source)""".stripMargin
+    s"""$shared,
+       |$sketch
+       |select source, ${bigint("k")} as k, n_exact, nk as n_sketch,
+       |  ${bigint("hk")} as kth_hash,
+       |  ${roundAway(d)(est, 4)} as kmv_est,
+       |  ${roundAway(d)(s"abs(($est) - n_exact) / n_exact", 4)} as rel_err
+       |from kk""".stripMargin
   }
 
   def sql(name: String): String = sqls(name)
