@@ -124,6 +124,9 @@ object Plans {
     "graph_communities" -> "3 LPA rounds over the materialized g_knn edges: each round one hash join (labels onto edges) + the map-side-combinable max(struct(count,-label)) mode-argmax — no per-node window, label state referenced once per round",
     "graph_modularity" -> "modularity over the checkpointed label view: integer-only census joins (simple-edge dedup, degree sums, intra-pair count), two double divisions in a 1-row projection",
     "sketch_kmv" -> "one distinct (source, hash) pass; the rank window filtered rn<=256 sits above RewriteWindowTopK's maxK=100 guard, so Spark's own partial+final WindowGroupLimit bounds the exchange at <=256 rows/source/partition instead; all three curve levels read the same shortlist via conditional max",
+    "sketch_kmv_overlap" -> "one distinct (source, hash) corpus pass; shortlists are WindowGroupLimit-bounded, the pair spine joins sketch-sized rows (two equijoins, no OR join), the exact-overlap self-join is df-bounded per hash — nothing pairwise at corpus scale",
+    "text_kl_divergence" -> "two combinable groupBys (source x word, word) over one explode; the ln-grid bigint terms combine per row before the k multiply, so the per-source sum is one exact aggregation — vocabulary-sized after the explode",
+    "text_simpson" -> "one (source, word) groupBy + one per-source bigint fold; the only float op is the final division per source",
     "sketch_kmv_native" -> "one distinct (source, hash) pass into graft_kmv — map-side partials keep <=k hashes per source, the merge is a capped set union; no window, no per-source sort anywhere",
     "q_benford" -> "one combinable digit groupBy over the fact scan; the 9-row census joins a literal spine, chi2 folds from 1e-6-grid bigint terms — everything after the scan is constant-sized",
     "q_theilsen" -> "one combinable monthly decimal groupBy is the only corpus pass; the pairwise-slope table is calendar^2-bounded (<=3.5k rows), rank selections and the cents-grid OLS moments run on aggregate-sized tables",

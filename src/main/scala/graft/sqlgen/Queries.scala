@@ -6519,7 +6519,129 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from km""".stripMargin,
 
     // see kmvSql for the full design note
-    "sketch_kmv" -> kmvSql(Seq(16, 64, 256))
+    "sketch_kmv" -> kmvSql(Seq(16, 64, 256)),
+
+    // KMV SET ALGEBRA — pairwise source overlap from the bottom-k
+    // sketches (the estimator registers can't give at small k: the
+    // k-min of a UNION is computable from the two k-min sets alone,
+    // and the fraction of union-sketch members present in BOTH input
+    // sketches estimates Jaccard — Bar-Yossef 2002 §4): per-source
+    // 64-min shortlists from the rank window (rn ≤ 64 — inside the
+    // RewriteWindowTopK guard, so the exchange is the bounded
+    // aggregate), pair expansion as TWO equijoins against the
+    // |sources|²/2 pair spine (shortlists are O(sources·k) rows — the
+    // pair table is sketch-sized, never corpus-sized; at 100 TB the
+    // corpus pass is still the one distinct-hash groupBy), union
+    // sketch re-ranked per pair over ≤ 2k rows, Jaccard estimate =
+    // both-members share of the union sketch, union-size estimate =
+    // the KMV estimator on the union's kth hash. The EXACT pair
+    // overlap is computed alongside from the full hash sets (per-hash
+    // source lists are df-bounded) — the measured-error honesty rule
+    // every sketch key follows. Small-set branch: nk < k ⇒ the union
+    // sketch IS the union, estimates become exact counts.
+    "sketch_kmv_overlap" -> {
+      val estU = "case when nk < 64 then cast(nk as double) " +
+        "else cast(63 as double) * cast(1152921504606846976 as double) / cast(hk + 1 as double) end"
+      s"""with $wordCtes,
+         |src as (select doc_id, source from documents),
+         |wh as (select distinct s.source, ${prf(d)("'kmv'", "w.wd")} as h
+         |       from wx w join src s on s.doc_id = w.doc_id),
+         |rk as (select source, h, row_number() over (partition by source order by h) as rn from wh),
+         |tops as (select source, h from rk where rn <= 64),
+         |ex as (select source, ${bigint("count(*)")} as n from wh group by source),
+         |prs as (select a.source as sa, b.source as sb from ex a join ex b on a.source < b.source),
+         |uh0 as (select p.sa, p.sb, t.h, 1 as ina, 0 as inb
+         |        from prs p join tops t on t.source = p.sa
+         |        union all
+         |        select p.sa, p.sb, t.h, 0 as ina, 1 as inb
+         |        from prs p join tops t on t.source = p.sb),
+         |uh as (select sa, sb, h, max(ina) as ina, max(inb) as inb
+         |       from uh0 group by sa, sb, h),
+         |urk as (select sa, sb, h, ina, inb,
+         |          row_number() over (partition by sa, sb order by h) as rn from uh),
+         |uk as (select sa, sb, max(h) as hk, ${bigint("count(*)")} as nk,
+         |          ${bigint("sum(case when ina = 1 and inb = 1 then 1 else 0 end)")} as nboth
+         |       from urk where rn <= 64 group by sa, sb),
+         |ixa as (select a.source as sa, b.source as sb, ${bigint("count(*)")} as ni
+         |        from wh a join wh b on b.h = a.h and a.source < b.source
+         |        group by a.source, b.source)
+         |select u.sa as source_a, u.sb as source_b,
+         |  ea.n + eb.n - coalesce(i.ni, 0) as n_union_exact,
+         |  ${roundAway(d)("cast(coalesce(i.ni, 0) as double) / (ea.n + eb.n - coalesce(i.ni, 0))", 4)} as jaccard_exact,
+         |  ${roundAway(d)(estU, 4)} as union_est,
+         |  ${roundAway(d)("cast(nboth as double) / nk", 4)} as jaccard_est,
+         |  ${roundAway(d)(s"abs(($estU) - (ea.n + eb.n - coalesce(i.ni, 0))) / (ea.n + eb.n - coalesce(i.ni, 0))", 4)} as union_rel_err
+         |from uk u
+         |join ex ea on ea.source = u.sa join ex eb on eb.source = u.sb
+         |left join ixa i on i.sa = u.sa and i.sb = u.sb""".stripMargin
+    },
+
+    // PER-SOURCE KL DIVERGENCE from the corpus word distribution —
+    // the drift/contamination readout between a slice and its parent
+    // (KL(source ‖ corpus) in nats; 0 = indistinguishable, large =
+    // the source speaks its own language — the distributional summary
+    // LLR keywords itemize and entropy can't see): KL = (1/n_s)·Σ_w
+    // k_w·[ln k_w − ln n_s − ln c_w + ln N] — every ln is ln of an
+    // INTEGER quantized onto the 1e-9 grid (libm ulps vanish at the
+    // grid), the bracket combines per row BEFORE the k_w multiply, so
+    // each term and the sum are EXACT bigints; ONE double division
+    // sequence at the end. Support is total by construction (source ⊂
+    // corpus ⇒ c_w > 0 — no smoothing needed). Two combinable
+    // groupBys (source×word, word) over one explode; everything after
+    // is vocabulary-sized. Bigint ceiling: k_w·(4-term bracket ≤
+    // 8.4·10¹⁰) caps n_s at ~10⁸ tokens/source on the 1e-9 grid —
+    // past that coarsen to 1e-6 (ceiling ×1000), the LLR escape
+    // hatch. exp only in the final perplexity-ratio column.
+    "text_kl_divergence" -> {
+      def lg(x: String): String =
+        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      s"""with $wordCtes,
+         |srcx as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd),
+         |ns as (select source, ${bigint("sum(k)")} as n_src, ${bigint("count(*)")} as n_types from wf group by source),
+         |cw as (select wd, ${bigint("sum(k)")} as c from wf group by wd),
+         |nt as (select ${bigint("sum(k)")} as n from wf),
+         |terms as (select wf.source,
+         |            wf.k * (${lg("wf.k")} - ${lg("ns.n_src")} - ${lg("cw.c")} + ${lg("nt.n")}) as t9
+         |          from wf join ns on ns.source = wf.source
+         |                  join cw on cw.wd = wf.wd cross join nt),
+         |agg as (select source, ${bigint("sum(t9)")} as s9 from terms group by source)
+         |select a.source, ns.n_src as n_tokens, ns.n_types,
+         |  ${roundAway(d)("cast(a.s9 as double) / ns.n_src / 1000000000", 6)} as kl_nats,
+         |  ${roundAway(d)("exp(cast(a.s9 as double) / ns.n_src / 1000000000)", 4)} as perplexity_ratio
+         |from agg a join ns on ns.source = a.source""".stripMargin
+    },
+
+    // SIMPSON CONCENTRATION / DIVERSITY per source — the
+    // repeat-probability readout (Simpson 1949: λ = Σ nᵢ(nᵢ−1) /
+    // (N(N−1)) is the chance two tokens drawn without replacement are
+    // the SAME word; 1−λ the diversity, 1/λ the effective vocabulary)
+    // — EXACT where entropy needs logs: both numerator and
+    // denominator are pure bigint sums of word counts, so the only
+    // float op is the final division. Complements text_lexical_
+    // diversity (TTR counts types; λ weighs the head) and
+    // text_entropy (λ is the Rényi-2 point the collision-probability
+    // algebra prefers). One (source, word) groupBy + one per-source
+    // fold. Bigint ceiling: nᵢ² caps any one word at ~3·10⁹
+    // tokens/source — far past any real slice; pre-scale counts past
+    // it. Null guard: all-distinct sources (λ = 0) report null
+    // effective vocabulary rather than ∞.
+    "text_simpson" ->
+      s"""with $wordCtes,
+         |srcx as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd),
+         |agg as (select source, ${bigint("sum(k)")} as n, ${bigint("count(*)")} as n_types,
+         |               ${bigint("sum(k * (k - 1))")} as rep from wf group by source)
+         |select source, n as n_tokens, n_types,
+         |  case when n > 1
+         |       then ${roundAway(d)("cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as simpson_lambda,
+         |  case when n > 1
+         |       then ${roundAway(d)("cast(1 as double) - cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as diversity,
+         |  case when rep > 0
+         |       then ${roundAway(d)("cast(n * (n - 1) as double) / cast(rep as double)", 2)} end as eff_vocab
+         |from agg""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
