@@ -128,6 +128,9 @@ object Plans {
     "text_kl_divergence" -> "two combinable groupBys (source x word, word) over one explode; the ln-grid bigint terms combine per row before the k multiply, so the per-source sum is one exact aggregation — vocabulary-sized after the explode",
     "text_simpson" -> "one (source, word) groupBy + one per-source bigint fold; the only float op is the final division per source",
     "sketch_kmv_native" -> "one distinct (source, hash) pass into graft_kmv — map-side partials keep <=k hashes per source, the merge is a capped set union; no window, no per-source sort anywhere",
+    "q_order_gap" -> "one distinct (cust, day) projection + customer-partitioned lag windows (bounded by orders/customer); quantiles and mean run on the gap-DOMAIN count table via one cumulative window",
+    "events_type_overlap" -> "one distinct (type, user) projection; the pair join fans <=C(|types|,2) per user and the output is type-domain-sized",
+    "q_hhi_supplier" -> "one combinable per-supplier fact groupBy (per-row 1e-6-grid quantization, bigint fold); the nation rollup with decimal(38,0) quadratics is |suppliers|-sized; nation dim broadcasts",
     "q_benford" -> "one combinable digit groupBy over the fact scan; the 9-row census joins a literal spine, chi2 folds from 1e-6-grid bigint terms — everything after the scan is constant-sized",
     "q_theilsen" -> "one combinable monthly decimal groupBy is the only corpus pass; the pairwise-slope table is calendar^2-bounded (<=3.5k rows), rank selections and the cents-grid OLS moments run on aggregate-sized tables",
     "events_ewma" -> "one combinable daily-count groupBy; the dyadic-weight cumulative window and the lag forecast run over the <=|days| rows — exact bigint numerators, division only in output columns",

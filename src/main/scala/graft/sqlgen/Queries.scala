@@ -6641,7 +6641,99 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       then ${roundAway(d)("cast(1 as double) - cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as diversity,
          |  case when rep > 0
          |       then ${roundAway(d)("cast(n * (n - 1) as double) / cast(rep as double)", 2)} end as eff_vocab
-         |from agg""".stripMargin
+         |from agg""".stripMargin,
+
+    // REPEAT-PURCHASE CADENCE — the inter-order-gap distribution
+    // behind replenishment forecasting and churn thresholds ("a
+    // customer 2× past their own cadence is at risk"): per-customer
+    // consecutive order-DATE gaps from a lag window bounded by
+    // orders-per-customer, then the whole distribution summarized
+    // over the gap DOMAIN — mean from an exact integer sum, p50/p90
+    // via the cumulative-count WINDOW over the (gap, count) table
+    // (the q_ship_latency pattern: partitions bounded by the ~2400-
+    // value synthetic gap domain, never by customers). Same-day
+    // repeat orders collapse to one date (cadence is between DAYS
+    // with orders). One distinct projection + one lag window + one
+    // combinable census; everything after is domain-sized.
+    "q_order_gap" -> {
+      def ep(c: String) =
+        if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
+        else s"cast(epoch($c) as bigint)"
+      s"""with od as (select distinct o_custkey as ck, ${d.idiv(ep("o_orderdate"), "86400")} as dd from orders),
+         |gp as (select ck, dd - lag(dd) over (partition by ck order by dd) as gap from od),
+         |gv as (select gap from gp where gap is not null),
+         |gc as (select gap, ${bigint("count(*)")} as c from gv group by gap),
+         |cum as (select gap, c,
+         |          ${bigint("sum(c) over (order by gap)")} as cum,
+         |          ${bigint("sum(c) over ()")} as n,
+         |          ${bigint("sum(gap * c) over ()")} as s
+         |        from gc),
+         |sel as (select
+         |          min(case when cum >= cast(ceil(n * 0.5) as bigint) then gap end) as p50,
+         |          min(case when cum >= cast(ceil(n * 0.9) as bigint) then gap end) as p90,
+         |          max(gap) as mx, max(n) as n, max(s) as s
+         |        from cum),
+         |rc as (select ${bigint("count(*)")} as n_repeat from
+         |         (select ck, ${bigint("count(*)")} as nd from od group by ck) _c where nd >= 2)
+         |select r.n_repeat as n_repeat_customers, ${bigint("sel.n")} as n_gaps,
+         |  ${roundAway(d)("cast(sel.s as double) / sel.n", 4)} as mean_gap_days,
+         |  ${bigint("sel.p50")} as p50_gap, ${bigint("sel.p90")} as p90_gap,
+         |  ${bigint("sel.mx")} as max_gap
+         |from sel cross join rc r""".stripMargin
+    },
+
+    // EVENT-TYPE ADOPTION OVERLAP — which features share users (the
+    // cross-sell / funnel-adjacency matrix): distinct (type, user)
+    // projection, pair expansion per user bounded at C(|types|, 2) ≤
+    // 10, exact Jaccard and BOTH conditional adoption rates per pair.
+    // The |types|² output is type-domain-bounded; the per-user join
+    // fan never exceeds the type count — no corpus self-join. The
+    // exact twin of sketch_kmv_overlap's estimated source overlap.
+    "events_type_overlap" ->
+      s"""with tu as (select distinct event_type, user_id from events),
+         |nt as (select event_type, ${bigint("count(*)")} as n from tu group by event_type),
+         |px as (select a.event_type as ta, b.event_type as tb, ${bigint("count(*)")} as nab
+         |       from tu a join tu b on b.user_id = a.user_id and a.event_type < b.event_type
+         |       group by a.event_type, b.event_type)
+         |select p.ta as type_a, p.tb as type_b, na.n as n_users_a, nb.n as n_users_b, p.nab as n_both,
+         |  ${roundAway(d)("cast(p.nab as double) / (na.n + nb.n - p.nab)", 4)} as jaccard,
+         |  ${roundAway(d)("cast(p.nab as double) / na.n", 4)} as p_b_given_a,
+         |  ${roundAway(d)("cast(p.nab as double) / nb.n", 4)} as p_a_given_b
+         |from px p join nt na on na.event_type = p.ta join nt nb on nb.event_type = p.tb""".stripMargin,
+
+    // SUPPLIER-CONCENTRATION HHI per nation — the Herfindahl index
+    // procurement risk teams watch (HHI = Σ shareᵢ² — > 0.25 means a
+    // market effectively controlled by ~4 suppliers): discounted
+    // revenue quantizes PER ROW onto the 1e-6 integer grid (the
+    // roundAway-before-sum house rule — a double SUM would be
+    // aggregation-order-divergent) and folds as exact bigint
+    // micro-units in one combinable fact groupBy; then HHI =
+    // Σcᵢ² / (Σcᵢ)² with the squares in decimal(19,0)×decimal(19,0)
+    // = decimal(38,0) — the exact-arithmetic tier above bigint
+    // (cᵢ² overflows int64 past ~$10⁷/supplier on the micro grid;
+    // decimal(38,0) holds to cᵢ ~ 10¹⁹ — and crucially 19+19 = 38
+    // stays INSIDE Spark's precision cap, so no precision-loss
+    // rounding can diverge from DuckDB) — and ONE double division.
+    // Dims broadcast; the nation rollup is |suppliers|-sized.
+    // Top-supplier share via max(c) on the same pass. Past the
+    // ceiling pre-scale micro-units to cents — HHI is
+    // share-scale-invariant.
+    "q_hhi_supplier" ->
+      s"""with sr as (select s.s_nationkey as nk, l.l_suppkey as sk,
+         |              ${bigint(s"sum(${bigint(roundAway(d)("l_extendedprice * (1 - l_discount) * 1000000", 0))})")} as c
+         |            from lineitem l join supplier s on s.s_suppkey = l.l_suppkey
+         |            group by s.s_nationkey, l.l_suppkey),
+         |agg as (select nk, ${bigint("count(*)")} as n_suppliers,
+         |          sum(cast(c as decimal(19,0)) * cast(c as decimal(19,0))) as q2,
+         |          ${bigint("sum(c)")} as tot, max(c) as mx
+         |        from sr group by nk)
+         |select n.n_name as nation, a.n_suppliers,
+         |  ${roundAway(d)("cast(a.tot as double) / 1000000", 2)} as total_revenue,
+         |  ${roundAway(d)("cast(a.q2 as double) / (cast(a.tot as double) * cast(a.tot as double))", 6)} as hhi,
+         |  ${roundAway(d)("cast(a.mx as double) / a.tot", 4)} as top_share,
+         |  case when ${roundAway(d)("cast(a.q2 as double) / (cast(a.tot as double) * cast(a.tot as double))", 6)} > 0.25
+         |       then 1 else 0 end as concentrated
+         |from agg a join nation n on n.n_nationkey = a.nk""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
