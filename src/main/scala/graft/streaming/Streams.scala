@@ -495,6 +495,40 @@ object Streams {
           (source, HllSketch.estimate(regs))
       }
   }
+
+  /** Streaming per-group KMV bottom-k sketch — the incremental form of
+    * the native `graft_kmv` aggregate (functions.KmvAgg): state is the
+    * k-bounded distinct-min hash set (ascending Array[Long]), updated
+    * per micro-batch with the SAME keyed PRF as the batch aggregate
+    * and the generated SQL. The sketch is a pure function of the input
+    * SET, so micro-batch splits cannot change a single element — on
+    * the same rows the streamed set is LONG-FOR-LONG equal to the
+    * batch aggregate's array (StreamingKmvSpec pins it). */
+  def kmvStream(words: Dataset[(Timestamp, String, String)], k: Int)
+      : Dataset[(String, Seq[Long])] = {
+    import words.sparkSession.implicits._
+    words
+      .groupByKey(_._2)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (source, it, state: GroupState[Array[Long]]) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(v => set.add(v)))
+          it.foreach { case (_, _, word) =>
+            val h = graft.functions.Prf.prf("kmv", word)
+            if (set.size < k) set.add(h)
+            else if (h < set.last && !set.contains(h)) {
+              set.add(h); set.remove(set.last)
+            }
+          }
+          val arr = new Array[Long](set.size)
+          val iter = set.iterator()
+          var i = 0
+          while (iter.hasNext) { arr(i) = iter.next(); i += 1 }
+          state.update(arr)
+          (source, arr.toList)
+      }
+  }
 }
 
 /** JVM mirror of the SQL HLL sketch (m = 256) in
