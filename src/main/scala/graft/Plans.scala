@@ -128,6 +128,9 @@ object Plans {
     "text_kl_divergence" -> "two combinable groupBys (source x word, word) over one explode; the ln-grid bigint terms combine per row before the k multiply, so the per-source sum is one exact aggregation — vocabulary-sized after the explode",
     "text_simpson" -> "one (source, word) groupBy + one per-source bigint fold; the only float op is the final division per source",
     "sketch_kmv_native" -> "one distinct (source, hash) pass into graft_kmv — map-side partials keep <=k hashes per source, the merge is a capped set union; no window, no per-source sort anywhere",
+    "q_discount_elasticity" -> "one combinable level groupBy + one 1-row bigint moment fold over the fact scan; the 11-row level table cross-joins the 1-row correlation",
+    "events_activity_hist" -> "one combinable per-user groupBy; the ladder bucket is map-side case arithmetic, shares and the cumulative window run on <=40 bucket rows",
+    "events_stickiness" -> "one (user, day) distinct projection; the trailing-28-day range join expands <=28 rows per active (user, day) — linear, never user x user — and the per-day distinct count is the only other shuffle",
     "q_order_gap" -> "one distinct (cust, day) projection + customer-partitioned lag windows (bounded by orders/customer); quantiles and mean run on the gap-DOMAIN count table via one cumulative window",
     "events_type_overlap" -> "one distinct (type, user) projection; the pair join fans <=C(|types|,2) per user and the output is type-domain-sized",
     "q_hhi_supplier" -> "one combinable per-supplier fact groupBy (per-row 1e-6-grid quantization, bigint fold); the nation rollup with decimal(38,0) quadratics is |suppliers|-sized; nation dim broadcasts",

@@ -6733,7 +6733,84 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(a.mx as double) / a.tot", 4)} as top_share,
          |  case when ${roundAway(d)("cast(a.q2 as double) / (cast(a.tot as double) * cast(a.tot as double))", 6)} > 0.25
          |       then 1 else 0 end as concentrated
-         |from agg a join nation n on n.n_nationkey = a.nk""".stripMargin
+         |from agg a join nation n on n.n_nationkey = a.nk""".stripMargin,
+
+    // DISCOUNT ELASTICITY — does a deeper discount move more units
+    // (the pricing team's first regression): per discount LEVEL
+    // (domain-bounded — discounts live on the 1% grid) the order
+    // count and exact mean quantity, plus the overall Pearson
+    // correlation between discount points and quantity folded from
+    // FIVE exact bigint moments (both variables sit on integer grids:
+    // discount×100, unit quantities) — the events_trend convention:
+    // no float accumulation order anywhere, ONE division and one
+    // sqrt (IEEE sqrt is correctly rounded — the one libm function
+    // that is bit-exact by spec) at the end. One combinable groupBy +
+    // one 1-row moment fold. Σx²/Σy²/Σxy stay in bigint to ~10¹⁴
+    // rows; past that pre-scale counts (r is scale-invariant).
+    "q_discount_elasticity" -> {
+      val xg = bigint(roundAway(d)("l_discount * 100", 0))
+      val yg = bigint(roundAway(d)("l_quantity", 0))
+      s"""with g as (select $xg as x, $yg as y from lineitem),
+         |lvl as (select x, ${bigint("count(*)")} as n, ${bigint("sum(y)")} as sy from g group by x),
+         |mom as (select ${bigint("count(*)")} as n, ${bigint("sum(x)")} as sx, ${bigint("sum(y)")} as sy,
+         |               ${bigint("sum(x * x)")} as sxx, ${bigint("sum(y * y)")} as syy, ${bigint("sum(x * y)")} as sxy
+         |        from g),
+         |r as (select case when (n * sxx - sx * sx) > 0 and (n * syy - sy * sy) > 0
+         |               then cast(n * sxy - sx * sy as double)
+         |                    / sqrt(cast(n * sxx - sx * sx as double))
+         |                    / sqrt(cast(n * syy - sy * sy as double)) end as pr from mom)
+         |select ${bigint("l.x")} as discount_pct, l.n as n_lines,
+         |  ${roundAway(d)("cast(l.sy as double) / l.n", 4)} as avg_quantity,
+         |  ${roundAway(d)("r.pr", 4)} as pearson_r
+         |from lvl l cross join r""".stripMargin
+    },
+
+    // USER-ACTIVITY DISTRIBUTION in power-of-two buckets — the
+    // engagement long-tail census (how many lurkers per power user —
+    // the shape that decides sampling and rate-limit policy): per-user
+    // event counts bucketed at floor(log2(c)) via an INTEGER COMPARE
+    // LADDER of literal powers (no libm log2 — ln(8)/ln(2) can come
+    // back 2.9999… and misbucket every exact power), per-bucket user
+    // and event shares, cumulative user share from a window over the
+    // ≤ 40 bucket rows. One combinable per-user groupBy; everything
+    // after is bucket-domain-sized at any corpus.
+    "events_activity_hist" -> {
+      // floor(log2(c)) for c in [1, 2^40) as a compare ladder
+      val lad = (39 to 1 by -1).map(b =>
+        s"when c >= ${1L << b} then $b").mkString("case ", " ", " else 0 end")
+      s"""with uc as (select user_id, ${bigint("count(*)")} as c from events group by user_id),
+         |ub as (select $lad as bucket, c from uc),
+         |bc as (select bucket, ${bigint("count(*)")} as n_users, ${bigint("sum(c)")} as n_events
+         |       from ub group by bucket),
+         |tot as (select ${bigint("sum(n_users)")} as u, ${bigint("sum(n_events)")} as e from bc)
+         |select ${bigint("b.bucket")} as log2_bucket,
+         |  ${bigint(s"cast(pow(2, b.bucket) as bigint)")} as bucket_min,
+         |  b.n_users, b.n_events,
+         |  ${roundAway(d)("cast(b.n_users as double) / t.u", 4)} as user_share,
+         |  ${roundAway(d)("cast(b.n_events as double) / t.e", 4)} as event_share,
+         |  ${roundAway(d)("cast(sum(b.n_users) over (order by b.bucket) as double) / t.u", 4)} as cum_user_share
+         |from bc b cross join tot t""".stripMargin
+    },
+
+    // DAU / MAU STICKINESS — the growth team's engagement-quality
+    // ratio (what fraction of the monthly audience shows up daily;
+    // 0.5 = habit, 0.05 = visitor): DAU from the (user, day) distinct
+    // projection, trailing-28-day MAU via a bounded RANGE join of
+    // that same projection onto the day spine — the expansion is ≤ 28
+    // rows per (user, active day), LINEAR in the distinct table (the
+    // honest cost of a sliding set-union; HLL registers could
+    // approximate it mergeably, the exact form is the oracle), then
+    // one distinct count per day. Integer end to end, one division.
+    "events_stickiness" ->
+      s"""with ud as (select distinct user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |days as (select distinct day from ud),
+         |dau as (select day, ${bigint("count(*)")} as dau from ud group by day),
+         |mau as (select dd.day, ${bigint("count(distinct u.user_id)")} as mau
+         |        from days dd join ud u on u.day between dd.day - 27 and dd.day
+         |        group by dd.day)
+         |select ${bigint("a.day")} as day, a.dau, m.mau,
+         |  ${roundAway(d)("cast(a.dau as double) / m.mau", 4)} as stickiness
+         |from dau a join mau m on m.day = a.day""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
