@@ -128,6 +128,8 @@ object Plans {
     "text_kl_divergence" -> "two combinable groupBys (source x word, word) over one explode; the ln-grid bigint terms combine per row before the k multiply, so the per-source sum is one exact aggregation — vocabulary-sized after the explode",
     "text_simpson" -> "one (source, word) groupBy + one per-source bigint fold; the only float op is the final division per source",
     "sketch_kmv_native" -> "one distinct (source, hash) pass into graft_kmv — map-side partials keep <=k hashes per source, the merge is a capped set union; no window, no per-source sort anywhere",
+    "events_anomaly_seasonal" -> "one combinable daily-count groupBy; dow means, residual rank selections, and flags all run on the <=|days| aggregated rows (calendar-bounded windows)",
+    "q_priority_sla" -> "one combinable groupBy over the orders-lineitem join; the 5-row priority report is domain-sized; latency arithmetic is map-side",
     "q_discount_elasticity" -> "one combinable level groupBy + one 1-row bigint moment fold over the fact scan; the 11-row level table cross-joins the 1-row correlation",
     "events_activity_hist" -> "one combinable per-user groupBy; the ladder bucket is map-side case arithmetic, shares and the cumulative window run on <=40 bucket rows",
     "events_stickiness" -> "one (user, day) distinct projection; the trailing-28-day range join expands <=28 rows per active (user, day) — linear, never user x user — and the per-day distinct count is the only other shuffle",

@@ -6810,7 +6810,76 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |        group by dd.day)
          |select ${bigint("a.day")} as day, a.dau, m.mau,
          |  ${roundAway(d)("cast(a.dau as double) / m.mau", 4)} as stickiness
-         |from dau a join mau m on m.day = a.day""".stripMargin
+         |from dau a join mau m on m.day = a.day""".stripMargin,
+
+    // SEASONAL-ADJUSTED ROBUST ANOMALY — the production composition
+    // of events_seasonal and events_anomaly_mad (a raw daily-count
+    // detector fires every weekend; deseasonalizing FIRST is what
+    // separates "it's Saturday" from "something broke"): residual =
+    // x_d − mean(same day-of-week), where the dow mean is ONE exact
+    // integer division (identical IEEE op in both engines on exact
+    // integer sums), then the median/MAD/modified-z machinery runs on
+    // the bit-identical residuals with lower-median rank selection in
+    // (value, day) order. Day-of-week from pure epoch arithmetic.
+    // Every window orders the ≤ |days| aggregated rows. Null guard:
+    // MAD = 0 → z null, flag 0.
+    "events_anomaly_seasonal" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as x
+         |               from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |dw as (select day, x, (day + 4) % 7 as dow from daily),
+         |wm as (select dow, ${bigint("sum(x)")} as s, ${bigint("count(*)")} as n from dw group by dow),
+         |res as (select d2.day, d2.x, d2.dow,
+         |          cast(w.s as double) / w.n as dow_mean,
+         |          d2.x - cast(w.s as double) / w.n as r
+         |        from dw d2 join wm w on w.dow = d2.dow),
+         |mt as (select ${bigint("count(*)")} as m from res),
+         |rrk as (select day, r, ${bigint("row_number() over (order by r, day)")} as rn from res),
+         |med as (select min(r) as md from rrk cross join mt
+         |        where rn = cast(ceil(m * 0.5) as bigint)),
+         |drk as (select s.day, abs(s.r - m.md) as ad,
+         |          ${bigint("row_number() over (order by abs(s.r - m.md), s.day)")} as rn
+         |        from res s cross join med m),
+         |mad as (select min(ad) as mv from drk cross join mt
+         |        where rn = cast(ceil(m * 0.5) as bigint))
+         |select ${bigint("s.day")} as day, ${bigint("s.x")} as n_events, ${bigint("s.dow")} as dow,
+         |  ${roundAway(d)("s.dow_mean", 4)} as dow_mean,
+         |  ${roundAway(d)("s.r", 4)} as residual,
+         |  case when a.mv > 0
+         |       then ${roundAway(d)("0.6745 * (s.r - m.md) / a.mv", 4)} end as robust_z,
+         |  case when a.mv > 0 and abs(0.6745 * (s.r - m.md) / a.mv) > 3.5
+         |       then 1 else 0 end as is_outlier
+         |from res s cross join med m cross join mad a""".stripMargin,
+
+    // ORDER-PRIORITY SLA COMPLIANCE — does the fulfillment chain
+    // actually honor priority (the operations twin of q_ship_latency,
+    // cut by o_orderpriority): per priority the line count, exact
+    // mean latency, and the ≤ 30/60/90-day compliance shares — all
+    // integer counts off ONE combinable groupBy over the
+    // orders⋈lineitem join (latencies are exact day integers from
+    // epoch arithmetic; this corpus's synthetic shipdates include
+    // negative latencies, which simply land in every compliance
+    // bucket). Priority domain is 5 values; dims broadcast.
+    "q_priority_sla" -> {
+      def ep(c: String) =
+        if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
+        else s"cast(epoch($c) as bigint)"
+      def within(dd: Int) =
+        bigint(s"sum(case when ld <= $dd then 1 else 0 end)")
+      s"""with lat as (select o.o_orderpriority as pri,
+         |              ${d.idiv(s"${ep("l.l_shipdate")} - ${ep("o.o_orderdate")}", "86400")} as ld
+         |            from orders o join lineitem l on l.l_orderkey = o.o_orderkey),
+         |agg as (select pri, ${bigint("count(*)")} as n, ${bigint("sum(ld)")} as s,
+         |               ${within(30)} as w30, ${within(60)} as w60, ${within(90)} as w90,
+         |               ${bigint("max(ld)")} as mx
+         |        from lat group by pri)
+         |select pri as priority, n as n_lines,
+         |  ${roundAway(d)("cast(s as double) / n", 4)} as mean_latency_days,
+         |  ${roundAway(d)("cast(w30 as double) / n", 4)} as pct_within_30d,
+         |  ${roundAway(d)("cast(w60 as double) / n", 4)} as pct_within_60d,
+         |  ${roundAway(d)("cast(w90 as double) / n", 4)} as pct_within_90d,
+         |  mx as max_latency_days
+         |from agg""".stripMargin
+    }
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
