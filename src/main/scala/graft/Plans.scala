@@ -161,7 +161,14 @@ object Plans {
     "events_new_vs_returning" -> "one (user, day) distinct + per-user min + daily census; the cumulative curve is a window over <=|days| aggregated rows",
     "events_segment_migration" -> "one combinable (user, half) groupBy; median cuts by rank selection over the count DOMAIN; the matrix is <=9 cells",
     "multimodal_wav_features" -> "batched mapPartitions decode + integer DSP per clip; one combinable (source, rate) shuffle — the same dataflow a real feature extractor binds into",
-    "sketch_cms_native" -> "ObjectHashAggregate with the 4x16 grid AS the buffer: map-side partials merge by addition, the point-query join touches the 1-row grid")
+    "sketch_cms_native" -> "ObjectHashAggregate with the 4x16 grid AS the buffer: map-side partials merge by addition, the point-query join touches the 1-row grid",
+    "sq_bits_curve" -> "one per-dim stats pass + one map-side quantize/dequantize over N*Dim*4 rows into a combinable per-bits aggregation; exact 1e-12-grid bigint error sums; output is the 4-row ladder",
+    "matryoshka_dim_curve" -> "4 map-side prefix projections of the normalized scan unioned; all candidate passes O(|Q|*N) on the bounded query list; per-(dm,qid) top-10 windows over query-partitioned rows only",
+    "graph_degree_hist" -> "rides the served g_indeg view: one left join + one combinable census; the bucket is map-side compare-ladder arithmetic; shares and the cumulative window run on <=41 bucket rows",
+    "events_user_entropy" -> "two combinable groupBys ((user,type) then user); the 1e-9 ln-grid bigint terms make per-user H exact; bins and the mean fold on the <=8-row domain",
+    "vec_lid" -> "rides g_knn: per-src grid-ln terms fold in one combinable groupBy(src); LID is one division per node; the census is <=102 clamped bins",
+    "graph_powerlaw_fit" -> "rides g_indeg: one combinable tail fold for alpha; the KS pass is a desc cumulative window over the <=|distinct degrees| domain rows",
+    "events_entropy_rate" -> "one user-partitioned lag window + the (src,dst) and src combinable groupBys; both entropies and the gain fold from the same exact bigint census; 1-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

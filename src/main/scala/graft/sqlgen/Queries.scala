@@ -6879,6 +6879,275 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(w90 as double) / n", 4)} as pct_within_90d,
          |  mx as max_latency_days
          |from agg""".stripMargin
+    },
+
+    // SCALAR-QUANTIZATION BITS CURVE — the int8-vs-int4-vs-int2
+    // storage knob measured instead of asserted (faiss SQ8/SQ6/SQ4,
+    // Milvus SQ8: every bit halves index RAM, the curve shows what
+    // reconstruction error each rung buys): ONE per-dim min/max pass
+    // (the vec_quantize grid), then the exploded values cross-joined
+    // against the 4-row bits ladder — a single map-side pass over
+    // N·Dim·4 rows, one combinable aggregation by bits. Squared
+    // errors are quantized to the 1e-12 grid and summed as EXACT
+    // bigints (house rule; ceiling: 1e12·err²·N·Dim < 2^63 holds to
+    // ~10⁶ vectors per run at err ≤ 1 — past that coarsen to 1e-9,
+    // the documented rung). Spec pins mse strictly decreasing in
+    // bits and the 64/bits compression arithmetic.
+    "sq_bits_curve" -> {
+      val bitsLad =
+        if (d.name == "spark") "(select explode(array(2, 4, 6, 8)) as bits)"
+        else "(select unnest([2, 4, 6, 8]) as bits)"
+      s"""with $nvCtes, $exnCte,
+         |st as (select pos, min(val) as mn, max(val) as mx from exn group by pos),
+         |bl as (select bits from $bitsLad _b),
+         |qz as (select b.bits, x.pos, s.mn, s.mx, x.val,
+         |         case when s.mx = s.mn then cast(0 as bigint)
+         |              else least(cast(pow(cast(2 as double), b.bits) as bigint) - 1,
+         |                         greatest(cast(0 as bigint),
+         |                           cast(floor((x.val - s.mn) / (s.mx - s.mn) * pow(cast(2 as double), b.bits)) as bigint))) end as code
+         |       from exn x join st s on s.pos = x.pos cross join bl b),
+         |rc as (select bits, pos, val, code,
+         |         case when mx = mn then mn
+         |              else mn + (code + cast(0.5 as double)) / pow(cast(2 as double), bits) * (mx - mn) end as deq,
+         |         case when mx = mn then cast(0 as bigint)
+         |              else cast(pow(cast(2 as double), bits) as bigint) - 1 end as cmax
+         |       from qz),
+         |er as (select bits, cmax, code, abs(val - deq) as ae,
+         |         ${bigint(roundAway(d)("(val - deq) * (val - deq) * 1000000000000", 0))} as e2q
+         |       from rc),
+         |agg as (select bits, ${bigint("count(*)")} as n, ${bigint("sum(e2q)")} as se2,
+         |          max(ae) as mae,
+         |          ${bigint("sum(case when code = 0 or code = cmax then 1 else 0 end)")} as clamped
+         |        from er group by bits)
+         |select ${bigint("bits")} as bits,
+         |  ${bigint(s"cast(pow(cast(2 as double), bits) as bigint)")} as n_levels,
+         |  ${roundAway(d)("cast(se2 as double) / (cast(n as double) * 1000000000000)", 9)} as mse,
+         |  ${roundAway(d)("mae", 6)} as max_abs_err,
+         |  clamped as n_clamped,
+         |  ${roundAway(d)("cast(64 as double) / bits", 2)} as compression_x
+         |from agg""".stripMargin
+    },
+
+    // MATRYOSHKA DIMENSION CURVE — the prefix-dim serving knob of MRL
+    // embeddings (Kusupati et al. 2022) measured as a recall ladder:
+    // for each prefix width {8,16,32,64}, the prefix-cosine top-10 of
+    // the FIXED query list vs the full-dim exact top-10 (the same
+    // truth table ann_recall_eval uses). The 4-slice union is 4
+    // map-side projections of the normalized scan (no shuffle added);
+    // every candidate pass is O(|Q|·N) with the bounded query list;
+    // ranks are round(·,6)+id tie-broken so both engines pick
+    // identical sets. The dm=64 rung IS the truth table (slice = full
+    // vector), so recall@10 = 1.0 there by construction — the
+    // self-witnessing anchor the spec pins, along with monotone
+    // recall in dm.
+    "matryoshka_dim_curve" -> {
+      val slices = Seq(8, 16, 32, 64).map(dm =>
+        s"select $dm as dm, id, ${d.arrSlice("n", 1, dm)} as p from nn").mkString("\n         union all ")
+      s"""with $nvCtes,
+         |q0 as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim
+         |       from q0 q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid from (
+         |         select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn
+         |         from bp) _b where rn <= 10),
+         |pv as ($slices),
+         |pn as (select dm, id, p, sqrt(${d.dot("p", "p")}) as pnrm from pv),
+         |qp as (select dm, id as qid, p as qp, pnrm as qnrm from pn where id in ($qIdLit)),
+         |ps as (select q.dm, q.qid, c.id as cid,
+         |         round(case when q.qnrm = 0 or c.pnrm = 0 then cast(0 as double)
+         |               else ${d.dot("q.qp", "c.p")} / (q.qnrm * c.pnrm) end, 6) as psim
+         |       from qp q join pn c on c.dm = q.dm and c.id <> q.qid),
+         |pt as (select dm, qid, cid from (
+         |         select dm, qid, cid, row_number() over (partition by dm, qid order by psim desc, cid) as rn
+         |         from ps) _p where rn <= 10),
+         |hits as (select p.dm, ${bigint("count(*)")} as hits
+         |         from pt p join bt b on b.qid = p.qid and b.cid = p.cid group by p.dm)
+         |select ${bigint("dm")} as prefix_dim, hits,
+         |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10,
+         |  ${roundAway(d)("cast(64 as double) / dm", 2)} as compression_x
+         |from hits""".stripMargin
+    },
+
+    // kNN-GRAPH DEGREE HISTOGRAM — the index-health census behind hub
+    // detection (a power-law in-degree tail means a few hub vectors
+    // absorb most graph traffic — the known failure mode of
+    // kNN-graph ANN serving): power-of-two in-degree buckets over ALL
+    // nodes (zero-in-degree nodes — never anyone's neighbor,
+    // unreachable by graph search — land in the bucket=-1 row, the
+    // number a graph-index operator watches most). Rides the served
+    // g_indeg chain stage; one left join + one combinable census —
+    // output is ≤ 41 domain-bounded rows. Pairs with
+    // graph_assortativity (mixing) and lsh_bucket_stats (the LSH
+    // analog of the same health report).
+    "graph_degree_hist" -> {
+      val lad = (39 to 1 by -1).map(b =>
+        s"when c >= ${1L << b} then $b").mkString("case ", " ", " else 0 end")
+      s"""${wmChain("knn")},
+         |alln as (select nn.id, coalesce(i.in_degree, ${bigint("0")}) as c
+         |         from nn left join indeg i on i.vec_id = nn.id),
+         |ub as (select case when c = 0 then -1 else $lad end as bucket, c from alln),
+         |bc as (select bucket, ${bigint("count(*)")} as n_nodes, ${bigint("sum(c)")} as n_in_edges
+         |       from ub group by bucket),
+         |tot as (select ${bigint("sum(n_nodes)")} as u, ${bigint("sum(n_in_edges)")} as e from bc)
+         |select ${bigint("b.bucket")} as log2_bucket,
+         |  ${bigint("case when b.bucket < 0 then 0 else cast(pow(cast(2 as double), b.bucket) as bigint) end")} as bucket_min,
+         |  b.n_nodes, b.n_in_edges,
+         |  ${roundAway(d)("cast(b.n_nodes as double) / t.u", 4)} as node_share,
+         |  ${roundAway(d)("cast(b.n_in_edges as double) / t.e", 4)} as edge_share,
+         |  ${roundAway(d)("cast(sum(b.n_nodes) over (order by b.bucket) as double) / t.u", 4)} as cum_node_share
+         |from bc b cross join tot t""".stripMargin
+    },
+
+    // USER BEHAVIORAL ENTROPY — how specialized each user's activity
+    // is (H = 0: single-action users; H → ln|types|: uniform
+    // explorers), the segmentation signal behind "browsers vs
+    // buyers" cohorts: per-user Shannon entropy over event types in
+    // EXACT integer arithmetic — H·n·1e9 = n·lnq(n) − Σ k·lnq(k)
+    // with lnq on the 1e-9 ln grid (the text_kl_divergence house
+    // rule), so a single-type user is EXACTLY 0 (the n·lnq(n) terms
+    // cancel, no float residue). Distribution reported as 0.25-nat
+    // bins plus the exact-sum mean; domain-bounded output (H ≤
+    // ln|types| ≈ 1.8 → ≤ 8 bins). Two combinable aggregations, no
+    // windows. Bigint ceiling: n·lnq(n) < 2^63 holds to ~10⁸ events
+    // per user — far past any real per-user cap.
+    "events_user_entropy" -> {
+      def lnq(x: String) = bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      s"""with tc as (select user_id, event_type, ${bigint("count(*)")} as k from events
+         |            group by user_id, event_type),
+         |ue as (select user_id, ${bigint("sum(k)")} as n,
+         |         ${bigint(s"sum(k * ${lnq("k")})")} as slnk,
+         |         ${bigint("count(*)")} as n_types
+         |       from tc group by user_id),
+         |hu as (select user_id, n, n_types,
+         |         ${roundAway(d)(s"cast(n * ${lnq("n")} - slnk as double) / (cast(n as double) * 1000000000)", 6)} as h
+         |       from ue),
+         |hb as (select cast(floor(h * 4) as bigint) as bin, h, n_types from hu),
+         |bc as (select bin, ${bigint("count(*)")} as n_users,
+         |         ${bigint("sum(case when n_types = 1 then 1 else 0 end)")} as n_single
+         |       from hb group by bin),
+         |mh as (select ${bigint(s"sum(${bigint(roundAway(d)("h * 1000000", 0))})")} as smq,
+         |         ${bigint("count(*)")} as nu
+         |       from hu)
+         |select ${bigint("b.bin")} as bin,
+         |  ${roundAway(d)("b.bin / cast(4 as double)", 2)} as bin_lo_nats,
+         |  b.n_users, b.n_single as n_single_type,
+         |  ${roundAway(d)("cast(b.n_users as double) / m.nu", 4)} as user_share,
+         |  ${roundAway(d)("cast(m.smq as double) / 1000000 / m.nu", 6)} as mean_entropy
+         |from bc b cross join mh m""".stripMargin
+    },
+
+    // LOCAL INTRINSIC DIMENSIONALITY census — the ANN-hardness
+    // diagnostic (Amsaleg et al. 2015 MLE over kNN distance ratios;
+    // Levina–Bickel 2004): high-LID regions are where every vector
+    // index loses recall first, so the census predicts WHERE the
+    // nprobe/beam knobs must rise before the recall curves show it.
+    // Rides the served kNN graph — distances re-derived from the
+    // round(·,6) sims (d² = 2−2s on unit vectors), so both engines
+    // fold bit-identical inputs; the only libm op is ln of the
+    // squared-distance ratio, quantized to the 1e-9 grid and summed
+    // as EXACT bigints per node (LID = −2e9·k/Σt). Degenerate nodes
+    // (all k neighbors equidistant → Σt = 0; duplicate-vector d = 0
+    // clamped at 1e-12, stated) are censused, not silently dropped.
+    // Output ≤ 102 clamped unit bins + the exact-sum global mean.
+    "vec_lid" -> {
+      def lnq9(x: String) = bigint(roundAway(d)(s"ln($x) * 1000000000", 0))
+      s"""${wmChain("knn")},
+         |dk as (select src, max(rn) as kk from knn group by src),
+         |lastn as (select k.src, k.sim as sk from knn k join dk on dk.src = k.src and k.rn = dk.kk),
+         |tm as (select k.src, d.kk,
+         |         ${lnq9("greatest(cast(1 as double) - k.sim, 1e-12) / greatest(cast(1 as double) - l.sk, 1e-12)")} as t
+         |       from knn k join dk d on d.src = k.src join lastn l on l.src = k.src),
+         |pl as (select src, kk, ${bigint("sum(t)")} as st from tm group by src, kk),
+         |li as (select src,
+         |         case when st < 0 then -2 * cast(kk as double) * 1000000000 / cast(st as double)
+         |              else cast(null as double) end as lid
+         |       from pl),
+         |hb as (select least(${bigint("floor(lid)")}, ${bigint("100")}) as bin,
+         |              ${bigint(roundAway(d)("lid * 1000000", 0))} as lq
+         |       from li where lid is not null),
+         |bc as (select bin, ${bigint("count(*)")} as n_nodes, ${bigint("sum(lq)")} as slq from hb group by bin),
+         |tot as (select ${bigint("sum(n_nodes)")} as nn, ${bigint("sum(slq)")} as sq from bc),
+         |dg as (select ${bigint("count(*)")} as n_degenerate from li where lid is null)
+         |select ${bigint("b.bin")} as lid_bin, b.n_nodes,
+         |  ${roundAway(d)("cast(b.n_nodes as double) / t.nn", 4)} as node_share,
+         |  ${roundAway(d)("cast(t.sq as double) / 1000000 / t.nn", 6)} as mean_lid,
+         |  g.n_degenerate
+         |from bc b cross join tot t cross join dg g""".stripMargin
+    },
+
+    // POWER-LAW TAIL FIT over the kNN in-degree — the quantitative
+    // companion of graph_degree_hist's bucket census (Clauset–
+    // Shalizi–Newman 2009: continuous MLE α̂ = 1 + n/Σln(d/dmin),
+    // dmin = 2 stated — the discrete-support bias is documented, not
+    // hidden): α near 2 means a heavy hub tail (graph search funnels
+    // through few vectors), large α means exponential-like decay.
+    // The ln terms run on EXACT integer degrees, quantized to the
+    // 1e-9 grid and summed as bigints, so α is ONE double division;
+    // the KS distance compares the exact empirical CCDF with the
+    // fitted (d/dmin)^(1−α) — computed as exp over the same integer
+    // ln grid, rounded to 1e-6 — over the ≤ |distinct degrees| rows
+    // (domain-bounded: in-degree ≤ corpus K·fanout). Null guards:
+    // all-dmin tail (Σ = 0) → α null. Bigint ceiling n·lnq(dmax)
+    // < 2^63 to ~10⁸ tail nodes.
+    "graph_powerlaw_fit" -> {
+      def lnq9(x: String) = bigint(roundAway(d)(s"ln($x) * 1000000000", 0))
+      s"""${wmChain("knn")},
+         |tl as (select in_degree as c from indeg where in_degree >= 2),
+         |allc as (select ${bigint("count(*)")} as n_all from indeg),
+         |st as (select ${bigint("count(*)")} as n,
+         |         ${bigint(s"sum(${lnq9("cast(c as double)")})")} as sl from tl),
+         |fit as (select n, sl - n * ${lnq9("cast(2 as double)")} as s from st),
+         |al as (select n, s,
+         |         case when s > 0 then 1 + cast(n as double) * 1000000000 / cast(s as double)
+         |              else cast(null as double) end as alpha from fit),
+         |dg as (select c, ${bigint("count(*)")} as m from tl group by c),
+         |cg as (select c, ${bigint("sum(m) over (order by c desc)")} as n_ge from dg),
+         |ks as (select max(abs(cast(g.n_ge as double) / a.n -
+         |         ${roundAway(d)(s"exp((cast(1 as double) - a.alpha) * cast(${lnq9("cast(g.c as double)")} - ${lnq9("cast(2 as double)")} as double) / 1000000000)", 6)})) as ksd
+         |       from cg g cross join al a where a.alpha is not null)
+         |select x.n_all as n_nodes, a.n as n_tail, ${bigint("2")} as d_min,
+         |  ${roundAway(d)("a.alpha", 6)} as alpha,
+         |  ${roundAway(d)("case when a.alpha is null then cast(null as double) else (a.alpha - 1) / sqrt(cast(a.n as double)) end", 6)} as alpha_se,
+         |  ${roundAway(d)("k.ksd", 4)} as ks_d,
+         |  ${roundAway(d)("cast(a.n as double) / x.n_all", 4)} as tail_share
+         |from al a cross join allc x cross join ks k""".stripMargin
+    },
+
+    // MARKOV ENTROPY RATE — how predictable the event stream is
+    // (Shannon 1951's next-symbol experiment): H(next | current) vs
+    // the marginal H(next), their gap = what ONE step of history
+    // buys a sequence model — the corpus-level complement of
+    // events_user_entropy (per-user specialization) and the
+    // information-theoretic readout of events_transitions' matrix.
+    // Both entropies fold from the SAME integer transition census on
+    // the 1e-9 ln grid — H_rate·N·1e9 = Σ c_ij·(lnq(n_i)−lnq(c_ij)),
+    // H_m·N·1e9 = N·lnq(N)−Σ n_i·lnq(n_i) — so the information gain
+    // and the predictability ratio are ratios of EXACT bigints.
+    // Convention stated: the marginal is over the CURRENT symbol
+    // (the chain's empirical stationary census), so a near-
+    // independent stream reads gain ≈ 0 (grid-exact; sign not
+    // forced) and a deterministic one reads conditional_share 0.
+    // One lag window (user-partitioned) + two
+    // combinable groupBys; 1-row output. Bigint ceiling n·lnq(n) <
+    // 2^63 to ~10⁸ transitions (then pre-scale counts, §4 ladder).
+    "events_entropy_rate" -> {
+      def lnq9(x: String) = bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      s"""with e as (select user_id, event_id, event_type, ${evSec("ts")} as sec from events),
+         |s as (select event_type as src,
+         |        lead(event_type) over (partition by user_id order by sec, event_id) as dst
+         |      from e),
+         |t as (select src, dst, ${bigint("count(*)")} as c from s where dst is not null group by src, dst),
+         |tt as (select src, ${bigint("sum(c)")} as n from t group by src),
+         |hr as (select ${bigint(s"sum(t.c * (${lnq9("tt.n")} - ${lnq9("t.c")}))")} as num,
+         |         ${bigint("sum(t.c)")} as nn
+         |       from t join tt on tt.src = t.src),
+         |hm as (select ${bigint(s"sum(n * ${lnq9("n")})")} as snn, ${bigint("count(*)")} as n_types from tt)
+         |select r.nn as n_transitions, m.n_types,
+         |  ${roundAway(d)(s"cast(r.nn * ${lnq9("r.nn")} - m.snn as double) / (cast(r.nn as double) * 1000000000)", 6)} as h_marginal,
+         |  ${roundAway(d)("cast(r.num as double) / (cast(r.nn as double) * 1000000000)", 6)} as h_rate,
+         |  ${roundAway(d)(s"cast((r.nn * ${lnq9("r.nn")} - m.snn) - r.num as double) / (cast(r.nn as double) * 1000000000)", 6)} as info_gain,
+         |  ${roundAway(d)(s"case when r.nn * ${lnq9("r.nn")} - m.snn = 0 then cast(null as double) else cast(r.num as double) / cast(r.nn * ${lnq9("r.nn")} - m.snn as double) end", 4)} as conditional_share
+         |from hr r cross join hm m""".stripMargin
     }
   )
 
