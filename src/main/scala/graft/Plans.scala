@@ -168,7 +168,10 @@ object Plans {
     "events_user_entropy" -> "two combinable groupBys ((user,type) then user); the 1e-9 ln-grid bigint terms make per-user H exact; bins and the mean fold on the <=8-row domain",
     "vec_lid" -> "rides g_knn: per-src grid-ln terms fold in one combinable groupBy(src); LID is one division per node; the census is <=102 clamped bins",
     "graph_powerlaw_fit" -> "rides g_indeg: one combinable tail fold for alpha; the KS pass is a desc cumulative window over the <=|distinct degrees| domain rows",
-    "events_entropy_rate" -> "one user-partitioned lag window + the (src,dst) and src combinable groupBys; both entropies and the gain fold from the same exact bigint census; 1-row output")
+    "events_entropy_rate" -> "one user-partitioned lag window + the (src,dst) and src combinable groupBys; both entropies and the gain fold from the same exact bigint census; 1-row output",
+    "text_js_divergence" -> "one (source,word) groupBy; the pair spine is C(|sources|,2) rows joined by equality (union + two left joins, no OR-join); per-pair sums are exact bigints",
+    "events_peak_concurrency" -> "the session windows (user-partitioned) + per-second boundary groupBy; within-day cumulative is day-partitioned, the carry window runs over <=|days| rows — no global sort",
+    "dedup_shingle_curve" -> "one 8-lead window pass (single WindowExec) + 4 map-side width projections unioned + one (w,shingle) distinct/groupBy; the curve output is 4 rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

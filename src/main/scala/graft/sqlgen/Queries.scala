@@ -7148,6 +7148,142 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)(s"cast((r.nn * ${lnq9("r.nn")} - m.snn) - r.num as double) / (cast(r.nn as double) * 1000000000)", 6)} as info_gain,
          |  ${roundAway(d)(s"case when r.nn * ${lnq9("r.nn")} - m.snn = 0 then cast(null as double) else cast(r.num as double) / cast(r.nn * ${lnq9("r.nn")} - m.snn as double) end", 4)} as conditional_share
          |from hr r cross join hm m""".stripMargin
+    },
+
+    // JENSEN–SHANNON DIVERGENCE between source pairs — the SYMMETRIC,
+    // bounded companion of text_kl_divergence's per-source-vs-corpus
+    // readout (Lin 1991: JS ∈ [0, ln 2], defined even on disjoint
+    // vocabularies — exactly where KL blows up), the number behind
+    // "which sources are interchangeable" mixing decisions. Exact on
+    // the grid: with p = c1/N1, q = c2/N2, each word's contribution
+    // to KL(P‖M) is c1·(lnq(2·c1·N2) − lnq(c1·N2 + c2·N1)) — integer
+    // products inside ln, one bigint sum per pair side — so JS is
+    // two double divisions at the end. Pair spine = C(|sources|, 2)
+    // rows; the word table joins each pair twice by equality (union
+    // + two left joins — no OR-join BNLJ). Bigint ceiling c·N <
+    // 2^63 to ~10⁹ tokens/source (then pre-scale counts, §4 ladder).
+    "text_js_divergence" -> {
+      def lg(x: String): String =
+        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      s"""with $wordCtes,
+         |srcx as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd),
+         |ns as (select source, ${bigint("sum(k)")} as n_src from wf group by source),
+         |pr as (select a.source as s1, a.n_src as n1, b.source as s2, b.n_src as n2
+         |       from ns a join ns b on a.source < b.source),
+         |wk as (select pr.s1, pr.s2, pr.n1, pr.n2, wf.wd from pr join wf on wf.source = pr.s1
+         |       union
+         |       select pr.s1, pr.s2, pr.n1, pr.n2, wf.wd from pr join wf on wf.source = pr.s2),
+         |t as (select k.s1, k.s2, k.n1, k.n2,
+         |        coalesce(a.k, ${bigint("0")}) as c1, coalesce(b.k, ${bigint("0")}) as c2
+         |      from wk k left join wf a on a.source = k.s1 and a.wd = k.wd
+         |                left join wf b on b.source = k.s2 and b.wd = k.wd),
+         |tm as (select s1, s2, n1, n2,
+         |         case when c1 > 0 then c1 * (${lg("2 * c1 * n2")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end as tp,
+         |         case when c2 > 0 then c2 * (${lg("2 * c2 * n1")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end as tq
+         |       from t),
+         |agg as (select s1, s2, n1, n2, ${bigint("sum(tp)")} as sp, ${bigint("sum(tq)")} as sq
+         |        from tm group by s1, s2, n1, n2)
+         |select s1 as source_a, s2 as source_b, n1 as n_tokens_a, n2 as n_tokens_b,
+         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000", 6)} as js_nats,
+         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000 / ln(cast(2 as double))", 4)} as js_normalized
+         |from agg""".stripMargin
+    },
+
+    // PEAK SESSION CONCURRENCY — the capacity-planning number behind
+    // provisioning (max simultaneous sessions, per day and overall),
+    // the interval-scheduling sweep done WITHOUT a global sort: the
+    // classic +1/−1 boundary walk needs a corpus-total order, so it
+    // is split two-level (the house events_sessions / cumulative-
+    // window rule) — boundaries pre-aggregate to per-SECOND nets
+    // (ends apply at fin+1, and −1s commute before +1s inside one
+    // second, so the per-second net is exact for peaks), the within-
+    // day cumulative runs partitioned by day, and the cross-day
+    // carry is a window over the ≤ |days| day-net rows. Sessions =
+    // the served 1800 s-gap definition (events_sessions semantics).
+    // Days with zero boundary activity carry constant concurrency
+    // (visible in the next day's carry) — stated, not imputed.
+    // Integer end to end.
+    "events_peak_concurrency" ->
+      s"""with e as (select user_id, event_id, ${evSec("ts")} as sec, ts from events),
+         |m as (select user_id, event_id, sec,
+         |        case when lag(sec) over (partition by user_id order by ts, event_id) is null
+         |               or sec - lag(sec) over (partition by user_id order by ts, event_id) > 1800
+         |             then 1 else 0 end as new_s
+         |      from e),
+         |s as (select user_id, event_id, sec,
+         |        sum(new_s) over (partition by user_id order by sec, event_id rows between unbounded preceding and current row) as sid
+         |      from m),
+         |ses as (select user_id, sid, min(sec) as st, max(sec) as fin from s group by user_id, sid),
+         |bd as (select st as sec, 1 as dl from ses union all select fin + 1 as sec, -1 as dl from ses),
+         |ps as (select sec, ${bigint("sum(dl)")} as net,
+         |         ${bigint("sum(case when dl = 1 then 1 else 0 end)")} as n_starts,
+         |         ${bigint("sum(case when dl = -1 then 1 else 0 end)")} as n_ends
+         |       from bd group by sec),
+         |wc as (select ${d.idiv("sec", "86400")} as day, sec, net, n_starts, n_ends,
+         |         sum(net) over (partition by ${d.idiv("sec", "86400")} order by sec rows between unbounded preceding and current row) as cum
+         |       from ps),
+         |dn as (select day, ${bigint("sum(net)")} as dnet, ${bigint("max(cum)")} as mx,
+         |         ${bigint("sum(n_starts)")} as n_starts, ${bigint("sum(n_ends)")} as n_ends
+         |       from wc group by day),
+         |ca as (select day, dnet, mx, n_starts, n_ends,
+         |         coalesce(${bigint("sum(dnet) over (order by day rows between unbounded preceding and 1 preceding)")}, ${bigint("0")}) as carry
+         |       from dn),
+         |gp as (select ${bigint("max(carry + mx)")} as global_peak from ca)
+         |select ${bigint("c.day")} as day, c.n_starts, c.n_ends,
+         |  c.carry + c.mx as day_peak,
+         |  c.carry + c.dnet as eod_concurrency,
+         |  g.global_peak
+         |from ca c cross join gp g""".stripMargin,
+
+    // SHINGLE-SIZE TUNING CURVE — the w knob under ALL the shingle
+    // dedup tiers (Broder 1997: short shingles collide on common
+    // phrases, long ones miss edits; the 5-word house default is a
+    // choice, this key MEASURES it): for w ∈ {3,5,7,9}, the distinct-
+    // shingle census plus the numbers that price the LSH/pair stages
+    // — df = DOCUMENT frequency over per-doc distinct shingle sets
+    // (the winnow DF-cap's unit), collision mass Σ df·(df−1)/2 (the
+    // EXACT doc-pair candidate count a naive shingle join explodes
+    // to — the quantity the DF-cap exists to kill), max df, p99 df
+    // (rank selection
+    // over the df DOMAIN, never a corpus sort), and the boilerplate
+    // mass share (df ≥ 5). ONE lead window pass computes all 8
+    // lookaheads (same window spec → one WindowExec), the 4 widths
+    // are map-side projections of that pass unioned, then one
+    // (w, shingle) groupBy. md5-prefix shingle ids as in the served
+    // dedup chain (identical hashing both engines).
+    "dedup_shingle_curve" -> {
+      val leads = (1 to 8).map(i =>
+        s"lead(wd, $i) over (partition by doc_id order by wpos) as w${i + 1}").mkString(",\n         |        ")
+      def gram(k: Int): String = {
+        val cols = (1 to k).map(i => if (i == 1) "wd" else s"w$i").mkString(", ")
+        s"select $k as w, doc_id, ${d.hex2int(s"substr(md5(concat_ws(' ', $cols)), 1, 15)")} as g from ld where w$k is not null"
+      }
+      s"""with $wordCtes,
+         |ld as (select doc_id, wd,
+         |        $leads
+         |       from wx),
+         |sh as (${Seq(3, 5, 7, 9).map(gram).mkString("\n         | union all ")}),
+         |df as (select w, g, ${bigint("count(*)")} as df
+         |       from (select distinct w, doc_id, g from sh) _d group by w, g),
+         |dfc as (select w, df, ${bigint("count(*)")} as m from df group by w, df),
+         |tot as (select w, ${bigint("sum(df * m)")} as n_shingles, ${bigint("sum(m)")} as n_distinct,
+         |          ${bigint(s"sum(${d.idiv("df * (df - 1)", "2")} * m)")} as collision_mass,
+         |          ${bigint("max(df)")} as max_df,
+         |          ${bigint("sum(case when df >= 5 then df * m else 0 end)")} as boiler_mass
+         |        from dfc group by w),
+         |p99 as (select w, ${bigint("min(df)")} as p99_df from (
+         |          select c.w, c.df,
+         |            ${bigint("sum(c.m) over (partition by c.w order by c.df rows between unbounded preceding and current row)")} as cm,
+         |            t.n_distinct
+         |          from dfc c join tot t on t.w = c.w) _p
+         |        where cm * 100 >= n_distinct * 99 group by w)
+         |select ${bigint("t.w")} as shingle_w, t.n_shingles, t.n_distinct,
+         |  ${roundAway(d)("cast(t.n_distinct as double) / t.n_shingles", 4)} as distinct_ratio,
+         |  t.collision_mass, t.max_df, p.p99_df,
+         |  ${roundAway(d)("cast(t.boiler_mass as double) / t.n_shingles", 4)} as boilerplate_share
+         |from tot t join p99 p on p.w = t.w""".stripMargin
     }
   )
 
