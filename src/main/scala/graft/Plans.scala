@@ -171,7 +171,10 @@ object Plans {
     "events_entropy_rate" -> "one user-partitioned lag window + the (src,dst) and src combinable groupBys; both entropies and the gain fold from the same exact bigint census; 1-row output",
     "text_js_divergence" -> "one (source,word) groupBy; the pair spine is C(|sources|,2) rows joined by equality (union + two left joins, no OR-join); per-pair sums are exact bigints",
     "events_peak_concurrency" -> "the session windows (user-partitioned) + per-second boundary groupBy; within-day cumulative is day-partitioned, the carry window runs over <=|days| rows — no global sort",
-    "dedup_shingle_curve" -> "one 8-lead window pass (single WindowExec) + 4 map-side width projections unioned + one (w,shingle) distinct/groupBy; the curve output is 4 rows")
+    "dedup_shingle_curve" -> "one 8-lead window pass (single WindowExec) + 4 map-side width projections unioned + one (w,shingle) distinct/groupBy; the curve output is 4 rows",
+    "ann_ensemble_recall" -> "three served-index legs at their standalone cost (bucket/cell/bit candidates only) + a fusion join of three <=|Q|*10-row lists; truth leg bounded O(|Q|*N)",
+    "events_exp_fit" -> "one user-partitioned lag window + one ladder groupBy; the fit and chi terms fold on <=40 bucket rows with grid-exact arithmetic",
+    "text_length_lognormal" -> "one token-count projection + one combinable moment fold; median/p84 by rank selection over the token-count domain — no corpus sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -7284,7 +7284,149 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  t.collision_mass, t.max_df, p.p99_df,
          |  ${roundAway(d)("cast(t.boiler_mass as double) / t.n_shingles", 4)} as boilerplate_share
          |from tot t join p99 p on p.w = t.w""".stripMargin
-    }
+    },
+
+    // ANN ENSEMBLE (RRF FUSION) RECALL — do three cheap approximate
+    // indexes beat each alone? The reciprocal-rank-fusion trick
+    // (Cormack et al. 2009) applied to the three SERVED index
+    // families (LSH buckets, IVF cells, 1-bit BQ Hamming): each
+    // leg's top-10 is exactly its standalone key's definition, the
+    // fusion score is the FIXED three-term expression Σ 1/(60+r)
+    // (no float fold — coalesced per-leg columns), recall of all
+    // four methods vs the exact truth table in one query. Per-leg
+    // work is the standalone serving cost (bucket/cell/bit-space
+    // candidates only); the fusion joins three ≤ |Q|·10-row lists.
+    // The measured claim: fusion recovers recall the single probes
+    // miss — the zero-extra-index-state alternative to widening any
+    // one knob (nprobe/multiprobe/beam curves).
+    "ann_ensemble_recall" -> {
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      s"""${wmChain("lsh")},
+         |${ivfChain(needAssign = true)},
+         |${if (views) viewAlias("bq", "g_bq") else bqCte},
+         |q0 as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim from q0 q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |lcnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |         where a.id in ($qIdLit)),
+         |lp as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |       from lcnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid),
+         |lt as (select qid, cid, rn from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from lp) _l where rn <= 10),
+         |icnd as (select qp.qid, a.id as cid from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
+         |ip as (select c.qid, c.cid, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |       from icnd c join nn na on na.id = c.qid join nn nb on nb.id = c.cid),
+         |it as (select qid, cid, rn from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from ip) _i where rn <= 10),
+         |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
+         |hp as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+         |       from qb q join bq b on b.id <> q.qid),
+         |ht as (select qid, cid, rn from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from hp) _h where rn <= 10),
+         |legs as (select 'lsh' as method, qid, cid, rn from lt
+         |         union all select 'ivf' as method, qid, cid, rn from it
+         |         union all select 'bq' as method, qid, cid, rn from ht),
+         |piv as (select qid, cid,
+         |          min(case when method = 'lsh' then rn end) as rl,
+         |          min(case when method = 'ivf' then rn end) as ri,
+         |          min(case when method = 'bq' then rn end) as rb
+         |        from legs group by qid, cid),
+         |sc as (select qid, cid,
+         |         coalesce(cast(1 as double) / (60 + rl), cast(0 as double))
+         |           + coalesce(cast(1 as double) / (60 + ri), cast(0 as double))
+         |           + coalesce(cast(1 as double) / (60 + rb), cast(0 as double)) as score
+         |       from piv),
+         |et as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by score desc, cid) as rn from sc) _e where rn <= 10),
+         |allm as (select method, qid, cid from legs
+         |         union all select 'rrf' as method, qid, cid from et),
+         |hits as (select m.method, ${bigint("count(*)")} as n_pairs,
+         |           ${bigint("sum(case when b.cid is not null then 1 else 0 end)")} as hits
+         |         from allm m left join bt b on b.qid = m.qid and b.cid = m.cid
+         |         group by m.method)
+         |select method, n_pairs, hits,
+         |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10
+         |from hits""".stripMargin
+    },
+
+    // EXPONENTIAL INTERARRIVAL FIT — is user traffic Poisson? The
+    // distribution-level GOF companion of events_fano (per-type
+    // dispersion) and events_inter_event_hist (the raw census): MLE
+    // λ = n/Σgap over positive per-user gaps (zero-second gaps are
+    // the automation signature, EXCLUDED and stated — they'd put
+    // infinite density at 0), then a chi-square statistic over the
+    // power-of-two bucket ladder with expected masses from the
+    // fitted law. Determinism: λ is one double division of exact
+    // integers; each bucket's expected mass is a DIFFERENCE OF
+    // 1e-9-QUANTIZED exp() values (grid subtraction — no engine-
+    // order float folds); each chi term is 1e-6-quantized and
+    // summed as EXACT bigints. Buckets with observations only
+    // (stated: the tail mass beyond the last occupied bucket is not
+    // chi-tested — this is the monitored statistic, not a formal
+    // test). Output ≤ 40 bucket rows + the cross-joined fit.
+    "events_exp_fit" -> {
+      val lad = (39 to 1 by -1).map(b =>
+        s"when gap >= ${1L << b} then $b").mkString("case ", " ", " else 0 end")
+      def qexp(x: String) = roundAway(d)(s"exp(-(l.lambda) * ($x))", 9)
+      s"""with e as (select user_id, event_id, ${evSec("ts")} as sec from events),
+         |g as (select sec - lag(sec) over (partition by user_id order by sec, event_id) as gap from e),
+         |gp as (select gap from g where gap is not null and gap >= 1),
+         |st as (select ${bigint("count(*)")} as n, ${bigint("sum(gap)")} as sg from gp),
+         |lam as (select n, sg, cast(n as double) / sg as lambda from st),
+         |ob as (select $lad as b, ${bigint("count(*)")} as obs from gp group by $lad),
+         |ex as (select o.b, o.obs, l.n, l.lambda, l.sg,
+         |         (${qexp("cast(pow(cast(2 as double), o.b) as double)")}
+         |          - ${qexp("cast(pow(cast(2 as double), o.b + 1) as double)")}) as p
+         |       from ob o cross join lam l),
+         |ch as (select b, obs, n, lambda, sg, p, cast(n as double) * p as expn,
+         |         case when p > 0 then ${bigint(roundAway(d)("(obs - cast(n as double) * p) * (obs - cast(n as double) * p) / (cast(n as double) * p) * 1000000", 0))}
+         |              else cast(null as bigint) end as chq
+         |       from ex),
+         |tot as (select ${bigint("sum(chq)")} as schq, ${bigint("count(chq)")} as n_tested from ch)
+         |select ${bigint("c.b")} as log2_bucket,
+         |  ${bigint("cast(pow(cast(2 as double), c.b) as bigint)")} as bucket_lo_s,
+         |  c.obs as n_obs, ${roundAway(d)("c.expn", 4)} as expected_n,
+         |  ${roundAway(d)("c.lambda", 9)} as lambda,
+         |  ${roundAway(d)("cast(c.sg as double) / c.n", 4)} as mean_gap_s,
+         |  ${roundAway(d)("cast(t.schq as double) / 1000000", 4)} as chi2_total,
+         |  t.n_tested as n_buckets_tested
+         |from ch c cross join tot t""".stripMargin
+    },
+
+    // LOGNORMAL DOC-LENGTH FIT — the distribution the curation
+    // pipeline assumes when it length-filters (natural text lengths
+    // are famously lognormal; a corpus that ISN'T is template- or
+    // truncation-shaped): MLE μ, σ of ln(tokens) from EXACT bigint
+    // moments on the 1e-3 ln grid (n·Σx² − (Σx)² multiplied out —
+    // the events_fano convention; ceiling n·(ln L·10³)² < 2^63 →
+    // ~3·10⁵ docs per fit at 10⁴-token docs, past that the 1-grid
+    // rung or per-source sharded fits, §4 ladder), then the
+    // QUANTILE-RATIO diagnostics: empirical median and p84 via rank
+    // selection over the token-count DOMAIN (never a corpus sort)
+    // against the fitted exp(μ) and exp(μ+σ) — both ratios ≈ 1 iff
+    // the lognormal holds at the center and one σ out. Zero-token
+    // docs excluded and censused.
+    "text_length_lognormal" ->
+      s"""with tok as (select doc_id, ${bigint(d.arrLen(splitWs("lower(text)")))} as ntok from documents),
+         |pos as (select ntok from tok where ntok >= 1),
+         |zc as (select ${bigint("count(*)")} as n_zero from tok where ntok < 1),
+         |lq as (select ntok, ${bigint(roundAway(d)("ln(cast(ntok as double)) * 1000", 0))} as l3 from pos),
+         |st as (select ${bigint("count(*)")} as n, ${bigint("sum(l3)")} as s1, ${bigint("sum(l3 * l3)")} as s2 from lq),
+         |fit as (select n, s1, s2,
+         |          cast(s1 as double) / n / 1000 as mu,
+         |          sqrt(cast(n * s2 - s1 * s1 as double)) / cast(n as double) / 1000 as sigma
+         |        from st),
+         |nc as (select ntok, ${bigint("count(*)")} as m from pos group by ntok),
+         |cw as (select ntok, ${bigint("sum(m) over (order by ntok rows between unbounded preceding and current row)")} as cm from nc),
+         |med as (select ${bigint("min(ntok)")} as v from cw cross join st where cm * 2 >= st.n),
+         |p84 as (select ${bigint("min(ntok)")} as v from cw cross join st where cm * 100 >= st.n * 84)
+         |select f.n as n_docs, z.n_zero as n_zero_docs,
+         |  ${roundAway(d)("f.mu", 6)} as mu_ln_tokens,
+         |  ${roundAway(d)("f.sigma", 6)} as sigma_ln_tokens,
+         |  m.v as median_tokens,
+         |  ${roundAway(d)("exp(f.mu)", 4)} as fitted_median,
+         |  ${roundAway(d)("cast(m.v as double) / exp(f.mu)", 4)} as median_ratio,
+         |  p.v as p84_tokens,
+         |  ${roundAway(d)("exp(f.mu + f.sigma)", 4)} as fitted_p84,
+         |  ${roundAway(d)("cast(p.v as double) / exp(f.mu + f.sigma)", 4)} as p84_ratio
+         |from fit f cross join med m cross join p84 p cross join zc z""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
