@@ -174,7 +174,10 @@ object Plans {
     "dedup_shingle_curve" -> "one 8-lead window pass (single WindowExec) + 4 map-side width projections unioned + one (w,shingle) distinct/groupBy; the curve output is 4 rows",
     "ann_ensemble_recall" -> "three served-index legs at their standalone cost (bucket/cell/bit candidates only) + a fusion join of three <=|Q|*10-row lists; truth leg bounded O(|Q|*N)",
     "events_exp_fit" -> "one user-partitioned lag window + one ladder groupBy; the fit and chi terms fold on <=40 bucket rows with grid-exact arithmetic",
-    "text_length_lognormal" -> "one token-count projection + one combinable moment fold; median/p84 by rank selection over the token-count domain — no corpus sort")
+    "text_length_lognormal" -> "one token-count projection + one combinable moment fold; median/p84 by rank selection over the token-count domain — no corpus sort",
+    "q_order_size_fit" -> "one combinable groupBy(orderkey) + a <=|k-domain| census joined to the literal factorial ladder; fit and chi terms fold on domain rows",
+    "vec_bq_bit_balance" -> "one combinable groupBy(pos) over the exploded scan; the exact mean pairwise Hamming folds from the same Dim-row census — never a pair join",
+    "events_forecast_eval" -> "one daily groupBy; train moments, dow profile, and all three predictors are fixed expressions over the <=|days| rows; 3-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

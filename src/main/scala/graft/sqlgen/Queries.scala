@@ -7426,7 +7426,121 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  p.v as p84_tokens,
          |  ${roundAway(d)("exp(f.mu + f.sigma)", 4)} as fitted_p84,
          |  ${roundAway(d)("cast(p.v as double) / exp(f.mu + f.sigma)", 4)} as p84_ratio
-         |from fit f cross join med m cross join p84 p cross join zc z""".stripMargin
+         |from fit f cross join med m cross join p84 p cross join zc z""".stripMargin,
+
+    // POISSON ORDER-SIZE GOF — the count-data member of the GOF trio
+    // (exp_fit: waiting times; lognormal: sizes; this: arrivals):
+    // lineitems-per-order vs a moment-matched Poisson. The corpus is
+    // ZERO-TRUNCATED (every order has ≥ 1 line — stated), so expected
+    // masses renormalize by 1/(1−p₀) over the observed support; λ̂ =
+    // sample mean (the stated moment convention, not the truncated
+    // MLE), and the dispersion index n·Σk²−(Σk)² / (n·Σk) reads
+    // under-dispersion honestly (truncation pulls it below 1).
+    // Determinism: λ is one division of exact integers; p_k =
+    // 1e-9-quantized exp(−λ)·λ^k/k! with k! from a LITERAL 0..20
+    // ladder (no SQL factorial); chi terms 1e-6-grid bigints. One
+    // combinable groupBy(orderkey) → a ≤ |k-domain| census.
+    "q_order_size_fit" -> {
+      def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+      val fk = (0 to 20).map(k => s"select $k as k, cast(${fact(k)} as bigint) as fk")
+        .mkString("(", " union all ", ")")
+      s"""with oc as (select l_orderkey, ${bigint("count(*)")} as k from lineitem group by l_orderkey),
+         |st as (select ${bigint("count(*)")} as n, ${bigint("sum(k)")} as sk, ${bigint("sum(k * k)")} as sk2 from oc),
+         |lam as (select n, sk, sk2, cast(sk as double) / n as lambda from st),
+         |kc as (select k, ${bigint("count(*)")} as obs from oc group by k),
+         |fl as $fk,
+         |p0 as (select ${roundAway(d)("exp(-lambda)", 9)} as pz, lambda, n, sk, sk2 from lam),
+         |ex as (select kc.k, kc.obs, p.n, p.lambda, p.pz, p.sk, p.sk2, fl.fk,
+         |         ${roundAway(d)("exp(-p.lambda) * pow(p.lambda, kc.k) / fl.fk", 9)} as praw
+         |       from kc left join fl on fl.k = kc.k cross join p0 p),
+         |ch as (select k, obs, n, lambda, sk, sk2,
+         |         case when fk is not null and pz < 1 then praw / (1 - pz) else cast(null as double) end as pt
+         |       from ex),
+         |ct as (select k, obs, n, lambda, sk, sk2, pt, cast(n as double) * pt as expn,
+         |         case when pt > 0 then ${bigint(roundAway(d)("(obs - cast(n as double) * pt) * (obs - cast(n as double) * pt) / (cast(n as double) * pt) * 1000000", 0))}
+         |              else cast(null as bigint) end as chq
+         |       from ch),
+         |tot as (select ${bigint("sum(chq)")} as schq, ${bigint("count(chq)")} as n_tested from ct)
+         |select ${bigint("c.k")} as n_lineitems, c.obs as n_orders,
+         |  ${roundAway(d)("c.expn", 4)} as expected_n,
+         |  ${roundAway(d)("c.lambda", 6)} as lambda,
+         |  ${roundAway(d)("cast(c.n * c.sk2 - c.sk * c.sk as double) / (cast(c.n as double) * c.sk)", 6)} as dispersion_idx,
+         |  ${roundAway(d)("cast(t.schq as double) / 1000000", 4)} as chi2_total,
+         |  t.n_tested as n_k_tested
+         |from ct c cross join tot t""".stripMargin
+    },
+
+    // BQ BIT-BALANCE INDEX HEALTH — the 1-bit-quantizer's analog of
+    // lsh_bucket_stats/vec_cluster_stats: a BQ bit at share p carries
+    // discrimination 4p(1−p) (its variance, max at p = ½); skewed
+    // bits waste Hamming budget. Per-bit one-counts fold in ONE
+    // combinable groupBy(pos) over the exploded scan, and the EXACT
+    // mean pairwise Hamming of the whole corpus — normally an O(N²)
+    // quantity — folds from the same census in O(Dim): Σ_b
+    // ones_b·(N−ones_b) / C(N, 2) (each unordered pair differs on
+    // bit b iff exactly one of the two is set). Effective-bits =
+    // Σ 4p(1−p) is the capacity number the 64-bit budget actually
+    // delivers. Bigint ceiling ones·(N−ones) < 2^63 to ~6·10⁹
+    // vectors. Output = Dim rows + cross-joined globals.
+    "vec_bq_bit_balance" ->
+      s"""with $nvCtes, $exnCte,
+         |pb as (select pos, ${bigint("count(*)")} as n,
+         |         ${bigint("sum(case when val > 0 then 1 else 0 end)")} as ones
+         |       from exn group by pos),
+         |tot as (select ${bigint("sum(ones * (n - ones))")} as cross_sum,
+         |          ${bigint("min(n)")} as nv,
+         |          ${bigint(s"sum(${bigint(roundAway(d)("4 * (cast(ones as double) / n) * (1 - cast(ones as double) / n) * 1000000", 0))})")} as effq
+         |        from pb)
+         |select ${bigint("p.pos")} as bit_idx, p.ones as n_ones,
+         |  ${roundAway(d)("cast(p.ones as double) / p.n", 4)} as ones_share,
+         |  ${roundAway(d)("abs(cast(p.ones as double) / p.n - cast(1 as double) / 2)", 4)} as balance_dev,
+         |  ${roundAway(d)("cast(t.cross_sum as double) * 2 / (cast(t.nv as double) * (t.nv - 1))", 4)} as mean_pairwise_hamming,
+         |  ${roundAway(d)("cast(t.effq as double) / 1000000", 4)} as effective_bits
+         |from pb p cross join tot t""".stripMargin,
+
+    // FORECAST BACKTEST — is the trend × seasonality model worth
+    // anything? The eval every forecasting pipeline runs before
+    // trusting events_forecast: hold out the LAST 7 days, refit
+    // trend (OLS) and dow profile on the train window only, predict
+    // the holdout, and score against the two standard baselines —
+    // naive last-value and seasonal-naive (same day last week). All
+    // predictions are fixed expression trees over exact integer
+    // moment sums (bit-identical in both engines); per-day errors
+    // are 1e-6-quantized and summed as EXACT bigints, so each
+    // method's MAE and mean bias are one division each. A missing
+    // dow profile coalesces the seasonal index to 1 (prediction =
+    // trend); missing cutoff/lag-7 rows coalesce the baselines to
+    // the train-mean level (stated). Output: 3 method rows.
+    "events_forecast_eval" ->
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as n
+         |              from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |b as (select min(day) as d0, max(day) as dmax from daily),
+         |tr as (select day, n from daily cross join b where day <= dmax - 7),
+         |s as (select ${bigint("count(*)")} as m, ${bigint("sum(day - d0)")} as sx, ${bigint("sum(n)")} as sy,
+         |        ${bigint("sum((day - d0) * n)")} as sxy, ${bigint("sum((day - d0) * (day - d0))")} as sxx
+         |      from tr cross join b),
+         |prof as (select day % 7 as dow, ${bigint("count(*)")} as nd, ${bigint("sum(n)")} as tot
+         |         from tr group by day % 7),
+         |base as (select ${bigint("sum(tot)")} as gt, ${bigint("sum(nd)")} as gd from prof),
+         |te as (select day, n, day % 7 as dow from daily cross join b where day > dmax - 7),
+         |pv as (select t.day, t.n,
+         |         (cast(s.sy * s.sxx - s.sx * s.sxy as double) + cast(s.m * s.sxy - s.sx * s.sy as double) * (t.day - b.d0)) / cast(s.m * s.sxx - s.sx * s.sx as double)
+         |           * coalesce((cast(p.tot as double) / p.nd) / (cast(ba.gt as double) / ba.gd), cast(1 as double)) as p_model,
+         |         coalesce(cast(lv.n as double), cast(ba.gt as double) / ba.gd) as p_last,
+         |         coalesce(cast(d7.n as double), cast(ba.gt as double) / ba.gd) as p_seasonal
+         |       from te t cross join b cross join s cross join base ba
+         |       left join prof p on p.dow = t.dow
+         |       left join daily lv on lv.day = b.dmax - 7
+         |       left join daily d7 on d7.day = t.day - 7),
+         |er as (select 'model' as method, ${bigint(roundAway(d)("abs(n - p_model) * 1000000", 0))} as ae, ${bigint(roundAway(d)("(n - p_model) * 1000000", 0))} as se from pv
+         |       union all select 'naive_last' as method, ${bigint(roundAway(d)("abs(n - p_last) * 1000000", 0))} as ae, ${bigint(roundAway(d)("(n - p_last) * 1000000", 0))} as se from pv
+         |       union all select 'seasonal_naive' as method, ${bigint(roundAway(d)("abs(n - p_seasonal) * 1000000", 0))} as ae, ${bigint(roundAway(d)("(n - p_seasonal) * 1000000", 0))} as se from pv),
+         |agg as (select method, ${bigint("count(*)")} as n_test, ${bigint("sum(ae)")} as sae, ${bigint("sum(se)")} as sse
+         |        from er group by method)
+         |select method, n_test,
+         |  ${roundAway(d)("cast(sae as double) / 1000000 / n_test", 4)} as mae,
+         |  ${roundAway(d)("cast(sse as double) / 1000000 / n_test", 4)} as mean_bias
+         |from agg""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
