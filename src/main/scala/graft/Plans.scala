@@ -177,7 +177,9 @@ object Plans {
     "text_length_lognormal" -> "one token-count projection + one combinable moment fold; median/p84 by rank selection over the token-count domain — no corpus sort",
     "q_order_size_fit" -> "one combinable groupBy(orderkey) + a <=|k-domain| census joined to the literal factorial ladder; fit and chi terms fold on domain rows",
     "vec_bq_bit_balance" -> "one combinable groupBy(pos) over the exploded scan; the exact mean pairwise Hamming folds from the same Dim-row census — never a pair join",
-    "events_forecast_eval" -> "one daily groupBy; train moments, dow profile, and all three predictors are fixed expressions over the <=|days| rows; 3-row output")
+    "events_forecast_eval" -> "one daily groupBy; train moments, dow profile, and all three predictors are fixed expressions over the <=|days| rows; 3-row output",
+    "vec_pq_codebook_balance" -> "one combinable groupBy over the cached g_pq_codes view + a left join of the KB-sized codebook; |subspaces|-row output, no index rebuild",
+    "dedup_minhash_calibration" -> "the verify stage's banded pair work re-used (candidates only, never corpus pairs); bin means fold from 1e-4-grid bigint sums on <=11 decile rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -7540,7 +7540,86 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select method, n_test,
          |  ${roundAway(d)("cast(sae as double) / 1000000 / n_test", 4)} as mae,
          |  ${roundAway(d)("cast(sse as double) / 1000000 / n_test", 4)} as mean_bias
-         |from agg""".stripMargin
+         |from agg""".stripMargin,
+
+    // PQ CODEBOOK-USAGE BALANCE — the last member of the per-index
+    // health family (lsh_bucket_stats / vec_cluster_stats /
+    // vec_bq_bit_balance): a PQ subspace whose codes go UNUSED (dead
+    // codes) or whose usage collapses onto few codes (low usage
+    // entropy / perplexity « n_codes) wastes its log₂K bits — the
+    // standard k-means-codebook pathology PQ papers rebalance for.
+    // Per-subspace usage census = one combinable groupBy over the
+    // cached code table (8 B/vector state, no rebuild); entropy in
+    // EXACT integer arithmetic on the 1e-9 ln grid (H·N·1e9 =
+    // N·lnq(N) − Σ c·lnq(c), the events_user_entropy rule);
+    // perplexity = exp(H) from the same exact ratio, quantized.
+    // Output = |subspaces| rows. Dead codes come from the LEFT join
+    // of the trained codebook onto usage — never dropped silently.
+    "vec_pq_codebook_balance" -> {
+      def lnq9(x: String) = bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      val chain =
+        if (views) Seq(viewAlias("pct1", "g_pq_ct"), viewAlias("codes", "g_pq_codes")).mkString(",\n")
+        else Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |uc as (select m, cell, ${bigint("count(*)")} as c from codes group by m, cell),
+         |tb as (select p.m, p.cell, coalesce(u.c, ${bigint("0")}) as c
+         |       from (select distinct m, cell from pct1) p
+         |       left join uc u on u.m = p.m and u.cell = p.cell),
+         |ag as (select m, ${bigint("count(*)")} as n_codes,
+         |         ${bigint("sum(case when c = 0 then 1 else 0 end)")} as n_dead,
+         |         ${bigint("sum(c)")} as n, ${bigint("max(c)")} as cmax,
+         |         ${bigint(s"sum(case when c > 0 then c * ${lnq9("c")} else ${bigint("0")} end)")} as slnk
+         |       from tb group by m)
+         |select ${bigint("m")} as subspace, n_codes, n_dead,
+         |  ${roundAway(d)(s"cast(n * ${lnq9("n")} - slnk as double) / (cast(n as double) * 1000000000)", 6)} as usage_entropy,
+         |  ${roundAway(d)(s"exp(cast(n * ${lnq9("n")} - slnk as double) / (cast(n as double) * 1000000000))", 4)} as usage_perplexity,
+         |  ${roundAway(d)("cast(cmax as double) / n", 4)} as max_code_share
+         |from ag""".stripMargin
+    },
+
+    // MINHASH ESTIMATOR CALIBRATION — can you TRUST the signature?
+    // The error-profile companion of minhash_band_curve (which
+    // measures pair recall/precision, not estimate quality): candidate
+    // pairs from the served band join, true Jaccard from the exact
+    // shingle intersection (the dedup_minhash_verify stage), then the
+    // calibration table by TRUE-jaccard decile — per bin the mean
+    // estimate, mean truth, mean |err|, and the signed bias that
+    // tells a threshold-picker which way the 16-hash estimator leans
+    // at each similarity level (binomial theory: sd ≈ √(j(1−j)/16),
+    // the measured profile should straddle it). All per-pair values
+    // land on the 1e-4 round grid first, then sum as EXACT bigints —
+    // each bin mean is one division. Pair work = the verify stage's
+    // (banded candidates only, est ≥ 0.1 floor stated).
+    "dedup_minhash_calibration" ->
+      s"""with $wordCtes,
+         |$minhashBandsCtes,
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+         |cand as (select da, db, round(cast(est as double), 4) as est from candp where est >= 0.1),
+         |sz as (select doc_id, count(*) as ns from shx group by doc_id),
+         |iv as (select c.da, c.db, count(*) as i
+         |       from cand c join shx sa on sa.doc_id = c.da
+         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
+         |       group by c.da, c.db),
+         |pv as (select c.est,
+         |         round(coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0)), 4) as jt
+         |       from cand c
+         |       join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
+         |       left join iv on iv.da = c.da and iv.db = c.db),
+         |bn as (select ${bigint("floor(jt * 10)")} as bin, est, jt from pv),
+         |ag as (select bin, ${bigint("count(*)")} as n_pairs,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("est * 10000", 0))})")} as sest,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("jt * 10000", 0))})")} as strue,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("abs(est - jt) * 10000", 0))})")} as serr
+         |       from bn group by bin)
+         |select bin as true_jaccard_decile,
+         |  ${roundAway(d)("bin / cast(10 as double)", 1)} as bin_lo, n_pairs,
+         |  ${roundAway(d)("cast(strue as double) / 10000 / n_pairs", 4)} as mean_true,
+         |  ${roundAway(d)("cast(sest as double) / 10000 / n_pairs", 4)} as mean_est,
+         |  ${roundAway(d)("cast(serr as double) / 10000 / n_pairs", 4)} as mean_abs_err,
+         |  ${roundAway(d)("cast(sest - strue as double) / 10000 / n_pairs", 4)} as mean_bias
+         |from ag""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
