@@ -179,7 +179,15 @@ object Plans {
     "vec_bq_bit_balance" -> "one combinable groupBy(pos) over the exploded scan; the exact mean pairwise Hamming folds from the same Dim-row census — never a pair join",
     "events_forecast_eval" -> "one daily groupBy; train moments, dow profile, and all three predictors are fixed expressions over the <=|days| rows; 3-row output",
     "vec_pq_codebook_balance" -> "one combinable groupBy over the cached g_pq_codes view + a left join of the KB-sized codebook; |subspaces|-row output, no index rebuild",
-    "dedup_minhash_calibration" -> "the verify stage's banded pair work re-used (candidates only, never corpus pairs); bin means fold from 1e-4-grid bigint sums on <=11 decile rows")
+    "dedup_minhash_calibration" -> "the verify stage's banded pair work re-used (candidates only, never corpus pairs); bin means fold from 1e-4-grid bigint sums on <=11 decile rows",
+    "events_mix_shift" -> "one (day,type) groupBy is the only corpus pass; the consecutive-day spine and exact-grid JS folds run on <=|days|*|types| rows",
+    "text_boilerplate_share" -> "one 3-gram shingle pass + a vocabulary-sized df groupBy; the N-derived threshold is a 1-row cross join; p90 by rank selection over the <=101-value percent domain",
+    "dedup_cross_source" -> "reads the checkpointed g_simpairs scratch (no pair regeneration); two broadcast doc joins + one combinable source-pair groupBy",
+    "sketch_cms_err" -> "one shingle window pass + two integer groupBys (exact counts, 4x1024 grid); the one-sided error profile is a K-row lookup join — all integers, no float folds",
+    "search_hybrid_rrf" -> "both legs bounded by union-of-posting-list candidates (never corpus-sized); per-leg EXACT global ranks via the grid-rank pattern (bucket counts + broadcast offsets + bucket-local windows); fusion over <=160 survivor rows",
+    "events_value_quantiles" -> "per-group 64-bin mergeable histograms; exact values by in-bin rank selection with (type, bin) windows — shuffle keys scale with group count, not rows",
+    "wm_ber_curve" -> "four bounded carrier-row extract chains over the cached g_stego view (keyed noise at each sigma is map-side arithmetic) — no corpus work",
+    "minhash_band_curve" -> "one signature pass (g_mhsig scratch); each band geometry re-bands the 16 cached hashes map-side, candidate joins touch banded pairs only; precision/recall folds against the verified pair table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

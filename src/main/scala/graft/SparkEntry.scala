@@ -83,6 +83,13 @@ object SparkEntry {
         simPairsView(s, dir)
         s.sql(sparkGen.dedupClusterRepSql(Some("g_simpairs")))
       }),
+      // which sources copy from each other: the syndication matrix
+      // over the same checkpointed near-dup pair chain
+      "dedup_cross_source" -> ((s, dir) => {
+        Tables.register(s, dir)
+        simPairsView(s, dir)
+        s.sql(sparkGen.dedupCrossSourceSql(Some("g_simpairs")))
+      }),
       // overlap metrics over the materialized gram profile: the
       // 5-gram explode (the heaviest text pass) runs ONCE per
       // session/dir; jaccard and containment are per-row divisions
@@ -315,6 +322,7 @@ object SparkEntry {
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),
+        "dedup_cross_source" -> duckGen.dedupCrossSourceSql(None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
         "dedup_containment" -> duckGen.dedupContainmentSql(None),
         "vec_mmr" -> duckGen.mmrSql(None),

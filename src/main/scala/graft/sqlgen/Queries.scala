@@ -917,6 +917,48 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from agg""".stripMargin
   }
 
+  /** CROSS-SOURCE NEAR-DUP MATRIX — which sources copy from each
+    * other (syndication / mirror detection, the provenance question a
+    * training-mix designer asks before weighting sources): the served
+    * near-dup pair table joined to both docs' sources, censused per
+    * canonical (source_a ≤ source_b) pair with the mean hamming (how
+    * CLOSE the copies are) and each side's implicated-doc counts; the
+    * global cross-source pair share rides along as one cross-joined
+    * row. Pair work = the checkpointed simhash chain (scratch view on
+    * the Spark side, inline chain in the oracle — the
+    * dedup_components contract); the census is two broadcast-sized
+    * doc joins + one combinable groupBy over pair rows. */
+  def dedupCrossSourceSql(pairsFrom: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val prefix = pairsFrom match {
+      case Some(view) => s"with prs as (select doc_a as da, doc_b as db, hamming from $view),"
+      case None =>
+        s"""with $simhashCandCtes,
+           |prs as $matKw(select da, db, hamming from cand),""".stripMargin
+    }
+    s"""$prefix
+       |sp as (select case when sa.source <= sb.source then sa.source else sb.source end as s1,
+       |              case when sa.source <= sb.source then sb.source else sa.source end as s2,
+       |              case when sa.source <= sb.source then p.da else p.db end as d1,
+       |              case when sa.source <= sb.source then p.db else p.da end as d2,
+       |              p.hamming
+       |       from prs p join documents sa on sa.doc_id = p.da
+       |                  join documents sb on sb.doc_id = p.db),
+       |ag as (select s1, s2, ${bigint("count(*)")} as n_pairs,
+       |         ${bigint("count(distinct d1)")} as n_docs_a,
+       |         ${bigint("count(distinct d2)")} as n_docs_b,
+       |         ${bigint("sum(hamming)")} as sh
+       |       from sp group by s1, s2),
+       |tot as (select ${bigint("sum(n_pairs)")} as np,
+       |          ${bigint("sum(case when s1 <> s2 then n_pairs else 0 end)")} as nx
+       |        from ag)
+       |select a.s1 as source_a, a.s2 as source_b, a.n_pairs,
+       |  a.n_docs_a as n_docs_involved_a, a.n_docs_b as n_docs_involved_b,
+       |  ${roundAway(d)("cast(a.sh as double) / a.n_pairs", 4)} as mean_hamming,
+       |  ${roundAway(d)("cast(t.nx as double) / t.np", 4)} as cross_source_share
+       |from ag a cross join tot t""".stripMargin
+  }
+
   /** The distinct shingle table of one decontamination side: "ev" →
     * (g, eval_doc) over the held-out split, "tr" → (doc_id, g) over
     * the training split. The lead()-window shingle pass is the
@@ -7619,7 +7661,86 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(sest as double) / 10000 / n_pairs", 4)} as mean_est,
          |  ${roundAway(d)("cast(serr as double) / 10000 / n_pairs", 4)} as mean_abs_err,
          |  ${roundAway(d)("cast(sest - strue as double) / 10000 / n_pairs", 4)} as mean_bias
-         |from ag""".stripMargin
+         |from ag""".stripMargin,
+
+    // DAY-OVER-DAY MIX SHIFT — the drift alarm every ingestion
+    // pipeline runs (did yesterday's event-type mix change?): exact
+    // Jensen–Shannon divergence between each day's type distribution
+    // and the previous day's, the TEMPORAL twin of
+    // text_js_divergence's source pairs on the same integer-grid
+    // formulation (c1·(lnq(2·c1·N2) − lnq(c1·N2 + c2·N1)) per type,
+    // bigint sums, two divisions per day) — bounded [0, ln 2], defined
+    // even when a type appears or vanishes overnight (where KL blows
+    // up — exactly the event a drift alarm must not NaN on). One
+    // (day, type) groupBy is the only corpus pass; the day-pair spine
+    // and per-pair folds run on ≤ |days|·|types| rows.
+    "events_mix_shift" -> {
+      def lg(x: String): String =
+        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      s"""with dt as (select ${d.idiv(evSec("ts"), "86400")} as day, event_type, ${bigint("count(*)")} as c
+         |            from events group by ${d.idiv(evSec("ts"), "86400")}, event_type),
+         |nd as (select day, ${bigint("sum(c)")} as n from dt group by day),
+         |pr as (select a.day as d1, a.n as n1, b.day as d2, b.n as n2
+         |       from nd a join nd b on b.day = a.day + 1),
+         |wk as (select pr.d1, pr.d2, pr.n1, pr.n2, t.event_type from pr join dt t on t.day = pr.d1
+         |       union
+         |       select pr.d1, pr.d2, pr.n1, pr.n2, t.event_type from pr join dt t on t.day = pr.d2),
+         |tm as (select k.d1, k.d2, k.n1, k.n2,
+         |         coalesce(a.c, ${bigint("0")}) as c1, coalesce(b.c, ${bigint("0")}) as c2
+         |       from wk k left join dt a on a.day = k.d1 and a.event_type = k.event_type
+         |                 left join dt b on b.day = k.d2 and b.event_type = k.event_type),
+         |js as (select d1, d2, n1, n2,
+         |         ${bigint(s"sum(case when c1 > 0 then c1 * (${lg("2 * c1 * n2")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end)")} as sp,
+         |         ${bigint(s"sum(case when c2 > 0 then c2 * (${lg("2 * c2 * n1")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end)")} as sq
+         |       from tm group by d1, d2, n1, n2)
+         |select ${bigint("d2")} as day, ${bigint("d1")} as prev_day, n2 as n_events, n1 as n_prev,
+         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000", 6)} as js_nats,
+         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000 / ln(cast(2 as double))", 4)} as js_normalized
+         |from js""".stripMargin
+    },
+
+    // BOILERPLATE COVERAGE BY SOURCE — how template-shaped each
+    // source is (headers/footers/navigation chrome — the content a
+    // curation pass strips BEFORE dedup, because boilerplate inflates
+    // every similarity estimate): boilerplate = 3-word shingles with
+    // document frequency ≥ max(5, 1% of docs) (an N-DERIVED threshold
+    // — a fixed count would stop meaning anything at 100× corpus
+    // growth), per-doc coverage = the EXACT integer percent of its
+    // distinct shingles that are boilerplate, per-source mean (1e-6
+    // grid sums) and p90 by rank selection over the ≤ 101-value
+    // percent DOMAIN. Docs under 3 words have no shingles and are
+    // absent (stated). One shingle pass + vocabulary-sized joins.
+    "text_boilerplate_share" ->
+      s"""with $wordCtes,
+         |sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+         |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
+         |        from wx),
+         |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
+         |df as (select sh, ${bigint("count(*)")} as df from shx group by sh),
+         |th as (select greatest(${bigint("5")}, ${bigint("cast(ceil(count(distinct doc_id) / cast(100 as double)) as bigint)")}) as thr from shx),
+         |bl as (select df.sh from df cross join th where df.df >= th.thr),
+         |dc as (select x.doc_id, ${bigint("count(*)")} as n_sh,
+         |         ${bigint("sum(case when b.sh is not null then 1 else 0 end)")} as n_boiler
+         |       from shx x left join bl b on b.sh = x.sh group by x.doc_id),
+         |dp as (select d.source, c.doc_id, c.n_sh, c.n_boiler,
+         |         ${d.idiv("c.n_boiler * 100", "c.n_sh")} as pct
+         |       from dc c join documents d on d.doc_id = c.doc_id),
+         |ag as (select source, ${bigint("count(*)")} as n_docs,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("cast(n_boiler as double) / n_sh * 1000000", 0))})")} as ssh
+         |       from dp group by source),
+         |pc as (select source, pct, ${bigint("count(*)")} as m from dp group by source, pct),
+         |p90 as (select source, ${bigint("min(pct)")} as p90_pct from (
+         |          select c.source, c.pct,
+         |            ${bigint("sum(c.m) over (partition by c.source order by c.pct rows between unbounded preceding and current row)")} as cm,
+         |            a.n_docs
+         |          from pc c join ag a on a.source = c.source) _p
+         |        where cm * 10 >= n_docs * 9 group by source),
+         |bv as (select ${bigint("count(*)")} as n_boiler_vocab from bl)
+         |select a.source, a.n_docs,
+         |  ${roundAway(d)("cast(a.ssh as double) / 1000000 / a.n_docs", 4)} as mean_boiler_share,
+         |  p.p90_pct as p90_boiler_pct,
+         |  v.n_boiler_vocab
+         |from ag a join p90 p on p.source = a.source cross join bv v""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
