@@ -187,7 +187,10 @@ object Plans {
     "search_hybrid_rrf" -> "both legs bounded by union-of-posting-list candidates (never corpus-sized); per-leg EXACT global ranks via the grid-rank pattern (bucket counts + broadcast offsets + bucket-local windows); fusion over <=160 survivor rows",
     "events_value_quantiles" -> "per-group 64-bin mergeable histograms; exact values by in-bin rank selection with (type, bin) windows — shuffle keys scale with group count, not rows",
     "wm_ber_curve" -> "four bounded carrier-row extract chains over the cached g_stego view (keyed noise at each sigma is map-side arithmetic) — no corpus work",
-    "minhash_band_curve" -> "one signature pass (g_mhsig scratch); each band geometry re-bands the 16 cached hashes map-side, candidate joins touch banded pairs only; precision/recall folds against the verified pair table")
+    "minhash_band_curve" -> "one signature pass (g_mhsig scratch); each band geometry re-bands the 16 cached hashes map-side, candidate joins touch banded pairs only; precision/recall folds against the verified pair table",
+    "index_recall_ladder" -> "four bounded O(|Q|*N) scoring passes over CACHED code tables (SQ grid, PQ codes+codebooks, BQ words, prefix slices) + one truth leg; hits fold in one groupBy over <=5*|Q|*10 rows",
+    "graph_rich_club" -> "club membership joins the served g_indeg view to a 4-row k ladder; intra-club edges join g_knn on both endpoints — club-sized work per level",
+    "events_funnel_time" -> "the funnel's three min-aggregations (order-free) + a minute-grid groupBy; median/p90 by rank selection over the time-span-bounded grid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

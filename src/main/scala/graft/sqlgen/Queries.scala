@@ -7740,7 +7740,148 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(a.ssh as double) / 1000000 / a.n_docs", 4)} as mean_boiler_share,
          |  p.p90_pct as p90_boiler_pct,
          |  v.n_boiler_vocab
-         |from ag a join p90 p on p.source = a.source cross join bv v""".stripMargin
+         |from ag a join p90 p on p.source = a.source cross join bv v""".stripMargin,
+
+    // INDEX STORAGE-vs-RECALL LADDER — SURVEY §4's memory ladder
+    // (512 B raw → 128 B matryoshka-16 → 64 B SQ8 → 8 B PQ/BQ) as ONE
+    // measured table instead of prose: recall@10 of each compressed
+    // representation's FULL-SCAN ranking vs the exact truth, so the
+    // number isolates what the quantizer loses (routing loss is the
+    // nprobe/multiprobe/beam curves' job). Legs are the standalone
+    // keys' scoring definitions verbatim (SQ midpoint-dequant cosine,
+    // PQ ADC over the cached codes, BQ Hamming, prefix-16 cosine);
+    // the raw row IS the truth table (recall 1.0 by construction —
+    // the self-witnessing anchor). Per-leg cost: one bounded
+    // O(|Q|·N) scoring pass each over the CACHED code tables.
+    "index_recall_ladder" -> {
+      val ones = d.castDoubleArray(arrLit(Seq.fill(8)("1.0")))
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      s"""with $nvCtes, $exnCte,
+         |$pqChain,
+         |${if (views) viewAlias("bq", "g_bq") else bqCte},
+         |q0 as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim from q0 q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |pv as (select id, ${d.arrSlice("n", 1, 16)} as p from nn),
+         |pn as (select id, p, sqrt(${d.dot("p", "p")}) as pnrm from pv),
+         |qp as (select id as qid, p as qp, pnrm as qnrm from pn where id in ($qIdLit)),
+         |mp as (select q.qid, c.id as cid,
+         |         round(case when q.qnrm = 0 or c.pnrm = 0 then cast(0 as double)
+         |               else ${d.dot("q.qp", "c.p")} / (q.qnrm * c.pnrm) end, 6) as s
+         |       from qp q join pn c on c.id <> q.qid),
+         |mt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by s desc, cid) as rn from mp) _m where rn <= 10),
+         |st as (select pos, min(val) as mn, max(val) as mx from exn group by pos),
+         |qz as (select x.id, x.pos,
+         |         case when s.mx = s.mn then cast(0 as bigint)
+         |              else least(255, greatest(0, cast(floor((x.val - s.mn) / (s.mx - s.mn) * 256) as bigint))) end as code
+         |       from exn x join st s on s.pos = x.pos),
+         |dq as (select q.id, ${d.arrAggOrdered(
+              "case when s.mx = s.mn then s.mn else s.mn + (q.code + cast(0.5 as double)) / 256 * (s.mx - s.mn) end", "q.pos")} as dv
+         |       from qz q join st s on s.pos = q.pos group by q.id),
+         |qv as (select id as qid, v from nv where id in ($qIdLit)),
+         |sp2 as (select qv.qid, dq.id as cid,
+         |          round(${d.dot("qv.v", "dq.dv")} / (sqrt(${d.dot("qv.v", "qv.v")}) * sqrt(${d.dot("dq.dv", "dq.dv")})), 6) as s
+         |        from qv join dq on dq.id <> qv.qid),
+         |sqt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by s desc, cid) as rn from sp2) _s where rn <= 10),
+         |adc as (select q.qid, k.id as cid,
+         |          ${d.arrAggOrdered("q.qdot", "q.m")} as qda, ${d.arrAggOrdered("q.c2", "q.m")} as c2a
+         |        from codes k
+         |        join qlut q on q.m = k.m and q.cell = k.cell and k.id <> q.qid
+         |        group by q.qid, k.id),
+         |pp as (select qid, cid, round(${d.dot("qda", ones)} / sqrt(${d.dot("c2a", ones)}), 6) as s from adc),
+         |pt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by s desc, cid) as rn from pp) _p where rn <= 10),
+         |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
+         |hp as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+         |       from qb q join bq b on b.id <> q.qid),
+         |ht as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from hp) _h where rn <= 10),
+         |legs as (select 'mrl16' as method, ${bigint("128")} as bytes_per_vector, qid, cid from mt
+         |         union all select 'sq8', ${bigint("64")}, qid, cid from sqt
+         |         union all select 'pq8x8', ${bigint("8")}, qid, cid from pt
+         |         union all select 'bq64', ${bigint("8")}, qid, cid from ht),
+         |hh as (select m.method, m.bytes_per_vector,
+         |         ${bigint("sum(case when b.cid is not null then 1 else 0 end)")} as hits
+         |       from legs m left join bt b on b.qid = m.qid and b.cid = m.cid
+         |       group by m.method, m.bytes_per_vector),
+         |rawr as (select 'raw_f64' as method, ${bigint("512")} as bytes_per_vector, ${bigint("count(*)")} as hits from bt)
+         |select method, bytes_per_vector, hits,
+         |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10,
+         |  ${roundAway(d)("cast(512 as double) / bytes_per_vector", 2)} as compression_x
+         |from (select * from rawr union all select * from hh) _u""".stripMargin
+    },
+
+    // RICH-CLUB COEFFICIENT — do the hubs link to EACH OTHER (Zhou &
+    // Mondragón 2004; Colizza et al. 2006): φ(k) = observed edges
+    // among nodes with in-degree > k over the possible directed pairs
+    // — the structural refinement of graph_assortativity's single
+    // mixing number, and for a kNN serving graph the "is there a
+    // navigable hub core" question behind hub-entry search (a rich
+    // club is why hub entry points reach the corpus fast). For the
+    // k ladder {2, 4, 8, 16}: club membership from the served
+    // in-degree table, observed intra-club edges by joining the
+    // served edge list to the club on BOTH endpoints — per level the
+    // edge join touches club-sized rows; exact integers, one
+    // division per level. Degenerate clubs (< 2 members) report null
+    // φ rather than ∞.
+    "graph_rich_club" ->
+      s"""${wmChain("knn")},
+         |lv as (select k from ${rangeTable("kl", "k", 1, 4)}),
+         |kv as (select cast(pow(cast(2 as double), k) as bigint) as k from lv),
+         |club as (select kv.k, i.vec_id from kv join indeg i on i.in_degree > kv.k),
+         |cs as (select k, ${bigint("count(*)")} as n_club from club group by k),
+         |ce as (select c.k, ${bigint("count(*)")} as n_edges
+         |       from knn e join club c on c.vec_id = e.src
+         |                  join club c2 on c2.k = c.k and c2.vec_id = e.dst
+         |       group by c.k),
+         |tot as (select ${bigint("count(*)")} as n_all from indeg)
+         |select ${bigint("s.k")} as degree_gt, s.n_club,
+         |  ${roundAway(d)("cast(s.n_club as double) / t.n_all", 4)} as club_share,
+         |  coalesce(e.n_edges, ${bigint("0")}) as n_intra_edges,
+         |  case when s.n_club >= 2
+         |       then ${roundAway(d)("cast(coalesce(e.n_edges, 0) as double) / (cast(s.n_club as double) * (s.n_club - 1))", 4)}
+         |       else cast(null as double) end as phi
+         |from cs s cross join tot t left join ce e on e.k = s.k""".stripMargin,
+
+    // FUNNEL STAGE LATENCY — how long conversion takes, not just
+    // whether it happens (the time-to-convert distribution behind SLA
+    // and attribution-window choices; the latency companion of
+    // events_funnel's counts): per converting user the stage gaps
+    // (click−view, purchase−click) from the SAME first-qualifying
+    // min-aggregation chain as the funnel (order-free, no windows),
+    // then median/p90 by rank selection over the MINUTE-grid latency
+    // DOMAIN (time-span-bounded, never user-count-sized — the
+    // q_ship_latency convention) and the exact-integer mean. 2-row
+    // output.
+    "events_funnel_time" -> {
+      val e = s"select user_id, event_type, ${evSec("ts")} as sec from events where event_type in ('view', 'click', 'purchase')"
+      s"""with fv as (select user_id, min(sec) as v0 from ($e) _e where event_type = 'view' group by user_id),
+         |fc as (select e.user_id, min(e.sec) as c0
+         |       from ($e) e join fv on fv.user_id = e.user_id
+         |       where e.event_type = 'click' and e.sec >= fv.v0 group by e.user_id),
+         |fp as (select e.user_id, min(e.sec) as p0
+         |       from ($e) e join fc on fc.user_id = e.user_id
+         |       where e.event_type = 'purchase' and e.sec >= fc.c0 group by e.user_id),
+         |lat as (select 1 as stage, fc.user_id, fc.c0 - fv.v0 as dt
+         |        from fc join fv on fv.user_id = fc.user_id
+         |        union all
+         |        select 2 as stage, fp.user_id, fp.p0 - fc.c0 as dt
+         |        from fp join fc on fc.user_id = fp.user_id),
+         |mg as (select stage, ${d.idiv("dt", "60")} as mnt, dt from lat),
+         |ag as (select stage, ${bigint("count(*)")} as n, ${bigint("sum(dt)")} as sdt from mg group by stage),
+         |mc as (select stage, mnt, ${bigint("count(*)")} as m from mg group by stage, mnt),
+         |cw as (select c.stage, c.mnt,
+         |         ${bigint("sum(c.m) over (partition by c.stage order by c.mnt rows between unbounded preceding and current row)")} as cm,
+         |         a.n
+         |       from mc c join ag a on a.stage = c.stage),
+         |med as (select stage, ${bigint("min(mnt)")} as v from cw where cm * 2 >= n group by stage),
+         |p90 as (select stage, ${bigint("min(mnt)")} as v from cw where cm * 10 >= n * 9 group by stage)
+         |select ${bigint("a.stage")} as stage,
+         |  case when a.stage = 1 then 'view_to_click' else 'click_to_purchase' end as transition,
+         |  a.n as n_converted,
+         |  ${roundAway(d)("cast(a.sdt as double) / a.n / 60", 4)} as mean_minutes,
+         |  m.v as median_minutes, p.v as p90_minutes
+         |from ag a join med m on m.stage = a.stage join p90 p on p.stage = a.stage""".stripMargin
+    }
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
