@@ -190,7 +190,10 @@ object Plans {
     "minhash_band_curve" -> "one signature pass (g_mhsig scratch); each band geometry re-bands the 16 cached hashes map-side, candidate joins touch banded pairs only; precision/recall folds against the verified pair table",
     "index_recall_ladder" -> "four bounded O(|Q|*N) scoring passes over CACHED code tables (SQ grid, PQ codes+codebooks, BQ words, prefix slices) + one truth leg; hits fold in one groupBy over <=5*|Q|*10 rows",
     "graph_rich_club" -> "club membership joins the served g_indeg view to a 4-row k ladder; intra-club edges join g_knn on both endpoints — club-sized work per level",
-    "events_funnel_time" -> "the funnel's three min-aggregations (order-free) + a minute-grid groupBy; median/p90 by rank selection over the time-span-bounded grid")
+    "events_funnel_time" -> "the funnel's three min-aggregations (order-free) + a minute-grid groupBy; median/p90 by rank selection over the time-span-bounded grid",
+    "q_open_lines_backlog" -> "one orders-lineitem join into a per-day boundary groupBy; the backlog cumulative runs over <=|distinct days| calendar rows — never lineitem-sized",
+    "events_cohort_ltv" -> "per-user min + one (cohort, age) groupBy (decimal-exact value sums); the payback cumulative windows over the <=|weeks|^2 matrix rows",
+    "text_entropy_rate" -> "one doc-partitioned lead window + the (w1,w2) and w1 combinable groupBys; both entropies fold from the same exact bigint census; 1-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

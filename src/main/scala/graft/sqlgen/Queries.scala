@@ -7881,6 +7881,103 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(a.sdt as double) / a.n / 60", 4)} as mean_minutes,
          |  m.v as median_minutes, p.v as p90_minutes
          |from ag a join med m on m.stage = a.stage join p90 p on p.stage = a.stage""".stripMargin
+    },
+
+    // OPEN ORDER-LINE BACKLOG — the fulfillment work-in-progress
+    // series (how many lines are ordered-but-unshipped each day — the
+    // warehouse-capacity twin of events_peak_concurrency at lineitem
+    // scale): each valid line opens at its order day and closes at
+    // its ship day ([od, sd) convention, so a same-day ship
+    // contributes zero end-of-day backlog), boundaries pre-aggregate
+    // to per-DAY nets and the backlog is ONE cumulative window over
+    // the ≤ |distinct days| domain rows (shipdates span ±2400 days in
+    // this corpus → ~5k rows — calendar-bounded, never
+    // lineitem-sized). INVERTED lines (ship before order — a real
+    // synthetic-data artifact) cannot be "open" and are CENSUSED, not
+    // silently dropped: the data-quality number rides every row.
+    // Integer end to end.
+    "q_open_lines_backlog" -> {
+      def ep(c: String) =
+        if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
+        else s"cast(epoch($c) as bigint)"
+      s"""with li as (select ${d.idiv(ep("o.o_orderdate"), "86400")} as od,
+         |              ${d.idiv(ep("l.l_shipdate"), "86400")} as sd
+         |            from orders o join lineitem l on l.l_orderkey = o.o_orderkey),
+         |inv as (select ${bigint("count(*)")} as n_inverted from li where sd < od),
+         |bd as (select od as day, 1 as dl from li where sd >= od
+         |       union all select sd as day, -1 as dl from li where sd >= od),
+         |ps as (select day, ${bigint("sum(dl)")} as net,
+         |         ${bigint("sum(case when dl = 1 then 1 else 0 end)")} as n_opened,
+         |         ${bigint("sum(case when dl = -1 then 1 else 0 end)")} as n_closed
+         |       from bd group by day),
+         |bl as (select day, n_opened, n_closed,
+         |         ${bigint("sum(net) over (order by day rows between unbounded preceding and current row)")} as backlog
+         |       from ps),
+         |gp as (select ${bigint("max(backlog)")} as peak_backlog from bl)
+         |select ${bigint("b.day")} as day, b.n_opened, b.n_closed,
+         |  b.backlog as backlog_eod, g.peak_backlog, i.n_inverted
+         |from bl b cross join gp g cross join inv i""".stripMargin
+    },
+
+    // COHORT LIFETIME VALUE — the revenue cut of events_cohort_matrix
+    // (retention says who came back; LTV says what they were WORTH):
+    // per (signup-week cohort, age-week) the active users, the
+    // period value, the CUMULATIVE cohort value, and LTV per cohort
+    // member — the payback-curve table growth teams read. Value sums
+    // are decimal-exact after the per-row decimal cast (the
+    // events_rfm rule — no float fold order anywhere); cohort size =
+    // the age-0 active count (every user is active in their own
+    // first week by construction — the self-witnessing anchor); the
+    // cumulative window runs over the ≤ |weeks|² matrix rows. One
+    // (cohort, age) groupBy after the per-user min — two combinable
+    // corpus passes total.
+    "events_cohort_ltv" ->
+      s"""with ev as (select user_id, ${d.idiv(evSec("ts"), "604800")} as wk, cast(value as decimal(18,6)) as v from events),
+         |fc as (select user_id, min(wk) as w0 from ev group by user_id),
+         |vx as (select fc.w0 as cohort_wk, e.wk - fc.w0 as age_wk, e.user_id, e.v
+         |       from ev e join fc on fc.user_id = e.user_id),
+         |mx as (select cohort_wk, age_wk, ${bigint("count(distinct user_id)")} as n_active, sum(v) as val
+         |       from vx group by cohort_wk, age_wk),
+         |cs as (select cohort_wk, n_active as n_cohort from mx where age_wk = 0),
+         |cm as (select cohort_wk, age_wk, n_active, val,
+         |         sum(val) over (partition by cohort_wk order by age_wk rows between unbounded preceding and current row) as cval
+         |       from mx)
+         |select ${bigint("m.cohort_wk")} as cohort_wk, ${bigint("m.age_wk")} as age_wk,
+         |  m.n_active, c.n_cohort,
+         |  round(cast(m.val as double), 2) as period_value,
+         |  round(cast(m.cval as double), 2) as cum_value,
+         |  ${roundAway(d)("cast(m.cval as double) / c.n_cohort", 4)} as ltv_per_user
+         |from cm m join cs c on c.cohort_wk = m.cohort_wk""".stripMargin,
+
+    // ADJACENT-WORD ENTROPY RATE — the text twin of
+    // events_entropy_rate (Shannon 1951 on the word stream): H(next
+    // word | current word) vs the unigram marginal, their gap = the
+    // adjacent-word mutual information — the redundancy number that
+    // predicts compressibility and flags template-heavy corpora
+    // (boilerplate chains are near-deterministic: big gap). Bigram
+    // census from ONE doc-partitioned lead window (pairs never cross
+    // doc boundaries — stated); both entropies fold from the SAME
+    // integer census on the 1e-9 ln grid, exact bigints to the final
+    // divisions. Bigram table is vocabulary²-bounded in the worst
+    // case but observed-pairs-sized in practice — the same envelope
+    // as text_cooccur. Ceiling n·lnq(n) < 2^63 to ~10⁸ tokens.
+    "text_entropy_rate" -> {
+      def lnq9(x: String) = bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      s"""with $wordCtes,
+         |bg as (select wd as w1, lead(wd, 1) over (partition by doc_id order by wpos) as w2
+         |       from wx),
+         |t as (select w1, w2, ${bigint("count(*)")} as c from bg where w2 is not null group by w1, w2),
+         |tt as (select w1, ${bigint("sum(c)")} as n from t group by w1),
+         |hr as (select ${bigint(s"sum(t.c * (${lnq9("tt.n")} - ${lnq9("t.c")}))")} as num,
+         |         ${bigint("sum(t.c)")} as nn
+         |       from t join tt on tt.w1 = t.w1),
+         |hm as (select ${bigint(s"sum(n * ${lnq9("n")})")} as snn, ${bigint("count(*)")} as n_types from tt)
+         |select r.nn as n_bigrams, m.n_types as n_first_words,
+         |  ${roundAway(d)(s"cast(r.nn * ${lnq9("r.nn")} - m.snn as double) / (cast(r.nn as double) * 1000000000)", 6)} as h_unigram,
+         |  ${roundAway(d)("cast(r.num as double) / (cast(r.nn as double) * 1000000000)", 6)} as h_conditional,
+         |  ${roundAway(d)(s"cast((r.nn * ${lnq9("r.nn")} - m.snn) - r.num as double) / (cast(r.nn as double) * 1000000000)", 6)} as mutual_info,
+         |  ${roundAway(d)(s"case when r.nn * ${lnq9("r.nn")} - m.snn = 0 then cast(null as double) else cast(r.num as double) / cast(r.nn * ${lnq9("r.nn")} - m.snn as double) end", 4)} as conditional_share
+         |from hr r cross join hm m""".stripMargin
     }
   )
 
