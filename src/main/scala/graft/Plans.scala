@@ -193,7 +193,9 @@ object Plans {
     "events_funnel_time" -> "the funnel's three min-aggregations (order-free) + a minute-grid groupBy; median/p90 by rank selection over the time-span-bounded grid",
     "q_open_lines_backlog" -> "one orders-lineitem join into a per-day boundary groupBy; the backlog cumulative runs over <=|distinct days| calendar rows — never lineitem-sized",
     "events_cohort_ltv" -> "per-user min + one (cohort, age) groupBy (decimal-exact value sums); the payback cumulative windows over the <=|weeks|^2 matrix rows",
-    "text_entropy_rate" -> "one doc-partitioned lead window + the (w1,w2) and w1 combinable groupBys; both entropies fold from the same exact bigint census; 1-row output")
+    "text_entropy_rate" -> "one doc-partitioned lead window + the (w1,w2) and w1 combinable groupBys; both entropies fold from the same exact bigint census; 1-row output",
+    "ann_refine_curve" -> "one 8-byte Hamming corpus scan + exact sims computed once for the R=100 superset; inner depths are filters, per-(R,qid) top-10 windows over <=100 candidate rows",
+    "graph_path_length" -> "the hops_reach unrolled BFS (4 distinct joins over g_knn) folded through ONE window pass — each BFS state referenced once (a cn self-join re-inlined the chain 3x: 4.7 -> 1.5 s)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

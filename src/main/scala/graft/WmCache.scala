@@ -66,7 +66,8 @@ object WmCache {
     "vec_pq_distortion", "graph_assortativity", "graph_hops_reach",
     "graph_clustering_coeff", "ann_multiprobe_curve", "graph_component_sizes", "wm_key_mismatch",
     "graph_degree_hist", "vec_lid", "graph_powerlaw_fit", "ann_ensemble_recall",
-    "vec_pq_codebook_balance", "index_recall_ladder", "graph_rich_club")
+    "vec_pq_codebook_balance", "index_recall_ladder", "graph_rich_club",
+    "ann_refine_curve", "graph_path_length")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

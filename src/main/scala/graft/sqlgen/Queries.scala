@@ -7978,6 +7978,92 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)(s"cast((r.nn * ${lnq9("r.nn")} - m.snn) - r.num as double) / (cast(r.nn as double) * 1000000000)", 6)} as mutual_info,
          |  ${roundAway(d)(s"case when r.nn * ${lnq9("r.nn")} - m.snn = 0 then cast(null as double) else cast(r.num as double) / cast(r.nn * ${lnq9("r.nn")} - m.snn as double) end", 4)} as conditional_share
          |from hr r cross join hm m""".stripMargin
+    },
+
+    // RERANK-DEPTH TUNING CURVE — the refine knob every two-stage
+    // index ships (faiss refine_k / pgvector's rerank window; the
+    // house vec_topk_binary_rerank fixes R = 50, this key MEASURES
+    // the ladder R ∈ {10, 25, 50, 100}): Hamming shortlist of depth
+    // R, exact-cosine rerank, recall@10 vs the exact truth — the
+    // recall-vs-float-work trade a serving team tunes last, after
+    // routing (nprobe/beam) and storage (bits/bytes ladders) are
+    // fixed. Exact sims compute ONCE for the widest (R = 100)
+    // superset and inner depths are filters (the nprobe cellrank
+    // trick); the Hamming pass is the 8-byte corpus scan all BQ keys
+    // share. Spec pins R = 10 ≡ raw Hamming ranking reranked and
+    // monotone recall in R.
+    "ann_refine_curve" -> {
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      val rLad =
+        if (d.name == "spark") "(select explode(array(10, 25, 50, 100)) as r)"
+        else "(select unnest([10, 25, 50, 100]) as r)"
+      s"""${wmChain("lsh")},
+         |${if (views) viewAlias("bq", "g_bq") else bqCte},
+         |q0 as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim from q0 q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |qb as (select id as qid, hi as qhi, lo as qlo from bq where id in ($qIdLit)),
+         |hp as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+         |       from qb q join bq b on b.id <> q.qid),
+         |hr as (select qid, cid, rn from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from hp) _h where rn <= 100),
+         |ex as (select h.qid, h.cid, h.rn, round(${d.dot("na.n", "nb.n")}, 6) as sim
+         |       from hr h join nn na on na.id = h.qid join nn nb on nb.id = h.cid),
+         |rl as (select r from $rLad _r),
+         |rt as (select r, qid, cid from (
+         |         select l.r as r, e.qid, e.cid,
+         |           row_number() over (partition by l.r, e.qid order by e.sim desc, e.cid) as rr
+         |         from rl l join ex e on e.rn <= l.r) _t
+         |       where rr <= 10),
+         |hh as (select t.r, ${bigint("count(*)")} as n_pairs,
+         |         ${bigint("sum(case when b.cid is not null then 1 else 0 end)")} as hits
+         |       from rt t left join bt b on b.qid = t.qid and b.cid = t.cid
+         |       group by t.r)
+         |select ${bigint("r")} as refine_depth, n_pairs, hits,
+         |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10,
+         |  ${bigint("r * 5")} as n_exact_scored
+         |from hh""".stripMargin
+    },
+
+    // MEAN PATH LENGTH / EFFECTIVE DIAMETER — the ANF fold of
+    // graph_hops_reach's frontier counts (Palmer et al. 2002): since
+    // the self-loop-augmented frontier is CUMULATIVE (f_h = nodes
+    // within ≤ h hops), new-at-h = |f_h| − |f_{h−1}| and the mean
+    // shortest path over the 4-hop horizon is one weighted fold; the
+    // effective diameter d90 = the first h reaching 90% of the
+    // 4-hop-reachable set — the navigability number that prices
+    // graph-search hop budgets. Same unrolled-BFS cost as
+    // graph_hops_reach (stated horizon: nodes beyond 4 hops are
+    // outside the census); per-query output, exact integers to the
+    // final divisions.
+    "graph_path_length" -> {
+      def hop(prev: String, next: String) =
+        s"$next as (select distinct f.qid, e.dst as id from $prev f join e2 e on e.src = f.id)"
+      s"""${wmChain("knn")},
+         |e2 as (select src, dst from knn union all select id as src, id as dst from nn),
+         |f0 as (select id as qid, id from nn where id in ($qIdLit)),
+         |${hop("f0", "f1")},
+         |${hop("f1", "f2")},
+         |${hop("f2", "f3")},
+         |${hop("f3", "f4")},
+         |cn as (select qid, 0 as hops, ${bigint("count(*)")} as n from f0 group by qid
+         |       union all select qid, 1 as hops, ${bigint("count(*)")} from f1 group by qid
+         |       union all select qid, 2 as hops, ${bigint("count(*)")} from f2 group by qid
+         |       union all select qid, 3 as hops, ${bigint("count(*)")} from f3 group by qid
+         |       union all select qid, 4 as hops, ${bigint("count(*)")} from f4 group by qid),
+         |wn as (select qid, hops, n,
+         |         n - lag(n) over (partition by qid order by hops) as new_at,
+         |         max(n) over (partition by qid) as mxn
+         |       from cn),
+         |ag as (select qid,
+         |         ${bigint("sum(case when hops >= 1 then hops * new_at else 0 end)")} as sw,
+         |         ${bigint("sum(case when hops >= 1 then new_at else 0 end)")} as reached,
+         |         ${bigint("min(case when hops >= 1 and (n - 1) * 10 >= (mxn - 1) * 9 then hops end)")} as eff_diameter
+         |       from wn group by qid)
+         |select ${bigint("qid")} as qid, reached as n_reached,
+         |  ${roundAway(d)("cast(sw as double) / reached", 4)} as mean_path_len,
+         |  eff_diameter
+         |from ag""".stripMargin
     }
   )
 
