@@ -195,7 +195,10 @@ object Plans {
     "events_cohort_ltv" -> "per-user min + one (cohort, age) groupBy (decimal-exact value sums); the payback cumulative windows over the <=|weeks|^2 matrix rows",
     "text_entropy_rate" -> "one doc-partitioned lead window + the (w1,w2) and w1 combinable groupBys; both entropies fold from the same exact bigint census; 1-row output",
     "ann_refine_curve" -> "one 8-byte Hamming corpus scan + exact sims computed once for the R=100 superset; inner depths are filters, per-(R,qid) top-10 windows over <=100 candidate rows",
-    "graph_path_length" -> "the hops_reach unrolled BFS (4 distinct joins over g_knn) folded through ONE window pass — each BFS state referenced once (a cn self-join re-inlined the chain 3x: 4.7 -> 1.5 s)")
+    "graph_path_length" -> "the hops_reach unrolled BFS (4 distinct joins over g_knn) folded through ONE window pass — each BFS state referenced once (a cn self-join re-inlined the chain 3x: 4.7 -> 1.5 s)",
+    "events_value_anova" -> "one combinable (type) moment groupBy; SS terms quantized per type and bigint-summed over <=|types| rows — no float fold; two final divisions",
+    "events_ab_srm_check" -> "ONE conditional distinct-count scan (no CTE re-reference); the chi-square is exact-integer arithmetic over the 1-row census",
+    "events_rate_peaks" -> "two combinable groupBys ((user,minute) then user-max); the ladder census and thresholds fold on <=40 bucket rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

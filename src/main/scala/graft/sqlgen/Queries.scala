@@ -8064,6 +8064,101 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(sw as double) / reached", 4)} as mean_path_len,
          |  eff_diameter
          |from ag""".stripMargin
+    },
+
+    // ONE-WAY ANOVA ON EVENT VALUE — does value differ by event type?
+    // The k-group extension of events_ab_test's 2-group z (the F-test
+    // every metrics platform runs before digging into pairwise
+    // comparisons): values land on the 1e-2 grid as exact bigints
+    // (Σx² ceiling ~8·10⁹ events at the observed value range — §4
+    // ladder: coarsen the grid past it), per-type moments fold in ONE
+    // combinable groupBy, and the between/within sums of squares are
+    // per-type DOUBLE terms (fixed expression trees over exact ints)
+    // quantized to the 1e-4 grid and summed as bigints over the
+    // ≤ |types| rows — no float fold order anywhere. F and η² are two
+    // final divisions; k = 1 or zero within-variance reports null F.
+    "events_value_anova" -> {
+      val x = bigint(roundAway(d)("value * 100", 0))
+      s"""with e as (select event_type, $x as x from events),
+         |t as (select event_type, ${bigint("count(*)")} as n, ${bigint("sum(x)")} as s1, ${bigint("sum(x * x)")} as s2
+         |      from e group by event_type),
+         |g as (select ${bigint("sum(n)")} as nt, ${bigint("sum(s1)")} as st, ${bigint("count(*)")} as k from t),
+         |m as (select t.event_type, t.n, t.s1, t.s2, g.nt, g.st, g.k,
+         |        cast(t.s1 as double) / t.n / 100 as mean_t,
+         |        cast(g.st as double) / g.nt / 100 as gmean
+         |      from t cross join g),
+         |q as (select event_type, n, nt, k, mean_t, gmean,
+         |        ${bigint(roundAway(d)("n * (mean_t - gmean) * (mean_t - gmean) * 10000", 0))} as ssb_q,
+         |        ${bigint(roundAway(d)("(cast(s2 as double) / 10000 - cast(s1 as double) * s1 / n / 10000) * 10000", 0))} as ssw_q
+         |      from m),
+         |agg as (select nt, k, ${bigint("sum(ssb_q)")} as ssb, ${bigint("sum(ssw_q)")} as ssw
+         |        from q group by nt, k)
+         |select q.event_type, q.n as n_events, ${roundAway(d)("q.mean_t", 4)} as mean_value,
+         |  ${roundAway(d)("q.gmean", 4)} as grand_mean,
+         |  a.k - 1 as df_between, a.nt - a.k as df_within,
+         |  ${roundAway(d)("case when a.k > 1 and a.ssw > 0 then (cast(a.ssb as double) / (a.k - 1)) / (cast(a.ssw as double) / (a.nt - a.k)) else cast(null as double) end", 4)} as f_stat,
+         |  ${roundAway(d)("case when a.ssb + a.ssw > 0 then cast(a.ssb as double) / (a.ssb + a.ssw) else cast(null as double) end", 6)} as eta_squared
+         |from q cross join agg a""".stripMargin
+    },
+
+    // SAMPLE-RATIO-MISMATCH GATE — the pre-test sanity check every
+    // experimentation platform runs BEFORE reading events_ab_test's
+    // z (an imbalanced assignment invalidates the test no matter how
+    // significant it looks): user counts per variant vs the expected
+    // 50/50, χ² = Σ(2·n_v − N)²/(2N) folded EXACTLY in bigints (one
+    // double division at the end), flagged at the 95% df=1 critical
+    // value 3.841. The variant key is the served user_id % 2
+    // assignment; for two variants χ² reduces to (n_a − n_b)²/N —
+    // folded from ONE conditional distinct-count scan (no CTE
+    // re-reference, no second pass). 2-row output.
+    "events_ab_srm_check" -> {
+      val chi2 = "cast((na - nb) * (na - nb) as double) / (na + nb)"
+      s"""with c as (select
+         |  ${bigint("count(distinct case when user_id % 2 = 0 then user_id end)")} as na,
+         |  ${bigint("count(distinct case when user_id % 2 = 1 then user_id end)")} as nb
+         |  from events)
+         |select ${bigint("0")} as variant, na as n_users,
+         |  ${roundAway(d)("cast(na + nb as double) / 2", 1)} as expected_users,
+         |  ${roundAway(d)(chi2, 4)} as chi2,
+         |  ${bigint(s"case when $chi2 > 3.841 then 1 else 0 end")} as srm_flag
+         |from c
+         |union all
+         |select ${bigint("1")}, nb,
+         |  ${roundAway(d)("cast(na + nb as double) / 2", 1)},
+         |  ${roundAway(d)(chi2, 4)},
+         |  ${bigint(s"case when $chi2 > 3.841 then 1 else 0 end")}
+         |from c""".stripMargin
+    },
+
+    // PER-USER BURST-RATE CENSUS — the rate-limiter audit (what
+    // events/minute ceiling would throttle whom): per-user PEAK
+    // events-per-minute, censused into power-of-two buckets (integer
+    // compare ladder — the events_activity_hist determinism rule)
+    // with threshold counts at 10 and 100 events/min riding every
+    // row — the two knobs an abuse team debates. Complements
+    // events_bot_detect (gap regularity) and events_fano (dispersion)
+    // with the BURST cut. Two combinable groupBys ((user, minute),
+    // then user-max via one more) + a bucket-domain census; integer
+    // end to end.
+    "events_rate_peaks" -> {
+      val lad = (39 to 1 by -1).map(b =>
+        s"when peak >= ${1L << b} then $b").mkString("case ", " ", " else 0 end")
+      s"""with e as (select user_id, ${d.idiv(evSec("ts"), "60")} as mnt from events),
+         |pm as (select user_id, mnt, ${bigint("count(*)")} as c from e group by user_id, mnt),
+         |pk as (select user_id, ${bigint("max(c)")} as peak from pm group by user_id),
+         |ub as (select $lad as bucket, peak from pk),
+         |bc as (select bucket, ${bigint("count(*)")} as n_users, ${bigint("max(peak)")} as max_peak
+         |       from ub group by bucket),
+         |tot as (select ${bigint("sum(n_users)")} as nu from bc),
+         |th as (select ${bigint("sum(case when peak > 10 then 1 else 0 end)")} as n_over_10,
+         |         ${bigint("sum(case when peak > 100 then 1 else 0 end)")} as n_over_100
+         |       from pk)
+         |select ${bigint("b.bucket")} as log2_bucket,
+         |  ${bigint("cast(pow(cast(2 as double), b.bucket) as bigint)")} as bucket_lo,
+         |  b.n_users, b.max_peak,
+         |  ${roundAway(d)("cast(b.n_users as double) / t.nu", 4)} as user_share,
+         |  h.n_over_10, h.n_over_100
+         |from bc b cross join tot t cross join th h""".stripMargin
     }
   )
 
