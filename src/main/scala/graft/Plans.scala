@@ -198,7 +198,8 @@ object Plans {
     "graph_path_length" -> "the hops_reach unrolled BFS (4 distinct joins over g_knn) folded through ONE window pass — each BFS state referenced once (a cn self-join re-inlined the chain 3x: 4.7 -> 1.5 s)",
     "events_value_anova" -> "one combinable (type) moment groupBy; SS terms quantized per type and bigint-summed over <=|types| rows — no float fold; two final divisions",
     "events_ab_srm_check" -> "ONE conditional distinct-count scan (no CTE re-reference); the chi-square is exact-integer arithmetic over the 1-row census",
-    "events_rate_peaks" -> "two combinable groupBys ((user,minute) then user-max); the ladder census and thresholds fold on <=40 bucket rows")
+    "events_rate_peaks" -> "two combinable groupBys ((user,minute) then user-max); the ladder census and thresholds fold on <=40 bucket rows",
+    "wm_collusion" -> "one extra embed chain (clean carrier rows, plan-time colluder constants) + the per-cell average join + one extract aggregation — all bounded rate*N carrier work over the cached views")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -8159,6 +8159,92 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(b.n_users as double) / t.nu", 4)} as user_share,
          |  h.n_over_10, h.n_over_100
          |from bc b cross join tot t cross join th h""".stripMargin
+    },
+
+    // COLLUSION (AVERAGING) ATTACK — the classic fingerprinting
+    // attack the overwrite/noise matrix misses (Boneh–Shaw 1998; Cox
+    // et al.: k colluders average their differently-marked copies to
+    // cancel the marks): a SECOND independent embed from the CLEAN
+    // corpus with its own key/message (carrier selection is
+    // key-independent by design — reference pg_func.py:125ff — so
+    // both copies mark the SAME rows; the realistic worst case),
+    // then the per-cell average of the two copies, then extraction
+    // with the ORIGINAL key. QIM theory: agreeing lattice parities
+    // average onto a valid codeword, disagreeing ones land
+    // mid-lattice — but the 4-bit CRC needs ALL its header bits to
+    // survive, so one coin-flip header bit rejects the whole
+    // carrier, and blocks drained of valid carriers error on EVERY
+    // bit (measured: 144/256 errors, agree and disagree bits failing
+    // at the same ~0.56 rate — block-level CRC failure dominates the
+    // per-bit lattice story; the report splits errors by
+    // bit-agreement so that structure is visible). Cost: one extra
+    // embed chain + one extract over carrier rows — no new corpus
+    // pass beyond the bounded rate·N carrier work.
+    "wm_collusion" -> {
+      val key2 = "colluder-key"
+      val msg2 = "COLLUDER-MARK-03" // exactly 16 bytes, like Wm.Message
+      val kc2 = WmConst.keyed(key2)
+      val cipher2 = Crypto.encryptToBase64(msg2, key2)
+      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
+      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
+      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
+      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
+      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
+      val pSums2 = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shift2(g: Int) = {
+        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSq2 = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
+      val qS = (0 until MsgLen).map(g =>
+        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+      def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+      val msg2bitsCte =
+        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
+           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
+      s"""${wmChain("overwrite")},
+         |ccex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+         |         from carriers c join exn x on x.id = c.vec_id),
+         |ceagg as (select id, blk, max(nrm) as nrm,
+         |            $pSums2
+         |          from ccex group by id, blk),
+         |cesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
+         |         from ceagg),
+         |ceshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSq2) as pn
+         |          from cesh),
+         |cstego as (select x.id, x.pos,
+         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |           from ccex x join ceshn e on e.id = x.id),
+         |coll as (select s.id, s.pos, (s.sval + c2.sval) / 2 as sval
+         |         from stego s join cstego c2 on c2.id = s.id and c2.pos = s.pos),
+         |cxagg as (select id, sqrt(sum(sval * sval)) as nr,
+         |            $qS
+         |          from coll group by id),
+         |cxb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+         |        from cxagg),
+         |cxh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+         |        from cxb),
+         |cvalid as (select id, idx as blk, pbits from cxh where crc = ${d.arrIdx0(crcLit, "idx")}),
+         |cvx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("cvalid", "pbits", "p1", "b", Seq("blk"))} _cvx),
+         |cvotes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+         |           from cvx group by blk, bit_idx),
+         |$msg2bitsCte,
+         |eb as (select m1.blk, m1.j, m1.bit as b1, m2.bit as b2,
+         |         case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m1.bit then 1 else 0 end as err
+         |       from msgbits m1 join msgbits2 m2 on m2.blk = m1.blk and m2.j = m1.j
+         |       left join cvotes v on v.blk = m1.blk and v.bit_idx = m1.j)
+         |select ${bigint("blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("sum(case when b1 = b2 then 1 else 0 end)")} as n_agree_bits,
+         |  ${bigint("sum(err)")} as errors_colluded,
+         |  ${bigint("sum(case when b1 = b2 then err else 0 end)")} as errors_on_agree,
+         |  ${bigint("sum(case when b1 <> b2 then err else 0 end)")} as errors_on_disagree
+         |from eb group by blk""".stripMargin
     }
   )
 
