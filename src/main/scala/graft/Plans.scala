@@ -199,7 +199,9 @@ object Plans {
     "events_value_anova" -> "one combinable (type) moment groupBy; SS terms quantized per type and bigint-summed over <=|types| rows — no float fold; two final divisions",
     "events_ab_srm_check" -> "ONE conditional distinct-count scan (no CTE re-reference); the chi-square is exact-integer arithmetic over the 1-row census",
     "events_rate_peaks" -> "two combinable groupBys ((user,minute) then user-max); the ladder census and thresholds fold on <=40 bucket rows",
-    "wm_collusion" -> "one extra embed chain (clean carrier rows, plan-time colluder constants) + the per-cell average join + one extract aggregation — all bounded rate*N carrier work over the cached views")
+    "wm_collusion" -> "one extra embed chain (clean carrier rows, plan-time colluder constants) + the per-cell average join + one extract aggregation — all bounded rate*N carrier work over the cached views",
+    "events_ab_value_ttest" -> "ONE combinable per-variant moment groupBy; t and the Welch df are fixed expression trees over the 1-row pivot — no second scan",
+    "sketch_quantile_curve" -> "one corpus scan computes all 3 bin columns map-side; cumulatives window over <=336 aggregated bin rows; the exact leg rank-selects inside the finest level's target bins only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -8245,6 +8245,101 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("sum(case when b1 = b2 then err else 0 end)")} as errors_on_agree,
          |  ${bigint("sum(case when b1 <> b2 then err else 0 end)")} as errors_on_disagree
          |from eb group by blk""".stripMargin
+    },
+
+    // WELCH'S t ON EVENT VALUE BY VARIANT — the continuous-metric
+    // companion of events_ab_test's proportion z (the test an
+    // experimentation platform runs on revenue-per-event; Welch 1947:
+    // unequal variances, Welch–Satterthwaite df — pooled-variance t
+    // silently assumes homoscedasticity): values on the 1e-2 grid as
+    // exact bigints, per-variant moments in ONE combinable groupBy;
+    // mean/variance/t/df are fixed double expression trees over the
+    // exact integers (variance via n·Σx² − (Σx)² in DOUBLE space —
+    // the bigint square would overflow first, stated), flagged at
+    // |t| > 1.96. The variant key is the served user_id % 2
+    // assignment. 2-row output.
+    "events_ab_value_ttest" -> {
+      val x = bigint(roundAway(d)("value * 100", 0))
+      def mean(p: String) = s"cast(${p}s1 as double) / ${p}n / 100"
+      def vr(p: String) = s"((cast(${p}n as double) * ${p}s2 - cast(${p}s1 as double) * ${p}s1) / (cast(${p}n as double) * (${p}n - 1)) / 10000)"
+      val se2 = s"(${vr("a")} / an + ${vr("b")} / bn)"
+      val tstat = s"((${mean("a")} - ${mean("b")}) / sqrt($se2))"
+      val dfW = s"($se2 * $se2 / ((${vr("a")} / an) * (${vr("a")} / an) / (an - 1) + (${vr("b")} / bn) * (${vr("b")} / bn) / (bn - 1)))"
+      s"""with e as (select user_id % 2 as variant, $x as x from events),
+         |t as (select variant, ${bigint("count(*)")} as n, ${bigint("sum(x)")} as s1, ${bigint("sum(x * x)")} as s2
+         |      from e group by variant),
+         |w as (select
+         |        max(case when variant = 0 then n end) as an,
+         |        max(case when variant = 0 then s1 end) as as1,
+         |        max(case when variant = 0 then s2 end) as as2,
+         |        max(case when variant = 1 then n end) as bn,
+         |        max(case when variant = 1 then s1 end) as bs1,
+         |        max(case when variant = 1 then s2 end) as bs2
+         |      from t),
+         |f as (select an, bn, as1, bs1, as2, bs2,
+         |        ${roundAway(d)(tstat, 4)} as t_stat,
+         |        ${roundAway(d)(dfW, 2)} as df_welch
+         |      from w)
+         |select ${bigint("0")} as variant, an as n_events,
+         |  ${roundAway(d)(mean("a"), 4)} as mean_value,
+         |  ${roundAway(d)(vr("a"), 4)} as var_value,
+         |  f.t_stat, f.df_welch,
+         |  ${bigint("case when abs(f.t_stat) > 1.96 then 1 else 0 end")} as significant
+         |from f
+         |union all
+         |select ${bigint("1")}, bn,
+         |  ${roundAway(d)(mean("b"), 4)},
+         |  ${roundAway(d)(vr("b"), 4)},
+         |  f.t_stat, f.df_welch,
+         |  ${bigint("case when abs(f.t_stat) > 1.96 then 1 else 0 end")}
+         |from f""".stripMargin
+    },
+
+    // QUANTILE-SKETCH BIN-COUNT CURVE — the b knob of the mergeable
+    // histogram sketch measured (the HLL-m / CMS-w move applied to
+    // quantiles: every halving of b halves sketch state and costs
+    // accuracy — this shows HOW MUCH): p50/p90/p99 approximations at
+    // b ∈ {16, 64, 256} vs the EXACT values, in ONE query. All three
+    // bin columns compute map-side from the same min/max pass (one
+    // corpus scan feeds 3·N level rows), per-level cumulative counts
+    // via a window over the ≤ 336 aggregated bin rows, uniform-
+    // within-bin interpolation; the exact leg rank-selects INSIDE the
+    // finest level's target bins only (the sketch_quantiles trick —
+    // never a global sort). 9-row output.
+    "sketch_quantile_curve" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def binE(b: Int) =
+        s"least(${b - 1}, greatest(0, cast(floor((x - mn) * cast($b as double) / (mx - mn)) as bigint)))"
+      s"""with src as (select cast(l_extendedprice as double) as x from lineitem),
+         |mm as $matKw(select min(x) as mn, max(x) as mx, count(*) as n from src),
+         |bn as $matKw(select x, ${binE(16)} as b16, ${binE(64)} as b64, ${binE(256)} as b256
+         |       from src cross join mm),
+         |lb as (select 16 as lv, b16 as bin from bn
+         |       union all select 64, b64 from bn
+         |       union all select 256, b256 from bn),
+         |bc as (select lv, bin, ${bigint("count(*)")} as c from lb group by lv, bin),
+         |cum as $matKw(select lv, bin, c,
+         |        ${bigint("sum(c) over (partition by lv order by bin rows between unbounded preceding and current row)")} as cumc
+         |      from bc),
+         |qs as (select lbl, qv, ${bigint("cast(ceil(qv * n) as bigint)")} as r from
+         |         (select 'p50' as lbl, cast(0.5 as double) as qv
+         |          union all select 'p90', cast(0.9 as double)
+         |          union all select 'p99', cast(0.99 as double)) _q cross join mm),
+         |tb as (select cum.lv, qs.lbl, qs.r, min(cum.bin) as bin
+         |       from qs join cum on cum.cumc >= qs.r group by cum.lv, qs.lbl, qs.r),
+         |td as $matKw(select tb.lv, tb.lbl, tb.r, tb.bin, cum.c as bc, cum.cumc - cum.c as cumbefore
+         |       from tb join cum on cum.lv = tb.lv and cum.bin = tb.bin),
+         |ap as (select lv, lbl, r, bin, bc, cumbefore,
+         |         ${roundAway(d)("mm.mn + (bin + (r - cumbefore) / cast(bc as double)) * (mm.mx - mm.mn) / cast(lv as double)", 4)} as approx_v
+         |       from td cross join mm),
+         |lr as (select bn.b256 as bin, bn.x, row_number() over (partition by bn.b256 order by bn.x) as lrk
+         |       from bn join (select distinct bin from td where lv = 256) tbins on tbins.bin = bn.b256),
+         |ex as (select t.lbl, min(l.x) as exact_v
+         |       from td t join lr l on l.bin = t.bin and l.lrk = t.r - t.cumbefore
+         |       where t.lv = 256 group by t.lbl)
+         |select ${bigint("ap.lv")} as n_bins, ap.lbl as quantile, ex.exact_v, ap.approx_v,
+         |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
+         |from ap join ex on ex.lbl = ap.lbl""".stripMargin
     }
   )
 
