@@ -201,7 +201,9 @@ object Plans {
     "events_rate_peaks" -> "two combinable groupBys ((user,minute) then user-max); the ladder census and thresholds fold on <=40 bucket rows",
     "wm_collusion" -> "one extra embed chain (clean carrier rows, plan-time colluder constants) + the per-cell average join + one extract aggregation — all bounded rate*N carrier work over the cached views",
     "events_ab_value_ttest" -> "ONE combinable per-variant moment groupBy; t and the Welch df are fixed expression trees over the 1-row pivot — no second scan",
-    "sketch_quantile_curve" -> "one corpus scan computes all 3 bin columns map-side; cumulatives window over <=336 aggregated bin rows; the exact leg rank-selects inside the finest level's target bins only")
+    "sketch_quantile_curve" -> "one corpus scan computes all 3 bin columns map-side; cumulatives window over <=336 aggregated bin rows; the exact leg rank-selects inside the finest level's target bins only",
+    "dedup_semantic_curve" -> "the dedup_embedding bucketed pair chain once; the 4-rung ladder is filters over candidate pairs — zero extra corpus work",
+    "graph_lpa_curve" -> "3 LPA rounds over the cached g_knn edges with each round's labels referenced once by the union (prefix rounds re-derive per branch, <=2x LPA cost); modularity censuses join the <=3N label rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

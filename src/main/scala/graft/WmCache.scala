@@ -67,7 +67,8 @@ object WmCache {
     "graph_clustering_coeff", "ann_multiprobe_curve", "graph_component_sizes", "wm_key_mismatch",
     "graph_degree_hist", "vec_lid", "graph_powerlaw_fit", "ann_ensemble_recall",
     "vec_pq_codebook_balance", "index_recall_ladder", "graph_rich_club",
-    "ann_refine_curve", "graph_path_length", "wm_collusion")
+    "ann_refine_curve", "graph_path_length", "wm_collusion",
+    "dedup_semantic_curve", "graph_lpa_curve")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

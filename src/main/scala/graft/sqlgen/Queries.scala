@@ -8340,6 +8340,85 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("ap.lv")} as n_bins, ap.lbl as quantile, ex.exact_v, ap.approx_v,
          |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
          |from ap join ex on ex.lbl = ap.lbl""".stripMargin
+    },
+
+    // SEMANTIC-DEDUP THRESHOLD CURVE — the cosine knob of embedding
+    // dedup measured (the embedding-side twin of dedup_threshold_
+    // curve's Jaccard ladder; SemDeDup-style pipelines debate exactly
+    // this θ): for a θ ladder the surviving pair
+    // count, the distinct docs a keep-one policy would touch, and the
+    // survivors' mean cosine — ALL filters over the ONE bucketed
+    // candidate-pair table (the dedup_embedding chain: salted LSH
+    // self-join, dot computed once behind the groupBy barrier; the
+    // ladder adds ZERO corpus work). Per-pair sims land on the
+    // round-6 grid then sum as exact bigints per level. The ladder is
+    // DATA-RANGED: this synthetic corpus's near-dup candidates span
+    // cos 0.30-0.49 (true random-vector cosines concentrate near 0 at
+    // d = 64, so nothing reaches the 0.9+ band a real duplicated
+    // corpus shows — the curve mechanism is what ships; on real data
+    // the same key runs with the SemDeDup-range rungs). 4-row output.
+    "dedup_semantic_curve" -> {
+      val salted =
+        s"""pairs as (select distinct a.id as ida, b.id as idb
+           |          from (select id, t, b, id % 4 as s from bkt) a
+           |          join (select id, t, b, sx as s from bkt cross join (select explode(sequence(0, 3)) as sx) _sx) b
+           |            on a.t = b.t and a.b = b.b and a.s = b.s and a.id < b.id)""".stripMargin
+      val plain =
+        "pairs as (select distinct a.id as ida, b.id as idb from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id < b.id)"
+      val thLad =
+        if (d.name == "spark") "(select explode(array(0.30, 0.35, 0.40, 0.45)) as th)"
+        else "(select unnest([0.30, 0.35, 0.40, 0.45]) as th)"
+      s"""${wmChain("lsh")},
+         |${if (d.name == "spark") salted else plain},
+         |sims2 as (select p.ida as id_a, p.idb as id_b, max(round(${d.dot("na.n", "nb.n")}, 6)) as cos_sim
+         |          from pairs p join nn na on na.id = p.ida join nn nb on nb.id = p.idb
+         |          group by p.ida, p.idb),
+         |tl as (select cast(th as double) as th from $thLad _t),
+         |sv as (select t.th, s.id_a, s.id_b, s.cos_sim from tl t join sims2 s on s.cos_sim >= t.th),
+         |pg as (select th, ${bigint("count(*)")} as n_pairs,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("cos_sim * 1000000", 0))})")} as ssim
+         |       from sv group by th),
+         |dg as (select th, ${bigint("count(distinct id)")} as n_docs from (
+         |         select th, id_a as id from sv union select th, id_b from sv) _d group by th)
+         |select ${roundAway(d)("p.th", 2)} as cos_threshold, p.n_pairs, g.n_docs as n_docs_involved,
+         |  ${roundAway(d)("cast(p.ssim as double) / 1000000 / p.n_pairs", 4)} as mean_survivor_sim
+         |from pg p join dg g on g.th = p.th""".stripMargin
+    },
+
+    // LPA CONVERGENCE CURVE — modularity after 1, 2, and 3 label-
+    // propagation rounds (the round-count knob of graph_communities,
+    // graded the pagerank way: rounds ARE the convergence-depth
+    // setting, this key shows what each buys): per-round label
+    // tables unioned with each round referenced ONCE by the union
+    // (the chain still re-derives prefix rounds per branch — a
+    // bounded ≤ 2× LPA cost over the cached edge view, stated),
+    // then modularity per round from the SAME simple-edge/degree
+    // censuses joined per level — exact integer counts, one double
+    // division per round. 3-row output; the spec pins round-3
+    // equality with the served graph_modularity report.
+    "graph_lpa_curve" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""${wmChain("knn")},
+         |$lpaCtes,
+         |lab as (select 1 as r, id, lab from l1
+         |        union all select 2, id, lab from l2
+         |        union all select 3, id, lab from l3),
+         |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+         |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+         |mm as (select ${bigint("count(*)")} as m from und),
+         |deg as (select v, ${bigint("count(*)")} as dg from (
+         |          select a as v from und union all select b as v from und) _d group by v),
+         |intra as (select la.r, ${bigint("count(*)")} as ic
+         |          from und join lab la on la.id = und.a join lab lb on lb.id = und.b and lb.r = la.r
+         |          where la.lab = lb.lab group by la.r),
+         |dc as (select lab.r, lab.lab, sum(coalesce(deg.dg, 0)) as dsum
+         |       from lab left join deg on deg.v = lab.id group by lab.r, lab.lab),
+         |dq as (select r, ${bigint("sum(dsum * dsum)")} as sds, ${bigint("count(*)")} as n_communities from dc group by r)
+         |select ${bigint("q.r")} as n_rounds, q.n_communities, i.ic as intra_edges, m.m as m_edges,
+         |  ${roundAway(d)(
+            "cast(i.ic as double) / cast(m.m as double) - cast(q.sds as double) / (cast(4 as double) * cast(m.m as double) * cast(m.m as double))",
+            6)} as modularity
+         |from dq q join intra i on i.r = q.r cross join mm m""".stripMargin
     }
   )
 
