@@ -203,7 +203,16 @@ object Plans {
     "events_ab_value_ttest" -> "ONE combinable per-variant moment groupBy; t and the Welch df are fixed expression trees over the 1-row pivot — no second scan",
     "sketch_quantile_curve" -> "one corpus scan computes all 3 bin columns map-side; cumulatives window over <=336 aggregated bin rows; the exact leg rank-selects inside the finest level's target bins only",
     "dedup_semantic_curve" -> "the dedup_embedding bucketed pair chain once; the 4-rung ladder is filters over candidate pairs — zero extra corpus work",
-    "graph_lpa_curve" -> "3 LPA rounds over the cached g_knn edges with each round's labels referenced once by the union (prefix rounds re-derive per branch, <=2x LPA cost); modularity censuses join the <=3N label rows")
+    "graph_lpa_curve" -> "3 LPA rounds over the cached g_knn edges with each round's labels referenced once by the union (prefix rounds re-derive per branch, <=2x LPA cost); modularity censuses join the <=3N label rows",
+    "events_chi2" -> "one combinable groupBy onto the <=7x|types| grid; marginals and the full row x col expected grid are tiny cross joins; chi terms fold on the 1e-6 bigint grid",
+    "events_xcorr" -> "one daily groupBy is the only corpus pass; the 8-row lag range joins the <=|days| zero-filled spine; all Pearson moments exact bigints",
+    "events_mann_kendall" -> "one daily groupBy; the pairwise sign walk runs over the |days|^2-per-type CENSUS (calendar-bounded), never events; tie sums and 18*Var integer to the end",
+    "q_yoy_growth" -> "decimal-exact revenue per ship-year in one combinable groupBy; the lag window runs over the <=|years| aggregate only",
+    "vec_kmeans_elbow" -> "reads the cached g_ivf_asg assignments; one explode pass builds per-cell component sums; every k-level folds from those <=cells x dim sufficient statistics (map-side, no per-k corpus work)",
+    "vec_silhouette" -> "one explode for the label centroids + one broadcast N x |labels| dot join; per-vector argmax via conditional max aggregation, no window over the corpus",
+    "graph_eigen_centrality" -> "3 integer walk-count steps over the cached g_knn edges (each step one join + combinable sum, predecessor referenced once); the share normalizes once at readout (w3 read twice - bounded re-derivation, the lpa_curve convention)",
+    "text_word_burstiness" -> "one (doc, word) groupBy + one vocabulary-sized groupBy; zeros enter via closed-form moments, never a doc x vocab grid",
+    "q_key_skew" -> "three column-pruned single-column scans union into per-key counts; all readouts fold over the count-of-counts census with domain-bounded windows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -8419,6 +8419,329 @@ final class Gen(d: Dialect, useViews: Boolean = false,
             "cast(i.ic as double) / cast(m.m as double) - cast(q.sds as double) / (cast(4 as double) * cast(m.m as double) * cast(m.m as double))",
             6)} as modularity
          |from dq q join intra i on i.r = q.r cross join mm m""".stripMargin
+    },
+
+    // CHI-SQUARE INDEPENDENCE: event_type × day-of-week — "does WHAT
+    // users do depend on WHEN they show up?" (the categorical
+    // companion of events_heatmap's visual matrix and the grid the
+    // seasonality keys assume is non-flat). Observed counts over the
+    // full |types| × 7 grid (REAL zeros via the row×col cross join —
+    // an empty cell still contributes its expected mass), expected
+    // E = R·C/N from exact bigint marginals, each (O−E)²/E term
+    // 1e-6-QUANTIZED and summed as exact bigints (the events_exp_fit
+    // convention — no engine-order double folds), one division at the
+    // end. Cramér's V = sqrt(χ²/(N·min(r−1,c−1))) normalizes to
+    // [0,1]. Monitored statistic, not a formal test (stated). Work:
+    // one combinable groupBy onto ≤ 7·|types| cells + tiny marginal
+    // joins. |types|-row output.
+    "events_chi2" -> {
+      val e = "cast(r.rt as double) * c.ct / t.nt"
+      s"""with ec as (select event_type, (${d.idiv(evSec("ts"), "86400")} + 4) % 7 as dow from events),
+         |o as (select event_type, dow, ${bigint("count(*)")} as n from ec group by event_type, dow),
+         |r as (select event_type, ${bigint("sum(n)")} as rt from o group by event_type),
+         |c as (select dow, ${bigint("sum(n)")} as ct from o group by dow),
+         |t as (select ${bigint("sum(n)")} as nt, ${bigint("count(distinct event_type)")} as nr,
+         |             ${bigint("count(distinct dow)")} as nc from o),
+         |cell as (select r.event_type, c.dow, r.rt, coalesce(o.n, ${bigint("0")}) as obs,
+         |           ${bigint(roundAway(d)(s"(coalesce(o.n, ${bigint("0")}) - $e) * (coalesce(o.n, ${bigint("0")}) - $e) / ($e) * 1000000", 0))} as tq
+         |         from r cross join c cross join t
+         |         left join o on o.event_type = r.event_type and o.dow = c.dow),
+         |byt as (select event_type, ${bigint("max(rt)")} as rt, ${bigint("sum(tq)")} as tq from cell group by event_type),
+         |tot as (select ${bigint("sum(tq)")} as tq from cell)
+         |select b.event_type, b.rt as n_events,
+         |  ${roundAway(d)("cast(b.tq as double) / 1000000", 4)} as chi2_contrib,
+         |  ${roundAway(d)("cast(tot.tq as double) / 1000000", 4)} as chi2_total,
+         |  (t.nr - 1) * (t.nc - 1) as df,
+         |  ${roundAway(d)("sqrt(cast(tot.tq as double) / 1000000 / (cast(t.nt as double) * (case when t.nr < t.nc then t.nr else t.nc end - 1)))", 6)} as cramers_v
+         |from byt b cross join tot cross join t""".stripMargin
+    },
+
+    // LAGGED CROSS-CORRELATION: does today's browsing predict
+    // tomorrow's buying? Pearson r between the 'view' and 'purchase'
+    // DAILY series at lags 0..7 days — the lead-indicator scan behind
+    // every "demand forecasting from top-of-funnel" pitch, and the
+    // cross-series companion of events_autocorr (same-series lags).
+    // Both series ride the shared day spine with REAL zeros; all five
+    // Pearson sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    // bigints over integer daily counts, r is one double expression
+    // per lag (n·Σxy−ΣxΣy over the root product — identical fold in
+    // both engines, no accumulation-order risk). Work: one daily
+    // groupBy + an 8-row lag range joined against the ≤|days| spine —
+    // calendar-bounded throughout. 8-row output; degenerate lags
+    // (zero variance, < 3 overlap days) yield null r (stated).
+    "events_xcorr" -> {
+      val num = "cast(p.n * p.sxy - p.sx * p.sy as double)"
+      val den = "sqrt(cast(p.n * p.sxx - p.sx * p.sx as double) * cast(p.n * p.syy - p.sy * p.sy as double))"
+      s"""with ed as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |spine as (select day from ed group by day),
+         |dc as (select event_type, day, ${bigint("count(*)")} as n from ed
+         |       where event_type in ('view', 'purchase') group by event_type, day),
+         |x as (select s.day, coalesce(v.n, ${bigint("0")}) as x from spine s
+         |      left join dc v on v.day = s.day and v.event_type = 'view'),
+         |y as (select s.day, coalesce(p.n, ${bigint("0")}) as y from spine s
+         |      left join dc p on p.day = s.day and p.event_type = 'purchase'),
+         |ks as (select k from ${rangeTable("_k", "k", 0, 7)}),
+         |p as (select ks.k, ${bigint("count(*)")} as n,
+         |        ${bigint("sum(a.x)")} as sx, ${bigint("sum(b.y)")} as sy,
+         |        ${bigint("sum(a.x * b.y)")} as sxy,
+         |        ${bigint("sum(a.x * a.x)")} as sxx, ${bigint("sum(b.y * b.y)")} as syy
+         |      from ks cross join x a join y b on b.day = a.day + ks.k
+         |      group by ks.k)
+         |select ${bigint("p.k")} as lag_days, p.n as n_days,
+         |  p.sx as sum_view, p.sy as sum_purchase,
+         |  ${roundAway(d)(s"case when p.n >= 3 and p.n * p.sxx > p.sx * p.sx and p.n * p.syy > p.sy * p.sy then $num / $den else cast(null as double) end", 6)} as pearson_r
+         |from p""".stripMargin
+    },
+
+    // MANN–KENDALL TREND TEST (Mann 1945; Kendall's τ-b): is each
+    // event type's daily volume monotonically drifting? The
+    // NONPARAMETRIC twin of events_trend's OLS slope — rank-based, so
+    // a single spike day can't fake a trend. S = Σ_{i<j}
+    // sign(c_j − c_i) over the |days|-long daily series (REAL zeros
+    // via the type × day-spine grid), 18·Var(S) with the exact tie
+    // correction Σt(t−1)(2t+5), continuity-corrected Z, and τ-b with
+    // the tie-adjusted denominator — ALL integer until the final
+    // sqrt/division (no quantization needed anywhere). Work: the
+    // pairwise step is over the DAILY CENSUS (|days|² per type,
+    // calendar-bounded — never over events); at multi-year horizons
+    // the same statistic runs on weekly buckets (stated knob).
+    // |types|-row output.
+    "events_mann_kendall" -> {
+      val n0 = "(nn.nd * (nn.nd - 1) / 2)"
+      s"""with ed as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |spine as (select day from ed group by day),
+         |ty as (select event_type from ed group by event_type),
+         |dc0 as (select event_type, day, ${bigint("count(*)")} as n from ed group by event_type, day),
+         |dc as (select t.event_type, s.day, coalesce(c.n, ${bigint("0")}) as n
+         |       from ty t cross join spine s
+         |       left join dc0 c on c.event_type = t.event_type and c.day = s.day),
+         |pw as (select a.event_type,
+         |         ${bigint("sum(case when b.n > a.n then 1 when b.n < a.n then -1 else 0 end)")} as s
+         |       from dc a join dc b on b.event_type = a.event_type and b.day > a.day
+         |       group by a.event_type),
+         |nn as (select event_type, ${bigint("count(*)")} as nd from dc group by event_type),
+         |tg as (select event_type, n, ${bigint("count(*)")} as t from dc group by event_type, n),
+         |ties as (select event_type, ${bigint("sum(t * (t - 1) * (2 * t + 5))")} as tie18,
+         |                ${bigint("sum(t * (t - 1) / 2)")} as tie2
+         |         from tg group by event_type),
+         |mk as (select p.event_type, p.s, nn.nd,
+         |         ${bigint("nn.nd * (nn.nd - 1) * (2 * nn.nd + 5)")} - ti.tie18 as var18,
+         |         $n0 as n0, ti.tie2
+         |       from pw p join nn on nn.event_type = p.event_type
+         |       join ties ti on ti.event_type = p.event_type)
+         |select event_type, nd as n_days, s as s_stat,
+         |  ${roundAway(d)("case when var18 > 0 then (s - (case when s > 0 then 1 when s < 0 then -1 else 0 end)) / sqrt(cast(var18 as double) / 18) else cast(null as double) end", 4)} as z_stat,
+         |  ${roundAway(d)("case when n0 > tie2 then s / sqrt(cast(n0 as double) * (n0 - tie2)) else cast(null as double) end", 4)} as tau_b,
+         |  ${bigint("case when var18 > 0 and abs(s - (case when s > 0 then 1 when s < 0 then -1 else 0 end)) / sqrt(cast(var18 as double) / 18) > 1.96 then (case when s > 0 then 1 else -1 end) else 0 end")} as trend_flag
+         |from mk""".stripMargin
+    },
+
+    // YEAR-OVER-YEAR REVENUE GROWTH — the period-over-period readout
+    // every finance review opens with, and the LAG-window shape (this
+    // period vs the SAME table one period back) that q_open_lines_
+    // backlog's cumulative windows don't cover. Revenue per ship-year
+    // decimal-exact (the q1_pricing convention), one lag window over
+    // the ≤|years| aggregate (calendar-bounded — never over facts),
+    // growth as one double division; the first year's growth is null
+    // by construction (stated). |years|-row output.
+    "q_yoy_growth" ->
+      s"""with yr as (select year(l_shipdate) as yr0,
+         |              sum(cast(l_extendedprice as decimal(18,4)) * cast(1 - l_discount as decimal(18,4))) as rev,
+         |              ${bigint("count(*)")} as n
+         |            from lineitem group by year(l_shipdate)),
+         |w as (select yr0, rev, n, lag(rev) over (order by yr0) as prev from yr)
+         |select ${bigint("yr0")} as yr, n as n_items,
+         |  round(cast(rev as double), 2) as revenue,
+         |  round(cast(prev as double), 2) as prev_revenue,
+         |  ${roundAway(d)("(cast(rev as double) - cast(prev as double)) / cast(prev as double)", 6)} as yoy_growth
+         |from w""".stripMargin,
+
+    // K-MEANS ELBOW CURVE — "how many clusters does this corpus
+    // actually have?" measured, not asserted: within-cluster inertia
+    // at k ∈ {1,2,4,8,16,32} super-clusters, each level an
+    // AGGLOMERATIVE fold of the served IVF cells (cell % k — each
+    // level divides the next, so the partitions form a refinement
+    // chain and inertia is provably nonincreasing in k). The whole
+    // curve costs ONE corpus pass: inertia_g over normalized vectors
+    // is n_g − |S_g|²/n_g (S_g = member component sum), so every
+    // level folds from the per-cell (Σ components, count) sufficient
+    // statistics — no per-k assignment passes, no distance recompute.
+    // Determinism: component sums are 1e-9-quantized decimals (the
+    // vec_kmeans_step convention), |S_g|² and |S_g|²/n_g land on the
+    // 1e-6 grid as exact bigints (ceiling: |S_g| < 9·10⁶ keeps the
+    // double cast exact — √N-sized cells reach that past ~10¹³
+    // vectors; pre-scale to milli-units there). Levels beyond the
+    // served cell count degenerate to the native partition (stated —
+    // the curve flattens, which IS the elbow readout).
+    "vec_kmeans_elbow" -> {
+      val chain =
+        if (views) viewAlias("asgF", "g_ivf_asg")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$chain,
+         |mem as (select a.cell, nn.n from asgF a join nn on nn.id = a.id),
+         |mx as (select cell, pos, val from ${d.explodeFrom("mem", "n", "pos", "val", Seq("cell"))} _mx),
+         |csum as (select cell, pos,
+         |           sum(cast(${roundAway(d)("val", 9)} as decimal(28, 9))) as s9
+         |         from mx group by cell, pos),
+         |cc as (select cell, ${bigint("count(*)")} as n from asgF group by cell),
+         |lv as (select 1 as l union all select 2 union all select 4 union all
+         |       select 8 union all select 16 union all select 32),
+         |gsum as (select lv.l, csum.cell % lv.l as g, csum.pos, sum(csum.s9) as sg
+         |         from lv cross join csum group by lv.l, csum.cell % lv.l, csum.pos),
+         |gcnt as (select lv.l, cc.cell % lv.l as g, ${bigint("sum(cc.n)")} as ng
+         |         from lv cross join cc group by lv.l, cc.cell % lv.l),
+         |gq as (select l, g,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("cast(sg as double) * cast(sg as double) * 1000000", 0))})")} as q
+         |       from gsum group by l, g),
+         |gi as (select q.l, q.g, n.ng,
+         |         ${bigint("n.ng * 1000000")} - ${bigint(roundAway(d)("cast(q.q as double) / n.ng", 0))} as imicro
+         |       from gq q join gcnt n on n.l = q.l and n.g = q.g),
+         |lvl as (select l, ${bigint("count(*)")} as n_groups, ${bigint("sum(imicro)")} as iq from gi group by l),
+         |base as (select ${bigint("max(case when l = 1 then iq end)")} as iq1 from lvl)
+         |select ${bigint("lvl.l")} as k_clusters, lvl.n_groups,
+         |  ${roundAway(d)("cast(lvl.iq as double) / 1000000", 4)} as inertia,
+         |  ${roundAway(d)("case when base.iq1 > 0 then 1 - cast(lvl.iq as double) / base.iq1 else cast(null as double) end", 6)} as explained_frac
+         |from lvl cross join base""".stripMargin
+    },
+
+    // SILHOUETTE SCORE over the label partition (Rousseeuw 1987) —
+    // the cluster-quality number that says whether the labels carve
+    // the embedding space at its joints (and the per-VECTOR
+    // complement of vec_label_separation's centroid-level margins):
+    // a_i = cosine distance to the OWN label centroid, b_i = distance
+    // to the NEAREST other centroid (simplified silhouette — centroid
+    // distances, not all-pairs: O(N·|labels|), never O(N²)),
+    // s_i = (b−a)/max(a,b). Centroids from 1e-6-quantized per-dim
+    // means (ordered-array rebuild, so every dot folds in pos order);
+    // per-vector sims quantized to the 1e-6 grid, so the per-label
+    // and overall means are EXACT decimal sums. Degenerate vectors
+    // with a = b = 0 yield null s (stated). Work: one explode for
+    // centroids + one broadcast N × |labels| dot join.
+    "vec_silhouette" -> {
+      val silq = s"""${roundAway(d)("case when (case when 1 - sown > 1 - sother then 1 - sown else 1 - sother end) > 0 then ((1 - sother) - (1 - sown)) / (case when 1 - sown > 1 - sother then 1 - sown else 1 - sother end) else cast(null as double) end", 6)}"""
+      s"""with $nvCtes,
+         |lab as (select * from ${d.explodeFrom("nn", "n", "pos", "val", Seq("label"))} _lb),
+         |ctq as (select label, pos, ${roundAway(d)("avg(val)", 6)} as cv from lab group by label, pos),
+         |cta as (select label, ${d.arrAggOrdered("cv", "pos")} as c from ctq group by label),
+         |cn as (select label, c, sqrt(${d.dot("c", "c")}) as cnrm from cta),
+         |sims as (select nn.id, nn.label as own, cn.label as other,
+         |           ${roundAway(d)(s"${d.dot("nn.n", "cn.c")} / cn.cnrm", 6)} as sim
+         |         from nn cross join cn),
+         |pv as (select id, own,
+         |         max(case when other = own then sim end) as sown,
+         |         max(case when other <> own then sim end) as sother
+         |       from sims group by id, own),
+         |sv as (select id, own, $silq as silq,
+         |         ${roundAway(d)("1 - sown", 6)} as a6, ${roundAway(d)("1 - sother", 6)} as b6
+         |       from pv),
+         |ov as (select ${roundAway(d)("cast(sum(cast(silq as decimal(18, 6))) as double) / count(silq)", 4)} as osil from sv)
+         |select ${bigint("sv.own")} as label, ${bigint("count(*)")} as n_members,
+         |  ${roundAway(d)("cast(sum(cast(sv.a6 as decimal(18, 6))) as double) / count(*)", 4)} as mean_intra_dist,
+         |  ${roundAway(d)("cast(sum(cast(sv.b6 as decimal(18, 6))) as double) / count(*)", 4)} as mean_nearest_dist,
+         |  ${roundAway(d)("cast(sum(cast(sv.silq as decimal(18, 6))) as double) / count(sv.silq)", 4)} as mean_silhouette,
+         |  ${roundAway(d)("max(ov.osil)", 4)} as overall_silhouette
+         |from sv cross join ov group by sv.own""".stripMargin
+    },
+
+    // EIGENVECTOR CENTRALITY (Bonacich 1972) — "important because your
+    // neighbors are important": the recursive-prestige complement of
+    // 6's raw in-degree and 6b's teleporting pagerank. Three power-
+    // iteration steps over the SYMMETRIZED kNN graph in EXACT integer
+    // arithmetic: r₀ = 1, so r_t(v) = the number of t-walks ending at
+    // v — no per-round normalization CTE (which would reference each
+    // iteration twice, the house rule), the share normalizes ONCE at
+    // readout. Each step references its predecessor exactly once (the
+    // pagerank convention). Ceiling: walk counts grow as in-degreeᵗ —
+    // a 10⁶-in-degree hub reaches ~10¹⁸ at t=3; past that switch to
+    // per-round ppm renormalization (the graph_ppr rung, §4 ladder).
+    // Isolated/never-entered nodes read centrality 0 honestly.
+    "graph_eigen_centrality" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def step(prev: String, next: String) =
+        s"""$next as (select n.id, ${bigint("coalesce(inc.s, 0)")} as r
+           |      from nn n left join (select e.dst, ${bigint(s"sum($prev.r)")} as s
+           |                 from e join $prev on $prev.id = e.src group by e.dst) inc on inc.dst = n.id)""".stripMargin
+      s"""${wmChain("knn")},
+         |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+         |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+         |e as $matKw(select a as src, b as dst from und union all select b, a from und),
+         |w0 as (select id, ${bigint("1")} as r from nn),
+         |${step("w0", "w1")},
+         |${step("w1", "w2")},
+         |${step("w2", "w3")},
+         |tot as (select ${bigint("sum(r)")} as s from w3)
+         |select ${bigint("w3.id")} as vec_id, w3.r as walk3_count,
+         |  ${roundAway(d)("case when tot.s > 0 then cast(w3.r as double) / tot.s else cast(null as double) end", 9)} as centrality_share
+         |from w3 cross join tot""".stripMargin
+    },
+
+    // WORD BURSTINESS (Church & Gale 1995): content words CLUMP —
+    // they recur within the documents that use them — while function
+    // words spread Poisson-thin everywhere. The variance-to-mean
+    // ratio of each word's per-document count (zeros included) is the
+    // classic content-word detector, the per-WORD complement of
+    // events_fano's per-type dispersion and the clumping signal
+    // text_keywords_llr's frequency contrast can't see. VMR folded
+    // EXACTLY: (N·Σx² − (Σx)²)/(N·Σx) — all bigints over integer
+    // counts (zeros enter through the closed forms, no doc×vocab
+    // grid), one double division per word. df ≥ 5 keeps the readout
+    // to words with enough evidence (stated). Bigint ceiling: Σx²
+    // caps any one word at ~3·10⁹ total occurrences (§4: shard the
+    // census by source past that). One (doc, word) groupBy + one
+    // vocabulary-sized groupBy — vocabulary-bounded output.
+    "text_word_burstiness" -> {
+      val vmr = "cast(nd.n * ws.s2 - ws.tot * ws.tot as double) / (cast(nd.n as double) * ws.tot)"
+      s"""with $wordCtes,
+         |tc as (select doc_id, wd, ${bigint("count(*)")} as c from wx where wd <> '' group by doc_id, wd),
+         |nd as (select ${bigint("count(*)")} as n from documents),
+         |ws as (select wd, ${bigint("count(*)")} as df, ${bigint("sum(c)")} as tot,
+         |              ${bigint("sum(c * c)")} as s2
+         |       from tc group by wd)
+         |select ws.wd as word, ws.df, ws.tot as total_count,
+         |  ${roundAway(d)("cast(ws.tot as double) / nd.n", 6)} as mean_per_doc,
+         |  ${roundAway(d)(vmr, 4)} as vmr,
+         |  ${bigint(s"case when $vmr > 1 then 1 else 0 end")} as bursty_flag
+         |from ws cross join nd where ws.df >= 5""".stripMargin
+    },
+
+    // JOIN-KEY SKEW PROFILE — the pre-join diagnostic behind every
+    // salting decision (SURVEY §4's skew-salt operator assumes you
+    // KNOW which key is hot; this measures it): per-key row counts
+    // for the three lineitem join keys, reduced to a COUNT-OF-COUNTS
+    // census so the max/mean/p99 fold over the ≤|distinct count
+    // values| domain — never a per-key sort. skew_factor = max/mean
+    // is the "hottest reducer vs average" multiplier a shuffle
+    // planner cares about; p99_share = the row fraction carried by
+    // keys at/above the p99 count (rank-selected from the cumulative
+    // window over the census — the q_ship_latency convention).
+    // Integer end to end; three column-pruned scans (one narrow
+    // column each) + two combinable groupBys per key. 3-row output.
+    "q_key_skew" -> {
+      s"""with kc as (select 'l_orderkey' as keycol, l_orderkey as k from lineitem
+         |      union all select 'l_partkey', l_partkey from lineitem
+         |      union all select 'l_suppkey', l_suppkey from lineitem),
+         |cnt as (select keycol, k, ${bigint("count(*)")} as c from kc group by keycol, k),
+         |cen as (select keycol, c, ${bigint("count(*)")} as m from cnt group by keycol, c),
+         |cum as (select keycol, c, m,
+         |          ${bigint("sum(m) over (partition by keycol order by c)")} as cumk,
+         |          ${bigint("sum(m) over (partition by keycol)")} as nk,
+         |          ${bigint("sum(c * m) over (partition by keycol)")} as nr,
+         |          ${bigint("sum(c * m) over (partition by keycol order by c desc)")} as rows_at_or_above
+         |        from cen),
+         |p99 as (select keycol, ${bigint("min(case when cumk >= cast(ceil(nk * 0.99) as bigint) then c end)")} as c99
+         |        from cum group by keycol),
+         |share as (select cu.keycol, ${bigint("max(cu.rows_at_or_above)")} as r99
+         |          from cum cu join p99 on p99.keycol = cu.keycol and cu.c >= p99.c99
+         |          group by cu.keycol)
+         |select cu.keycol as key_column, ${bigint("max(cu.nk)")} as n_keys, ${bigint("max(cu.nr)")} as n_rows,
+         |  ${bigint("max(cu.c)")} as max_rows_per_key,
+         |  ${roundAway(d)("cast(max(cu.nr) as double) / max(cu.nk)", 4)} as mean_rows_per_key,
+         |  ${bigint("max(p99.c99)")} as p99_rows_per_key,
+         |  ${roundAway(d)("cast(max(cu.c) as double) * max(cu.nk) / max(cu.nr)", 4)} as skew_factor,
+         |  ${roundAway(d)("cast(max(sh.r99) as double) / max(cu.nr)", 6)} as p99_share
+         |from cum cu join p99 on p99.keycol = cu.keycol join share sh on sh.keycol = cu.keycol
+         |group by cu.keycol""".stripMargin
     }
   )
 
