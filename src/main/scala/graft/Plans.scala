@@ -212,7 +212,10 @@ object Plans {
     "vec_silhouette" -> "one explode for the label centroids + one broadcast N x |labels| dot join; per-vector argmax via conditional max aggregation, no window over the corpus",
     "graph_eigen_centrality" -> "3 integer walk-count steps over the cached g_knn edges (each step one join + combinable sum, predecessor referenced once); the share normalizes once at readout (w3 read twice - bounded re-derivation, the lpa_curve convention)",
     "text_word_burstiness" -> "one (doc, word) groupBy + one vocabulary-sized groupBy; zeros enter via closed-form moments, never a doc x vocab grid",
-    "q_key_skew" -> "three column-pruned single-column scans union into per-key counts; all readouts fold over the count-of-counts census with domain-bounded windows")
+    "q_key_skew" -> "three column-pruned single-column scans union into per-key counts; all readouts fold over the count-of-counts census with domain-bounded windows",
+    "vec_topk_ip" -> "brute O(|Q| x N) raw-dot baseline over the 5-query literal set; per-query window over candidate rows only (WindowGroupLimit + the graft_topk rewrite apply)",
+    "vec_topk_l1" -> "64-term unrolled |a-b| literal sum inside whole-stage codegen; same |Q| x N candidate shape as the other brute baselines",
+    "events_corr_matrix" -> "one daily groupBy; the all-pairs Pearson join runs over the |types| x |days| zero-filled census grid, never events")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

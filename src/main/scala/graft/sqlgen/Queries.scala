@@ -8742,6 +8742,81 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(max(sh.r99) as double) / max(cu.nr)", 6)} as p99_share
          |from cum cu join p99 on p99.keycol = cu.keycol join share sh on sh.keycol = cu.keycol
          |group by cu.keycol""".stripMargin
+    },
+
+    // MAX-INNER-PRODUCT top-k over the RAW (unnormalized) vectors —
+    // pgvector's `<#>` operator (reference: database/pgvector uses
+    // vector_cosine_ops, but the pgvector surface a user switches
+    // between is L2 / cosine / INNER PRODUCT — the one recommender
+    // scores ship as, where the norm IS part of the signal). MIPS ≠
+    // cosine exactly when norms vary; THIS corpus ships
+    // unit-normalized, so here the two agree at the rounding grid —
+    // the spec pins that identity as the cross-operator witness
+    // (stated). Scale path: MIPS reduces to cosine via the
+    // norm-augmentation x̃ = [x, √(M²−‖x‖²)] (Bachrach et al. 2014),
+    // after which the SAME keyed-hyperplane LSH routing applies — the
+    // brute form here is the correctness baseline over the fixed
+    // query set (O(|Q|·N), the house convention for exact baselines).
+    "vec_topk_ip" ->
+      s"""with ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings),
+         |q as (select id, v from ev where id in ($qIdLit)),
+         |p as (select q.id as qid, c.id as cid, round(${d.dot("q.v", "c.v")}, 6) as ip
+         |      from q join ev c on c.id <> q.id)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, ip, ${bigint("rn")} as rn
+         |from (select qid, cid, ip, row_number() over (partition by qid order by ip desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
+    // L1 (taxicab) top-k — pgvector's `<+>` operator, the remaining
+    // member of its distance surface (L2 row 3, cosine row 3, inner
+    // product above): more outlier-robust than L2 (a single wild
+    // dimension contributes linearly, not quadratically), the metric
+    // of choice for sparse/histogram-like embeddings. The 64-term
+    // |aᵢ−bᵢ| sum is UNROLLED as plan-time literal arithmetic (the
+    // wdot convention) — one fixed fold order, bit-identical in both
+    // engines, whole-stage-codegen-friendly; no explode, no lambda.
+    // Brute over the fixed query set = the correctness baseline; the
+    // ANN rung for L1 is the same LSH machinery over the Cauchy
+    // (p-stable, p=1) projection family (Datar et al. 2004, stated).
+    "vec_topk_l1" -> {
+      val l1 = (1 to Dim).map(p0 => s"abs(${el("q.v", p0)} - ${el("c.v", p0)})").mkString(" + ")
+      s"""with ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings),
+         |q as (select id, v from ev where id in ($qIdLit)),
+         |p as (select q.id as qid, c.id as cid, round($l1, 6) as dist
+         |      from q join ev c on c.id <> q.id)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, dist, ${bigint("rn")} as rn
+         |from (select qid, cid, dist, row_number() over (partition by qid order by dist, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // EVENT-TYPE CORRELATION MATRIX — which daily metrics move
+    // together (the contemporaneous all-pairs companion of
+    // events_xcorr's two-series lag scan; the first thing a metrics
+    // platform computes before declaring "north star" proxies):
+    // Pearson r for every unordered type pair over the zero-filled
+    // daily series. All five sufficient statistics are EXACT bigints
+    // over integer daily counts (one double expression per pair); the
+    // pairwise join runs over the |types| × |days| CENSUS grid —
+    // calendar/type-bounded, never events. Degenerate (zero-variance)
+    // pairs null by the stated guard. C(|types|,2)-row output.
+    "events_corr_matrix" -> {
+      val num = "cast(p.n * p.sxy - p.sx * p.sy as double)"
+      val den = "sqrt(cast(p.n * p.sxx - p.sx * p.sx as double) * cast(p.n * p.syy - p.sy * p.sy as double))"
+      s"""with ed as (select event_type, ${d.idiv(evSec("ts"), "86400")} as day from events),
+         |spine as (select day from ed group by day),
+         |ty as (select event_type from ed group by event_type),
+         |dc0 as (select event_type, day, ${bigint("count(*)")} as n from ed group by event_type, day),
+         |dcg as (select t.event_type, s.day, coalesce(c.n, ${bigint("0")}) as n
+         |        from ty t cross join spine s
+         |        left join dc0 c on c.event_type = t.event_type and c.day = s.day),
+         |p as (select a.event_type as ta, b.event_type as tb, ${bigint("count(*)")} as n,
+         |        ${bigint("sum(a.n)")} as sx, ${bigint("sum(b.n)")} as sy,
+         |        ${bigint("sum(a.n * b.n)")} as sxy,
+         |        ${bigint("sum(a.n * a.n)")} as sxx, ${bigint("sum(b.n * b.n)")} as syy
+         |      from dcg a join dcg b on b.day = a.day and a.event_type < b.event_type
+         |      group by a.event_type, b.event_type)
+         |select p.ta as type_a, p.tb as type_b, p.n as n_days,
+         |  ${roundAway(d)(s"case when p.n >= 3 and p.n * p.sxx > p.sx * p.sx and p.n * p.syy > p.sy * p.sy then $num / $den else cast(null as double) end", 6)} as pearson_r
+         |from p""".stripMargin
     }
   )
 
