@@ -1377,7 +1377,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private def inList(c: String, ws: Seq[String]) =
     s"case when $c in (${ws.map("'" + _ + "'").mkString(", ")}) then 1 else 0 end"
 
-  val sqls: Map[String, String] = Map(
+  /** The full query corpus. Built from four sub-maps purely to stay
+    * under the JVM's 64 KB bytecode-per-method limit — one logical
+    * map, split at arbitrary entry boundaries. */
+  val sqls: Map[String, String] = sqls1 ++ sqls2 ++ sqls3 ++ sqls4
+
+  private lazy val sqls1: Map[String, String] = Map(
     // ---------------- relational breadth ----------------
     "q1_pricing" ->
       s"""select l_returnflag, l_linestatus,
@@ -2760,6 +2765,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim
          |from p where sim >= 0.2""".stripMargin,
 
+  )
+
+  private lazy val sqls2: Map[String, String] = Map(
     // int8 scalar quantization + reconstruction-error report — the SQ
     // index/storage variant every vector DB ships (4x memory cut). Per
     // dim: min/max over one exploded pass (tiny d-row broadcast back),
@@ -4805,6 +4813,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(cast(sum(mon) as double) / cast(count(*) as double), 2) as avg_monetary
          |from seg group by segment""".stripMargin,
 
+  )
+
+  private lazy val sqls3: Map[String, String] = Map(
     // TOP EVENT-TYPE PATHS — sequential-pattern mining lite (the
     // "what do users actually do" trigram report behind funnel design;
     // the order-3 extension of events_transitions' Markov pairs): per
@@ -6854,6 +6865,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(a.dau as double) / m.mau", 4)} as stickiness
          |from dau a join mau m on m.day = a.day""".stripMargin,
 
+  )
+
+  private lazy val sqls4: Map[String, String] = Map(
     // SEASONAL-ADJUSTED ROBUST ANOMALY — the production composition
     // of events_seasonal and events_anomaly_mad (a raw daily-count
     // detector fires every weekend; deseasonalizing FIRST is what
@@ -8817,6 +8831,66 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select p.ta as type_a, p.tb as type_b, p.n as n_days,
          |  ${roundAway(d)(s"case when p.n >= 3 and p.n * p.sxx > p.sx * p.sx and p.n * p.syy > p.sy * p.sy then $num / $den else cast(null as double) end", 6)} as pearson_r
          |from p""".stripMargin
+    },
+
+    // EMBED-RATE CAPACITY CURVE — what each rate rung buys in
+    // redundancy (and costs in footprint): the embed_rate knob
+    // (reference: DEFAULT_EMBED_RATE, embed_watermark(embed_rate=))
+    // measured as a ladder, extending wm_capacity's single-rate
+    // report into the budget-planning curve. The expensive parts are
+    // SHARED across rungs: the degree census/offsets and the
+    // Efraimidis–Spirakis scores are rate-INDEPENDENT, and the
+    // degree-rank prefix property (pool_r = the first pool(r) rows of
+    // ONE global degree ranking) means every rung's candidate pool is
+    // a cutoff, not a re-selection. Only the within-pool score
+    // ranking re-runs per rung (the two-pass distributed ranking,
+    // partitioned by (rung, score-bucket) — no single-partition
+    // sort), over ≤ 1.5·r·N rows. Per rung: carriers, blocks
+    // covered, min/mean redundancy over the FULL 16-block grid
+    // (uncovered blocks read redundancy 0 honestly), and the
+    // majority-vote tolerance floor ⌊(min−1)/2⌋ — the number the BER
+    // matrix measures empirically at the default rung. 4-row output.
+    "wm_rate_curve" -> {
+      val esScore = s"(-ln(${prfUniform(d)("'sel'", P, "vec_id")})) / " +
+        "(case when in_degree = 0 then 0.9 when in_degree = 1 then 0.7 when in_degree = 2 then 0.5 when in_degree = 3 then 0.4 else 0.3 end)"
+      s"""${wmChain("knn")},
+         |nv0 as (select ${bigint("count(*)")} as nvec from nn),
+         |rates as (select 5 as rpct union all select 10 union all select 15 union all select 20),
+         |rpar as (select rpct, nvec, target,
+         |           least(target + cast(floor(target * 0.5) as bigint), nvec) as pool
+         |         from (select r.rpct, n.nvec,
+         |                 greatest(cast(floor(n.nvec * rpct / 100.0) as bigint), ${Blocks}) as target
+         |               from rates r cross join nv0 n) _rp),
+         |dcnt as (select in_degree, count(*) as c from indeg group by in_degree),
+         |doff as (select a.in_degree, sum(case when b.in_degree < a.in_degree then b.c else cast(0 as bigint) end) as off
+         |         from dcnt a cross join dcnt b group by a.in_degree),
+         |drk as (select i.vec_id, i.in_degree,
+         |          o.off + row_number() over (partition by i.in_degree order by i.vec_id) as dr
+         |        from indeg i join doff o on o.in_degree = i.in_degree),
+         |sc as (select vec_id, in_degree, dr, $esScore as score from drk),
+         |cp as (select p.rpct, p.target, s.vec_id, s.score,
+         |         least(cast(floor(s.score * 8) as bigint), 255) as sb
+         |       from sc s cross join rpar p where s.dr <= p.pool),
+         |scnt as (select rpct, sb, count(*) as c from cp group by rpct, sb),
+         |soff as (select a.rpct, a.sb, sum(case when b.sb < a.sb then b.c else cast(0 as bigint) end) as off
+         |         from scnt a join scnt b on b.rpct = a.rpct group by a.rpct, a.sb),
+         |sel as (select c.rpct, c.target, c.vec_id,
+         |          o.off + row_number() over (partition by c.rpct, c.sb order by c.score, c.vec_id) as sel_rank
+         |        from cp c join soff o on o.rpct = c.rpct and o.sb = c.sb),
+         |car as (select rpct, cast((sel_rank - 1) % ${Blocks} as bigint) as blk from sel where sel_rank <= target),
+         |blkc as (select r.rpct, g.blk, ${bigint("count(car.blk)")} as nc
+         |         from rates r cross join ${rangeTable("g", "blk", 0, Blocks - 1)}
+         |         left join car on car.rpct = r.rpct and car.blk = g.blk
+         |         group by r.rpct, g.blk)
+         |select ${roundAway(d)("b.rpct / 100.0", 2)} as embed_rate,
+         |  ${bigint("sum(b.nc)")} as n_carriers,
+         |  ${bigint("sum(case when b.nc > 0 then 1 else 0 end)")} as n_blocks_covered,
+         |  ${bigint("min(b.nc)")} as min_redundancy,
+         |  ${roundAway(d)("sum(b.nc) / cast(16 as double)", 4)} as mean_redundancy,
+         |  ${bigint(s"case when min(b.nc) > 0 then ${d.idiv("(min(b.nc) - 1)", "2")} else 0 end")} as vote_tolerance,
+         |  ${roundAway(d)("sum(b.nc) / cast(max(p.nvec) as double)", 4)} as corpus_share
+         |from blkc b join rpar p on p.rpct = b.rpct
+         |group by b.rpct""".stripMargin
     }
   )
 
