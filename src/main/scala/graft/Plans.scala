@@ -216,7 +216,9 @@ object Plans {
     "vec_topk_ip" -> "brute O(|Q| x N) raw-dot baseline over the 5-query literal set; per-query window over candidate rows only (WindowGroupLimit + the graft_topk rewrite apply)",
     "vec_topk_l1" -> "64-term unrolled |a-b| literal sum inside whole-stage codegen; same |Q| x N candidate shape as the other brute baselines",
     "events_corr_matrix" -> "one daily groupBy; the all-pairs Pearson join runs over the |types| x |days| zero-filled census grid, never events",
-    "wm_rate_curve" -> "degree census + ES scores computed once off the cached g_indeg; each rung is a prefix cutoff of one global degree ranking; only the within-pool two-pass score ranking re-runs per rung over <= 1.5 r N rows")
+    "wm_rate_curve" -> "degree census + ES scores computed once off the cached g_indeg; each rung is a prefix cutoff of one global degree ranking; only the within-pool two-pass score ranking re-runs per rung over <= 1.5 r N rows",
+    "q_promo_did" -> "part dim broadcast onto the fact scan, one combinable groupBy onto 4 cells; all estimate columns are tiny cell cross joins",
+    "events_ab_power" -> "one conditional per-variant aggregation (same scan as events_ab_test); everything downstream is 2-row arithmetic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -8891,6 +8891,77 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("sum(b.nc) / cast(max(p.nvec) as double)", 4)} as corpus_share
          |from blkc b join rpar p on p.rpct = b.rpct
          |group by b.rpct""".stripMargin
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES — the workhorse quasi-experimental
+    // estimator (Card & Krueger 1994): did promo-typed parts see
+    // deeper discounting after the 1998 cut than the secular trend
+    // explains? Treatment = p_type PROMO, period split at the
+    // plan-time cutoff, outcome = discount rate on the exact 1e-2
+    // grid. The 2×2 cell moments (n, Σx, Σx²) fold in ONE combinable
+    // groupBy; DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    // SE from the four cell variances (n·Σx² − (Σx)² exact bigints,
+    // one division each), t = DiD/SE. The synthetic corpus has no
+    // planted effect — the ≈0 estimate with honest error bars IS the
+    // correct readout (stated). Parallel-trends is assumed, not
+    // tested (stated — the standard DiD caveat). 4-row output (one
+    // per cell, estimate columns riding every row).
+    "q_promo_did" -> {
+      def cell(t: String, post: String) =
+        s"(select n, s1, s2, cast(s1 as double) / n / 100 as m from cells where treated = $t and post = $post)"
+      val varOf = (a: String) => s"(cast($a.n * $a.s2 - $a.s1 * $a.s1 as double) / (cast($a.n as double) * $a.n * 10000))"
+      val did = "((tp.m - tr.m) - (cp.m - cr.m))"
+      val se = s"sqrt(${varOf("tp")} / tp.n + ${varOf("tr")} / tr.n + ${varOf("cp")} / cp.n + ${varOf("cr")} / cr.n)"
+      s"""with li as (select case when p.p_type = 'PROMO' then 1 else 0 end as treated,
+         |             case when l.l_shipdate >= timestamp '1998-01-01 00:00:00' then 1 else 0 end as post,
+         |             ${bigint(roundAway(d)("l.l_discount * 100", 0))} as x
+         |           from lineitem l join part p on p.p_partkey = l.l_partkey),
+         |cells as (select treated, post, ${bigint("count(*)")} as n, ${bigint("sum(x)")} as s1,
+         |            ${bigint("sum(x * x)")} as s2
+         |          from li group by treated, post),
+         |tr as ${cell("1", "0")}, tp as ${cell("1", "1")},
+         |cr as ${cell("0", "0")}, cp as ${cell("0", "1")}
+         |select ${bigint("c.treated")} as treated, ${bigint("c.post")} as post,
+         |  c.n as n_items, ${roundAway(d)("cast(c.s1 as double) / c.n / 100", 6)} as mean_discount,
+         |  ${roundAway(d)("tp.m - tr.m", 6)} as treated_delta,
+         |  ${roundAway(d)("cp.m - cr.m", 6)} as control_delta,
+         |  ${roundAway(d)(did, 6)} as did_estimate,
+         |  ${roundAway(d)(se, 6)} as did_se,
+         |  ${roundAway(d)(s"$did / $se", 4)} as did_t
+         |from cells c cross join tr cross join tp cross join cr cross join cp""".stripMargin
+    },
+
+    // A/B POWER / MDE PLANNER — the question every experiment review
+    // asks BEFORE reading the z: what effect COULD this setup even
+    // detect? Minimum detectable effect at 80% power / 5% two-sided α
+    // (the z_{α/2}=1.96, z_β=0.8416 literals) from the pooled
+    // conversion rate and the SERVED variant sizes, plus the per-arm
+    // sample size the OBSERVED difference would need to reach
+    // significance — the "how much longer must this run" number.
+    // Shares events_ab_test's conversion definition (clicks /
+    // (clicks+views) per user_id%2 variant) so the two keys read as
+    // one report. All inputs exact integers; sqrt/divisions at the
+    // end; a zero observed difference degenerates the required-n to
+    // null (stated). 1-row output.
+    "events_ab_power" -> {
+      val pp = "((a.n_click + b.n_click) / cast(a.n + b.n as double))"
+      val diff = "(a.n_click / cast(a.n as double) - b.n_click / cast(b.n as double))"
+      val mde = s"(2.8016 * sqrt($pp * (1 - $pp) * (1.0 / a.n + 1.0 / b.n)))"
+      val reqN = s"(2 * $pp * (1 - $pp) * (2.8016 / $diff) * (2.8016 / $diff))"
+      s"""with v as (select user_id % 2 as variant,
+         |             sum(case when event_type = 'click' then 1 else 0 end) as n_click,
+         |             sum(case when event_type in ('click', 'view') then 1 else 0 end) as n
+         |           from events group by user_id % 2),
+         |a as (select n_click, n from v where variant = 0),
+         |b as (select n_click, n from v where variant = 1)
+         |select ${bigint("a.n")} as n_a, ${bigint("b.n")} as n_b,
+         |  ${roundAway(d)(pp, 6)} as p_pooled,
+         |  ${roundAway(d)(mde, 6)} as mde_abs,
+         |  ${roundAway(d)(s"case when $pp > 0 then $mde / $pp else cast(null as double) end", 4)} as mde_rel,
+         |  ${roundAway(d)(diff, 6)} as observed_diff,
+         |  ${bigint(s"case when abs($diff) > 1e-12 then cast(ceil($reqN) as bigint) else null end")} as required_n_per_arm,
+         |  ${bigint(s"case when abs($diff) >= $mde then 1 else 0 end")} as powered_flag
+         |from a cross join b""".stripMargin
     }
   )
 
