@@ -43,6 +43,14 @@ object Plans {
     "multimodal_bmp_features" -> "batched mapPartitions decode (encode24 -> parse -> pixels -> integer features), one combinable label shuffle — same envelope as multimodal_wav_features",
     "wm_key_mismatch" -> "two extract aggregation chains over the cached g_stego view (genuine + wrong-key weights, all plan-time literals) + tiny vote/census joins — no corpus work beyond the two aggregations",
     "q_ship_latency" -> "one orders-lineitem join feeding a (month, latency-day) count; quantiles from a cumulative window over the domain-bounded count table (one window node also carries the per-month totals, so the fact join runs once)",
+    "events_ab_cuped" -> "two combinable groupBys (per-user cents totals, then per-variant + pooled cross-moments over <= |users| rows); theta/means/variances/z's are a fixed double tree over the 1-row wide moment table — no windows, no joins beyond the final cross joins of 1-row CTEs",
+    "events_boot_ci" -> "ONE corpus scan computes 8 PRF columns and 40 inverse-CDF weights map-side, ONE aggregation folds all 80 weighted bigint sums; everything after (replica unpivot, rank-selected CI, quantized SE moments) is O(B)=40 rows — the Poisson-bootstrap shape that keeps resampling combinable at any corpus size",
+    "events_slo_burn" -> "one combinable hourly census (<= 720 calendar-bounded rows), three RANGE-frame rolling sums over the integer hour index in one window node family, map-side burn divisions — the corpus scan is the only at-scale cost",
+    "graph_hubness" -> "one left join of the cached g_indeg onto the corpus ids + ONE combinable aggregation folding count/sum/sum2/sum3/max and the hub/antihub censuses — corpus-linear, no windows, no sorts; skewness combination is a fixed double tree over the 1-row moments",
+    "q_spearman" -> "two marginal value censuses (domain <= 11 and <= 50 rows) + one joint census (<= 550 cells); midranks from cumulative windows over the census rows; all rank/raw moments fold cnt-weighted exact bigints in one aggregation over the joint cells — the lineitem scan is the only corpus-priced pass",
+    "q_customer_deciles" -> "per-customer decimal spend groupBy, then the grid-rank pattern: coarse $1000 bucket counts (<= ~500 domain rows), cumulative offsets over those rows, bucket-LOCAL row_number windows — no global single-partition sort; decile aggregation + 10-row share windows close it",
+    "wm_multi_tenant" -> "tenant B's tranche re-ranks the cached g_indeg pool (two-pass distributed ranking, the carrier pattern); B's embed is one masked-sum aggregation over 0.5*rate*N rows + broadcast join back; both extractions are one aggregation each over the combined rate*1.5*N carrier rows; all tenant constants are plan-time literals",
+    "wm_repair" -> "attack + pre-extract over the cached g_stego carrier rows; damaged set = carriers anti-join CRC-valid ids (broadcastable); re-embed = one masked-sum aggregation over damaged rows only; post-extract over valid-union-repaired — four bounded carrier-row passes, no corpus work",
     "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
     "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
     "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",

@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
 object QDebug {
   def main(args: Array[String]): Unit = {
     val name = args(0)
+    if (name == "__list__") {
+      val q = SparkEntry.queries.keySet; val o = SparkEntry.oracleSql.keySet
+      println(s"[qdebug] keys=${q.size} oracle=${o.size} qOnly=${(q -- o).toSeq.sorted.mkString(",")} oOnly=${(o -- q).toSeq.sorted.mkString(",")}")
+      return
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

@@ -2765,6 +2765,49 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, sim
          |from p where sim >= 0.2""".stripMargin,
 
+    // HUBNESS CENSUS (Radovanović, Nanopoulos, Ivanović 2010 JMLR,
+    // "Hubs in Space" — the high-dimensional pathology every ANN
+    // deployment eventually meets: a few points become everyone's
+    // neighbor, the k-occurrence distribution skews right, and
+    // search quality degrades asymmetrically): k-occurrence N_k =
+    // in-degree of the served kNN graph INCLUDING the zero-in-degree
+    // nodes (left join onto the corpus — antihubs are the rows a
+    // graph-navigable index can never reach). Skewness S_k — THE
+    // hubness number the paper proposes — from raw bigint power sums
+    // (Σc, Σc², Σc³ exact to ~10⁵ max-degree · 10⁶-node corpora;
+    // the central-moment combination runs in double with fixed
+    // operand order, and var^1.5 is var·sqrt(var) — sqrt is
+    // correctly-rounded IEEE, pow is libm-divergent and never used).
+    // Integer hub rule N_k ≥ 2k (stated — the float mean+2σ rule
+    // would put a comparison on a computed double); antihub = 0.
+    // One left join + ONE combinable aggregation over the cached
+    // graph — no windows, no sorts, corpus-linear. 1-row output read
+    // next to graph_degree_hist (the bucketed view of the same
+    // distribution) and vec_lid (the other ANN-hardness census).
+    "graph_hubness" -> {
+      val mean = "(cast(s1 as double) / n)"
+      val vr = s"(cast(s2 as double) / n - $mean * $mean)"
+      val m3 = s"(cast(s3 as double) / n - 3 * $mean * cast(s2 as double) / n + 2 * $mean * $mean * $mean)"
+      s"""${wmChain("knn")},
+         |alln as (select nn.id, coalesce(i.in_degree, ${bigint("0")}) as c
+         |         from nn left join indeg i on i.vec_id = nn.id),
+         |mo as (select ${bigint("count(*)")} as n, ${bigint("sum(c)")} as s1,
+         |         ${bigint("sum(c * c)")} as s2, ${bigint("sum(c * c * c)")} as s3,
+         |         ${bigint("max(c)")} as mx,
+         |         ${bigint(s"sum(case when c >= ${2 * K} then 1 else 0 end)")} as nh,
+         |         ${bigint(s"sum(case when c >= ${2 * K} then c else 0 end)")} as he,
+         |         ${bigint("sum(case when c = 0 then 1 else 0 end)")} as na
+         |       from alln)
+         |select n as n_nodes, ${bigint(K.toString)} as k,
+         |  ${roundAway(d)(mean, 4)} as mean_k_occurrence,
+         |  mx as max_k_occurrence,
+         |  ${roundAway(d)(s"$m3 / ($vr * sqrt($vr))", 4)} as skewness_sk,
+         |  nh as n_hubs, na as n_antihubs,
+         |  ${roundAway(d)("cast(he as double) / s1", 4)} as hub_in_edge_share,
+         |  ${roundAway(d)("cast(na as double) / n", 4)} as antihub_share
+         |from mo""".stripMargin
+    },
+
   )
 
   private lazy val sqls2: Map[String, String] = Map(
@@ -4812,6 +4855,214 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(sum(freq) / cast(count(*) as double), 2) as avg_frequency,
          |  round(cast(sum(mon) as double) / cast(count(*) as double), 2) as avg_monetary
          |from seg group by segment""".stripMargin,
+
+    // MULTI-TENANT WATERMARKING — the COOPERATIVE complement of
+    // wm_overwrite's adversarial cell (Sheppard, Safavi-Naini,
+    // Ogunbona 2001 framed multiple-watermarking as capacity sharing;
+    // a data broker re-licensing the same corpus marks each tenant on
+    // DISJOINT carriers so both marks decode blind): tenant B's
+    // carriers are the NEXT tranche of THE SAME Efraimidis–Spirakis
+    // ranking the served selection used (ranks target+1..pool — the
+    // prefix property makes disjointness structural, not probabilistic;
+    // the pool buffer is 0.5·target, so B's redundancy is half of A's
+    // and below ~160 vectors some of B's blocks go dark — the honest
+    // capacity boundary, reported per block). B embeds its own key's
+    // QIM lattice from the ORIGINAL values of its rows (one bounded
+    // aggregation over 0.5·rate·N rows); extraction of EACH key runs
+    // over the COMBINED marked table, so the cross-talk is measured,
+    // not assumed — a tenant-B row passing tenant A's CRC gate by
+    // chance (≈ 1/16) adds a noise vote that A's majority absorbs.
+    // All of B's constants (dim groups, signs, message bits) are
+    // plan-time literals; no corpus-wide work beyond the served
+    // chain. 16-row output: per-block errors + valid-carrier counts
+    // for both tenants.
+    "wm_multi_tenant" -> {
+      val key2 = "tenant-b-key"
+      val msg2 = "TENANT-B-MSG-002" // exactly 16 bytes
+      val kc2 = WmConst.keyed(key2)
+      val cipher2 = Crypto.encryptToBase64(msg2, key2)
+      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
+      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
+      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
+      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
+      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
+      val pSums2 = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shift2(g: Int) = {
+        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSq2 = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
+      val esScore = s"(-ln(${prfUniform(d)("'sel'", P, "vec_id")})) / " +
+        "(case when in_degree = 0 then 0.9 when in_degree = 1 then 0.7 when in_degree = 2 then 0.5 when in_degree = 3 then 0.4 else 0.3 end)"
+      def exCtes(pfx: String, wf: Int => String, src: String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from $src group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      val msg2bitsCte =
+        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
+           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
+      def errExpr(v: String, m: String) =
+        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
+      val head =
+        if (views) "with " + Seq(nvCtes, exnCte, msgbitsCte,
+          viewAlias("indeg", "g_indeg"), viewAlias("stego", "g_stego")).mkString(",\n")
+        else fullChain("stego")
+      s"""$head,
+         |mtpar as (select nvec, target, least(target + cast(floor(target * 0.5) as bigint), nvec) as pool
+         |          from (select nvec, greatest(cast(floor(nvec * $Rate) as bigint), $Blocks) as target
+         |                from (select count(*) as nvec from nn) _n) _t),
+         |mdc as (select in_degree, count(*) as c from indeg group by in_degree),
+         |mdo as (select a.in_degree, sum(case when b.in_degree < a.in_degree then b.c else cast(0 as bigint) end) as off
+         |        from mdc a cross join mdc b group by a.in_degree),
+         |mdrk as (select i.vec_id, i.in_degree,
+         |           o.off + row_number() over (partition by i.in_degree order by i.vec_id) as dr
+         |         from indeg i join mdo o on o.in_degree = i.in_degree),
+         |msc as (select vec_id, in_degree, dr, $esScore as score from mdrk),
+         |mcp as (select s.vec_id, s.score, least(cast(floor(s.score * 8) as bigint), 255) as sb
+         |        from msc s cross join mtpar p where s.dr <= p.pool),
+         |mscnt as (select sb, count(*) as c from mcp group by sb),
+         |msoff as (select a.sb, sum(case when b.sb < a.sb then b.c else cast(0 as bigint) end) as off
+         |          from mscnt a cross join mscnt b group by a.sb),
+         |msel as (select c.vec_id,
+         |           o.off + row_number() over (partition by c.sb order by c.score, c.vec_id) as sel_rank
+         |         from mcp c join msoff o on o.sb = c.sb),
+         |bcar as (select vec_id, cast((sel_rank - p.target - 1) % $Blocks as bigint) as blk
+         |         from msel cross join mtpar p where sel_rank > p.target and sel_rank <= p.pool),
+         |bcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+         |         from bcar c join exn x on x.id = c.vec_id),
+         |teagg as (select id, blk, max(nrm) as nrm,
+         |            $pSums2
+         |          from bcex group by id, blk),
+         |tesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
+         |         from teagg),
+         |teshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSq2) as pn
+         |          from tesh),
+         |bstego as (select x.id, x.pos,
+         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |           from bcex x join teshn e on e.id = x.id),
+         |allst as (select id, pos, sval from stego union all select id, pos, sval from bstego),
+         |${exCtes("a_", wLitOf, "allst")},
+         |${exCtes("b_", w2LitOf, "allst")},
+         |$msg2bitsCte,
+         |ea as (select m.blk as blk, ${errExpr("v", "m")} as errors_tenant_a,
+         |         ${bigint("coalesce(max(v.n), 0)")} as n_valid_a
+         |       from msgbits m left join a_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
+         |eb as (select m.blk as blk, ${errExpr("v", "m")} as errors_tenant_b,
+         |         ${bigint("coalesce(max(v.n), 0)")} as n_valid_b
+         |       from msgbits2 m left join b_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
+         |select ${bigint("ea.blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("ea.errors_tenant_a")} as errors_tenant_a, ea.n_valid_a,
+         |  ${bigint("eb.errors_tenant_b")} as errors_tenant_b, eb.n_valid_b
+         |from ea join eb on eb.blk = ea.blk""".stripMargin
+    },
+
+    // WATERMARK REPAIR — the maintenance leg of the lifecycle
+    // (backup/restore recovers the PRE-embed state; THIS recovers the
+    // MARK after damage, the "re-embed only what broke" job a
+    // deployed system schedules when wm_vote_margin's early-warning
+    // margins sag): gaussian noise at σ = 0.04 (just under the
+    // wm_ber_curve cliff Δ/(2√3) ≈ 0.043, so a sizable carrier
+    // fraction fails the CRC gate while majorities still stand) hits
+    // the cached stego rows; the DAMAGED set = the carrier registry
+    // (the kept g_carriers artifact — production repair knows its
+    // carrier ids; blind extraction alone cannot name a failed
+    // carrier's block) anti-joined against the CRC-valid decode ids.
+    // Those rows re-embed THE SAME key/message QIM lattice from their
+    // CURRENT (attacked) values — QIM re-snapping is idempotent
+    // repair: the re-embedded projections land exactly on
+    // correct-parity lattice points, so every repaired carrier
+    // decodes clean — and the post-repair extraction runs over
+    // valid-as-attacked ∪ repaired rows. Chance-valid-but-wrong
+    // carriers (CRC passed, block/bits garbled) are NOT repaired and
+    // keep their noise votes — the residual the post column reports
+    // honestly. Every pass is over rate·N carrier rows; no corpus
+    // work. 16-row output: per-block pre/post errors + the repair
+    // census.
+    "wm_repair" -> {
+      val sigma = "0.04"
+      def exC(pfx: String, src: String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from $src group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      val pS = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shiftE(g: Int) = {
+        val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSqR = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
+      def errExpr(v: String, m: String) =
+        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
+      s"""${wmChain("overwrite")},
+         |att as (select id, pos, sval + $sigma * ${prfGauss(d)("'rep'", "id", "pos")} as sval from stego),
+         |${exC("pre_", "att")},
+         |dmg as (select c.vec_id, c.blk from carriers c
+         |        left join pre_valid v on v.id = c.vec_id where v.id is null),
+         |dn as (select a.id, sqrt(sum(a.sval * a.sval)) as nrm
+         |       from att a join dmg m on m.vec_id = a.id group by a.id),
+         |dcex as (select m.vec_id as id, m.blk, a.pos, a.sval / n.nrm as nval, n.nrm
+         |         from dmg m join att a on a.id = m.vec_id join dn n on n.id = m.vec_id),
+         |reagg as (select id, blk, max(nrm) as nrm,
+         |            $pS
+         |          from dcex group by id, blk),
+         |resh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
+         |         from reagg),
+         |reshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSqR) as pn
+         |          from resh),
+         |rfix as (select x.id, x.pos,
+         |           (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |         from dcex x join reshn e on e.id = x.id),
+         |fixed as (select a.id, a.pos, a.sval from att a
+         |          left join dmg m on m.vec_id = a.id where m.vec_id is null
+         |          union all select id, pos, sval from rfix),
+         |${exC("post_", "fixed")},
+         |nrep as (select ${bigint("count(*)")} as n_repaired from dmg),
+         |epre as (select m.blk as blk, ${errExpr("v", "m")} as pre_errors,
+         |           ${bigint("coalesce(max(v.n), 0)")} as pre_valid
+         |         from msgbits m left join pre_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
+         |epost as (select m.blk as blk, ${errExpr("v", "m")} as post_errors,
+         |            ${bigint("coalesce(max(v.n), 0)")} as post_valid
+         |          from msgbits m left join post_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
+         |select ${bigint("a.blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("a.pre_errors")} as pre_errors, a.pre_valid,
+         |  ${bigint("b.post_errors")} as post_errors, b.post_valid,
+         |  n.n_repaired
+         |from epre a join epost b on b.blk = a.blk cross join nrep n""".stripMargin
+    },
 
   )
 
@@ -6864,6 +7115,101 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("a.day")} as day, a.dau, m.mau,
          |  ${roundAway(d)("cast(a.dau as double) / m.mau", 4)} as stickiness
          |from dau a join mau m on m.day = a.day""".stripMargin,
+
+    // SPEARMAN RANK CORRELATION with tie correction — the monotone-
+    // association twin of the Pearson r (events_corr_matrix family):
+    // does a deeper discount MONOTONICALLY move quantity, linear or
+    // not? Both columns live on tiny grids (discount: 11 cent values,
+    // quantity: 50 integers), so the fractional average ranks come
+    // from the per-value CENSUS (cum-below + (cnt+1)/2 — the exact
+    // tie-corrected midrank), doubled to the INTEGER 2R = 2·cum + cnt
+    // + 1 (Pearson is affine-invariant, so ρ on 2R equals ρ on R with
+    // zero float residue). The joint (x, y) census is ≤ 550 cells;
+    // rank moments fold cnt·Rx·Ry as exact bigints (ceiling ~2M rows
+    // — past that the products move to double, the ttest convention,
+    // stated); the final combination is a fixed double tree. Pearson
+    // on the raw grids rides along — the ρ-vs-r gap is the
+    // nonlinearity readout. Three combinable groupBys (two marginal
+    // censuses + one joint), two windows over ≤ 50 domain rows. 1-row
+    // output.
+    "q_spearman" -> {
+      def census(col: String, name: String) =
+        s"""$name as (select $col as v, ${bigint("count(*)")} as cnt from li group by $col),
+           |${name}r as (select v, cnt,
+           |    2 * coalesce(${bigint(s"sum(cnt) over (order by v rows between unbounded preceding and 1 preceding)")}, 0) + cnt + 1 as r2
+           |  from $name)""".stripMargin
+      val num = "(cast(n as double) * sxy - cast(sx as double) * sy)"
+      val den = "sqrt((cast(n as double) * sxx - cast(sx as double) * sx) * (cast(n as double) * syy - cast(sy as double) * sy))"
+      val rnum = "(cast(n as double) * rxy - cast(rx as double) * ry)"
+      val rden = "sqrt((cast(n as double) * rxx - cast(rx as double) * rx) * (cast(n as double) * ryy - cast(ry as double) * ry))"
+      s"""with li as (select ${bigint(roundAway(d)("l_discount * 100", 0))} as x,
+         |              ${bigint(roundAway(d)("l_quantity", 0))} as y from lineitem),
+         |${census("x", "cx")},
+         |${census("y", "cy")},
+         |jc as (select x, y, ${bigint("count(*)")} as cnt from li group by x, y),
+         |jr as (select j.cnt, a.r2 as rx, b.r2 as ry, j.x, j.y
+         |       from jc j join cxr a on a.v = j.x join cyr b on b.v = j.y),
+         |mo as (select ${bigint("sum(cnt)")} as n,
+         |         ${bigint("sum(cnt * rx)")} as rx, ${bigint("sum(cnt * ry)")} as ry,
+         |         ${bigint("sum(cnt * rx * ry)")} as rxy,
+         |         ${bigint("sum(cnt * rx * rx)")} as rxx, ${bigint("sum(cnt * ry * ry)")} as ryy,
+         |         ${bigint("sum(cnt * x)")} as sx, ${bigint("sum(cnt * y)")} as sy,
+         |         ${bigint("sum(cnt * x * y)")} as sxy,
+         |         ${bigint("sum(cnt * x * x)")} as sxx, ${bigint("sum(cnt * y * y)")} as syy,
+         |         ${bigint("count(*)")} as n_cells
+         |       from jr)
+         |select n as n_rows, n_cells as n_joint_cells,
+         |  ${roundAway(d)(s"$rnum / $rden", 6)} as rho_spearman,
+         |  ${roundAway(d)(s"$num / $den", 6)} as r_pearson,
+         |  ${roundAway(d)(s"$rnum / $rden - $num / $den", 6)} as rho_minus_r
+         |from mo""".stripMargin
+    },
+
+    // CUSTOMER VALUE DECILES — the ntile(10) BI shape (the report
+    // behind "our top decile drives X% of revenue") done scale-true:
+    // a global ntile window would sort every customer on one
+    // partition, so the decile index comes from the carrier GRID-RANK
+    // pattern instead — per-customer lifetime spend in exact decimal
+    // cents, coarse $1000 spend buckets (domain-bounded ≤ ~500 rows),
+    // cumulative bucket offsets over those rows, bucket-LOCAL
+    // row_number (each window partition is one bucket), global rank =
+    // offset + local rank, decile = the exact integer
+    // ⌊(rank−1)·10 / n⌋ — no fractional ntile remainder ambiguity
+    // (ntile's uneven-group rule is engine-specific; the floor
+    // formula is not, stated). Per-decile: customers, exact decimal
+    // spend, spend share, cumulative share (10-row window), min/max
+    // spend — the top-decile row IS the concentration readout
+    // (q_pareto_share's Lorenz curve gives the continuous version).
+    // Two groupBys + one bounded window family. 10-row output.
+    "q_customer_deciles" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""with cs as (select o_custkey, ${bigint("sum(cast(o_totalprice as decimal(18,2)) * 100)")} as cents
+         |            from orders group by o_custkey),
+         |nb as $matKw(select ${bigint("count(*)")} as n from cs),
+         |bk as (select o_custkey, cents, ${d.idiv("cents", "100000")} as bucket from cs),
+         |bc as (select bucket, ${bigint("count(*)")} as bn from bk group by bucket),
+         |off as (select bucket,
+         |          coalesce(${bigint("sum(bn) over (order by bucket desc rows between unbounded preceding and 1 preceding)")}, 0) as ofs
+         |        from bc),
+         |rk as (select b.o_custkey, b.cents,
+         |         o.ofs + ${bigint("row_number() over (partition by b.bucket order by b.cents desc, b.o_custkey)")} as rnk
+         |       from bk b join off o on o.bucket = b.bucket),
+         |dc as (select ${d.idiv("(rnk - 1) * 10", "n")} as decile, cents
+         |       from rk cross join nb),
+         |ag as (select decile, ${bigint("count(*)")} as n_customers,
+         |         ${bigint("sum(cents)")} as spend_cents,
+         |         ${bigint("min(cents)")} as min_cents, ${bigint("max(cents)")} as max_cents
+         |       from dc group by decile),
+         |tot as (select ${bigint("sum(spend_cents)")} as ts from ag)
+         |select ${bigint("decile")} as decile, n_customers,
+         |  ${roundAway(d)("cast(spend_cents as double) / 100", 2)} as total_spend,
+         |  ${roundAway(d)("cast(spend_cents as double) / n_customers / 100", 2)} as avg_spend,
+         |  ${roundAway(d)("cast(min_cents as double) / 100", 2)} as min_spend,
+         |  ${roundAway(d)("cast(max_cents as double) / 100", 2)} as max_spend,
+         |  ${roundAway(d)("cast(spend_cents as double) / t.ts", 4)} as spend_share,
+         |  ${roundAway(d)("cast(sum(spend_cents) over (order by decile rows between unbounded preceding and current row) as double) / t.ts", 4)} as cum_spend_share
+         |from ag cross join tot t""".stripMargin
+    },
 
   )
 
@@ -8962,6 +9308,193 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint(s"case when abs($diff) > 1e-12 then cast(ceil($reqN) as bigint) else null end")} as required_n_per_arm,
          |  ${bigint(s"case when abs($diff) >= $mde then 1 else 0 end")} as powered_flag
          |from a cross join b""".stripMargin
+    },
+
+    // CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi, Walker 2013 — the
+    // pre-experiment-covariate adjustment every large experimentation
+    // platform runs: the user's PRE-period value predicts their
+    // POST-period value, so regressing it out shrinks metric variance
+    // without touching the treatment effect): variant = the served
+    // user_id % 2 assignment; pre = days before the Jan 16 UTC
+    // midpoint (plan-time literal 19738 = epoch-day of 2024-01-16),
+    // post = the rest. Per-user pre/post value totals on the 1e-2
+    // cents grid are EXACT bigint sums (one combinable groupBy over
+    // events); all cross-moments (Σx, Σy, Σxy, Σx², Σy² per variant
+    // AND pooled) fold in ONE second combinable groupBy over the
+    // ≤ |users| rows. θ = cov(x,y)/var(x) on the POOLED users (the
+    // standard choice — per-arm θ biases the effect), adjusted mean
+    // ȳ_v − θ(x̄_v − x̄), adjusted variance vy − 2θ·cov + θ²·vx per
+    // arm, both z's side by side — the variance-reduction receipt is
+    // var_adj/var_raw. Moment PRODUCTS run in double (the ttest
+    // convention: n·Σxy exceeds bigint first; double products are
+    // IEEE-identical in both engines — a precision note past ~5k
+    // users where they exceed 2^53, not a divergence). The synthetic
+    // corpus plants no correlation between halves, so the measured
+    // reduction ≈ 0 IS the honest readout (stated — the machinery is
+    // what's under test). 2-row output.
+    "events_ab_cuped" -> {
+      val x = bigint(roundAway(d)("value * 100", 0))
+      // per-variant prefixed moment getters over the wide 1-row table
+      def m(p: String, c: String) = s"cast(${p}$c as double)"
+      def vr(p: String, a: String, b: String) =
+        s"((${m(p, "n")} * ${m(p, s"s$a$b")} - ${m(p, s"s$a")} * ${m(p, s"s$b")}) / (${m(p, "n")} * (${m(p, "n")} - 1)))"
+      val theta = s"((pn * cast(psxy as double) - cast(psx as double) * psy) / (pn * cast(psxx as double) - cast(psx as double) * psx))"
+      def mean(p: String, c: String) = s"(${m(p, s"s$c")} / ${p}n / 100)"
+      def meanAdj(p: String) = s"(${mean(p, "y")} - th * (${mean(p, "x")} - cast(psx as double) / pn / 100))"
+      def varAdj(p: String) =
+        s"((${vr(p, "y", "y")} - 2 * th * ${vr(p, "x", "y")} + th * th * ${vr(p, "x", "x")}) / 10000)"
+      def varRaw(p: String) = s"(${vr(p, "y", "y")} / 10000)"
+      val diffAdj = s"(${meanAdj("a")} - ${meanAdj("b")})"
+      val diffRaw = s"(${mean("a", "y")} - ${mean("b", "y")})"
+      val zAdj = s"($diffAdj / sqrt(${varAdj("a")} / an + ${varAdj("b")} / bn))"
+      val zRaw = s"($diffRaw / sqrt(${varRaw("a")} / an + ${varRaw("b")} / bn))"
+      def arm(v: Int, p: String) =
+        s"""select ${bigint(v.toString)} as variant, ${bigint(s"${p}n")} as n_users,
+           |  ${roundAway(d)(mean(p, "x"), 4)} as mean_pre,
+           |  ${roundAway(d)(mean(p, "y"), 4)} as mean_post,
+           |  ${roundAway(d)(meanAdj(p), 4)} as mean_adjusted,
+           |  ${roundAway(d)(varRaw(p), 4)} as var_raw,
+           |  ${roundAway(d)(varAdj(p), 4)} as var_adjusted,
+           |  ${roundAway(d)(s"${varAdj(p)} / ${varRaw(p)}", 4)} as var_ratio,
+           |  ${roundAway(d)("th", 6)} as theta,
+           |  ${roundAway(d)(diffAdj, 4)} as diff_adjusted,
+           |  ${roundAway(d)(zAdj, 4)} as z_adjusted,
+           |  ${roundAway(d)(zRaw, 4)} as z_raw
+           |from f""".stripMargin
+      s"""with e as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day, $x as v from events),
+         |u as (select user_id, user_id % 2 as variant,
+         |        ${bigint("sum(case when day < 19738 then v else 0 end)")} as x,
+         |        ${bigint("sum(case when day >= 19738 then v else 0 end)")} as y
+         |      from e group by user_id),
+         |mo as (select variant, ${bigint("count(*)")} as n,
+         |         ${bigint("sum(x)")} as sx, ${bigint("sum(y)")} as sy,
+         |         ${bigint("sum(x * y)")} as sxy, ${bigint("sum(x * x)")} as sxx,
+         |         ${bigint("sum(y * y)")} as syy
+         |       from u group by variant),
+         |w as (select
+         |        max(case when variant = 0 then n end) as an,
+         |        max(case when variant = 0 then sx end) as asx,
+         |        max(case when variant = 0 then sy end) as asy,
+         |        max(case when variant = 0 then sxy end) as asxy,
+         |        max(case when variant = 0 then sxx end) as asxx,
+         |        max(case when variant = 0 then syy end) as asyy,
+         |        max(case when variant = 1 then n end) as bn,
+         |        max(case when variant = 1 then sx end) as bsx,
+         |        max(case when variant = 1 then sy end) as bsy,
+         |        max(case when variant = 1 then sxy end) as bsxy,
+         |        max(case when variant = 1 then sxx end) as bsxx,
+         |        max(case when variant = 1 then syy end) as bsyy,
+         |        cast(sum(n) as double) as pn, sum(sx) as psx, sum(sy) as psy,
+         |        sum(sxy) as psxy, sum(sxx) as psxx
+         |      from mo),
+         |f as (select w.*, $theta as th from w)
+         |${arm(0, "a")}
+         |union all
+         |${arm(1, "b")}""".stripMargin
+    },
+
+    // POISSON-BOOTSTRAP CONFIDENCE INTERVAL (Chamandy et al. 2012,
+    // "Estimating Uncertainty for Massive Data Streams" — Google's
+    // scale-true bootstrap: classic resampling needs N draws per
+    // replica coordinated globally, Poissonized weights w ~ Poisson(1)
+    // need ONE map-side decision per (row, replica) and every replica
+    // sum stays a combinable aggregation): B = 40 replicas of the mean
+    // purchase value. Each row derives its 40 weights from EIGHT 60-bit
+    // keyed PRFs sliced into five 12-bit uniforms each (the prfGauss
+    // unpacking trick — 8 md5 calls per row, not 40), mapped through
+    // the integer-grid Poisson(1) inverse CDF on the 4096 grid
+    // (thresholds 1507/3014/3767/4018/4081/4094, cap 6; the grid
+    // distribution's exact mean is 4095/4096 ≈ 0.9998 — stated). ONE
+    // aggregation folds all 80 weighted sums (Σw·x, Σw per replica —
+    // exact bigint cents); replica means unpivot over a 40-row spine,
+    // the 95% CI is rank-selected at ceil(B·0.025)/ceil(B·0.975) in
+    // (mean, replica) order, and the bootstrap SE comes from exact
+    // integer moments of the 1e-4-quantized replica means. Work:
+    // one corpus scan + O(B) rows after it, at any corpus size.
+    "events_boot_ci" -> {
+      val B = 40
+      def h(g: Int) = s"h$g"
+      def chunk(rep: Int): String = {
+        val shift = 1L << (12 * (rep % 5))
+        val base = if (shift == 1L) h(rep / 5) else s"${d.idiv(h(rep / 5), shift.toString)}"
+        s"($base % 4096)"
+      }
+      def wExpr(rep: Int): String =
+        s"""case when ${chunk(rep)} < 1507 then 0 when ${chunk(rep)} < 3014 then 1
+           | when ${chunk(rep)} < 3767 then 2 when ${chunk(rep)} < 4018 then 3
+           | when ${chunk(rep)} < 4081 then 4 when ${chunk(rep)} < 4094 then 5 else 6 end""".stripMargin.replaceAll("\n", "")
+      val hashCols = (0 until 8).map(g =>
+        s"${prf(d)("'boot'", s"'$g'", "event_id")} as ${h(g)}").mkString(",\n|        ")
+      val wCols = (0 until B).map(r => s"${wExpr(r)} as w$r").mkString(",\n|        ")
+      val sumCols = (0 until B).map(r =>
+        s"${bigint(s"sum(w$r * x)")} as swx$r, ${bigint(s"sum(w$r)")} as sw$r").mkString(",\n|        ")
+      val mCase = (0 until B).map(r =>
+        s"when $r then cast(swx$r as double) / sw$r / 100").mkString("case r ", " ", " end")
+      s"""with p as (select event_id, ${bigint(roundAway(d)("value * 100", 0))} as x
+         |           from events where event_type = 'purchase'),
+         |ph as (select x,
+         |        $hashCols
+         |       from p),
+         |pw as (select x,
+         |        $wCols
+         |       from ph),
+         |agg as (select ${bigint("count(*)")} as n, ${bigint("sum(x)")} as sx,
+         |        $sumCols
+         |        from pw),
+         |reps as (select r, $mCase as m
+         |         from agg cross join ${rangeTable("rs", "r", 0, B - 1)}),
+         |rq as (select r, m, ${bigint(roundAway(d)("m * 10000", 0))} as q,
+         |         ${bigint("row_number() over (order by m, r)")} as rn from reps),
+         |se as (select ${bigint("count(*)")} as b, ${bigint("sum(q)")} as s1,
+         |              ${bigint("sum(q * q)")} as s2 from rq),
+         |ci as (select
+         |         min(case when rn = ${math.ceil(B * 0.025).toInt} then m end) as lo,
+         |         min(case when rn = ${math.ceil(B * 0.975).toInt} then m end) as hi
+         |       from rq)
+         |select n as n_rows, ${bigint(B.toString)} as n_replicas,
+         |  ${roundAway(d)("cast(sx as double) / n / 100", 4)} as point_mean,
+         |  ${roundAway(d)("ci.lo", 4)} as boot_lo_95,
+         |  ${roundAway(d)("ci.hi", 4)} as boot_hi_95,
+         |  ${roundAway(d)("sqrt((cast(se.b as double) * se.s2 - cast(se.s1 as double) * se.s1) / (cast(se.b as double) * (se.b - 1))) / 10000", 4)} as boot_se,
+         |  ${bigint("case when cast(sx as double) / n / 100 >= ci.lo and cast(sx as double) / n / 100 <= ci.hi then 1 else 0 end")} as point_in_ci
+         |from agg cross join ci cross join se""".stripMargin
+    },
+
+    // MULTI-WINDOW SLO BURN-RATE ALERTS (Google SRE Workbook ch. 5 —
+    // the alerting policy production services run on their error
+    // budget: a SHORT window catches fast burns, a LONG window keeps
+    // the alert from flapping, and paging requires BOTH to exceed the
+    // threshold): SLI = error share of all events per hour (the
+    // synthetic corpus runs ~20% errors, so the stated SLO is 75% —
+    // error budget 0.25; thresholds 2× for page, 1.5× for ticket,
+    // adapted to the corpus and stated). Hourly error/total counts are
+    // ONE combinable groupBy over the calendar-bounded ≤ 720 hour
+    // rows; the 1h/6h/24h rolling sums are RANGE frames over the
+    // integer hour index (value-based, so a silent hour contributes
+    // zero instead of shifting the frame); burn = (err/total)/budget,
+    // one division pair per window. Integer counts end to end;
+    // per-hour output with both alert flags — the pageable moments
+    // are the rows where page_alert = 1.
+    "events_slo_burn" -> {
+      def roll(c: String, w: Int) =
+        s"${bigint(s"sum($c) over (order by hr range between ${w - 1} preceding and current row)")}"
+      def burn(e: String, t: String) = s"(cast($e as double) / $t / 0.25)"
+      s"""with he as (select ${d.idiv(evSec("ts"), "3600")} as hr,
+         |              ${bigint("count(*)")} as n,
+         |              ${bigint("sum(case when event_type = 'error' then 1 else 0 end)")} as ne
+         |            from events group by ${d.idiv(evSec("ts"), "3600")}),
+         |rw as (select hr, n, ne,
+         |         ${roll("ne", 1)} as e1, ${roll("n", 1)} as t1,
+         |         ${roll("ne", 6)} as e6, ${roll("n", 6)} as t6,
+         |         ${roll("ne", 24)} as e24, ${roll("n", 24)} as t24
+         |       from he)
+         |select ${bigint("hr")} as hour_idx, n as n_events, ne as n_errors,
+         |  ${roundAway(d)(burn("e1", "t1"), 4)} as burn_1h,
+         |  ${roundAway(d)(burn("e6", "t6"), 4)} as burn_6h,
+         |  ${roundAway(d)(burn("e24", "t24"), 4)} as burn_24h,
+         |  ${bigint(s"case when ${burn("e1", "t1")} > 2.0 and ${burn("e6", "t6")} > 2.0 then 1 else 0 end")} as page_alert,
+         |  ${bigint(s"case when ${burn("e6", "t6")} > 1.5 and ${burn("e24", "t24")} > 1.5 then 1 else 0 end")} as ticket_alert
+         |from rw""".stripMargin
     }
   )
 
