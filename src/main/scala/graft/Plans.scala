@@ -51,6 +51,10 @@ object Plans {
     "q_customer_deciles" -> "per-customer decimal spend groupBy, then the grid-rank pattern: coarse $1000 bucket counts (<= ~500 domain rows), cumulative offsets over those rows, bucket-LOCAL row_number windows — no global single-partition sort; decile aggregation + 10-row share windows close it",
     "wm_multi_tenant" -> "tenant B's tranche re-ranks the cached g_indeg pool (two-pass distributed ranking, the carrier pattern); B's embed is one masked-sum aggregation over 0.5*rate*N rows + broadcast join back; both extractions are one aggregation each over the combined rate*1.5*N carrier rows; all tenant constants are plan-time literals",
     "wm_repair" -> "attack + pre-extract over the cached g_stego carrier rows; damaged set = carriers anti-join CRC-valid ids (broadcastable); re-embed = one masked-sum aggregation over damaged rows only; post-extract over valid-union-repaired — four bounded carrier-row passes, no corpus work",
+    "q_order_reconcile" -> "one exact-integer rollup groupBy over lineitem + one full-outer hash join against headers + one bucket census — the two fact scans are the only at-scale cost; the gap ladder and quantized means are map-side",
+    "events_churn_labels" -> "ONE combinable per-user groupBy computes every feature AND the label (conditional aggregates over the same scan — the point-in-time split is a literal predicate, not a second pass); the bucket census folds <= ~12 domain rows",
+    "text_burrows_delta" -> "one word explode + one vocabulary groupBy (corpus-priced), zipf bucketed pre-rank for the top-30 (8 bucket-partitioned windows + pairwise rank over <= 240 survivors), then everything runs on the <= 600-row source-x-word grid — the 190-pair join is grid-sized",
+    "multimodal_image_dhash" -> "batched mapPartitions decode to 8 bytes/image of hash state; 4-way band explode + band-bucket self-join routes candidates (pigeonhole h<=3), bit_count(xor) Hamming on candidates only; census aggregations are candidate-sized — the image decode is the only corpus-priced pass",
     "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
     "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
     "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",

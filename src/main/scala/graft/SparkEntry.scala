@@ -56,6 +56,9 @@ object SparkEntry {
       "multimodal_bmp_features" -> ((s, dir) => graft.operators.Bmp.bmpFeatures(s, dir)),
       // real PNG decode (render → deflate-encode → chunk/CRC/unfilter parse)
       "multimodal_png_stats" -> ((s, dir) => graft.operators.Png.pngStats(s, dir)),
+      // perceptual-hash IMAGE DEDUP over the decoded pixels (dHash
+      // gradient-sign bits → banded near-dup census)
+      "multimodal_image_dhash" -> ((s, dir) => graft.operators.Bmp.imageDhash(s, dir)),
       // near-dup pairs → deletion groups: checkpoint the pair chain
       // once, then 6 unrolled min-label rounds over the materialized
       // rows (Catalyst re-inlines multi-referenced CTEs, so the pure
@@ -319,6 +322,7 @@ object SparkEntry {
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
         "multimodal_bmp_features" -> graft.operators.Bmp.bmpFeaturesOracleSql,
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
+        "multimodal_image_dhash" -> graft.operators.Bmp.imageDhashOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),

@@ -229,6 +229,114 @@ object Bmp {
       |  cast(sum(bright) as bigint) as n_bright
       |from f group by label""".stripMargin
 
+  /** 56-bit difference hash (dHash — the perceptual fingerprint behind
+    * production image dedup, e.g. the imagehash library's dhash): bit
+    * (r, c) = [pixel(r, c) > pixel(r, c+1)] over the decoded 8×8
+    * grayscale rows, packed MSB-first. Adjacent-pixel gradient SIGNS
+    * survive brightness/contrast shifts, which is why dHash (not a
+    * cryptographic hash) is the image-dedup primitive. Row-major over
+    * the decoded (un-flipped) image order, so the hash witnesses the
+    * bottom-up decode like vgrad does. */
+  def dhash(px: Array[Int], width: Int): Long = {
+    var h = 0L
+    var r = 0
+    while (r < width) {
+      var c = 0
+      while (c < width - 1) {
+        h = (h << 1) | (if (px(r * width + c) > px(r * width + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** The banded near-dup census over a (vec_id, dhash) source — shared
+    * text for both engines (only the xor spelling differs). 4 × 14-bit
+    * bands rout candidates (the simhash pigeonhole: hamming ≤ 3 is
+    * GUARANTEED a shared band); candidate work is Σ bucket² — at 100×
+    * growth the band split widens per the simhashBandsFor ladder
+    * (stated; the default 4×14 holds to ~1M images at ≤ 50·N random
+    * collisions). The hamming histogram + totals row make the output
+    * non-empty at every SF even when no candidates collide. */
+  private def dhashCensusSql(engine: String, hashSrc: String): String = {
+    val xorAB = if (engine == "spark") "a.dhash ^ b.dhash" else "xor(a.dhash, b.dhash)"
+    val spine = if (engine == "spark")
+      "(select explode(sequence(0, 3)) as k)" else "(select unnest(generate_series(0, 3)) as k)"
+    // band extraction stays in INTEGER arithmetic (a double round-trip
+    // would drop low bits of the 56-bit hash past 2^53)
+    def idiv(a: String, b: Long) =
+      if (engine == "spark") s"(($a) div $b)" else s"(($a) // $b)"
+    val bv = (0 to 3).map(k =>
+      s"when $k then ${if (k == 0) "dhash" else idiv("dhash", 1L << (14 * k))} % 16384")
+      .mkString("case k ", " ", " end")
+    s"""with hs as ($hashSrc),
+       |bd as (select vec_id, dhash, k, $bv as bv
+       |       from hs cross join $spine sp),
+       |cand as (select distinct a.vec_id as ia, b.vec_id as ib,
+       |           bit_count($xorAB) as hamming
+       |         from bd a join bd b on b.k = a.k and b.bv = a.bv and b.vec_id > a.vec_id),
+       |hh as (select hamming, cast(count(*) as bigint) as n_pairs from cand group by hamming),
+       |hc as (select dhash, cast(count(*) as bigint) as c from hs group by dhash),
+       |tot as (select cast(count(*) as bigint) as n_images,
+       |          cast(count(distinct dhash) as bigint) as n_distinct,
+       |          cast(sum(case when c > 1 then c else 0 end) as bigint) as n_exact_dup_images,
+       |          cast((select count(*) from cand) as bigint) as n_candidate_pairs,
+       |          cast((select count(*) from cand where hamming <= 6) as bigint) as n_near_dup_pairs
+       |        from hc)
+       |select cast(-1 as bigint) as hamming, n_images as n_pairs,
+       |  n_distinct, n_exact_dup_images, n_candidate_pairs, n_near_dup_pairs
+       |from tot
+       |union all
+       |select cast(h.hamming as bigint), h.n_pairs,
+       |  t.n_distinct, t.n_exact_dup_images, t.n_candidate_pairs, t.n_near_dup_pairs
+       |from hh h cross join tot t""".stripMargin
+  }
+
+  /** Oracle-checked query: render → encode → decode → dHash per image,
+    * then the banded near-dup census — IMAGE DEDUP, the multimodal leg
+    * of the dedup matrix (exact dup = equal hash, near dup = hamming
+    * ≤ 6 among band candidates). Batched mapPartitions decode; the
+    * census runs in SQL over the 8-byte-per-image hash table. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.register(spark, dir)
+    val vecs = spark.table("embeddings")
+      .selectExpr("cast(vec_id as bigint)", "cast(embedding as array<double>)")
+      .as[(Long, Seq[Double])]
+    val hashed = vecs.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { case (id, v) =>
+          val gray = v.map(x => pixelByte(x).toByte).toArray
+          val bytes = encode24(8, 8, gray)
+          parse(bytes) // full validation walk
+          (id, dhash(pixels(bytes), 8))
+        }
+      }
+    }.toDF("vec_id", "dhash")
+    hashed.createOrReplaceTempView("g_img_dhash")
+    spark.sql(dhashCensusSql("spark", "select vec_id, dhash from g_img_dhash"))
+  }
+
+  /** DuckDB oracle for [[imageDhash]]: the 56-bit dHash recomputed in
+    * closed form from the pixel formula (gradient-sign bits packed
+    * MSB-first at row-major positions), then the identical census —
+    * agreement witnesses decode order bit-for-bit (any row flip or
+    * stride slip scrambles the hash). */
+  val imageDhashOracleSql: String = {
+    val hashSrc =
+      """select vec_id, sum(b * cast(power(2, 55 - pos) as bigint)) as dhash from (
+        |  select vec_id, ((i - 1) // 8) * 7 + ((i - 1) % 8) as pos,
+        |    case when least(255, greatest(0, cast(floor((e[i] + 1) * 128) as bigint))) >
+        |              least(255, greatest(0, cast(floor((e[i + 1] + 1) * 128) as bigint)))
+        |         then 1 else 0 end as b
+        |  from (select vec_id, cast(embedding as double[]) as e,
+        |          unnest(generate_series(1, 64)) as i from embeddings) _ix
+        |  where (i - 1) % 8 < 7) _bits
+        |group by vec_id""".stripMargin
+    dhashCensusSql("duckdb", hashSrc)
+  }
+
   /** DuckDB oracle: the same stats straight from the pixel formula —
     * 3 channel bytes per component, 8×8 image, 54 + 192-byte files
     * (stride 24 is already 4-byte aligned at width 8). */

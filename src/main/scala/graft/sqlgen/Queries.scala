@@ -2808,6 +2808,59 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from mo""".stripMargin
     },
 
+    // BURROWS' DELTA — stylometric source fingerprinting (Burrows
+    // 2002; Evert et al. 2017 showed it is a z-normalized city-block
+    // distance): which sources WRITE alike, measured on the top-30
+    // corpus function words (frequent words carry style, content
+    // words carry topic). Top-30 via the zipf bucketed pre-rank (8
+    // PRF buckets × per-bucket window top-30 — inside the
+    // RewriteWindowTopK guard — then exact pairwise rank over ≤ 240
+    // survivors; never a vocabulary-wide sort). Per-source relative
+    // frequencies land on the EXACT ppb integer grid (cnt·10⁹ div
+    // total — integer division, zero float residue); per-word
+    // mean/std across the 20 sources fold exact integer moments;
+    // z-scores quantize to the 1e-6 grid so the 30-term city-block
+    // sum is an EXACT bigint (a float fold would be order-sensitive).
+    // A zero-variance word contributes exactly 0 (integer-compare
+    // guard, stated). Corpus work: the one word explode + a
+    // vocabulary groupBy; everything after is ≤ 600 grid rows.
+    // 190-row output (unordered source pairs).
+    "text_burrows_delta" -> {
+      s"""with $wordCtes,
+         |wc as (select wd, ${bigint("count(*)")} as c from wx group by wd),
+         |pre as (select wd, c from (
+         |  select wd, c, row_number() over (partition by ${prfMod(d)(8, "'bbkt'", "wd")} order by c desc, wd) as prn
+         |  from wc) _p where prn <= 30),
+         |rk as (select a.wd, ${bigint("1 + count(*)")} as rank from pre a
+         |       join pre b on b.c > a.c or (b.c = a.c and b.wd < a.wd)
+         |       group by a.wd, a.c
+         |       union all
+         |       select a.wd, ${bigint("1")} as rank from pre a
+         |       where not exists (select 1 from pre b where b.c > a.c or (b.c = a.c and b.wd < a.wd))),
+         |top as (select wd from rk where rank <= 30),
+         |sw as (select dd.source, x.wd from wx x join documents dd on dd.doc_id = x.doc_id),
+         |stot as (select source, ${bigint("count(*)")} as n from sw group by source),
+         |scnt as (select s.source, s.wd, ${bigint("count(*)")} as c
+         |         from sw s join top t on t.wd = s.wd group by s.source, s.wd),
+         |grid as (select st.source, t.wd, st.n, ${bigint("coalesce(sc.c, 0)")} as c
+         |         from stot st cross join top t
+         |         left join scnt sc on sc.source = st.source and sc.wd = t.wd),
+         |ppb as (select source, wd, ${d.idiv("c * 1000000000", "n")} as p from grid),
+         |ws as (select wd, ${bigint("count(*)")} as s, ${bigint("sum(p)")} as sp,
+         |              ${bigint("sum(p * p)")} as spp
+         |       from ppb group by wd),
+         |z as (select p.source, p.wd,
+         |        case when w.s * w.spp - w.sp * w.sp = 0 then ${bigint("0")}
+         |             else ${bigint(roundAway(d)("(p.p - cast(w.sp as double) / w.s) / sqrt((cast(w.s as double) * w.spp - cast(w.sp as double) * w.sp) / (cast(w.s as double) * (w.s - 1))) * 1000000", 0))}
+         |        end as zq
+         |      from ppb p join ws w on w.wd = p.wd)
+         |select a.source as source_a, b.source as source_b,
+         |  ${roundAway(d)("cast(sum(abs(a.zq - b.zq)) as double) / 30 / 1000000", 4)} as delta_burrows,
+         |  ${bigint("count(*)")} as n_words
+         |from z a join z b on b.wd = a.wd and b.source > a.source
+         |group by a.source, b.source""".stripMargin
+    },
+
   )
 
   private lazy val sqls2: Map[String, String] = Map(
@@ -9495,6 +9548,93 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint(s"case when ${burn("e1", "t1")} > 2.0 and ${burn("e6", "t6")} > 2.0 then 1 else 0 end")} as page_alert,
          |  ${bigint(s"case when ${burn("e6", "t6")} > 1.5 and ${burn("e24", "t24")} > 1.5 then 1 else 0 end")} as ticket_alert
          |from rw""".stripMargin
+    },
+
+    // ORDER ↔ LINEITEM RECONCILIATION AUDIT — the fact-vs-rollup
+    // consistency check every warehouse schedules (does the order
+    // header's total equal the recomputed line rollup? In real TPC-H
+    // it does; THIS synthetic corpus draws o_totalprice independently
+    // of its lines, so the audit FAILS by construction — 0 matches,
+    // 257 headerless... orphan headers at sf0.01 — and saying so
+    // loudly is precisely the audit's job, stated). The recomputed
+    // total is EXACT: cents · (100−disc_cents) · (100+tax_cents)
+    // sums to the 1e-6-dollar integer grid (no float rollup); the
+    // header total scales onto the same grid; the per-order relative
+    // gap buckets through a literal ladder (both engines compare the
+    // same single-division double), and per-bucket mean |gap| comes
+    // from 1e-6-quantized exact sums. FULL OUTER join catches
+    // orphans on BOTH sides. One rollup groupBy + one join + one
+    // census. ≤ 7-row output.
+    "q_order_reconcile" -> {
+      val rel = "(abs(cast(o4 - r4 as double)) / o4)"
+      val bucket = s"""case when r4 is null then 'orphan_header'
+         | when o4 is null then 'orphan_lines'
+         | when $rel < 0.0001 then 'match'
+         | when $rel < 0.01 then 'gap_sub_1pct'
+         | when $rel < 0.1 then 'gap_sub_10pct'
+         | when $rel < 1.0 then 'gap_sub_100pct'
+         | else 'gap_over_100pct' end""".stripMargin.replaceAll("\n", "")
+      s"""with ls as (select l_orderkey, ${bigint("count(*)")} as nl,
+         |              ${bigint(s"sum(${bigint(roundAway(d)("l_extendedprice * 100", 0))} * (100 - ${bigint(roundAway(d)("l_discount * 100", 0))}) * (100 + ${bigint(roundAway(d)("l_tax * 100", 0))}))")} as r4
+         |            from lineitem group by l_orderkey),
+         |oj as (select o.o_orderkey, ls.nl,
+         |         ${bigint(roundAway(d)("o_totalprice * 100", 0))} * 10000 as o4, ls.r4
+         |       from orders o full outer join ls on ls.l_orderkey = o.o_orderkey),
+         |tag as (select $bucket as bucket, nl,
+         |          case when o4 is not null and r4 is not null
+         |               then ${bigint(roundAway(d)(s"$rel * 1000000", 0))} end as relq
+         |        from oj),
+         |tot as (select ${bigint("count(*)")} as n from tag),
+         |ag as (select bucket, ${bigint("count(*)")} as n_orders,
+         |         ${bigint("coalesce(sum(nl), 0)")} as n_lineitems,
+         |         ${bigint("sum(relq)")} as srel
+         |       from tag group by bucket)
+         |select bucket, n_orders, n_lineitems,
+         |  ${roundAway(d)("cast(n_orders as double) / t.n", 4)} as order_share,
+         |  ${roundAway(d)("cast(srel as double) / n_orders / 1000000", 4)} as mean_abs_rel_gap
+         |from ag cross join tot t""".stripMargin
+    },
+
+    // CHURN-LABEL GENERATION — the training-dataset builder for a
+    // churn model, done point-in-time-CORRECT (the leakage rule every
+    // feature store enforces: features use STRICTLY pre-cutoff
+    // events, the label strictly post-cutoff — day 19746 = the last-7
+    // -days boundary as a plan-time literal): per user with any
+    // pre-cutoff activity, features = event count, purchase count,
+    // recency (cutoff − last active day), tenure, distinct active
+    // days — all exact integers in ONE combinable groupBy; label =
+    // churned iff zero post-cutoff events (a conditional max in the
+    // SAME pass, no second scan). The shipped readout is the
+    // feature-quality census a modeling review reads: per power-of-2
+    // activity bucket, user counts, churn rate, and exact-integer
+    // mean recency/tenure/purchases — the monotone churn-vs-activity
+    // gradient is the signal-exists gate. ≤ ~12-row output.
+    "events_churn_labels" -> {
+      val lad = (12 to 1 by -1).map(b =>
+        s"when nb >= ${1L << b} then $b").mkString("case ", " ", " else 0 end")
+      s"""with e as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day, event_type from events),
+         |u as (select user_id,
+         |        ${bigint("sum(case when day < 19746 then 1 else 0 end)")} as nb,
+         |        ${bigint("sum(case when day < 19746 and event_type = 'purchase' then 1 else 0 end)")} as np,
+         |        ${bigint("max(case when day < 19746 then day end)")} as lastd,
+         |        ${bigint("min(case when day < 19746 then day end)")} as firstd,
+         |        ${bigint("count(distinct case when day < 19746 then day end)")} as adays,
+         |        ${bigint("max(case when day >= 19746 then 1 else 0 end)")} as active_after
+         |      from e group by user_id),
+         |f as (select $lad as bucket, nb, np, 19746 - lastd as recency,
+         |        lastd - firstd as tenure, adays, 1 - active_after as churned
+         |      from u where nb > 0),
+         |tot as (select ${bigint("count(*)")} as n from f)
+         |select ${bigint("bucket")} as log2_activity_bucket,
+         |  ${bigint("count(*)")} as n_users,
+         |  ${bigint("sum(churned)")} as n_churned,
+         |  ${roundAway(d)("cast(sum(churned) as double) / count(*)", 4)} as churn_rate,
+         |  ${roundAway(d)("cast(sum(recency) as double) / count(*)", 2)} as mean_recency_days,
+         |  ${roundAway(d)("cast(sum(tenure) as double) / count(*)", 2)} as mean_tenure_days,
+         |  ${roundAway(d)("cast(sum(adays) as double) / count(*)", 2)} as mean_active_days,
+         |  ${roundAway(d)("cast(sum(np) as double) / count(*)", 2)} as mean_purchases,
+         |  ${roundAway(d)("cast(count(*) as double) / max(t.n)", 4)} as user_share
+         |from f cross join tot t group by bucket""".stripMargin
     }
   )
 

@@ -529,6 +529,48 @@ object Streams {
           (source, arr.toList)
       }
   }
+
+  case class EwmaPoint(series: String, day: Long, n: Long, ewma: Double,
+                       forecast: Option[Double], residual: Option[Double])
+
+  /** Streaming exact dyadic EWMA — the incremental form of the batch
+    * `events_ewma` cumulative window: EWMA with α = 1/2 is
+    * prefix-computable, so the per-series state is just TWO longs
+    * (day index i, scaled mantissa M_t = x_0 + Σ x_k·2^{k-1}) — O(1)
+    * per series vs the batch cumulative window, and M_t is the SAME
+    * exact bigint the batch query folds, so ewma = M_t / 2^i (a pure
+    * IEEE exponent shift) matches bit-for-bit on the same finalized
+    * daily rows however they split across micro-batches
+    * (StreamingEwmaSpec pins it). Same 2^53 mantissa ceiling as the
+    * batch key (≤ ~39 days at 10⁴ events/day; past that a deployment
+    * rebases the kernel, same note). Days must arrive in order per
+    * series — the per-key ordering the batch row_number encodes. */
+  def ewmaStream(daily: Dataset[(String, Long, Long)]): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    def roundAway(x: Double, dec: Int): Double = {
+      val m = math.pow(10.0, dec.toDouble)
+      val r = if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)
+      r / m + 0.0
+    }
+    daily
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (series, it, state: GroupState[(Long, Long)]) =>
+          var (i, mt) = state.getOption.getOrElse((-1L, 0L))
+          val out = Vector.newBuilder[EwmaPoint]
+          it.toSeq.sortBy(_._2).foreach { case (_, day, x) =>
+            val prev = if (i >= 0) Some(mt.toDouble / math.pow(2.0, i.toDouble)) else None
+            i += 1
+            mt = if (i == 0) x else mt + x * (1L << (i - 1))
+            val ew = mt.toDouble / math.pow(2.0, i.toDouble)
+            out += EwmaPoint(series, day, x, roundAway(ew, 4),
+              prev.map(roundAway(_, 4)), prev.map(p => roundAway(x - p, 4)))
+          }
+          state.update((i, mt))
+          out.result().iterator
+      }
+  }
 }
 
 /** JVM mirror of the SQL HLL sketch (m = 256) in
