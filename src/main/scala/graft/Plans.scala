@@ -55,6 +55,9 @@ object Plans {
     "events_churn_labels" -> "ONE combinable per-user groupBy computes every feature AND the label (conditional aggregates over the same scan — the point-in-time split is a literal predicate, not a second pass); the bucket census folds <= ~12 domain rows",
     "text_burrows_delta" -> "one word explode + one vocabulary groupBy (corpus-priced), zipf bucketed pre-rank for the top-30 (8 bucket-partitioned windows + pairwise rank over <= 240 survivors), then everything runs on the <= 600-row source-x-word grid — the 190-pair join is grid-sized",
     "multimodal_image_dhash" -> "batched mapPartitions decode to 8 bytes/image of hash state; 4-way band explode + band-bucket self-join routes candidates (pigeonhole h<=3), bit_count(xor) Hamming on candidates only; census aggregations are candidate-sized — the image decode is the only corpus-priced pass",
+    "ann_recall_at_k_curve" -> "both rankings computed once for the k=20 superset (brute leg bounded O(|Q|*N) on the fixed sample, LSH leg reads the shared g_bkt buckets); the 4 k-rungs are rank FILTERS over the joined hit table — no per-k re-scan; pooled integer hit counts, one division per rung",
+    "text_ks_length" -> "one (lang, length) census groupBy — the only corpus pass; pair spine is |langs|^2/2 = 10 rows; CDF race windows partition per pair over length-DOMAIN rows (bounded by max doc length, not corpus size); the KS max is one integer aggregation per pair",
+    "events_grouping_sets" -> "one map-side Expand (4 grouping sets) + ONE shuffle into the combined aggregation — the same envelope as rollup/cube; output is domain-bounded (<= 186 rows)",
     "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
     "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
     "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",

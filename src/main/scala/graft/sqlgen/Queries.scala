@@ -1488,6 +1488,24 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
          |from e group by cube(event_type, day)""".stripMargin,
 
+    // EXPLICIT GROUPING SETS — the aggregation-lattice shape rollup
+    // and cube CANNOT express (a custom set list mixing two different
+    // time dimensions: type×weekday, type×hour-of-day, and each
+    // marginal — the "one pass, four dashboards" BI query): levels
+    // tagged via grouping() like the cube key (never value sentinels
+    // on the key itself), counts + decimal-exact value sums, one
+    // map-side grouping-set expansion + one shuffle. Domain-bounded
+    // output (≤ 5·7 + 5·24 + 7 + 24 rows).
+    "events_grouping_sets" ->
+      s"""with e as (select event_type, (${d.idiv(evSec("ts"), "86400")} + 4) % 7 as dow,
+         |             ${d.idiv("(" + evSec("ts") + " % 86400)", "3600")} as hod, value from events)
+         |select case when grouping(event_type) = 1 then 'ALL' else event_type end as event_type,
+         |  ${bigint("case when grouping(dow) = 1 then -1 else dow end")} as dow,
+         |  ${bigint("case when grouping(hod) = 1 then -1 else hod end")} as hour_of_day,
+         |  ${bigint("count(*)")} as n,
+         |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
+         |from e group by grouping sets ((event_type, dow), (event_type, hod), (dow), (hod))""".stripMargin,
+
     "q_window_topn" ->
       s"""select n_name, ${bigint("c_custkey")} as c_custkey, round(c_acctbal, 2) as acctbal, ${bigint("rn")} as rn
          |from (select n.n_name, c.c_custkey, c.c_acctbal,
@@ -5116,6 +5134,76 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  n.n_repaired
          |from epre a join epost b on b.blk = a.blk cross join nrep n""".stripMargin
     },
+
+    // RECALL@K CURVE of the served LSH route — the k knob of the
+    // recall audit (4g fixes k=10; THIS measures how recall moves
+    // with the result-set size the application actually asks for —
+    // recall@1 is "is the top answer right", recall@20 the RAG
+    // shortlist case): both legs' rankings computed ONCE for the
+    // k=20 superset (the nprobe-curve trick — inner k's are rank
+    // filters, not re-scans); per-k recall = Σ_q |true∩served| /
+    // (k·|Q|) folded from INTEGER hit counts (a per-query float
+    // recall then averaged would put a 5-term float fold in the
+    // output; the pooled ratio is one division). Brute leg bounded
+    // O(|Q|·N) on the fixed evaluation sample. 4-row output.
+    "ann_recall_at_k_curve" ->
+      s"""${wmChain("lsh")},
+         |q as (select id as qid, n as qn from nn where id in ($qIdLit)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim from q join nn on nn.id <> q.qid),
+         |bt as (select qid, cid, rn from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 20),
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)),
+         |lp as (select c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |       from cnd c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid),
+         |lt as (select qid, cid, rn from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from lp) _l where rn <= 20),
+         |hit as (select b.qid, b.rn as tr, l.rn as lr
+         |        from bt b join lt l on l.qid = b.qid and l.cid = b.cid),
+         |nq as (select ${bigint("count(distinct qid)")} as m from bt),
+         |ks as (select kpos from ${rangeTable("kk", "kpos", 0, 3)}),
+         |kv as (select case kpos when 0 then 1 when 1 then 5 when 2 then 10 else 20 end as k from ks)
+         |select ${bigint("kv.k")} as k,
+         |  ${bigint("sum(case when h.tr <= kv.k and h.lr <= kv.k then 1 else 0 end)")} as total_hits,
+         |  ${roundAway(d)("sum(case when h.tr <= kv.k and h.lr <= kv.k then 1 else 0 end) / (cast(kv.k as double) * max(nq.m))", 4)} as recall_at_k
+         |from kv cross join nq cross join hit h
+         |group by kv.k""".stripMargin,
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST on document length by
+    // language — the distribution-shift gate a curation pipeline runs
+    // between corpus slices (21o applies KS to watermark cells; THIS
+    // is the standalone text-side test, exact): per language a length
+    // CENSUS (the value domain is bounded by the max document length,
+    // not the corpus — the q_ship_latency argument), pairwise CDF
+    // race over the UNION of the pair's length values, and the KS
+    // statistic in EXACT integer arithmetic — D = max|F1·n2 − F2·n1|
+    // / (n1·n2), an integer max divided once (bigint ceiling n1·n2 <
+    // 2^63 → ~3·10⁹ docs per slice). Reject at the 95% asymptotic
+    // critical value 1.358·√((n1+n2)/(n1·n2)) (Smirnov; both sides
+    // single-rounded IEEE). One census groupBy; windows partitioned
+    // per pair over domain-bounded value rows. 10-row output.
+    "text_ks_length" ->
+      s"""with lc as (select lang, n_chars as v, ${bigint("count(*)")} as c
+         |            from documents group by lang, n_chars),
+         |lt as (select lang, ${bigint("sum(c)")} as n from lc group by lang),
+         |pr as (select a.lang as la, a.n as na, b.lang as lb, b.n as nb
+         |       from lt a join lt b on b.lang > a.lang),
+         |vals as (select p.la, p.lb, l.v from pr p join lc l on l.lang = p.la or l.lang = p.lb
+         |         group by p.la, p.lb, l.v),
+         |j as (select v.la, v.lb, v.v, ${bigint("coalesce(a.c, 0)")} as ca, ${bigint("coalesce(b.c, 0)")} as cb
+         |      from vals v left join lc a on a.lang = v.la and a.v = v.v
+         |                  left join lc b on b.lang = v.lb and b.v = v.v),
+         |cu as (select la, lb, v,
+         |         ${bigint("sum(ca) over (partition by la, lb order by v rows between unbounded preceding and current row)")} as f1,
+         |         ${bigint("sum(cb) over (partition by la, lb order by v rows between unbounded preceding and current row)")} as f2
+         |       from j),
+         |dm as (select c.la, c.lb, ${bigint("max(abs(c.f1 * p.nb - c.f2 * p.na))")} as dint,
+         |         ${bigint("count(*)")} as n_values, ${bigint("max(p.na)")} as na, ${bigint("max(p.nb)")} as nb
+         |       from cu c join pr p on p.la = c.la and p.lb = c.lb
+         |       group by c.la, c.lb)
+         |select la as lang_a, lb as lang_b, na as n_a, nb as n_b, n_values,
+         |  ${roundAway(d)("cast(dint as double) / (cast(na as double) * nb)", 6)} as ks_d,
+         |  ${roundAway(d)("1.358 * sqrt(cast(na + nb as double) / (cast(na as double) * nb))", 6)} as ks_crit_95,
+         |  ${bigint("case when cast(dint as double) / (cast(na as double) * nb) > 1.358 * sqrt(cast(na + nb as double) / (cast(na as double) * nb)) then 1 else 0 end")} as reject_h0
+         |from dm""".stripMargin,
 
   )
 

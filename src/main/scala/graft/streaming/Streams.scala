@@ -530,6 +530,52 @@ object Streams {
       }
   }
 
+  case class BurnPoint(hourIdx: Long, n: Long, nErr: Long, burn1h: Double,
+                       burn6h: Double, burn24h: Double, pageAlert: Long,
+                       ticketAlert: Long)
+
+  /** Streaming multi-window SLO burn-rate — the incremental form of
+    * the batch `events_slo_burn` RANGE frames: state is the ring of
+    * the last ≤ 24 finalized hourly (hour, total, errors) rows, and
+    * each window sum filters the ring BY HOUR VALUE (hr − w < h ≤ hr),
+    * exactly the batch query's value-based RANGE semantics — a silent
+    * hour contributes zero instead of shifting the frame. Same
+    * integer sums, same single-division burn, same floor-based
+    * rounding, so on the same finalized hours the points EQUAL the
+    * batch rows however they split across micro-batches
+    * (StreamingSloBurnSpec pins it). Hours must arrive in order —
+    * the same finalized-window contract as anomalyStream. */
+  def sloBurnStream(hourly: Dataset[(Long, Long, Long)]): Dataset[BurnPoint] = {
+    import hourly.sparkSession.implicits._
+    def roundAway(x: Double, dec: Int): Double = {
+      val m = math.pow(10.0, dec.toDouble)
+      val r = if (x >= 0) math.floor(x * m + 0.5) else -math.floor(-x * m + 0.5)
+      r / m + 0.0
+    }
+    hourly
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Vector[(Long, Long, Long)], BurnPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Vector[(Long, Long, Long)]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[BurnPoint]
+          it.toSeq.sortBy(_._1).foreach { case (hr, n, ne) =>
+            ring = (ring.filter(_._1 < hr) :+ (hr, n, ne)).takeRight(24)
+            def burn(w: Long): Double = {
+              val in = ring.filter(e => e._1 > hr - w && e._1 <= hr)
+              (in.map(_._3).sum.toDouble / in.map(_._2).sum) / 0.25
+            }
+            val (b1, b6, b24) = (burn(1), burn(6), burn(24))
+            out += BurnPoint(hr, n, ne, roundAway(b1, 4), roundAway(b6, 4),
+              roundAway(b24, 4),
+              if (b1 > 2.0 && b6 > 2.0) 1L else 0L,
+              if (b6 > 1.5 && b24 > 1.5) 1L else 0L)
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+  }
+
   case class EwmaPoint(series: String, day: Long, n: Long, ewma: Double,
                        forecast: Option[Double], residual: Option[Double])
 
