@@ -58,6 +58,8 @@ object Plans {
     "ann_recall_at_k_curve" -> "both rankings computed once for the k=20 superset (brute leg bounded O(|Q|*N) on the fixed sample, LSH leg reads the shared g_bkt buckets); the 4 k-rungs are rank FILTERS over the joined hit table — no per-k re-scan; pooled integer hit counts, one division per rung",
     "text_ks_length" -> "one (lang, length) census groupBy — the only corpus pass; pair spine is |langs|^2/2 = 10 rows; CDF race windows partition per pair over length-DOMAIN rows (bounded by max doc length, not corpus size); the KS max is one integer aggregation per pair",
     "events_grouping_sets" -> "one map-side Expand (4 grouping sets) + ONE shuffle into the combined aggregation — the same envelope as rollup/cube; output is domain-bounded (<= 186 rows)",
+    "graph_conductance" -> "reads the checkpointed g_lpa labels + cached g_knn edges; simple-edge dedup groupBy, two label joins, and three combinable censuses (cut via union-all counted once per incident community) — no per-community scans, one division per community",
+    "wm_delta_curve" -> "the 24 masked projection sums compute ONCE over the cached carrier rows (delta-independent); each of the 4 rungs is scalar shift math + one bounded extract aggregation + an analytic drift column — five carrier-row passes total, no corpus work",
     "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
     "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
     "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",

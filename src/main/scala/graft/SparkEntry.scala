@@ -281,6 +281,14 @@ object SparkEntry {
         Scratch.table(s, dir, "g_lpa", sparkGen.lpaBuildSql)
         s.sql(sparkGen.graphModularitySql(Some("g_lpa")))
       }),
+      // per-community conductance over the same checkpointed LPA
+      // labels (the kept community assignment) + the served kNN edges
+      "graph_conductance" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        Scratch.table(s, dir, "g_lpa", sparkGen.lpaBuildSql)
+        s.sql(sparkGen.graphConductanceSql(Some("g_lpa")))
+      }),
       // native bounded-state per-group top-k (functions.TopKAgg):
       // map-side partials keep ≤ k pairs per group, so the exchange
       // carries O(groups·k) rows where the oracle's window form sorts
@@ -344,6 +352,7 @@ object SparkEntry {
         // exactly, so its oracle is the window rendering
         "vec_topk_grouped" -> duckGen.groupedTopkSql(),
         "graph_modularity" -> duckGen.graphModularitySql(None),
+        "graph_conductance" -> duckGen.graphConductanceSql(None),
         "events_attribution_markov" -> duckGen.markovAttributionSql(None),
         "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
         "minhash_band_curve" -> duckGen.minhashCurveSql(None))

@@ -7352,6 +7352,84 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ag cross join tot t""".stripMargin
     },
 
+    // QIM STEP (Δ) TUNING CURVE — the imperceptibility-vs-robustness
+    // frontier, THE design tradeoff of any watermark (Cox, Miller,
+    // Bloom: fidelity and robustness trade against each other through
+    // the embedding strength; in QIM the strength IS the lattice step):
+    // four Δ rungs {0.05, 0.10, 0.15, 0.25}, each embedded, attacked
+    // at a FIXED gaussian σ = 0.05, and decoded with its own lattice —
+    // errors fall as Δ crosses the wm_ber_curve cliff Δ/(2√3) = σ
+    // (predicted knee between the 0.10 and 0.15 rungs at σ = 0.05),
+    // while embed distortion grows: the per-carrier post-embed cosine
+    // is ANALYTIC from the 24 projections (cos = (1 + Σ sh·p/cnt)/pn —
+    // no second corpus pass), 1e-9-quantized for exact means. The
+    // expensive part — the 24 masked projection sums per carrier — is
+    // computed ONCE (projections are Δ-independent); each rung adds
+    // only scalar shift math + one bounded extract aggregation over
+    // rate·N carrier rows. 4-row output: the frontier a deployment
+    // reads to pick its Δ.
+    "wm_delta_curve" -> {
+      val deltas = Seq("0.05", "0.10", "0.15", "0.25")
+      val pS = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def rung(r: Int, dl: String): String = {
+        def shiftE(g: Int) = {
+          val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
+          s"((2 * cast(floor((p$g / $dl - $bit) / 2 + 0.5) as bigint) + $bit) * $dl - p$g)"
+        }
+        val pnSq = (0 until MsgLen).map(g =>
+          s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
+        val drift = "(1 + " + (0 until MsgLen).map(g =>
+          s"sh$g * p$g / ${kc.groupCnt(g)}").mkString(" + ") + ")"
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $dl + 0.5) as bigint) % 2) + 2) % 2"
+        s"""r${r}sh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+           |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
+           |         from deagg),
+           |r${r}n as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+           |            sqrt(1 + $pnSq) as pn,
+           |            ${bigint(roundAway(d)(s"$drift / sqrt(1 + $pnSq) * 1000000000", 0))} as driftq
+           |          from r${r}sh),
+           |r${r}st as (select x.id, x.pos,
+           |             (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+           |           from dcex x join r${r}n e on e.id = x.id),
+           |r${r}at as (select id, pos, sval + 0.05 * ${prfGauss(d)(s"'dc$r'", "id", "pos")} as sval from r${r}st),
+           |r${r}xa as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from r${r}at group by id),
+           |r${r}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from r${r}xa),
+           |r${r}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from r${r}xb),
+           |r${r}vl as (select id, idx as blk, pbits from r${r}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |r${r}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"r${r}vl", "pbits", "p1", "b", Seq("blk"))} _r${r}vx),
+           |r${r}vt as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from r${r}vx group by blk, bit_idx),
+           |r${r}er as (select ${bigint(s"sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
+           |             ${bigint("count(distinct case when v.vote is not null then v.blk end)")} as blocks_live
+           |           from msgbits m left join r${r}vt v on v.blk = m.blk and v.bit_idx = m.j),
+           |r${r}dr as (select ${bigint("count(*)")} as nc, ${bigint("sum(driftq)")} as sd,
+           |             ${bigint("min(driftq)")} as mnd from r${r}n),
+           |r${r}o as (select cast($dl as double) as delta_step, e.errors, e.blocks_live,
+           |            ${roundAway(d)("cast(dd.sd as double) / dd.nc / 1000000000", 6)} as mean_cosine,
+           |            ${roundAway(d)("cast(dd.mnd as double) / 1000000000", 6)} as min_cosine
+           |          from r${r}er e cross join r${r}dr dd)""".stripMargin
+      }
+      s"""${wmChain("overwrite")},
+         |dcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+         |         from carriers c join exn x on x.id = c.vec_id),
+         |deagg as (select id, blk, max(nrm) as nrm,
+         |            $pS
+         |          from dcex group by id, blk),
+         |${deltas.zipWithIndex.map { case (dl, r) => rung(r, dl) }.mkString(",\n")}
+         |select delta_step, ${bigint("256")} as n_bits, errors,
+         |  ${roundAway(d)("errors / cast(256 as double)", 4)} as ber,
+         |  blocks_live, mean_cosine, min_cosine
+         |from (${deltas.indices.map(r => s"select * from r${r}o").mkString(" union all ")}) _u""".stripMargin
+    },
+
   )
 
   private lazy val sqls4: Map[String, String] = Map(
@@ -9989,6 +10067,49 @@ final class Gen(d: Dialect, useViews: Boolean = false,
             "cast(intra.ic as double) / cast(mm.m as double) - cast(dq.sds as double) / (cast(4 as double) * cast(mm.m as double) * cast(mm.m as double))",
             6)} as modularity
        |from mm cross join intra cross join dq""".stripMargin
+  }
+
+  /** PER-COMMUNITY CONDUCTANCE (Kannan–Vempala–Vetta 2004; the
+    * community-QUALITY readout modularity can't give — modularity is
+    * one global number, conductance grades EACH community: cut edges
+    * over the smaller side's volume, low = well-separated): reads the
+    * same checkpointed LPA labels as graph_modularity (the kept
+    * artifact; the oracle re-derives them inline), undirected simple
+    * edges from the served kNN graph, per-community volume = Σ member
+    * degrees, cut = boundary edges counted once per incident
+    * community (a union-all census — no per-community scan), φ_c =
+    * cut / min(vol, 2m − vol). Integer end to end, one division per
+    * community; every aggregation combinable. ≤ |communities| rows. */
+  def graphConductanceSql(src: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val head = src match {
+      case Some(view) => s"${wmChain("knn")},\nl3 as (select id, lab from $view),"
+      case None => s"${wmChain("knn")},\n$lpaCtes,"
+    }
+    s"""$head
+       |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+       |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+       |mm as (select ${bigint("count(*)")} as m from und),
+       |deg as (select v, ${bigint("count(*)")} as dg from (
+       |          select a as v from und union all select b as v from und) _d group by v),
+       |el as $matKw(select la.lab as lab_a, lb.lab as lab_b
+       |             from und join l3 la on la.id = und.a join l3 lb on lb.id = und.b),
+       |cut as (select lab, ${bigint("count(*)")} as cut_edges from (
+       |          select lab_a as lab from el where lab_a <> lab_b
+       |          union all
+       |          select lab_b as lab from el where lab_a <> lab_b) _c group by lab),
+       |intra as (select lab_a as lab, ${bigint("count(*)")} as intra_edges
+       |          from el where lab_a = lab_b group by lab_a),
+       |vol as (select l3.lab, ${bigint("count(*)")} as n_members,
+       |          ${bigint("sum(coalesce(deg.dg, 0))")} as volume
+       |        from l3 left join deg on deg.v = l3.id group by l3.lab)
+       |select ${bigint("v.lab")} as community, v.n_members, v.volume,
+       |  ${bigint("coalesce(c.cut_edges, 0)")} as cut_edges,
+       |  ${bigint("coalesce(i.intra_edges, 0)")} as intra_edges,
+       |  ${roundAway(d)("cast(coalesce(c.cut_edges, 0) as double) / least(v.volume, 2 * m.m - v.volume)", 6)} as conductance
+       |from vol v cross join mm m
+       |left join cut c on c.lab = v.lab
+       |left join intra i on i.lab = v.lab""".stripMargin
   }
 
   /** Per-(query, label) top-3 neighbors — the serving key for the
