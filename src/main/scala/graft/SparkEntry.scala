@@ -304,6 +304,14 @@ object SparkEntry {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_bpe_vocab", sparkGen.bpeVocabBuildSql)
         s.sql(sparkGen.bpeEncodeSql(Some("g_bpe_vocab")))
+      }),
+      // per-language tokenizer fertility over the same checkpointed
+      // vocabulary (the multilingual-equity readout of the shipped
+      // tokenizer artifact)
+      "text_bpe_fertility" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_bpe_vocab", sparkGen.bpeVocabBuildSql)
+        s.sql(sparkGen.bpeFertilitySql(Some("g_bpe_vocab")))
       }))
 
   // every doc-side session table goes through the cross-session
@@ -355,5 +363,6 @@ object SparkEntry {
         "graph_conductance" -> duckGen.graphConductanceSql(None),
         "events_attribution_markov" -> duckGen.markovAttributionSql(None),
         "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
+        "text_bpe_fertility" -> duckGen.bpeFertilitySql(None),
         "minhash_band_curve" -> duckGen.minhashCurveSql(None))
 }

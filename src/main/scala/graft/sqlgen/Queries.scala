@@ -1369,6 +1369,42 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from per""".stripMargin
   }
 
+  /** TOKENIZER FERTILITY BY LANGUAGE — the multilingual-equity metric
+    * (tokens per word; a vocabulary trained on one language's merges
+    * tokenizes other languages into more, shorter pieces — fertility
+    * ratios are THE readout behind multilingual vocab sizing and mix
+    * weights, e.g. the XLM-R/BLOOM tokenizer analyses): the SAME
+    * checkpointed 3-round BPE vocabulary and once-per-distinct-word
+    * encoding as text_bpe_encode (the shipped tokenizer artifact), but
+    * aggregated per LANGUAGE with the en-relative ratio — a single
+    * division of two single divisions, no float folds (token counts
+    * exact integers; out-of-alphabet words count 1 token, the
+    * text_bpe_encode convention, stated). */
+  def bpeFertilitySql(from: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val charSeq = s"concat(' ', ${arrJoin(d.arrTransform(d.intSeq("1", "length(wd)"), "i", "substr(wd, cast(i as int), 1)"), "  ")}, ' ')"
+    def rep(m: String) =
+      s"replace(sq, concat(' ', $m.lhs, '  ', $m.rhs, ' '), concat(' ', $m.lhs, $m.rhs, ' '))"
+    s"""with $wordCtes,
+       |${bpeRoundCtes(from, 3)},
+       |dvoc as $matKw(select distinct wd from wx where ${d.regexpCount("wd", "[^a-z]")} = 0 and length(wd) >= 2),
+       |e0 as (select wd, $charSeq as sq from dvoc),
+       |e1 as (select wd, ${rep("m0")} as sq from e0 cross join mg0 m0),
+       |e2 as (select wd, ${rep("m1")} as sq from e1 cross join mg1 m1),
+       |e3 as (select wd, ${rep("m2")} as sq from e2 cross join mg2 m2),
+       |enc as $matKw(select wd, ${bigint(d.arrLen(splitWs("trim(sq)")))} as ntok from e3),
+       |wl as (select dd.lang, w.wd from wx w join documents dd on dd.doc_id = w.doc_id),
+       |per as (select lang, ${bigint("count(*)")} as n_words,
+       |          ${bigint("sum(coalesce(e.ntok, 1))")} as n_tokens,
+       |          ${bigint("sum(case when e.ntok is null then 1 else 0 end)")} as n_oov_words
+       |        from wl left join enc e on e.wd = wl.wd group by lang),
+       |en as (select cast(n_tokens as double) / n_words as fen from per where lang = 'en')
+       |select lang, n_words, n_tokens, n_oov_words,
+       |  ${roundAway(d)("cast(n_tokens as double) / n_words", 4)} as fertility,
+       |  ${roundAway(d)("(cast(n_tokens as double) / n_words) / en.fen", 4)} as fertility_vs_en
+       |from per cross join en""".stripMargin
+  }
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
@@ -2390,6 +2426,37 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("click_id")} as click_id, ${bigint("purchase_id")} as purchase_id,
          |  ${bigint("user_id")} as user_id, ${bigint("gap")} as gap_s
          |from j""".stripMargin,
+
+    // ATTRIBUTION-WINDOW TUNING CURVE — the window knob of 39b's
+    // interval join measured as a ladder (every analytics platform
+    // hard-codes ONE lookback — 1h? 24h? — and this shows what each
+    // choice credits: too narrow loses true conversions, too wide
+    // claims coincidences): the interval join runs ONCE at the widest
+    // rung (24h — the nprobe-curve trick: inner windows are gap
+    // FILTERS over the joined pairs, never re-joins), then per rung ∈
+    // {5min, 1h, 6h, 24h} the pair count, distinct credited
+    // purchases, distinct credited clicks, and the share of ALL
+    // purchases credited — the coverage-vs-precision frontier.
+    // Integer counts, two divisions per rung. 4-row output.
+    "events_attribution_curve" ->
+      s"""with c as (select event_id as click_id, user_id, ${evSec("ts")} as csec
+         |           from events where event_type = 'click'),
+         |p as (select event_id as purchase_id, user_id, ${evSec("ts")} as psec
+         |      from events where event_type = 'purchase'),
+         |j as (select c.click_id, p.purchase_id, c.csec - p.psec as gap
+         |      from c join p on p.user_id = c.user_id
+         |                   and p.psec >= c.csec - 86400 and p.psec <= c.csec),
+         |tp as (select ${bigint("count(*)")} as n_purch from p),
+         |ws as (select case wpos when 0 then 300 when 1 then 3600 when 2 then 21600 else 86400 end as w
+         |       from ${rangeTable("wr", "wpos", 0, 3)})
+         |select ${bigint("ws.w")} as window_s,
+         |  ${bigint("sum(case when j.gap <= ws.w then 1 else 0 end)")} as n_pairs,
+         |  ${bigint("count(distinct case when j.gap <= ws.w then j.purchase_id end)")} as n_credited_purchases,
+         |  ${bigint("count(distinct case when j.gap <= ws.w then j.click_id end)")} as n_crediting_clicks,
+         |  ${roundAway(d)("count(distinct case when j.gap <= ws.w then j.purchase_id end) / cast(max(tp.n_purch) as double)", 4)} as purchase_coverage,
+         |  ${roundAway(d)("sum(case when j.gap <= ws.w then 1 else 0 end) / cast(count(distinct case when j.gap <= ws.w then j.purchase_id end) as double)", 4)} as pairs_per_purchase
+         |from ws cross join tp cross join j
+         |group by ws.w""".stripMargin,
 
     // negative control: run blind extraction against the UNwatermarked
     // table — only ~1/16 of vectors pass the CRC gate by chance and no
@@ -5204,6 +5271,89 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("1.358 * sqrt(cast(na + nb as double) / (cast(na as double) * nb))", 6)} as ks_crit_95,
          |  ${bigint("case when cast(dint as double) / (cast(na as double) * nb) > 1.358 * sqrt(cast(na + nb as double) / (cast(na as double) * nb)) then 1 else 0 end")} as reject_h0
          |from dm""".stripMargin,
+
+    // EXPLAINED-VARIANCE LADDER — the dimensionality-budget readout
+    // behind every compression choice in §2 (matryoshka prefix dims,
+    // PQ subspaces, SQ bits, the 2-D viz): how much of the corpus
+    // variance do the top principal components actually carry? Same
+    // in-SQL power-iteration eigensolve as pca_project2d (wide 1-row
+    // linear CTE chain, per-stage 1-row aggregations as optimizer
+    // barriers, DuckDB stages materialized — the audited plan shape),
+    // extended with the Rayleigh λ₂ of the deflated iterate ON THE
+    // ORIGINAL C (the matrix is carried through the second phase) and
+    // the exact trace Σc_ii of the rounded covariance corner. Shares
+    // = single divisions; the residual row is what the top-2 do NOT
+    // explain — the honest number (this corpus's 8-dim corner is
+    // quasi-degenerate, ratios 0.95-0.99, so shares are ≈ 1/8 each;
+    // the MACHINERY is what transfers to real spectra, stated).
+    // 3-row output (pc1, pc2, residual).
+    "pca_variance_explained" -> {
+      val d8 = 8
+      val iters = 10
+      val idx = 1 to d8
+      val nrm0 = math.sqrt(idx.map(y => y.toDouble * y).sum)
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def keep(cols: Seq[String]) = cols.map(c => s"max($c) as $c")
+      def mat(nm: String) = for { i <- idx; j <- idx } yield s"$nm$i$j"
+      def stage(name: String, src: String, carry: Seq[String],
+                defs: Seq[(String, String)]) =
+        s"$name as $matKw(select ${(keep(carry) ++ defs.map { case (n, e) => s"max($e) as $n" }).mkString(",\n|  ")} from $src)"
+      def sqDefs(srcNm: String, dstNm: String) =
+        for { i <- idx; j <- idx } yield
+          s"$dstNm$i$j" -> idx.map(k => s"$srcNm$i$k * $srcNm$k$j").mkString(" + ")
+      def wExpr(mNm: String, i: Int) = idx.map(j => s"$mNm$i$j * v$j").mkString(" + ")
+      def stepDefs(mNm: String) = {
+        val nrm = s"sqrt(${idx.map(j => s"(${wExpr(mNm, j)}) * (${wExpr(mNm, j)})").mkString(" + ")})"
+        idx.map(i => s"v$i" -> s"(${wExpr(mNm, i)}) / $nrm")
+      }
+      val v0Defs = idx.map(i => s"v$i" -> s"cast(${i / nrm0} as double)")
+      val rayleighC = idx.map(i =>
+        s"v$i * (${idx.map(j => s"c$i$j * v$j").mkString(" + ")})").mkString(" + ")
+      val p1 = Seq(
+        s"""st0 as $matKw(select ${(idx.map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
+          (for { i <- idx; j <- idx if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
+           |        from nv)""".stripMargin,
+        stage("cw", "st0", Nil,
+          (for { i <- idx; j <- idx } yield
+            s"c$i$j" -> s"round(m${math.min(i, j)}_${math.max(i, j)} - a$i * a$j, 6)")),
+        stage("cq2", "cw", mat("c"), sqDefs("c", "p")),
+        stage("cq4", "cq2", mat("c"), sqDefs("p", "q")),
+        stage("pa0", "cq4", mat("c") ++ mat("q"), v0Defs)) ++
+        (1 to iters).map(t => stage(s"pa$t", s"pa${t - 1}",
+          mat("c") ++ mat("q"), stepDefs("q")))
+      val p2 = Seq(
+        stage("e1", s"pa$iters", mat("c"),
+          idx.map(i => s"ev$i" -> s"v$i") :+ ("lam1" -> rayleighC)),
+        stage("dfl", "e1", mat("c") ++ idx.map(i => s"ev$i") :+ "lam1",
+          for { i <- idx; j <- idx } yield s"d$i$j" -> s"c$i$j - lam1 * ev$i * ev$j"),
+        stage("dq2", "dfl", mat("c") :+ "lam1", sqDefs("d", "r")),
+        stage("dq4", "dq2", mat("c") :+ "lam1", sqDefs("r", "s")),
+        stage("pb0", "dq4", mat("c") ++ mat("s") :+ "lam1", v0Defs)) ++
+        (1 to iters).map(t => stage(s"pb$t", s"pb${t - 1}",
+          mat("c") ++ mat("s") :+ "lam1", stepDefs("s")))
+      val trace = idx.map(i => s"c$i$i").mkString(" + ")
+      val fin = stage("fin", s"pb$iters", Nil,
+        Seq("lam1" -> "lam1", "lam2" -> rayleighC, "tr" -> trace))
+      s"""with $nvCtes,
+         |${(p1 ++ p2 :+ fin).mkString(",\n")}
+         |select 'pc1' as component, ${roundAway(d)("lam1", 6)} as lambda,
+         |  ${roundAway(d)("lam1 / tr", 4)} as explained_share,
+         |  ${roundAway(d)("lam1 / tr", 4)} as cum_explained_share,
+         |  ${roundAway(d)("tr", 6)} as total_variance
+         |from fin
+         |union all
+         |select 'pc2', ${roundAway(d)("lam2", 6)},
+         |  ${roundAway(d)("lam2 / tr", 4)},
+         |  ${roundAway(d)("(lam1 + lam2) / tr", 4)},
+         |  ${roundAway(d)("tr", 6)}
+         |from fin
+         |union all
+         |select 'residual', ${roundAway(d)("tr - lam1 - lam2", 6)},
+         |  ${roundAway(d)("(tr - lam1 - lam2) / tr", 4)},
+         |  ${roundAway(d)("cast(1.0 as double)", 4)},
+         |  ${roundAway(d)("tr", 6)}
+         |from fin""".stripMargin
+    },
 
   )
 
