@@ -63,6 +63,8 @@ object Plans {
     "events_attribution_curve" -> "ONE interval join at the widest 24h rung (per-user hash join + gap predicate); the 4 rungs are conditional aggregates over the joined pairs — no per-rung re-join; distinct counts fold in the same combinable aggregation",
     "pca_variance_explained" -> "one 44-aggregate covariance pass over the corpus (the pca_project2d plan shape), then a 1-row wide linear CTE chain (per-stage 1-row aggregations as optimizer barriers, DuckDB materialized) — constant in N after the first pass",
     "text_bpe_fertility" -> "vocabulary encode runs once per distinct word against the checkpointed g_bpe_vocab scratch; the per-language rollup is one combinable groupBy over the word stream joined to the tiny encode table — same envelope as text_bpe_encode",
+    "sample_balanced" -> "one label census + a label-PARTITIONED rank window (per-partition sorts only) + the broadcast min-class target — the keep decision is a rank filter; the census output folds in one combinable groupBy",
+    "events_metric_winsorize" -> "one cents-value census groupBy (domain-bounded by the price grid), one cumulative window over census rows for the exact p99, one combinable aggregation folding raw AND capped moments in the same pass",
     "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
     "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
     "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",

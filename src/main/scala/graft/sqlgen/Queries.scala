@@ -9951,7 +9951,71 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("cast(sum(np) as double) / count(*)", 2)} as mean_purchases,
          |  ${roundAway(d)("cast(count(*) as double) / max(t.n)", 4)} as user_share
          |from f cross join tot t group by bucket""".stripMargin
-    }
+    },
+
+    // CLASS-BALANCING DOWNSAMPLE — the third leg of the sampling
+    // family (30c stratified PRESERVES proportions, 30c2 weights by
+    // importance; THIS EQUALIZES classes — the imbalanced-learning
+    // move a classifier-training pipeline makes before fitting, cf.
+    // random undersampling in He & Garcia 2009): per label keep
+    // exactly min-class-size rows, chosen by keyed-PRF rank WITHIN
+    // the label (deterministic sampling without replacement — the
+    // sample is reproducible and auditable, never rand()); the rank
+    // window is label-PARTITIONED (per-partition sorts only, the §4
+    // window rule). Census output: per label before/after counts,
+    // keep rate, and the PRF-order head checksum that pins the exact
+    // selected SET (not just its size) across engines. ≤ |labels|
+    // rows.
+    "sample_balanced" -> {
+      val pr = prf(d)("'bal'", "vec_id")
+      s"""with e as (select vec_id, ${bigint("label")} as label, $pr as h from embeddings),
+         |lc as (select label, ${bigint("count(*)")} as n from e group by label),
+         |mn as (select ${bigint("min(n)")} as target from lc),
+         |rk as (select label, vec_id, h,
+         |         ${bigint("row_number() over (partition by label order by h, vec_id)")} as rn
+         |       from e),
+         |kept as (select label, vec_id, h from rk cross join mn where rn <= target)
+         |select l.label, l.n as n_before, ${bigint("count(k.vec_id)")} as n_after,
+         |  ${roundAway(d)("count(k.vec_id) / cast(l.n as double)", 4)} as keep_rate,
+         |  ${bigint("sum(k.h % 1000000)")} as selection_checksum
+         |from lc l left join kept k on k.label = l.label
+         |group by l.label, l.n""".stripMargin
+    },
+
+    // METRIC WINSORIZATION REPORT — the variance-reduction lever every
+    // experimentation platform applies BEFORE the z/t tests (capping
+    // at p99 tames whale outliers; pairs with 40d6's CUPED — the two
+    // standard levers, cf. Kohavi et al. "Trustworthy Online
+    // Controlled Experiments" ch. 22): p99 of purchase value by EXACT
+    // rank selection over the cents-value CENSUS (domain-bounded by
+    // the price grid, never a corpus sort), capped sums as exact
+    // bigints (min(x, cap) map-side), raw-vs-capped mean/variance and
+    // the variance-reduction receipt in one combinable aggregation +
+    // one census window. 1-row output.
+    "events_metric_winsorize" ->
+      s"""with v as (select ${bigint(roundAway(d)("value * 100", 0))} as x
+         |           from events where event_type = 'purchase'),
+         |cen as (select x, ${bigint("count(*)")} as c from v group by x),
+         |tot as (select ${bigint("sum(c)")} as n from cen),
+         |cum as (select x, ${bigint("sum(c) over (order by x rows between unbounded preceding and current row)")} as f
+         |        from cen),
+         |cap as (select ${bigint("min(x)")} as cap from cum cross join tot
+         |        where f >= cast(ceil(n * 0.99) as bigint)),
+         |ag as (select ${bigint("count(*)")} as n, ${bigint("sum(x)")} as s1,
+         |         ${bigint("sum(x * x)")} as s2,
+         |         ${bigint("sum(least(x, cap))")} as c1,
+         |         ${bigint("sum(least(x, cap) * least(x, cap))")} as c2,
+         |         ${bigint("sum(case when x > cap then 1 else 0 end)")} as n_capped,
+         |         ${bigint("max(cap)")} as capv
+         |       from v cross join cap)
+         |select n as n_rows, ${roundAway(d)("cast(capv as double) / 100", 2)} as p99_cap,
+         |  n_capped, ${roundAway(d)("cast(n_capped as double) / n", 4)} as capped_share,
+         |  ${roundAway(d)("cast(s1 as double) / n / 100", 4)} as mean_raw,
+         |  ${roundAway(d)("cast(c1 as double) / n / 100", 4)} as mean_capped,
+         |  ${roundAway(d)("(cast(n as double) * s2 - cast(s1 as double) * s1) / (cast(n as double) * (n - 1)) / 10000", 4)} as var_raw,
+         |  ${roundAway(d)("(cast(n as double) * c2 - cast(c1 as double) * c1) / (cast(n as double) * (n - 1)) / 10000", 4)} as var_capped,
+         |  ${roundAway(d)("1 - ((cast(n as double) * c2 - cast(c1 as double) * c1) / (cast(n as double) * s2 - cast(s1 as double) * s1))", 4)} as var_reduction
+         |from ag""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
