@@ -50,7 +50,7 @@ object Plans {
     "q_spearman" -> "two marginal value censuses (domain <= 11 and <= 50 rows) + one joint census (<= 550 cells); midranks from cumulative windows over the census rows; all rank/raw moments fold cnt-weighted exact bigints in one aggregation over the joint cells — the lineitem scan is the only corpus-priced pass",
     "q_customer_deciles" -> "per-customer decimal spend groupBy, then the grid-rank pattern: coarse $1000 bucket counts (<= ~500 domain rows), cumulative offsets over those rows, bucket-LOCAL row_number windows — no global single-partition sort; decile aggregation + 10-row share windows close it",
     "wm_multi_tenant" -> "tenant B's tranche re-ranks the cached g_indeg pool (two-pass distributed ranking, the carrier pattern); B's embed is one masked-sum aggregation over 0.5*rate*N rows + broadcast join back; both extractions are one aggregation each over the combined rate*1.5*N carrier rows; all tenant constants are plan-time literals",
-    "wm_repair" -> "attack + pre-extract over the cached g_stego carrier rows; damaged set = carriers anti-join CRC-valid ids (broadcastable); re-embed = one masked-sum aggregation over damaged rows only; post-extract over valid-union-repaired — four bounded carrier-row passes, no corpus work",
+    "wm_repair" -> "attack + pre-extract over the cached g_stego carrier rows; damaged set = carriers anti-join CRC-valid ids (broadcastable); re-embed = one masked-sum aggregation over damaged rows only; post-extract over valid-union-repaired — four bounded carrier-row passes, no corpus work. NOTE: the att CTE is referenced by four consumers, so Catalyst re-inlines it (and its g_stego parquet read) 4x — bounded, carrier-row-sized; the ScaleCheck INLINE-chain leg instead re-runs the whole selection chain per reference, which is why its 10x number is chain-dominated",
     "q_order_reconcile" -> "one exact-integer rollup groupBy over lineitem + one full-outer hash join against headers + one bucket census — the two fact scans are the only at-scale cost; the gap ladder and quantized means are map-side",
     "events_churn_labels" -> "ONE combinable per-user groupBy computes every feature AND the label (conditional aggregates over the same scan — the point-in-time split is a literal predicate, not a second pass); the bucket census folds <= ~12 domain rows",
     "text_burrows_delta" -> "one word explode + one vocabulary groupBy (corpus-priced), zipf bucketed pre-rank for the top-30 (8 bucket-partitioned windows + pairwise rank over <= 240 survivors), then everything runs on the <= 600-row source-x-word grid — the 190-pair join is grid-sized",
@@ -59,7 +59,7 @@ object Plans {
     "text_ks_length" -> "one (lang, length) census groupBy — the only corpus pass; pair spine is |langs|^2/2 = 10 rows; CDF race windows partition per pair over length-DOMAIN rows (bounded by max doc length, not corpus size); the KS max is one integer aggregation per pair",
     "events_grouping_sets" -> "one map-side Expand (4 grouping sets) + ONE shuffle into the combined aggregation — the same envelope as rollup/cube; output is domain-bounded (<= 186 rows)",
     "graph_conductance" -> "reads the checkpointed g_lpa labels + cached g_knn edges; simple-edge dedup groupBy, two label joins, and three combinable censuses (cut via union-all counted once per incident community) — no per-community scans, one division per community",
-    "wm_delta_curve" -> "the 24 masked projection sums compute ONCE over the cached carrier rows (delta-independent); each of the 4 rungs is scalar shift math + one bounded extract aggregation + an analytic drift column — five carrier-row passes total, no corpus work",
+    "wm_delta_curve" -> "the 24 masked projection sums compute ONCE over the cached carrier rows (delta-independent); each of the 4 rungs is scalar shift math + one bounded extract aggregation + an analytic drift column — five carrier-row passes total, no corpus work in the served rendering (dcex reads the g_carriers view + the map-side exn scan; CTE re-inlining re-evaluates that bounded scan per rung, stated)",
     "events_attribution_curve" -> "ONE interval join at the widest 24h rung (per-user hash join + gap predicate); the 4 rungs are conditional aggregates over the joined pairs — no per-rung re-join; distinct counts fold in the same combinable aggregation",
     "pca_variance_explained" -> "one 44-aggregate covariance pass over the corpus (the pca_project2d plan shape), then a 1-row wide linear CTE chain (per-stage 1-row aggregations as optimizer barriers, DuckDB materialized) — constant in N after the first pass",
     "text_bpe_fertility" -> "vocabulary encode runs once per distinct word against the checkpointed g_bpe_vocab scratch; the per-language rollup is one combinable groupBy over the word stream joined to the tiny encode table — same envelope as text_bpe_encode",

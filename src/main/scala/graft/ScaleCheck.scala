@@ -72,7 +72,8 @@ object ScaleCheck {
       "vec_topk_filtered_lsh", "graph_triangles", "vec_topk_graph",
       "graph_communities", "graph_kcore", "graph_beam_curve",
       "graph_assortativity", "wm_overwrite", "graph_hops_reach",
-      "graph_clustering_coeff")
+      "graph_clustering_coeff", "graph_hubness", "wm_repair",
+      "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -91,7 +92,11 @@ object ScaleCheck {
       "vec_kmeans_step", "vec_pq_distortion", "text_keywords_llr",
       "q_pareto_share", "events_new_vs_returning",
       "events_segment_migration", "text_zipf_fit", "sketch_hll_curve",
-      "data_shard_manifest", "dedup_winnow")
+      "data_shard_manifest", "dedup_winnow",
+      "text_burrows_delta", "events_boot_ci", "q_spearman",
+      "events_ab_cuped", "text_ks_length", "q_customer_deciles",
+      "events_slo_burn", "q_order_reconcile", "events_attribution_curve",
+      "events_metric_winsorize", "sample_balanced", "pca_variance_explained")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
