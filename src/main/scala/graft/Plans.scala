@@ -59,7 +59,7 @@ object Plans {
     "text_ks_length" -> "one (lang, length) census groupBy — the only corpus pass; pair spine is |langs|^2/2 = 10 rows; CDF race windows partition per pair over length-DOMAIN rows (bounded by max doc length, not corpus size); the KS max is one integer aggregation per pair",
     "events_grouping_sets" -> "one map-side Expand (4 grouping sets) + ONE shuffle into the combined aggregation — the same envelope as rollup/cube; output is domain-bounded (<= 186 rows)",
     "graph_conductance" -> "reads the checkpointed g_lpa labels + cached g_knn edges; simple-edge dedup groupBy, two label joins, and three combinable censuses (cut via union-all counted once per incident community) — no per-community scans, one division per community",
-    "wm_delta_curve" -> "the 24 masked projection sums compute ONCE over the cached carrier rows (delta-independent); each of the 4 rungs is scalar shift math + one bounded extract aggregation + an analytic drift column — five carrier-row passes total, no corpus work in the served rendering (dcex reads the g_carriers view + the map-side exn scan; CTE re-inlining re-evaluates that bounded scan per rung, stated)",
+    "wm_delta_curve" -> "the 24 masked projection sums compute ONCE over the cached carrier rows (delta-independent); the 4 rungs run rung-TAGGED through ONE embed + ONE extract chain (delta is a COLUMN over a 4-row spine — the unrolled-per-rung form planned 8 chains and cost 7.5 s; this one is 1.5 s at sf0.1) + an analytic drift column — two carrier-row chains total, no corpus work",
     "events_attribution_curve" -> "ONE interval join at the widest 24h rung (per-user hash join + gap predicate); the 4 rungs are conditional aggregates over the joined pairs — no per-rung re-join; distinct counts fold in the same combinable aggregation",
     "pca_variance_explained" -> "one 44-aggregate covariance pass over the corpus (the pca_project2d plan shape), then a 1-row wide linear CTE chain (per-stage 1-row aggregations as optimizer barriers, DuckDB materialized) — constant in N after the first pass",
     "text_bpe_fertility" -> "vocabulary encode runs once per distinct word against the checkpointed g_bpe_vocab scratch; the per-language rollup is one combinable groupBy over the word stream joined to the tiny encode table — same envelope as text_bpe_encode",

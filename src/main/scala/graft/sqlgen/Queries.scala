@@ -7519,65 +7519,69 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // rate·N carrier rows. 4-row output: the frontier a deployment
     // reads to pick its Δ.
     "wm_delta_curve" -> {
-      val deltas = Seq("0.05", "0.10", "0.15", "0.25")
+      // the 4 rungs run through ONE rung-tagged embed chain + ONE
+      // extract chain (Δ is a COLUMN over a 4-row spine, not a literal
+      // per copied chain) — same arithmetic, same IEEE ops, a quarter
+      // of the plan (the unrolled-per-rung form planned 8 chains and
+      // was the suite's slowest key at 7.5 s)
       val pS = (0 until MsgLen).map(g =>
         s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
-      def rung(r: Int, dl: String): String = {
-        def shiftE(g: Int) = {
-          val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
-          s"((2 * cast(floor((p$g / $dl - $bit) / 2 + 0.5) as bigint) + $bit) * $dl - p$g)"
-        }
-        val pnSq = (0 until MsgLen).map(g =>
-          s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
-        val drift = "(1 + " + (0 until MsgLen).map(g =>
-          s"sh$g * p$g / ${kc.groupCnt(g)}").mkString(" + ") + ")"
-        val qS = (0 until MsgLen).map(g =>
-          s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
-        def bitE(g: Int) = s"((cast(floor(q$g / nr / $dl + 0.5) as bigint) % 2) + 2) % 2"
-        s"""r${r}sh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
-           |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
-           |         from deagg),
-           |r${r}n as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
-           |            sqrt(1 + $pnSq) as pn,
-           |            ${bigint(roundAway(d)(s"$drift / sqrt(1 + $pnSq) * 1000000000", 0))} as driftq
-           |          from r${r}sh),
-           |r${r}st as (select x.id, x.pos,
-           |             (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
-           |           from dcex x join r${r}n e on e.id = x.id),
-           |r${r}at as (select id, pos, sval + 0.05 * ${prfGauss(d)(s"'dc$r'", "id", "pos")} as sval from r${r}st),
-           |r${r}xa as (select id, sqrt(sum(sval * sval)) as nr,
-           |            $qS
-           |          from r${r}at group by id),
-           |r${r}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
-           |        from r${r}xa),
-           |r${r}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
-           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
-           |        from r${r}xb),
-           |r${r}vl as (select id, idx as blk, pbits from r${r}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
-           |r${r}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"r${r}vl", "pbits", "p1", "b", Seq("blk"))} _r${r}vx),
-           |r${r}vt as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
-           |           from r${r}vx group by blk, bit_idx),
-           |r${r}er as (select ${bigint(s"sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
-           |             ${bigint("count(distinct case when v.vote is not null then v.blk end)")} as blocks_live
-           |           from msgbits m left join r${r}vt v on v.blk = m.blk and v.bit_idx = m.j),
-           |r${r}dr as (select ${bigint("count(*)")} as nc, ${bigint("sum(driftq)")} as sd,
-           |             ${bigint("min(driftq)")} as mnd from r${r}n),
-           |r${r}o as (select cast($dl as double) as delta_step, e.errors, e.blocks_live,
-           |            ${roundAway(d)("cast(dd.sd as double) / dd.nc / 1000000000", 6)} as mean_cosine,
-           |            ${roundAway(d)("cast(dd.mnd as double) / 1000000000", 6)} as min_cosine
-           |          from r${r}er e cross join r${r}dr dd)""".stripMargin
+      def shiftE(g: Int) = {
+        val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / dl - $bit) / 2 + 0.5) as bigint) + $bit) * dl - p$g)"
       }
+      val pnSq = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
+      val drift = "(1 + " + (0 until MsgLen).map(g =>
+        s"sh$g * p$g / ${kc.groupCnt(g)}").mkString(" + ") + ")"
+      val qS = (0 until MsgLen).map(g =>
+        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+      def bitE(g: Int) = s"((cast(floor(q$g / nr / dl + 0.5) as bigint) % 2) + 2) % 2"
       s"""${wmChain("overwrite")},
          |dcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
          |         from carriers c join exn x on x.id = c.vec_id),
          |deagg as (select id, blk, max(nrm) as nrm,
          |            $pS
          |          from dcex group by id, blk),
-         |${deltas.zipWithIndex.map { case (dl, r) => rung(r, dl) }.mkString(",\n")}
-         |select delta_step, ${bigint("256")} as n_bits, errors,
-         |  ${roundAway(d)("errors / cast(256 as double)", 4)} as ber,
-         |  blocks_live, mean_cosine, min_cosine
-         |from (${deltas.indices.map(r => s"select * from r${r}o").mkString(" union all ")}) _u""".stripMargin
+         |dls as (select case k when 0 then cast(0.05 as double) when 1 then cast(0.10 as double)
+         |                      when 2 then cast(0.15 as double) else cast(0.25 as double) end as dl, k
+         |        from ${rangeTable("kk", "k", 0, 3)}),
+         |rsh as (select g.k, g.dl, a.id, a.nrm, ${(0 until MsgLen).map(g => s"a.p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
+         |        from deagg a cross join dls g),
+         |rn as (select k, dl, id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |          sqrt(1 + $pnSq) as pn,
+         |          ${bigint(roundAway(d)(s"$drift / sqrt(1 + $pnSq) * 1000000000", 0))} as driftq
+         |       from rsh),
+         |rat as (select e.k, e.dl, x.id, x.pos,
+         |           (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm
+         |             + 0.05 * ${prfGauss(d)("'dc'", "e.k", "x.id", "x.pos")} as sval
+         |        from dcex x join rn e on e.id = x.id),
+         |rxa as (select k, id, max(dl) as dl, sqrt(sum(sval * sval)) as nr,
+         |            $qS
+         |        from rat group by k, id),
+         |rxb as (select k, id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+         |        from rxa),
+         |rxh as (select k, id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+         |        from rxb),
+         |rvl as (select k, id, idx as blk, pbits from rxh where crc = ${d.arrIdx0(crcLit, "idx")}),
+         |rvx as (select k, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("rvl", "pbits", "p1", "b", Seq("k", "blk"))} _rvx),
+         |rvt as (select k, blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+         |        from rvx group by k, blk, bit_idx),
+         |rer as (select g.k, ${bigint(s"sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
+         |          ${bigint("count(distinct case when v.vote is not null then v.blk end)")} as blocks_live
+         |        from dls g cross join msgbits m
+         |        left join rvt v on v.k = g.k and v.blk = m.blk and v.bit_idx = m.j
+         |        group by g.k),
+         |rdr as (select k, max(dl) as dl, ${bigint("count(*)")} as nc, ${bigint("sum(driftq)")} as sd,
+         |          ${bigint("min(driftq)")} as mnd from rn group by k)
+         |select ${roundAway(d)("dd.dl", 2)} as delta_step, ${bigint("256")} as n_bits, e.errors,
+         |  ${roundAway(d)("e.errors / cast(256 as double)", 4)} as ber,
+         |  e.blocks_live,
+         |  ${roundAway(d)("cast(dd.sd as double) / dd.nc / 1000000000", 6)} as mean_cosine,
+         |  ${roundAway(d)("cast(dd.mnd as double) / 1000000000", 6)} as min_cosine
+         |from rer e join rdr dd on dd.k = e.k""".stripMargin
     },
 
   )

@@ -117,7 +117,7 @@ class R8iOpsSpec extends AnyFunSuite {
         val att = Array.tabulate(Wm.Dim) { k =>
           val p = k + 1
           val sval = (nval(k) + kc.dimSign(p) * sh(kc.dimGroup(p)) / kc.groupCnt(kc.dimGroup(p))) / pn * nrm
-          sval + 0.05 * gauss(s"dc$r", id, p)
+          sval + 0.05 * gauss("dc", r, id, p)
         }
         WmDecode.decode(att, Wm.Key, dl).foreach { case (dblk, pb) =>
           liveBlks += dblk
