@@ -65,6 +65,8 @@ object Plans {
     "text_bpe_fertility" -> "vocabulary encode runs once per distinct word against the checkpointed g_bpe_vocab scratch; the per-language rollup is one combinable groupBy over the word stream joined to the tiny encode table — same envelope as text_bpe_encode",
     "sample_balanced" -> "one label census + a label-PARTITIONED rank window (per-partition sorts only) + the broadcast min-class target — the keep decision is a rank filter; the census output folds in one combinable groupBy",
     "events_metric_winsorize" -> "one cents-value census groupBy (domain-bounded by the price grid), one cumulative window over census rows for the exact p99, one combinable aggregation folding raw AND capped moments in the same pass",
+    "events_sessions_curve" -> "one lag window pass builds the gap table (user-partitioned, per-partition sorts only); all three rungs are conditional aggregates over the same gap rows + a per-user span census — no per-rung re-pass",
+    "wm_audit_curve" -> "ONE blind decode aggregation over the full watermarked table (the stego overlay left-joins the cached g_stego onto the corpus scan); sample rungs are PRF-level tags, so all per-rung votes/censuses are conditional sums over the same decoded rows — never a re-scan",
     "pack_efficiency_curve" -> "the per-source running token sum computes once (pack_sequences' window); each L is a map-side integer division via a 3-row cross join — no second window",
     "dedup_threshold_curve" -> "the dedup_minhash_verify chain (one signature pass, band join, shingle-intersection groupBy) + threshold filters over the verified pair table",
     "events_inter_event_hist" -> "one user-partitioned lag window + a 22-row power-of-two range join; exact counts/sums per bucket",

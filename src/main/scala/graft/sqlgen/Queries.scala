@@ -1569,6 +1569,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(cast(sum(cast(value as decimal(18,4))) as double), 2) as sum_value
          |from events group by ${evHourEpoch("ts")}, event_type""".stripMargin,
 
+    // SESSION-TIMEOUT TUNING CURVE — the gap knob of 36's
+    // sessionization measured as a ladder (every analytics stack
+    // hard-codes ONE timeout, usually 30 min, and this shows what the
+    // choice does to the session census — too short shreds visits,
+    // too long merges them): the per-user gap table computes ONCE
+    // (one lag window pass — the 36 shape), then every rung ∈
+    // {5 min, 30 min, 2 h} is a CONDITIONAL census over the same gap
+    // rows (a gap > rung breaks a session AND removes its span from
+    // active time, so sessions = users + breaks and active duration =
+    // Σ user spans − Σ breaking gaps — both exact integers, no
+    // per-rung re-pass). Events-per-session and mean duration are
+    // single divisions. The 30-min rung is definitionally the served
+    // events_sessions key (spec pins census equality). 3-row output.
+    "events_sessions_curve" -> {
+      def nSess(w: Int) = s"(max(u.n_users) + sum(case when g.gap > $w then 1 else 0 end))"
+      def actDur(w: Int) = s"(max(u.span_sum) - sum(case when g.gap > $w then g.gap else 0 end))"
+      def rung(w: Int) =
+        s"""select ${bigint(w.toString)} as timeout_s,
+           |  ${bigint(nSess(w))} as n_sessions,
+           |  ${roundAway(d)(s"max(u.n_events) / cast(${nSess(w)} as double)", 4)} as events_per_session,
+           |  ${bigint(actDur(w))} as active_duration_s,
+           |  ${roundAway(d)(s"${actDur(w)} / cast(${nSess(w)} as double)", 2)} as mean_session_dur_s
+           |from g cross join u""".stripMargin
+      s"""with e as (select user_id, event_id, ${evSec("ts")} as sec, ts from events),
+         |m as (select user_id, sec - lag(sec) over (partition by user_id order by ts, event_id) as gap
+         |      from e),
+         |g as (select gap from m where gap is not null),
+         |us as (select user_id, max(sec) - min(sec) as span, ${bigint("count(*)")} as ne
+         |       from e group by user_id),
+         |u as (select ${bigint("count(*)")} as n_users, ${bigint("sum(ne)")} as n_events,
+         |        ${bigint("sum(span)")} as span_sum from us)
+         |${rung(300)}
+         |union all
+         |${rung(1800)}
+         |union all
+         |${rung(7200)}""".stripMargin
+    },
+
     // ---------------- text analysis ----------------
     "text_tokens" ->
       s"""select ${bigint("doc_id")} as doc_id,
@@ -5271,6 +5309,71 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("1.358 * sqrt(cast(na + nb as double) / (cast(na as double) * nb))", 6)} as ks_crit_95,
          |  ${bigint("case when cast(dint as double) / (cast(na as double) * nb) > 1.358 * sqrt(cast(na + nb as double) / (cast(na as double) * nb)) then 1 else 0 end")} as reject_h0
          |from dm""".stripMargin,
+
+    // SAMPLED-AUDIT TUNING CURVE — the 100 TB ownership-verification
+    // question (a full blind extraction scans every row; an AUDIT
+    // wants the smallest sample that still proves the mark): blind
+    // extraction over keyed-PRF row samples at 10/25/50/100%, all
+    // from ONE decode pass — each vector gets its MINIMUM containing
+    // rung (the nprobe/recall@k prefix trick: the 10% sample ⊂ 25% ⊂
+    // 50% ⊂ 100% by construction, so rung votes are conditional sums
+    // over the same decoded rows, never re-scans). Per rung: rows
+    // scanned, valid carriers found, blocks live, payload errors vs
+    // the true message (an un-voted block errs on all 16 bits — the
+    // honest dark-block law), and the fully-recoverable flag — the
+    // audit-cost frontier a deployment reads to schedule verification
+    // scans. Redundancy floor: at rate 0.1, a p% audit finds
+    // ~p·rate·N carriers — below ~16/p vectors some blocks go dark
+    // (stated; the sf0.01 10% rung shows exactly that floor). NOTE
+    // this is TRUE full-table blind extraction (the reference's
+    // no-ids_file path): ~N/16 non-carriers pass the 4-bit CRC gate by
+    // chance and vote noise, so even the 100% rung carries a small
+    // error floor at low redundancy (measured 7/256 at sf0.01, where
+    // true carriers are only 3/block vs ~1.8/block chance-valid noise)
+    // — the registry-backed wm_extract is the 0-error production
+    // path, and wm_extract_null quantifies the same gate on clean
+    // data. Errors fall monotonically as the scan widens: 123 → 56 →
+    // 37 → 7.
+    "wm_audit_curve" -> {
+      val qS = (0 until MsgLen).map(g =>
+        s"sum(val * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+      def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+      val u = prfUniform(d)("'aud'", "id")
+      val lv = s"case when $u < 0.10 then 0 when $u < 0.25 then 1 when $u < 0.50 then 2 else 3 end"
+      s"""${wmChain("stego")},
+         |$fullCte,
+         |axa as (select id, sqrt(sum(val * val)) as nr,
+         |            $qS
+         |        from full_t group by id),
+         |alv as (select id, nr, ${(0 until MsgLen).map(g => s"q$g").mkString(", ")}, $lv as lv from axa),
+         |axb as (select id, lv, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+         |        from alv),
+         |axh as (select id, lv, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+         |        from axb),
+         |avl as (select id, lv, idx as blk, pbits from axh where crc = ${d.arrIdx0(crcLit, "idx")}),
+         |avx as (select lv, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("avl", "pbits", "p1", "b", Seq("lv", "blk"))} _avx),
+         |ks as (select kpos as k from ${rangeTable("kk", "kpos", 0, 3)}),
+         |art as (select ks.k, x.blk, x.bit_idx,
+         |          sum(case when x.lv <= ks.k then 2 * x.b - 1 else 0 end) as vote,
+         |          ${bigint("sum(case when x.lv <= ks.k then 1 else 0 end)")} as n
+         |        from avx x cross join ks group by ks.k, x.blk, x.bit_idx),
+         |asc2 as (select ks.k, ${bigint("sum(case when a.lv <= ks.k then 1 else 0 end)")} as n_scanned
+         |         from alv a cross join ks group by ks.k),
+         |acar as (select ks.k, ${bigint("sum(case when v.lv <= ks.k then 1 else 0 end)")} as n_valid
+         |         from avl v cross join ks group by ks.k),
+         |aer as (select ks.k,
+         |          ${bigint("sum(case when v.n is null or v.n = 0 or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
+         |          ${bigint("count(distinct case when v.n > 0 then v.blk end)")} as blocks_live
+         |        from ks cross join msgbits m
+         |        left join art v on v.k = ks.k and v.blk = m.blk and v.bit_idx = m.j
+         |        group by ks.k)
+         |select ${roundAway(d)("case e.k when 0 then 0.10 when 1 then 0.25 when 2 then 0.50 else 1.00 end", 2)} as sample_share,
+         |  s.n_scanned, c.n_valid, e.blocks_live,
+         |  e.errors, ${roundAway(d)("e.errors / cast(256 as double)", 4)} as ber,
+         |  ${bigint("case when e.errors = 0 then 1 else 0 end")} as fully_recoverable
+         |from aer e join asc2 s on s.k = e.k join acar c on c.k = e.k""".stripMargin
+    },
 
     // EXPLAINED-VARIANCE LADDER — the dimensionality-budget readout
     // behind every compression choice in §2 (matryoshka prefix dims,
