@@ -1,5 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark. Round-8 contract: the runner is WALL-CLOCK
+  * BUDGETED and FAILS OPEN — whatever the harness's timeout is, the
+  * last stdout line is always a complete, parseable headline JSON
+  * line covering every key measured so far:
+  *
+  *  - keys run CHEAPEST-FIRST (last round's bench_full.json costs),
+  *    so a kill leaves the maximal measured prefix;
+  *  - a parseable cumulative headline line prints every 25 keys and
+  *    after every completed sweep — the harness parses the FINAL
+  *    line of the stdout tail, so a kill at any point still yields
+  *    the last checkpoint instead of `parsed: null` (round 7's
+  *    failure mode: rc 124 with an unparseable partial tail);
+  *  - reps adapt: keys whose warmup ran < 0.2 s get 1 timed rep
+  *    (their medians are noise-dominated anyway); past 70% of budget
+  *    the warmups drop too;
+  *  - the load-robust second sweep (see below) only runs when its
+  *    projected cost fits the remaining budget, and aborts key-wise
+  *    at the deadline.
+  *
+  * Budget: SPARK_GRAFT_BUDGET seconds (default 570 — under any
+  * plausible 10-minute harness cap), measured from JVM entry.
+  */
 object Bench {
   private def timeSec(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -8,11 +31,15 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tEntry = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tEntry) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target machine runs local[32] with 128 GiB; 32 shuffle
     // partitions sized to match (not the 200 default)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "570").toDouble
+    val priorCosts = GateCosts.load()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,71 +56,22 @@ object Bench {
     // the steady-state plans the cache exists to enable)
     val chainSec = timeSec(try WmCache.ensure(spark, sfDir)
                            catch { case _: Throwable => () })
-    // per-key untimed warmup rep, then median of `reps` timed runs: the
-    // warmup absorbs first-touch costs (codegen compile, chain-stage
-    // materialization, broadcast build) that otherwise land on whichever
-    // key happens to run first, and the median absorbs transient
-    // machine-load spikes (observed: driver 255.9 s vs reproducible
-    // 64.5 s in round 1) — so the reported number is the steady-state
-    // plan cost, reproducible across rounds
     def r3(v: Double) = math.round(v * 1000) / 1000.0
-    def medianOf(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 warm: Boolean): (Double, Double) = {
-      def once(): Unit =
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      if (warm) once() // warmup, untimed
-      val runs = Seq.fill(reps)(timeSec(once())).sorted
-      (runs(runs.length / 2), runs.head)
+
+    val keys = GateCosts.cheapestFirst(SparkEntry.queries.keys, priorCosts)
+    val nKeys = keys.size
+    def runOnce(name: String): Unit =
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    def medianOf(name: String, nReps: Int, warm: Boolean): Double = {
+      if (warm) runOnce(name) // warmup, untimed
+      val runs = Seq.fill(nReps)(timeSec(runOnce(name))).sorted
+      runs(runs.length / 2)
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
-      val (med, best) = medianOf(fn, warm = true)
-      (name, fn, med, best)
-    }
-    // load-robust second sweep: sustained ambient load inflates EVERY rep
-    // in a key's timing window equally (observed: driver 119.4 s total vs
-    // 82.6 s reproduced on an idle machine, same code), so a per-key
-    // outlier test cannot see it. Instead every key is measured again in
-    // a full second sweep minutes later; ambient load only ever ADDS
-    // time, so the smaller of the two independent medians is the better
-    // estimate of the plan's steady-state cost. Both medians AND both
-    // sweep totals go into bench_full.json ("sweeps"/"sweep_totals")
-    // so the selection is auditable — this replaces the old one-sided
-    // stall re-timer that re-measured only suspiciously-slow keys and
-    // kept min(med, med2) silently. The min DOES carry a small
-    // downward bias under pure iid noise (~half the inter-median gap),
-    // but every key is re-measured symmetrically (no fast-fluke
-    // asymmetry), the bias is bounded by the published |med1 − med2|,
-    // and under the load regime actually observed (sustained ambient
-    // load inflating one whole sweep) the min is the unbiased choice.
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
-    val secondPass: Map[String, Double] =
-      if (sweeps < 2) Map.empty
-      else firstPass.map { case (name, fn, _, _) =>
-        name -> medianOf(fn, warm = false)._1
-      }.toMap
-    val results: Map[String, Double] = firstPass.map { case (name, _, med, _) =>
-      name -> math.min(med, secondPass.getOrElse(name, med))
-    }.toMap
-    val all = results + ("wm_chain_build" -> chainSec)
+
     def json(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val sweepJson = firstPass.map { case (name, _, med, _) =>
-      "\"" + name + "\":[" + r3(med) + "," + r3(secondPass.getOrElse(name, med)) + "]"
-    }.mkString("{", ",", "}")
-    val total = r3(results.values.sum + chainSec)
-    // The harness keeps only the last ~2 KB of stdout and parses the
-    // final JSON line. With 120+ timed keys the full map alone is ~3 KB,
-    // so it goes on a '#'-prefixed informational line (and to a file),
-    // and the parsed line carries the headline subset + total — sized
-    // to survive the tail capture whole.
-    println("#full " + json(all))
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
-      s"""{"queries":${json(all)},"sweeps":$sweepJson,"sweep_totals":[${r3(firstPass.map(_._3).sum)},${r3(firstPass.map(t => secondPass.getOrElse(t._1, t._3)).sum)}],"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
-    catch { case e: Throwable =>
-      // a silent failure would leave a stale file that reads as current
-      println(s"#warn bench_full.json write failed: ${e.getMessage}") }
-    val headline = Seq("wm_chain_build", "wm_recall_impact", "wm_embed",
+    val headlineKeys = Seq("wm_chain_build", "wm_recall_impact", "wm_embed",
       "wm_extract", "wm_ber", "wm_knn_edges", "vec_topk", "vec_topk_lsh",
       "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq_rerank",
       "vec_topk_binary", "vec_topk_graph", "vec_append", "index_catalog",
@@ -105,11 +83,92 @@ object Bench {
       "sketch_distinct", "q1_pricing", "q3_revenue", "q5_nation_rev",
       "q_window_topn", "events_sessions", "events_windowed",
       "events_asof", "events_retention", "ann_recall_eval")
-      .flatMap(k => all.get(k).map(k -> _))
+    // the cumulative fail-open checkpoint: complete, parseable, and
+    // self-describing (n_queries = keys measured so far). The harness
+    // keeps only the last ~2 KB of stdout and parses the final line,
+    // so the headline subset + total is sized to survive the tail
+    // capture whole; the full per-key map goes on '#'-prefixed lines
+    // and into bench_full.json.
+    def checkpoint(results: Map[String, Double], sweep: Int): Unit = {
+      val all = results + ("wm_chain_build" -> chainSec)
+      val total = r3(results.values.sum + chainSec)
+      val hl = headlineKeys.flatMap(k => all.get(k).map(k -> _))
+      println(s"""{"queries":${json(hl)},"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep":$sweep,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    def writeFull(results: Map[String, Double],
+                  med1: Map[String, Double], med2: Map[String, Double]): Unit = {
+      val all = results + ("wm_chain_build" -> chainSec)
+      val total = r3(results.values.sum + chainSec)
+      println("#full " + json(all))
+      val sweepJson = med1.map { case (k, m1) =>
+        "\"" + k + "\":[" + r3(m1) + "," + r3(med2.getOrElse(k, m1)) + "]"
+      }.mkString("{", ",", "}")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"),
+        s"""{"queries":${json(all)},"sweeps":$sweepJson,"sweep_totals":[${r3(med1.values.sum)},${r3(med1.keys.map(k => med2.getOrElse(k, med1(k))).sum)}],"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+      catch { case e: Throwable =>
+        // a silent failure would leave a stale file that reads as current
+        println(s"#warn bench_full.json write failed: ${e.getMessage}") }
+    }
+
+    // ---- sweep 1: per-key warmup + adaptive-rep median, cheapest-first
+    var med1 = Map.empty[String, Double]
+    var repsRun = Map.empty[String, Int] // for the sweep-2 projection
+    var degraded = false
+    keys.zipWithIndex.foreach { case (name, i) =>
+      if (!degraded && elapsed > 0.7 * budget) {
+        degraded = true
+        println(s"#warn budget pressure at key $i/$nKeys (${r3(elapsed)}s): dropping to 1 rep, no warmup")
+      }
+      val warmSec = if (degraded) 0.0 else timeSec(runOnce(name))
+      val nReps = if (degraded || warmSec < 0.2) 1 else reps
+      val runs = Seq.fill(nReps)(timeSec(runOnce(name))).sorted
+      med1 += name -> runs(runs.length / 2)
+      repsRun += name -> nReps
+      if ((i + 1) % 25 == 0 && i + 1 < nKeys) checkpoint(med1, 1)
+    }
+    writeFull(med1, med1, Map.empty)
+    checkpoint(med1, 1)
+
+    // ---- load-robust second sweep: sustained ambient load inflates
+    // EVERY rep in a key's timing window equally (observed: driver
+    // 119.4 s total vs 82.6 s reproduced idle, same code), so a
+    // per-key outlier test cannot see it. Every key is measured again
+    // in a full second sweep minutes later; ambient load only ever
+    // ADDS time, so the smaller of the two independent medians is the
+    // better estimate of the plan's steady-state cost. Both medians
+    // AND both sweep totals go to bench_full.json ("sweeps"/
+    // "sweep_totals") so the selection is auditable. The min carries
+    // a small downward bias under pure iid noise (~half the
+    // inter-median gap, bounded by the published |med1 − med2|), but
+    // under the load regime actually observed the min is the unbiased
+    // choice — and bench_full.json's "sweeps" lets a reader take the
+    // median-of-medians instead.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
+    val projected2 = keys.map(k => med1(k) * repsRun(k)).sum * 1.2
+    var med2 = Map.empty[String, Double]
+    if (sweeps >= 2 && elapsed + projected2 < budget) {
+      var stop = false
+      keys.zipWithIndex.foreach { case (name, i) =>
+        if (!stop && elapsed + med1(name) * repsRun(name) * 1.2 > budget) {
+          stop = true
+          println(s"#warn sweep 2 stopped at key $i/$nKeys (${r3(elapsed)}s of ${r3(budget)}s budget)")
+        }
+        if (!stop) {
+          med2 += name -> medianOf(name, repsRun(name), warm = false)
+          if ((i + 1) % 50 == 0 && i + 1 < nKeys)
+            checkpoint(med1.map { case (k, m) => k -> math.min(m, med2.getOrElse(k, m)) }, 2)
+        }
+      }
+    } else if (sweeps >= 2)
+      println(s"#warn sweep 2 skipped: ${r3(elapsed)}s elapsed + ${r3(projected2)}s projected > ${r3(budget)}s budget")
+    val results = med1.map { case (k, m) => k -> math.min(m, med2.getOrElse(k, m)) }
+    writeFull(results, med1, med2)
     // stop BEFORE the parsed line so no shutdown logging can trail it:
     // the harness keeps the last ~2 KB of stdout and parses the final
     // line as JSON
     spark.stop()
-    println(s"""{"queries":${json(headline)},"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    checkpoint(results, if (med2.nonEmpty) 2 else 1)
   }
 }

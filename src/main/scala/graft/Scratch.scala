@@ -86,10 +86,20 @@ object Scratch {
       spark.sql(sql).repartition(parts).write.mode("overwrite").parquet(p)
       new File(tmp, "_DONE").createNewFile()
       if (!tmp.renameTo(base)) {
-        // lost a race (or stale leftover): serve the winner's copy if
-        // complete, else our tmp directly
+        // lost a race: a COMPLETE winner serves everyone — drop ours
         if (new File(base, "_DONE").exists()) deleteRec(tmp)
-        else return spark.read.parquet(p)
+        else {
+          // base exists but incomplete (a dead builder's partial):
+          // clear it and retry, so the scratch actually lands and
+          // future sessions read instead of rebuilding forever
+          deleteRec(base)
+          if (!tmp.renameTo(base)) {
+            // a live concurrent builder got in between — serve our tmp
+            // this session and say the path leaked instead of hiding it
+            System.err.println(s"[scratch] rename race on $name: serving and leaking $tmp")
+            return spark.read.parquet(p)
+          }
+        }
       }
     }
     spark.read.parquet(new File(base, name).getAbsolutePath)

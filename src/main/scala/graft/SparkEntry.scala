@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sqlgen.{DuckDialect, Gen, SparkDialect}
+import graft.operators.PcaSolve
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory behind each query key. */
@@ -297,6 +298,62 @@ object SparkEntry {
         Tables.register(s, dir)
         s.sql(sparkGen.groupedTopkSql())
       }),
+      // 21g registry-path extraction: the carrier-id list persists as
+      // a cross-session parquet scratch artifact (the reference's
+      // save_low_degree_ids file), and extraction joins the attacked
+      // corpus against it — broadcast semi-join + the shared decode
+      // aggregation, NO selection-chain rebuild. Oracle inlines the
+      // same id list from the chain (Queries.wmExtractIdsSql).
+      "wm_extract_ids" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        Scratch.table(s, dir, "g_carrier_ids", "select vec_id, blk from g_carriers")
+        s.sql(sparkGenFor(s, dir).wmExtractIdsSql(Some("g_carrier_ids")))
+      }),
+      // the in-SQL power-iteration eigensolve mirrored in the JVM
+      // (operators.PcaSolve — the bounded-driver-math convention of
+      // events_attribution_markov): ONE 44-aggregate corpus pass
+      // (Gen.pcaMomentsSql) collects the 8×8 moment row; the C⁴ power
+      // iterations, Rayleigh quotients, and deflation run as exact
+      // IEEE-ordered driver math; the DuckDB oracle still renders the
+      // full ~50-stage SQL chain, so the hash match pins the mirror
+      // op for op. Replaces the two slowest gate keys' 1-row
+      // HashAggregate chains (pure exchange latency, 4.9 s + 3.1 s).
+      "pca_variance_explained" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val e = pcaEig(s, dir)
+        def r6(x: Double) = PcaSolve.roundAway(x, 6)
+        def r4(x: Double) = PcaSolve.roundAway(x, 4)
+        import s.implicits._
+        Seq(
+          ("pc1", r6(e.lam1), r4(e.lam1 / e.tr), r4(e.lam1 / e.tr), r6(e.tr)),
+          ("pc2", r6(e.lam2), r4(e.lam2 / e.tr), r4((e.lam1 + e.lam2) / e.tr), r6(e.tr)),
+          ("residual", r6(e.tr - e.lam1 - e.lam2), r4((e.tr - e.lam1 - e.lam2) / e.tr),
+            r4(1.0), r6(e.tr)))
+          .toDF("component", "lambda", "explained_share",
+            "cum_explained_share", "total_variance")
+      }),
+      // same solve; the projection itself stays a MAP-ONLY corpus scan
+      // with the solved axes as exact double literals (shortest repr
+      // round-trips bit-exactly through cast-as-double) — identical
+      // per-row arithmetic to the generated SQL's final select
+      "pca_project2d" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val e = pcaEig(s, dir)
+        // sign convention: first component of each axis made positive;
+        // ±1 multiplies are exact, but the m1/m2 term order follows
+        // the SQL: ((mu_i · ev_i) · sgn), summed left-to-right
+        val sg1 = if (e.ev(0) < 0) -1.0 else 1.0
+        val sg2 = if (e.v2(0) < 0) -1.0 else 1.0
+        val w1 = e.ev.toSeq.map(_ * sg1)
+        val w2 = e.v2.toSeq.map(_ * sg2)
+        var m1 = 0.0; var m2 = 0.0
+        (0 until PcaSolve.Dim).foreach { i =>
+          m1 += e.mu(i) * e.ev(i) * sg1
+          m2 += e.mu(i) * e.v2(i) * sg2
+        }
+        s.sql(sparkGen.pcaProjectSql(w1, w2, m1, m2))
+      }),
       // the learned merges APPLIED: distinct words encode once against
       // the same checkpointed vocabulary (the tokenizer's shipped
       // lookup table), docs join token lengths back
@@ -314,6 +371,13 @@ object SparkEntry {
         s.sql(sparkGen.bpeFertilitySql(Some("g_bpe_vocab")))
       }))
 
+  /** Collect the one st0 moment row and run the JVM eigensolve. */
+  private def pcaEig(s: SparkSession, dir: String): PcaSolve.Eig = {
+    val row = s.sql(sparkGen.pcaMomentsSql).collect()(0)
+    val a = Array.tabulate(PcaSolve.Dim)(i => row.getAs[Double](s"a${i + 1}"))
+    PcaSolve.solve(a, (i, j) => row.getAs[Double](s"m${i + 1}_${j + 1}"))
+  }
+
   // every doc-side session table goes through the cross-session
   // parquet scratch (graft.Scratch — the WmCache pattern): a fresh
   // session READS the kept artifact instead of re-paying the
@@ -330,8 +394,14 @@ object SparkEntry {
     Scratch.table(s, dir, "g_dsh_tr", sparkGen.decontShinglesBuildSql("tr")): Unit
   }
 
-  /** DuckDB-runnable oracle SQL, generated from the same templates. */
-  def oracleSql: Map[String, String] =
+  /** DuckDB-runnable oracle SQL, generated from the same templates.
+    * Every rendering passes through DuckHints.materialize — DuckDB 1.0
+    * re-evaluates multi-referenced CTEs per reference, which made the
+    * heaviest wm oracles minutes each (sqlgen.DuckHints). */
+  def oracleSql: Map[String, String] = rawOracleSql.view
+    .mapValues(graft.sqlgen.DuckHints.materialize).toMap
+
+  private def rawOracleSql: Map[String, String] =
     duckGen.sqls.map { case (k, _) => k -> duckGen.sql(k) } ++
       Map("multimodal_wav_stats" -> graft.operators.Wav.wavStatsOracleSql,
         "multimodal_wav_features" -> graft.operators.Wav.wavFeaturesOracleSql,

@@ -190,14 +190,22 @@ object WmCache {
       }
       new File(tmp, "_DONE").createNewFile()
       if (!tmp.renameTo(base)) {
-        // lost a race (or stale leftover): serve the winner's copy if
-        // complete, else our tmp directly
+        // lost a race: a COMPLETE winner serves everyone — drop ours
         if (new File(base, "_DONE").exists()) deleteRec(tmp)
         else {
-          stages.foreach { case (view, _) =>
-            spark.read.parquet(new File(tmp, view).getAbsolutePath)
-              .createOrReplaceTempView(view) }
-          return
+          // base exists but incomplete (a dead builder's partial):
+          // clear it and retry, so the scratch actually lands and
+          // future sessions read instead of rebuilding forever
+          deleteRec(base)
+          if (!tmp.renameTo(base)) {
+            // a live concurrent builder got in between — serve our tmp
+            // this session and say the path leaked instead of hiding it
+            System.err.println(s"[wmcache] rename race: serving and leaking $tmp")
+            stages.foreach { case (view, _) =>
+              spark.read.parquet(new File(tmp, view).getAbsolutePath)
+                .createOrReplaceTempView(view) }
+            return
+          }
         }
       }
     }

@@ -238,9 +238,15 @@ object Bmp {
     * the decoded (un-flipped) image order, so the hash witnesses the
     * bottom-up decode like vgrad does. */
   def dhash(px: Array[Int], width: Int): Long = {
+    // height derived, not assumed: a non-square image would otherwise
+    // silently read the wrong pixels (or out of bounds). The 64-bit
+    // pack still requires the 8×8 thumbnail shape.
+    val height = px.length / width
+    require(px.length == width * height, s"ragged pixel buffer: ${px.length} % $width != 0")
+    require(height * (width - 1) <= 64, s"dhash needs ≤64 bits, got ${height * (width - 1)}")
     var h = 0L
     var r = 0
-    while (r < width) {
+    while (r < height) {
       var c = 0
       while (c < width - 1) {
         h = (h << 1) | (if (px(r * width + c) > px(r * width + c + 1)) 1L else 0L)

@@ -155,6 +155,46 @@ object DuckDialect extends Dialect {
   def fieldOf(struct: String, name: String) = s"($struct).$name"
 }
 
+/** Oracle-side execution hints. DuckDB 1.0 INLINES every CTE
+  * reference: a CTE referenced twice is evaluated twice, and nested
+  * multi-references compound multiplicatively — the inline wm chain
+  * made the heaviest oracle keys minutes each (measured wm_repair
+  * 272 s plain → 3.7 s hinted at sf0.01, identical rows). Marking
+  * every CTE that is referenced ≥ 2 times AS MATERIALIZED evaluates
+  * it once; single-reference CTEs stay inlined (no duplication, and
+  * they keep DuckDB's filter pushdown). Purely an execution hint —
+  * same plan semantics, and every key re-verifies by hash after the
+  * rewrite. Spark SQL has no such keyword (Catalyst handles CTE
+  * dedup via its own WithCTE bookkeeping), so this applies to the
+  * DuckDB rendering only.
+  */
+object DuckHints {
+  private val defRe = "([A-Za-z_][A-Za-z0-9_]*) as \\(".r
+
+  def materialize(sql: String): String = {
+    val defs = defRe.findAllMatchIn(sql).map(_.group(1)).toSeq
+    val defCount = defs.groupBy(identity).view.mapValues(_.size).toMap
+    // a name defined MORE THAN ONCE is a nested-WITH shadow (some
+    // renderings inline a build chain that re-declares w/wx inside a
+    // consumer CTE); materializing a shadowed name trips a DuckDB 1.0
+    // binder bug ("Recursive CTE scan found without recursive CTE
+    // node", an INTERNAL error that invalidates the connection and
+    // would cascade-fail every later oracle key) — skip those
+    val names = defs.distinct.filter(n => defCount(n) == 1)
+    names.foldLeft(sql) { (acc, n) =>
+      // occurrences beyond the definition itself = reference count
+      // (a same-named column would overcount — harmless: the CTE just
+      // gets materialized once instead of inlined once)
+      val refs = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+        .findAllMatchIn(acc).size - 1
+      if (refs >= 2)
+        acc.replaceFirst("\\b" + java.util.regex.Pattern.quote(n) + " as \\(",
+          n + " as materialized (")
+      else acc
+    }
+  }
+}
+
 /** Shared deterministic primitives built on the dialect. */
 object Prim {
   /** 60-bit keyed PRF: md5 of ':'-joined parts (ints/strings only —

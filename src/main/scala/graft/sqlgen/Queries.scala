@@ -740,6 +740,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     s"""full_t as (select x.id, x.pos, coalesce(s.sval, x.val) as val
        |           from exn x left join stego s on s.id = x.id and s.pos = x.pos)""".stripMargin
 
+  /** Registry-path extraction (21g — see the sqls entry's note): the
+    * attacked full watermarked table, filtered to the persisted
+    * carrier-id registry (`idsView`; None inlines the chain's
+    * carriers for the oracle), decoded by the shared extractCtes.
+    * wm_ber's exact attack PRF streams ('bw'/'bw2', 30%, σ=0.05). */
+  def wmExtractIdsSql(idsView: Option[String]): String = {
+    val ids = idsView match {
+      case Some(v) => s"ids as (select vec_id from $v)"
+      case None    => "ids as (select vec_id from carriers)"
+    }
+    s"""${wmChain("stego")},
+       |$fullCte,
+       |$ids,
+       |fat as (select f.id, f.pos,
+       |          case when ${prfMod(d)(10, "'bw'", "f.id")} < 3
+       |               then f.val + 0.05 * ${prfGauss(d)("'bw2'", "f.id", "f.pos")}
+       |               else f.val end as sval
+       |        from full_t f join ids i on i.vec_id = f.id),
+       |${extractCtes("fat")}
+       |select ${bigint("blk")} as blk, ${bigint("bit_idx")} as bit_idx,
+       |  ${bigint("case when vote > 0 then 1 else 0 end")} as bit, ${bigint("n")} as votes
+       |from votes""".stripMargin
+  }
+
   /** SimHash width: 60 bits (the full 15-hex-digit md5 prefix both
     * engines parse exactly — see Dialect.hex2int). 60 bits split into
     * 5 bands of 12 bits, so the banded pair join's pigeonhole
@@ -2262,6 +2286,25 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  round(sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end) / cast(16.0 as double), 4) as ber
          |from msgbits m left join votes v on v.blk = m.blk and v.bit_idx = m.j
          |group by m.blk""".stripMargin,
+
+    // 21g ORACLE-BACKED: blind extraction from the PERSISTED
+    // carrier-id registry (reference: pg_func.py:312-323
+    // save_low_degree_ids + pg_func.py:723 extract_watermark with
+    // ids_file) over the attacked WHOLE watermarked corpus. The
+    // registry (rate·N (vec_id, blk) rows — the Spark side persists
+    // it through the cross-session parquet scratch, the kept
+    // artifact) filters the corpus by a BROADCAST semi-join, so a
+    // months-later extraction pays NO selection-chain rebuild and
+    // carries NO full-table CRC false-pass noise floor (the
+    // wm_audit_curve blind-scan failure mode, documented there).
+    // Same 30% / σ=0.05 gaussian attack (and PRF streams) as wm_ber,
+    // so the registry path is measured under the same damage. The
+    // oracle reads the id list inline from the chain's carriers
+    // (DuckDB holds no session state — stated; the VALUES are what
+    // the hash pins). Extraction itself is the shared extractCtes
+    // aggregation — one partial-agg pass over the rate·N matched
+    // rows + the tiny vote aggregation.
+    "wm_extract_ids" -> wmExtractIdsSql(None),
 
     // robustness matrix, continued: BER after subset deletion (10% of
     // rows dropped — surviving carriers still majority-vote correctly)
@@ -10525,6 +10568,39 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${roundAway(d)(est, 4)} as kmv_est,
        |  ${roundAway(d)(s"abs(($est) - n_exact) / n_exact", 4)} as rel_err
        |from kk""".stripMargin
+  }
+
+  /** The PCA moments pass (the eigensolve's st0 stage) ALONE: one
+    * 44-aggregate corpus pass over nv — avg(v_i) and avg(v_i·v_j) for
+    * i ≤ j. The Spark entrypoint collects this single row and mirrors
+    * the 2×(C⁴ power-iteration + Rayleigh) eigensolve EXACTLY in the
+    * JVM (operators.PcaSolve — the bounded-driver-math convention of
+    * events_attribution_markov), replacing the ~50-deep 1-row
+    * HashAggregate chain the pure-SQL rendering pays per run. The
+    * full in-SQL chain stays as the DuckDB oracle, so the hash match
+    * pins the driver math to the SQL rendering op for op. */
+  def pcaMomentsSql: String = {
+    val idx = 1 to 8
+    s"""with $nvCtes
+       |select ${(idx.map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
+        (for { i <- idx; j <- idx if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
+       |from nv""".stripMargin
+  }
+
+  /** The pca_project2d map-only projection with the JVM-solved axes
+    * substituted as exact double literals (shortest-repr round-trips
+    * bit-exactly through cast-as-double in both engines): the same
+    * per-row left-to-right dot + round(…, 5) as the generated SQL's
+    * final select, minus the cross join against the 1-row chain. */
+  def pcaProjectSql(w1: Seq[Double], w2: Seq[Double], m1: Double, m2: Double): String = {
+    val idx = 1 to 8
+    def proj(w: Seq[Double], m: Double) =
+      s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * cast(${w(i - 1)} as double)").mkString(" + ")} - cast($m as double), 5)"
+    s"""with $nvCtes
+       |select ${bigint("nv.id")} as vec_id, ${bigint("nv.label")} as label,
+       |  ${proj(w1, m1)} as pc1,
+       |  ${proj(w2, m2)} as pc2
+       |from nv""".stripMargin
   }
 
   def sql(name: String): String = sqls(name)

@@ -91,6 +91,98 @@ object Streams {
       }
   }
 
+  /** REGISTRY-PATH streaming extraction — the streaming twin of
+    * `wm_extract_ids` (and of `wm_audit_curve`'s registry rung, the
+    * 0-error audit path): the persisted carrier-id registry rides
+    * along as a broadcast set, so the cell stream is filtered MAP-SIDE
+    * before any state allocates — per-vector assembly state is
+    * O(open carriers), not O(open corpus), and no non-carrier can
+    * chance-pass the CRC gate (the full-table blind-scan false-pass
+    * noise floor wm_audit_curve documents, eliminated by
+    * construction). Decode and state semantics are exactly
+    * [[extractStream]]'s (same WmDecode math as the batch SQL;
+    * StreamingRegistryExtractSpec pins batch parity across
+    * micro-batch splits against the wm_extract_ids vote rows). */
+  def registryExtractStream(cells: Dataset[(Timestamp, Long, Int, Double)],
+                            registry: Set[Long],
+                            incompleteTimeoutMs: Long = 3600L * 1000,
+                            params: graft.sqlgen.WmParams = graft.sqlgen.WmParams.Default)
+      : Dataset[Decoded] = {
+    val bc = cells.sparkSession.sparkContext.broadcast(registry)
+    extractStream(cells.filter(c => bc.value.contains(c._2)),
+      incompleteTimeoutMs, params)
+  }
+
+  case class RungSess(gapSec: Long, userId: Long, start: Long, end: Long,
+                      nEvents: Long)
+
+  /** Multi-timeout sessionization — the streaming twin of
+    * `events_sessions_curve`: ONE stateful pass maintains an open
+    * session PER TIMEOUT RUNG (the batch key's tuning ladder), so the
+    * curve that picks the session-gap parameter runs incrementally
+    * with state O(users × rungs), not one full re-sessionization per
+    * rung. Each rung independently applies [[sessionize]]'s
+    * interval-merge semantics (late-but-in-watermark events handled
+    * identically); a rung's session closes either inline (a newer
+    * event opens the next one) or via the shared event-time timeout,
+    * anchored at the EARLIEST rung deadline still open.
+    * StreamingSessionCurveSpec pins per-rung batch parity across
+    * micro-batch splits. */
+  def sessionCurveStream(events: Dataset[(Timestamp, Long)],
+                         gaps: Seq[Long] = Seq(600, 1800, 3600),
+                         watermarkDelaySec: Long = 1800): Dataset[RungSess] = {
+    import events.sparkSession.implicits._
+    require(gaps.nonEmpty)
+    events
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "user_id")
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
+      .as[(Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[Long, Sess], RungSess](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, it, state: GroupState[Map[Long, Sess]]) =>
+          def deadline(g: Long, s: Sess) = s.end * 1000 + g * 1000
+          if (state.hasTimedOut) {
+            // close every rung whose deadline the watermark passed;
+            // later-deadline rungs stay open for more data
+            val wm = state.getCurrentWatermarkMs()
+            val open = state.get
+            val (due, left) = open.partition { case (g, s) => deadline(g, s) <= wm }
+            if (left.isEmpty) state.remove()
+            else {
+              state.update(left)
+              state.setTimeoutTimestamp(
+                left.map { case (g, s) => deadline(g, s) }.min)
+            }
+            due.iterator.map { case (g, s) =>
+              RungSess(g, s.userId, s.start, s.end, s.nEvents) }
+          } else {
+            val evs = it.map(t => Sess(user, t._1.getTime / 1000,
+              t._1.getTime / 1000, 1)).toSeq
+            val prev = state.getOption.getOrElse(Map.empty[Long, Sess])
+            val out = Vector.newBuilder[RungSess]
+            val next = gaps.map { g =>
+              // per-rung interval merge, exactly sessionize's semantics
+              val all = (prev.get(g).toSeq ++ evs).sortBy(s => (s.start, s.end))
+              val merged = scala.collection.mutable.ArrayBuffer.empty[Sess]
+              for (s <- all) merged.lastOption match {
+                case Some(p) if s.start <= p.end + g =>
+                  merged(merged.length - 1) = p.copy(
+                    end = math.max(p.end, s.end), nEvents = p.nEvents + s.nEvents)
+                case _ => merged += s
+              }
+              merged.init.foreach(s =>
+                out += RungSess(g, s.userId, s.start, s.end, s.nEvents))
+              g -> merged.last
+            }.toMap
+            state.update(next)
+            state.setTimeoutTimestamp(
+              next.map { case (g, s) => deadline(g, s) }.min)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Watermarked STREAM-STREAM interval join — the streaming form of
     * the as-of/attribution shape (`events_asof`): each click pairs with
     * the same user's purchases in the preceding hour. Both sides carry
@@ -563,7 +655,14 @@ object Streams {
             ring = (ring.filter(_._1 < hr) :+ (hr, n, ne)).takeRight(24)
             def burn(w: Long): Double = {
               val in = ring.filter(e => e._1 > hr - w && e._1 <= hr)
-              (in.map(_._3).sum.toDouble / in.map(_._2).sum) / 0.25
+              val tot = in.map(_._2).sum
+              // the batch query can never see a zero-total window (an
+              // hour row only exists when it grouped ≥1 event), but
+              // this API accepts arbitrary hourly rows incl. n = 0 —
+              // guard the division so an all-silent window reads as
+              // burn 0 (no error share of no events), not NaN that
+              // silently un-trips every alert comparison
+              if (tot == 0L) 0.0 else (in.map(_._3).sum.toDouble / tot) / 0.25
             }
             val (b1, b6, b24) = (burn(1), burn(6), burn(24))
             out += BurnPoint(hr, n, ne, roundAway(b1, 4), roundAway(b6, 4),
@@ -608,7 +707,16 @@ object Streams {
           it.toSeq.sortBy(_._2).foreach { case (_, day, x) =>
             val prev = if (i >= 0) Some(mt.toDouble / math.pow(2.0, i.toDouble)) else None
             i += 1
-            mt = if (i == 0) x else mt + x * (1L << (i - 1))
+            // enforce the documented mantissa ceiling instead of
+            // relying on the doc comment: past day 63 the shift would
+            // wrap silently (and precision degrades past 2^53 well
+            // before) — a deployment that reaches the bound rebases
+            // the kernel (drop the ring, restart the fold); garbage
+            // EWMA values are never emitted
+            require(i <= 63, s"ewmaStream: series '$series' exceeded the 63-day dyadic " +
+              "kernel bound — rebase the fold (documented 2^53 mantissa ceiling)")
+            mt = if (i == 0) x
+                 else Math.addExact(mt, Math.multiplyExact(x, 1L << (i - 1)))
             val ew = mt.toDouble / math.pow(2.0, i.toDouble)
             out += EwmaPoint(series, day, x, roundAway(ew, 4),
               prev.map(roundAway(_, 4)), prev.map(p => roundAway(x - p, 4)))
