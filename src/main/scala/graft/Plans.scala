@@ -61,7 +61,7 @@ object Plans {
     "graph_conductance" -> "reads the checkpointed g_lpa labels + cached g_knn edges; simple-edge dedup groupBy, two label joins, and three combinable censuses (cut via union-all counted once per incident community) — no per-community scans, one division per community",
     "wm_delta_curve" -> "the 24 masked projection sums compute ONCE over the cached carrier rows (delta-independent); the 4 rungs run rung-TAGGED through ONE embed + ONE extract chain (delta is a COLUMN over a 4-row spine — the unrolled-per-rung form planned 8 chains and cost 7.5 s; this one is 1.5 s at sf0.1) + an analytic drift column — two carrier-row chains total, no corpus work",
     "events_attribution_curve" -> "ONE interval join at the widest 24h rung (per-user hash join + gap predicate); the 4 rungs are conditional aggregates over the joined pairs — no per-rung re-join; distinct counts fold in the same combinable aggregation",
-    "pca_variance_explained" -> "one 44-aggregate covariance pass over the corpus (the pca_project2d plan shape), then a 1-row wide linear CTE chain (per-stage 1-row aggregations as optimizer barriers, DuckDB materialized) — constant in N after the first pass",
+    "pca_variance_explained" -> "one 44-aggregate covariance pass over the corpus (the ONLY cluster work), then the eigensolve runs as bounded driver math (operators.PcaSolve mirrors the oracle's SQL chain op-for-op in exact IEEE order — the events_attribution_markov convention; was a ~50-deep 1-row HashAggregate chain costing 4.9 s of pure exchange latency)",
     "text_bpe_fertility" -> "vocabulary encode runs once per distinct word against the checkpointed g_bpe_vocab scratch; the per-language rollup is one combinable groupBy over the word stream joined to the tiny encode table — same envelope as text_bpe_encode",
     "sample_balanced" -> "one label census + a label-PARTITIONED rank window (per-partition sorts only) + the broadcast min-class target — the keep decision is a rank filter; the census output folds in one combinable groupBy",
     "events_metric_winsorize" -> "one cents-value census groupBy (domain-bounded by the price grid), one cumulative window over census rows for the exact p99, one combinable aggregation folding raw AND capped moments in the same pass",
@@ -89,7 +89,7 @@ object Plans {
     "wm_knn_edges" -> "steady state: one scan of the g_knn parquet — the salted exchange is in the g_knn BUILD plan above",
     "wm_recall_impact" -> "carrier-delta rebuild: only the rate*N stego vectors are reassembled/re-bucketed; the untouched corpus reuses nn + the g_bkt rows via anti-joins",
     "vec_topk_ivf" -> "sqrt(N) sampled cells, Lloyd steps train on an 8*sqrt(N) sample, ONE full-corpus assignment; every assignment is a map-side-combinable max(struct) hash aggregation over the broadcast centroid cross join — no N*k window sort anywhere",
-    "pca_project2d" -> "one 44-aggregate covariance pass over the corpus, then a linear chain of 1-row aggregation barriers (the power iteration) and a map-only broadcast projection",
+    "pca_project2d" -> "one 44-aggregate covariance pass over the corpus; the power-iteration eigensolve runs as bounded driver math (operators.PcaSolve, hash-pinned to the oracle's SQL chain), and the projection is ONE map-only corpus scan with the solved axes as exact double literals — two corpus passes total, no 1-row aggregation chain",
     "vec_topk_pq" -> "PQ: codebooks train on a 512-row sample, ONE corpus pass encodes 8 codes/vector (map-side max(struct) argmax over broadcast centroids), ADC scan joins the tiny |Q|*M*K lookup onto the code table — corpus-side state is codes, not vectors",
     "graph_pagerank" -> "3 unrolled power-iteration steps over the g_knn view: each one edge join + map-side-combinable groupBy(dst); INTEGER picorank arithmetic so the iterated sums are aggregation-order-proof",
     "vec_quantize" -> "per-dim min/max stats shuffle + map-side clamped-floor encode (constant-dim branch); codes never shuffle, error report is one combinable agg",
@@ -242,7 +242,11 @@ object Plans {
     "events_corr_matrix" -> "one daily groupBy; the all-pairs Pearson join runs over the |types| x |days| zero-filled census grid, never events",
     "wm_rate_curve" -> "degree census + ES scores computed once off the cached g_indeg; each rung is a prefix cutoff of one global degree ranking; only the within-pool two-pass score ranking re-runs per rung over <= 1.5 r N rows",
     "q_promo_did" -> "part dim broadcast onto the fact scan, one combinable groupBy onto 4 cells; all estimate columns are tiny cell cross joins",
-    "events_ab_power" -> "one conditional per-variant aggregation (same scan as events_ab_test); everything downstream is 2-row arithmetic")
+    "events_ab_power" -> "one conditional per-variant aggregation (same scan as events_ab_test); everything downstream is 2-row arithmetic",
+    "wm_extract_ids" -> "registry-path extraction: the persisted carrier-id scratch table broadcast-semi-joins the attacked full corpus (rate*N matched rows), then ONE masked-sum decode aggregation + the tiny vote groupBy — no selection-chain rebuild, no full-table CRC noise floor",
+    "vec_graph_append" -> "incremental HNSW insert: the PRF-selected batch derives map-side from the nv scan; 3 beam hops expand against the cached g_knn edge view with broadcast shortlist joins (per-qid rank windows are bounded-state under the graft_topk rewrite); reverse-link updates join the batch links against the per-src worst-edge aggregate — O(|batch|*hops*beam*K) score rows, the existing graph is never rescanned",
+    "search_rerank_agreement" -> "reads the cached g_hybrid_scores two-leg table; shortlist via the bucketed pre-rank (no single-partition corpus window); every rank, tau pair count, and overlap computation is a cross join over <= 30 survivor rows (<= 435 pairs) — constant-sized at any corpus",
+    "ann_filter_strategy_curve" -> "post-filter leg ranks the shared g_bkt candidates once (per-qid bounded windows), each selectivity rung is a conditional re-rank of <= 40 survivors; the pre-filter truth leg scores the |Q|*N pair grid once and re-ranks per rung — the crossover's two cost axes land as columns, not re-scans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -73,7 +73,8 @@ object ScaleCheck {
       "graph_communities", "graph_kcore", "graph_beam_curve",
       "graph_assortativity", "wm_overwrite", "graph_hops_reach",
       "graph_clustering_coeff", "graph_hubness", "wm_repair",
-      "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve")
+      "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve",
+      "wm_extract_ids")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -96,7 +97,8 @@ object ScaleCheck {
       "text_burrows_delta", "events_boot_ci", "q_spearman",
       "events_ab_cuped", "text_ks_length", "q_customer_deciles",
       "events_slo_burn", "q_order_reconcile", "events_attribution_curve",
-      "events_metric_winsorize", "sample_balanced", "pca_variance_explained")
+      "events_metric_winsorize", "sample_balanced", "pca_variance_explained",
+      "dedup_shingle_curve")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))

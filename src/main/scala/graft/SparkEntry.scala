@@ -201,6 +201,13 @@ object SparkEntry {
         Scratch.table(s, dir, "g_hybrid_scores", sparkGen.hybridScoresBuildSql)
         s.sql(sparkGen.hybridRrfSql(Some("g_hybrid_scores")))
       }),
+      // second-stage rerank + Kendall-τ agreement ladder over the
+      // same cached two-leg score table (Queries.rerankAgreementSql)
+      "search_rerank_agreement" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_hybrid_scores", sparkGen.hybridScoresBuildSql)
+        s.sql(sparkGen.rerankAgreementSql(Some("g_hybrid_scores")))
+      }),
       // the native TypedImperativeAggregate HLL (functions.HllAgg):
       // the aggregation buffer IS the register array, merged
       // register-wise across partitions — bit-identical math to the
@@ -434,5 +441,6 @@ object SparkEntry {
         "events_attribution_markov" -> duckGen.markovAttributionSql(None),
         "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
         "text_bpe_fertility" -> duckGen.bpeFertilitySql(None),
-        "minhash_band_curve" -> duckGen.minhashCurveSql(None))
+        "minhash_band_curve" -> duckGen.minhashCurveSql(None),
+        "search_rerank_agreement" -> duckGen.rerankAgreementSql(None))
 }

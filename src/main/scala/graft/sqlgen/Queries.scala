@@ -1302,6 +1302,59 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from fin where rk <= 10""".stripMargin
   }
 
+  /** SECOND-STAGE RERANK + RANK-AGREEMENT REPORT — the cross-encoder
+    * serving pattern (retrieve cheap, rerank rich, but ONLY the
+    * shortlist: SBERN/ColBERT-style two-stage stacks run exactly this
+    * shape) measured the way a retrieval stack monitors it: exact
+    * Kendall τ between the first-stage ranking and the reranked
+    * ranking, plus top-k overlap, on a {5, 10, 30} rung ladder. The
+    * second-stage scorer is a DETERMINISTIC linear probe over the two
+    * leg scores (csim·0.7 + squash(bm25)·0.3 — no neural net in this
+    * container, stated; the transferable machinery is the
+    * shortlist-only second-stage scoring + the agreement readout).
+    * Scale: the corpus-priced work is the shared two-leg score table
+    * (the cached g_hybrid_scores artifact); shortlist selection uses
+    * the bucketed pre-rank (no single-partition corpus window), and
+    * every rank/τ computation is a cross join over ≤ 30 survivor
+    * rows (≤ 435 pairs) — constant-sized at any corpus. τ is τ-a
+    * over the strict (score, doc_id) total orders, so no tie terms. */
+  def rerankAgreementSql(from: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val sem = from match {
+      case Some(v) => s"sem as (select doc_id, bm25, csim from $v)"
+      case None    => s"sem as $matKw(${hybridScoresBuildSql.replace("\n", " ")})"
+    }
+    s"""with $sem,
+       |pr as (select doc_id, bm25, csim,
+       |         row_number() over (partition by doc_id % 16 order by csim desc, doc_id) as prn
+       |       from sem),
+       |cand as (select doc_id, bm25, csim from pr where prn <= 30),
+       |sl as (select a.doc_id, a.bm25, a.csim,
+       |         1 + sum(case when b.csim > a.csim or (b.csim = a.csim and b.doc_id < a.doc_id) then 1 else 0 end) as rn1
+       |       from cand a cross join cand b group by a.doc_id, a.bm25, a.csim),
+       |s30 as (select doc_id, rn1,
+       |          ${roundAway(d)("csim * cast(0.7 as double) + (bm25 / (abs(bm25) + 1)) * cast(0.3 as double)", 6)} as ce
+       |        from sl where rn1 <= 30),
+       |r2 as (select a.doc_id, a.rn1, a.ce,
+       |         1 + sum(case when b.ce > a.ce or (b.ce = a.ce and b.doc_id < a.doc_id) then 1 else 0 end) as rn2
+       |       from s30 a cross join s30 b group by a.doc_id, a.rn1, a.ce),
+       |ks as (select 5 as k union all select 10 as k union all select 30 as k),
+       |pairs as (select k.k, a.rn1 as a1, b.rn1 as b1, a.rn2 as a2, b.rn2 as b2
+       |          from r2 a join r2 b on a.doc_id < b.doc_id
+       |          join ks k on a.rn1 <= k.k and b.rn1 <= k.k),
+       |ag as (select k, ${bigint("count(*)")} as n_pairs,
+       |         ${bigint("sum(case when (a1 < b1 and a2 < b2) or (a1 > b1 and a2 > b2) then 1 else 0 end)")} as conc,
+       |         ${bigint("sum(case when (a1 < b1 and a2 > b2) or (a1 > b1 and a2 < b2) then 1 else 0 end)")} as disc
+       |       from pairs group by k),
+       |ov as (select k.k, ${bigint("sum(case when r.rn2 <= k.k then 1 else 0 end)")} as ovl
+       |       from r2 r join ks k on r.rn1 <= k.k group by k.k)
+       |select ${bigint("a.k")} as k, a.n_pairs, a.conc as concordant, a.disc as discordant,
+       |  ${roundAway(d)("(a.conc - a.disc) / cast(a.n_pairs as double)", 4)} as kendall_tau,
+       |  o.ovl as overlap_at_k,
+       |  ${roundAway(d)("o.ovl / cast(a.k as double)", 4)} as overlap_share
+       |from ag a join ov o on o.k = a.k""".stripMargin
+  }
+
   /** BPE training vocabulary: s0(c, sq) — every distinct alpha word
     * with its corpus frequency, char-split into the double-space
     * sequence form (' a  b  c '). The ONE corpus-priced pass of BPE
@@ -4415,6 +4468,65 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // HNSW-style graph-navigable search over the served kNN graph —
     // see graphTopkSql for the full design + scale commentary.
     "vec_topk_graph" -> graphTopkSql(3),
+
+    // incremental graph-index maintenance (HNSW insert) — see
+    // graphAppendSql for the full design + scale commentary.
+    "vec_graph_append" -> graphAppendSql,
+
+    // PRE-FILTER vs POST-FILTER STRATEGY CURVE — the query-planning
+    // choice every filtered vector search makes (pgvector's
+    // iterative-scan / Milvus's filtered-search docs both center on
+    // it): POST-FILTER runs the ANN shortlist (LSH top-40) then
+    // applies the predicate — cheap, but a selective predicate
+    // starves the result set; PRE-FILTER restricts the corpus first
+    // and scores exactly within it — always complete, but costs
+    // O(sel·N·|Q|) score rows. This key measures the crossover on a
+    // label-predicate selectivity ladder {0.1, 0.3, 0.5, 0.9}: the
+    // post-filter leg ranks the shared candidate shortlist ONCE
+    // (rank windows are per-qid → bounded-state under
+    // RewriteWindowTopK), each rung is a conditional re-rank of the
+    // ≤ 40 survivors; the pre-filter truth leg scores |Q|·N pairs
+    // once and re-ranks per rung. Output per rung: filtered-corpus
+    // size, surviving ANN candidates, post-filter result count,
+    // post-filter recall@10 vs the pre-filter truth, and the
+    // pre-filter leg's score-row cost — the two axes of the
+    // crossover decision, measured.
+    "ann_filter_strategy_curve" ->
+      s"""${wmChain("lsh")},
+         |sg as (select 1 as maxlab, cast(0.1 as double) as sel
+         |       union all select 3 as maxlab, cast(0.3 as double) as sel
+         |       union all select 5 as maxlab, cast(0.5 as double) as sel
+         |       union all select 9 as maxlab, cast(0.9 as double) as sel),
+         |exq as (select id, n from nn where id in ($qIdLit)),
+         |cw as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |       where a.id in ($qIdLit)),
+         |cs as (select c.qid, c.cid, nb.label, round(${d.dot("q.n", "nb.n")}, 6) as sim
+         |       from cw c join exq q on q.id = c.qid join nn nb on nb.id = c.cid),
+         |c40 as (select qid, cid, label, sim from (
+         |    select qid, cid, label, sim, row_number() over (partition by qid order by sim desc, cid) as rn
+         |    from cs) _c where rn <= 40),
+         |post as (select maxlab, qid, cid from (
+         |    select g.maxlab as maxlab, c.qid, c.cid,
+         |      row_number() over (partition by g.maxlab, c.qid order by c.sim desc, c.cid) as rn
+         |    from c40 c join sg g on c.label < g.maxlab) _p where rn <= 10),
+         |bp as (select q.id as qid, nb.id as cid, nb.label, round(${d.dot("q.n", "nb.n")}, 6) as sim
+         |       from exq q join nn nb on nb.id <> q.id),
+         |pre as (select maxlab, qid, cid from (
+         |    select g.maxlab as maxlab, b.qid, b.cid,
+         |      row_number() over (partition by g.maxlab, b.qid order by b.sim desc, b.cid) as rn
+         |    from bp b join sg g on b.label < g.maxlab) _t where rn <= 10),
+         |nf as (select g.maxlab as maxlab, ${bigint("count(*)")} as n_pass from nn n join sg g on n.label < g.maxlab group by g.maxlab),
+         |ncand as (select g.maxlab as maxlab, ${bigint("count(*)")} as n_cand from c40 c join sg g on c.label < g.maxlab group by g.maxlab),
+         |np as (select maxlab, ${bigint("count(*)")} as n_post from post group by maxlab),
+         |ht as (select p.maxlab, ${bigint("count(*)")} as hits
+         |       from post p join pre t on t.maxlab = p.maxlab and t.qid = p.qid and t.cid = p.cid group by p.maxlab),
+         |nq as (select ${bigint("count(*)")} as nq from exq)
+         |select g.sel as selectivity, f.n_pass as n_filtered_corpus,
+         |  c.n_cand as n_surviving_candidates, p.n_post as n_post_results,
+         |  ${roundAway(d)("coalesce(h.hits, 0) / (cast(10 as double) * q.nq)", 4)} as post_recall10,
+         |  ${bigint("f.n_pass * q.nq")} as prefilter_score_rows
+         |from sg g join nf f on f.maxlab = g.maxlab join ncand c on c.maxlab = g.maxlab
+         |join np p on p.maxlab = g.maxlab left join ht h on h.maxlab = g.maxlab cross join nq q""".stripMargin,
 
     // INDEX CATALOG — the describe_index / index-stats readout across
     // EVERY served index product in one report (Milvus
@@ -10363,6 +10475,67 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from (select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn
        |      from b$hops where cid <> qid) _t
        |where rn <= 10""".stripMargin
+  }
+
+  /** INCREMENTAL GRAPH-INDEX MAINTENANCE (the HNSW insert path —
+    * hnswlib addPoint / Milvus growing-segment insert, the graph
+    * twin of `vec_append`'s IVF/PQ/BQ ingestion): a NEW vector batch
+    * (vec_append's exact PRF-selected, re-identified, perturbed
+    * tenth) is inserted into the SERVED navigable graph — each new
+    * vector beam-searches the existing graph (same hub entry points,
+    * 3 hops, beam 16 as the served graphTopkSql) for its M = 8
+    * out-neighbors,
+    * and the reverse-link half of the HNSW insert is counted: an
+    * existing node gains a back-edge iff the new vector beats its
+    * CURRENT worst (rank-K) kNN edge — the pruning rule that keeps
+    * degree bounded. NOTHING about the existing graph is rescanned
+    * or rebuilt: cost is O(|batch|·hops·beam·K) score rows against
+    * the served edge/vector views — the incremental-ingest promise,
+    * distributed (at 100 TB the batch streams through broadcast
+    * joins against the graph views exactly like this). Per-new-
+    * vector report: top-1 link + sim, the rank-M link sim (the
+    * entry's connectivity floor), and how many reverse links the
+    * insert would update. */
+  def graphAppendSql: String = {
+    val beam = 16
+    val m = 8
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    def hop(prev: String, next: String): String =
+      s"""$next as (select qid, cid, sim from (
+         |  select s.qid, s.cid, s.sim, row_number() over (partition by s.qid order by s.sim desc, s.cid) as rn
+         |  from (select ${bcast("x")}x.qid, x.cid, round(${d.dot("q.qn", "nb.n")}, 6) as sim
+         |        from (select distinct b.qid, e.dst as cid from $prev b join e2 e on e.src = b.cid) x
+         |        join q on q.qid = x.qid join nn nb on nb.id = x.cid) s) _h
+         |where rn <= $beam)""".stripMargin
+    s"""${wmChain("knn")},
+       |e2 as $matKw(select src, dst from knn union all select id as src, id as dst from nn),
+       |ab0 as (select id, v, ${prfMod(d)(64, "'appos'", "id")} as pp from nv
+       |        where ${prfMod(d)(1048576, "'append'", "id")} < 104858),
+       |ab1 as (select id + 1000000 as id, pp, v from ab0),
+       |abv as (select id, ${d.arrTransform(d.intSeq("0", (Dim - 1).toString), "k",
+                  s"${d.arrIdx0("v", "k")} + (case when k = pp then cast(0.2 as double) else cast(0 as double) end)")} as v
+       |        from ab1),
+       |q as $matKw(select id as qid, ${d.arrTransform("v", "x", s"x / sqrt(${d.dot("v", "v")})")} as qn from abv),
+       |ent as (select vec_id as id from indeg order by in_degree desc, vec_id limit 4),
+       |b0 as (select ${bcast("qe")}qe.qid, qe.id as cid, round(${d.dot("qe.qn", "nb.n")}, 6) as sim
+       |       from (select q.qid, q.qn, e.id from q cross join ent e) qe join nn nb on nb.id = qe.id),
+       |${hop("b0", "b1")},
+       |${hop("b1", "b2")},
+       |${hop("b2", "b3")},
+       |links as (select qid, cid, sim, rn from (
+       |    select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn
+       |    from b3) _t where rn <= $m),
+       |worst as (select src, min(sim) as worst_sim, max(rn) as deg from knn group by src),
+       |rev as (select l.qid, ${bigint(s"sum(case when w.deg >= $K and l.sim > w.worst_sim then 1 else 0 end)")} as n_rev_updates
+       |        from links l join worst w on w.src = l.cid group by l.qid),
+       |top1 as (select qid, cid as top1_id, sim as top1_sim from links where rn = 1),
+       |mth as (select qid, max(case when rn = $m then sim end) as sim_at_m,
+       |          ${bigint("count(*)")} as n_links from links group by qid)
+       |select ${bigint("t.qid")} as vec_id, ${bigint("t.top1_id")} as top1_id,
+       |  t.top1_sim, h.sim_at_m, h.n_links,
+       |  ${bigint("coalesce(r.n_rev_updates, 0)")} as n_rev_updates
+       |from top1 t join mth h on h.qid = t.qid
+       |left join rev r on r.qid = t.qid""".stripMargin
   }
 
   /** Synchronous label-propagation rounds over the served kNN graph
