@@ -201,6 +201,16 @@ object SparkEntry {
         Scratch.table(s, dir, "g_hybrid_scores", sparkGen.hybridScoresBuildSql)
         s.sql(sparkGen.hybridRrfSql(Some("g_hybrid_scores")))
       }),
+      // dedup tier benchmark: exact-Jaccard truth on a PRF doc sample
+      // vs the served MinHash/SimHash candidate sets (read from their
+      // scratch tables) — precision/recall/F1 per tier
+      // (Queries.dedupTierEvalSql)
+      "dedup_tier_eval" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        simPairsView(s, dir)
+        s.sql(sparkGen.dedupTierEvalSql(Some(("g_mhsig", "g_simpairs"))))
+      }),
       // second-stage rerank + Kendall-τ agreement ladder over the
       // same cached two-leg score table (Queries.rerankAgreementSql)
       "search_rerank_agreement" -> ((s, dir) => {
@@ -442,5 +452,6 @@ object SparkEntry {
         "text_bpe_encode" -> duckGen.bpeEncodeSql(None),
         "text_bpe_fertility" -> duckGen.bpeFertilitySql(None),
         "minhash_band_curve" -> duckGen.minhashCurveSql(None),
-        "search_rerank_agreement" -> duckGen.rerankAgreementSql(None))
+        "search_rerank_agreement" -> duckGen.rerankAgreementSql(None),
+        "dedup_tier_eval" -> duckGen.dedupTierEvalSql(None))
 }

@@ -1355,6 +1355,92 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from ag a join ov o on o.k = a.k""".stripMargin
   }
 
+  /** DEDUP TIER BENCHMARK — which dedup tier should a corpus deploy?
+    * The eval every curation stack runs before committing to a
+    * candidate generator: on a PRF-sampled 10% doc subset, exact
+    * 3-gram Jaccard (integer test 2·|∩| ≥ |∪| ⟺ J ≥ 0.5) is the
+    * ground truth, and each production tier's CANDIDATE SET —
+    * MinHash 8×2 banding over the served signature table, SimHash
+    * 5×12 banding at hamming ≤ 4 — is scored as precision / recall /
+    * F1 against it. Tier decisions are evaluated exactly as the
+    * served pipelines compute them (same signatures, same band
+    * joins); restricting both band joins to the sample up front
+    * yields the identical pair set (both endpoints must be sampled)
+    * at a tenth of the join cost — the eval's cost scales with the
+    * SAMPLE, not the corpus, which is what makes the protocol
+    * runnable at 100 TB. A pair sharing zero 3-grams has J = 0, so
+    * candidates outside the truth join are exact false positives —
+    * no approximation anywhere in the scoring. */
+  def dedupTierEvalSql(views: Option[(String, String)]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val idivOp = if (d.name == "spark") "div" else "//"
+    val xorAB = if (d.name == "spark") "a.sig ^ b.sig" else "xor(a.sig, b.sig)"
+    val tiers = views match {
+      case Some((mhV, spV)) =>
+        s"""mh as (select * from $mhV),
+           |scand0 as (select doc_a as da, doc_b as db, hamming from $spV),
+           |scand as (select c.da, c.db from scand0 c
+           |          join samp x on x.doc_id = c.da join samp y on y.doc_id = c.db
+           |          where c.hamming <= ${SimhashBands - 1})""".stripMargin
+      case None =>
+        s"""$minhashBandsCtes,
+           |swh as (select t.doc_id, t.wd, count(*) as cnt, ${d.hex2int("substr(md5(t.wd), 1, 15)")} as h
+           |        from (select x.doc_id, x.wd from wx x join samp s on s.doc_id = x.doc_id) t
+           |        group by t.doc_id, t.wd),
+           |ssbw as $matKw(select doc_id, $simhashSums from swh group by doc_id),
+           |ssh as (select doc_id, $simhashSigFromSums as sig from ssbw),
+           |sbnd as (select doc_id, sig, bb, (sig $idivOp cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
+           |         from ssh cross join ${rangeTable("sb5", "bb", 0, SimhashBands - 1)}),
+           |scand as (select distinct a.doc_id as da, b.doc_id as db
+           |          from sbnd a join sbnd b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id
+           |          where bit_count($xorAB) <= ${SimhashBands - 1})""".stripMargin
+    }
+    val bandSig = (0 until 8).map(k =>
+      s"when bk = $k then m${2 * k} * 2147483648 + m${2 * k + 1}").mkString("case ", " ", " end")
+    s"""with $wordCtes,
+       |samp as (select doc_id from documents where ${prfMod(d)(100, "'dteval'", "doc_id")} < 10),
+       |$tiers,
+       |mbs as (select m.* from mh m join samp s on s.doc_id = m.doc_id),
+       |mbnd as (select doc_id, bk, $bandSig as bsig
+       |         from mbs cross join ${rangeTable("b8", "bk", 0, 7)}),
+       |mcand as (select distinct a.doc_id as da, b.doc_id as db
+       |          from mbnd a join mbnd b on a.bk = b.bk and a.bsig = b.bsig and a.doc_id < b.doc_id),
+       |tw as (select x.doc_id, x.wpos, x.wd from wx x join samp s on s.doc_id = x.doc_id),
+       |t3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+       |         lead(wd, 2) over (partition by doc_id order by wpos) as w3 from tw),
+       |tg as $matKw(select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from t3 where w3 is not null),
+       |gsz as (select doc_id, ${bigint("count(*)")} as n from tg group by doc_id),
+       |inter as (select a.doc_id as da, b.doc_id as db, ${bigint("count(*)")} as i
+       |          from tg a join tg b on a.sh = b.sh and a.doc_id < b.doc_id
+       |          group by a.doc_id, b.doc_id),
+       |tpos as $matKw(select i.da, i.db from inter i
+       |        join gsz ga on ga.doc_id = i.da join gsz gb on gb.doc_id = i.db
+       |        where 2 * i.i >= ga.n + gb.n - i.i),
+       |np as (select ${bigint("count(*)")} as n_pos from tpos),
+       |nsd as (select ${bigint("count(*)")} as n_docs from samp),
+       |mm as (select ${bigint("count(*)")} as n_cand,
+       |         ${bigint("sum(case when t.da is not null then 1 else 0 end)")} as tp
+       |       from mcand c left join tpos t on t.da = c.da and t.db = c.db),
+       |sm as (select ${bigint("count(*)")} as n_cand,
+       |         ${bigint("sum(case when t.da is not null then 1 else 0 end)")} as tp
+       |       from scand c left join tpos t on t.da = c.da and t.db = c.db)
+       |select 'minhash_8x2' as tier, d.n_docs as n_sample_docs, p.n_pos as n_truth_pairs,
+       |  m.n_cand as n_candidates, m.tp as tp, ${bigint("m.n_cand - m.tp")} as fp,
+       |  ${bigint("p.n_pos - m.tp")} as fn,
+       |  ${roundAway(d)("case when m.n_cand > 0 then m.tp / cast(m.n_cand as double) else cast(0 as double) end", 4)} as precision,
+       |  ${roundAway(d)("case when p.n_pos > 0 then m.tp / cast(p.n_pos as double) else cast(0 as double) end", 4)} as recall,
+       |  ${roundAway(d)("case when m.n_cand + p.n_pos > 0 then 2 * m.tp / cast(m.n_cand + p.n_pos as double) else cast(0 as double) end", 4)} as f1
+       |from mm m cross join np p cross join nsd d
+       |union all
+       |select 'simhash_5x12_h4', d.n_docs, p.n_pos,
+       |  s.n_cand, s.tp, ${bigint("s.n_cand - s.tp")},
+       |  ${bigint("p.n_pos - s.tp")},
+       |  ${roundAway(d)("case when s.n_cand > 0 then s.tp / cast(s.n_cand as double) else cast(0 as double) end", 4)},
+       |  ${roundAway(d)("case when p.n_pos > 0 then s.tp / cast(p.n_pos as double) else cast(0 as double) end", 4)},
+       |  ${roundAway(d)("case when s.n_cand + p.n_pos > 0 then 2 * s.tp / cast(s.n_cand + p.n_pos as double) else cast(0 as double) end", 4)}
+       |from sm s cross join np p cross join nsd d""".stripMargin
+  }
+
   /** BPE training vocabulary: s0(c, sq) — every distinct alpha word
     * with its corpus frequency, char-split into the double-space
     * sequence form (' a  b  c '). The ONE corpus-priced pass of BPE
@@ -1682,6 +1768,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |${rung(1800)}
          |union all
          |${rung(7200)}""".stripMargin
+    },
+
+    // TOKEN-BUDGET CURATION CURVE — "which documents make the training
+    // set at budget B": every data recipe fixes a token budget and
+    // fills it highest-quality-first (the quality-threshold selection
+    // policy — FineWeb/DCLM-style filtering, stated at 1e-2 quality
+    // granularity: the cut lands on the nearest quality-bucket
+    // boundary, the practical form of a threshold policy). ONE corpus
+    // scan builds the (quality-bucket × source) census (≤ 101·|src|
+    // rows); bucket token sums, the descending cumulative, the three
+    // budget cuts {25, 50, 75}% and every per-source share all fold
+    // over census rows — no per-rung corpus re-scan, no corpus-wide
+    // ranking (the bucket census IS the grid-rank trick applied to a
+    // threshold policy). Per (rung, source): kept docs/tokens, the
+    // source's share of the rung, and the rung's realized corpus
+    // token share (≥ the nominal budget by at most one bucket).
+    "data_budget_curve" -> {
+      val quality = s"round((case when n_words >= 20 and n_words <= 80 then 1.0 else 0.5 end) * (n_alpha / n_chars), 4)"
+      s"""with q0 as (select doc_id, source, length(text) as n_chars,
+         |              ${d.arrLen(splitWs("text"))} as n_words,
+         |              length(${regexReplaceAll("text", "[^a-zA-Z]", "")}) as n_alpha
+         |            from documents),
+         |q as (select source, n_words as ntok,
+         |        cast(floor($quality * 100) as bigint) as gb from q0),
+         |cen as (select gb, source, ${bigint("count(*)")} as nd, ${bigint("sum(ntok)")} as ntk
+         |        from q group by gb, source),
+         |bc as (select gb, ${bigint("sum(ntk)")} as btok from cen group by gb),
+         |cum as (select gb, ${bigint("sum(btok) over (order by gb desc rows between unbounded preceding and current row)")} as ctok from bc),
+         |tot as (select ${bigint("sum(ntk)")} as t from cen),
+         |rg as (select 25 as r union all select 50 as r union all select 75 as r),
+         |cut as (select g.r, max(case when c.ctok * 100 >= g.r * t.t then c.gb end) as cutg
+         |        from cum c cross join rg g cross join tot t group by g.r),
+         |kept as (select k.r, k.cutg, c.source, ${bigint("sum(c.nd)")} as nd, ${bigint("sum(c.ntk)")} as ntk
+         |         from cen c join cut k on c.gb >= k.cutg group by k.r, k.cutg, c.source),
+         |rt as (select r, ${bigint("sum(ntk)")} as rtok from kept group by r)
+         |select ${bigint("k.r")} as budget_pct,
+         |  ${roundAway(d)("k.cutg / cast(100 as double)", 2)} as quality_cutoff,
+         |  k.source, k.nd as n_docs_kept, k.ntk as n_tokens_kept,
+         |  ${roundAway(d)("k.ntk / cast(rt.rtok as double)", 4)} as source_share,
+         |  ${roundAway(d)("rt.rtok / cast(t.t as double)", 4)} as rung_token_share
+         |from kept k join rt on rt.r = k.r cross join tot t""".stripMargin
     },
 
     // ---------------- text analysis ----------------
