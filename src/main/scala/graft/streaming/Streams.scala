@@ -675,6 +675,60 @@ object Streams {
       }
   }
 
+  case class DriftPoint(dim: Int, nBase: Long, nCur: Long, muBase: Double,
+                        muCur: Double, stdPooled: Double, zShift: Double)
+
+  /** Streaming embedding data-drift monitor — the alerting twin of
+    * `vec_data_drift` (the train/serve skew readout that says "retrain
+    * the index / recalibrate the quantizer"): the BASELINE window's
+    * per-dimension moments ride along as a broadcast map, incoming
+    * cells fold into per-dim state that is three EXACT integers
+    * (count, Σ value-micros, Σ value²-picos — the same 1e-6
+    * quantization grid the batch key sums in DECIMAL(18,6)), and each
+    * micro-batch emits the refreshed drift row per dimension. Because
+    * the state is an integer set-function of the rows consumed, the
+    * emitted row after the stream has seen exactly the batch key's
+    * second half EQUALS the batch row bit-for-bit however the cells
+    * split across micro-batches (StreamingDriftSpec pins it,
+    * including Spark's decimal→double cast semantics via BigDecimal).
+    * State is O(d) — nothing grows with the stream. */
+  def driftStream(cells: Dataset[(Timestamp, Long, Int, Double)],
+                  baseline: Map[Int, (Long, Long, Long)]): Dataset[DriftPoint] = {
+    import cells.sparkSession.implicits._
+    val bc = cells.sparkSession.sparkContext.broadcast(baseline)
+    def toD(v: Long, scale: Int): Double =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(v), scale).doubleValue()
+    def micro(v: Double): Long = {
+      val q = if (v >= 0) math.floor(v * 1e6 + 0.5) else -math.floor(-v * 1e6 + 0.5)
+      q.toLong
+    }
+    cells
+      .groupByKey(_._3)
+      .mapGroupsWithState[(Long, Long, Long), DriftPoint](
+        GroupStateTimeout.NoTimeout) {
+        case (dim, it, state: GroupState[(Long, Long, Long)]) =>
+          var (c, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, _, _, v) =>
+            val m = micro(v)
+            c += 1
+            s1 = Math.addExact(s1, m)
+            s2 = Math.addExact(s2, Math.multiplyExact(m, m))
+          }
+          state.update((c, s1, s2))
+          val (bcnt, bs1, bs2) = bc.value.getOrElse(dim, (0L, 0L, 0L))
+          def rnd(x: Double, n: Int) = graft.operators.PcaSolve.sparkRound(x, n)
+          // the batch key's exact double tree: decimal→double casts,
+          // then mean/variance/z in the same operand order
+          val mu0 = toD(bs1, 6) / bcnt
+          val mu1 = toD(s1, 6) / c
+          val v0 = toD(bs2, 12) / bcnt - mu0 * mu0
+          val v1 = toD(s2, 12) / c - mu1 * mu1
+          DriftPoint(dim, bcnt, c, rnd(mu0, 6), rnd(mu1, 6),
+            rnd(math.sqrt((v0 + v1) / 2), 6),
+            rnd(math.abs(mu0 - mu1) / math.sqrt((v0 + v1) / 2 + 0.000001), 4))
+      }
+  }
+
   case class EwmaPoint(series: String, day: Long, n: Long, ewma: Double,
                        forecast: Option[Double], residual: Option[Double])
 
