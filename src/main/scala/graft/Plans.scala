@@ -248,7 +248,9 @@ object Plans {
     "search_rerank_agreement" -> "reads the cached g_hybrid_scores two-leg table; shortlist via the bucketed pre-rank (no single-partition corpus window); every rank, tau pair count, and overlap computation is a cross join over <= 30 survivor rows (<= 435 pairs) — constant-sized at any corpus",
     "ann_filter_strategy_curve" -> "post-filter leg ranks the shared g_bkt candidates once (per-qid bounded windows), each selectivity rung is a conditional re-rank of <= 40 survivors; the pre-filter truth leg scores the |Q|*N pair grid once and re-ranks per rung — the crossover's two cost axes land as columns, not re-scans",
     "dedup_tier_eval" -> "truth chain is SAMPLE-SIZED end to end (10% PRF docs -> 3-gram sets -> shared-gram pair join); tier decisions read the served scratch tables (g_mhsig band re-join restricted to the sample, g_simpairs filtered) — the eval costs O(sample), never the corpus; TP/FP/FN are two left joins against the materialized truth-pair set",
-    "data_budget_curve" -> "ONE corpus scan builds the (quality-bucket x source) census; cumulative sums, the three budget cuts, and all shares fold over <= 101*|src| census rows (the descending cumulative window is domain-bounded) — no per-rung corpus re-scan, no global ranking")
+    "data_budget_curve" -> "ONE corpus scan builds the (quality-bucket x source) census; cumulative sums, the three budget cuts, and all shares fold over <= 101*|src| census rows (the descending cumulative window is domain-bounded) — no per-rung corpus re-scan, no global ranking",
+    "graph_spectral" -> "four walk-count steps over the cached g_knn edges (each one join + combinable integer sum, predecessor referenced once); the Prony solve is closed-form scalar math over four 1-row totals — the graph is never materialized as a matrix",
+    "multimodal_audio_fp" -> "batched mapPartitions decode to one 15-bit print per clip; the census is two combinable groupBys — no pair join, so the key stays linear even when the print domain collapses")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

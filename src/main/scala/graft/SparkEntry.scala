@@ -60,6 +60,9 @@ object SparkEntry {
       // perceptual-hash IMAGE DEDUP over the decoded pixels (dHash
       // gradient-sign bits → banded near-dup census)
       "multimodal_image_dhash" -> ((s, dir) => graft.operators.Bmp.imageDhash(s, dir)),
+      // perceptual AUDIO-FINGERPRINT dedup over the decoded PCM
+      // (frame-energy delta bits → exact collision census)
+      "multimodal_audio_fp" -> ((s, dir) => graft.operators.Wav.audioFingerprint(s, dir)),
       // near-dup pairs → deletion groups: checkpoint the pair chain
       // once, then 6 unrolled min-label rounds over the materialized
       // rows (Catalyst re-inlines multi-referenced CTEs, so the pure
@@ -426,6 +429,7 @@ object SparkEntry {
         "multimodal_bmp_features" -> graft.operators.Bmp.bmpFeaturesOracleSql,
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "multimodal_image_dhash" -> graft.operators.Bmp.imageDhashOracleSql,
+        "multimodal_audio_fp" -> graft.operators.Wav.audioFingerprintOracleSql,
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),

@@ -255,6 +255,103 @@ object Wav {
       |  cast(sum(b4) as bigint) as walsh_b4
       |from j group by source, sr""".stripMargin
 
+  /** AM-modulated synthetic voice for the FINGERPRINT key: carrier
+    * ((i·7) mod 200 − 100) under a doc-keyed mod-5 envelope. The
+    * plain ramp the stats/features keys synthesize is spectrally FLAT
+    * within a clip (every frame carries the same energy, so any
+    * frame-delta fingerprint degenerates to one bucket — measured:
+    * 1 distinct print over 500 clips); the envelope's alignment with
+    * the doc-dependent frame length gives each clip a real energy
+    * PROFILE (measured: ~92 distinct prints / 500 clips with
+    * multi-clip collision groups — an actual dedup census). Still
+    * closed-form integer math DuckDB reproduces exactly. */
+  def synthSamplesAm(docId: Long, n: Int): Array[Short] =
+    Array.tabulate(n) { i =>
+      val m = (i.toLong * 7) % 200 - 100
+      val env = 1 + (docId * 7 + i.toLong * 3) % 5
+      (m * env).toShort
+    }
+
+  /** Perceptual audio fingerprint (chromaprint-lite, the time-domain
+    * analog of Bmp's image dHash): the decoded clip frames into 16
+    * equal windows (frame length = n div 16, the ragged tail ignored
+    * — stated), per-frame ENERGY Σs² is exact integer DSP, and bit f
+    * of the 15-bit fingerprint is [en(f) > en(f+1)] — adjacent-frame
+    * energy DELTAS survive gain changes the way dHash's gradient
+    * signs survive brightness shifts. A clip shorter than 16 samples
+    * fingerprints as 0 (all frames empty, stated). */
+  def fingerprint(samples: Array[Short]): Long = {
+    val lf = samples.length / 16
+    var fp = 0L
+    if (lf > 0) {
+      val en = Array.tabulate(16) { f =>
+        var s = 0L
+        var i = f * lf
+        while (i < (f + 1) * lf) { val v = samples(i).toLong; s += v * v; i += 1 }
+        s
+      }
+      var f = 0
+      while (f < 15) { if (en(f) > en(f + 1)) fp |= 1L << (14 - f); f += 1 }
+    }
+    fp
+  }
+
+  /** The oracle-checked AUDIO-DEDUP query: synthesize → encode →
+    * decode (the real chunk walk) → per-clip fingerprint → exact
+    * fingerprint-collision census as a group-size histogram. NO pair
+    * join anywhere — the census is two combinable groupBys, so the
+    * key is scale-safe even when the fingerprint domain collapses
+    * (unlike a banded pair census, whose hot buckets go quadratic);
+    * a production near-dup pass would band the same fingerprints
+    * through the simhash machinery (stated). The oracle recomputes
+    * every fingerprint from the generation formula in closed form —
+    * agreement witnesses frame order, energy math, and the bit
+    * packing through the real decode path. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(spark, dir)
+    val docs = spark.table("documents")
+      .selectExpr("cast(doc_id as bigint)", "cast(n_chars as int)")
+      .as[(Long, Int)]
+    val fps = docs.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        batch.iterator.map { case (docId, nChars) =>
+          val bytes = encodePcm16(synthRate(docId), synthSamplesAm(docId, nChars))
+          parse(bytes) // full validation walk
+          fingerprint(pcmSamples(bytes))
+        }
+      }
+    }.toDF("fp")
+    fps.groupBy($"fp").agg(count(lit(1)).as("gs"))
+      .groupBy($"gs").agg(count(lit(1)).as("n_groups"),
+        sum($"gs").as("n_clips"))
+      .select($"gs".cast("long").as("group_size"),
+        $"n_groups".cast("long").as("n_groups"),
+        $"n_clips".cast("long").as("n_clips"))
+  }
+
+  /** DuckDB oracle for [[audioFingerprint]]: fingerprints recomputed
+    * from the generation formula (frame energies over generate_series,
+    * adjacent-frame comparison bits, the same MSB-first packing). */
+  val audioFingerprintOracleSql: String =
+    """with p as (select doc_id, n_chars, n_chars // 16 as lf from documents),
+      |fr as (select p.doc_id, p.lf, unnest(generate_series(0, 15)) as f from p where p.lf > 0),
+      |ix as (select doc_id, lf, f, unnest(generate_series(f * lf, (f + 1) * lf - 1)) as i from fr),
+      |sx as (select doc_id, f, ((i * 7) % 200 - 100) * (1 + (doc_id * 7 + i * 3) % 5) as s from ix),
+      |en as (select doc_id, f, sum(s * s) as e from sx group by doc_id, f),
+      |bits as (select a.doc_id,
+      |           sum(case when a.e > b.e then cast(pow(2, 14 - a.f) as bigint) else 0 end) as fp
+      |         from en a join en b on b.doc_id = a.doc_id and b.f = a.f + 1
+      |         where a.f < 15 group by a.doc_id),
+      |allfp as (select p.doc_id, coalesce(bits.fp, 0) as fp
+      |          from p left join bits on bits.doc_id = p.doc_id),
+      |grp as (select fp, count(*) as gs from allfp group by fp)
+      |select cast(gs as bigint) as group_size,
+      |  cast(count(*) as bigint) as n_groups,
+      |  cast(sum(gs) as bigint) as n_clips
+      |from grp group by gs""".stripMargin
+
   /** DuckDB oracle for [[wavStats]]: the same stats computed straight
     * from the generation formula — agreement proves the encoder and
     * the independent parser invert each other on every field,

@@ -9794,6 +9794,70 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from w3 cross join tot""".stripMargin
     },
 
+    // SPECTRAL ESTIMATE OF THE kNN GRAPH (Prony / matrix-pencil on
+    // exact walk counts): λ₁ and λ₂ of the symmetrized adjacency
+    // govern expansion and mixing — the numbers behind "will LPA/
+    // PageRank/beam search converge fast on THIS graph" (the spectral
+    // companion of 6d/6f's iteration counts and 6e3's conductance).
+    // Total t-walk counts w₁..w₄ are EXACT integers (the
+    // graph_eigen_centrality machinery: r₀ = 1, one join + combinable
+    // sum per step, each state referenced once); the two-term Prony
+    // fit w_t ≈ a·λ₁ᵗ + b·λ₂ᵗ then solves the 2×2 Hankel system in
+    // closed form — λ's are roots of x² − px − q with p, q ratios of
+    // walk-count determinants. STATED an estimate (exact iff the walk
+    // sequence is a 2-term exponential; residual λ₃⁺ mass biases it),
+    // and the determinants compute in DOUBLE (identical operand
+    // order both engines — the bigint products would pass 2^63 near
+    // w₄·w₃ ≈ N²d⁷; the double route is deterministic at any N,
+    // stated). Mixing proxy ln(100)/ln(λ₁/|λ₂|) from the
+    // 1e-6-quantized ratio, output on coarse grids. One row.
+    "graph_spectral" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def step(prev: String, next: String) =
+        s"""$next as (select n.id, ${bigint("coalesce(inc.s, 0)")} as r
+           |      from nn n left join (select e.dst, ${bigint(s"sum($prev.r)")} as s
+           |                 from e join $prev on $prev.id = e.src group by e.dst) inc on inc.dst = n.id)""".stripMargin
+      def tot(w: String, t: String) =
+        s"$t as (select cast(sum(r) as double) as w, ${bigint("sum(r)")} as wi from $w)"
+      s"""${wmChain("knn")},
+         |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+         |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+         |e as $matKw(select a as src, b as dst from und union all select b, a from und),
+         |w0 as (select id, ${bigint("1")} as r from nn),
+         |${step("w0", "w1")},
+         |${step("w1", "w2")},
+         |${step("w2", "w3")},
+         |${step("w3", "w4")},
+         |${tot("w1", "t1")}, ${tot("w2", "t2")}, ${tot("w3", "t3")}, ${tot("w4", "t4")},
+         |nn_n as (select ${bigint("count(*)")} as n from nn),
+         |ne as (select ${bigint("count(*)")} as m from und),
+         |sol as (select
+         |    case when t2.w * t2.w - t1.w * t3.w <> 0
+         |         then (t3.w * t2.w - t4.w * t1.w) / (t2.w * t2.w - t1.w * t3.w) end as p,
+         |    case when t2.w * t2.w - t1.w * t3.w <> 0
+         |         then (t2.w * t4.w - t3.w * t3.w) / (t2.w * t2.w - t1.w * t3.w) end as q,
+         |    t1.wi as w1, t2.wi as w2, t3.wi as w3, t4.wi as w4
+         |  from t1 cross join t2 cross join t3 cross join t4),
+         |lam as (select w1, w2, w3, w4,
+         |    case when p is not null and p * p + 4 * q >= 0
+         |         then (p + sqrt(p * p + 4 * q)) / 2 end as l1,
+         |    case when p is not null and p * p + 4 * q >= 0
+         |         then (p - sqrt(p * p + 4 * q)) / 2 end as l2
+         |  from sol),
+         |rat as (select w1, w2, w3, w4, l1, l2,
+         |    case when l1 > 0 and abs(l2) > 0 and abs(l2) < l1
+         |         then ${roundAway(d)("abs(l2) / l1", 6)} end as r6
+         |  from lam)
+         |select nn_n.n as n_nodes, ne.m as n_edges,
+         |  w1 as walks_1, w2 as walks_2, w3 as walks_3, w4 as walks_4,
+         |  ${roundAway(d)("l1", 4)} as lambda1_est,
+         |  ${roundAway(d)("l2", 4)} as lambda2_est,
+         |  ${roundAway(d)("l1 - abs(l2)", 4)} as spectral_gap,
+         |  r6 as lambda_ratio,
+         |  ${roundAway(d)("case when r6 is not null and r6 > 0 then ln(cast(100 as double)) / (0 - ln(r6)) end", 2)} as mixing_steps_1pct
+         |from rat cross join nn_n cross join ne""".stripMargin
+    },
+
     // WORD BURSTINESS (Church & Gale 1995): content words CLUMP —
     // they recur within the documents that use them — while function
     // words spread Poisson-thin everywhere. The variance-to-mean
