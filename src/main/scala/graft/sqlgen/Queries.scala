@@ -6214,6 +6214,31 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // two-level combinable aggregation (no count-distinct shuffle of
     // raw events); cohort sizes re-aggregate the age-0 row — never a
     // second scan. |weeks|² output cells, corpus-size-independent.
+    // REVENUE COHORT MATRIX over the ORDER FACTS — the relational twin
+    // of events_cohort_matrix (user cohorts by first-seen week), on
+    // the purchase ledger instead of the event stream: cohort = the
+    // customer's first order month, and each (cohort, age) cell
+    // carries BOTH the active-customer census and the exact decimal
+    // revenue — the LTV-shaped readout finance teams cut (who still
+    // buys, and how much, k months after acquisition). Two combinable
+    // groupBys over the orders scan + one self-join of the ≤ 84×84
+    // month-grid cells; revenue sums stay decimal-exact until the
+    // single rounded division per cell. Cohort-month arithmetic is
+    // integer (year·12 + month), identical in both engines.
+    "q_cohort_revenue" ->
+      s"""with o as (select o_custkey as cust, year(o_orderdate) * 12 + month(o_orderdate) as m,
+         |            cast(o_totalprice as decimal(18, 2)) as rev from orders),
+         |fc as (select cust, min(m) as m0 from o group by cust),
+         |act as (select o.cust, fc.m0, o.m - fc.m0 as age, o.rev from o join fc on fc.cust = o.cust),
+         |mx as (select m0 as cohort_month, age, ${bigint("count(distinct cust)")} as n_customers, sum(rev) as revenue from act group by m0, age),
+         |cs as (select cohort_month, n_customers as n_cohort, revenue as rev0 from mx where age = 0)
+         |select ${bigint("m.cohort_month")} as cohort_month, ${bigint("m.age")} as age_months,
+         |  m.n_customers, ${roundAway(d)("cast(m.revenue as double)", 2)} as revenue,
+         |  cs.n_cohort,
+         |  ${roundAway(d)("m.n_customers / cast(cs.n_cohort as double)", 4)} as retention,
+         |  ${roundAway(d)("cast(m.revenue as double) / cast(cs.rev0 as double)", 4)} as revenue_ratio
+         |from mx m join cs on cs.cohort_month = m.cohort_month""".stripMargin,
+
     "events_cohort_matrix" ->
       s"""with ev as (select user_id, ${d.idiv(evSec("ts"), "604800")} as wk from events),
          |fc as (select user_id, min(wk) as w0 from ev group by user_id),

@@ -48,6 +48,31 @@ class R8oOpsSpec extends AnyFunSuite {
     assert(math.abs(l2) <= l1 + 1e-9)
   }
 
+  test("q_cohort_revenue mirrors the JVM cohort fold exactly") {
+    val out = SparkEntry.queries("q_cohort_revenue")(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("cohort_month"), r.getAs[Long]("age_months")) -> r).toMap
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_custkey", "year(o_orderdate) * 12 + month(o_orderdate) as m",
+        "cast(o_totalprice as decimal(18,2)) as rev").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDecimal(2)))
+    val m0 = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = orders.groupBy(o => (m0(o._1), o._2 - m0(o._1)))
+    assert(out.size == cells.size)
+    def rA(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    val cohortSize = cells.collect { case ((c, 0L), os) => c -> os.map(_._1).distinct.length }
+    val rev0 = cells.collect { case ((c, 0L), os) =>
+      c -> os.map(_._3).reduce(_ add _) }
+    cells.foreach { case ((c, age), os) =>
+      val r = out((c, age))
+      val nCust = os.map(_._1).distinct.length
+      val rev = os.map(_._3).reduce(_ add _)
+      assert(r.getAs[Long]("n_customers") == nCust, s"cell ($c, $age)")
+      assert(r.getAs[Double]("revenue") == rA(rev.doubleValue(), 2), s"cell ($c, $age) revenue")
+      assert(r.getAs[Double]("retention") == rA(nCust.toDouble / cohortSize(c), 4))
+      assert(r.getAs[Double]("revenue_ratio") == rA(rev.doubleValue() / rev0(c).doubleValue(), 4))
+    }
+  }
+
   test("multimodal_audio_fp: census equals the container-free fingerprint census") {
     import graft.operators.Wav
     val out = SparkEntry.queries("multimodal_audio_fp")(spark, Sf).collect()
