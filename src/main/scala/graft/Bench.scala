@@ -111,14 +111,22 @@ object Bench {
         println(s"#warn bench_full.json write failed: ${e.getMessage}") }
     }
 
-    // ---- sweep 1 (COVERAGE): one timed run per key, cheapest-first —
-    // every key gets a number early, so a kill leaves the maximal
-    // measured prefix. These timings include each plan's first-touch
-    // cost (codegen compile, broadcast build, checkpoint/scratch
-    // build); the refinement passes below replace them with warm
-    // steady-state medians for the keys that dominate the total.
+    // ---- sweep 1 (COVERAGE): warmup + one timed run per key,
+    // cheapest-first — every key gets a number early, so a kill
+    // leaves the maximal measured prefix, and the untimed warmup
+    // absorbs first-touch costs (codegen compile, broadcast build,
+    // scratch build) that would otherwise inflate the published
+    // number several-fold on cheap keys. Past 55% of budget the
+    // warmups drop for the REMAINING keys (cheapest-first puts the
+    // expensive keys there — exactly the keys whose first-touch
+    // fraction is smallest AND which the refinement pass below
+    // re-measures warm first).
     var med1 = Map.empty[String, Double]
+    var warmed = Set.empty[String]
     keys.zipWithIndex.foreach { case (name, i) =>
+      if (elapsed < 0.55 * budget) { runOnce(name); warmed += name }
+      else if (warmed.size == i)
+        println(s"#warn coverage warmups dropped at key $i/$nKeys (${r3(elapsed)}s)")
       med1 += name -> timeSec(runOnce(name))
       if ((i + 1) % 25 == 0 && i + 1 < nKeys) checkpoint(med1, 1)
     }

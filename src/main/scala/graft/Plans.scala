@@ -291,7 +291,8 @@ object Plans {
       // method-based keys (checkpointed-scratch consumers) render via
       // the driver entrypoint, which sets up their g_* temp views
       val df =
-        if (genViews.sqls.contains(name)) spark.sql(genViews.sql(name))
+        if (genViews.sqls.contains(name) && !SparkEntry.programmaticKeys(name))
+          spark.sql(genViews.sql(name))
         else SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n${fmt(df)}\n```\n")
     }

@@ -43,7 +43,18 @@ object SparkEntry {
         if (WmCache.dependents(name)) WmCache.ensure(s, dir)
         s.sql(sparkGenFor(s, dir).sql(name))
       })
-    }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
+    }.toMap ++ programmatic
+
+  /** Keys served by a PROGRAMMATIC entry (scratch tables, JVM driver
+    * math, mapPartitions codecs) rather than the generated rendering —
+    * tools (Plans) must go through `queries` for these even when a
+    * generated template of the same name exists (e.g. wm_extract_ids'
+    * generated text is the ORACLE shape; its Spark path substitutes
+    * the scratch-persisted registry view). */
+  def programmaticKeys: Set[String] = programmatic.keySet
+
+  private lazy val programmatic: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)
       "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
       // real audio FEATURE extraction over the decoded PCM payload
