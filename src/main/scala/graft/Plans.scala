@@ -250,7 +250,8 @@ object Plans {
     "dedup_tier_eval" -> "truth chain is SAMPLE-SIZED end to end (10% PRF docs -> 3-gram sets -> shared-gram pair join); tier decisions read the served scratch tables (g_mhsig band re-join restricted to the sample, g_simpairs filtered) — the eval costs O(sample), never the corpus; TP/FP/FN are two left joins against the materialized truth-pair set",
     "data_budget_curve" -> "ONE corpus scan builds the (quality-bucket x source) census; cumulative sums, the three budget cuts, and all shares fold over <= 101*|src| census rows (the descending cumulative window is domain-bounded) — no per-rung corpus re-scan, no global ranking",
     "graph_spectral" -> "four walk-count steps over the cached g_knn edges (each one join + combinable integer sum, predecessor referenced once); the Prony solve is closed-form scalar math over four 1-row totals — the graph is never materialized as a matrix",
-    "multimodal_audio_fp" -> "batched mapPartitions decode to one 15-bit print per clip; the census is two combinable groupBys — no pair join, so the key stays linear even when the print domain collapses")
+    "multimodal_audio_fp" -> "batched mapPartitions decode to one 15-bit print per clip; the census is two combinable groupBys — no pair join, so the key stays linear even when the print domain collapses",
+    "graph_percolation_curve" -> "degree census + bounded cumulative window pick the per-rung cutoffs; ONE rung-tagged edge pass derives surviving degrees; Molloy-Reed moments are integer sums — no pair or path joins anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -9819,6 +9819,54 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from w3 cross join tot""".stripMargin
     },
 
+    // HUB-PERCOLATION CURVE (targeted-attack robustness of the served
+    // navigable graph — Albert–Barabási's "attack tolerance" readout,
+    // the operational question for an HNSW-ish index: if the top hubs
+    // die, does the graph stay navigable?): remove the top-degree
+    // hubs at ladder rungs {0, 1, 2, 5}% (threshold = the smallest
+    // degree keeping the removed set within the rung, stated — exact
+    // k% with within-degree tie-breaks would buy nothing here), and
+    // per rung report the surviving edge share, mean surviving
+    // degree, and the Molloy–Reed criterion κ = ⟨k²⟩/⟨k⟩ over the
+    // surviving-node degree distribution (κ > 2 ⟺ a giant component
+    // survives — the navigability verdict in closed form). ZERO pair
+    // or path joins: thresholds come from the degree census (bounded
+    // window), surviving degrees from one rung-tagged edge pass, all
+    // moments exact integers — four linear edge scans total, at any
+    // corpus size.
+    "graph_percolation_curve" -> {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      s"""${wmChain("knn")},
+         |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+         |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+         |e as $matKw(select a as src, b as dst from und union all select b, a from und),
+         |dg as $matKw(select src as id, ${bigint("count(*)")} as deg from e group by src),
+         |nt as (select ${bigint("count(*)")} as n from nn),
+         |mt as (select ${bigint("count(*)")} as m from und),
+         |mxd as (select ${bigint("max(deg)")} as mx from dg),
+         |rg as (select 0 as r union all select 1 as r union all select 2 as r union all select 5 as r),
+         |dc as (select deg, ${bigint("count(*)")} as c from dg group by deg),
+         |cum as (select deg, ${bigint("sum(c) over (order by deg desc rows between unbounded preceding and current row)")} as atleast from dc),
+         |thr as (select rg.r,
+         |          coalesce(min(case when cum.atleast <= ${d.idiv("nt.n * rg.r", "100")} then cum.deg end), mxd.mx + 1) as dcut
+         |        from cum cross join rg cross join nt cross join mxd group by rg.r, mxd.mx),
+         |rem as (select t.r, t.dcut, ${bigint("sum(case when g.deg >= t.dcut then 1 else 0 end)")} as n_removed
+         |        from dg g cross join thr t group by t.r, t.dcut),
+         |sur as (select t.r, e.src from e
+         |        join dg a on a.id = e.src join dg b on b.id = e.dst
+         |        cross join thr t where a.deg < t.dcut and b.deg < t.dcut),
+         |sdg as (select r, src, ${bigint("count(*)")} as k from sur group by r, src),
+         |mom as (select r, ${bigint("sum(k)")} as sk, ${bigint("sum(k * k)")} as sk2 from sdg group by r)
+         |select ${bigint("x.r")} as removal_pct, ${bigint("x.dcut")} as degree_cutoff,
+         |  x.n_removed, ${bigint("nt.n - x.n_removed")} as n_survivors,
+         |  ${bigint(s"${d.idiv("coalesce(m2.sk, 0)", "2")}")} as n_edges_surviving,
+         |  ${roundAway(d)("coalesce(m2.sk, 0) / (cast(2 as double) * mt.m)", 4)} as edge_survival_share,
+         |  ${roundAway(d)("coalesce(m2.sk, 0) / cast(nt.n - x.n_removed as double)", 4)} as mean_surviving_degree,
+         |  ${roundAway(d)("case when coalesce(m2.sk, 0) > 0 then m2.sk2 / cast(m2.sk as double) end", 4)} as molloy_reed_kappa,
+         |  ${bigint("case when coalesce(m2.sk, 0) > 0 and m2.sk2 > 2 * m2.sk then 1 else 0 end")} as giant_component
+         |from rem x left join mom m2 on m2.r = x.r cross join nt cross join mt""".stripMargin
+    },
+
     // SPECTRAL ESTIMATE OF THE kNN GRAPH (Prony / matrix-pencil on
     // exact walk counts): λ₁ and λ₂ of the symmetrized adjacency
     // govern expansion and mixing — the numbers behind "will LPA/

@@ -48,6 +48,43 @@ class R8oOpsSpec extends AnyFunSuite {
     assert(math.abs(l2) <= l1 + 1e-9)
   }
 
+  test("graph_percolation_curve mirrors the JVM Molloy–Reed fold per rung") {
+    val out = SparkEntry.queries("graph_percolation_curve")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("removal_pct") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 5L))
+    val und = SparkEntry.queries("wm_knn_edges")(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def rA(x: Double, p: Int) = graft.operators.PcaSolve.roundAway(x, p)
+    for (r <- Seq(0L, 1L, 2L, 5L)) {
+      val k = n * r / 100
+      val cuts = deg.values.toSeq.distinct.filter(d => deg.values.count(_ >= d) <= k)
+      val dcut = if (cuts.isEmpty) deg.values.max + 1 else cuts.min
+      val removed = deg.values.count(_ >= dcut).toLong
+      val surE = und.filter(e => deg(e._1) < dcut && deg(e._2) < dcut)
+      val sk = 2L * surE.size
+      val sdeg = surE.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong)
+      val sk2 = sdeg.values.map(v => v * v).sum
+      val row = out(r)
+      assert(row.getAs[Long]("degree_cutoff") == dcut, s"rung $r cutoff")
+      assert(row.getAs[Long]("n_removed") == removed)
+      assert(row.getAs[Long]("n_edges_surviving") == surE.size.toLong)
+      assert(row.getAs[Double]("edge_survival_share") == rA(sk / (2.0 * und.size), 4))
+      assert(row.getAs[Double]("mean_surviving_degree") == rA(sk.toDouble / (n - removed), 4))
+      if (sk > 0)
+        assert(row.getAs[Double]("molloy_reed_kappa") == rA(sk2 / sk.toDouble, 4), s"rung $r kappa")
+      assert(row.getAs[Long]("giant_component") == (if (sk > 0 && sk2 > 2 * sk) 1L else 0L))
+    }
+    // the bench graph is hub-resilient or it isn't — either way rung 0
+    // must be the intact graph
+    assert(out(0L).getAs[Double]("edge_survival_share") == 1.0)
+  }
+
   test("q_cohort_revenue mirrors the JVM cohort fold exactly") {
     val out = SparkEntry.queries("q_cohort_revenue")(spark, Sf).collect()
       .map(r => (r.getAs[Long]("cohort_month"), r.getAs[Long]("age_months")) -> r).toMap
