@@ -675,6 +675,50 @@ object Streams {
       }
   }
 
+  case class BotPoint(userId: Long, nGaps: Long, meanGapS: Double,
+                      gapCv: Double, botLike: Long)
+
+  /** Streaming bot / automation detector — the alerting twin of
+    * `events_bot_detect` (machine traffic fires on a metronome; human
+    * gaps are over-dispersed): per-user state is FOUR exact integers
+    * (last event second, gap count, Σgap, Σgap²), folded as events
+    * arrive, and each micro-batch re-emits the user's verdict once it
+    * clears the ≥ 5-gap evidence floor. The gap MULTISET is invariant
+    * under reordering of equal-second events, so per-user
+    * second-ordered arrival (the finalized-order contract the other
+    * twins state) reproduces the batch key's lag-window gaps exactly;
+    * all verdict math mirrors the batch double tree op for op
+    * (StreamingBotSpec pins bit-parity across micro-batch splits).
+    * State is O(users) and never grows with history. */
+  def botStream(events: Dataset[(Timestamp, Long)]): Dataset[BotPoint] = {
+    import events.sparkSession.implicits._
+    def rnd(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    events
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), BotPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[(Long, Long, Long, Long)]) =>
+          var (last, n, sg, sgg) = state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          it.toSeq.map(_._1.getTime / 1000).sorted.foreach { sec =>
+            if (last != Long.MinValue) {
+              val gap = sec - last
+              n += 1
+              sg = Math.addExact(sg, gap)
+              sgg = Math.addExact(sgg, Math.multiplyExact(gap, gap))
+            }
+            last = sec
+          }
+          state.update((last, n, sg, sgg))
+          if (n >= 5) {
+            val cv = if (sg > 0)
+              rnd(math.sqrt((n * sgg - sg * sg).toDouble) / sg.toDouble, 4)
+            else 0.0
+            val bot = if ((sg > 0 && cv < 0.3) || sg == 0) 1L else 0L
+            Iterator(BotPoint(user, n, rnd(sg.toDouble / n, 2), cv, bot))
+          } else Iterator.empty
+      }
+  }
+
   case class DriftPoint(dim: Int, nBase: Long, nCur: Long, muBase: Double,
                         muCur: Double, stdPooled: Double, zShift: Double)
 
