@@ -90,9 +90,15 @@ object Scratch {
         if (new File(base, "_DONE").exists()) deleteRec(tmp)
         else {
           // base exists but incomplete (a dead builder's partial):
-          // clear it and retry, so the scratch actually lands and
-          // future sessions read instead of rebuilding forever
-          deleteRec(base)
+          // rename it ASIDE first, then delete the renamed dir — a
+          // delete-in-place would yank parquet files out from under a
+          // concurrent reader in another process that already resolved
+          // `base` (readers holding the old inode via the renamed path
+          // keep valid files); then retry, so the scratch actually
+          // lands and future sessions read instead of rebuilding
+          val stale = new File(root,
+            s"${base.getName}.stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+          if (base.renameTo(stale)) deleteRec(stale)
           if (!tmp.renameTo(base)) {
             // a live concurrent builder got in between — serve our tmp
             // this session and say the path leaked instead of hiding it

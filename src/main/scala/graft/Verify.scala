@@ -19,10 +19,12 @@ import java.nio.file.{Files, Paths}
   *    thread-safe; shared chain/scratch stages are built once on the
   *    main thread first, and Scratch.table memoizes via
   *    computeIfAbsent) — wall time ≈ single-threaded / pool size;
-  *  - INCREMENTAL re-runs: each key dir gets a `_SIG` file keyed on
-  *    (compiled-classes fingerprint | data fingerprint | oracle SQL),
-  *    so re-running after a kill skips everything already dumped by
-  *    the same build on the same data. Any recompile or testdata
+  *  - INCREMENTAL re-runs: each key gets a signature file under the
+  *    sibling metadata dir `outDir/_sigs/<key>` (NOT inside the
+  *    parquet output dir, where a non-conventional glob over the dump
+  *    would trip on it) keyed on (compiled-classes fingerprint | data
+  *    fingerprint | oracle SQL), so re-running after a kill skips
+  *    everything already dumped by the same build on the same data. Any recompile or testdata
   *    refresh invalidates every signature — stale dumps are
   *    unservable by construction. SPARK_GRAFT_VERIFY_INCR=off
   *    disables. A fresh driver outDir is unaffected (no dirs → no
@@ -144,6 +146,8 @@ object Verify {
     watchdog.setDaemon(true)
     watchdog.start()
 
+    val sigsDir = new File(outDir, "_sigs")
+    if (incr) sigsDir.mkdirs()
     val idx = new java.util.concurrent.atomic.AtomicInteger(0)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -153,9 +157,9 @@ object Verify {
         while (i < keys.length && remainingSec > 0) {
           val name = keys(i)
           val dir = new File(outDir, name)
-          val sigFile = new File(dir, "_SIG")
+          val sigFile = new File(sigsDir, name)
           val sig = sigOf(name)
-          if (incr && sigFile.exists() &&
+          if (incr && sigFile.exists() && dir.exists() &&
               new String(Files.readAllBytes(sigFile.toPath), "UTF-8") == sig) {
             skipped.incrementAndGet()
           } else try {

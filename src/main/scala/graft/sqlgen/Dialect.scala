@@ -171,7 +171,14 @@ object DuckDialect extends Dialect {
 object DuckHints {
   private val defRe = "([A-Za-z_][A-Za-z0-9_]*) as \\(".r
 
-  def materialize(sql: String): String = {
+  /** The CTE names `materialize` will hint, in application order —
+    * exposed so tests can ASSERT the per-key materialization set
+    * (the heuristic is a word-boundary regex over raw SQL text; a
+    * column alias or string literal sharing a CTE name shifts the
+    * set, and without this surface such a miss on a future rendering
+    * would silently degrade to DuckDB's per-reference re-evaluation
+    * instead of failing anything). */
+  def materializedNames(sql: String): Seq[String] = {
     val defs = defRe.findAllMatchIn(sql).map(_.group(1)).toSeq
     val defCount = defs.groupBy(identity).view.mapValues(_.size).toMap
     // a name defined MORE THAN ONCE is a nested-WITH shadow (some
@@ -180,19 +187,20 @@ object DuckHints {
     // binder bug ("Recursive CTE scan found without recursive CTE
     // node", an INTERNAL error that invalidates the connection and
     // would cascade-fail every later oracle key) — skip those
-    val names = defs.distinct.filter(n => defCount(n) == 1)
-    names.foldLeft(sql) { (acc, n) =>
+    defs.distinct.filter(n => defCount(n) == 1).filter { n =>
       // occurrences beyond the definition itself = reference count
       // (a same-named column would overcount — harmless: the CTE just
       // gets materialized once instead of inlined once)
-      val refs = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
-        .findAllMatchIn(acc).size - 1
-      if (refs >= 2)
-        acc.replaceFirst("\\b" + java.util.regex.Pattern.quote(n) + " as \\(",
-          n + " as materialized (")
-      else acc
+      ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+        .findAllMatchIn(sql).size - 1 >= 2
     }
   }
+
+  def materialize(sql: String): String =
+    materializedNames(sql).foldLeft(sql) { (acc, n) =>
+      acc.replaceFirst("\\b" + java.util.regex.Pattern.quote(n) + " as \\(",
+        n + " as materialized (")
+    }
 }
 
 /** Shared deterministic primitives built on the dialect. */
