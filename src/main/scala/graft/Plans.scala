@@ -50,7 +50,7 @@ object Plans {
     "q_spearman" -> "two marginal value censuses (domain <= 11 and <= 50 rows) + one joint census (<= 550 cells); midranks from cumulative windows over the census rows; all rank/raw moments fold cnt-weighted exact bigints in one aggregation over the joint cells — the lineitem scan is the only corpus-priced pass",
     "q_customer_deciles" -> "per-customer decimal spend groupBy, then the grid-rank pattern: coarse $1000 bucket counts (<= ~500 domain rows), cumulative offsets over those rows, bucket-LOCAL row_number windows — no global single-partition sort; decile aggregation + 10-row share windows close it",
     "wm_multi_tenant" -> "tenant B's tranche re-ranks the cached g_indeg pool (two-pass distributed ranking, the carrier pattern); B's embed is one masked-sum aggregation over 0.5*rate*N rows + broadcast join back; both extractions are one aggregation each over the combined rate*1.5*N carrier rows; all tenant constants are plan-time literals",
-    "wm_repair" -> "attack + pre-extract over the cached g_stego carrier rows; damaged set = carriers anti-join CRC-valid ids (broadcastable); re-embed = one masked-sum aggregation over damaged rows only; post-extract over valid-union-repaired — four bounded carrier-row passes, no corpus work. NOTE: the att CTE is referenced by four consumers, so Catalyst re-inlines it (and its g_stego parquet read) 4x — bounded, carrier-row-sized; the ScaleCheck INLINE-chain leg instead re-runs the whole selection chain per reference, which is why its 10x number is chain-dominated",
+    "wm_repair" -> "the damage snapshot (att = sigma-0.04 noise over the cached g_stego) is scratch-MATERIALIZED once (r9 — Catalyst re-inlined the 4x-referenced CTE before; now all four consumers read the parquet rows): pre-extract over the snapshot; damaged set = carriers anti-join CRC-valid ids (broadcastable); re-embed = one masked-sum aggregation over damaged rows only; post-extract over valid-union-repaired — four bounded carrier-row passes, no corpus work, each reading materialized att rows instead of re-deriving them",
     "q_order_reconcile" -> "one exact-integer rollup groupBy over lineitem + one full-outer hash join against headers + one bucket census — the two fact scans are the only at-scale cost; the gap ladder and quantized means are map-side",
     "events_churn_labels" -> "ONE combinable per-user groupBy computes every feature AND the label (conditional aggregates over the same scan — the point-in-time split is a literal predicate, not a second pass); the bucket census folds <= ~12 domain rows",
     "text_burrows_delta" -> "one word explode + one vocabulary groupBy (corpus-priced), zipf bucketed pre-rank for the top-30 (8 bucket-partitioned windows + pairwise rank over <= 240 survivors), then everything runs on the <= 600-row source-x-word grid — the 190-pair join is grid-sized",
@@ -251,7 +251,8 @@ object Plans {
     "data_budget_curve" -> "ONE corpus scan builds the (quality-bucket x source) census; cumulative sums, the three budget cuts, and all shares fold over <= 101*|src| census rows (the descending cumulative window is domain-bounded) — no per-rung corpus re-scan, no global ranking",
     "graph_spectral" -> "four walk-count steps over the cached g_knn edges (each one join + combinable integer sum, predecessor referenced once); the Prony solve is closed-form scalar math over four 1-row totals — the graph is never materialized as a matrix",
     "multimodal_audio_fp" -> "batched mapPartitions decode to one 15-bit print per clip; the census is two combinable groupBys — no pair join, so the key stays linear even when the print domain collapses",
-    "graph_percolation_curve" -> "degree census + bounded cumulative window pick the per-rung cutoffs; ONE rung-tagged edge pass derives surviving degrees; Molloy-Reed moments are integer sums — no pair or path joins anywhere")
+    "graph_percolation_curve" -> "degree census + bounded cumulative window pick the per-rung cutoffs; ONE rung-tagged edge pass derives surviving degrees; Molloy-Reed moments are integer sums — no pair or path joins anywhere",
+    "wm_recover_registry" -> "the wm_extract_ids pipeline + a 32-row reassembly tail: persisted carrier-id scratch broadcast-semi-joins the attacked corpus, ONE masked-sum decode aggregation + the tiny vote groupBy, votes fold to per-character integer codes against the 16x2 literal grid — no selection-chain rebuild; the AES-GCM decrypt is a spec-side JVM call on THIS key's output (the only stage left outside the oracle gate)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

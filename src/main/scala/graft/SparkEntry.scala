@@ -329,6 +329,25 @@ object SparkEntry {
         Tables.register(s, dir)
         s.sql(sparkGen.groupedTopkSql())
       }),
+      // watermark repair over a PERSISTED damage snapshot: the σ=0.04
+      // attacked-stego table is scratch-materialized once (the repair
+      // job's kept input — Catalyst re-inlines a 4×-referenced CTE, so
+      // the pure SQL form re-derived the attack per reference; r8
+      // verdict item 7), then the pre-decode / re-embed / post-decode
+      // passes all read the materialized rows. Oracle inlines the att
+      // CTE (DuckHints materializes it there).
+      "wm_repair" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        // plane count in the scratch name: the build SQL's TEXT doesn't
+        // change with the bucket geometry (it reads the g_stego view),
+        // but its ROWS do — the name keys the cache to the layout
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_wm_att_p$planes"
+        Scratch.table(s, dir, v, gen.wmAttackBuildSql)
+        s.sql(gen.wmRepairSql(Some(v)))
+      }),
       // 21g registry-path extraction: the carrier-id list persists as
       // a cross-session parquet scratch artifact (the reference's
       // save_low_degree_ids file), and extraction joins the attacked
@@ -340,6 +359,17 @@ object SparkEntry {
         WmCache.ensure(s, dir)
         Scratch.table(s, dir, "g_carrier_ids", "select vec_id, blk from g_carriers")
         s.sql(sparkGenFor(s, dir).wmExtractIdsSql(Some("g_carrier_ids")))
+      }),
+      // row 11's SQL half made hash-gated (r8 verdict item 4): the
+      // registry-path RECOVER — same persisted id list, same attack,
+      // votes reassembled into the ciphertext characters the AES-GCM
+      // decrypt consumes; WatermarkEndToEndSpec decrypts this key's
+      // output, so only the AES call itself stays spec-only.
+      "wm_recover_registry" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        Scratch.table(s, dir, "g_carrier_ids", "select vec_id, blk from g_carriers")
+        s.sql(sparkGenFor(s, dir).wmRecoverRegistrySql(Some("g_carrier_ids")))
       }),
       // the in-SQL power-iteration eigensolve mirrored in the JVM
       // (operators.PcaSolve — the bounded-driver-math convention of
@@ -441,6 +471,7 @@ object SparkEntry {
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "multimodal_image_dhash" -> graft.operators.Bmp.imageDhashOracleSql,
         "multimodal_audio_fp" -> graft.operators.Wav.audioFingerprintOracleSql,
+        "wm_recover_registry" -> duckGen.wmRecoverRegistrySql(None),
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),

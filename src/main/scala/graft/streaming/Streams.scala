@@ -710,8 +710,18 @@ object Streams {
           }
           state.update((last, n, sg, sgg))
           if (n >= 5) {
+            // same fail-fast policy as the accumulators above: the
+            // variance numerator n·sgg − sg² is exact-Long-guarded, not
+            // allowed to wrap silently (which would flip gap_cv and
+            // bot_like in lockstep with the batch side's identical
+            // wrap — garbage agreeing with garbage). Bound: gaps are
+            // seconds inside the 30-day event horizon (< 2.6e6 s), so
+            // sgg < n·6.8e12 and n·sgg needs n ≈ 37k same-user events
+            // before 2^63 — far past the corpus; if a corpus ever gets
+            // there, this throws instead of lying.
             val cv = if (sg > 0)
-              rnd(math.sqrt((n * sgg - sg * sg).toDouble) / sg.toDouble, 4)
+              rnd(math.sqrt(Math.subtractExact(Math.multiplyExact(n, sgg),
+                Math.multiplyExact(sg, sg)).toDouble) / sg.toDouble, 4)
             else 0.0
             val bot = if ((sg > 0 && cv < 0.3) || sg == 0) 1L else 0L
             Iterator(BotPoint(user, n, rnd(sg.toDouble / n, 2), cv, bot))
@@ -821,6 +831,117 @@ object Streams {
           }
           state.update((i, mt))
           out.result().iterator
+      }
+  }
+
+  case class ChangepointPoint(cpDay: Long, nDays: Long, cusumPeak: Double,
+                              meanBefore: Double, meanAfter: Double,
+                              levelShift: Double)
+
+  /** Streaming CUSUM changepoint monitor — the alerting twin of
+    * `events_changepoint` (the level-shift detector a deployed
+    * pipeline runs on its daily volume): per-day counts fold into
+    * O(days) integer state, and each micro-batch re-emits the
+    * refreshed changepoint verdict over the days seen so far. All
+    * verdict math mirrors the batch SQL op for op — exact-integer
+    * cumulative deviations ad = |m·cn − rn·s| (addExact/multiplyExact,
+    * same fail-fast policy as the other twins; bound: needs
+    * m·total < 2^63 — ~3.6e15 even at 10 years × 1e12 events), the
+    * max(struct(ad, −day)) tie-break, and roundAway on the three
+    * IEEE divisions. After the stream has consumed exactly the batch
+    * key's events, the last emitted row EQUALS the batch row
+    * bit-for-bit however the events split across micro-batches
+    * (StreamingChangepointSpec pins it). State is O(distinct days),
+    * never O(events). */
+  def changepointStream(events: Dataset[Timestamp]): Dataset[ChangepointPoint] = {
+    import events.sparkSession.implicits._
+    def rnd(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    events
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Map[Long, Long], ChangepointPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Map[Long, Long]]) =>
+          var byDay = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { ts =>
+            val day = ts.getTime / 1000 / 86400
+            byDay += day -> (byDay.getOrElse(day, 0L) + 1L)
+          }
+          state.update(byDay)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            val days = byDay.toSeq.sortBy(_._1)
+            val m = days.length.toLong
+            var s = 0L
+            days.foreach { case (_, n) => s = Math.addExact(s, n) }
+            var cn = 0L
+            var bestAd = -1L
+            var bestNd = Long.MinValue // -day of the current winner
+            days.zipWithIndex.foreach { case ((day, n), i) =>
+              cn = Math.addExact(cn, n)
+              val ad = Math.abs(Math.subtractExact(
+                Math.multiplyExact(m, cn), Math.multiplyExact(i + 1L, s)))
+              if (ad > bestAd || (ad == bestAd && -day > bestNd)) {
+                bestAd = ad; bestNd = -day
+              }
+            }
+            val cpDay = -bestNd
+            var nb = 0L; var db = 0L; var na = 0L; var da = 0L
+            days.foreach { case (day, n) =>
+              if (day <= cpDay) { nb += n; db += 1 } else { na += n; da += 1 }
+            }
+            Iterator(ChangepointPoint(cpDay, m,
+              rnd(bestAd.toDouble / m, 2),
+              rnd(nb.toDouble / db, 2),
+              rnd(na.toDouble / da, 2),
+              rnd(na.toDouble / da - nb.toDouble / db, 2)))
+          }
+      }
+  }
+
+  case class MadPoint(day: Long, nEvents: Long, medianEvents: Long,
+                      mad: Long, robustZ: Option[Double], isOutlier: Long)
+
+  /** Streaming median/MAD robust anomaly monitor — the alerting twin
+    * of `events_anomaly_mad`: per-day counts fold into the same
+    * O(days) integer state as the changepoint twin, and each
+    * micro-batch re-emits the refreshed per-day robust-z table.
+    * Median and MAD replicate the batch SQL's rank selection exactly
+    * (order by (x, day) / (ad, day), element at ceil(m/2)); robust_z
+    * mirrors the batch's one-rounding double tree and is None when
+    * MAD = 0 (the batch's NULL). Final-state emission equals the
+    * batch rows bit-for-bit across any micro-batch split
+    * (StreamingMadSpec). State is O(distinct days). */
+  def anomalyMadStream(events: Dataset[Timestamp]): Dataset[MadPoint] = {
+    import events.sparkSession.implicits._
+    def rnd(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    events
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Map[Long, Long], MadPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Map[Long, Long]]) =>
+          var byDay = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { ts =>
+            val day = ts.getTime / 1000 / 86400
+            byDay += day -> (byDay.getOrElse(day, 0L) + 1L)
+          }
+          state.update(byDay)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            val days = byDay.toSeq
+            val m = days.length
+            val medIdx = math.ceil(m * 0.5).toInt - 1
+            val md = days.sortBy { case (d, x) => (x, d) }.apply(medIdx)._2
+            val mv = days.map { case (d, x) => (math.abs(x - md), d) }
+              .sorted.apply(medIdx)._1
+            days.sortBy(_._1).iterator.map { case (day, x) =>
+              val z = if (mv > 0) Some(rnd(0.6745 * (x - md) / mv.toDouble, 4))
+                      else None
+              val outlier =
+                if (mv > 0 && math.abs(0.6745 * (x - md) / mv.toDouble) > 3.5) 1L
+                else 0L
+              MadPoint(day, x, md, mv, z, outlier)
+            }
+          }
       }
   }
 }
