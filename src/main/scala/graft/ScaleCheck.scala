@@ -75,7 +75,7 @@ object ScaleCheck {
       "graph_clustering_coeff", "graph_hubness", "wm_repair",
       "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve",
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
-      "graph_spectral")
+      "graph_spectral", "graph_percolation_curve")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -99,7 +99,8 @@ object ScaleCheck {
       "events_ab_cuped", "text_ks_length", "q_customer_deciles",
       "events_slo_burn", "q_order_reconcile", "events_attribution_curve",
       "events_metric_winsorize", "sample_balanced", "pca_variance_explained",
-      "dedup_shingle_curve", "data_budget_curve", "q_cohort_revenue")
+      "dedup_shingle_curve", "data_budget_curve", "q_cohort_revenue",
+      "dedup_minhash")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -139,7 +140,7 @@ object ScaleCheck {
       "vec_topk_grouped", "graph_modularity", "events_attribution_markov",
       "multimodal_wav_features", "sketch_cms_native",
       "search_rerank_agreement", "dedup_tier_eval",
-      "multimodal_audio_fp").filter(only)) {
+      "multimodal_audio_fp", "wm_recover_registry", "wm_repair").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }
