@@ -252,7 +252,10 @@ object Plans {
     "graph_spectral" -> "four walk-count steps over the cached g_knn edges (each one join + combinable integer sum, predecessor referenced once); the Prony solve is closed-form scalar math over four 1-row totals — the graph is never materialized as a matrix",
     "multimodal_audio_fp" -> "batched mapPartitions decode to one 15-bit print per clip; the census is two combinable groupBys — no pair join, so the key stays linear even when the print domain collapses",
     "graph_percolation_curve" -> "degree census + bounded cumulative window pick the per-rung cutoffs; ONE rung-tagged edge pass derives surviving degrees; Molloy-Reed moments are integer sums — no pair or path joins anywhere",
-    "wm_recover_registry" -> "the wm_extract_ids pipeline + a 32-row reassembly tail: persisted carrier-id scratch broadcast-semi-joins the attacked corpus, ONE masked-sum decode aggregation + the tiny vote groupBy, votes fold to per-character integer codes against the 16x2 literal grid — no selection-chain rebuild; the AES-GCM decrypt is a spec-side JVM call on THIS key's output (the only stage left outside the oracle gate)")
+    "wm_recover_registry" -> "the wm_extract_ids pipeline + a 32-row reassembly tail: persisted carrier-id scratch broadcast-semi-joins the attacked corpus, ONE masked-sum decode aggregation + the tiny vote groupBy, votes fold to per-character integer codes against the 16x2 literal grid — no selection-chain rebuild; the AES-GCM decrypt is a spec-side JVM call on THIS key's output (the only stage left outside the oracle gate)",
+    "vec_topk_graph_filtered" -> "unfiltered navigation over the cached g_knn edges (same hub entries / 3 hops / beam 16 as vec_topk_graph — per-qid rank windows bounded-state under the graft_topk rewrite), predicate pushed into RESULT COLLECTION: the visited union b0..b3 joins labels once and ranks within the filter — no re-scored corpus, no filtered traversal that would disconnect the graph",
+    "dedup_paragraph" -> "one word explode + one (doc, window) groupBy builds the 8-token window hashes; the DF-cap filter (df between 2 and 20) kills boilerplate hot hashes BEFORE the pair self-join, so pair work is bounded per hash — linear in windows; containment is a per-pair division against the tiny per-doc window census",
+    "vec_bq_rotation" -> "the rotation is 64 literal-weight graft_dot folds in ONE map-side projection over the corpus (no shuffle before the bit census); both legs' balance censuses are single combinable aggregations, and the two Hamming rankings join the 8-byte code tables — bit-math scans, the raw-vector table is touched only by the exact-cosine truth leg on the fixed query set")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

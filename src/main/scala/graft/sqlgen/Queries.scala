@@ -4202,6 +4202,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // window-overcounted. Scale: one groupBy on the 60-bit window
     // hash + a semi-join back — the duplicated-hash set is tiny next
     // to the corpus; nothing is ever pairwise in docs.
+    // PARAGRAPH-GRANULARITY CROSS-DOC NEAR-DUP (25i) — the
+    // sub-document syndication matrix (dedup_substring reports which
+    // SPANS repeat per doc; THIS reports which DOC PAIRS share them —
+    // the partial-copy detector whole-doc MinHash misses when only a
+    // section is lifted, and exact dedup can't see at all): docs
+    // split into non-overlapping 8-token "paragraphs" (the synthetic
+    // corpus has no real paragraph breaks — fixed token windows are
+    // the stated granularity, complete windows only), each paragraph
+    // hashed to 60 bits, cross-doc pairs join on the hash. Scale
+    // guard: a paragraph's doc-frequency is capped at 20 BEFORE the
+    // pair join (dedup_winnow's DF-cap rule — a boilerplate
+    // paragraph shared by thousands of docs is exactly the hot key
+    // that would go quadratic; dropping it loses no dedup signal
+    // since such text is boilerplate, not syndication — stated).
+    // Pair work = Σ_h df(h)² ≤ 20·Σ df(h) — linear in paragraphs.
+    // Output per pair: shared paragraphs, each side's paragraph
+    // count, containment vs the smaller doc.
+    "dedup_paragraph" -> {
+      val paraTok = 8
+      val dfCap = 20
+      s"""with $wordCtes,
+         |pg as (select doc_id, ${d.idiv("wpos - 1", paraTok.toString)} as pno,
+         |         ${d.hex2int(s"substr(md5(${d.strAggOrdered("concat(wd, ' ')", "wpos")}), 1, 15)")} as h
+         |       from wx group by doc_id, ${d.idiv("wpos - 1", paraTok.toString)}
+         |       having count(*) = $paraTok),
+         |hdf as (select h from pg group by h
+         |        having count(distinct doc_id) between 2 and $dfCap),
+         |ph as (select distinct p.doc_id, p.h from pg p join hdf f on f.h = p.h),
+         |pairs as (select a.doc_id as da, b.doc_id as db, ${bigint("count(*)")} as n_shared
+         |          from ph a join ph b on a.h = b.h and a.doc_id < b.doc_id
+         |          group by a.doc_id, b.doc_id),
+         |pc as (select doc_id, ${bigint("count(*)")} as np from pg group by doc_id)
+         |select ${bigint("p.da")} as da, ${bigint("p.db")} as db, p.n_shared,
+         |  ca.np as np_a, cb.np as np_b,
+         |  ${roundAway(d)("p.n_shared / cast(least(ca.np, cb.np) as double)", 4)} as containment
+         |from pairs p join pc ca on ca.doc_id = p.da join pc cb on cb.doc_id = p.db""".stripMargin
+    },
+
     "dedup_substring" -> {
       val leads = (2 to 8).map(k =>
         s"lead(wd, ${k - 1}) over (partition by doc_id order by wpos) as x$k")
@@ -4730,6 +4768,55 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // HNSW-style graph-navigable search over the served kNN graph —
     // see graphTopkSql for the full design + scale commentary.
     "vec_topk_graph" -> graphTopkSql(3),
+
+    // FILTERED GRAPH SEARCH — the filtered-HNSW serving shape
+    // (pgvector HNSW + WHERE / Milvus filtered search over a graph
+    // index; the ACORN observation, Patel et al. 2024): a predicate
+    // applied to a graph index must NOT prune TRAVERSAL (dropping
+    // non-matching nodes disconnects the navigable graph exactly when
+    // the filter is selective) — navigation runs UNFILTERED over the
+    // served edges, the predicate is pushed into RESULT COLLECTION,
+    // and results gather over the whole VISITED set (b0 ∪ hops), not
+    // just the final beam (a filtered final beam starves the result
+    // set the way a post-filtered ANN shortlist does — the
+    // ann_filter_strategy_curve failure mode, solved graph-side).
+    // Same entry points / 3 hops / beam 16 as the served
+    // vec_topk_graph, so cost is IDENTICAL to the unfiltered search
+    // (O(|Q|·hops·beam·K) score rows against the cached views) plus
+    // one label join at collection. Predicate: label < 5 (~50%
+    // selectivity on the 0-9 labels). R9bOpsSpec pins: every result
+    // passes the predicate, results ⊆ visited set, and per-query
+    // ranking equals the JVM re-rank of the visited-set mirror.
+    "vec_topk_graph_filtered" -> {
+      val beam = 16
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      def hop(prev: String, next: String): String =
+        s"""$next as (select qid, cid, sim from (
+           |  select s.qid, s.cid, s.sim, row_number() over (partition by s.qid order by s.sim desc, s.cid) as rn
+           |  from (select ${bcast("x")}x.qid, x.cid, round(${d.dot("q.qn", "nb.n")}, 6) as sim
+           |        from (select distinct b.qid, e.dst as cid from $prev b join e2 e on e.src = b.cid) x
+           |        join q on q.qid = x.qid join nn nb on nb.id = x.cid) s) _h
+           |where rn <= $beam)""".stripMargin
+      s"""${wmChain("knn")},
+         |e2 as $matKw(select src, dst from knn union all select id as src, id as dst from nn),
+         |q as $matKw(select id as qid, n as qn from nn where id in ($qIdLit)),
+         |ent as (select vec_id as id from indeg order by in_degree desc, vec_id limit 4),
+         |b0 as (select ${bcast("qe")}qe.qid, qe.id as cid, round(${d.dot("qe.qn", "nb.n")}, 6) as sim
+         |       from (select q.qid, q.qn, e.id from q cross join ent e) qe join nn nb on nb.id = qe.id),
+         |${hop("b0", "b1")},
+         |${hop("b1", "b2")},
+         |${hop("b2", "b3")},
+         |vis as (select distinct qid, cid, sim from (
+         |    select qid, cid, sim from b0 union all select qid, cid, sim from b1
+         |    union all select qid, cid, sim from b2 union all select qid, cid, sim from b3) _v)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id,
+         |  ${bigint("label")} as label, sim, ${bigint("rn")} as rn
+         |from (select v.qid, v.cid, nb.label, v.sim,
+         |        row_number() over (partition by v.qid order by v.sim desc, v.cid) as rn
+         |      from vis v join nn nb on nb.id = v.cid
+         |      where nb.label < 5 and v.cid <> v.qid) _t
+         |where rn <= 10""".stripMargin
+    },
 
     // incremental graph-index maintenance (HNSW insert) — see
     // graphAppendSql for the full design + scale commentary.
@@ -8736,6 +8823,77 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // Σ 4p(1−p) is the capacity number the 64-bit budget actually
     // delivers. Bigint ceiling ones·(N−ones) < 2^63 to ~6·10⁹
     // vectors. Output = Dim rows + cross-joined globals.
+    // ROTATED 1-BIT QUANTIZATION (4v2) — the RaBitQ/FJLT observation
+    // (Gao & Long 2024; Ailon–Chazelle 2006 randomized Hadamard
+    // transform): raw sign bits inherit whatever per-dimension mean
+    // bias the embedding space carries (a dim whose values are mostly
+    // positive contributes a near-constant bit — wasted index state);
+    // rotating by y = (1/√64)·H·D·x (H = Sylvester Hadamard, D =
+    // keyed-PRF ±1 diagonal — an exact orthogonal transform, cosines
+    // unchanged) spreads every dimension's energy across all 64
+    // coordinates, centering the bits. Both legs measured side by
+    // side: per-bit balance deviation, effective bits (Σ 4p(1−p)),
+    // and Hamming-top-10 recall vs exact cosine on the fixed query
+    // set. The rotation is 64 literal-weight graft_dot folds over the
+    // ordered vector array (the wdot convention — fixed fold order,
+    // bit-identical engines; ±0.125 weights are exact binary), ONE
+    // map-side pass over the corpus; packing/balance/recall reuse the
+    // raw leg's exact shapes. At 100 TB the rotated code table is the
+    // same 8 bytes/vector — the rotation costs one extra map pass at
+    // index build, nothing at query time.
+    "vec_bq_rotation" -> {
+      // W[k] = row k of H·D scaled by 1/8: H[k][p] = (-1)^popcount(k&p),
+      // D[p] = PRF sign — plan-time literals, same in both dialects
+      def wRotLit(k: Int): String = weightLit((0 until Dim).map { p =>
+        val h = if (java.lang.Integer.bitCount(k & p) % 2 == 0) 1.0 else -1.0
+        val dSign = if (graft.functions.Prf.prf("rotd", p) % 2 == 0) 1.0 else -1.0
+        h * dSign * 0.125
+      })
+      val rotCols = (0 until Dim).map(k =>
+        s"${d.dot("n", wRotLit(k))} as r$k").mkString(",\n|         ")
+      val rhi = (0 until 32).map(k =>
+        s"(case when r$k > 0 then ${1L << (31 - k)} else 0 end)").mkString(" + ")
+      val rlo = (32 until Dim).map(k =>
+        s"(case when r$k > 0 then ${1L << (63 - k)} else 0 end)").mkString(" + ")
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      def ham(tag: String, bqT: String) =
+        s"""${tag}p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+           |        from (select id as qid, hi as qhi, lo as qlo from $bqT where id in ($qIdLit)) q
+           |        join $bqT b on b.id <> q.qid),
+           |${tag}t as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from ${tag}p) _${tag}h where rn <= 10)""".stripMargin
+      def legSel(tag: String, onesT: String) =
+        s"""select '$tag' as leg,
+           |  ${roundAway(d)(s"sum(abs(cast(ones as double) / nv - 0.5)) / $Dim", 4)} as mean_balance_dev,
+           |  ${roundAway(d)("sum(4 * (cast(ones as double) / nv) * (1 - cast(ones as double) / nv))", 4)} as effective_bits
+           |from $onesT""".stripMargin
+      val pre = if (views) Seq(nvCtes, exnCte, bqChain) else Seq(nvCtes, bqChain)
+      s"""with ${pre.mkString(",\n")},
+         |rot as (select id,
+         |         $rotCols
+         |       from nn),
+         |rbq as (select id, ${bigint(rhi)} as hi, ${bigint(rlo)} as lo from rot),
+         |exact as (select qid, cid from (
+         |    select q.id as qid, c.id as cid, row_number() over (partition by q.id order by ${d.dot("q.n", "c.n")} desc, c.id) as rn
+         |    from (select id, n from nn where id in ($qIdLit)) q join nn c on c.id <> q.id) _e
+         |  where rn <= 10),
+         |rawones as (select pos as k, ${bigint("count(*)")} as nv, ${bigint("sum(case when val > 0 then 1 else 0 end)")} as ones from exn group by pos),
+         |rotones0 as (select ${bigint("count(*)")} as nv, ${(0 until Dim).map(k => s"${bigint(s"sum(case when r$k > 0 then 1 else 0 end)")} as o$k").mkString(", ")} from rot),
+         |rotones as (select kk as k, nv, ones from ${d.explodeFrom("rotones0", arrLit((0 until Dim).map(k => s"o$k")), "kk", "ones", Seq("nv"))} _ro),
+         |${ham("rw", "bq")},
+         |${ham("rt", "rbq")},
+         |nq as (select ${bigint("count(distinct qid)")} as nq from exact),
+         |hits as (select 'raw' as leg, ${bigint("count(*)")} as h from rwt t join exact e on e.qid = t.qid and e.cid = t.cid
+         |         union all
+         |         select 'rotated' as leg, ${bigint("count(*)")} as h from rtt t join exact e on e.qid = t.qid and e.cid = t.cid),
+         |legs as (${legSel("raw", "rawones")}
+         |         union all
+         |         ${legSel("rotated", "rotones")})
+         |select l.leg, l.mean_balance_dev, l.effective_bits,
+         |  ${roundAway(d)("h.h / (cast(10 as double) * q.nq)", 4)} as recall10
+         |from legs l join hits h on h.leg = l.leg cross join nq q""".stripMargin
+    },
+
     "vec_bq_bit_balance" ->
       s"""with $nvCtes, $exnCte,
          |pb as (select pos, ${bigint("count(*)")} as n,
