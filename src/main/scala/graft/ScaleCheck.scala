@@ -75,7 +75,8 @@ object ScaleCheck {
       "graph_clustering_coeff", "graph_hubness", "wm_repair",
       "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve",
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
-      "graph_spectral", "graph_percolation_curve")
+      "graph_spectral", "graph_percolation_curve",
+      "vec_topk_graph_filtered", "vec_bq_rotation")
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -100,7 +101,7 @@ object ScaleCheck {
       "events_slo_burn", "q_order_reconcile", "events_attribution_curve",
       "events_metric_winsorize", "sample_balanced", "pca_variance_explained",
       "dedup_shingle_curve", "data_budget_curve", "q_cohort_revenue",
-      "dedup_minhash")
+      "dedup_minhash", "dedup_paragraph")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
