@@ -8842,15 +8842,33 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // same 8 bytes/vector — the rotation costs one extra map pass at
     // index build, nothing at query time.
     "vec_bq_rotation" -> {
-      // W[k] = row k of H·D scaled by 1/8: H[k][p] = (-1)^popcount(k&p),
-      // D[p] = PRF sign — plan-time literals, same in both dialects
-      def wRotLit(k: Int): String = weightLit((0 until Dim).map { p =>
-        val h = if (java.lang.Integer.bitCount(k & p) % 2 == 0) 1.0 else -1.0
-        val dSign = if (graft.functions.Prf.prf("rotd", p) % 2 == 0) 1.0 else -1.0
+      // W[k] = row k of (1/8)·H·D: H[k][p] = (-1)^popcount(k&p), D[p] =
+      // keyed-PRF sign — plan-time literal weight arrays (the msgLit
+      // convention). The rotation is ONE 64-masked-sum HashAggregate
+      // over the exploded rows (the stegoCtes shape: aggregates are
+      // codegen'd AND optimizer barriers, so downstream consumers read
+      // the 64 r-columns instead of re-deriving the transform — the
+      // per-row array-lambda butterfly and the 64-unrolled-dot
+      // projection both fall out of whole-stage codegen and measured
+      // 28-41 s at 20k vectors; this form is ~2 s). Signs are computed
+      // on the RAW exploded values — H·D·x and H·D·(x/‖x‖) share signs
+      // (positive scaling), and only signs feed the bits. Float-sum
+      // order inside the aggregate is engine-managed, but every
+      // downstream output folds integer sign counts, so the hash gate
+      // is order-proof; a sign itself flips only if |r_k| < the
+      // reorder ulp (~1e-15·‖x‖) — probability ~1e-8 over this
+      // corpus's cells, stated as the boundary.
+      def wRotLit(k: Int): String = weightLit((0 until Dim).map { pp =>
+        val h = if (java.lang.Integer.bitCount(k & pp) % 2 == 0) 1.0 else -1.0
+        val dSign = if (graft.functions.Prf.prf("rotd", pp) % 2 == 0) 1.0 else -1.0
         h * dSign * 0.125
       })
-      val rotCols = (0 until Dim).map(k =>
-        s"${d.dot("n", wRotLit(k))} as r$k").mkString(",\n|         ")
+      val rotSums = (0 until Dim).map(k =>
+        s"sum(val * ${d.arrIdx0(wRotLit(k), "pos - 1")}) as r$k").mkString(",\n|         ")
+      val rotCtes =
+        s"""rot as (select id,
+           |         $rotSums
+           |       from exn group by id)""".stripMargin
       val rhi = (0 until 32).map(k =>
         s"(case when r$k > 0 then ${1L << (31 - k)} else 0 end)").mkString(" + ")
       val rlo = (32 until Dim).map(k =>
@@ -8869,9 +8887,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |from $onesT""".stripMargin
       val pre = if (views) Seq(nvCtes, exnCte, bqChain) else Seq(nvCtes, bqChain)
       s"""with ${pre.mkString(",\n")},
-         |rot as (select id,
-         |         $rotCols
-         |       from nn),
+         |$rotCtes,
          |rbq as (select id, ${bigint(rhi)} as hi, ${bigint(rlo)} as lo from rot),
          |exact as (select qid, cid from (
          |    select q.id as qid, c.id as cid, row_number() over (partition by q.id order by ${d.dot("q.n", "c.n")} desc, c.id) as rn
