@@ -255,7 +255,10 @@ object Plans {
     "wm_recover_registry" -> "the wm_extract_ids pipeline + a 32-row reassembly tail: persisted carrier-id scratch broadcast-semi-joins the attacked corpus, ONE masked-sum decode aggregation + the tiny vote groupBy, votes fold to per-character integer codes against the 16x2 literal grid — no selection-chain rebuild; the AES-GCM decrypt is a spec-side JVM call on THIS key's output (the only stage left outside the oracle gate)",
     "vec_topk_graph_filtered" -> "unfiltered navigation over the cached g_knn edges (same hub entries / 3 hops / beam 16 as vec_topk_graph — per-qid rank windows bounded-state under the graft_topk rewrite), predicate pushed into RESULT COLLECTION: the visited union b0..b3 joins labels once and ranks within the filter — no re-scored corpus, no filtered traversal that would disconnect the graph",
     "dedup_paragraph" -> "one word explode + one (doc, window) groupBy builds the 8-token window hashes; the DF-cap filter (df between 2 and 20) kills boilerplate hot hashes BEFORE the pair self-join, so pair work is bounded per hash — linear in windows; containment is a per-pair division against the tiny per-doc window census",
-    "vec_bq_rotation" -> "the rotation is 64 literal-weight graft_dot folds in ONE map-side projection over the corpus (no shuffle before the bit census); both legs' balance censuses are single combinable aggregations, and the two Hamming rankings join the 8-byte code tables — bit-math scans, the raw-vector table is touched only by the exact-cosine truth leg on the fixed query set")
+    "vec_bq_rotation" -> "the rotation is ONE 64-masked-sum HashAggregate over the exploded rows (codegen'd AND an optimizer barrier — the per-row unrolled-dot and array-lambda-butterfly forms both fell out of codegen and cost 28-41 s at 20k vectors; this form is 2.9 s); both legs' balance censuses are single combinable aggregations, and the two Hamming rankings join the 8-byte code tables — bit-math scans, the raw-vector table is touched only by the exact-cosine truth leg on the fixed query set",
+    "decontaminate_ngram_curve" -> "ONE 13-lead window pass; all three shingle hashes are prefix projections of the same leads, rung expansion is a 3-row cross join (never a 3x re-window), one (n, g) hash join feeds the per-n census — zero-filled from the rung spine",
+    "text_lang_mix" -> "one (doc, window) stopword-hit groupBy, one doc-partitioned lag over classified windows, majority via the two-aggregation argmax (max count then min lang) — no corpus windows, all censuses combinable",
+    "events_periodogram" -> "one daily census + ONE 18-column exact-integer aggregation (quantized-trig literal arrays indexed by day % P); everything after is scalar math over the 1-row moment table cross-joined to the 4-row period spine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

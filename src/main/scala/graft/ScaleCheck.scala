@@ -101,7 +101,8 @@ object ScaleCheck {
       "events_slo_burn", "q_order_reconcile", "events_attribution_curve",
       "events_metric_winsorize", "sample_balanced", "pca_variance_explained",
       "dedup_shingle_curve", "data_budget_curve", "q_cohort_revenue",
-      "dedup_minhash", "dedup_paragraph")
+      "dedup_minhash", "dedup_paragraph",
+      "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))

@@ -1970,6 +1970,59 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  md5(trim(${regexReplaceAll(regexReplaceAll("lower(text)", "[^a-z0-9 ]", ""), " +", " ")})) as fp
          |from documents""".stripMargin,
 
+    // CODE-SWITCHING / LANGUAGE-MIX PROFILE (27c) — the window-level
+    // refinement of 27's per-doc language ID (a doc-level majority
+    // vote can't see a lifted foreign paragraph; multilingual corpora
+    // route such docs to the wrong tokenizer/filter stack): 16-token
+    // windows classified by the SAME stopword-hit argmax as 27 (fixed
+    // en≥de≥fr≥es tie order; zero hits → 'und' — the zh windows land
+    // here honestly, no latin stopwords exist for them), then a
+    // per-doc mixture report: windows, classified windows, distinct
+    // languages, majority language + share, and the switch count over
+    // CONSECUTIVE classified windows (a doc-partitioned lag — windows
+    // are unique per doc, fully deterministic). HONEST readout on this
+    // corpus: every doc is single-language by construction, so
+    // n_langs ≤ 1 and n_switches = 0 — the key is the NEGATIVE
+    // CONTROL proving no code-switching, exactly what running it on a
+    // real crawl would refute. One window-census groupBy + one lag
+    // window over ≤ windows-per-doc rows; corpus-linear.
+    "text_lang_mix" -> {
+      val hitCols = Seq("en", "de", "fr", "es").map(l =>
+        s"sum(${inList("wd", stop(l))}) as ${l}_hits").mkString(",\n|           ")
+      s"""with $wordCtes,
+         |wh as (select doc_id, ${d.idiv("wpos - 1", "16")} as wno,
+         |           $hitCols
+         |       from wx group by doc_id, ${d.idiv("wpos - 1", "16")}),
+         |wc as (select doc_id, wno,
+         |         case when en_hits + de_hits + fr_hits + es_hits = 0 then 'und'
+         |              when en_hits >= de_hits and en_hits >= fr_hits and en_hits >= es_hits then 'en'
+         |              when de_hits >= fr_hits and de_hits >= es_hits then 'de'
+         |              when fr_hits >= es_hits then 'fr' else 'es' end as wlang
+         |       from wh),
+         |cw as (select doc_id, wno, wlang,
+         |         lag(wlang) over (partition by doc_id order by wno) as prev
+         |       from (select * from wc where wlang <> 'und') _c),
+         |base as (select doc_id, ${bigint("count(*)")} as n_windows from wc group by doc_id),
+         |cls as (select doc_id, ${bigint("count(*)")} as n_classified,
+         |          ${bigint("count(distinct wlang)")} as n_langs,
+         |          ${bigint("sum(case when prev is not null and wlang <> prev then 1 else 0 end)")} as n_switches
+         |        from cw group by doc_id),
+         |mc as (select doc_id, wlang, ${bigint("count(*)")} as c from cw group by doc_id, wlang),
+         |mx as (select doc_id, max(c) as best from mc group by doc_id),
+         |maj as (select m.doc_id, min(m.wlang) as majority_lang, x.best as maj_cnt
+         |        from mc m join mx x on x.doc_id = m.doc_id and m.c = x.best
+         |        group by m.doc_id, x.best)
+         |select ${bigint("b.doc_id")} as doc_id, b.n_windows,
+         |  ${bigint("coalesce(c.n_classified, 0)")} as n_classified,
+         |  ${bigint("coalesce(c.n_langs, 0)")} as n_langs,
+         |  coalesce(j.majority_lang, 'und') as majority_lang,
+         |  case when c.n_classified > 0
+         |       then ${roundAway(d)("cast(j.maj_cnt as double) / c.n_classified", 4)} end as majority_share,
+         |  ${bigint("coalesce(c.n_switches, 0)")} as n_switches
+         |from base b left join cls c on c.doc_id = b.doc_id
+         |left join maj j on j.doc_id = b.doc_id""".stripMargin
+    },
+
     "text_langid" ->
       s"""with $wordCtes,
          |hits as (select doc_id,
@@ -2748,6 +2801,56 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // identically in both engines): the dominant shuffle/broadcast
     // carries 8-byte keys instead of 32-char strings.
     "decontaminate" -> decontaminateSql(None),
+
+    // N-GRAM LENGTH TUNING CURVE for decontamination (30m's knob —
+    // the published standards disagree: GPT-3's eval decontamination
+    // used 13-grams, The Pile 13, C4-style filters 8, the house
+    // default is 5; shorter n over-flags common phrases, longer n
+    // misses paraphrase-adjacent contamination): overlap census at
+    // n ∈ {5, 8, 13}. ONE lead-window pass computes the longest
+    // 13-word context per position; all three shingle hashes derive
+    // from prefixes of the SAME leads in one projection, the rung
+    // expansion is a 3-row cross join (never a 3× re-window), and
+    // ONE (n, g) join feeds the per-n census. Output: 3 rows —
+    // contaminated pairs / flagged train docs / flagged eval docs /
+    // total shared shingles per n, zero-filled from the rung spine
+    // so the curve shape is always complete.
+    "decontaminate_ngram_curve" -> {
+      val ns = Seq(5, 8, 13)
+      val leads = (2 to 13).map(k =>
+        s"lead(wd, ${k - 1}) over (partition by doc_id order by wpos) as w$k")
+        .mkString(",\n|               ")
+      def gOf(n: Int) = {
+        val words = "wd" +: (2 to n).map(k => s"w$k")
+        s"case when w$n is not null then ${d.hex2int(s"substr(md5(concat_ws(' ', ${words.mkString(", ")})), 1, 15)")} end"
+      }
+      val gCase = s"case gn.n ${ns.map(n => s"when $n then g$n").mkString(" ")} end"
+      s"""with $wordCtes,
+         |ld as (select doc_id, wd,
+         |               $leads
+         |       from wx),
+         |sh as (select doc_id, ${ns.map(n => s"${gOf(n)} as g$n").mkString(",\n|         ")}
+         |       from ld),
+         |nsp as (${ns.map(n => s"select $n as n").mkString(" union all ")}),
+         |ns as (select sh.doc_id, gn.n, $gCase as g
+         |       from sh cross join nsp gn),
+         |ev as (select distinct n, g, doc_id as eval_doc from ns where doc_id % $decontEvalMod = 0 and g is not null),
+         |tr as (select distinct n, doc_id, g from ns where doc_id % $decontEvalMod <> 0 and g is not null),
+         |j as (select tr.n, tr.doc_id as train_doc, ev.eval_doc, ${bigint("count(*)")} as shared
+         |      from tr join ev on ev.n = tr.n and ev.g = tr.g
+         |      group by tr.n, tr.doc_id, ev.eval_doc),
+         |cen as (select n, ${bigint("count(*)")} as n_contaminated_pairs,
+         |          ${bigint("count(distinct train_doc)")} as n_train_docs_flagged,
+         |          ${bigint("count(distinct eval_doc)")} as n_eval_docs_flagged,
+         |          ${bigint("sum(shared)")} as total_shared_shingles
+         |        from j group by n)
+         |select ${bigint("s.n")} as n,
+         |  ${bigint("coalesce(c.n_contaminated_pairs, 0)")} as n_contaminated_pairs,
+         |  ${bigint("coalesce(c.n_train_docs_flagged, 0)")} as n_train_docs_flagged,
+         |  ${bigint("coalesce(c.n_eval_docs_flagged, 0)")} as n_eval_docs_flagged,
+         |  ${bigint("coalesce(c.total_shared_shingles, 0)")} as total_shared_shingles
+         |from nsp s left join cen c on c.n = s.n""".stripMargin
+    },
 
     // per-doc top TF-IDF term — the classic text-relevance op. One word
     // explode feeds both tf and df; the per-doc argmax is the two-
@@ -5338,6 +5441,65 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // seasonality index (dow mean / overall daily mean). Two tiny
     // combinable aggregations over the day grid; counts integer until
     // the two final divisions (identical operand order both engines).
+    // FIXED-FREQUENCY PERIODOGRAM (37o) — the frequency-domain cousin
+    // of 37e's day-of-week profile (the dow table ASSUMES the weekly
+    // cycle; the periodogram MEASURES which candidate period actually
+    // carries the variance — the readout that catches a 3-day deploy
+    // cadence or a biweekly batch job the calendar prior misses):
+    // DFT power of the daily count series at periods {2, 3, 7, 14}
+    // days. Determinism: cos/sin are QUANTIZED ONTO AN INTEGER
+    // MICRO-GRID at plan time (the quantized-ln convention — JVM
+    // Math.round(cos·1e6) inlined as literal bigint arrays indexed by
+    // day % P), so every correlation sum is an EXACT bigint fold —
+    // order-proof in both engines; mean-centering folds analytically
+    // (m·sc − S·cc — no second pass), and the only float math is the
+    // final per-period square/divide on scalar values. Bigint
+    // ceiling: m·sc ≤ days²·peak-rate·1e6 ≈ 2.7e17 at 10 years ×
+    // 3e4 events/day — five orders inside int64 (stated). ONE
+    // aggregation over the ≤ |days| daily census; 4-row output:
+    // power, share of total candidate power, dominant flag (ties to
+    // the smallest period).
+    "events_periodogram" -> {
+      val periods = Seq(2, 3, 7, 14)
+      def micro(f: Int => Double, pp: Int): String = arrLit((0 until pp).map(k =>
+        Math.round(f(k) * 1e6)))
+      def cosArr(pp: Int) = micro(k => Math.cos(2 * Math.PI * k / pp), pp)
+      def sinArr(pp: Int) = micro(k => Math.sin(2 * Math.PI * k / pp), pp)
+      val sums = periods.map { pp =>
+        s"""${bigint(s"sum(n * ${d.arrIdx0(cosArr(pp), s"day % $pp")})")} as sc$pp,
+           |          ${bigint(s"sum(n * ${d.arrIdx0(sinArr(pp), s"day % $pp")})")} as ss$pp,
+           |          ${bigint(s"sum(${d.arrIdx0(cosArr(pp), s"day % $pp")})")} as cc$pp,
+           |          ${bigint(s"sum(${d.arrIdx0(sinArr(pp), s"day % $pp")})")} as cs$pp""".stripMargin
+      }.mkString(",\n|          ")
+      def ampC(pp: Int) = s"(cast(m * sc$pp - s * cc$pp as double) / 1000000.0 / m)"
+      def ampS(pp: Int) = s"(cast(m * ss$pp - s * cs$pp as double) / 1000000.0 / m)"
+      val pwCols = periods.map(pp =>
+        s"(${ampC(pp)} * ${ampC(pp)} + ${ampS(pp)} * ${ampS(pp)}) as pw$pp").mkString(",\n|         ")
+      val tot = periods.map(pp => s"pw$pp").mkString(" + ")
+      val pwCase = s"case g.p ${periods.map(pp => s"when $pp then pw$pp").mkString(" ")} end"
+      // dominance ties break to the SMALLEST period: strict > against
+      // smaller periods, >= against larger
+      val domCase = "case " + periods.map { pp =>
+        val conds = periods.filter(_ != pp).map(q =>
+          if (q < pp) s"pw$pp > pw$q" else s"pw$pp >= pw$q")
+        s"when g.p = $pp and ${conds.mkString(" and ")} then 1"
+      }.mkString(" ") + " else 0 end"
+      val spine = periods.map(pp => s"select $pp as p").mkString(" union all ")
+      s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, ${bigint("count(*)")} as n
+         |              from events group by ${d.idiv(evSec("ts"), "86400")}),
+         |agg as (select ${bigint("count(*)")} as m, ${bigint("sum(n)")} as s,
+         |          $sums
+         |        from daily),
+         |pw as (select m, s,
+         |         $pwCols
+         |       from agg)
+         |select ${bigint("g.p")} as period_days,
+         |  ${roundAway(d)(pwCase, 4)} as power,
+         |  case when $tot > 0 then ${roundAway(d)(s"($pwCase) / ($tot)", 4)} end as power_share,
+         |  ${bigint(domCase)} as is_dominant
+         |from pw cross join ($spine) g""".stripMargin
+    },
+
     "events_seasonal" ->
       s"""with daily as (select ${d.idiv(evSec("ts"), "86400")} as day, count(*) as n
          |              from events group by ${d.idiv(evSec("ts"), "86400")}),
