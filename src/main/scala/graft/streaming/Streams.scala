@@ -944,6 +944,120 @@ object Streams {
           }
       }
   }
+
+  case class JsPoint(day: Long, prevDay: Long, nEvents: Long, nPrev: Long,
+                     jsNats: Double, jsNormalized: Double)
+
+  /** Streaming day-over-day mix-shift monitor — the alerting twin of
+    * `events_mix_shift` (the distribution-drift alarm on the event-type
+    * mix): state is the per-(day, type) integer count map (calendar ×
+    * type-domain bounded — O(days·types), never O(events)); each
+    * micro-batch re-emits the refreshed Jensen–Shannon row for every
+    * adjacent-day pair TOUCHED by the batch (an event on day D moves
+    * the (D−1, D) and (D, D+1) pairs). The JS fold replicates the
+    * batch SQL bit for bit: quantized-ln integers (round-away
+    * ln·1e9), exact bigint sums over the union type set, two final
+    * divisions (StreamingMixShiftSpec pins parity across splits). */
+  def mixShiftStream(events: Dataset[(Timestamp, String)]): Dataset[JsPoint] = {
+    import events.sparkSession.implicits._
+    def rnd(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    // the batch computes its ln arguments as EXACT bigints, then casts
+    // to double — mirror that exactly (a double product can round
+    // differently past 2^53)
+    def lg(x: Long): Long = rnd(math.log(x.toDouble) * 1e9, 0).toLong
+    events
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Map[(Long, String), Long], JsPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Map[(Long, String), Long]]) =>
+          var cnt = state.getOption.getOrElse(Map.empty[(Long, String), Long])
+          var touched = Set.empty[Long]
+          it.foreach { case (ts, typ) =>
+            val day = ts.getTime / 1000 / 86400
+            cnt += (day, typ) -> (cnt.getOrElse((day, typ), 0L) + 1L)
+            touched += day
+          }
+          state.update(cnt)
+          val byDay = cnt.groupBy(_._1._1).view
+            .mapValues(_.map { case ((_, t), c) => t -> c }.toMap).toMap
+          val pairs = touched.flatMap(dd => Seq(dd - 1 -> dd, dd -> (dd + 1)))
+            .filter { case (a, b) => byDay.contains(a) && byDay.contains(b) }
+          pairs.toSeq.sorted.iterator.map { case (d1, d2) =>
+            val (m1, m2) = (byDay(d1), byDay(d2))
+            val n1 = m1.values.sum
+            val n2 = m2.values.sum
+            var sp = 0L; var sq = 0L
+            (m1.keySet ++ m2.keySet).foreach { t =>
+              val c1 = m1.getOrElse(t, 0L); val c2 = m2.getOrElse(t, 0L)
+              val mix = Math.addExact(Math.multiplyExact(c1, n2),
+                Math.multiplyExact(c2, n1))
+              if (c1 > 0) sp = Math.addExact(sp,
+                Math.multiplyExact(c1, lg(Math.multiplyExact(2L, Math.multiplyExact(c1, n2))) - lg(mix)))
+              if (c2 > 0) sq = Math.addExact(sq,
+                Math.multiplyExact(c2, lg(Math.multiplyExact(2L, Math.multiplyExact(c2, n1))) - lg(mix)))
+            }
+            val nats = (sp.toDouble / n1 + sq.toDouble / n2) / 2.0 / 1e9
+            JsPoint(d2, d1, n2, n1, rnd(nats, 6), rnd(nats / math.log(2.0), 4))
+          }
+      }
+  }
+
+  case class PeriodPoint(periodDays: Long, power: Double,
+                         powerShare: Option[Double], isDominant: Long)
+
+  /** Streaming periodogram — the spectral twin of `events_periodogram`:
+    * the same O(days) integer day-count state as the changepoint twin,
+    * re-emitting the 4-period quantized-trig DFT row set each
+    * micro-batch. All math is the batch key's exact-integer fold
+    * (literal micro-grid cos/sin, analytic mean-centering), so the
+    * final emission equals the batch rows bit for bit
+    * (StreamingPeriodogramSpec). */
+  def periodogramStream(events: Dataset[Timestamp]): Dataset[PeriodPoint] = {
+    import events.sparkSession.implicits._
+    def rnd(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    val periods = Seq(2, 3, 7, 14)
+    events
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Map[Long, Long], PeriodPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Map[Long, Long]]) =>
+          var byDay = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { ts =>
+            val day = ts.getTime / 1000 / 86400
+            byDay += day -> (byDay.getOrElse(day, 0L) + 1L)
+          }
+          state.update(byDay)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            val m = byDay.size.toLong
+            val s = byDay.values.sum
+            val powers = periods.map { p =>
+              val cosA = Array.tabulate(p)(k => Math.round(Math.cos(2 * Math.PI * k / p) * 1e6))
+              val sinA = Array.tabulate(p)(k => Math.round(Math.sin(2 * Math.PI * k / p) * 1e6))
+              var sc = 0L; var ss = 0L; var cc = 0L; var cs = 0L
+              byDay.foreach { case (day, n) =>
+                val k = (day % p).toInt
+                sc = Math.addExact(sc, Math.multiplyExact(n, cosA(k)))
+                ss = Math.addExact(ss, Math.multiplyExact(n, sinA(k)))
+                cc += cosA(k); cs += sinA(k)
+              }
+              val a = Math.subtractExact(Math.multiplyExact(m, sc),
+                Math.multiplyExact(s, cc)).toDouble / 1e6 / m
+              val b = Math.subtractExact(Math.multiplyExact(m, ss),
+                Math.multiplyExact(s, cs)).toDouble / 1e6 / m
+              p.toLong -> (a * a + b * b)
+            }
+            val tot = powers.map(_._2).sum
+            val best = powers.map(_._2).max
+            val dom = powers.filter(_._2 == best).map(_._1).min
+            powers.iterator.map { case (p, pw) =>
+              PeriodPoint(p, rnd(pw, 4),
+                if (tot > 0) Some(rnd(pw / tot, 4)) else None,
+                if (p == dom) 1L else 0L)
+            }
+          }
+      }
+  }
 }
 
 /** JVM mirror of the SQL HLL sketch (m = 256) in
