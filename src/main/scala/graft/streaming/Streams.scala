@@ -945,6 +945,61 @@ object Streams {
       }
   }
 
+  case class SeasonalMadPoint(day: Long, nEvents: Long, dow: Long,
+                              dowMean: Double, residual: Double,
+                              robustZ: Option[Double], isOutlier: Long)
+
+  /** Streaming seasonal-adjusted robust anomaly monitor — the twin of
+    * `events_anomaly_seasonal` (deseasonalize FIRST, then median/MAD:
+    * separates "it's Saturday" from "something broke"): the same
+    * O(days) day-count state as the changepoint/MAD twins; each
+    * micro-batch re-emits the full per-day table with dow means,
+    * residuals, and the modified-z flags, replicating the batch SQL's
+    * float tree and rank selections exactly
+    * (StreamingSeasonalMadSpec pins bit-parity). */
+  def seasonalAnomalyStream(events: Dataset[Timestamp]): Dataset[SeasonalMadPoint] = {
+    import events.sparkSession.implicits._
+    def rnd(x: Double, n: Int) = graft.operators.PcaSolve.roundAway(x, n)
+    events
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Map[Long, Long], SeasonalMadPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Map[Long, Long]]) =>
+          var byDay = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { ts =>
+            val day = ts.getTime / 1000 / 86400
+            byDay += day -> (byDay.getOrElse(day, 0L) + 1L)
+          }
+          state.update(byDay)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            val days = byDay.toSeq
+            // dow means folded from exact integer sums, divided once —
+            // the batch's cast(sum as double) / count
+            val wm = days.groupBy { case (day, _) => ((day + 4) % 7) }
+              .view.mapValues { xs =>
+                xs.map(_._2).sum.toDouble / xs.size
+              }.toMap
+            val res = days.map { case (day, x) =>
+              val dow = (day + 4) % 7
+              (day, x, dow, wm(dow), x - wm(dow))
+            }
+            val m = res.length
+            val medIdx = math.ceil(m * 0.5).toInt - 1
+            val md = res.map { case (day, _, _, _, r) => (r, day) }
+              .sorted.apply(medIdx)._1
+            val mv = res.map { case (day, _, _, _, r) => (math.abs(r - md), day) }
+              .sorted.apply(medIdx)._1
+            res.sortBy(_._1).iterator.map { case (day, x, dow, dm, r) =>
+              val z = if (mv > 0) Some(rnd(0.6745 * (r - md) / mv, 4)) else None
+              val outlier =
+                if (mv > 0 && math.abs(0.6745 * (r - md) / mv) > 3.5) 1L else 0L
+              SeasonalMadPoint(day, x, dow, rnd(dm, 4), rnd(r, 4), z, outlier)
+            }
+          }
+      }
+  }
+
   case class JsPoint(day: Long, prevDay: Long, nEvents: Long, nPrev: Long,
                      jsNats: Double, jsNormalized: Double)
 
