@@ -258,7 +258,8 @@ object Plans {
     "vec_bq_rotation" -> "the rotation is ONE 64-masked-sum HashAggregate over the exploded rows (codegen'd AND an optimizer barrier — the per-row unrolled-dot and array-lambda-butterfly forms both fell out of codegen and cost 28-41 s at 20k vectors; this form is 2.9 s); both legs' balance censuses are single combinable aggregations, and the two Hamming rankings join the 8-byte code tables — bit-math scans, the raw-vector table is touched only by the exact-cosine truth leg on the fixed query set",
     "decontaminate_ngram_curve" -> "ONE 13-lead window pass; all three shingle hashes are prefix projections of the same leads, rung expansion is a 3-row cross join (never a 3x re-window), one (n, g) hash join feeds the per-n census — zero-filled from the rung spine",
     "text_lang_mix" -> "one (doc, window) stopword-hit groupBy, one doc-partitioned lag over classified windows, majority via the two-aggregation argmax (max count then min lang) — no corpus windows, all censuses combinable",
-    "events_periodogram" -> "one daily census + ONE 18-column exact-integer aggregation (quantized-trig literal arrays indexed by day % P); everything after is scalar math over the 1-row moment table cross-joined to the 4-row period spine")
+    "events_periodogram" -> "one daily census + ONE 18-column exact-integer aggregation (quantized-trig literal arrays indexed by day % P); everything after is scalar math over the 1-row moment table cross-joined to the 4-row period spine",
+    "dedup_quality_impact" -> "components over the checkpointed g_simpairs scratch; quality folds to x10^4 integers in one doc join; both keeper policies are combinable aggregations per component (min(id), max(struct(qi, -id))), and the three per-source means are integer-sum groupBys — no float accumulation, no corpus re-scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

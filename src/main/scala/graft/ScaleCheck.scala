@@ -142,7 +142,8 @@ object ScaleCheck {
       "vec_topk_grouped", "graph_modularity", "events_attribution_markov",
       "multimodal_wav_features", "sketch_cms_native",
       "search_rerank_agreement", "dedup_tier_eval",
-      "multimodal_audio_fp", "wm_recover_registry", "wm_repair").filter(only)) {
+      "multimodal_audio_fp", "wm_recover_registry", "wm_repair",
+      "dedup_quality_impact").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -101,6 +101,13 @@ object SparkEntry {
         simPairsView(s, dir)
         s.sql(sparkGen.dedupClusterRepSql(Some("g_simpairs")))
       }),
+      // does keep-lowest-id cost quality vs keep-best? per-source
+      // policy comparison over the same checkpointed pair chain
+      "dedup_quality_impact" -> ((s, dir) => {
+        Tables.register(s, dir)
+        simPairsView(s, dir)
+        s.sql(sparkGen.dedupQualityImpactSql(Some("g_simpairs")))
+      }),
       // which sources copy from each other: the syndication matrix
       // over the same checkpointed near-dup pair chain
       "dedup_cross_source" -> ((s, dir) => {
@@ -475,6 +482,7 @@ object SparkEntry {
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),
+        "dedup_quality_impact" -> duckGen.dedupQualityImpactSql(None),
         "dedup_cross_source" -> duckGen.dedupCrossSourceSql(None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
         "dedup_containment" -> duckGen.dedupContainmentSql(None),

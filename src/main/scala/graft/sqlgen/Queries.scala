@@ -1076,6 +1076,48 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from agg""".stripMargin
   }
 
+  /** DEDUP QUALITY-IMPACT REPORT (30h3) — does the keeper POLICY cost
+    * quality? Production dedup defaults to keep-lowest-id (stable,
+    * cheap — `dedup_apply`); the alternative keeps the best-quality
+    * member (`dedup_cluster_rep`). This key measures, per source, what
+    * the cheap policy leaves on the table: members in near-dup
+    * components, kept counts under BOTH policies, and mean member
+    * quality of kept-under-min-id, kept-under-best-quality, and
+    * dropped-under-min-id. Quality is the 30b rubric rounded to 4
+    * decimals, then ×10⁴ EXACT integers — means are integer sums with
+    * one final division each (no float-accumulation order anywhere).
+    * Same pair-chain contract as the other component readouts: Spark
+    * reads the checkpointed g_simpairs scratch, the oracle inlines the
+    * chain (DuckDB-materialized). */
+  def dedupQualityImpactSql(pairsFrom: Option[String]): String = {
+    val (ctes, last) = componentsCtes(pairsFrom)
+    s"""$ctes,
+       |dq as (select doc_id, length(text) as n_chars, ${d.arrLen(splitWs("text"))} as n_words,
+       |         length(${regexReplaceAll("text", "[^a-zA-Z]", "")}) as n_alpha
+       |       from documents),
+       |mem as (select l.lbl as comp, l.id, dd.source,
+       |          ${bigint(roundAway(d)("round((case when q.n_words >= 20 and q.n_words <= 80 then 1.0 else 0.5 end) * (q.n_alpha / q.n_chars), 4) * 10000", 0))} as qi
+       |        from $last l join dq q on q.doc_id = l.id
+       |        join documents dd on dd.doc_id = l.id),
+       |kmin as (select comp, min(id) as keeper from mem group by comp),
+       |kbest as (select comp, ${bigint(s"-(${d.fieldOf("mx", "ni")})")} as keeper from (
+       |    select comp, max(${d.structLit2("q", "qi", "ni", "-id")}) as mx from mem group by comp) _kb),
+       |sall as (select source, ${bigint("count(*)")} as n_members, ${bigint("sum(qi)")} as sq from mem group by source),
+       |smin as (select m.source, ${bigint("count(*)")} as n_kept, ${bigint("sum(m.qi)")} as sq
+       |         from mem m join kmin k on k.comp = m.comp and k.keeper = m.id group by m.source),
+       |sbest as (select m.source, ${bigint("count(*)")} as n_kept, ${bigint("sum(m.qi)")} as sq
+       |          from mem m join kbest k on k.comp = m.comp and k.keeper = m.id group by m.source)
+       |select a.source, a.n_members,
+       |  ${bigint("coalesce(n.n_kept, 0)")} as kept_minid,
+       |  ${bigint("coalesce(b.n_kept, 0)")} as kept_bestq,
+       |  case when n.n_kept > 0 then ${roundAway(d)("cast(n.sq as double) / n.n_kept / 10000", 4)} end as mean_q_kept_minid,
+       |  case when b.n_kept > 0 then ${roundAway(d)("cast(b.sq as double) / b.n_kept / 10000", 4)} end as mean_q_kept_bestq,
+       |  case when a.n_members > coalesce(n.n_kept, 0)
+       |       then ${roundAway(d)("cast(a.sq - coalesce(n.sq, 0) as double) / (a.n_members - coalesce(n.n_kept, 0)) / 10000", 4)} end as mean_q_dropped_minid
+       |from sall a left join smin n on n.source = a.source
+       |left join sbest b on b.source = a.source""".stripMargin
+  }
+
   /** CROSS-SOURCE NEAR-DUP MATRIX — which sources copy from each
     * other (syndication / mirror detection, the provenance question a
     * training-mix designer asks before weighting sources): the served
