@@ -259,7 +259,8 @@ object Plans {
     "decontaminate_ngram_curve" -> "ONE 13-lead window pass; all three shingle hashes are prefix projections of the same leads, rung expansion is a 3-row cross join (never a 3x re-window), one (n, g) hash join feeds the per-n census — zero-filled from the rung spine",
     "text_lang_mix" -> "one (doc, window) stopword-hit groupBy, one doc-partitioned lag over classified windows, majority via the two-aggregation argmax (max count then min lang) — no corpus windows, all censuses combinable",
     "events_periodogram" -> "one daily census + ONE 18-column exact-integer aggregation (quantized-trig literal arrays indexed by day % P); everything after is scalar math over the 1-row moment table cross-joined to the 4-row period spine",
-    "dedup_quality_impact" -> "components over the checkpointed g_simpairs scratch; quality folds to x10^4 integers in one doc join; both keeper policies are combinable aggregations per component (min(id), max(struct(qi, -id))), and the three per-source means are integer-sum groupBys — no float accumulation, no corpus re-scan")
+    "dedup_quality_impact" -> "components over the checkpointed g_simpairs scratch; quality folds to x10^4 integers in one doc join; both keeper policies are combinable aggregations per component (min(id), max(struct(qi, -id))), and the three per-source means are integer-sum groupBys — no float accumulation, no corpus re-scan",
+    "graph_betweenness" -> "walk-count chain over the scratch-persisted symmetrized edges (each level one join + one combinable sum, referenced once by its successor); sigma extracted with one min(struct) aggregation; the Brandes backward pass is two successor joins with 1e-6-quantized integer dependency sums — frontiers are O(S*K^d), independent of N")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

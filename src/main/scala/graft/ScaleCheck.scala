@@ -76,7 +76,8 @@ object ScaleCheck {
       "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve",
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
       "graph_spectral", "graph_percolation_curve",
-      "vec_topk_graph_filtered", "vec_bq_rotation")
+      "vec_topk_graph_filtered", "vec_bq_rotation"
+      /* graph_betweenness runs through the programmatic path (scratch edges) */)
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -143,7 +144,7 @@ object ScaleCheck {
       "multimodal_wav_features", "sketch_cms_native",
       "search_rerank_agreement", "dedup_tier_eval",
       "multimodal_audio_fp", "wm_recover_registry", "wm_repair",
-      "dedup_quality_impact").filter(only)) {
+      "dedup_quality_impact", "graph_betweenness").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -355,6 +355,20 @@ object SparkEntry {
         Scratch.table(s, dir, v, gen.wmAttackBuildSql)
         s.sql(gen.wmRepairSql(Some(v)))
       }),
+      // sampled betweenness over a PERSISTED symmetrized edge table:
+      // the BFS levels and the Brandes successor join reference the
+      // edge set repeatedly (Catalyst re-inlines the union-distinct
+      // per reference — measured 5.1 s inline at sf0.01, scratch-backed
+      // well under 1 s); the oracle inlines it, DuckDB-materialized.
+      "graph_betweenness" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_edges_sym_p$planes"
+        Scratch.table(s, dir, v,
+          "select src, dst from g_knn union select dst, src from g_knn")
+        s.sql(sparkGenFor(s, dir).graphBetweennessSql(Some(v)))
+      }),
       // 21g registry-path extraction: the carrier-id list persists as
       // a cross-session parquet scratch artifact (the reference's
       // save_low_degree_ids file), and extraction joins the attacked

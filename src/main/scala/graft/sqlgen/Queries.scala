@@ -899,6 +899,57 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from grid g left join rc r on r.blk = g.blk and r.c = g.c""".stripMargin
   }
 
+  /** Sampled bounded-horizon betweenness (see the sqls entry's note at
+    * the key). `edgesView`: Some(view) reads the symmetrized simple
+    * edges from a pre-materialized table (the Spark path persists it
+    * via the doc-side Scratch); None inlines it (the oracle,
+    * DuckDB-materialized).
+    *
+    * Forward pass = a WALK-COUNT chain, not an anti-joined BFS: w_k
+    * carries (qs, node, step, count) for all steps ≤ k, each level
+    * referenced exactly ONCE by its successor (the beam-carry rule —
+    * the NOT EXISTS formulation referenced every level 3× and
+    * Catalyst's re-inlining made the key 4-5 s at sf0.01; this form
+    * is one join + one combinable sum per step). A length-d walk
+    * reaching a node whose minimum reach step is d IS a shortest
+    * path, so σ = the walk count at min step — extracted with ONE
+    * min(struct(step, count)) aggregation. */
+  def graphBetweennessSql(edgesView: Option[String]): String = {
+    val e2 = edgesView match {
+      case Some(v) => s"e2 as (select src, dst from $v)"
+      case None    => "e2 as (select src, dst from knn union select dst, src from knn)"
+    }
+    def q6(x: String) = bigint(roundAway(d)(x, 0))
+    def hop(prev: String, next: String, k: Int): String =
+      s"""$next as (select qs, node, step, c from $prev union all
+         |       select v.qs, e.dst as node, ${bigint((k + 1).toString)} as step, ${bigint("sum(v.c)")} as c
+         |       from $prev v join e2 e on e.src = v.node where v.step = $k
+         |       group by v.qs, e.dst)""".stripMargin
+    s"""${wmChain("knn")},
+       |$e2,
+       |srcs as (select id from (select id, ${prf(d)("'btw'", "id")} as pr from nn) _p order by pr, id limit 4),
+       |w0 as (select s.id as qs, s.id as node, ${bigint("0")} as step, ${bigint("1")} as c from srcs s),
+       |${hop("w0", "w1", 0)},
+       |${hop("w1", "w2", 1)},
+       |${hop("w2", "w3", 2)},
+       |vt as (select qs, node, ${bigint(d.fieldOf("mx", "s"))} as dist, ${bigint(d.fieldOf("mx", "c"))} as sig from (
+       |    select qs, node, min(${d.structLit2("s", "step", "c", "c")}) as mx
+       |    from w3 group by qs, node) _vt),
+       |sp as (select a.qs, a.node as v, b.node as w, a.sig as sv, b.sig as sw, a.dist as dv
+       |       from vt a join e2 e on e.src = a.node
+       |       join vt b on b.qs = a.qs and b.node = e.dst and b.dist = a.dist + 1),
+       |d2 as (select qs, v as node, ${bigint(s"sum(${q6("cast(sv as double) / sw * 1000000")})")} as del
+       |       from sp where dv = 2 group by qs, v),
+       |d1 as (select s2.qs, s2.v as node,
+       |         ${bigint(s"sum(${q6("cast(s2.sv as double) / s2.sw * (1000000 + coalesce(dd.del, 0))")})")} as del
+       |       from sp s2 left join d2 dd on dd.qs = s2.qs and dd.node = s2.w
+       |       where s2.dv = 1 group by s2.qs, s2.v)
+       |select ${bigint("node")} as node, ${bigint("count(*)")} as n_source_terms,
+       |  ${roundAway(d)("sum(del) / cast(1000000 as double)", 4)} as betweenness
+       |from (select qs, node, del from d1 union all select qs, node, del from d2) _u
+       |group by node""".stripMargin
+  }
+
   /** SimHash width: 60 bits (the full 15-hex-digit md5 prefix both
     * engines parse exactly — see Dialect.hex2int). 60 bits split into
     * 5 bands of 12 bits, so the banded pair join's pigeonhole
@@ -10331,6 +10382,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // w₄·w₃ ≈ N²d⁷; the double route is deterministic at any N,
     // stated). Mixing proxy ln(100)/ln(λ₁/|λ₂|) from the
     // 1e-6-quantized ratio, output on coarse grids. One row.
+    // SAMPLED BOUNDED-HORIZON BETWEENNESS (6s) — the load-bearing-node
+    // census (which vectors sit on the most shortest paths — the
+    // routing chokepoints of the served navigable graph; a deleted
+    // chokepoint fragments beam search long before connectivity
+    // breaks): Brandes' algorithm (2001) from 4 keyed-PRF sample
+    // sources, truncated at the 3-hop search horizon (the served
+    // beam's own depth — paths the searcher can't take don't load a
+    // node). Forward: 3 BFS levels over the symmetrized served edges
+    // with EXACT integer path counts σ (each level = one join + one
+    // combinable sum + a NOT EXISTS de-dup against the carried
+    // visited set; frontier size is O(S·K^d) — independent of N).
+    // Backward: Brandes' dependency δ(v) = Σ_succ (σv/σw)(1 + δw)
+    // with every contribution QUANTIZED to a 1e-6 integer grid before
+    // summation (the quantized-ln convention — bigint folds,
+    // order-proof in both engines; δ = 0 beyond the horizon, stated).
+    // Per-level tables are referenced ≤ 3× (expansion + union +
+    // anti-join) — a bounded constant-multiplier re-derivation on the
+    // Spark side (frontiers are sample-sized), DuckDB-materialized in
+    // the oracle. Output: per reached node, contributing source
+    // terms + the sampled betweenness.
+    "graph_betweenness" -> graphBetweennessSql(None),
+
     "graph_spectral" -> {
       val matKw = if (d.name == "duckdb") "materialized " else ""
       def step(prev: String, next: String) =
