@@ -260,7 +260,13 @@ object Plans {
     "text_lang_mix" -> "one (doc, window) stopword-hit groupBy, one doc-partitioned lag over classified windows, majority via the two-aggregation argmax (max count then min lang) — no corpus windows, all censuses combinable",
     "events_periodogram" -> "one daily census + ONE 18-column exact-integer aggregation (quantized-trig literal arrays indexed by day % P); everything after is scalar math over the 1-row moment table cross-joined to the 4-row period spine",
     "dedup_quality_impact" -> "components over the checkpointed g_simpairs scratch; quality folds to x10^4 integers in one doc join; both keeper policies are combinable aggregations per component (min(id), max(struct(qi, -id))), and the three per-source means are integer-sum groupBys — no float accumulation, no corpus re-scan",
-    "graph_betweenness" -> "walk-count chain over the scratch-persisted symmetrized edges (each level one join + one combinable sum, referenced once by its successor); sigma extracted with one min(struct) aggregation; the Brandes backward pass is two successor joins with 1e-6-quantized integer dependency sums — frontiers are O(S*K^d), independent of N")
+    "graph_betweenness" -> "walk-count chain over the scratch-persisted symmetrized edges (each level one join + one combinable sum, referenced once by its successor); sigma extracted with one min(struct) aggregation; the Brandes backward pass is two successor joins with 1e-6-quantized integer dependency sums — frontiers are O(S*K^d), independent of N",
+    "graph_closeness" -> "the betweenness forward chain minus path counts: per-hop DISTINCT expansion over the SAME scratch-persisted symmetrized edge table (levels bounded by the reach set, each referenced once); distance = min(step) in one combinable groupBy; 1e-6-quantized 1/d bigint folds — frontiers O(S*K^d), independent of N",
+    "q12_shipmode" -> "one orders-lineitem hash join with the ship-date range pushed to the fact scan, latency computed map-side, conditional bimodal counts in one combinable aggregation — output domain-bounded (2 rows), no windows",
+    "q21_waiting_supplier" -> "the Q21 exists/not-exists double-correlation folded into ONE fact scan: late tag map-side, per-order distinct-supplier rollup (combinable), join back on the order key keeps lone-late-supplier rows, supplier dim broadcasts into the final count — one fact pass where the textbook plan pays three",
+    "q_gini_revenue" -> "per-customer cents-exact spend groupBy to a $100 grid census, ONE domain-bounded cumulative window, Gini from the tie-block rank-sum identity + Lorenz shares in one aggregation — never a per-customer global sort",
+    "ann_recall_after_delete" -> "ann_recall_eval's protocol with broadcastable tombstone anti-joins on both legs (ground truth and LSH candidates restricted to the alive set); candidate work stays bucket-bounded, brute leg stays O(|Q|*N) on the fixed query sample",
+    "events_markov_stationary" -> "transition census scratch-materialized (the only corpus pass); the 8-step ppm power iteration is bounded driver math over <= |types|^2 collected rows (the attribution convention) — no per-step shuffled aggregations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -76,8 +76,10 @@ object ScaleCheck {
       "wm_delta_curve", "wm_multi_tenant", "ann_recall_at_k_curve",
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
       "graph_spectral", "graph_percolation_curve",
-      "vec_topk_graph_filtered", "vec_bq_rotation"
-      /* graph_betweenness runs through the programmatic path (scratch edges) */)
+      "vec_topk_graph_filtered", "vec_bq_rotation",
+      "ann_recall_after_delete"
+      /* graph_betweenness + graph_closeness run through the
+       * programmatic path (scratch edges) */)
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -103,7 +105,8 @@ object ScaleCheck {
       "events_metric_winsorize", "sample_balanced", "pca_variance_explained",
       "dedup_shingle_curve", "data_budget_curve", "q_cohort_revenue",
       "dedup_minhash", "dedup_paragraph",
-      "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram")
+      "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram",
+      "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -144,7 +147,8 @@ object ScaleCheck {
       "multimodal_wav_features", "sketch_cms_native",
       "search_rerank_agreement", "dedup_tier_eval",
       "multimodal_audio_fp", "wm_recover_registry", "wm_repair",
-      "dedup_quality_impact", "graph_betweenness").filter(only)) {
+      "dedup_quality_impact", "graph_betweenness", "graph_closeness",
+      "events_markov_stationary").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -212,6 +212,43 @@ object SparkEntry {
         }.toDF("channel", "conv_full", "conv_removed", "removal_effect",
           "attribution", "mass_unabsorbed")
       }),
+      // stationary distribution of the raw event-type chain: the
+      // transition census (the only corpus-priced pass) is
+      // scratch-materialized once per (session, dir); the 8-step
+      // power iteration is BOUNDED driver math over the collected
+      // ≤ |event_types|²-row matrix (the attribution convention —
+      // ~17 tiny shuffled aggregations would cost ~2 s of pure
+      // exchange latency for 25 live rows; the driver does the same
+      // exact integer arithmetic in microseconds). The oracle
+      // re-derives the identical ppm iteration in pure SQL
+      // (markovStationarySql), pinning the driver math op for op.
+      "events_markov_stationary" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val tr = Scratch.table(s, dir, "g_type_trans", sparkGen.typeTransBuildSql)
+        val trans = tr.collect().map(r => (r.getAs[String]("src"),
+          r.getAs[String]("dst"), r.getAs[Long]("c")))
+        val outc = trans.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+        val ppm = trans.map { case (a, b, c) => (a, b, c * 1000000L / outc(a)) }
+        val k = outc.size.toLong
+        var st: Map[String, Long] =
+          outc.keys.map(_ -> 1000000000000L / k).toMap.withDefaultValue(0L)
+        var prev = st
+        for (_ <- 1 to 8) {
+          prev = st
+          val nx = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+          ppm.foreach { case (a, b, p) => if (st.contains(a)) nx(b) += st(a) * p / 1000000L }
+          st = nx.toMap.withDefaultValue(0L)
+        }
+        val total = outc.values.sum
+        def r6(x: Double) = PcaSolve.roundAway(x, 6)
+        import s.implicits._
+        outc.toSeq.map { case (state, n) =>
+          (state, n, r6(n.toDouble / total),
+            r6(st.getOrElse(state, 0L) / 1e12), r6(prev.getOrElse(state, 0L) / 1e12),
+            r6(math.abs(st.getOrElse(state, 0L) - prev.getOrElse(state, 0L)) / 1e12))
+        }.toDF("state", "n_out_transitions", "occupancy",
+          "pi_stationary", "pi_prev_step", "step_delta")
+      }),
       // hybrid RRF over the checkpointed two-leg score table: the
       // corpus-priced passes (word explode → BM25 + feature-hash
       // aggs) run once per session/dir; the rank/fusion rounds
@@ -368,6 +405,19 @@ object SparkEntry {
         Scratch.table(s, dir, v,
           "select src, dst from g_knn union select dst, src from g_knn")
         s.sql(sparkGenFor(s, dir).graphBetweennessSql(Some(v)))
+      }),
+      // sampled harmonic closeness shares the SAME persisted
+      // symmetrized edge table (the hop chain references the edge set
+      // 3×; scratch-backed it's three scans of a materialized parquet,
+      // inline it would re-derive the union-distinct per reference).
+      "graph_closeness" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_edges_sym_p$planes"
+        Scratch.table(s, dir, v,
+          "select src, dst from g_knn union select dst, src from g_knn")
+        s.sql(sparkGenFor(s, dir).graphClosenessSql(Some(v)))
       }),
       // 21g registry-path extraction: the carrier-id list persists as
       // a cross-session parquet scratch artifact (the reference's

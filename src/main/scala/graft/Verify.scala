@@ -104,8 +104,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dev-only key filter (--keys=a,b,c): dump + oracle a subset while
+    // iterating on new operators. The driver never passes it.
+    val onlyKeys: Option[Set[String]] = args.collectFirst {
+      case a if a.startsWith("--keys=") => a.stripPrefix("--keys=").split(',').toSet
+    }
     val oracle = if (smoke) SparkEntry.oracleSql.view.filterKeys(smokeKeys.contains).toMap
-                 else SparkEntry.oracleSql
+                 else onlyKeys.fold(SparkEntry.oracleSql)(ks =>
+                   SparkEntry.oracleSql.view.filterKeys(ks).toMap)
     val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
@@ -119,7 +125,9 @@ object Verify {
 
     val keys =
       if (smoke) smokeKeys.filter(SparkEntry.queries.contains)
-      else GateCosts.cheapestFirst(SparkEntry.queries.keys, GateCosts.load())
+      else GateCosts.cheapestFirst(
+        onlyKeys.fold(SparkEntry.queries.keys)(ks =>
+          SparkEntry.queries.keys.filter(ks)), GateCosts.load())
     val sigBase = if (incr) codeFingerprint + "|" + dataFingerprint(sfDir) else ""
     def sigOf(name: String): String = graft.functions.Prf.md5hex(
       sigBase + "|" + SparkEntry.oracleSql.getOrElse(name, "")).take(16)

@@ -72,7 +72,8 @@ object WmCache {
     "dedup_semantic_curve", "graph_lpa_curve", "vec_kmeans_elbow", "graph_eigen_centrality", "wm_rate_curve",
     "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
     "graph_spectral", "graph_percolation_curve", "wm_recover_registry",
-    "vec_topk_graph_filtered", "vec_bq_rotation", "graph_betweenness")
+    "vec_topk_graph_filtered", "vec_bq_rotation", "graph_betweenness",
+    "ann_recall_after_delete")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

@@ -950,6 +950,44 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |group by node""".stripMargin
   }
 
+  /** Sampled bounded-horizon harmonic closeness — the betweenness
+    * sibling (same sampled-source / 3-hop-horizon frame, distances
+    * only): hc(v) = Σ_s 1/d(s,v) over the 8 keyed-PRF sample sources
+    * that reach v within the served beam depth. The forward pass is
+    * the betweenness walk chain MINUS the path counts: each hop
+    * expands the step-k rows through the symmetrized edges with a
+    * per-hop DISTINCT (level size bounded by the reach set, O(S·K^d),
+    * independent of N), each level referenced exactly once by its
+    * successor; the true distance is min(step) — one combinable
+    * aggregation. 1/d contributions quantize to the 1e-6 integer grid
+    * before the bigint fold (order-proof in both engines).
+    * `edgesView`: Some(view) reads the scratch-persisted symmetrized
+    * edges (the Spark path shares g_edges_sym with betweenness); None
+    * inlines them (the oracle, DuckDB-materialized). */
+  def graphClosenessSql(edgesView: Option[String]): String = {
+    val e2 = edgesView match {
+      case Some(v) => s"e2 as (select src, dst from $v)"
+      case None    => "e2 as (select src, dst from knn union select dst, src from knn)"
+    }
+    def q6(x: String) = bigint(roundAway(d)(x, 0))
+    def hop(prev: String, next: String, k: Int): String =
+      s"""$next as (select qs, node, step from $prev union all
+         |       select distinct v.qs, e.dst as node, ${bigint((k + 1).toString)} as step
+         |       from $prev v join e2 e on e.src = v.node where v.step = $k)""".stripMargin
+    s"""${wmChain("knn")},
+       |$e2,
+       |srcs as (select id from (select id, ${prf(d)("'cls'", "id")} as pr from nn) _p order by pr, id limit 8),
+       |r0 as (select s.id as qs, s.id as node, ${bigint("0")} as step from srcs s),
+       |${hop("r0", "r1", 0)},
+       |${hop("r1", "r2", 1)},
+       |${hop("r2", "r3", 2)},
+       |vt as (select qs, node, ${bigint("min(step)")} as dist from r3 group by qs, node)
+       |select ${bigint("node")} as node, ${bigint("count(*)")} as n_sources,
+       |  ${bigint("min(dist)")} as min_dist,
+       |  ${roundAway(d)(s"sum(${q6("1000000.0 / dist")}) / cast(1000000 as double)", 4)} as harmonic
+       |from vt where dist > 0 group by node""".stripMargin
+  }
+
   /** SimHash width: 60 bits (the full 15-hex-digit md5 prefix both
     * engines parse exactly — see Dialect.hex2int). 60 bits split into
     * 5 bands of 12 bits, so the banded pair join's pigeonhole
@@ -11061,7 +11099,160 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("(cast(n as double) * s2 - cast(s1 as double) * s1) / (cast(n as double) * (n - 1)) / 10000", 4)} as var_raw,
          |  ${roundAway(d)("(cast(n as double) * c2 - cast(c1 as double) * c1) / (cast(n as double) * (n - 1)) / 10000", 4)} as var_capped,
          |  ${roundAway(d)("1 - ((cast(n as double) * c2 - cast(c1 as double) * c1) / (cast(n as double) * s2 - cast(s1 as double) * s1))", 4)} as var_reduction
-         |from ag""".stripMargin
+         |from ag""".stripMargin,
+
+    // TPC-H Q12 (shipmode priority) ADAPTED to the shipped schema —
+    // the last TPC-H shape that was uncovered: the schema carries no
+    // l_shipmode/l_commitdate/l_receiptdate, so the mode dimension is
+    // l_returnflag ∈ ('R','A') (the two-mode IN filter) and the
+    // "committed-window receipt" predicate is the ship latency band
+    // 30..120 days (computed from o_orderdate — the one date pair the
+    // schema ships). The OPERATOR shape is Q12's exactly: one
+    // orders×lineitem hash join (date filter pushed to the lineitem
+    // scan), conditional bimodal counts split on the priority class,
+    // group by the mode dim. Output domain-bounded (2 rows).
+    "q12_shipmode" -> {
+      def ep(c: String) =
+        if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
+        else s"cast(epoch($c) as bigint)"
+      s"""with lm as (select l.l_returnflag as mode, o.o_orderpriority,
+         |       ${d.idiv(s"${ep("l.l_shipdate")} - ${ep("o.o_orderdate")}", "86400")} as lat
+         |     from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+         |     where l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+         |       and l.l_shipdate < timestamp '1998-01-01 00:00:00'
+         |       and l.l_returnflag in ('R', 'A'))
+         |select mode,
+         |  ${bigint("sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end)")} as high_line_count,
+         |  ${bigint("sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end)")} as low_line_count
+         |from lm where lat >= 30 and lat <= 120
+         |group by mode""".stripMargin
+    },
+
+    // TPC-H Q21 (suppliers who kept orders waiting) ADAPTED: "late" =
+    // ship latency > 90 days (no commit/receipt dates in the shipped
+    // schema), status-F orders only. The textbook rendering is an
+    // EXISTS + NOT-EXISTS double correlated subquery — three fact
+    // scans; this is the plan you'd actually want at 100×: ONE
+    // orders×lineitem scan tagged late/on-time, ONE per-order rollup
+    // (count(distinct supplier), count(distinct late supplier) — both
+    // combinable), and a join back that keeps exactly the rows where
+    // the late supplier is alone at fault in a multi-supplier order —
+    // semantically identical to exists(other supp) ∧ ¬exists(other
+    // late supp), at one fact pass instead of three. The supplier dim
+    // (|S| rows) broadcasts into the final count.
+    "q21_waiting_supplier" -> {
+      def ep(c: String) =
+        if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
+        else s"cast(epoch($c) as bigint)"
+      s"""with lo as (select l.l_orderkey, l.l_suppkey,
+         |       case when ${ep("l.l_shipdate")} - ${ep("o.o_orderdate")} > 90 * 86400 then 1 else 0 end as late
+         |     from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+         |     where o.o_orderstatus = 'F'),
+         |po as (select l_orderkey, ${bigint("count(distinct l_suppkey)")} as n_supp,
+         |         ${bigint("count(distinct case when late = 1 then l_suppkey end)")} as n_late_supp
+         |       from lo group by l_orderkey),
+         |w as (select distinct lo.l_orderkey, lo.l_suppkey
+         |      from lo join po on po.l_orderkey = lo.l_orderkey
+         |      where lo.late = 1 and po.n_supp > 1 and po.n_late_supp = 1)
+         |select ${bigint("s.s_suppkey")} as s_suppkey, s.s_name, ${bigint("count(*)")} as numwait
+         |from w join supplier s on s.s_suppkey = w.l_suppkey
+         |group by s.s_suppkey, s.s_name""".stripMargin
+    },
+
+    // SAMPLED HARMONIC CLOSENESS (6t) — the betweenness census's
+    // sibling question: not "which nodes carry the paths" but "which
+    // nodes are CLOSE to everywhere" (the natural entry points of the
+    // served navigable graph — a high-closeness seed reaches the whole
+    // neighborhood in fewer beam hops). Harmonic form (Boldi & Vigna
+    // 2014: Σ 1/d, the closeness variant that handles unreachable
+    // pairs without special-casing), 8 keyed-PRF sample sources,
+    // 3-hop horizon. See graphClosenessSql for the hop-chain shape
+    // (per-hop DISTINCT expansion, min(step) = distance, 1e-6
+    // quantized 1/d folds); the Spark path shares the betweenness
+    // scratch edge table, the oracle inlines it.
+    "graph_closeness" -> graphClosenessSql(None),
+
+    // REVENUE GINI / LORENZ REPORT (33z2) — the single-number
+    // inequality audit behind q_pareto_share's top-k cuts (how
+    // concentrated is customer value — the number a pricing/finance
+    // review quotes): per-customer lifetime spend on a $100 grid (the
+    // q_customer_deciles domain-bounding trick — the census is
+    // price-grid-sized, never customer-sorted), Gini via the exact
+    // tie-block rank-sum identity Σᵢ i·xᵢ = Σ_v v·(c·F_prev + c(c+1)/2)
+    // over the census cumulative (ONE domain-bounded window — never a
+    // global per-customer sort), Lorenz receipts (bottom-half and
+    // top-decile spend shares) off the same cumulative table. Exact
+    // bigints until the final divisions. 1-row output.
+    "q_gini_revenue" ->
+      s"""with cs as (select o_custkey, ${d.idiv(bigint(s"sum(${bigint(roundAway(d)("o_totalprice * 100", 0))})"), "10000")} as spend_h
+         |            from orders group by o_custkey),
+         |cen as (select spend_h, ${bigint("count(*)")} as c from cs group by spend_h),
+         |cum as (select spend_h, c,
+         |          ${bigint("sum(c) over (order by spend_h rows between unbounded preceding and current row)")} as f
+         |        from cen),
+         |ag as (select ${bigint("sum(c)")} as n, ${bigint("sum(spend_h * c)")} as sx,
+         |         ${bigint(s"sum(spend_h * (c * (f - c) + ${d.idiv("c * (c + 1)", "2")}))")} as six,
+         |         ${bigint("max(f)")} as fmax
+         |       from cum),
+         |lor as (select ${bigint("sum(case when cum.f <= cast(ceil(ag.n * 0.5) as bigint) then cum.spend_h * cum.c else 0 end)")} as bot50,
+         |          ${bigint("sum(case when cum.f > cast(ceil(ag.n * 0.9) as bigint) then cum.spend_h * cum.c else 0 end)")} as top10
+         |        from cum cross join ag)
+         |select ag.n as n_customers,
+         |  ${roundAway(d)("cast(ag.sx as double) * 100 / ag.n", 2)} as mean_spend,
+         |  ${roundAway(d)("2.0 * ag.six / (cast(ag.n as double) * ag.sx) - (ag.n + 1.0) / ag.n", 4)} as gini,
+         |  ${roundAway(d)("cast(lor.bot50 as double) / ag.sx", 4)} as bot50_share,
+         |  ${roundAway(d)("cast(lor.top10 as double) / ag.sx", 4)} as top10_share
+         |from ag cross join lor""".stripMargin,
+
+    // ANN RECALL AFTER DELETE (4g4) — the index-maintenance audit
+    // vec_delete stops short of: tombstones shrink the candidate sets,
+    // so does SEARCH QUALITY survive a 10% delete without a rebuild?
+    // Same PRF tombstone set as vec_delete (reproducible 10%), same
+    // protocol as ann_recall_eval — brute-force ground truth and the
+    // LSH candidate walk BOTH restricted to the alive set (deleted
+    // rows must vanish from truth and from buckets alike; a deleted
+    // ground-truth neighbor would charge the index for a row it is
+    // not allowed to return). Candidate work stays bucket-bounded;
+    // the tombstone anti-joins are broadcastable (|del| ≈ 0.1·N ids).
+    // Directly comparable, qid for qid, with ann_recall_eval — the
+    // before/after-delete recall story in two green keys.
+    "ann_recall_after_delete" ->
+      s"""${wmChain("lsh")},
+         |del as (select id from nn where ${prfMod(d)(1048576, "'vdel'", "id")} < 104858),
+         |q as (select id as qid, n as qn from nn
+         |      where id in ($qIdLit) and not exists (select 1 from del where del.id = nn.id)),
+         |bp as (select q.qid, nn.id as cid, round(${d.dot("q.qn", "nn.n")}, 6) as sim
+         |       from q join nn on nn.id <> q.qid
+         |       where not exists (select 1 from del where del.id = nn.id)),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+         |cnd as (select distinct a.id as qid, b.id as cid from bkt a join bkt b on a.t = b.t and a.b = b.b and a.id <> b.id
+         |        where a.id in ($qIdLit)
+         |          and not exists (select 1 from del where del.id = a.id)
+         |          and not exists (select 1 from del where del.id = b.id)),
+         |lp as (select c.qid, c.cid, round(${d.dot("qn.n", "cn.n")}, 6) as sim
+         |       from cnd c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid),
+         |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from lp) _l where rn <= 10),
+         |nc as (select qid, count(*) as n_cand from cnd group by qid)
+         |select ${bigint("b.qid")} as qid, ${bigint("min(nc.n_cand)")} as n_cand,
+         |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
+         |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
+         |from bt b join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+         |group by b.qid""".stripMargin,
+
+    // MARKOV STATIONARY DISTRIBUTION (40c2) — where the event chain
+    // settles: the long-run occupancy of the events_transitions
+    // matrix (the steady-state mix a load model or session simulator
+    // feeds on), vs the chain's EMPIRICAL occupancy — a gap flags a
+    // non-mixing / transient-heavy process. 8 unrolled power steps
+    // from the uniform vector in EXACT integer arithmetic (transition
+    // probs quantized to ppm, state mass in units of 1e-12 — bigint
+    // folds, the attribution convention; each step references its
+    // predecessor exactly once), convergence receipt = |π₈ − π₇|.
+    // The Spark path collects the ≤ |types|²-row transition census
+    // (scratch-materialized) and runs the identical integer iteration
+    // as driver math (the events_attribution_markov convention); this
+    // template is the oracle's in-SQL rendering.
+    "events_markov_stationary" -> markovStationarySql(None)
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
@@ -11094,6 +11285,68 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * removal-effect power iteration references it 8+ times. */
   def markovTransBuildSql: String =
     s"with $markovTransCtes\nselect src, dst, c from trans0"
+
+  /** Raw event-type transition census (the events_transitions `t`
+    * stage) as a standalone build — the stationary op's scratch: the
+    * power iteration references the matrix 8+ times, so the Spark
+    * side checkpoints the ≤ |types|²-row table once per
+    * (session, dir) and the driver iterates over the collected rows. */
+  def typeTransBuildSql: String =
+    s"""with e as (select user_id, event_id, event_type, ${evSec("ts")} as sec from events),
+       |s as (select event_type as src,
+       |        lead(event_type) over (partition by user_id order by sec, event_id) as dst
+       |      from e),
+       |t as (select src, dst, ${bigint("count(*)")} as c from s where dst is not null group by src, dst)
+       |select src, dst, c from t""".stripMargin
+
+  /** MARKOV STATIONARY DISTRIBUTION over the raw event-type chain
+    * (the ergodic sibling of the absorbing attribution chain): 8
+    * unrolled power steps from the uniform vector, transition probs
+    * quantized to ppm and state mass in 1e-12 units — exact bigint
+    * arithmetic end to end (floor division both engines), each step
+    * referencing its predecessor exactly once. Output per state: the
+    * empirical occupancy (out-transition share — derived from the
+    * same census, no second corpus pass), π₈, π₇, and |π₈ − π₇| (the
+    * convergence receipt). `srcV`: Some(view) reads the transition
+    * census from the Spark scratch; None inlines it (the oracle,
+    * DuckDB-materialized). */
+  def markovStationarySql(srcV: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val transCte = srcV match {
+      case Some(view) => s"trans as (select * from $view)"
+      case None =>
+        s"""e as (select user_id, event_id, event_type, ${evSec("ts")} as sec from events),
+           |sq as (select event_type as src,
+           |        lead(event_type) over (partition by user_id order by sec, event_id) as dst
+           |      from e),
+           |trans as $matKw(select src, dst, ${bigint("count(*)")} as c from sq where dst is not null group by src, dst)""".stripMargin
+    }
+    def step(prev: String, next: String) =
+      s"""$next as (select t.dst as st, ${bigint(s"sum(${d.idiv("p.pi * t.ppm", "1000000")})")} as pi
+         |      from $prev p join tp t on t.src = p.st group by t.dst)""".stripMargin
+    s"""with $transCte,
+       |oc as $matKw(select src, ${bigint("sum(c)")} as n from trans group by src),
+       |tp as $matKw(select t.src, t.dst, ${bigint(d.idiv("t.c * 1000000", "oc.n"))} as ppm
+       |      from trans t join oc on oc.src = t.src),
+       |ns as (select ${bigint("count(*)")} as k from oc),
+       |p0 as (select oc.src as st, ${bigint(d.idiv("1000000000000", "ns.k"))} as pi from oc cross join ns),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")},
+       |${step("p3", "p4")},
+       |${step("p4", "p5")},
+       |${step("p5", "p6")},
+       |${step("p6", "p7x")},
+       |p7 as $matKw(select st, pi from p7x),
+       |${step("p7", "p8")},
+       |tot as (select ${bigint("sum(n)")} as n from oc)
+       |select e.src as state, e.n as n_out_transitions,
+       |  ${roundAway(d)("cast(e.n as double) / tot.n", 6)} as occupancy,
+       |  ${roundAway(d)("coalesce(p8.pi, 0) / cast(1000000000000 as double)", 6)} as pi_stationary,
+       |  ${roundAway(d)("coalesce(p7.pi, 0) / cast(1000000000000 as double)", 6)} as pi_prev_step,
+       |  ${roundAway(d)("abs(coalesce(p8.pi, 0) - coalesce(p7.pi, 0)) / cast(1000000000000 as double)", 6)} as step_delta
+       |from oc e left join p8 on p8.st = e.src left join p7 on p7.st = e.src cross join tot""".stripMargin
+  }
 
   /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the
     * channel-attribution model behind "which touchpoint actually
