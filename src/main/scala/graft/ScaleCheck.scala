@@ -77,7 +77,7 @@ object ScaleCheck {
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
       "graph_spectral", "graph_percolation_curve",
       "vec_topk_graph_filtered", "vec_bq_rotation",
-      "ann_recall_after_delete"
+      "ann_recall_after_delete", "graph_knn_degree_curve"
       /* graph_betweenness + graph_closeness run through the
        * programmatic path (scratch edges) */)
     // plane-independent heavies: linear text/ANN paths (the banded
@@ -106,7 +106,8 @@ object ScaleCheck {
       "dedup_shingle_curve", "data_budget_curve", "q_cohort_revenue",
       "dedup_minhash", "dedup_paragraph",
       "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram",
-      "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue")
+      "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue",
+      "events_ab_uplift_deciles")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -148,7 +149,8 @@ object ScaleCheck {
       "search_rerank_agreement", "dedup_tier_eval",
       "multimodal_audio_fp", "wm_recover_registry", "wm_repair",
       "dedup_quality_impact", "graph_betweenness", "graph_closeness",
-      "events_markov_stationary").filter(only)) {
+      "events_markov_stationary", "vec_pca_residual",
+      "multimodal_bmp_resize").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -71,6 +71,9 @@ object SparkEntry {
       // perceptual-hash IMAGE DEDUP over the decoded pixels (dHash
       // gradient-sign bits → banded near-dup census)
       "multimodal_image_dhash" -> ((s, dir) => graft.operators.Bmp.imageDhash(s, dir)),
+      // real image RESIZE over the decoded pixels (2x2 box downsample
+      // -> integer features over the 4x4 thumbnail)
+      "multimodal_bmp_resize" -> ((s, dir) => graft.operators.Bmp.bmpResize(s, dir)),
       // perceptual AUDIO-FINGERPRINT dedup over the decoded PCM
       // (frame-energy delta bits → exact collision census)
       "multimodal_audio_fp" -> ((s, dir) => graft.operators.Wav.audioFingerprint(s, dir)),
@@ -486,6 +489,20 @@ object SparkEntry {
         }
         s.sql(sparkGen.pcaProjectSql(w1, w2, m1, m2))
       }),
+      // same solve again; the residual pass is a MAP-ONLY corpus scan
+      // with the solved means/axes as exact double literals + one
+      // rollup (pcaResidualLiteralSql) — identical per-row arithmetic
+      // to the oracle's rendering by shared template construction.
+      // Sign fix matches pca_project2d (residual² is sign-invariant,
+      // but the rendered text must match the oracle's op for op).
+      "vec_pca_residual" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val e = pcaEig(s, dir)
+        val sg1 = if (e.ev(0) < 0) -1.0 else 1.0
+        val sg2 = if (e.v2(0) < 0) -1.0 else 1.0
+        s.sql(sparkGen.pcaResidualLiteralSql(e.mu.toSeq,
+          e.ev.toSeq.map(_ * sg1), e.v2.toSeq.map(_ * sg2)))
+      }),
       // the learned merges APPLIED: distinct words encode once against
       // the same checkpointed vocabulary (the tokenizer's shipped
       // lookup table), docs join token lengths back
@@ -539,6 +556,7 @@ object SparkEntry {
         "multimodal_wav_features" -> graft.operators.Wav.wavFeaturesOracleSql,
         "multimodal_bmp_stats" -> graft.operators.Bmp.bmpStatsOracleSql,
         "multimodal_bmp_features" -> graft.operators.Bmp.bmpFeaturesOracleSql,
+        "multimodal_bmp_resize" -> graft.operators.Bmp.bmpResizeOracleSql,
         "multimodal_png_stats" -> graft.operators.Png.pngStatsOracleSql,
         "multimodal_image_dhash" -> graft.operators.Bmp.imageDhashOracleSql,
         "multimodal_audio_fp" -> graft.operators.Wav.audioFingerprintOracleSql,

@@ -343,6 +343,102 @@ object Bmp {
     dhashCensusSql("duckdb", hashSrc)
   }
 
+  /** 2×2 box downsample (the thumbnail/resize primitive of every
+    * image-pipeline preprocessor): each output pixel is the floor
+    * average of its 2×2 source block — exact integer arithmetic, so
+    * the resized features are oracle-checkable. */
+  def downsample2x(px: Array[Int], width: Int): Array[Int] = {
+    val height = px.length / width
+    require(px.length == width * height && width % 2 == 0 && height % 2 == 0,
+      s"downsample2x needs even dims, got ${width}x$height")
+    val w2 = width / 2
+    val out = new Array[Int](w2 * (height / 2))
+    var r = 0
+    while (r < height / 2) {
+      var c = 0
+      while (c < w2) {
+        out(r * w2 + c) = (px(2 * r * width + 2 * c) + px(2 * r * width + 2 * c + 1) +
+          px((2 * r + 1) * width + 2 * c) + px((2 * r + 1) * width + 2 * c + 1)) / 4
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Oracle-checked query: render → encode → decode → 2×2 BOX RESIZE →
+    * feature-extract over the 4×4 thumbnail, aggregate per label —
+    * the multimodal RESIZE stage (decode/feature/resize is the triad
+    * the pipeline brief names; wav covers frame-sampling). Same
+    * batched-mapPartitions dataflow as [[bmpFeatures]]; the features
+    * run on the RESIZED pixels, so agreement with the closed-form
+    * oracle witnesses both the decode order and the block-average
+    * geometry (a transposed or off-by-one downsample flips vgrad /
+    * checker immediately). */
+  def bmpResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(spark, dir)
+    val vecs = spark.table("embeddings")
+      .selectExpr("cast(vec_id as bigint)", "cast(label as bigint)",
+        "cast(embedding as array<double>)")
+      .as[(Long, Long, Seq[Double])]
+    val feats = vecs.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { case (_, label, v) =>
+          val gray = v.map(x => pixelByte(x).toByte).toArray
+          val bytes = encode24(8, 8, gray)
+          parse(bytes) // full validation walk
+          val q = downsample2x(pixels(bytes), 8)
+          val f = features(q, 4)
+          (label, q.map(_.toLong).sum, f.hgrad, f.vgrad, f.checker, f.bright)
+        }
+      }
+    }.toDF("label", "psum", "hgrad", "vgrad", "checker", "bright")
+    feats.groupBy($"label")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"psum").as("resized_pixel_sum"),
+        sum($"hgrad").as("total_hgrad"),
+        sum($"vgrad").as("total_vgrad"),
+        sum($"checker").as("walsh_checker"),
+        sum($"bright").as("n_bright"))
+  }
+
+  /** DuckDB oracle for [[bmpResize]]: the 16 thumbnail cells and all
+    * four features recomputed in closed form from the pixel formula
+    * (every q(r,c) inlines its 2×2 source block as literal embedding
+    * indices — no unnest, one expression tree per feature). */
+  val bmpResizeOracleSql: String = {
+    def pb(idx0: Int) = // 0-based component -> clamped byte (1-based duck array)
+      s"least(255, greatest(0, cast(floor((e[${idx0 + 1}] + 1) * 128) as bigint)))"
+    def q(r: Int, c: Int) =
+      s"((${pb(2 * r * 8 + 2 * c)} + ${pb(2 * r * 8 + 2 * c + 1)} + ${pb((2 * r + 1) * 8 + 2 * c)} + ${pb((2 * r + 1) * 8 + 2 * c + 1)}) // 4)"
+    val cells = for { r <- 0 until 4; c <- 0 until 4 } yield (r, c)
+    val psum = cells.map { case (r, c) => q(r, c) }.mkString(" + ")
+    val hgrad = cells.filter(_._2 > 0)
+      .map { case (r, c) => s"abs(${q(r, c)} - ${q(r, c - 1)})" }.mkString(" + ")
+    val vgrad = cells.filter(_._1 > 0)
+      .map { case (r, c) => s"abs(${q(r, c)} - ${q(r - 1, c)})" }.mkString(" + ")
+    val checker = cells
+      .map { case (r, c) => s"${q(r, c)} * ${1 - 2 * ((r + c) % 2)}" }.mkString(" + ")
+    val bright = cells
+      .map { case (r, c) => s"(case when ${q(r, c)} >= 128 then 1 else 0 end)" }.mkString(" + ")
+    s"""with f as (select label,
+       |        $psum as psum,
+       |        $hgrad as hgrad,
+       |        $vgrad as vgrad,
+       |        $checker as checker,
+       |        $bright as bright
+       |      from (select cast(label as bigint) as label, cast(embedding as double[]) as e from embeddings) _e)
+       |select label, cast(count(*) as bigint) as n_images,
+       |  cast(sum(psum) as bigint) as resized_pixel_sum,
+       |  cast(sum(hgrad) as bigint) as total_hgrad,
+       |  cast(sum(vgrad) as bigint) as total_vgrad,
+       |  cast(sum(checker) as bigint) as walsh_checker,
+       |  cast(sum(bright) as bigint) as n_bright
+       |from f group by label""".stripMargin
+  }
+
   /** DuckDB oracle: the same stats straight from the pixel formula —
     * 3 channel bytes per component, 8×8 image, 54 + 192-byte files
     * (stride 24 is already 4-byte aligned at width 8). */

@@ -4231,90 +4231,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // ≤ 8-row tables; the projection is map-only against one
     // broadcast row. (The full-d64 variant with a driver-side Jacobi
     // solve is operators.Pca; this corner is its oracle witness.)
-    "pca_project2d" -> {
-      // Plan shape: the 8×8 covariance, its powers, and the iterated
-      // vector all live as WIDE COLUMNS of a 1-row CTE chain in which
-      // every CTE references ONLY its predecessor and is itself a
-      // (trivial 1-row max()) AGGREGATION. Linear reference chains stop
-      // Catalyst's CTE inlining from duplicating the matrix subtree
-      // into every power step (an array-CTE formulation re-inlined the
-      // covariance 40× — 200 s of pure planning), and the per-step
-      // aggregation is the optimizer barrier that stops projection
-      // collapse from exponentiating the normalize expression (the
-      // SURVEY §4 projection-collapse rule applied to scalars).
-      val d8 = 8
-      val iters = 10 // on C⁴ ≈ 40 plain power steps
-      val idx = 1 to d8
-      val nrm0 = math.sqrt(idx.map(y => y.toDouble * y).sum)
-      // DuckDB: force each 1-row stage to MATERIALIZE — its optimizer
-      // otherwise re-inlines the wide expression chain into a
-      // super-linear blowup (>10 min at sf0.01; 5 s materialized).
-      // Spark gets the same barrier from the max() Aggregate nodes.
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      // carry a column set through a 1-row aggregation unchanged
-      def keep(cols: Seq[String]) = cols.map(c => s"max($c) as $c")
-      def mat(nm: String) = for { i <- idx; j <- idx } yield s"$nm$i$j"
-      val mus = idx.map(i => s"mu$i")
-      val vs = idx.map(i => s"v$i")
-      // one aggregation CTE: keep `carry`, compute `defs` (name -> expr)
-      def stage(name: String, src: String, carry: Seq[String],
-                defs: Seq[(String, String)]) =
-        s"$name as $matKw(select ${(keep(carry) ++ defs.map { case (n, e) => s"max($e) as $n" }).mkString(",\n|  ")} from $src)"
-      // matrix square dst = src·src (explicit left-to-right 8-term sums)
-      def sqDefs(srcNm: String, dstNm: String) =
-        for { i <- idx; j <- idx } yield
-          s"$dstNm$i$j" -> idx.map(k => s"$srcNm$i$k * $srcNm$k$j").mkString(" + ")
-      // one power step v ← normalize(M v): w_i = Σ_j m_ij v_j inline
-      def wExpr(mNm: String, i: Int) = idx.map(j => s"$mNm$i$j * v$j").mkString(" + ")
-      def stepDefs(mNm: String) = {
-        val nrm = s"sqrt(${idx.map(j => s"(${wExpr(mNm, j)}) * (${wExpr(mNm, j)})").mkString(" + ")})"
-        idx.map(i => s"v$i" -> s"(${wExpr(mNm, i)}) / $nrm")
-      }
-      val v0Defs = idx.map(i => s"v$i" -> s"cast(${i / nrm0} as double)")
-      // ---- phase 1: v1 of C (iterate C⁴, Rayleigh λ₁ on C) ----
-      val p1 = Seq(
-        // rounded covariance entries + means from one 44-aggregate pass
-        s"""st0 as $matKw(select ${(idx.map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
-          (for { i <- idx; j <- idx if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
-           |        from nv)""".stripMargin,
-        stage("cw", "st0", Nil,
-          (for { i <- idx; j <- idx } yield
-            s"c$i$j" -> s"round(m${math.min(i, j)}_${math.max(i, j)} - a$i * a$j, 6)") ++
-          idx.map(i => s"mu$i" -> s"round(a$i, 6)")),
-        stage("cq2", "cw", mat("c") ++ mus, sqDefs("c", "p")),
-        stage("cq4", "cq2", mat("c") ++ mus, sqDefs("p", "q")),
-        stage("pa0", "cq4", mat("c") ++ mat("q") ++ mus, v0Defs)) ++
-        (1 to iters).map(t => stage(s"pa$t", s"pa${t - 1}",
-          mat("c") ++ mat("q") ++ mus, stepDefs("q")))
-      // ---- phase 2: Rayleigh λ₁, deflate, iterate (C−λ₁v₁v₁ᵀ)⁴ ----
-      val rayleigh = idx.map(i =>
-        s"v$i * (${idx.map(j => s"c$i$j * v$j").mkString(" + ")})").mkString(" + ")
-      val p2 = Seq(
-        stage("e1", s"pa$iters", mat("c") ++ mus,
-          idx.map(i => s"ev$i" -> s"v$i") :+ ("lam" -> rayleigh)),
-        stage("dfl", "e1", mus ++ idx.map(i => s"ev$i"),
-          for { i <- idx; j <- idx } yield s"d$i$j" -> s"c$i$j - lam * ev$i * ev$j"),
-        stage("dq2", "dfl", mus ++ idx.map(i => s"ev$i"), sqDefs("d", "r")),
-        stage("dq4", "dq2", mus ++ idx.map(i => s"ev$i"), sqDefs("r", "s")),
-        stage("pb0", "dq4", mat("s") ++ mus ++ idx.map(i => s"ev$i"), v0Defs)) ++
-        (1 to iters).map(t => stage(s"pb$t", s"pb${t - 1}",
-          mat("s") ++ mus ++ idx.map(i => s"ev$i"), stepDefs("s")))
-      // ---- sign convention + centering offsets, then map-only project
-      def sgn(c1: String) = s"(case when $c1 < 0 then cast(-1 as double) else cast(1 as double) end)"
-      val pr = stage("pr", s"pb$iters", Nil,
-        idx.map(i => s"w1$i" -> s"ev$i * ${sgn("ev1")}") ++
-        idx.map(i => s"w2$i" -> s"v$i * ${sgn("v1")}") ++
-        Seq("m1" -> idx.map(i => s"mu$i * ev$i * ${sgn("ev1")}").mkString(" + "),
-            "m2" -> idx.map(i => s"mu$i * v$i * ${sgn("v1")}").mkString(" + ")))
-      def proj(w: String, m: String) =
-        s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * pr.$w$i").mkString(" + ")} - pr.$m, 5)"
-      s"""with $nvCtes,
-         |${(p1 ++ p2 :+ pr).mkString(",\n")}
-         |select ${bigint("nv.id")} as vec_id, ${bigint("nv.label")} as label,
-         |  ${proj("w1", "m1")} as pc1,
-         |  ${proj("w2", "m2")} as pc2
-         |from nv cross join pr""".stripMargin
-    },
+    "pca_project2d" -> pcaProject2dSql,
 
     // fuzzy entity resolution over the NAME DOMAIN — the
     // blocking-then-verify shape every record-linkage pipeline uses
@@ -11252,7 +11169,90 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // (scratch-materialized) and runs the identical integer iteration
     // as driver math (the events_attribution_markov convention); this
     // template is the oracle's in-SQL rendering.
-    "events_markov_stationary" -> markovStationarySql(None)
+    "events_markov_stationary" -> markovStationarySql(None),
+
+    // DEGREE-CORRELATION PROFILE knn(d) (6u) — the assortativity
+    // COEFFICIENT's underlying curve (Pastor-Satorras et al. 2001):
+    // mean neighbor degree as a function of node degree over the
+    // served undirected kNN graph. A falling knn(d) (disassortative)
+    // says hubs attach to leaves — beam search funnels through hubs
+    // and hub deletion is the attack surface (pairs with
+    // graph_percolation_curve); the scalar in graph_assortativity is
+    // this curve's one-number summary. EXACT arithmetic: every node
+    // in bucket d has the same degree, so avg-of-node-means collapses
+    // to Σ snd / (d · n_d) — one integer ratio per bucket, no float
+    // folds. Same und/deg base as assortativity (bounded constant
+    // re-derivation over the cached g_knn view); output bounded by
+    // the degree domain.
+    "graph_knn_degree_curve" ->
+      s"""${wmChain("knn")},
+         |und as (select least(src, dst) as a, greatest(src, dst) as b
+         |        from knn where src <> dst group by least(src, dst), greatest(src, dst)),
+         |deg as (select v, ${bigint("count(*)")} as dg from (
+         |          select a as v from und union all select b as v from und) _d group by v),
+         |ed2 as (select a as v, b as w from und union all select b as v, a as w from und),
+         |snd as (select e.v, ${bigint("sum(dw.dg)")} as s from ed2 e join deg dw on dw.v = e.w group by e.v)
+         |select ${bigint("dv.dg")} as degree, ${bigint("count(*)")} as n_nodes,
+         |  ${bigint("sum(snd.s)")} as sum_neighbor_degree,
+         |  ${roundAway(d)("cast(sum(snd.s) as double) / (dv.dg * count(*))", 4)} as mean_neighbor_degree
+         |from snd join deg dv on dv.v = snd.v
+         |group by dv.dg""".stripMargin,
+
+    // A/B UPLIFT BY PRE-EXPOSURE DECILE (40d9) — the heterogeneous-
+    // treatment-effect readout (the qini/uplift-decile table of uplift
+    // modeling, cf. Radcliffe 2007): does the treatment move heavy
+    // users differently from light ones? Users decile-bucketed by
+    // PRE-period activity (the point-in-time split of
+    // events_churn_labels — day < 19746), outcome = POST-period
+    // purchase value in exact cents; uplift per decile = treatment −
+    // control mean. Decile assignment is deterministic under ties:
+    // the pre-activity CENSUS (domain-bounded — activity counts, not
+    // users) gets ONE cumulative window, and a tie block lands wholly
+    // in the decile of its start rank (uneven deciles under heavy
+    // ties — stated). Per-user rollup is one combinable groupBy; the
+    // census join back is broadcastable; null-guarded means where a
+    // (decile, variant) cell is empty (DuckDB NULL = Spark NULL, never
+    // a /0 Infinity). Two corpus scans total (per-user rollup is
+    // referenced by the census and the final agg — bounded, stated).
+    "events_ab_uplift_deciles" ->
+      s"""with e as (select user_id, user_id % 2 as variant, ${d.idiv(evSec("ts"), "86400")} as day, event_type, value from events),
+         |u as (select user_id, ${bigint("max(variant)")} as variant,
+         |        ${bigint("sum(case when day < 19746 then 1 else 0 end)")} as pre_n,
+         |        ${bigint(s"sum(case when day >= 19746 and event_type = 'purchase' then ${bigint(roundAway(d)("value * 100", 0))} else 0 end)")} as post_c
+         |      from e group by user_id),
+         |cen as (select pre_n, ${bigint("count(*)")} as c from u group by pre_n),
+         |cum as (select pre_n, c, ${bigint("sum(c) over (order by pre_n rows between unbounded preceding and current row)")} as f from cen),
+         |tot as (select ${bigint("sum(c)")} as n from cen),
+         |dd as (select cum.pre_n, ${d.idiv("(cum.f - cum.c) * 10", "tot.n")} as decile from cum cross join tot),
+         |ag as (select dd.decile,
+         |         ${bigint("sum(case when u.variant = 0 then 1 else 0 end)")} as n_control,
+         |         ${bigint("sum(case when u.variant = 1 then 1 else 0 end)")} as n_treat,
+         |         ${bigint("sum(case when u.variant = 0 then u.post_c else 0 end)")} as c_control,
+         |         ${bigint("sum(case when u.variant = 1 then u.post_c else 0 end)")} as c_treat
+         |       from u join dd on dd.pre_n = u.pre_n group by dd.decile)
+         |select ${bigint("decile")} as decile, n_control, n_treat,
+         |  ${roundAway(d)("case when n_control > 0 then cast(c_control as double) / n_control / 100 end", 4)} as mean_post_control,
+         |  ${roundAway(d)("case when n_treat > 0 then cast(c_treat as double) / n_treat / 100 end", 4)} as mean_post_treat,
+         |  ${roundAway(d)("case when n_control > 0 and n_treat > 0 then cast(c_treat as double) / n_treat / 100 - cast(c_control as double) / n_control / 100 end", 4)} as uplift
+         |from ag""".stripMargin,
+
+    // PCA RECONSTRUCTION-ERROR OOD AUDIT (21f3) — the subspace
+    // complement of vec_outliers' centroid z-score: how much of each
+    // vector's (8-dim profile) energy the top-2 principal axes CANNOT
+    // explain. High residual = off-manifold rows (corrupt embeds,
+    // domain drift, adversarial inserts — the classic PCA anomaly
+    // score, cf. Shyu et al. 2003); the per-label mean localizes which
+    // label family drifted, and the ALL row must reconcile with
+    // pca_variance_explained's tr − λ₁ − λ₂ (the variance-accounting
+    // identity — spec-pinned). Spark path inlines the JVM-solved
+    // axes (the pca_project2d convention: map-only corpus scan + one
+    // rollup); this oracle re-derives the axes in the 1-row eigensolve
+    // chain. See pcaResidualBody for the shared arithmetic rendering.
+    "vec_pca_residual" ->
+      s"""with $nvCtes,
+         |$pcaAxesChain,
+         |${pcaResidualBody("nv cross join pr",
+            i => s"pr.mu$i", i => s"pr.w1$i", i => s"pr.w2$i")}""".stripMargin
   )
 
   /** Journey-transition CTE chain: per-user event sequences TRUNCATED
@@ -11812,6 +11812,151 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${proj(w2, m2)} as pc2
        |from nv""".stripMargin
   }
+
+
+  /** The 1-row PCA eigensolve CTE chain — ends in
+    * pr(w1i, w2i, m1, m2, mu1..mu8): sign-fixed top-2 axes, centering
+    * offsets, and the rounded per-dim means. Shared by pca_project2d
+    * and vec_pca_residual (the oracle renderings; the Spark paths
+    * substitute the JVM-solved values as exact double literals).
+    *
+    * Plan shape: the 8×8 covariance, its powers, and the iterated
+    * vector all live as WIDE COLUMNS of a 1-row CTE chain in which
+    * every CTE references ONLY its predecessor and is itself a
+    * (trivial 1-row max()) AGGREGATION. Linear reference chains stop
+    * Catalyst's CTE inlining from duplicating the matrix subtree
+    * into every power step (an array-CTE formulation re-inlined the
+    * covariance 40× — 200 s of pure planning), and the per-step
+    * aggregation is the optimizer barrier that stops projection
+    * collapse from exponentiating the normalize expression (the
+    * SURVEY §4 projection-collapse rule applied to scalars). */
+  private lazy val pcaAxesChain: String = {
+
+    // Plan shape: the 8×8 covariance, its powers, and the iterated
+    // vector all live as WIDE COLUMNS of a 1-row CTE chain in which
+    // every CTE references ONLY its predecessor and is itself a
+    // (trivial 1-row max()) AGGREGATION. Linear reference chains stop
+    // Catalyst's CTE inlining from duplicating the matrix subtree
+    // into every power step (an array-CTE formulation re-inlined the
+    // covariance 40× — 200 s of pure planning), and the per-step
+    // aggregation is the optimizer barrier that stops projection
+    // collapse from exponentiating the normalize expression (the
+    // SURVEY §4 projection-collapse rule applied to scalars).
+    val d8 = 8
+    val iters = 10 // on C⁴ ≈ 40 plain power steps
+    val idx = 1 to d8
+    val nrm0 = math.sqrt(idx.map(y => y.toDouble * y).sum)
+    // DuckDB: force each 1-row stage to MATERIALIZE — its optimizer
+    // otherwise re-inlines the wide expression chain into a
+    // super-linear blowup (>10 min at sf0.01; 5 s materialized).
+    // Spark gets the same barrier from the max() Aggregate nodes.
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    // carry a column set through a 1-row aggregation unchanged
+    def keep(cols: Seq[String]) = cols.map(c => s"max($c) as $c")
+    def mat(nm: String) = for { i <- idx; j <- idx } yield s"$nm$i$j"
+    val mus = idx.map(i => s"mu$i")
+    val vs = idx.map(i => s"v$i")
+    // one aggregation CTE: keep `carry`, compute `defs` (name -> expr)
+    def stage(name: String, src: String, carry: Seq[String],
+              defs: Seq[(String, String)]) =
+      s"$name as $matKw(select ${(keep(carry) ++ defs.map { case (n, e) => s"max($e) as $n" }).mkString(",\n|  ")} from $src)"
+    // matrix square dst = src·src (explicit left-to-right 8-term sums)
+    def sqDefs(srcNm: String, dstNm: String) =
+      for { i <- idx; j <- idx } yield
+        s"$dstNm$i$j" -> idx.map(k => s"$srcNm$i$k * $srcNm$k$j").mkString(" + ")
+    // one power step v ← normalize(M v): w_i = Σ_j m_ij v_j inline
+    def wExpr(mNm: String, i: Int) = idx.map(j => s"$mNm$i$j * v$j").mkString(" + ")
+    def stepDefs(mNm: String) = {
+      val nrm = s"sqrt(${idx.map(j => s"(${wExpr(mNm, j)}) * (${wExpr(mNm, j)})").mkString(" + ")})"
+      idx.map(i => s"v$i" -> s"(${wExpr(mNm, i)}) / $nrm")
+    }
+    val v0Defs = idx.map(i => s"v$i" -> s"cast(${i / nrm0} as double)")
+    // ---- phase 1: v1 of C (iterate C⁴, Rayleigh λ₁ on C) ----
+    val p1 = Seq(
+      // rounded covariance entries + means from one 44-aggregate pass
+      s"""st0 as $matKw(select ${(idx.map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
+        (for { i <- idx; j <- idx if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
+         |        from nv)""".stripMargin,
+      stage("cw", "st0", Nil,
+        (for { i <- idx; j <- idx } yield
+          s"c$i$j" -> s"round(m${math.min(i, j)}_${math.max(i, j)} - a$i * a$j, 6)") ++
+        idx.map(i => s"mu$i" -> s"round(a$i, 6)")),
+      stage("cq2", "cw", mat("c") ++ mus, sqDefs("c", "p")),
+      stage("cq4", "cq2", mat("c") ++ mus, sqDefs("p", "q")),
+      stage("pa0", "cq4", mat("c") ++ mat("q") ++ mus, v0Defs)) ++
+      (1 to iters).map(t => stage(s"pa$t", s"pa${t - 1}",
+        mat("c") ++ mat("q") ++ mus, stepDefs("q")))
+    // ---- phase 2: Rayleigh λ₁, deflate, iterate (C−λ₁v₁v₁ᵀ)⁴ ----
+    val rayleigh = idx.map(i =>
+      s"v$i * (${idx.map(j => s"c$i$j * v$j").mkString(" + ")})").mkString(" + ")
+    val p2 = Seq(
+      stage("e1", s"pa$iters", mat("c") ++ mus,
+        idx.map(i => s"ev$i" -> s"v$i") :+ ("lam" -> rayleigh)),
+      stage("dfl", "e1", mus ++ idx.map(i => s"ev$i"),
+        for { i <- idx; j <- idx } yield s"d$i$j" -> s"c$i$j - lam * ev$i * ev$j"),
+      stage("dq2", "dfl", mus ++ idx.map(i => s"ev$i"), sqDefs("d", "r")),
+      stage("dq4", "dq2", mus ++ idx.map(i => s"ev$i"), sqDefs("r", "s")),
+      stage("pb0", "dq4", mat("s") ++ mus ++ idx.map(i => s"ev$i"), v0Defs)) ++
+      (1 to iters).map(t => stage(s"pb$t", s"pb${t - 1}",
+        mat("s") ++ mus ++ idx.map(i => s"ev$i"), stepDefs("s")))
+    // ---- sign convention + centering offsets, then map-only project
+    def sgn(c1: String) = s"(case when $c1 < 0 then cast(-1 as double) else cast(1 as double) end)"
+    val pr = stage("pr", s"pb$iters", mus,
+      idx.map(i => s"w1$i" -> s"ev$i * ${sgn("ev1")}") ++
+      idx.map(i => s"w2$i" -> s"v$i * ${sgn("v1")}") ++
+      Seq("m1" -> idx.map(i => s"mu$i * ev$i * ${sgn("ev1")}").mkString(" + "),
+          "m2" -> idx.map(i => s"mu$i * v$i * ${sgn("v1")}").mkString(" + ")))
+    def proj(w: String, m: String) =
+      s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * pr.$w$i").mkString(" + ")} - pr.$m, 5)"
+(p1 ++ p2 :+ pr).mkString(",\n")
+  }
+
+  private lazy val pcaProject2dSql: String = {
+    val idx = 1 to 8
+    def proj(w: String, m: String) =
+      s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * pr.$w$i").mkString(" + ")} - pr.$m, 5)"
+    s"""with $nvCtes,
+       |$pcaAxesChain
+       |select ${bigint("nv.id")} as vec_id, ${bigint("nv.label")} as label,
+       |  ${proj("w1", "m1")} as pc1,
+       |  ${proj("w2", "m2")} as pc2
+       |from nv cross join pr""".stripMargin
+  }
+
+  /** Per-row PCA residual energy, rendered ONCE for both dialects and
+    * both axis sources (1-row pr CTE vs inlined literals) so the IEEE
+    * evaluation order is identical by construction: centered c_i =
+    * v_i − mu_i, residual² = Σc_i² − (Σc_i·w1_i)² − (Σc_i·w2_i)²,
+    * floored at 0 (rounded axes can push a near-zero residual a few
+    * ulps negative), quantized to the 1e-6 grid per row BEFORE the
+    * label fold (order-proof bigint sums). Output: per-label +
+    * grouping()-tagged ALL rollup of n / mean / max residual energy. */
+  private def pcaResidualBody(src: String, mu: Int => String,
+                              w1: Int => String, w2: Int => String): String = {
+    val idx = 1 to 8
+    def c(i: Int) = s"(${d.arrIdx0("nv.v", s"${i - 1}")} - ${mu(i)})"
+    val tot = idx.map(i => s"${c(i)} * ${c(i)}").mkString(" + ")
+    val p1 = idx.map(i => s"${c(i)} * ${w1(i)}").mkString(" + ")
+    val p2 = idx.map(i => s"${c(i)} * ${w2(i)}").mkString(" + ")
+    val r6 = bigint(roundAway(d)(
+      s"greatest(($tot) - ($p1) * ($p1) - ($p2) * ($p2), cast(0 as double)) * 1000000", 0))
+    s"""rz as (select nv.label, $r6 as r6 from $src)
+       |select ${bigint("case when grouping(label) = 1 then -1 else label end")} as label,
+       |  ${bigint("count(*)")} as n_vectors,
+       |  ${roundAway(d)("sum(r6) / cast(count(*) as double) / 1000000", 6)} as mean_resid_energy,
+       |  ${roundAway(d)("max(r6) / cast(1000000 as double)", 6)} as max_resid_energy
+       |from rz group by rollup(label)""".stripMargin
+  }
+
+  /** vec_pca_residual, Spark rendering: the JVM-solved means/axes as
+    * exact double literals (the pcaProjectSql convention) — the
+    * residual pass is then a MAP-ONLY corpus scan + one rollup. */
+  def pcaResidualLiteralSql(mu: Seq[Double], w1: Seq[Double], w2: Seq[Double]): String =
+    s"""with $nvCtes,
+       |${pcaResidualBody("nv",
+          i => s"cast(${mu(i - 1)} as double)",
+          i => s"cast(${w1(i - 1)} as double)",
+          i => s"cast(${w2(i - 1)} as double)")}""".stripMargin
 
   def sql(name: String): String = sqls(name)
 }

@@ -1113,6 +1113,71 @@ object Streams {
           }
       }
   }
+
+  case class ConcPoint(day: Long, nStarts: Long, nEnds: Long,
+                       dayPeak: Long, eodConcurrency: Long, globalPeak: Long)
+
+  /** Streaming PEAK-CONCURRENCY monitor — the capacity-planning twin
+    * of `events_peak_concurrency`: CLOSED sessions (start sec, end
+    * sec — e.g. the output of [[sessionCurveStream]]'s 1800 rung, or
+    * the batch sessionizer) arrive in any order/batch split; each
+    * session contributes a +1 boundary at `st` and a −1 at `fin + 1`
+    * (the batch `bd` CTE exactly), state folds boundaries into a
+    * per-second net-delta map, and every micro-batch re-emits the
+    * refreshed per-day table: starts/ends, the day's running-sum
+    * peak, end-of-day concurrency, and the global peak — each with
+    * the cross-day carry the batch key computes, bit-for-bit across
+    * any split (StreamingConcurrencySpec).
+    *
+    * State is O(distinct boundary seconds) here (the re-emit-all
+    * convention of the changepoint/MAD twins — a day's peak can move
+    * until its last late boundary lands); the production-shape
+    * variant watermarks the session stream and closes each day via
+    * EventTimeTimeout (the sessionCurveStream discipline), dropping
+    * that day's second-map and carrying only (day, net) forward —
+    * state then bounded by the watermark horizon. */
+  def concurrencyStream(sessions: Dataset[(Long, Long)]): Dataset[ConcPoint] = {
+    import sessions.sparkSession.implicits._
+    sessions
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], ConcPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Map[Long, (Long, Long)]]) =>
+          // sec -> (n_starts, n_ends); net = starts − ends
+          var bySec = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          it.foreach { case (st, fin) =>
+            val s0 = bySec.getOrElse(st, (0L, 0L))
+            bySec += st -> (s0._1 + 1, s0._2)
+            val e0 = bySec.getOrElse(fin + 1, (0L, 0L))
+            bySec += (fin + 1) -> (e0._1, e0._2 + 1)
+          }
+          state.update(bySec)
+          if (bySec.isEmpty) Iterator.empty
+          else {
+            val days = bySec.toSeq.sortBy(_._1).groupBy(_._1 / 86400)
+              .toSeq.sortBy(_._1).map { case (day, secs) =>
+                var cum = 0L; var mx = Long.MinValue
+                var st = 0L; var en = 0L
+                secs.sortBy(_._1).foreach { case (_, (s, e)) =>
+                  cum = Math.addExact(cum, s - e)
+                  if (cum > mx) mx = cum
+                  st += s; en += e
+                }
+                (day, st, en, mx, cum)
+              }
+            var carry = 0L
+            val rows = days.map { case (day, st, en, mx, dnet) =>
+              val r = (day, st, en, carry + mx, carry + dnet)
+              carry = Math.addExact(carry, dnet)
+              r
+            }
+            val globalPeak = rows.map(_._4).max
+            rows.iterator.map { case (day, st, en, pk, eod) =>
+              ConcPoint(day, st, en, pk, eod, globalPeak)
+            }
+          }
+      }
+  }
 }
 
 /** JVM mirror of the SQL HLL sketch (m = 256) in
