@@ -267,7 +267,7 @@ object Plans {
     "q_gini_revenue" -> "per-customer cents-exact spend groupBy to a $100 grid census, ONE domain-bounded cumulative window, Gini from the tie-block rank-sum identity + Lorenz shares in one aggregation — never a per-customer global sort",
     "ann_recall_after_delete" -> "ann_recall_eval's protocol with broadcastable tombstone anti-joins on both legs (ground truth and LSH candidates restricted to the alive set); candidate work stays bucket-bounded, brute leg stays O(|Q|*N) on the fixed query sample",
     "events_markov_stationary" -> "transition census scratch-materialized (the only corpus pass); the 8-step ppm power iteration is bounded driver math over <= |types|^2 collected rows (the attribution convention) — no per-step shuffled aggregations",
-    "graph_knn_degree_curve" -> "same und/deg base as graph_assortativity over the cached g_knn view (bounded constant re-derivation); neighbor-degree sums are one combinable groupBy per direction; per-bucket output is an exact integer ratio, domain-bounded by the max degree",
+    "graph_knn_degree_curve" -> "reads the scratch-persisted symmetrized edge table (shared with betweenness/closeness) — the edge set is referenced ~5x and the inline form re-derived the kNN build per reference (36.5 s vs 1.1 s at 30x); neighbor-degree sums are combinable groupBys; per-bucket output is an exact integer ratio, domain-bounded by the max degree",
     "events_ab_uplift_deciles" -> "per-user rollup (one combinable groupBy) feeds a domain-bounded pre-activity census; ONE cumulative window over the census assigns tie-block deciles; the census join back is broadcastable; final 10-row agg — two corpus scans total, no per-user window",
     "vec_pca_residual" -> "JVM-solved axes inlined as exact double literals (the pca_project2d convention): the residual pass is ONE map-only corpus scan with per-row 1e-6 quantization + one rollup aggregation — no 1-row CTE chain at serve time",
     "multimodal_bmp_resize" -> "batched mapPartitions decode -> integer 2x2 box downsample -> features over the 4x4 thumbnail, one combinable label shuffle — same envelope as multimodal_bmp_features (the resize adds O(pixels) map-side work, nothing shuffled grows)")

@@ -77,9 +77,9 @@ object ScaleCheck {
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
       "graph_spectral", "graph_percolation_curve",
       "vec_topk_graph_filtered", "vec_bq_rotation",
-      "ann_recall_after_delete", "graph_knn_degree_curve"
-      /* graph_betweenness + graph_closeness run through the
-       * programmatic path (scratch edges) */)
+      "ann_recall_after_delete"
+      /* graph_betweenness + graph_closeness + graph_knn_degree_curve
+       * run through the programmatic path (scratch edges) */)
     // plane-independent heavies: linear text/ANN paths (the banded
     // simhash pair join and the WAV decode pass scale with the corpus,
     // not the plane count)
@@ -150,7 +150,7 @@ object ScaleCheck {
       "multimodal_audio_fp", "wm_recover_registry", "wm_repair",
       "dedup_quality_impact", "graph_betweenness", "graph_closeness",
       "events_markov_stationary", "vec_pca_residual",
-      "multimodal_bmp_resize").filter(only)) {
+      "multimodal_bmp_resize", "graph_knn_degree_curve").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

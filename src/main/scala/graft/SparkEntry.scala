@@ -409,6 +409,19 @@ object SparkEntry {
           "select src, dst from g_knn union select dst, src from g_knn")
         s.sql(sparkGenFor(s, dir).graphBetweennessSql(Some(v)))
       }),
+      // the degree-correlation curve references the edge set ~5×
+      // (deg/ed2 unions + two joins) — scratch-backed those are five
+      // scans of one materialized parquet (inline re-derived the kNN
+      // build per reference: 36.5 s vs 4-5 s at the 30× decade)
+      "graph_knn_degree_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_edges_sym_p$planes"
+        Scratch.table(s, dir, v,
+          "select src, dst from g_knn union select dst, src from g_knn")
+        s.sql(sparkGenFor(s, dir).graphKnnDegreeCurveSql(Some(v)))
+      }),
       // sampled harmonic closeness shares the SAME persisted
       // symmetrized edge table (the hop chain references the edge set
       // 3×; scratch-backed it's three scans of a materialized parquet,

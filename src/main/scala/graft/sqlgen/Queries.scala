@@ -950,6 +950,33 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |group by node""".stripMargin
   }
 
+  /** Degree-correlation profile knn(d) — see the sqls entry's note.
+    * The edge set is referenced ~5× (deg union + ed2 union + two
+    * joins), so the Spark path reads the SAME scratch-persisted
+    * symmetrized edge table as betweenness/closeness (`edgesView` =
+    * Some(v): und = the a<b half of v — inline it re-derived the full
+    * kNN build per reference, measured 36.5 s vs 4-5 s scratch-backed
+    * at 30×); None inlines it (the oracle, DuckDB-materialized). */
+  def graphKnnDegreeCurveSql(edgesView: Option[String]): String = {
+    val und = edgesView match {
+      case Some(v) => s"with und as (select src as a, dst as b from $v where src < dst)"
+      case None =>
+        s"""${wmChain("knn")},
+           |und as (select least(src, dst) as a, greatest(src, dst) as b
+           |        from knn where src <> dst group by least(src, dst), greatest(src, dst))""".stripMargin
+    }
+    s"""$und,
+       |deg as (select v, ${bigint("count(*)")} as dg from (
+       |          select a as v from und union all select b as v from und) _d group by v),
+       |ed2 as (select a as v, b as w from und union all select b as v, a as w from und),
+       |snd as (select e.v, ${bigint("sum(dw.dg)")} as s from ed2 e join deg dw on dw.v = e.w group by e.v)
+       |select ${bigint("dv.dg")} as degree, ${bigint("count(*)")} as n_nodes,
+       |  ${bigint("sum(snd.s)")} as sum_neighbor_degree,
+       |  ${roundAway(d)("cast(sum(snd.s) as double) / (dv.dg * count(*))", 4)} as mean_neighbor_degree
+       |from snd join deg dv on dv.v = snd.v
+       |group by dv.dg""".stripMargin
+  }
+
   /** Sampled bounded-horizon harmonic closeness — the betweenness
     * sibling (same sampled-source / 3-hop-horizon frame, distances
     * only): hc(v) = Σ_s 1/d(s,v) over the 8 keyed-PRF sample sources
@@ -11050,13 +11077,17 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // schema), status-F orders only. The textbook rendering is an
     // EXISTS + NOT-EXISTS double correlated subquery — three fact
     // scans; this is the plan you'd actually want at 100×: ONE
-    // orders×lineitem scan tagged late/on-time, ONE per-order rollup
-    // (count(distinct supplier), count(distinct late supplier) — both
-    // combinable), and a join back that keeps exactly the rows where
-    // the late supplier is alone at fault in a multi-supplier order —
-    // semantically identical to exists(other supp) ∧ ¬exists(other
-    // late supp), at one fact pass instead of three. The supplier dim
-    // (|S| rows) broadcasts into the final count.
+    // orders×lineitem scan tagged late/on-time, deduped to the
+    // (order, supplier) grain in one combinable groupBy, then the
+    // per-order witness counts as WINDOWS over the deduped rows
+    // (count(*) / sum(late) partitioned by order — per-(order,supp)
+    // rows, never fact rows; an aggregate-then-join-back formulation
+    // re-inlined the fact join twice under Catalyst, the plan audit
+    // caught it). Keeps exactly the rows where the late supplier is
+    // alone at fault in a multi-supplier order — semantically
+    // identical to exists(other supp) ∧ ¬exists(other late supp), at
+    // one fact pass instead of three. The supplier dim (|S| rows)
+    // broadcasts into the final count.
     "q21_waiting_supplier" -> {
       def ep(c: String) =
         if (d.name == "spark") s"unix_seconds(cast($c as timestamp_ltz))"
@@ -11065,12 +11096,14 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       case when ${ep("l.l_shipdate")} - ${ep("o.o_orderdate")} > 90 * 86400 then 1 else 0 end as late
          |     from lineitem l join orders o on o.o_orderkey = l.l_orderkey
          |     where o.o_orderstatus = 'F'),
-         |po as (select l_orderkey, ${bigint("count(distinct l_suppkey)")} as n_supp,
-         |         ${bigint("count(distinct case when late = 1 then l_suppkey end)")} as n_late_supp
-         |       from lo group by l_orderkey),
-         |w as (select distinct lo.l_orderkey, lo.l_suppkey
-         |      from lo join po on po.l_orderkey = lo.l_orderkey
-         |      where lo.late = 1 and po.n_supp > 1 and po.n_late_supp = 1)
+         |ps as (select l_orderkey, l_suppkey, ${bigint("max(late)")} as late
+         |       from lo group by l_orderkey, l_suppkey),
+         |w as (select l_orderkey, l_suppkey from (
+         |        select l_orderkey, l_suppkey, late,
+         |          ${bigint("count(*) over (partition by l_orderkey)")} as n_supp,
+         |          ${bigint("sum(late) over (partition by l_orderkey)")} as n_late
+         |        from ps) _w
+         |      where late = 1 and n_supp > 1 and n_late = 1)
          |select ${bigint("s.s_suppkey")} as s_suppkey, s.s_name, ${bigint("count(*)")} as numwait
          |from w join supplier s on s.s_suppkey = w.l_suppkey
          |group by s.s_suppkey, s.s_name""".stripMargin
@@ -11184,19 +11217,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // folds. Same und/deg base as assortativity (bounded constant
     // re-derivation over the cached g_knn view); output bounded by
     // the degree domain.
-    "graph_knn_degree_curve" ->
-      s"""${wmChain("knn")},
-         |und as (select least(src, dst) as a, greatest(src, dst) as b
-         |        from knn where src <> dst group by least(src, dst), greatest(src, dst)),
-         |deg as (select v, ${bigint("count(*)")} as dg from (
-         |          select a as v from und union all select b as v from und) _d group by v),
-         |ed2 as (select a as v, b as w from und union all select b as v, a as w from und),
-         |snd as (select e.v, ${bigint("sum(dw.dg)")} as s from ed2 e join deg dw on dw.v = e.w group by e.v)
-         |select ${bigint("dv.dg")} as degree, ${bigint("count(*)")} as n_nodes,
-         |  ${bigint("sum(snd.s)")} as sum_neighbor_degree,
-         |  ${roundAway(d)("cast(sum(snd.s) as double) / (dv.dg * count(*))", 4)} as mean_neighbor_degree
-         |from snd join deg dv on dv.v = snd.v
-         |group by dv.dg""".stripMargin,
+    "graph_knn_degree_curve" -> graphKnnDegreeCurveSql(None),
 
     // A/B UPLIFT BY PRE-EXPOSURE DECILE (40d9) — the heterogeneous-
     // treatment-effect readout (the qini/uplift-decile table of uplift
