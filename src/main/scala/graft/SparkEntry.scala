@@ -18,11 +18,17 @@ object SparkEntry {
   // (the sf0.1 bench, any production dir) get right-sized buckets
   // instead of ever-fatter ones.
   private val sparkGens =
-    new java.util.concurrent.ConcurrentHashMap[Int, Gen]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Gen]()
   private def sparkGenFor(s: SparkSession, dir: String): Gen = {
     val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
-    sparkGens.computeIfAbsent(planes,
-      p => new Gen(SparkDialect, useViews = true, lshPlanes = p))
+    // the doc-side analog: the SimHash band split widens once the
+    // corpus outgrows the 5×12 geometry (~800k docs) — §4's band
+    // ladder, wired into the entrypoint exactly like the plane count.
+    // At the verify/smoke/bench SFs simhashBandsFor floors at the
+    // static default, so the oracle renderings are unaffected.
+    val bands = graft.sqlgen.Wm.simhashBandsFor(Tables.docCount(s, dir))
+    sparkGens.computeIfAbsent((planes, bands), { case (p, b) =>
+      new Gen(SparkDialect, useViews = true, lshPlanes = p, simhashBands = b) })
   }
   private lazy val sparkGen = new Gen(SparkDialect, useViews = true)
   private lazy val duckGen  = new Gen(DuckDialect)
@@ -87,36 +93,31 @@ object SparkEntry {
       // over it reuses the materialized rows.
       "dedup_components" -> ((s, dir) => {
         Tables.register(s, dir)
-        simPairsView(s, dir)
-        s.sql(sparkGen.dedupComponentsSql(Some("g_simpairs")))
+        s.sql(sparkGen.dedupComponentsSql(Some(simPairsView(s, dir))))
       }),
       // the deletion groups APPLIED: per-source kept/dropped report
       // over the same checkpointed pair chain
       "dedup_apply" -> ((s, dir) => {
         Tables.register(s, dir)
-        simPairsView(s, dir)
-        s.sql(sparkGen.dedupApplySql(Some("g_simpairs")))
+        s.sql(sparkGen.dedupApplySql(Some(simPairsView(s, dir))))
       }),
       // quality-aware canonical selection: best text_quality member
       // per near-dup component, over the same checkpointed pair chain
       "dedup_cluster_rep" -> ((s, dir) => {
         Tables.register(s, dir)
-        simPairsView(s, dir)
-        s.sql(sparkGen.dedupClusterRepSql(Some("g_simpairs")))
+        s.sql(sparkGen.dedupClusterRepSql(Some(simPairsView(s, dir))))
       }),
       // does keep-lowest-id cost quality vs keep-best? per-source
       // policy comparison over the same checkpointed pair chain
       "dedup_quality_impact" -> ((s, dir) => {
         Tables.register(s, dir)
-        simPairsView(s, dir)
-        s.sql(sparkGen.dedupQualityImpactSql(Some("g_simpairs")))
+        s.sql(sparkGen.dedupQualityImpactSql(Some(simPairsView(s, dir))))
       }),
       // which sources copy from each other: the syndication matrix
       // over the same checkpointed near-dup pair chain
       "dedup_cross_source" -> ((s, dir) => {
         Tables.register(s, dir)
-        simPairsView(s, dir)
-        s.sql(sparkGen.dedupCrossSourceSql(Some("g_simpairs")))
+        s.sql(sparkGen.dedupCrossSourceSql(Some(simPairsView(s, dir))))
       }),
       // overlap metrics over the materialized gram profile: the
       // 5-gram explode (the heaviest text pass) runs ONCE per
@@ -269,8 +270,7 @@ object SparkEntry {
       "dedup_tier_eval" -> ((s, dir) => {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
-        simPairsView(s, dir)
-        s.sql(sparkGen.dedupTierEvalSql(Some(("g_mhsig", "g_simpairs"))))
+        s.sql(sparkGen.dedupTierEvalSql(Some(("g_mhsig", simPairsView(s, dir)))))
       }),
       // second-stage rerank + Kendall-τ agreement ladder over the
       // same cached two-leg score table (Queries.rerankAgreementSql)
@@ -545,8 +545,17 @@ object SparkEntry {
   // session READS the kept artifact instead of re-paying the
   // corpus-priced build; scratch off / write failure falls back to
   // the in-session localCheckpoint, value-identical
-  private def simPairsView(s: SparkSession, dir: String): Unit =
-    Scratch.table(s, dir, "g_simpairs", sparkGen.sql("dedup_simhash_pairs")): Unit
+  private def simPairsView(s: SparkSession, dir: String): String = {
+    // band geometry derived from the doc count (simhashBandsFor —
+    // floors at the static 5×12 below ~800k docs, so the verify-scale
+    // scratch name and rows are unchanged); the geometry keys the
+    // scratch name because the pair ROWS change with the band split
+    val bands = graft.sqlgen.Wm.simhashBandsFor(Tables.docCount(s, dir))
+    val v = if (bands == graft.sqlgen.Wm.SimhashBands) "g_simpairs"
+            else s"g_simpairs_b$bands"
+    Scratch.table(s, dir, v, sparkGenFor(s, dir).sql("dedup_simhash_pairs"))
+    v
+  }
 
   private def jaccardPairsView(s: SparkSession, dir: String): Unit =
     Scratch.table(s, dir, "g_jpairs", sparkGen.jaccardPairsBuildSql): Unit

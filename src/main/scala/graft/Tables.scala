@@ -27,6 +27,15 @@ object Tables {
     vecCount.computeIfAbsent(dir, _ =>
       load(spark, dir, "embeddings").count())
 
+  private val dCount = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Row count of `dir`'s documents table (metadata-only, memoized):
+    * SparkEntry derives the SimHash band geometry from it, the doc
+    * analog of the plane count. */
+  def docCount(spark: SparkSession, dir: String): Long =
+    dCount.computeIfAbsent(dir, _ =>
+      load(spark, dir, "documents").count())
+
   def register(spark: SparkSession, dir: String): Unit =
     if (lastDir.put(spark, dir) != dir) {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
