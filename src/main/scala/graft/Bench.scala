@@ -154,6 +154,17 @@ object Bench {
       else if (warmed.size == i)
         System.err.println(s"#warn coverage warmups dropped at key $i/$nKeys (${r3(elapsed)}s)")
       med1 += name -> timedRun(name)
+      // cheap keys take their SECOND timed rep immediately (sub-second
+      // by their first run, warmest possible, bounded by the coverage
+      // cost itself — the first timed touch of a cheap key routinely
+      // reads 2-5× its warm floor, which is exactly the artifact) —
+      // the ≥2-reps guarantee can then never depend on the refinement
+      // passes reaching the tail before the budget runs out. This
+      // removes the r9 artifact class where 56 cheap keys published
+      // single-touch coverage numbers that read as >2× regressions
+      // (r9 verdict item 4: no [_, _, 1] stats rows for cheap keys).
+      if (med1(name) < 1.0 && elapsed < budget - 10)
+        med1 += name -> math.min(med1(name), timedRun(name))
       if ((i + 1) % 25 == 0 && i + 1 < nKeys) checkpoint(med1, 1)
     }
     writeFull(med1)
@@ -183,20 +194,32 @@ object Bench {
     while (pass <= passes && !stopped) {
       val order = keys.sortBy(k => -best(k))
       var i = 0
+      var skippedKeys = 0
       while (i < order.length && !stopped) {
         val name = order(i)
         val nReps = if (best(name) >= 0.2) reps else 1
-        if (elapsed + best(name) * nReps * 1.2 > budget - 10) {
+        if (elapsed > budget - 10) {
           stopped = true
           System.err.println(s"#warn refinement pass $pass stopped at key $i/$nKeys (${r3(elapsed)}s of ${r3(budget)}s budget)")
+        } else if (elapsed + best(name) * nReps * 1.2 > budget - 10) {
+          // SKIP an oversized key instead of halting the pass: the
+          // order is most-expensive-first, so the keys after this one
+          // are cheaper and may still fit — halting here was what left
+          // the sub-second tail at reps=1 in the r9 driver artifact
+          // (56 phantom >2× readings, all single-touch; r9 verdict
+          // item 4: every key gets ≥ 2 timed runs within the budget)
+          skippedKeys += 1
+          i += 1
         } else {
           val m = medianOf(name, nReps, warm = false)
           refined += name -> math.min(m, refined.getOrElse(name, m))
           if ((i + 1) % 25 == 0)
             checkpoint(keys.map(k => k -> best(k)).toMap, pass + 1)
+          i += 1
         }
-        i += 1
       }
+      if (skippedKeys > 0)
+        System.err.println(s"#warn refinement pass $pass skipped $skippedKeys oversized keys (${r3(elapsed)}s of ${r3(budget)}s budget)")
       pass += 1
     }
     val results = keys.map(k => k -> best(k)).toMap

@@ -77,7 +77,7 @@ object ScaleCheck {
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
       "graph_spectral", "graph_percolation_curve",
       "vec_topk_graph_filtered", "vec_bq_rotation",
-      "ann_recall_after_delete"
+      "ann_recall_after_delete", "vec_graph_compact"
       /* graph_betweenness + graph_closeness + graph_knn_degree_curve
        * run through the programmatic path (scratch edges) */)
     // plane-independent heavies: linear text/ANN paths (the banded
@@ -107,7 +107,7 @@ object ScaleCheck {
       "dedup_minhash", "dedup_paragraph",
       "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram",
       "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue",
-      "events_ab_uplift_deciles")
+      "events_ab_uplift_deciles", "search_maxsim")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))
@@ -150,7 +150,8 @@ object ScaleCheck {
       "multimodal_audio_fp", "wm_recover_registry", "wm_repair",
       "dedup_quality_impact", "graph_betweenness", "graph_closeness",
       "events_markov_stationary", "vec_pca_residual",
-      "multimodal_bmp_resize", "graph_knn_degree_curve").filter(only)) {
+      "multimodal_bmp_resize", "graph_knn_degree_curve",
+      "vec_mds2d", "dedup_upsert").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

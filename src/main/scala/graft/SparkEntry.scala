@@ -22,7 +22,7 @@ object SparkEntry {
   private def sparkGenFor(s: SparkSession, dir: String): Gen = {
     val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
     // the doc-side analog: the SimHash band split widens once the
-    // corpus outgrows the 5×12 geometry (~800k docs) — §4's band
+    // corpus outgrows the 5×12 geometry (~82k docs) — §4's band
     // ladder, wired into the entrypoint exactly like the plane count.
     // At the verify/smoke/bench SFs simhashBandsFor floors at the
     // static default, so the oracle renderings are unaffected.
@@ -118,6 +118,19 @@ object SparkEntry {
       "dedup_cross_source" -> ((s, dir) => {
         Tables.register(s, dir)
         s.sql(sparkGen.dedupCrossSourceSql(Some(simPairsView(s, dir))))
+      }),
+      // CDC-upsert maintenance of the kept pair artifact (the
+      // delete/update half of dedup_incremental): reads BOTH scratch
+      // artifacts a production pipeline maintains — the signature
+      // table (g_simsigs, band-independent) and the pair table — and
+      // runs the delta-vs-post band join; the oracle inlines both
+      // builds. Band geometry follows the serving-path sizing
+      // (sparkGenFor) like every other banded key.
+      "dedup_upsert" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_simsigs", sparkGen.simhashSigBuildSql)
+        s.sql(sparkGenFor(s, dir).dedupUpsertSql(Some("g_simsigs"),
+          Some(simPairsView(s, dir))))
       }),
       // overlap metrics over the materialized gram profile: the
       // 5-gram explode (the heaviest text pass) runs ONCE per
@@ -516,6 +529,41 @@ object SparkEntry {
         s.sql(sparkGen.pcaResidualLiteralSql(e.mu.toSeq,
           e.ev.toSeq.map(_ * sg1), e.v2.toSeq.map(_ * sg2)))
       }),
+      // landmark-MDS 2-D layout (§2 row 21i), the JVM-mirror half of
+      // the vec_mds2d oracle chain: collect the 32 PRF-ranked landmark
+      // rows (bounded — m is a constant), fold their 8×8 moment row in
+      // the SQL rendering's exact left-to-right order, run the SAME
+      // PcaSolve eigensolve the chain renders (landmark-MDS ≡ PCA of
+      // the landmark set — mdsSt0Cte's derivation), and project the
+      // corpus map-only with the solved axes as exact double literals.
+      "vec_mds2d" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val rows = s.sql(sparkGen.mdsLandmarksSql).collect()
+        require(rows.length == graft.sqlgen.Wm.MdsLandmarks,
+          s"need ${graft.sqlgen.Wm.MdsLandmarks} landmarks, got ${rows.length}")
+        val xs = rows.map(_.getSeq[Double](1).toArray)
+        val m = xs.length
+        // moments in the pivot's pinned order: ((x1 + x2) + x3) … / 32
+        // (0.0 + x1 == x1 exactly, so the JVM fold matches the SQL's
+        // first-term start; /32 is a power-of-two divide — exact)
+        def mom(f: Array[Double] => Double): Double = {
+          var t = 0.0; var k = 0
+          while (k < m) { t += f(xs(k)); k += 1 }
+          t / m
+        }
+        val a = Array.tabulate(PcaSolve.Dim)(i => mom(x => x(i)))
+        val e = PcaSolve.solve(a, (i, j) => mom(x => x(i) * x(j)))
+        val sg1 = if (e.ev(0) < 0) -1.0 else 1.0
+        val sg2 = if (e.v2(0) < 0) -1.0 else 1.0
+        val w1 = e.ev.toSeq.map(_ * sg1)
+        val w2 = e.v2.toSeq.map(_ * sg2)
+        var m1 = 0.0; var m2 = 0.0
+        (0 until PcaSolve.Dim).foreach { i =>
+          m1 += e.mu(i) * e.ev(i) * sg1
+          m2 += e.mu(i) * e.v2(i) * sg2
+        }
+        s.sql(sparkGen.mdsProjectSql(w1, w2, m1, m2))
+      }),
       // the learned merges APPLIED: distinct words encode once against
       // the same checkpointed vocabulary (the tokenizer's shipped
       // lookup table), docs join token lengths back
@@ -547,7 +595,7 @@ object SparkEntry {
   // the in-session localCheckpoint, value-identical
   private def simPairsView(s: SparkSession, dir: String): String = {
     // band geometry derived from the doc count (simhashBandsFor —
-    // floors at the static 5×12 below ~800k docs, so the verify-scale
+    // floors at the static 5×12 below ~82k docs, so the verify-scale
     // scratch name and rows are unchanged); the geometry keys the
     // scratch name because the pair ROWS change with the band split
     val bands = graft.sqlgen.Wm.simhashBandsFor(Tables.docCount(s, dir))
@@ -588,6 +636,7 @@ object SparkEntry {
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),
         "dedup_quality_impact" -> duckGen.dedupQualityImpactSql(None),
         "dedup_cross_source" -> duckGen.dedupCrossSourceSql(None),
+        "dedup_upsert" -> duckGen.dedupUpsertSql(None, None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
         "dedup_containment" -> duckGen.dedupContainmentSql(None),
         "vec_mmr" -> duckGen.mmrSql(None),

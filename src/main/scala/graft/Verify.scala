@@ -109,11 +109,27 @@ object Verify {
     val onlyKeys: Option[Set[String]] = args.collectFirst {
       case a if a.startsWith("--keys=") => a.stripPrefix("--keys=").split(',').toSet
     }
-    val oracle = if (smoke) SparkEntry.oracleSql.view.filterKeys(smokeKeys.contains).toMap
-                 else onlyKeys.fold(SparkEntry.oracleSql)(ks =>
-                   SparkEntry.oracleSql.view.filterKeys(ks).toMap)
-    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def dumpJson(path: String, m: Map[String, String]): Unit =
+      Files.writeString(Paths.get(path),
+        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")): Unit
+    // oracle_sql.json always carries the FULL key map (a --keys run
+    // previously truncated it, so a later full pass or any tool
+    // reading the dump from that outDir saw a subset — r9 ADVICE);
+    // the filtered --keys map goes to a SIBLING file that
+    // tools/check_oracle.py prefers when present, and a full run
+    // removes any stale sibling.
+    val subsetPath = Paths.get(s"$outDir/oracle_sql_subset.json")
+    if (smoke)
+      dumpJson(s"$outDir/oracle_sql.json",
+        SparkEntry.oracleSql.view.filterKeys(smokeKeys.contains).toMap)
+    else {
+      dumpJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+      onlyKeys match {
+        case Some(ks) => dumpJson(subsetPath.toString,
+          SparkEntry.oracleSql.view.filterKeys(ks).toMap)
+        case None => Files.deleteIfExists(subsetPath): Unit
+      }
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -73,7 +73,7 @@ object WmCache {
     "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
     "graph_spectral", "graph_percolation_curve", "wm_recover_registry",
     "vec_topk_graph_filtered", "vec_bq_rotation", "graph_betweenness",
-    "ann_recall_after_delete", "graph_knn_degree_curve")
+    "ann_recall_after_delete", "graph_knn_degree_curve", "vec_graph_compact")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()

@@ -106,4 +106,32 @@ object WmConst {
   val MinhashP = 2147483647L // 2^31 - 1
   def minhashCoef(r: Int): (Long, Long) =
     (Prf.prf("mha", r) % (MinhashP - 1) + 1, Prf.prf("mhb", r) % MinhashP)
+
+  /** MaxSim token pseudo-embedding (hash-embedding baseline for the
+    * late-interaction retrieval key): dim k (1-based) =
+    * (prf('mv', token, k) % 2001 − 1000) / 1000, then L2-normalized
+    * with a left-to-right norm fold. Every op is a single
+    * correctly-rounded IEEE step on exact integers (int mod, int
+    * subtract, one divide, one sqrt), so this JVM value is
+    * bit-identical to both SQL renderings of the same formula — the
+    * QUERY-term vectors inline as literals (the planesFor convention)
+    * while doc-token vectors render in SQL. */
+  /** PRF-pinned MLP weights for the NN-decoder inference witness
+    * (wm_nn_decode — the deep_learning-branch forward pass with
+    * literal weights): every weight is (prf(tag, i, j) % 2001 − 1000)
+    * / 4000 ∈ [−0.25, 0.25] — exact integer arithmetic + one IEEE
+    * divide, bit-identical in the JVM and both SQL renderings. */
+  def nnWeight(tag: String, i: Int, j: Int): Double =
+    (Prf.prf(tag, i, j) % 2001 - 1000) / 4000.0
+
+  def maxsimVec(token: String): Array[Double] = {
+    val dim = graft.sqlgen.Wm.MaxSimDim
+    val r = Array.tabulate(dim)(k =>
+      (Prf.prf("mv", token, k + 1) % 2001 - 1000) / 1000.0)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += r(i) * r(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) r.map(_ / n) else r
+  }
 }

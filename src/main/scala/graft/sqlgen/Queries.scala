@@ -51,8 +51,9 @@ object Wm {
     * knob is the BAND SPLIT — the widest band set (most bands =
     * strongest h ≤ bands−1 pigeonhole guarantee) whose expected random
     * band collisions, bands·N²/2^(bits+1), stay linear (≤ 50·N):
-    * 5×12 holds to ~800k docs, 4×15 to ~3M, 3×20 to ~35M, 2×30 past
-    * 10¹⁰ — trading guaranteed recall radius (h ≤ 4 → 3 → 2 → 1) for
+    * 5×12 holds to ~82k docs (50·2¹³/5), 4×15 to ~819k (50·2¹⁶/4),
+    * 3×20 to ~35M (50·2²¹/3), 2×30 past 10¹² — trading guaranteed
+    * recall radius (h ≤ 4 → 3 → 2 → 1) for
     * bounded candidate work, the documented SURVEY §4 ladder. The
     * driver contract stays at the static default (the dumped oracle
     * SQL is scale-independent); scale runs construct a
@@ -60,6 +61,26 @@ object Wm {
   def simhashBandsFor(nDocs: Long): Int =
     Seq(5, 4, 3, 2).find(b =>
       math.pow(2.0, 60.0 / b + 1.0) >= nDocs.toDouble * b / 50.0).getOrElse(2)
+  /** Landmark count for the landmark-MDS layout (vec_mds2d /
+    * operators.Mds — de Silva & Tenenbaum 2004): m is a CONSTANT, so
+    * the m×m eigensolve is bounded driver math at any corpus size. */
+  val MdsLandmarks = 32
+  /** Fixed multi-vector (late-interaction) query surface — bounded
+    * per-request term sets over the corpus vocabulary (the QueryIds
+    * convention applied to the token domain: a literal query list,
+    * never a data fraction, so the MaxSim scan stays O(|Q|·tokens)). */
+  val MaxSimQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("fast", "table", "scan"),
+    2 -> Seq("join", "merge", "sort"),
+    3 -> Seq("stream", "window", "agg"),
+    4 -> Seq("vector", "query", "key"))
+  /** Per-token pseudo-embedding dims for MaxSim (hash-embedding
+    * baseline: 8 PRF dims per token, L2-normalized). */
+  val MaxSimDim = 8
+  /** Doc-side token window: MaxSim scores the first 16 tokens of each
+    * document (the ColBERT doc-length cap analog — bounds per-doc
+    * work at any corpus scale). */
+  val MaxSimTokens = 16
   /** Default embed rate (reference: Config.DEFAULT_EMBED_RATE = 0.1). */
   val Rate = "0.1"
   /** Default decontamination eval split: doc_id % DecontEvalMod = 0 is
@@ -1090,17 +1111,106 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * near-dup pairs — three narrow ints instead of every collision's
     * two 60-bit sigs. (distinct-then-filter and filter-then-distinct
     * commute: the predicate is a pure function of the pair.) */
-  private lazy val simhashCandCtes = {
-    val xorAB = if (d.name == "spark") "a.sig ^ b.sig" else "xor(a.sig, b.sig)"
+  /** The per-doc 60-bit signature build alone (wordCtes → per-word
+    * hash/count → 60 masked sign-sums → sig) — the corpus-priced half
+    * of the pair chain, split out so the Spark serving path can
+    * scratch-persist it (SparkEntry.simPairsView) and so SimProf can
+    * time it against the band join. */
+  private lazy val simhashSigCtes =
     s"""$wordCtes,
        |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
        |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
-       |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw),
-       |bands as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
-       |          from sh cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)}),
-       |cand as (select distinct a.doc_id as da, b.doc_id as db, bit_count($xorAB) as hamming
+       |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw)""".stripMargin
+
+  private def simhashXorAB: String =
+    if (d.name == "spark") "a.sig ^ b.sig" else "xor(a.sig, b.sig)"
+
+  /** One band-row CTE (doc_id, sig, bb, bandv) over any (doc_id, sig)
+    * source — the blocking-key expansion both the self-join pair
+    * chain and the CDC delta-vs-post join read. */
+  private def simhashBandCte(name: String, src: String): String =
+    s"""$name as (select doc_id, sig, bb, (sig ${if (d.name == "spark") "div" else "//"} cast(pow(2, bb * $SimhashBandBits) as bigint)) % ${1 << SimhashBandBits} as bandv
+       |          from $src cross join ${rangeTable("b5", "bb", 0, SimhashBands - 1)})""".stripMargin
+
+  /** Band rows + verified candidate pairs over any (doc_id, sig)
+    * source — the banded half of the pair chain. */
+  private def simhashPairCtes(shSrc: String): String =
+    s"""${simhashBandCte("bands", shSrc)},
+       |cand as (select distinct a.doc_id as da, b.doc_id as db, bit_count($simhashXorAB) as hamming
        |         from bands a join bands b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id
-       |         where bit_count($xorAB) <= ${SimhashBands - 1})""".stripMargin
+       |         where bit_count($simhashXorAB) <= ${SimhashBands - 1})""".stripMargin
+
+  private lazy val simhashCandCtes =
+    s"""$simhashSigCtes,
+       |${simhashPairCtes("sh")}""".stripMargin
+
+  /** Dev/serving split points (graft.SimProf, SparkEntry.simPairsView):
+    * the signature table build, and the pair chain reading a persisted
+    * (doc_id, sig) view. */
+  def simhashSigBuildSql: String =
+    s"with $simhashSigCtes\nselect doc_id, sig from sh"
+  def simhashPairsFromSigsSql(sigView: String): String =
+    s"""with ${simhashPairCtes(sigView)}
+       |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
+       |  ${bigint("hamming")} as hamming
+       |from cand""".stripMargin
+
+  /** CDC-UPSERT DEDUP MAINTENANCE (dedup_incremental's delete/update
+    * half — r9 verdict item 7): a production near-dup pipeline keeps
+    * its pair table (g_simpairs) and maintains it under a change
+    * batch instead of rebuilding. Deterministic CDC batch: 5% deletes
+    * (doc_id % 20 = 3) and 5% updates (doc_id % 20 = 7, text gains
+    * two suffix tokens — the signature moves a few bits, the
+    * realistic update shape). Maintenance = (1) drop every pair
+    * touching a deleted/updated doc (a filter over the kept pair
+    * artifact), (2) re-sign ONLY the updated docs (5%-sized word
+    * pipeline), (3) band-join the delta signatures against the
+    * POST-state signature table — DELTA × CORPUS, never corpus² —
+    * and (4) publish the maintained pair census. Because the band
+    * pigeonhole guarantee covers the full verify radius (hamming ≤
+    * bands−1 ⇒ some band matches), the maintained set EQUALS a full
+    * rebuild on the post-state corpus — UpsertDedupSpec proves it
+    * pair-for-pair against a brute-force JVM rebuild. Output: tagged
+    * op counts + stale/delta pair counts + the final per-hamming
+    * census with exact integer checksums (Σ da·1048573 + db).
+    *
+    * `sigsFrom`/`pairsFrom`: Some(view) reads the scratch-persisted
+    * signature/pair artifacts (the Spark serving path — the kept
+    * tables this operator exists to maintain); None inlines both
+    * builds (the DuckDB oracle, CTEs materialized). */
+  def dedupUpsertSql(sigsFrom: Option[String], pairsFrom: Option[String]): String = {
+    val sigCtes = sigsFrom match {
+      case Some(v) => s"sh as (select doc_id, sig from $v)"
+      case None    => simhashSigCtes
+    }
+    val pairCtes = pairsFrom match {
+      case Some(v) => s"cand as (select doc_a as da, doc_b as db, hamming from $v)"
+      case None    => simhashPairCtes("sh")
+    }
+    val ck = s"coalesce(sum(da * 1048573 + db), 0)"
+    s"""with $sigCtes,
+       |$pairCtes,
+       |dl as (select doc_id from documents where doc_id % 20 = 3),
+       |uw as (select doc_id, ${splitWs("lower(concat(text, ' updated cdc'))")} as ws from documents where doc_id % 20 = 7),
+       |uwx as (select * from ${d.explodeFrom("uw", "ws", "wpos", "wd", Seq("doc_id"))} _ux),
+       |uwh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from uwx group by doc_id, wd),
+       |usbw as (select doc_id, ${simhashSums} from uwh group by doc_id),
+       |ush as (select doc_id, ${simhashSigFromSums} as sig from usbw),
+       |post as (select doc_id, sig from sh where doc_id % 20 <> 3 and doc_id % 20 <> 7
+       |         union all select doc_id, sig from ush),
+       |${simhashBandCte("ub", "ush")},
+       |${simhashBandCte("pb", "post")},
+       |dc as (select distinct least(a.doc_id, b.doc_id) as da, greatest(a.doc_id, b.doc_id) as db, bit_count($simhashXorAB) as hamming
+       |       from ub a join pb b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id <> b.doc_id
+       |       where bit_count($simhashXorAB) <= ${SimhashBands - 1}),
+       |stale as (select da, db from cand where da % 20 = 3 or da % 20 = 7 or db % 20 = 3 or db % 20 = 7),
+       |keep as (select da, db, hamming from cand where da % 20 <> 3 and da % 20 <> 7 and db % 20 <> 3 and db % 20 <> 7),
+       |fin as (select da, db, hamming from keep union all select da, db, hamming from dc)
+       |select 'deleted_docs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(doc_id), 0)")} as checksum from dl
+       |union all select 'updated_docs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(doc_id), 0)")} as checksum from ush
+       |union all select 'stale_pairs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from stale
+       |union all select 'delta_pairs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from dc
+       |union all select 'final_pairs' as metric, ${bigint("hamming")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from fin group by hamming""".stripMargin
   }
 
   /** Unrolled 6-round min-label propagation turning near-dup PAIRS into
@@ -2255,8 +2365,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // bands−1 differs in at most bands−1 bands, so at least one band
     // matches exactly (pigeonhole) — band-join candidates, verify with
     // bit_count(xor). The band GEOMETRY is N-derived for scale runs
-    // (Wm.simhashBandsFor — the executable §4 ladder: 5×12 to ~800k
-    // docs, 4×15 to ~3M, 3×20 to ~35M, trading guaranteed radius for
+    // (Wm.simhashBandsFor — the executable §4 ladder: 5×12 to ~82k
+    // docs, 4×15 to ~819k, 3×20 to ~35M, trading guaranteed radius for
     // linear candidate work); the driver contract stays at the static
     // default so the dumped oracle SQL is scale-independent. The 60
     // bit-sums are masked aggregation columns in ONE groupBy (a 60x
@@ -4260,6 +4370,21 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // solve is operators.Pca; this corner is its oracle witness.)
     "pca_project2d" -> pcaProject2dSql,
 
+    // LANDMARK-MDS 2-D LAYOUT — the deterministic stand-in for the
+    // reference's stochastic t-SNE viz branch (pg_func.py:921),
+    // oracle-gated end to end: 32 PRF-ranked landmarks → their 8×8
+    // moment row (one-row pivot, pinned left-to-right 32-term sums) →
+    // the SAME double-centered eigensolve chain as pca_project2d
+    // (landmark-MDS over Euclidean d² ≡ PCA of the landmark set; see
+    // mdsSt0Cte's derivation) → sign-fixed axes → map-only corpus
+    // projection. Scale shape: the landmark pick is a
+    // TakeOrderedAndProject (top-32, no global sort), the eigensolve
+    // touches one 256-cell row, and the projection is map-only — the
+    // Spark entry mirrors the m² solve in the JVM (PcaSolve) and
+    // projects with literal axes, so the serving path is ONE corpus
+    // pass at any scale.
+    "vec_mds2d" -> mdsProject2dSql,
+
     // fuzzy entity resolution over the NAME DOMAIN — the
     // blocking-then-verify shape every record-linkage pipeline uses
     // (block key = the name's head noun; verify = edit distance on the
@@ -4677,10 +4802,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       from cnd c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid),
          |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from lp) _l where rn <= 10),
          |nc as (select qid, count(*) as n_cand from cnd group by qid)
-         |select ${bigint("b.qid")} as qid, ${bigint("min(nc.n_cand)")} as n_cand,
+         |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
          |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
          |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
-         |from bt b join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+         |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
          |group by b.qid""".stripMargin,
 
     // Training-sequence packing — the concat-and-split batch assembly
@@ -4999,6 +5124,43 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // incremental graph-index maintenance (HNSW insert) — see
     // graphAppendSql for the full design + scale commentary.
     "vec_graph_append" -> graphAppendSql,
+
+    // HNSW MERGE/COMPACTION AFTER APPENDS (4k4) — vec_graph_append's
+    // missing sibling (r9 verdict item 7): appends leave the served
+    // graph with forward-only links (new → existing); the index is
+    // navigable back toward the new nodes only after the REVERSE
+    // links are merged in, and merging naively would blow the degree
+    // cap that makes beam search O(beam·M·hops). Compaction applies
+    // the textbook HNSW insert-repair: every forward link is a
+    // reverse-link candidate into its existing endpoint, the affected
+    // nodes' adjacency (base edges ∪ reverse candidates — a
+    // DELTA-sized set, never the whole graph) re-ranks per node by
+    // (sim desc, id), and everything past the K-cap is pruned.
+    // Output: tagged census — batch/link counts, affected set, the
+    // surviving reverse links, pruned edges, and the per-degree
+    // histogram of the compacted adjacency — all with exact integer
+    // checksums (Σ src·1048573 + dst). The spec (GraphCompactSpec)
+    // re-derives the whole prune in the JVM from the served g_knn +
+    // the links dump and pins every row; new-node ids live at
+    // +1,000,000 (the vec_append convention), which is what lets the
+    // census tell inserted reverse links from kept base edges.
+    "vec_graph_compact" -> {
+      val ck = "coalesce(sum(src * 1048573 + dst), 0)"
+      s"""$graphAppendChain,
+         |rc as (select cid as src, qid as dst, sim from links),
+         |aff as (select distinct src from rc),
+         |adj as (select k.src, k.dst, k.sim from knn k join aff a on a.src = k.src
+         |        union all select src, dst, sim from rc),
+         |pr as (select src, dst, sim, row_number() over (partition by src order by sim desc, dst) as rn from adj),
+         |kept as (select src, dst, rn from pr where rn <= $K),
+         |hist as (select src, max(rn) as deg from kept group by src)
+         |select 'new_nodes' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(qid), 0)")} as checksum from (select distinct qid from links) _nn
+         |union all select 'new_links' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(qid * 1048573 + cid), 0)")} as checksum from links
+         |union all select 'affected_nodes' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(src), 0)")} as checksum from aff
+         |union all select 'rev_inserted' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from kept where dst >= 1000000
+         |union all select 'pruned' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from pr where rn > $K
+         |union all select 'after_degree' as metric, ${bigint("deg")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(src), 0)")} as checksum from hist group by deg""".stripMargin
+    },
 
     // PRE-FILTER vs POST-FILTER STRATEGY CURVE — the query-planning
     // choice every filtered vector search makes (pgvector's
@@ -11141,8 +11303,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |          ${bigint("sum(c) over (order by spend_h rows between unbounded preceding and current row)")} as f
          |        from cen),
          |ag as (select ${bigint("sum(c)")} as n, ${bigint("sum(spend_h * c)")} as sx,
-         |         ${bigint(s"sum(spend_h * (c * (f - c) + ${d.idiv("c * (c + 1)", "2")}))")} as six,
-         |         ${bigint("max(f)")} as fmax
+         |         ${bigint(s"sum(spend_h * (c * (f - c) + ${d.idiv("c * (c + 1)", "2")}))")} as six
          |       from cum),
          |lor as (select ${bigint("sum(case when cum.f <= cast(ceil(ag.n * 0.5) as bigint) then cum.spend_h * cum.c else 0 end)")} as bot50,
          |          ${bigint("sum(case when cum.f > cast(ceil(ag.n * 0.9) as bigint) then cum.spend_h * cum.c else 0 end)")} as top10
@@ -11165,7 +11326,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // not allowed to return). Candidate work stays bucket-bounded;
     // the tombstone anti-joins are broadcastable (|del| ≈ 0.1·N ids).
     // Directly comparable, qid for qid, with ann_recall_eval — the
-    // before/after-delete recall story in two green keys.
+    // before/after-delete recall story in two green keys. A query
+    // with ZERO surviving candidates still emits its row (nc is
+    // LEFT-joined, n_cand coalesced to 0, recall 0 — r9 ADVICE); the
+    // one convention left: a qid whose own row is tombstoned drops
+    // from the output entirely, because a deleted query has no alive
+    // ground truth to score against (both routes filter it).
     "ann_recall_after_delete" ->
       s"""${wmChain("lsh")},
          |del as (select id from nn where ${prfMod(d)(1048576, "'vdel'", "id")} < 104858),
@@ -11183,10 +11349,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       from cnd c join nn qn on qn.id = c.qid join nn cn on cn.id = c.cid),
          |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from lp) _l where rn <= 10),
          |nc as (select qid, count(*) as n_cand from cnd group by qid)
-         |select ${bigint("b.qid")} as qid, ${bigint("min(nc.n_cand)")} as n_cand,
+         |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
          |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
          |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
-         |from bt b join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+         |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
          |group by b.qid""".stripMargin,
 
     // MARKOV STATIONARY DISTRIBUTION (40c2) — where the event chain
@@ -11231,10 +11397,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // users) gets ONE cumulative window, and a tie block lands wholly
     // in the decile of its start rank (uneven deciles under heavy
     // ties — stated). Per-user rollup is one combinable groupBy; the
-    // census join back is broadcastable; null-guarded means where a
-    // (decile, variant) cell is empty (DuckDB NULL = Spark NULL, never
-    // a /0 Infinity). Two corpus scans total (per-user rollup is
-    // referenced by the census and the final agg — bounded, stated).
+    // census join back is broadcastable. The output domain is FIXED at
+    // the 10 decile rows (r9 verdict nit: tie-heavy tiny SFs can leave
+    // some deciles unpopulated, and a silently missing row read as a
+    // gap) — a literal 0..9 table left-joins the aggregate, empty
+    // cells zero-fill their counts, and the means/uplift stay
+    // null-guarded (DuckDB NULL = Spark NULL, never a /0 Infinity), so
+    // an empty (decile, variant) cell is self-describing: n = 0, mean
+    // null. Two corpus scans total (per-user rollup is referenced by
+    // the census and the final agg — bounded, stated).
     "events_ab_uplift_deciles" ->
       s"""with e as (select user_id, user_id % 2 as variant, ${d.idiv(evSec("ts"), "86400")} as day, event_type, value from events),
          |u as (select user_id, ${bigint("max(variant)")} as variant,
@@ -11251,11 +11422,70 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |         ${bigint("sum(case when u.variant = 0 then u.post_c else 0 end)")} as c_control,
          |         ${bigint("sum(case when u.variant = 1 then u.post_c else 0 end)")} as c_treat
          |       from u join dd on dd.pre_n = u.pre_n group by dd.decile)
-         |select ${bigint("decile")} as decile, n_control, n_treat,
-         |  ${roundAway(d)("case when n_control > 0 then cast(c_control as double) / n_control / 100 end", 4)} as mean_post_control,
-         |  ${roundAway(d)("case when n_treat > 0 then cast(c_treat as double) / n_treat / 100 end", 4)} as mean_post_treat,
-         |  ${roundAway(d)("case when n_control > 0 and n_treat > 0 then cast(c_treat as double) / n_treat / 100 - cast(c_control as double) / n_control / 100 end", 4)} as uplift
-         |from ag""".stripMargin,
+         |select ${bigint("dec.decile")} as decile,
+         |  ${bigint("coalesce(ag.n_control, 0)")} as n_control,
+         |  ${bigint("coalesce(ag.n_treat, 0)")} as n_treat,
+         |  ${roundAway(d)("case when ag.n_control > 0 then cast(ag.c_control as double) / ag.n_control / 100 end", 4)} as mean_post_control,
+         |  ${roundAway(d)("case when ag.n_treat > 0 then cast(ag.c_treat as double) / ag.n_treat / 100 end", 4)} as mean_post_treat,
+         |  ${roundAway(d)("case when ag.n_control > 0 and ag.n_treat > 0 then cast(ag.c_treat as double) / ag.n_treat / 100 - cast(ag.c_control as double) / ag.n_control / 100 end", 4)} as uplift
+         |from ${rangeTable("dec", "decile", 0, 9)} left join ag on ag.decile = dec.decile""".stripMargin,
+
+    // MULTI-VECTOR LATE-INTERACTION RETRIEVAL (21q) — the ColBERT
+    // score shape (Khattab & Zaharia 2020, public): a query is a SET
+    // of term vectors, a doc a SET of token vectors, and
+    // score(q, d) = Σ_t max_tok <v_t, v_tok> — "every query term finds
+    // its best-matching doc token". Token vectors here are the
+    // hash-embedding baseline (8 PRF dims, L2-normalized — the
+    // deterministic stand-in for a learned token encoder; the Spark
+    // plumbing is what transfers). QUERY-term vectors are plan-time
+    // JVM literals (WmConst.maxsimVec — the planesFor convention, same
+    // formula as the SQL rendering, bit-identical by construction);
+    // doc-token vectors render in SQL over the DISTINCT vocabulary
+    // (vocab-sized, never token-count-sized). Scale shape: one doc
+    // scan → bounded 16-token explode → vocab-vector join → ONE
+    // masked-max groupBy (12 max columns = |terms| per-doc maxes, all
+    // map-side combinable — never a (token × term) pair shuffle) →
+    // exact-integer per-query sums → |Q|·N ranking rows (the two
+    // cross joins are against ≤ 12-row literal term/query tables —
+    // broadcast nested loops, linear). The grouped native top-k
+    // (functions.RowTopKAgg, §2 row 4n) is the stated 100 TB ranking
+    // path; the window rendering here is the oracle-shared baseline.
+    "search_maxsim" -> {
+      val nQ = Wm.MaxSimQueries.size
+      val idx = 1 to Wm.MaxSimDim
+      val terms = Wm.MaxSimQueries.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (q, i + 1, t) } }
+      def rk(k: Int) =
+        s"cast(${prf(d)("'mv'", "wd", k.toString)} % 2001 - 1000 as double) / cast(1000 as double)"
+      val nrm = s"sqrt(${idx.map(k => s"r$k * r$k").mkString(" + ")})"
+      val maxCols = terms.map { case (q, i, t) =>
+        val w = graft.functions.WmConst.maxsimVec(t)
+        val dot = idx.map(k => s"t$k * cast(${w(k - 1)} as double)").mkString(" + ")
+        s"max(${roundAway(d)(dot, 6)}) as m${q}_$i"
+      }
+      val scoreCols = Wm.MaxSimQueries.map { case (q, ts) =>
+        ts.indices.map(i => bigint(roundAway(d)(s"m${q}_${i + 1} * 1000000", 0)))
+          .mkString("(", " + ", s") as s$q")
+      }
+      val qCase = "case qq.qid " +
+        Wm.MaxSimQueries.map { case (q, _) => s"when $q then s$q" }.mkString(" ") + " end"
+      s"""with $wordCtes,
+         |tok as (select doc_id, wd from wx where wpos <= ${Wm.MaxSimTokens}),
+         |tvr as (select wd, ${idx.map(k => s"${rk(k)} as r$k").mkString(",\n|          ")}
+         |        from (select distinct wd from tok) _u),
+         |tv as (select wd, ${idx.map(k => s"case when $nrm > 0 then r$k / $nrm else r$k end as t$k").mkString(",\n|         ")}
+         |       from tvr),
+         |tj as (select t.doc_id, ${idx.map(k => s"tv.t$k").mkString(", ")} from tok t join tv on tv.wd = t.wd),
+         |mx as (select doc_id, ${maxCols.mkString(",\n|         ")}
+         |       from tj group by doc_id),
+         |sc as (select doc_id, ${scoreCols.mkString(",\n|         ")} from mx),
+         |sq as (select sc.doc_id, qq.qid, $qCase as s
+         |       from sc cross join ${rangeTable("qq", "qid", 1, nQ)}),
+         |rk as (select qid, doc_id, s, row_number() over (partition by qid order by s desc, doc_id) as rn from sq)
+         |select ${bigint("qid")} as qid, ${bigint("rn")} as rank, ${bigint("doc_id")} as doc_id,
+         |  ${roundAway(d)("cast(s as double) / cast(1000000 as double)", 6)} as score
+         |from rk where rn <= 10""".stripMargin
+    },
 
     // PCA RECONSTRUCTION-ERROR OOD AUDIT (21f3) — the subspace
     // complement of vec_outliers' centroid z-score: how much of each
@@ -11554,7 +11784,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * vector report: top-1 link + sim, the rank-M link sim (the
     * entry's connectivity floor), and how many reverse links the
     * insert would update. */
-  def graphAppendSql: String = {
+  /** The append-batch beam-search chain through `links` (qid → its m
+    * strongest existing neighbors) — shared by vec_graph_append, the
+    * compaction key (vec_graph_compact), and the dev links dump
+    * (graphAppendLinksSql, the spec's prune-mirror input). */
+  private lazy val graphAppendChain: String = {
     val beam = 16
     val m = 8
     val matKw = if (d.name == "duckdb") "materialized " else ""
@@ -11582,7 +11816,17 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |${hop("b2", "b3")},
        |links as (select qid, cid, sim, rn from (
        |    select qid, cid, sim, row_number() over (partition by qid order by sim desc, cid) as rn
-       |    from b3) _t where rn <= $m),
+       |    from b3) _t where rn <= $m)""".stripMargin
+  }
+
+  /** Dev/spec dump: the append batch's forward links alone. */
+  def graphAppendLinksSql: String =
+    s"""$graphAppendChain
+       |select ${bigint("qid")} as qid, ${bigint("cid")} as cid, sim from links""".stripMargin
+
+  def graphAppendSql: String = {
+    val m = 8
+    s"""$graphAppendChain,
        |worst as (select src, min(sim) as worst_sim, max(rn) as deg from knn group by src),
        |rev as (select l.qid, ${bigint(s"sum(case when w.deg >= $K and l.sim > w.worst_sim then 1 else 0 end)")} as n_rev_updates
        |        from links l join worst w on w.src = l.cid group by l.qid),
@@ -11851,7 +12095,23 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * aggregation is the optimizer barrier that stops projection
     * collapse from exponentiating the normalize expression (the
     * SURVEY §4 projection-collapse rule applied to scalars). */
-  private lazy val pcaAxesChain: String = {
+  private lazy val pcaAxesChain: String = axesChainFrom(
+    s"""st0 as $stageMatKw(select ${((1 to 8).map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
+      (for { i <- 1 to 8; j <- 1 to 8 if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
+       |        from nv)""".stripMargin)
+
+  /** DuckDB: force each 1-row stage to MATERIALIZE — its optimizer
+    * otherwise re-inlines the wide expression chain into a
+    * super-linear blowup (>10 min at sf0.01; 5 s materialized).
+    * Spark gets the same barrier from the max() Aggregate nodes. */
+  private def stageMatKw: String = if (d.name == "duckdb") "materialized " else ""
+
+  /** The eigensolve chain from any st0 stage exposing a1..a8 (means)
+    * and m1_1..m8_8 (upper-triangle second moments) — shared by the
+    * corpus-covariance chain (pca_project2d / vec_pca_residual) and
+    * the 32-landmark chain (vec_mds2d), which differ ONLY in where
+    * the moment row comes from. */
+  private def axesChainFrom(st0Cte: String): String = {
 
     // Plan shape: the 8×8 covariance, its powers, and the iterated
     // vector all live as WIDE COLUMNS of a 1-row CTE chain in which
@@ -11867,11 +12127,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val iters = 10 // on C⁴ ≈ 40 plain power steps
     val idx = 1 to d8
     val nrm0 = math.sqrt(idx.map(y => y.toDouble * y).sum)
-    // DuckDB: force each 1-row stage to MATERIALIZE — its optimizer
-    // otherwise re-inlines the wide expression chain into a
-    // super-linear blowup (>10 min at sf0.01; 5 s materialized).
-    // Spark gets the same barrier from the max() Aggregate nodes.
-    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val matKw = stageMatKw
     // carry a column set through a 1-row aggregation unchanged
     def keep(cols: Seq[String]) = cols.map(c => s"max($c) as $c")
     def mat(nm: String) = for { i <- idx; j <- idx } yield s"$nm$i$j"
@@ -11894,10 +12150,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val v0Defs = idx.map(i => s"v$i" -> s"cast(${i / nrm0} as double)")
     // ---- phase 1: v1 of C (iterate C⁴, Rayleigh λ₁ on C) ----
     val p1 = Seq(
-      // rounded covariance entries + means from one 44-aggregate pass
-      s"""st0 as $matKw(select ${(idx.map(i => s"avg(${d.arrIdx0("v", s"${i - 1}")}) as a$i") ++
-        (for { i <- idx; j <- idx if i <= j } yield s"avg(${d.arrIdx0("v", s"${i - 1}")} * ${d.arrIdx0("v", s"${j - 1}")}) as m${i}_$j")).mkString(",\n|  ")}
-         |        from nv)""".stripMargin,
+      // rounded covariance entries + means from the st0 moment row
+      st0Cte,
       stage("cw", "st0", Nil,
         (for { i <- idx; j <- idx } yield
           s"c$i$j" -> s"round(m${math.min(i, j)}_${math.max(i, j)} - a$i * a$j, 6)") ++
@@ -11942,6 +12196,69 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${proj("w1", "m1")} as pc1,
        |  ${proj("w2", "m2")} as pc2
        |from nv cross join pr""".stripMargin
+  }
+
+  /** vec_mds2d st0 stage — the 32-landmark moment row (SURVEY §2 row
+    * 21i; reference: database/pgvector/pg_func.py:921, the t-SNE viz
+    * branch — operators.Mds documents why deterministic landmark-MDS
+    * stands in). Landmark-MDS over Euclidean d² is ALGEBRAICALLY the
+    * eigensolve of the landmark scatter: double-centering gives
+    * B = −½·J·D²·J = Xc·Xcᵀ, which shares its nonzero spectrum with
+    * G = Xcᵀ·Xc/m, and the Nyström out-of-sample coordinate
+    * y_k(x) = u_k·(rowMean − d²(x,L))/(2√λ_k) collapses exactly to the
+    * centered projection (x − μ_L)·u'_k (MdsSpec pins the two routes
+    * against each other numerically). So the chain reuses the SAME
+    * 8×8 eigensolve stages as PCA (axesChainFrom) with the moment row
+    * computed from the 32 landmarks instead of the corpus: PRF-ranked
+    * landmark pick (order-by + limit — TakeOrderedAndProject, no
+    * global sort), a one-row 256-cell pivot, then EXPLICIT
+    * left-to-right 32-term moment sums so the IEEE order is pinned
+    * for the JVM mirror (SparkEntry's vec_mds2d entry). Axes depend
+    * only on the landmarks' distance structure — different axes from
+    * pca_project2d (corpus covariance) by construction. */
+  private def mdsSt0Cte: String = {
+    val m = Wm.MdsLandmarks
+    val idx = 1 to 8
+    val ks = 1 to m
+    s"""lmr as (select id, v, ${Prim.prf(d)("'mds'", "id")} as r from nv order by r, id limit $m),
+       |lmi as (select row_number() over (order by r, id) as li, v from lmr),
+       |lx as $stageMatKw(select ${(for { k <- ks; i <- idx } yield s"max(case when li = $k then ${d.arrIdx0("v", s"${i - 1}")} end) as x${k}_$i").mkString(",\n|  ")}
+       |        from lmi),
+       |st0 as $stageMatKw(select ${(idx.map(i => s"(${ks.map(k => s"x${k}_$i").mkString(" + ")}) / cast($m as double) as a$i") ++
+        (for { i <- idx; j <- idx if i <= j } yield s"(${ks.map(k => s"x${k}_$i * x${k}_$j").mkString(" + ")}) / cast($m as double) as m${i}_$j")).mkString(",\n|  ")}
+       |        from lx)""".stripMargin
+  }
+
+  private lazy val mdsProject2dSql: String = {
+    val idx = 1 to 8
+    def proj(w: String, m: String) =
+      s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * pr.$w$i").mkString(" + ")} - pr.$m, 5)"
+    s"""with $nvCtes,
+       |${axesChainFrom(mdsSt0Cte)}
+       |select ${bigint("nv.id")} as vec_id, ${bigint("nv.label")} as label,
+       |  ${proj("w1", "m1")} as mds1,
+       |  ${proj("w2", "m2")} as mds2
+       |from nv cross join pr""".stripMargin
+  }
+
+  /** Spark-side landmark fetch for vec_mds2d's JVM mirror: the 32
+    * PRF-ranked landmark vectors in rank order. */
+  def mdsLandmarksSql: String =
+    s"""with $nvCtes
+       |select id, v from nv order by ${Prim.prf(d)("'mds'", "id")}, id limit ${Wm.MdsLandmarks}""".stripMargin
+
+  /** vec_mds2d Spark rendering with the JVM-solved landmark axes as
+    * exact double literals — map-only corpus scan, the pcaProjectSql
+    * convention. */
+  def mdsProjectSql(w1: Seq[Double], w2: Seq[Double], m1: Double, m2: Double): String = {
+    val idx = 1 to 8
+    def proj(w: Seq[Double], m: Double) =
+      s"round(${idx.map(i => s"${d.arrIdx0("nv.v", s"${i - 1}")} * cast(${w(i - 1)} as double)").mkString(" + ")} - cast($m as double), 5)"
+    s"""with $nvCtes
+       |select ${bigint("nv.id")} as vec_id, ${bigint("nv.label")} as label,
+       |  ${proj(w1, m1)} as mds1,
+       |  ${proj(w2, m2)} as mds2
+       |from nv""".stripMargin
   }
 
   /** Per-row PCA residual energy, rendered ONCE for both dialects and

@@ -19,6 +19,39 @@ class MdsSpec extends AnyFunSuite {
     assert(a.size > 0)
   }
 
+  test("oracle route (vec_mds2d moment chain) matches the distance route") {
+    // vec_mds2d solves the landmark scatter G = XcᵀXc/m (8×8, the
+    // oracle-gated chain); Mds.project2dOf double-centers the m×m
+    // squared-distance matrix B = XcXcᵀ and projects via Nyström.
+    // The two are the SAME operator algebraically (B and G share
+    // their nonzero spectrum; the Nyström coordinate collapses to the
+    // centered projection), so on the same 8-dim input the layouts
+    // must agree axis-for-axis up to sign and eigensolve rounding.
+    val sf = TestSpark.Sf
+    val chain = SparkEntry.queries("vec_mds2d")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    Tables.register(spark, sf)
+    val df8 = spark.sql(
+      "select vec_id, label, slice(cast(embedding as array<double>), 1, 8) as v from embeddings")
+    val dist = Mds.project2dOf(df8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(chain.keySet == dist.keySet)
+    val ids = chain.keySet.toSeq.sorted
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+      val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+      cov / (sa * sb)
+    }
+    val cx = pearson(ids.map(chain(_)._1), ids.map(dist(_)._1))
+    val cy = pearson(ids.map(chain(_)._2), ids.map(dist(_)._2))
+    info(f"axis correlations: |x| = ${math.abs(cx)}%.6f, |y| = ${math.abs(cy)}%.6f")
+    assert(math.abs(cx) > 0.999, f"x-axis correlation ${cx}%.4f too weak")
+    assert(math.abs(cy) > 0.999, f"y-axis correlation ${cy}%.4f too weak")
+  }
+
   test("2-D distances correlate with full-space distances (2-D manifold corpus)") {
     // the bench corpus is isotropic 64-dim noise — NO 2-D layout can
     // rank-preserve its distances (measured spearman ≈ 0.1; even

@@ -66,15 +66,20 @@ class R9hOpsSpec extends AnyFunSuite {
     val decileOf = census.map { case (preN, c) =>
       val d0 = (f * 10) / n; f += c; preN -> d0
     }.toMap
-    val cells = users.groupBy(u => decileOf(u._3)).map { case (d0, us) =>
+    // the output domain is FIXED at deciles 0..9 (r10: zero-filled
+    // counts for unpopulated deciles — a tie-heavy tiny SF can leave
+    // decile values unreached by any tie-block start rank)
+    val cells = (0L to 9L).map { d0 =>
+      val us = users.filter(u => decileOf(u._3) == d0)
       val ctrl = us.filter(_._2 == 0)
       val trt = us.filter(_._2 == 1)
       d0 -> (ctrl.size.toLong, trt.size.toLong,
         ctrl.map(_._4).sum, trt.map(_._4).sum)
-    }
+    }.toMap
     val got = run("events_ab_uplift_deciles").collect()
       .map(r => r.getAs[Long]("decile") -> r).toMap
     assert(got.keySet == cells.keySet)
+    assert(got.size == 10, "fixed 10-row decile domain")
     cells.foreach { case (d0, (nc, nt, cc, ct)) =>
       val r = got(d0)
       assert(r.getAs[Long]("n_control") == nc, s"decile $d0 n_control")

@@ -28,7 +28,12 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # a --keys dev run writes its filtered map to the sibling subset
+    # file (oracle_sql.json always carries the full map); prefer it so
+    # partial dumps check cleanly without flagging the other keys MISS
+    subset = f"{out_dir}/oracle_sql_subset.json"
+    oracle = json.load(open(subset if os.path.exists(subset)
+                            else f"{out_dir}/oracle_sql.json"))
     fails = []
     for name, sql in sorted(oracle.items()):
         pdir = f"{out_dir}/{name}"
