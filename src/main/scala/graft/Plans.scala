@@ -263,7 +263,8 @@ object Plans {
     "decontaminate_ngram_curve" -> "ONE 13-lead window pass; all three shingle hashes are prefix projections of the same leads, rung expansion is a 3-row cross join (never a 3x re-window), one (n, g) hash join feeds the per-n census — zero-filled from the rung spine",
     "text_lang_mix" -> "one (doc, window) stopword-hit groupBy, one doc-partitioned lag over classified windows, majority via the two-aggregation argmax (max count then min lang) — no corpus windows, all censuses combinable",
     "events_periodogram" -> "one daily census + ONE 18-column exact-integer aggregation (quantized-trig literal arrays indexed by day % P); everything after is scalar math over the 1-row moment table cross-joined to the 4-row period spine",
-    "dedup_quality_impact" -> "components over the checkpointed g_simpairs scratch; quality folds to x10^4 integers in one doc join; both keeper policies are combinable aggregations per component (min(id), max(struct(qi, -id))), and the three per-source means are integer-sum groupBys — no float accumulation, no corpus re-scan",
+    "dedup_quality_impact" -> "components over the checkpointed CONTRACTED graph (r10: equal-signature contraction — docs sharing a sig are a clique, so propagation runs over 174k reps / 2.5M rep edges instead of 500k docs / 22.5M pairs at 100x; labels provably unchanged), every multi-referenced propagation input parquet-backed; quality folds to x10^4 integers in one doc join; both keeper policies are combinable aggregations per component (min(id), max(struct(qi, -id))), and the three per-source means are integer-sum groupBys — no float accumulation, no corpus re-scan",
+    "dedup_components" -> "equal-signature contraction then 6 min-label rounds over the parquet-backed rep graph (g_simreps/g_simrpairs/g_simnodes/g_simsym — Catalyst re-inlines multi-referenced CTEs, so every 6x-referenced input must be a cheap scan, never a derivation); expansion is one rep-join back to docs. 100x serving leg 9.0 s vs 66 s uncontracted",
     "graph_betweenness" -> "walk-count chain over the scratch-persisted symmetrized edges (each level one join + one combinable sum, referenced once by its successor); sigma extracted with one min(struct) aggregation; the Brandes backward pass is two successor joins with 1e-6-quantized integer dependency sums — frontiers are O(S*K^d), independent of N",
     "graph_closeness" -> "the betweenness forward chain minus path counts: per-hop DISTINCT expansion over the SAME scratch-persisted symmetrized edge table (levels bounded by the reach set, each referenced once); distance = min(step) in one combinable groupBy; 1e-6-quantized 1/d bigint folds — frontiers O(S*K^d), independent of N",
     "q12_shipmode" -> "one orders-lineitem hash join with the ship-date range pushed to the fact scan, latency computed map-side, conditional bimodal counts in one combinable aggregation — output domain-bounded (2 rows), no windows",

@@ -93,25 +93,25 @@ object SparkEntry {
       // over it reuses the materialized rows.
       "dedup_components" -> ((s, dir) => {
         Tables.register(s, dir)
-        s.sql(sparkGen.dedupComponentsSql(Some(simPairsView(s, dir))))
+        s.sql(sparkGen.dedupComponentsSql(Some(simCompViews(s, dir))))
       }),
       // the deletion groups APPLIED: per-source kept/dropped report
       // over the same checkpointed pair chain
       "dedup_apply" -> ((s, dir) => {
         Tables.register(s, dir)
-        s.sql(sparkGen.dedupApplySql(Some(simPairsView(s, dir))))
+        s.sql(sparkGen.dedupApplySql(Some(simCompViews(s, dir))))
       }),
       // quality-aware canonical selection: best text_quality member
       // per near-dup component, over the same checkpointed pair chain
       "dedup_cluster_rep" -> ((s, dir) => {
         Tables.register(s, dir)
-        s.sql(sparkGen.dedupClusterRepSql(Some(simPairsView(s, dir))))
+        s.sql(sparkGen.dedupClusterRepSql(Some(simCompViews(s, dir))))
       }),
       // does keep-lowest-id cost quality vs keep-best? per-source
       // policy comparison over the same checkpointed pair chain
       "dedup_quality_impact" -> ((s, dir) => {
         Tables.register(s, dir)
-        s.sql(sparkGen.dedupQualityImpactSql(Some(simPairsView(s, dir))))
+        s.sql(sparkGen.dedupQualityImpactSql(Some(simCompViews(s, dir))))
       }),
       // which sources copy from each other: the syndication matrix
       // over the same checkpointed near-dup pair chain
@@ -597,12 +597,41 @@ object SparkEntry {
     // band geometry derived from the doc count (simhashBandsFor —
     // floors at the static 5×12 below ~82k docs, so the verify-scale
     // scratch name and rows are unchanged); the geometry keys the
-    // scratch name because the pair ROWS change with the band split
+    // scratch name because the pair ROWS change with the band split.
+    // The build STAGES through the persisted signature table (r10):
+    // signatures are band-INDEPENDENT, so g_simsigs is shared by every
+    // geometry and by dedup_upsert's maintenance path, and a re-arm of
+    // the band ladder re-pays only the banded join, never the
+    // corpus-priced word pipeline. Pair rows are value-identical to
+    // the inline chain (re-verified by hash across the family).
     val bands = graft.sqlgen.Wm.simhashBandsFor(Tables.docCount(s, dir))
     val v = if (bands == graft.sqlgen.Wm.SimhashBands) "g_simpairs"
             else s"g_simpairs_b$bands"
-    Scratch.table(s, dir, v, sparkGenFor(s, dir).sql("dedup_simhash_pairs"))
+    Scratch.table(s, dir, "g_simsigs", sparkGen.simhashSigBuildSql)
+    Scratch.table(s, dir, v,
+      sparkGenFor(s, dir).simhashPairsFromSigsSql("g_simsigs"))
     v
+  }
+
+  /** The CONTRACTED component-graph artifacts on top of the pair
+    * scratch (equal-signature contraction — componentsCtes documents
+    * the equivalence): g_simreps (doc → its sig group's min-doc rep +
+    * group size) and g_simrpairs (distinct rep pairs). Materialized
+    * as parquet because the 6 propagation rounds reference the graph
+    * 6× and Catalyst re-inlines per reference — view-backed those are
+    * 6 cheap scans; inline they re-ran the contraction joins per
+    * round (measured 75 s vs ~1 s at sf0.01). Returns the rep-pairs
+    * view name (the componentsCtes Some(...) convention). */
+  private def simCompViews(s: SparkSession, dir: String): String = {
+    val pairs = simPairsView(s, dir)
+    Scratch.table(s, dir, "g_simreps", sparkGen.simRepsBuildSql("g_simsigs"))
+    Scratch.table(s, dir, "g_simrpairs",
+      sparkGen.simRepPairsBuildSql(pairs, "g_simreps"))
+    Scratch.table(s, dir, "g_simnodes",
+      sparkGen.simNodesBuildSql("g_simreps", "g_simrpairs"))
+    Scratch.table(s, dir, "g_simsym",
+      sparkGen.simSymBuildSql("g_simrpairs", "g_simnodes"))
+    "g_simrpairs"
   }
 
   private def jaccardPairsView(s: SparkSession, dir: String): Unit =

@@ -1115,11 +1115,23 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * hash/count → 60 masked sign-sums → sig) — the corpus-priced half
     * of the pair chain, split out so the Spark serving path can
     * scratch-persist it (SparkEntry.simPairsView) and so SimProf can
-    * time it against the band join. */
+    * time it against the band join. The word hash is a pure function
+    * of the WORD, so it computes once per DISTINCT word (vh —
+    * Heaps-law-bounded vocabulary) and joins back broadcast, instead
+    * of one md5 per (doc, word) group (~50M hashes at the 100×
+    * decade for a ≤200-word vocabulary; measured r10 at 100×: the
+    * sig half 58.2 → 39.9 s, the full inline chain 128.5 → 80.8 s
+    * same-session). Keeping the (doc, word) pre-aggregation matters:
+    * summing ±1 per token OCCURRENCE instead (75M rows into the
+    * 60-column fold) measured SLOWER (48.9 s) than compressing
+    * through the counted groupBy first. Identical values,
+    * re-verified by hash across the whole simpairs family. */
   private lazy val simhashSigCtes =
     s"""$wordCtes,
-       |wh as (select doc_id, wd, count(*) as cnt, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from wx group by doc_id, wd),
-       |sbw as (select doc_id, ${simhashSums} from wh group by doc_id),
+       |wh as (select doc_id, wd, count(*) as cnt from wx group by doc_id, wd),
+       |vh as (select wd, ${d.hex2int("substr(md5(wd), 1, 15)")} as h from (select distinct wd from wh) _v),
+       |whh as (select ${bcast("vh")}w.doc_id, w.cnt, vh.h from wh w join vh on vh.wd = w.wd),
+       |sbw as (select doc_id, ${simhashSums} from whh group by doc_id),
        |sh as (select doc_id, ${simhashSigFromSums} as sig from sbw)""".stripMargin
 
   private def simhashXorAB: String =
@@ -1149,11 +1161,32 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * (doc_id, sig) view. */
   def simhashSigBuildSql: String =
     s"with $simhashSigCtes\nselect doc_id, sig from sh"
+
+  /** The banded pair build over a persisted signature view —
+    * Spark-serving only (the oracle always inlines the full chain).
+    * Two plan corrections the parquet-backed view makes necessary
+    * (measured r10 at the 100× decade): (1) the 500k-row sig table is
+    * a ~8 MB parquet, so the file scan is ONE split and the self-join
+    * side under the broadcast threshold — without an explicit
+    * REPARTITION the entire band join + verify + distinct ran in a
+    * single task (>20 min, jstack'd: one RUNNABLE worker in
+    * bhj_doConsume); (2) replica corpora put ~100-copy near-dup
+    * clusters in single band buckets, so the self-join gets the same
+    * 4-way SkewSalt as dedup_embedding (pair set identical — the
+    * predicate is a pure function of the pair; the salt only routes
+    * the expansion across reducers). */
   def simhashPairsFromSigsSql(sigView: String): String =
-    s"""with ${simhashPairCtes(sigView)}
-       |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
-       |  ${bigint("hamming")} as hamming
-       |from cand""".stripMargin
+    if (d.name != "spark")
+      s"""with ${simhashPairCtes(sigView)}
+         |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
+         |  ${bigint("hamming")} as hamming
+         |from cand""".stripMargin
+    else
+      s"""with sh2 as (select /*+ REPARTITION(32) */ doc_id, sig from $sigView),
+         |${simhashPairCtes("sh2")}
+         |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
+         |  ${bigint("hamming")} as hamming
+         |from cand""".stripMargin
 
   /** CDC-UPSERT DEDUP MAINTENANCE (dedup_incremental's delete/update
     * half — r9 verdict item 7): a production near-dup pipeline keeps
@@ -1180,6 +1213,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * builds (the DuckDB oracle, CTEs materialized). */
   def dedupUpsertSql(sigsFrom: Option[String], pairsFrom: Option[String]): String = {
     val sigCtes = sigsFrom match {
+      // the REPARTITION hint undoes the one-split parquet scan of the
+      // small persisted sig table (see simhashPairsFromSigsSql — the
+      // post-state band join would otherwise stream through 1 task)
+      case Some(v) if d.name == "spark" =>
+        s"sh as (select /*+ REPARTITION(32) */ doc_id, sig from $v)"
       case Some(v) => s"sh as (select doc_id, sig from $v)"
       case None    => simhashSigCtes
     }
@@ -1234,20 +1272,79 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private def componentsCtes(pairsFrom: Option[String]): (String, String) = {
     val matKw = if (d.name == "duckdb") "materialized " else ""
     val rounds = 6
+    // EQUAL-SIGNATURE CONTRACTION before the propagation (r10): docs
+    // sharing a signature are ALWAYS mutually paired (hamming 0 ≤ the
+    // verify radius ⇒ the band pigeonhole finds them), so each sig
+    // group is a clique — contract it to its min-doc_id REPRESENTATIVE
+    // and propagate over the rep graph only. At the replica-heavy 100×
+    // decade this is 500k docs → 174k reps and 22.5M pairs → a far
+    // smaller distinct rep-edge set, so the 6 min-label rounds join a
+    // fraction of the rows (the measured quality_impact leg: 66 → see
+    // §4). Labels are UNCHANGED: the component min over reps equals
+    // the min over docs (every doc ≥ its group's rep, reps ⊆ the
+    // component), and the expansion join l(rep(doc)) reaches exactly
+    // the docs in ≥1 pair — a sig-group member (c ≥ 2 ⇒ paired) or a
+    // singleton rep with a cross-sig edge; re-verified by hash across
+    // the 5-key component family, fixpoint re-proved in ComponentsSpec.
     val prefix = pairsFrom match {
-      case Some(view) => s"with prs as (select doc_a as da, doc_b as db from $view),"
+      case Some(_) =>
+        // the CONTRACTED artifacts are prebuilt parquet scratch views
+        // (SparkEntry.simCompViews: g_simreps = doc → min-doc_id rep of
+        // its sig group + group size, g_simsym = the symmetrized
+        // self-looped rep edges, g_simnodes = the rep node set) —
+        // Catalyst re-inlines every multi-referenced CTE, so the 6
+        // propagation rounds must re-read cheap parquet scans, never
+        // re-run the contraction joins or the union-distinct edge
+        // symmetrization (inline contraction measured 75 s at sf0.01,
+        // inline sym/nodes still 11 s — pure re-derivation — vs ~1 s
+        // with every multi-referenced table parquet-backed)
+        s"""with gsr as (select doc_id, rep, c from g_simreps),
+           |nodes as (select id from g_simnodes),
+           |sym as (select a, b from g_simsym),""".stripMargin
       case None =>
         s"""with $simhashCandCtes,
-           |prs as $matKw(select da, db from cand),""".stripMargin
+           |prs as $matKw(select da, db from cand),
+           |gs as $matKw(select sig, min(doc_id) as rep, count(*) as c from sh group by sig),
+           |gsr as $matKw(select s.doc_id, g.rep, g.c from sh s join gs g on g.sig = s.sig),
+           |rprs as $matKw(select distinct ma.rep as da, mb.rep as db
+           |        from prs join gsr ma on ma.doc_id = prs.da join gsr mb on mb.doc_id = prs.db
+           |        where ma.rep <> mb.rep),
+           |nodes as $matKw(select rep as id from gsr where c >= 2 union select da from rprs union select db from rprs),
+           |sym as $matKw(select da as a, db as b from rprs union select db, da from rprs union select id, id from nodes),""".stripMargin
     }
     val steps = (1 to rounds).map(t =>
       s"l$t as $matKw(select s.a as id, min(l.lbl) as lbl from sym s join l${t - 1} l on l.id = s.b group by s.a)")
     (s"""$prefix
-       |nodes as $matKw(select da as id from prs union select db from prs),
-       |sym as $matKw(select da as a, db as b from prs union select db, da from prs union select id, id from nodes),
        |l0 as (select id, id as lbl from nodes),
-       |${steps.mkString(",\n")}""".stripMargin, s"l$rounds")
+       |${steps.mkString(",\n")},
+       |lx as (select m.doc_id as id, l.lbl from gsr m join l$rounds l on l.id = m.rep)""".stripMargin,
+      "lx")
   }
+
+  /** Symmetrized self-looped rep-edge / node scratch builds (the
+    * remaining multi-referenced propagation inputs — see the Some
+    * branch above). */
+  def simNodesBuildSql(repsView: String, rpairsView: String): String =
+    s"""select rep as id from $repsView where c >= 2
+       |union select da from $rpairsView union select db from $rpairsView""".stripMargin
+  def simSymBuildSql(rpairsView: String, nodesView: String): String =
+    s"""select da as a, db as b from $rpairsView
+       |union select db, da from $rpairsView
+       |union select id, id from $nodesView""".stripMargin
+
+  /** Contracted-graph scratch builds (the Spark serving path's
+    * componentsCtes inputs — see the contraction commentary there). */
+  def simRepsBuildSql(sigsView: String): String = {
+    val hint = if (d.name == "spark") "/*+ REPARTITION(32) */ " else ""
+    s"""with sc as (select ${hint}doc_id, sig from $sigsView),
+       |gs as (select sig, min(doc_id) as rep, count(*) as c from sc group by sig)
+       |select s.doc_id, g.rep, g.c from sc s join gs g on g.sig = s.sig""".stripMargin
+  }
+  def simRepPairsBuildSql(pairsView: String, repsView: String): String =
+    s"""select distinct ma.rep as da, mb.rep as db
+       |from $pairsView p join $repsView ma on ma.doc_id = p.doc_a
+       |  join $repsView mb on mb.doc_id = p.doc_b
+       |where ma.rep <> mb.rep""".stripMargin
 
   def dedupComponentsSql(pairsFrom: Option[String]): String = {
     val (ctes, last) = componentsCtes(pairsFrom)
