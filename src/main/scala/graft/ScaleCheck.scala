@@ -107,7 +107,8 @@ object ScaleCheck {
       "dedup_minhash", "dedup_paragraph",
       "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram",
       "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue",
-      "events_ab_uplift_deciles", "search_maxsim")
+      "events_ab_uplift_deciles", "search_maxsim", "wm_nn_decode",
+      "search_maxsim_pruned")
 
     def run(gen: Gen, name: String): Double = {
       val df = spark.sql(gen.sql(name))

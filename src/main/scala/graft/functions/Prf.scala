@@ -124,6 +124,20 @@ object WmConst {
   def nnWeight(tag: String, i: Int, j: Int): Double =
     (Prf.prf(tag, i, j) % 2001 - 1000) / 4000.0
 
+  /** Sign-LSH bucket of a MaxSim token vector: bit k−1 set iff dim k
+    * is positive — the stage-1 blocking key of search_maxsim_pruned.
+    * Mirrors the SQL rendering bit for bit (sign of identical
+    * doubles). */
+  def maxsimBucket(v: Array[Double]): Int =
+    v.indices.foldLeft(0)((acc, k) => if (v(k) > 0) acc | (1 << k) else acc)
+
+  /** The term's probe set: its own bucket plus the 8 hamming-1
+    * neighbors — multi-probe against sign-flip boundary noise. */
+  def maxsimProbes(token: String): Seq[Int] = {
+    val b = maxsimBucket(maxsimVec(token))
+    b +: (0 until graft.sqlgen.Wm.MaxSimDim).map(k => b ^ (1 << k))
+  }
+
   def maxsimVec(token: String): Array[Double] = {
     val dim = graft.sqlgen.Wm.MaxSimDim
     val r = Array.tabulate(dim)(k =>

@@ -11527,6 +11527,57 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${roundAway(d)("case when ag.n_control > 0 and ag.n_treat > 0 then cast(ag.c_treat as double) / ag.n_treat / 100 - cast(ag.c_control as double) / ag.n_control / 100 end", 4)} as uplift
          |from ${rangeTable("dec", "decile", 0, 9)} left join ag on ag.decile = dec.decile""".stripMargin,
 
+    // NN-DECODER INFERENCE FORWARD PASS (21r) — the deterministic
+    // witness for the reference's deep-learning watermark branch
+    // (algorithms/deep_learning/decoder.py, served by /api/check_model,
+    // backend/app.py:150): a 64→16→24 MLP decoder runs as a MAP-ONLY
+    // corpus scan with its weights as plan-time literals. The r9
+    // verdict's stated closing move: "the trained encoder's INFERENCE
+    // forward pass with pinned literal weights is a deterministic
+    // map-only op (the pca_project2d literal-weights convention)" —
+    // weights here are PRF-pinned (WmConst.nnWeight: exact integer
+    // arithmetic + one IEEE divide, bit-identical in the JVM and both
+    // dialects), NOT trained: distributed SGD training stays the
+    // declared non-goal (SURVEY §6), so the per-position bit rates sit
+    // near 0.5 by construction — the op's value is the INFERENCE
+    // plumbing (unrolled 64-term hidden sums, exact ReLU — max(0, x)
+    // has no libm divergence, unlike tanh/sigmoid — 24 logit heads,
+    // per-row 1e-6 logit quantization before the bigint fold). A
+    // trained weight set drops in as different literals with zero plan
+    // change. Scale: ONE corpus scan, ~1.4k multiply-adds per row
+    // inside whole-stage codegen, one 49-column aggregation. Output:
+    // 24 rows (bit position, ones count, ones rate, mean logit).
+    "wm_nn_decode" -> {
+      import graft.functions.WmConst
+      val hid = 1 to 16
+      val out = 1 to 24
+      def lit(x: Double) = s"cast($x as double)"
+      val hDefs = hid.map { j =>
+        val sum = (1 to Dim).map(k =>
+          s"${d.arrIdx0("v", s"${k - 1}")} * ${lit(WmConst.nnWeight("nw1", j, k))}").mkString(" + ")
+        s"h$j" -> s"greatest(${lit(WmConst.nnWeight("nb1", j, 0))} + $sum, cast(0 as double))"
+      }
+      val logitDefs = out.map { m =>
+        val sum = hid.map(j =>
+          s"h$j * ${lit(WmConst.nnWeight("nw2", m, j))}").mkString(" + ")
+        s"g$m" -> s"${lit(WmConst.nnWeight("nb2", m, 0))} + $sum"
+      }
+      val q6 = out.map(m => s"q$m" -> bigint(roundAway(d)(s"g$m * 1000000", 0)))
+      s"""with $nvCtes,
+         |hx as (select ${hDefs.map { case (n, e) => s"$e as $n" }.mkString(",\n|  ")} from nv),
+         |gx as (select ${logitDefs.map { case (n, e) => s"$e as $n" }.mkString(",\n|  ")} from hx),
+         |qx as (select ${q6.map { case (n, e) => s"$e as $n" }.mkString(", ")} from gx),
+         |ag as (select ${bigint("count(*)")} as n,
+         |  ${out.map(m => s"${bigint(s"sum(case when q$m > 0 then 1 else 0 end)")} as o$m").mkString(",\n|  ")},
+         |  ${out.map(m => s"${bigint(s"sum(q$m)")} as s$m").mkString(",\n|  ")}
+         |from qx)
+         |select ${bigint("mm.m")} as bit_pos,
+         |  case mm.m ${out.map(m => s"when $m then o$m").mkString(" ")} end as n_ones,
+         |  ${roundAway(d)(s"(case mm.m ${out.map(m => s"when $m then o$m").mkString(" ")} end) / cast(n as double)", 4)} as ones_rate,
+         |  ${roundAway(d)(s"(case mm.m ${out.map(m => s"when $m then s$m").mkString(" ")} end) / cast(n as double) / 1000000", 6)} as mean_logit
+         |from ag cross join ${rangeTable("mm", "m", 1, 24)}""".stripMargin
+    },
+
     // MULTI-VECTOR LATE-INTERACTION RETRIEVAL (21q) — the ColBERT
     // score shape (Khattab & Zaharia 2020, public): a query is a SET
     // of term vectors, a doc a SET of token vectors, and
@@ -11582,6 +11633,70 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("qid")} as qid, ${bigint("rn")} as rank, ${bigint("doc_id")} as doc_id,
          |  ${roundAway(d)("cast(s as double) / cast(1000000 as double)", 6)} as score
          |from rk where rn <= 10""".stripMargin
+    },
+
+    // MAXSIM STAGE-1 PRUNING EVAL (21q2) — search_maxsim's scale path
+    // (the ColBERT→PLAID trajectory: exhaustive MaxSim over every doc
+    // token is the baseline; production serving first PRUNES to the
+    // docs owning a token NEAR some query term, then scores only
+    // those). Blocking key = the sign-LSH bucket of the token vector
+    // (8 sign bits); each query term probes its own bucket + the 8
+    // hamming-1 neighbors (multi-probe against sign-flip boundary
+    // noise), and the probe sets are plan-time literal IN-lists
+    // (WmConst.maxsimProbes — JVM sign arithmetic on the same literal
+    // vectors). The candidate flags ride the SAME masked-max groupBy
+    // as the similarity maxes (4 extra max(case bucket in …) columns —
+    // stage 1 adds ZERO shuffles), and both rankings (full +
+    // candidate-only) come from two windows over ONE aggregate pass.
+    // Output per query: candidate count, top-10 overlap vs the
+    // exhaustive ranking, recall@10, top-1 agreement — the
+    // ann_recall_eval protocol applied to late interaction.
+    "search_maxsim_pruned" -> {
+      val nQ = Wm.MaxSimQueries.size
+      val idx = 1 to Wm.MaxSimDim
+      val terms = Wm.MaxSimQueries.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (q, i + 1, t) } }
+      def rk(k: Int) =
+        s"cast(${prf(d)("'mv'", "wd", k.toString)} % 2001 - 1000 as double) / cast(1000 as double)"
+      val nrm = s"sqrt(${idx.map(k => s"r$k * r$k").mkString(" + ")})"
+      val maxCols = terms.map { case (q, i, t) =>
+        val w = graft.functions.WmConst.maxsimVec(t)
+        val dot = idx.map(k => s"t$k * cast(${w(k - 1)} as double)").mkString(" + ")
+        s"max(${roundAway(d)(dot, 6)}) as m${q}_$i"
+      }
+      val flagCols = Wm.MaxSimQueries.map { case (q, ts) =>
+        val probes = ts.flatMap(graft.functions.WmConst.maxsimProbes).distinct.sorted
+        s"max(case when bkt in (${probes.mkString(", ")}) then 1 else 0 end) as f$q"
+      }
+      val scoreCols = Wm.MaxSimQueries.map { case (q, ts) =>
+        ts.indices.map(i => bigint(roundAway(d)(s"m${q}_${i + 1} * 1000000", 0)))
+          .mkString("(", " + ", s") as s$q")
+      }
+      def qCase(col: String) = "case qq.qid " +
+        Wm.MaxSimQueries.map { case (q, _) => s"when $q then $col$q" }.mkString(" ") + " end"
+      val overlap = "sum(case when rn_full <= 10 and f = 1 and rn_f <= 10 then 1 else 0 end)"
+      s"""with $wordCtes,
+         |tok as (select doc_id, wd from wx where wpos <= ${Wm.MaxSimTokens}),
+         |tvr as (select wd, ${idx.map(k => s"${rk(k)} as r$k").mkString(",\n|          ")}
+         |        from (select distinct wd from tok) _u),
+         |tv as (select wd, ${idx.map(k => s"case when $nrm > 0 then r$k / $nrm else r$k end as t$k").mkString(",\n|         ")}
+         |       from tvr),
+         |tvb as (select wd, ${idx.map(k => s"t$k").mkString(", ")},
+         |          ${idx.map(k => s"(case when t$k > 0 then ${1 << (k - 1)} else 0 end)").mkString(" + ")} as bkt
+         |        from tv),
+         |tj as (select t.doc_id, ${idx.map(k => s"tv.t$k").mkString(", ")}, tv.bkt from tok t join tvb tv on tv.wd = t.wd),
+         |mx as (select doc_id, ${(maxCols ++ flagCols).mkString(",\n|         ")}
+         |       from tj group by doc_id),
+         |sc as (select doc_id, ${(scoreCols ++ Wm.MaxSimQueries.map { case (q, _) => s"f$q" }).mkString(",\n|         ")} from mx),
+         |sq as (select sc.doc_id, qq.qid, ${qCase("s")} as s, ${qCase("f")} as f
+         |       from sc cross join ${rangeTable("qq", "qid", 1, nQ)}),
+         |rf as (select qid, doc_id, s, f, row_number() over (partition by qid order by s desc, doc_id) as rn_full from sq),
+         |rp as (select qid, doc_id, s, f, rn_full, row_number() over (partition by qid, f order by s desc, doc_id) as rn_f from rf)
+         |select ${bigint("qid")} as qid, ${bigint("sum(f)")} as n_cand,
+         |  ${bigint(overlap)} as overlap10,
+         |  ${roundAway(d)(s"$overlap / cast(10 as double)", 2)} as recall10,
+         |  ${bigint("max(case when rn_full = 1 and f = 1 and rn_f = 1 then 1 else 0 end)")} as top1_match
+         |from rp group by qid""".stripMargin
     },
 
     // PCA RECONSTRUCTION-ERROR OOD AUDIT (21f3) — the subspace

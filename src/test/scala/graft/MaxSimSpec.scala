@@ -59,4 +59,50 @@ class MaxSimSpec extends AnyFunSuite {
     val tv = WmConst.maxsimVec(hit._2.find(q1Terms.contains).get)
     assert(math.abs(rr(dot(tv, tv), 6) - 1.0) < 2e-6)
   }
+
+  test("search_maxsim_pruned: exact JVM mirror of candidates, overlap and top-1 agreement") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).take(Wm.MaxSimTokens))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val got = SparkEntry.queries("search_maxsim_pruned")(spark, TestSpark.Sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(got.keySet == Wm.MaxSimQueries.map(_._1.toLong).toSet)
+    Wm.MaxSimQueries.foreach { case (q, ts) =>
+      val tvs = ts.map(WmConst.maxsimVec)
+      val probes = ts.flatMap(WmConst.maxsimProbes).toSet
+      val scored = docs.map { case (id, toks) =>
+        val vecs = toks.map(WmConst.maxsimVec)
+        val s = tvs.map { tv =>
+          rr(vecs.map(v => rr(dot(v, tv), 6)).max * 1000000, 0).toLong
+        }.sum
+        val cand = vecs.exists(v => probes(WmConst.maxsimBucket(v)))
+        (id, s, cand)
+      }
+      val full10 = scored.sortBy { case (id, s, _) => (-s, id) }.take(10).map(_._1).toSet
+      val cands = scored.filter(_._3)
+      val pr10 = cands.sortBy { case (id, s, _) => (-s, id) }.take(10).map(_._1).toSet
+      val r = got(q.toLong)
+      assert(r.getAs[Long]("n_cand") == cands.length.toLong, s"query $q candidates")
+      assert(r.getAs[Long]("overlap10") == full10.intersect(pr10).size.toLong,
+        s"query $q overlap")
+      assert(r.getAs[Double]("recall10") ==
+        rr(full10.intersect(pr10).size / 10.0, 2), s"query $q recall")
+      val top1Full = scored.minBy { case (id, s, _) => (-s, id) }._1
+      val top1Pr = cands.minBy { case (id, s, _) => (-s, id) }._1
+      assert(r.getAs[Long]("top1_match") ==
+        (if (top1Full == top1Pr) 1L else 0L), s"query $q top1")
+      // the pruning must actually prune AND keep recall meaningful at
+      // this SF (exact-term docs are always candidates: a term's own
+      // token sits in its own bucket)
+      assert(cands.length < docs.length, s"query $q pruned nothing")
+      assert(r.getAs[Long]("overlap10") >= 5, s"query $q recall collapsed")
+    }
+  }
 }
