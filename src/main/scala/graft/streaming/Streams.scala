@@ -1136,6 +1136,52 @@ object Streams {
     * EventTimeTimeout (the sessionCurveStream discipline), dropping
     * that day's second-map and carrying only (day, net) forward —
     * state then bounded by the watermark horizon. */
+  case class BandDelta(docId: Long, bb: Int, bandv: Long, delta: Int)
+
+  /** Streaming CDC-upsert maintenance of the banded signature index —
+    * the incremental twin of the batch `dedup_upsert` maintenance
+    * path: a stream of (ts, doc_id, text) upserts (empty text =
+    * DELETE) keyed by doc_id keeps each doc's last 60-bit simhash as
+    * state (functions.SimHash — the integer-exact JVM twin of the
+    * generated signature chain) and emits the BAND-ROW DELTA an index
+    * maintainer applies to its blocking table: −1 rows for the
+    * outgoing signature's bands, +1 rows for the incoming one's; an
+    * upsert that does not change the signature emits nothing. The
+    * bands partition the 60 bits, so the accumulated +1 rows per doc
+    * reassemble the exact signature — on an insert-only replay the
+    * maintained state equals the oracle-gated batch `dedup_simhash`
+    * key long-for-long however the stream splits into micro-batches
+    * (StreamingUpsertSpec pins it, plus the update/delete
+    * retract-then-assert protocol). Events within a micro-batch fold
+    * in timestamp order (ties by arrival) — the same in-order
+    * contract as the other twins. State is 8 bytes per live doc. */
+  def upsertStream(ups: Dataset[(Timestamp, Long, String)]): Dataset[BandDelta] = {
+    import ups.sparkSession.implicits._
+    val NoSig = -1L // signatures are 60-bit non-negatives
+    ups
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, BandDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (docId, it, state: GroupState[Long]) =>
+          var cur = state.getOption.getOrElse(NoSig)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandDelta]
+          it.toSeq.sortBy(_._1.getTime).foreach { case (_, _, text) =>
+            val next = if (text.isEmpty) NoSig else graft.functions.SimHash.sig(text)
+            if (next != cur) {
+              if (cur != NoSig)
+                graft.functions.SimHash.bands(cur).foreach { case (bb, v) =>
+                  out += BandDelta(docId, bb, v, -1) }
+              if (next != NoSig)
+                graft.functions.SimHash.bands(next).foreach { case (bb, v) =>
+                  out += BandDelta(docId, bb, v, 1) }
+              cur = next
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   def concurrencyStream(sessions: Dataset[(Long, Long)]): Dataset[ConcPoint] = {
     import sessions.sparkSession.implicits._
     sessions
