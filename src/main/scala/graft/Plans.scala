@@ -91,6 +91,7 @@ object Plans {
     "vec_topk_ivf" -> "sqrt(N) sampled cells, Lloyd steps train on an 8*sqrt(N) sample, ONE full-corpus assignment; every assignment is a map-side-combinable max(struct) hash aggregation over the broadcast centroid cross join — no N*k window sort anywhere",
     "pca_project2d" -> "one 44-aggregate covariance pass over the corpus; the power-iteration eigensolve runs as bounded driver math (operators.PcaSolve, hash-pinned to the oracle's SQL chain), and the projection is ONE map-only corpus scan with the solved axes as exact double literals — two corpus passes total, no 1-row aggregation chain",
     "vec_mds2d" -> "landmark pick is a TakeOrderedAndProject (top-32 by PRF rank — no global sort materialized); the 8x8 landmark-moment eigensolve runs as bounded driver math (PcaSolve over 32 collected rows, hash-pinned to the oracle's pivot+chain rendering), and the projection is ONE map-only corpus scan with the solved axes as exact double literals — axes cost O(1) at any corpus size, serve cost = one pass",
+    "graph_lpa_curve" -> "(r10) the curve references the label table x3 and the undirected edges x3, so the serving path reads the checkpointed 3-round label scratch (g_lpa_rounds) + the betweenness-shared g_edges_sym view — six cheap parquet scans where the inline form re-ran the LPA rounds and the edge dedup per reference (measured 6.2 -> 0.56 s warm at sf0.1)",
     "search_maxsim_pruned" -> "stage-1 pruning with ZERO added shuffles: the sign-bucket candidate flags are 4 extra max(case bucket in <literal probes>) columns inside the SAME masked-max groupBy that computes the similarity maxes, and the full + candidate-only rankings are two sequential windows over ONE aggregate pass (never two evaluations of the corpus aggregate)",
     "wm_nn_decode" -> "the MLP forward pass is ONE map-only corpus scan — all ~1.4k multiply-adds per row run as unrolled literal arithmetic inside whole-stage codegen (weights are plan-time literals, the planesFor convention; codegen CSE computes each hidden unit once despite the projection collapse), then one 49-column aggregation and a 24-row readout off the 1-row result (cross join against the literal position grid — the aggregate is referenced ONCE, never per-position)",
     "vec_graph_compact" -> "reverse-link merge touching ONLY the affected adjacency: the append beam reuses the cached g_knn chain views, reverse candidates are the forward links flipped (delta-sized), and the K-cap prune is one window over (affected base edges UNION candidates) — the unaffected graph is never re-ranked; census rows are small tagged aggregations",

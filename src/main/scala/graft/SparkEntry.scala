@@ -373,6 +373,22 @@ object SparkEntry {
         Scratch.table(s, dir, "g_lpa", sparkGen.lpaBuildSql)
         s.sql(sparkGen.graphModularitySql(Some("g_lpa")))
       }),
+      // the LPA convergence curve over the checkpointed 3-round label
+      // table + the betweenness-shared symmetrized edge scratch (r10):
+      // the curve references labels ×3 and edges ×3 — view-backed
+      // those are six cheap parquet scans; inline they re-ran the LPA
+      // rounds and the edge dedup per reference (the stage-heavy shape
+      // that amplified ambient load into a 3× bench reading)
+      "graph_lpa_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_edges_sym_p$planes"
+        Scratch.table(s, dir, v,
+          "select src, dst from g_knn union select dst, src from g_knn")
+        Scratch.table(s, dir, "g_lpa_rounds", sparkGen.lpaRoundsBuildSql)
+        s.sql(sparkGenFor(s, dir).graphLpaCurveSql(Some(("g_lpa_rounds", v))))
+      }),
       // per-community conductance over the same checkpointed LPA
       // labels (the kept community assignment) + the served kNN edges
       "graph_conductance" -> ((s, dir) => {

@@ -10278,30 +10278,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // censuses joined per level — exact integer counts, one double
     // division per round. 3-row output; the spec pins round-3
     // equality with the served graph_modularity report.
-    "graph_lpa_curve" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      s"""${wmChain("knn")},
-         |$lpaCtes,
-         |lab as (select 1 as r, id, lab from l1
-         |        union all select 2, id, lab from l2
-         |        union all select 3, id, lab from l3),
-         |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
-         |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),
-         |mm as (select ${bigint("count(*)")} as m from und),
-         |deg as (select v, ${bigint("count(*)")} as dg from (
-         |          select a as v from und union all select b as v from und) _d group by v),
-         |intra as (select la.r, ${bigint("count(*)")} as ic
-         |          from und join lab la on la.id = und.a join lab lb on lb.id = und.b and lb.r = la.r
-         |          where la.lab = lb.lab group by la.r),
-         |dc as (select lab.r, lab.lab, sum(coalesce(deg.dg, 0)) as dsum
-         |       from lab left join deg on deg.v = lab.id group by lab.r, lab.lab),
-         |dq as (select r, ${bigint("sum(dsum * dsum)")} as sds, ${bigint("count(*)")} as n_communities from dc group by r)
-         |select ${bigint("q.r")} as n_rounds, q.n_communities, i.ic as intra_edges, m.m as m_edges,
-         |  ${roundAway(d)(
-            "cast(i.ic as double) / cast(m.m as double) - cast(q.sds as double) / (cast(4 as double) * cast(m.m as double) * cast(m.m as double))",
-            6)} as modularity
-         |from dq q join intra i on i.r = q.r cross join mm m""".stripMargin
-    },
+    "graph_lpa_curve" -> graphLpaCurveSql(None),
 
     // CHI-SQUARE INDEPENDENCE: event_type × day-of-week — "does WHAT
     // users do depend on WHEN they show up?" (the categorical
@@ -12079,6 +12056,56 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * modularity readout references the labels three times (Catalyst
     * re-inlines multi-referenced CTEs, which would re-run the 3 LPA
     * rounds per reference). */
+  /** All three LPA rounds' labels as a standalone build (r, id, lab) —
+    * the graph_lpa_curve serving scratch (r10): the curve references
+    * the label table 3× and the undirected edge set 3×, so the inline
+    * rendering re-ran the 3 LPA rounds and the edge dedup per
+    * reference under Catalyst's CTE re-inlining — the stage-heavy
+    * shape that amplified ambient load into a 3× bench reading. */
+  def lpaRoundsBuildSql: String =
+    s"""${wmChain("knn")},
+       |$lpaCtes,
+       |lab as (select 1 as r, id, lab from l1
+       |        union all select 2, id, lab from l2
+       |        union all select 3, id, lab from l3)
+       |select r, id, lab from lab""".stripMargin
+
+  /** LPA convergence curve (modularity per round). `labFrom`:
+    * Some((labView, symEdgesView)) reads the scratch label rounds and
+    * the betweenness-shared symmetrized edge table (the Spark serving
+    * path); None inlines everything (the oracle, DuckDB-materialized). */
+  def graphLpaCurveSql(labFrom: Option[(String, String)]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val prefix = labFrom match {
+      case Some((labView, edgesView)) =>
+        s"""with lab as (select r, id, lab from $labView),
+           |und as (select src as a, dst as b from $edgesView where src < dst),""".stripMargin
+      case None =>
+        s"""${wmChain("knn")},
+           |$lpaCtes,
+           |lab as (select 1 as r, id, lab from l1
+           |        union all select 2, id, lab from l2
+           |        union all select 3, id, lab from l3),
+           |und as $matKw(select least(src, dst) as a, greatest(src, dst) as b
+           |              from knn where src <> dst group by least(src, dst), greatest(src, dst)),""".stripMargin
+    }
+    s"""$prefix
+       |mm as (select ${bigint("count(*)")} as m from und),
+       |deg as (select v, ${bigint("count(*)")} as dg from (
+       |          select a as v from und union all select b as v from und) _d group by v),
+       |intra as (select la.r, ${bigint("count(*)")} as ic
+       |          from und join lab la on la.id = und.a join lab lb on lb.id = und.b and lb.r = la.r
+       |          where la.lab = lb.lab group by la.r),
+       |dc as (select lab.r, lab.lab, sum(coalesce(deg.dg, 0)) as dsum
+       |       from lab left join deg on deg.v = lab.id group by lab.r, lab.lab),
+       |dq as (select r, ${bigint("sum(dsum * dsum)")} as sds, ${bigint("count(*)")} as n_communities from dc group by r)
+       |select ${bigint("q.r")} as n_rounds, q.n_communities, i.ic as intra_edges, m.m as m_edges,
+       |  ${roundAway(d)(
+          "cast(i.ic as double) / cast(m.m as double) - cast(q.sds as double) / (cast(4 as double) * cast(m.m as double) * cast(m.m as double))",
+          6)} as modularity
+       |from dq q join intra i on i.r = q.r cross join mm m""".stripMargin
+  }
+
   def lpaBuildSql: String =
     s"""${wmChain("knn")},
        |$lpaCtes
