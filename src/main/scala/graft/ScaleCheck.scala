@@ -152,7 +152,8 @@ object ScaleCheck {
       "dedup_quality_impact", "graph_betweenness", "graph_closeness",
       "events_markov_stationary", "vec_pca_residual",
       "multimodal_bmp_resize", "graph_knn_degree_curve",
-      "vec_mds2d", "dedup_upsert").filter(only)) {
+      "vec_mds2d", "dedup_upsert", "vec_graph_compact",
+      "graph_lpa_curve").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }
