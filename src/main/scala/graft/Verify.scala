@@ -119,16 +119,20 @@ object Verify {
     // tools/check_oracle.py prefers when present, and a full run
     // removes any stale sibling.
     val subsetPath = Paths.get(s"$outDir/oracle_sql_subset.json")
-    if (smoke)
-      dumpJson(s"$outDir/oracle_sql.json",
-        SparkEntry.oracleSql.view.filterKeys(smokeKeys.contains).toMap)
-    else {
-      dumpJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
-      onlyKeys match {
-        case Some(ks) => dumpJson(subsetPath.toString,
-          SparkEntry.oracleSql.view.filterKeys(ks).toMap)
-        case None => Files.deleteIfExists(subsetPath): Unit
-      }
+    // oracle_sql.json carries the FULL map in every mode; the dumped
+    // subset (smoke canary or --keys filter) goes to the sibling file
+    // check_oracle.py prefers, and a full run removes any stale
+    // sibling — so a reused outDir can never grade a stale subset as
+    // a clean full pass (r10 ADVICE: the smoke branch used to
+    // OVERWRITE oracle_sql.json with the filtered map and leave any
+    // old subset file in place).
+    dumpJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+    val subsetKeys: Option[Set[String]] =
+      if (smoke) Some(smokeKeys.toSet) else onlyKeys
+    subsetKeys match {
+      case Some(ks) => dumpJson(subsetPath.toString,
+        SparkEntry.oracleSql.view.filterKeys(ks).toMap)
+      case None => Files.deleteIfExists(subsetPath): Unit
     }
 
     val spark = SparkSession.builder()

@@ -1177,7 +1177,11 @@ object Streams {
               cur = next
             }
           }
-          state.update(cur)
+          // a deleted doc carries no information — drop its state row
+          // entirely instead of parking a NoSig sentinel forever, so
+          // delete-heavy CDC streams don't grow state per dead doc
+          // (the '8 bytes per LIVE doc' bound in the doc comment)
+          if (cur == NoSig) state.remove() else state.update(cur)
           out.iterator
       }
   }

@@ -27,6 +27,12 @@ class BandLadderSpec extends AnyFunSuite {
     assert(Wm.simhashBandsFor(2000000L) == 3)
     assert(Wm.simhashBandsFor(34952533L) == 3)    // ⌊50·2^21/3⌋
     assert(Wm.simhashBandsFor(34952534L) == 2)
+    // the 2×30 rung's own constraint boundary: 50·2^31/2 ≈ 5.4×10¹⁰
+    // docs; past it the ladder has no wider rung, so the formula
+    // stays at 2 (bounded candidate work is then a corpus-partition
+    // concern, not a band-geometry one)
+    assert(Wm.simhashBandsFor(53687091200L) == 2) // 50·2^31/2 exactly
+    assert(Wm.simhashBandsFor(53687091201L) == 2) // fallback floor
     // every rung divides the 60-bit signature (Gen's require)
     Seq(5, 4, 3, 2).foreach(b => assert(60 % b == 0))
     // the verify/smoke SFs sit at the static floor, so the dumped
