@@ -80,7 +80,8 @@ object Scratch {
       val tmp = new File(root,
         s"${base.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       tmp.mkdirs()
-      val parts = math.max(1L, math.min(32L,
+      val parts = math.max(1L, math.min(
+        spark.sessionState.conf.numShufflePartitions.toLong,
         Tables.vectorCount(spark, dir) / 200000L)).toInt
       val p = new File(tmp, name).getAbsolutePath
       spark.sql(sql).repartition(parts).write.mode("overwrite").parquet(p)

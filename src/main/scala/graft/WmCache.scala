@@ -70,10 +70,10 @@ object WmCache {
     "ann_refine_curve", "graph_path_length", "wm_collusion", "graph_hubness",
     "wm_multi_tenant", "wm_repair", "ann_recall_at_k_curve", "wm_delta_curve", "wm_audit_curve",
     "dedup_semantic_curve", "graph_lpa_curve", "vec_kmeans_elbow", "graph_eigen_centrality", "wm_rate_curve",
-    "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
+    "wm_extract_ids", "ann_filter_strategy_curve",
     "graph_spectral", "graph_percolation_curve", "wm_recover_registry",
     "vec_topk_graph_filtered", "vec_bq_rotation", "graph_betweenness",
-    "ann_recall_after_delete", "graph_knn_degree_curve", "vec_graph_compact")
+    "ann_recall_after_delete", "graph_knn_degree_curve")
 
   private case class Entry(dir: String, dfs: Seq[DataFrame])
   private val state = new java.util.concurrent.ConcurrentHashMap[SparkSession, Entry]()
@@ -184,7 +184,8 @@ object WmCache {
       // still fans out. repartition (not coalesce): coalesce would
       // narrow the whole upstream computation to `parts` tasks; the
       // extra exchange is tiny exactly when parts is small
-      val parts = math.max(1L, math.min(32L,
+      val parts = math.max(1L, math.min(
+        spark.sessionState.conf.numShufflePartitions.toLong,
         Tables.vectorCount(spark, dir) / 200000L)).toInt
       inChains(stages) { case (view, sql) =>
         val p = new File(tmp, view).getAbsolutePath
