@@ -92,11 +92,11 @@ object Plans {
     "pca_project2d" -> "one 44-aggregate covariance pass over the corpus; the power-iteration eigensolve runs as bounded driver math (operators.PcaSolve, hash-pinned to the oracle's SQL chain), and the projection is ONE map-only corpus scan with the solved axes as exact double literals — two corpus passes total, no 1-row aggregation chain",
     "vec_mds2d" -> "landmark pick is a TakeOrderedAndProject (top-32 by PRF rank — no global sort materialized); the 8x8 landmark-moment eigensolve runs as bounded driver math (PcaSolve over 32 collected rows, hash-pinned to the oracle's pivot+chain rendering), and the projection is ONE map-only corpus scan with the solved axes as exact double literals — axes cost O(1) at any corpus size, serve cost = one pass",
     "graph_lpa_curve" -> "(r10) the curve references the label table x3 and the undirected edges x3, so the serving path reads the checkpointed 3-round label scratch (g_lpa_rounds) + the betweenness-shared g_edges_sym view — six cheap parquet scans where the inline form re-ran the LPA rounds and the edge dedup per reference (measured 6.2 -> 0.56 s warm at sf0.1)",
-    "search_maxsim_pruned" -> "stage-1 pruning with ZERO added shuffles: the sign-bucket candidate flags are 4 extra max(case bucket in <literal probes>) columns inside the SAME masked-max groupBy that computes the similarity maxes, and the full + candidate-only rankings are two sequential windows over ONE aggregate pass (never two evaluations of the corpus aggregate)",
+    "search_maxsim_pruned" -> "stage-1 pruning with ZERO added shuffles: the sign-bucket candidate flags are 4 extra max(case bucket in <literal probes>) columns inside the SAME masked-max groupBy that computes the similarity maxes, and the full + candidate-only rankings are two sequential windows over ONE aggregate pass (never two evaluations of the corpus aggregate). The windows here are INHERENT to the eval, not a missed rewrite: n_cand = sum(f) needs every ranked row (no rn<=k filter for RewriteWindowTopK to subsume), and restructuring into three bounded aggregates would re-derive the corpus-priced score table per reference — the SERVING path with the bounded-state ranking is search_maxsim",
     "wm_nn_decode" -> "the MLP forward pass is ONE map-only corpus scan — all ~1.4k multiply-adds per row run as unrolled literal arithmetic inside whole-stage codegen (weights are plan-time literals, the planesFor convention; codegen CSE computes each hidden unit once despite the projection collapse), then one 49-column aggregation and a 24-row readout off the 1-row result (cross join against the literal position grid — the aggregate is referenced ONCE, never per-position)",
-    "vec_graph_compact" -> "reverse-link merge touching ONLY the affected adjacency: the append beam reuses the cached g_knn chain views, reverse candidates are the forward links flipped (delta-sized), and the K-cap prune is one window over (affected base edges UNION candidates) — the unaffected graph is never re-ranked; census rows are small tagged aggregations",
+    "vec_graph_compact" -> "reverse-link merge touching ONLY the affected adjacency: the append batch's beam-search links come from the SHARED g_applinks scratch artifact (built once per session/dir — vec_graph_append reads the same product, so the compact serving leg never re-runs the 3-hop beam), reverse candidates are the forward links flipped (delta-sized), and the K-cap prune is one window over (affected base edges UNION candidates) — the unaffected graph is never re-ranked; census rows are small tagged aggregations",
     "dedup_upsert" -> "pair-table maintenance without a rebuild: the stale drop is a FILTER over the scratch-persisted pair artifact, the re-sign touches only the 5% updated docs, and the new-pair discovery is a DELTA-vs-post band join (delta-sized left side) — the full corpus is never re-paired; the per-hamming census + integer checksums are small aggregations over the maintained set",
-    "search_maxsim" -> "late-interaction MaxSim with NO (token x term) pair shuffle: query-term vectors are plan-time JVM literals (WmConst.maxsimVec), doc-token vectors derive over the DISTINCT vocabulary (vocab-sized, not token-count-sized), and the per-(doc, term) maxes are 12 masked max columns in ONE map-side-combinable groupBy over the bounded 16-token explode; the two cross joins are against <= 12-row literal tables (broadcast nested loops). Ranking = |Q|*N rows through a per-query window — the grouped native top-k (RowTopKAgg) is the stated 100 TB path",
+    "search_maxsim" -> "late-interaction MaxSim with NO (token x term) pair shuffle: query-term vectors are plan-time JVM literals (WmConst.maxsimVec), doc-token vectors derive over the DISTINCT vocabulary (vocab-sized, not token-count-sized), and the per-(doc, term) maxes are 12 masked max columns in ONE map-side-combinable groupBy over the bounded 16-token explode; the two cross joins are against <= 12-row literal tables (broadcast nested loops). Ranking: the rn<=10 window rendering is REWRITTEN by RewriteWindowTopK into the bounded-state graft_topk_rows aggregate (the ObjectHashAggregate pair + posexplode below — map-side partials keep <= 10 rows per query per partition, the exchange carries O(|Q|*10), nothing sorts the |Q|*N stream); MaxSimTopKSpec pins the rewrite",
     "vec_topk_pq" -> "PQ: codebooks train on a 512-row sample, ONE corpus pass encodes 8 codes/vector (map-side max(struct) argmax over broadcast centroids), ADC scan joins the tiny |Q|*M*K lookup onto the code table — corpus-side state is codes, not vectors",
     "graph_pagerank" -> "3 unrolled power-iteration steps over the g_knn view: each one edge join + map-side-combinable groupBy(dst); INTEGER picorank arithmetic so the iterated sums are aggregation-order-proof",
     "vec_quantize" -> "per-dim min/max stats shuffle + map-side clamped-floor encode (constant-dim branch); codes never shuffle, error report is one combinable agg",
@@ -246,12 +246,16 @@ object Plans {
     "q_key_skew" -> "three column-pruned single-column scans union into per-key counts; all readouts fold over the count-of-counts census with domain-bounded windows",
     "vec_topk_ip" -> "brute O(|Q| x N) raw-dot baseline over the 5-query literal set; per-query window over candidate rows only (WindowGroupLimit + the graft_topk rewrite apply)",
     "vec_topk_l1" -> "64-term unrolled |a-b| literal sum inside whole-stage codegen; same |Q| x N candidate shape as the other brute baselines",
+    "vec_topk_ip_lsh" -> "MIPS rung via norm-augmentation (Bachrach 2014): aug coordinate = one sqrt over (1-row broadcast max norm, per-row norm), bucket ids are unrolled +/-1-literal arithmetic over (Dim+1) components inside whole-stage codegen (zero shuffles to route), candidates from (t, b) equality, exact IP re-rank bounded-state under the graft_topk rewrite",
+    "ann_recall_eval_ip" -> "the ann_recall_eval protocol on the MIPS rung: brute leg bounded O(|Q| x N) on the literal query set, rung leg re-joins the shared candidate CTE, hits via one left join",
+    "vec_topk_l1_lsh" -> "L1 rung via Cauchy p-stable hashes (Datar 2004): floor((a.x + b)/w) with a as JVM-computed decimal literals (libm tan never crosses an engine), J=2 joint-equality hashes per table, exact unrolled-L1 re-rank only within candidates",
+    "ann_recall_eval_l1" -> "the ann_recall_eval protocol on the L1 rung: brute leg bounded O(|Q| x N), rung leg re-joins the shared candidate CTE, hits via one left join",
     "events_corr_matrix" -> "one daily groupBy; the all-pairs Pearson join runs over the |types| x |days| zero-filled census grid, never events",
     "wm_rate_curve" -> "degree census + ES scores computed once off the cached g_indeg; each rung is a prefix cutoff of one global degree ranking; only the within-pool two-pass score ranking re-runs per rung over <= 1.5 r N rows",
     "q_promo_did" -> "part dim broadcast onto the fact scan, one combinable groupBy onto 4 cells; all estimate columns are tiny cell cross joins",
     "events_ab_power" -> "one conditional per-variant aggregation (same scan as events_ab_test); everything downstream is 2-row arithmetic",
     "wm_extract_ids" -> "registry-path extraction: the persisted carrier-id scratch table broadcast-semi-joins the attacked full corpus (rate*N matched rows), then ONE masked-sum decode aggregation + the tiny vote groupBy — no selection-chain rebuild, no full-table CRC noise floor",
-    "vec_graph_append" -> "incremental HNSW insert: the PRF-selected batch derives map-side from the nv scan; 3 beam hops expand against the cached g_knn edge view with broadcast shortlist joins (per-qid rank windows are bounded-state under the graft_topk rewrite); reverse-link updates join the batch links against the per-src worst-edge aggregate — O(|batch|*hops*beam*K) score rows, the existing graph is never rescanned",
+    "vec_graph_append" -> "incremental HNSW insert: the beam-search product (per-new-vector forward links) is the scratch-persisted g_applinks artifact — built once per session/dir (PRF-selected batch map-side from the nv scan, 3 beam hops against the cached g_knn edge view with broadcast shortlist joins, per-qid rank windows bounded-state under the graft_topk rewrite) and SHARED with vec_graph_compact; the readout joins the links view against the per-src worst-edge aggregate — O(|batch|*hops*beam*K) score rows once, the existing graph is never rescanned",
     "search_rerank_agreement" -> "reads the cached g_hybrid_scores two-leg table; shortlist via the bucketed pre-rank (no single-partition corpus window); every rank, tau pair count, and overlap computation is a cross join over <= 30 survivor rows (<= 435 pairs) — constant-sized at any corpus",
     "ann_filter_strategy_curve" -> "post-filter leg ranks the shared g_bkt candidates once (per-qid bounded windows), each selectivity rung is a conditional re-rank of <= 40 survivors; the pre-filter truth leg scores the |Q|*N pair grid once and re-ranks per rung — the crossover's two cost axes land as columns, not re-scans",
     "dedup_tier_eval" -> "truth chain is SAMPLE-SIZED end to end (10% PRF docs -> 3-gram sets -> shared-gram pair join); tier decisions read the served scratch tables (g_mhsig band re-join restricted to the sample, g_simpairs filtered) — the eval costs O(sample), never the corpus; TP/FP/FN are two left joins against the materialized truth-pair set",

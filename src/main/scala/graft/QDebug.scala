@@ -19,21 +19,31 @@ object QDebug {
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    var t0 = System.nanoTime()
-    println(s"[qdebug] $name count=${df.count()} first=${(System.nanoTime() - t0) / 1e9}s")
-    t0 = System.nanoTime()
-    println(s"[qdebug] $name count=${df.count()} second=${(System.nanoTime() - t0) / 1e9}s")
-    if (args.contains("dump")) {
-      val out = "/tmp/qdump"
-      df.repartition(1).write.mode("overwrite").parquet(s"$out/$name")
-      val esc = SparkEntry.oracleSql(name)
-        .replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t")
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-        s"""{"$name": "$esc"}""".getBytes("UTF-8"))
+    // comma-separated names share one warm JVM/session — the shape a
+    // targeted drift adjudication needs (three timed counts per key,
+    // the first is the cold/codegen touch)
+    val names = name.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dumped = Seq.newBuilder[String]
+    for (nm <- names) {
+      val df = SparkEntry.queries(nm)(spark, sfDir)
+      if (args.contains("explain")) df.explain("formatted")
+      var t0 = System.nanoTime()
+      println(s"[qdebug] $nm count=${df.count()} first=${(System.nanoTime() - t0) / 1e9}s")
+      t0 = System.nanoTime()
+      println(s"[qdebug] $nm count=${df.count()} second=${(System.nanoTime() - t0) / 1e9}s")
+      t0 = System.nanoTime()
+      println(s"[qdebug] $nm count=${df.count()} third=${(System.nanoTime() - t0) / 1e9}s")
+      if (args.contains("dump")) {
+        df.repartition(1).write.mode("overwrite").parquet(s"/tmp/qdump/$nm")
+        val esc = SparkEntry.oracleSql(nm)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t")
+        dumped += s""""$nm": "$esc""""
+      }
     }
+    if (args.contains("dump"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/qdump/oracle_sql.json"),
+        dumped.result().mkString("{", ", ", "}").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -108,10 +108,19 @@ object ScaleCheck {
       "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram",
       "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue",
       "events_ab_uplift_deciles", "search_maxsim", "wm_nn_decode",
-      "search_maxsim_pruned")
+      "search_maxsim_pruned", "vec_topk_ip_lsh", "vec_topk_l1_lsh",
+      "ann_recall_eval_ip", "ann_recall_eval_l1")
 
     def run(gen: Gen, name: String): Double = {
-      val df = spark.sql(gen.sql(name))
+      // the two HNSW-maintenance keys live as Option[links] methods now
+      // (serving reads the shared scratch artifact); the inline form
+      // measured here is the N-geometry leg under test
+      val sqlText = name match {
+        case "vec_graph_append"  => gen.graphAppendSql(None)
+        case "vec_graph_compact" => gen.graphCompactSql(None)
+        case other               => gen.sql(other)
+      }
+      val df = spark.sql(sqlText)
       df.count() // warm: codegen + broadcast
       timeSec { df.count(); () }
     }
@@ -153,7 +162,7 @@ object ScaleCheck {
       "events_markov_stationary", "vec_pca_residual",
       "multimodal_bmp_resize", "graph_knn_degree_curve",
       "vec_mds2d", "dedup_upsert", "vec_graph_compact",
-      "graph_lpa_curve").filter(only)) {
+      "vec_graph_append", "graph_lpa_curve").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -101,21 +101,50 @@ object WmConst {
       }
     }
 
+  /** MIPS (inner-product) LSH hyperplane (t, p): ±1 per dim PLUS one
+    * extra ±1 for the norm-augmentation coordinate (Bachrach et al.
+    * 2014: x̃ = [x, √(M²−‖x‖²)] turns max-inner-product into cosine,
+    * after which sign-LSH applies; the query augments with 0, so its
+    * bucket drops the extra term). Index Dim (0-based) is the
+    * augmentation component. A fresh PRF tag keeps these planes
+    * independent of the cosine family. */
+  private val mipsPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def mipsPlanesFor(t: Int, p: Int): Array[Double] =
+    mipsPlaneCache.computeIfAbsent((t, p), { case (tt, pp) =>
+      Array.tabulate(Dim + 1)(dd0 =>
+        if (Prf.prfMod(2, "mips", tt, pp, dd0 + 1) == 0) 1.0 else -1.0)
+    })
+
+  /** Cauchy (p-stable, p = 1) projection vector (t, j) for the L1 LSH
+    * family (Datar et al. 2004): a_k = tan(π(u_k − ½)) with u_k a PRF
+    * uniform in (0, 1). COMPUTED HERE, IN THE JVM, and emitted as
+    * plan-time decimal literals in both SQL renderings — tan is a
+    * libm call whose last ulp differs across engines, so the only
+    * engine-proof rendering is a shared literal (the planesFor
+    * convention; decimal-literal parsing is correctly rounded in both
+    * engines, so each consumes the identical double). */
+  private val cauchyCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def cauchyFor(t: Int, j: Int): Array[Double] =
+    cauchyCache.computeIfAbsent((t, j), { case (tt, jj) =>
+      Array.tabulate(Dim) { k =>
+        val u = (Prf.prfMod(1000003, "l1a", tt, jj, k + 1) + 0.5) / 1000003.0
+        math.tan(math.Pi * (u - 0.5))
+      }
+    })
+
+  /** The L1 hash's uniform shift, in [0, 1) — scaled by the bucket
+    * width at the call site and emitted as one literal. */
+  def cauchyShiftFor(t: Int, j: Int): Double =
+    Prf.prfMod(1000003, "l1b", t, j).toDouble / 1000003.0
+
   /** MinHash universal-hash coefficients: mh_r(h) = (a_r*h + b_r) mod
     * 2^31-1, h the 31-bit shingle hash. a odd-ish nonzero. */
   val MinhashP = 2147483647L // 2^31 - 1
   def minhashCoef(r: Int): (Long, Long) =
     (Prf.prf("mha", r) % (MinhashP - 1) + 1, Prf.prf("mhb", r) % MinhashP)
 
-  /** MaxSim token pseudo-embedding (hash-embedding baseline for the
-    * late-interaction retrieval key): dim k (1-based) =
-    * (prf('mv', token, k) % 2001 − 1000) / 1000, then L2-normalized
-    * with a left-to-right norm fold. Every op is a single
-    * correctly-rounded IEEE step on exact integers (int mod, int
-    * subtract, one divide, one sqrt), so this JVM value is
-    * bit-identical to both SQL renderings of the same formula — the
-    * QUERY-term vectors inline as literals (the planesFor convention)
-    * while doc-token vectors render in SQL. */
   /** PRF-pinned MLP weights for the NN-decoder inference witness
     * (wm_nn_decode — the deep_learning-branch forward pass with
     * literal weights): every weight is (prf(tag, i, j) % 2001 − 1000)
@@ -138,6 +167,15 @@ object WmConst {
     b +: (0 until graft.sqlgen.Wm.MaxSimDim).map(k => b ^ (1 << k))
   }
 
+  /** MaxSim token pseudo-embedding (hash-embedding baseline for the
+    * late-interaction retrieval key): dim k (1-based) =
+    * (prf('mv', token, k) % 2001 − 1000) / 1000, then L2-normalized
+    * with a left-to-right norm fold. Every op is a single
+    * correctly-rounded IEEE step on exact integers (int mod, int
+    * subtract, one divide, one sqrt), so this JVM value is
+    * bit-identical to both SQL renderings of the same formula — the
+    * QUERY-term vectors inline as literals (the planesFor convention)
+    * while doc-token vectors render in SQL. */
   def maxsimVec(token: String): Array[Double] = {
     val dim = graft.sqlgen.Wm.MaxSimDim
     val r = Array.tabulate(dim)(k =>

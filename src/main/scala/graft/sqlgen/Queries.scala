@@ -52,8 +52,8 @@ object Wm {
     * strongest h ≤ bands−1 pigeonhole guarantee) whose expected random
     * band collisions, bands·N²/2^(bits+1), stay linear (≤ 50·N):
     * 5×12 holds to ~82k docs (50·2¹³/5), 4×15 to ~819k (50·2¹⁶/4),
-    * 3×20 to ~35M (50·2²¹/3), 2×30 past 10¹² — trading guaranteed
-    * recall radius (h ≤ 4 → 3 → 2 → 1) for
+    * 3×20 to ~35M (50·2²¹/3), 2×30 to ~5.4×10¹⁰ (50·2³¹/2) — trading
+    * guaranteed recall radius (h ≤ 4 → 3 → 2 → 1) for
     * bounded candidate work, the documented SURVEY §4 ladder. The
     * driver contract stays at the static default (the dumped oracle
     * SQL is scale-independent); scale runs construct a
@@ -232,6 +232,59 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   }
 
   private val lshCtes = "bkt as (" + lshBucketSql("nn") + ")"
+
+  /** MIPS (norm-augmented) sign-LSH routing — ev/nv + the 1-row max
+    * norm + augmented corpus buckets + un-augmented query buckets +
+    * candidate pairs. Shared by vec_topk_ip_lsh and its recall eval.
+    * Plane count = the session's `lshPlanes` (N-derived at scale,
+    * exactly the cosine family's knob). */
+  private lazy val mipsLshCtes: String = {
+    def bits(t: Int, withAug: Boolean): String =
+      (0 until lshPlanes).map { p =>
+        val w = WmConst.mipsPlanesFor(t, p)
+        val proj = wdot("v", w.take(Dim).toSeq) +
+          (if (withAug) s" + aug * cast(${w(Dim)} as double)" else "")
+        s"(case when ($proj) > 0 then ${1 << p} else 0 end)"
+      }.mkString("cast(", " + ", " as bigint)")
+    val corpus = (0 until LshTables)
+      .map(t => s"select id, $t as t, ${bits(t, withAug = true)} as b from av")
+      .mkString(" union all ")
+    val query = (0 until LshTables)
+      .map(t => s"select id, $t as t, ${bits(t, withAug = false)} as b from nv where id in ($qIdLit)")
+      .mkString(" union all ")
+    s"""$nvCtes,
+       |mxn as (select max(nrm) as m from nv),
+       |av as (select id, v, sqrt(greatest(mxn.m * mxn.m - nrm * nrm, cast(0 as double))) as aug
+       |       from nv cross join mxn),
+       |bkt as ($corpus),
+       |qb as ($query),
+       |cnd as (select distinct q.id as qid, b.id as cid
+       |        from qb q join bkt b on b.t = q.t and b.b = q.b and b.id <> q.id)""".stripMargin
+  }
+
+  /** Cauchy p-stable (p = 1) LSH routing for the L1 rung — per table
+    * J concatenated ⌊(a·x + b)/w⌋ hashes (joint equality), candidates
+    * from any table agreeing on all J. Shared by vec_topk_l1_lsh and
+    * its recall eval. */
+  private val L1Tables = 2
+  private val L1Hashes = 2
+  private val L1Width = 6.0
+  private lazy val l1LshCtes: String = {
+    def hashes(t: Int): String = (1 to L1Hashes).map { j =>
+      val a = WmConst.cauchyFor(t, j)
+      val b = WmConst.cauchyShiftFor(t, j) * L1Width
+      s"cast(floor((${wdot("v", a.toSeq)} + cast($b as double)) / cast($L1Width as double)) as bigint) as h$j"
+    }.mkString(", ")
+    val hashEq = (1 to L1Hashes).map(j => s"b.h$j = q.h$j").mkString(" and ")
+    val buckets = (0 until L1Tables)
+      .map(t => s"select id, $t as t, ${hashes(t)} from ev")
+      .mkString(" union all ")
+    s"""ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings),
+       |bkt as ($buckets),
+       |qb as (select * from bkt where id in ($qIdLit)),
+       |cnd as (select distinct q.id as qid, b.id as cid
+       |        from qb q join bkt b on b.t = q.t and $hashEq and b.id <> q.id)""".stripMargin
+  }
 
   /** The fixed query-id list as a SQL IN-list. */
   private val qIdLit = QueryIds.mkString(", ")
@@ -1182,7 +1235,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  ${bigint("hamming")} as hamming
          |from cand""".stripMargin
     else
-      s"""with sh2 as (select /*+ REPARTITION(32) */ doc_id, sig from $sigView),
+      s"""with sh2 as (select /*+ REPARTITION(doc_id) */ doc_id, sig from $sigView),
          |${simhashPairCtes("sh2")}
          |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b,
          |  ${bigint("hamming")} as hamming
@@ -1215,9 +1268,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val sigCtes = sigsFrom match {
       // the REPARTITION hint undoes the one-split parquet scan of the
       // small persisted sig table (see simhashPairsFromSigsSql — the
-      // post-state band join would otherwise stream through 1 task)
+      // post-state band join would otherwise stream through 1 task).
+      // Column form, no literal width: RepartitionByExpression with no
+      // count defaults to spark.sql.shuffle.partitions, so the same
+      // rendering fans out to 32 tasks on local[32] and to the
+      // configured width on a 1000-executor cluster.
       case Some(v) if d.name == "spark" =>
-        s"sh as (select /*+ REPARTITION(32) */ doc_id, sig from $v)"
+        s"sh as (select /*+ REPARTITION(doc_id) */ doc_id, sig from $v)"
       case Some(v) => s"sh as (select doc_id, sig from $v)"
       case None    => simhashSigCtes
     }
@@ -1335,7 +1392,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   /** Contracted-graph scratch builds (the Spark serving path's
     * componentsCtes inputs — see the contraction commentary there). */
   def simRepsBuildSql(sigsView: String): String = {
-    val hint = if (d.name == "spark") "/*+ REPARTITION(32) */ " else ""
+    // column form: width defaults to spark.sql.shuffle.partitions
+    // (session-derived, not a baked local[32] constant)
+    val hint = if (d.name == "spark") "/*+ REPARTITION(doc_id) */ " else ""
     s"""with sc as (select ${hint}doc_id, sig from $sigsView),
        |gs as (select sig, min(doc_id) as rep, count(*) as c from sc group by sig)
        |select s.doc_id, g.rep, g.c from sc s join gs g on g.sig = s.sig""".stripMargin
@@ -5218,46 +5277,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |where rn <= 10""".stripMargin
     },
 
-    // incremental graph-index maintenance (HNSW insert) — see
-    // graphAppendSql for the full design + scale commentary.
-    "vec_graph_append" -> graphAppendSql,
-
-    // HNSW MERGE/COMPACTION AFTER APPENDS (4k4) — vec_graph_append's
-    // missing sibling (r9 verdict item 7): appends leave the served
-    // graph with forward-only links (new → existing); the index is
-    // navigable back toward the new nodes only after the REVERSE
-    // links are merged in, and merging naively would blow the degree
-    // cap that makes beam search O(beam·M·hops). Compaction applies
-    // the textbook HNSW insert-repair: every forward link is a
-    // reverse-link candidate into its existing endpoint, the affected
-    // nodes' adjacency (base edges ∪ reverse candidates — a
-    // DELTA-sized set, never the whole graph) re-ranks per node by
-    // (sim desc, id), and everything past the K-cap is pruned.
-    // Output: tagged census — batch/link counts, affected set, the
-    // surviving reverse links, pruned edges, and the per-degree
-    // histogram of the compacted adjacency — all with exact integer
-    // checksums (Σ src·1048573 + dst). The spec (GraphCompactSpec)
-    // re-derives the whole prune in the JVM from the served g_knn +
-    // the links dump and pins every row; new-node ids live at
-    // +1,000,000 (the vec_append convention), which is what lets the
-    // census tell inserted reverse links from kept base edges.
-    "vec_graph_compact" -> {
-      val ck = "coalesce(sum(src * 1048573 + dst), 0)"
-      s"""$graphAppendChain,
-         |rc as (select cid as src, qid as dst, sim from links),
-         |aff as (select distinct src from rc),
-         |adj as (select k.src, k.dst, k.sim from knn k join aff a on a.src = k.src
-         |        union all select src, dst, sim from rc),
-         |pr as (select src, dst, sim, row_number() over (partition by src order by sim desc, dst) as rn from adj),
-         |kept as (select src, dst, rn from pr where rn <= $K),
-         |hist as (select src, max(rn) as deg from kept group by src)
-         |select 'new_nodes' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(qid), 0)")} as checksum from (select distinct qid from links) _nn
-         |union all select 'new_links' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(qid * 1048573 + cid), 0)")} as checksum from links
-         |union all select 'affected_nodes' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(src), 0)")} as checksum from aff
-         |union all select 'rev_inserted' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from kept where dst >= 1000000
-         |union all select 'pruned' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from pr where rn > $K
-         |union all select 'after_degree' as metric, ${bigint("deg")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(src), 0)")} as checksum from hist group by deg""".stripMargin
-    },
+    // vec_graph_append / vec_graph_compact moved to Option[links]
+    // methods (graphAppendSql / graphCompactSql) so both Spark serving
+    // paths read the ONE scratch-persisted beam-search product
+    // (SparkEntry.appendLinksView) — r10 verdict item 3.
 
     // PRE-FILTER vs POST-FILTER STRATEGY CURVE — the query-planning
     // choice every filtered vector search makes (pgvector's
@@ -10781,6 +10804,94 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |where rn <= 10""".stripMargin
     },
 
+    // MIPS ANN RUNG (r10 verdict item 4a) — the scale path
+    // vec_topk_ip's commentary names, implemented: Bachrach et al.
+    // 2014 norm-augmentation x̃ = [x, √(M²−‖x‖²)] turns
+    // max-inner-product into cosine over constant-norm vectors, after
+    // which the SAME keyed sign-LSH routing applies. The augmented
+    // coordinate is one sqrt over (M, ‖x‖) — both exact doubles from
+    // the corpus scan (M is a 1-row broadcast aggregate); planes are
+    // (Dim+1)-component ±1 plan-time literals (WmConst.mipsPlanesFor),
+    // so each bucket id is unrolled codegen'd arithmetic, zero
+    // shuffles to route. The QUERY augments with 0 (its bucket drops
+    // the extra term — the scheme's asymmetry, not a bug). Candidates
+    // from (t, b) equality; exact inner product ranks only within
+    // them (bounded-state under the graft_topk rewrite). Plane count
+    // rides the SAME N-derived `lshPlanes` knob as the cosine family.
+    "vec_topk_ip_lsh" ->
+      s"""with $mipsLshCtes,
+         |p as (select c.qid, c.cid, round(${d.dot("qa.v", "ca.v")}, 6) as ip
+         |      from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, ip, ${bigint("rn")} as rn
+         |from (select qid, cid, ip, row_number() over (partition by qid order by ip desc, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin,
+
+    // MIPS-rung index-quality monitoring: the ann_recall_eval
+    // protocol applied to the norm-augmented family — brute
+    // inner-product top-10 (the vec_topk_ip baseline) vs the rung's
+    // candidate-restricted top-10, per query: candidate count, hits,
+    // recall@10.
+    "ann_recall_eval_ip" ->
+      s"""with $mipsLshCtes,
+         |bp as (select q.id as qid, c.id as cid, round(${d.dot("q.v", "c.v")}, 6) as ip
+         |       from (select id, v from ev where id in ($qIdLit)) q join ev c on c.id <> q.id),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by ip desc, cid) as rn from bp) _b where rn <= 10),
+         |lp as (select c.qid, c.cid, round(${d.dot("qa.v", "ca.v")}, 6) as ip
+         |       from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid),
+         |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by ip desc, cid) as rn from lp) _l where rn <= 10),
+         |nc as (select qid, count(*) as n_cand from cnd group by qid)
+         |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
+         |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
+         |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
+         |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+         |group by b.qid""".stripMargin,
+
+    // L1 ANN RUNG (r10 verdict item 4b) — the scale path vec_topk_l1's
+    // commentary names, implemented: Datar et al. 2004 p-stable LSH at
+    // p = 1 — h(x) = ⌊(a·x + b)/w⌋ with a ~ Cauchy, which makes
+    // a·(x−y) ~ Cauchy(0, ‖x−y‖₁), so collision probability decays
+    // with exactly the L1 distance. The Cauchy components are
+    // JVM-computed plan-time literals (WmConst.cauchyFor — tan's last
+    // ulp differs across libms, so the literal is the only
+    // engine-proof rendering); each table concatenates J hashes
+    // (joint equality = the AND-construction), L tables OR the
+    // recall. Geometry (L=2, J=2, w=6) sized to this corpus's
+    // low-contrast L1 profile (near-10 ≈ 6.5–7.8 vs median ≈ 9 — see
+    // the recall eval's measured rows); at larger N the knob is J
+    // (selectivity) exactly as lshPlanesFor grows the cosine bits.
+    // Exact L1 re-rank only within candidates.
+    "vec_topk_l1_lsh" -> {
+      val l1 = (1 to Dim).map(p0 => s"abs(${el("qa.v", p0)} - ${el("ca.v", p0)})").mkString(" + ")
+      s"""with $l1LshCtes,
+         |p as (select c.qid, c.cid, round($l1, 6) as dist
+         |      from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid)
+         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, dist, ${bigint("rn")} as rn
+         |from (select qid, cid, dist, row_number() over (partition by qid order by dist, cid) as rn from p) _t
+         |where rn <= 10""".stripMargin
+    },
+
+    // L1-rung index-quality monitoring: the ann_recall_eval protocol
+    // applied to the Cauchy p-stable family — brute L1 top-10 (the
+    // vec_topk_l1 baseline) vs the rung's candidate-restricted
+    // top-10, per query.
+    "ann_recall_eval_l1" -> {
+      def l1(a: String, b: String) =
+        (1 to Dim).map(p0 => s"abs(${el(a, p0)} - ${el(b, p0)})").mkString(" + ")
+      s"""with $l1LshCtes,
+         |bp as (select q.id as qid, c.id as cid, round(${l1("q.v", "c.v")}, 6) as dist
+         |       from (select id, v from ev where id in ($qIdLit)) q join ev c on c.id <> q.id),
+         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by dist, cid) as rn from bp) _b where rn <= 10),
+         |lp as (select c.qid, c.cid, round(${l1("qa.v", "ca.v")}, 6) as dist
+         |       from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid),
+         |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by dist, cid) as rn from lp) _l where rn <= 10),
+         |nc as (select qid, count(*) as n_cand from cnd group by qid)
+         |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
+         |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
+         |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
+         |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+         |group by b.qid""".stripMargin
+    },
+
     // EVENT-TYPE CORRELATION MATRIX — which daily metrics move
     // together (the contemporaneous all-pairs companion of
     // events_xcorr's two-series lag scan; the first thing a metrics
@@ -11572,9 +11683,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // map-side combinable — never a (token × term) pair shuffle) →
     // exact-integer per-query sums → |Q|·N ranking rows (the two
     // cross joins are against ≤ 12-row literal term/query tables —
-    // broadcast nested loops, linear). The grouped native top-k
-    // (functions.RowTopKAgg, §2 row 4n) is the stated 100 TB ranking
-    // path; the window rendering here is the oracle-shared baseline.
+    // broadcast nested loops, linear). The rn ≤ 10 window rendering
+    // below is the oracle-shared form; on the Spark side
+    // plans.RewriteWindowTopK rewrites it into the bounded-state
+    // graft_topk_rows aggregate (functions.RowTopKAgg, §2 row 4n) —
+    // map-side partials keep ≤ 10 rows per query per partition, so
+    // the exchange carries O(|Q|·10) and nothing sorts the |Q|·N
+    // stream; MaxSimTopKSpec pins the rewrite in the executed plan.
     "search_maxsim" -> {
       val nQ = Wm.MaxSimQueries.size
       val idx = 1 to Wm.MaxSimDim
@@ -12008,14 +12123,33 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |    from b3) _t where rn <= $m)""".stripMargin
   }
 
-  /** Dev/spec dump: the append batch's forward links alone. */
+  /** The append batch's forward links alone — the SHARED artifact
+    * (r10 verdict item 3): the 3-hop beam search is the whole cost of
+    * both maintenance keys, so the Spark side scratch-persists this
+    * product once per (session, dir, planes) and vec_graph_append AND
+    * vec_graph_compact read it (SparkEntry.appendLinksView) instead of
+    * each re-running the beam. Also the GraphCompactSpec prune-mirror
+    * input. rn rides along so the append readout (rank-1 / rank-M
+    * rows) never re-derives the ranking. */
   def graphAppendLinksSql: String =
     s"""$graphAppendChain
-       |select ${bigint("qid")} as qid, ${bigint("cid")} as cid, sim from links""".stripMargin
+       |select ${bigint("qid")} as qid, ${bigint("cid")} as cid, sim, ${bigint("rn")} as rn from links""".stripMargin
 
-  def graphAppendSql: String = {
+  /** CTE prefix for the two maintenance readouts: Some(view) reads the
+    * persisted links artifact (plus the cached knn view for the base
+    * adjacency); None inlines the full beam-search chain (the DuckDB
+    * oracle, and the ScaleCheck inline leg). */
+  private def appendLinksChain(linksFrom: Option[String]): String =
+    linksFrom match {
+      case Some(v) =>
+        s"""${wmChain("knn")},
+           |links as (select qid, cid, sim, rn from $v)""".stripMargin
+      case None => graphAppendChain
+    }
+
+  def graphAppendSql(linksFrom: Option[String]): String = {
     val m = 8
-    s"""$graphAppendChain,
+    s"""${appendLinksChain(linksFrom)},
        |worst as (select src, min(sim) as worst_sim, max(rn) as deg from knn group by src),
        |rev as (select l.qid, ${bigint(s"sum(case when w.deg >= $K and l.sim > w.worst_sim then 1 else 0 end)")} as n_rev_updates
        |        from links l join worst w on w.src = l.cid group by l.qid),
@@ -12027,6 +12161,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${bigint("coalesce(r.n_rev_updates, 0)")} as n_rev_updates
        |from top1 t join mth h on h.qid = t.qid
        |left join rev r on r.qid = t.qid""".stripMargin
+  }
+
+  /** HNSW MERGE/COMPACTION AFTER APPENDS (4k4) — vec_graph_append's
+    * missing sibling (r9 verdict item 7): appends leave the served
+    * graph with forward-only links (new → existing); the index is
+    * navigable back toward the new nodes only after the REVERSE
+    * links are merged in, and merging naively would blow the degree
+    * cap that makes beam search O(beam·M·hops). Compaction applies
+    * the textbook HNSW insert-repair: every forward link is a
+    * reverse-link candidate into its existing endpoint, the affected
+    * nodes' adjacency (base edges ∪ reverse candidates — a
+    * DELTA-sized set, never the whole graph) re-ranks per node by
+    * (sim desc, id), and everything past the K-cap is pruned.
+    * Output: tagged census — batch/link counts, affected set, the
+    * surviving reverse links, pruned edges, and the per-degree
+    * histogram of the compacted adjacency — all with exact integer
+    * checksums (Σ src·1048573 + dst). The spec (GraphCompactSpec)
+    * re-derives the whole prune in the JVM from the served g_knn +
+    * the links dump and pins every row; new-node ids live at
+    * +1,000,000 (the vec_append convention), which is what lets the
+    * census tell inserted reverse links from kept base edges.
+    * `linksFrom`: Some(view) reads the scratch-persisted beam-search
+    * product vec_graph_append also reads (r10 verdict item 3 — the
+    * 100× serving leg was 53.7 s of re-run beam search); None inlines
+    * the chain (the oracle). */
+  def graphCompactSql(linksFrom: Option[String]): String = {
+    val ck = "coalesce(sum(src * 1048573 + dst), 0)"
+    s"""${appendLinksChain(linksFrom)},
+       |rc as (select cid as src, qid as dst, sim from links),
+       |aff as (select distinct src from rc),
+       |adj as (select k.src, k.dst, k.sim from knn k join aff a on a.src = k.src
+       |        union all select src, dst, sim from rc),
+       |pr as (select src, dst, sim, row_number() over (partition by src order by sim desc, dst) as rn from adj),
+       |kept as (select src, dst, rn from pr where rn <= $K),
+       |hist as (select src, max(rn) as deg from kept group by src)
+       |select 'new_nodes' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(qid), 0)")} as checksum from (select distinct qid from links) _nn
+       |union all select 'new_links' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(qid * 1048573 + cid), 0)")} as checksum from links
+       |union all select 'affected_nodes' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(src), 0)")} as checksum from aff
+       |union all select 'rev_inserted' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from kept where dst >= 1000000
+       |union all select 'pruned' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from pr where rn > $K
+       |union all select 'after_degree' as metric, ${bigint("deg")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(src), 0)")} as checksum from hist group by deg""".stripMargin
   }
 
   /** Synchronous label-propagation rounds over the served kNN graph
