@@ -121,7 +121,7 @@ object Plans {
     "sketch_bloom" -> "Bloom build: distinct set-bit positions aggregate to ONE array row; probe side cross-joins the 1-row bitset (broadcast) and membership-tests map-side — the only shuffles are the two distinct aggregations",
     "decontaminate_bloom" -> "the Bloom bitset broadcast + map-side membership test BEFORE the exact shingle join — only hits reach the join shuffle; row-identical to decontaminate by the no-false-negative contract",
     "sketch_cms" -> "count-min: one (row, col) integer-sum groupBy builds the 4x16 grid (mergeable by addition); point queries join the tiny grid back",
-    "sketch_quantiles" -> "pass 1: min/max + 128 integer bin counts (mergeable); pass 2 rank-selects WITHIN the one target bin via a bin-partitioned window — no global sort",
+    "sketch_quantiles" -> "serving reads the persisted 128-row histogram artifact (g_qhist carries bin counts + the mn/mx/n stats it was built with): every multi-referenced CTE re-inlines as a tiny view scan instead of re-deriving the corpus chain (the inline form executed ~11 lineitem scans under Catalyst re-inlining — the r10 drift cluster's one real plan cause, 2.2 -> 1.3 s warm at sf0.1); ONE raw scan remains, the exact in-bin rank-selection pass — no global sort",
     "graph_triangles" -> "degree-oriented wedge join over g_knn-derived undirected edges: orientation bounds out-degree at O(sqrt E), closing edge is one hash semi-join; all integer keys",
     "events_anomaly" -> "one (type, hour) groupBy then a type-partitioned 24-row window over INTEGER sums — per-partition state is O(24), float math on exact integers",
     "events_rolling_dau" -> "per-(day,user) distinct once; WAU joins the tiny day grid with a 7-day range predicate (grid side broadcasts) + one combinable count-distinct per grid day",
@@ -232,7 +232,7 @@ object Plans {
     "events_rate_peaks" -> "two combinable groupBys ((user,minute) then user-max); the ladder census and thresholds fold on <=40 bucket rows",
     "wm_collusion" -> "one extra embed chain (clean carrier rows, plan-time colluder constants) + the per-cell average join + one extract aggregation — all bounded rate*N carrier work over the cached views",
     "events_ab_value_ttest" -> "ONE combinable per-variant moment groupBy; t and the Welch df are fixed expression trees over the 1-row pivot — no second scan",
-    "sketch_quantile_curve" -> "one corpus scan computes all 3 bin columns map-side; cumulatives window over <=336 aggregated bin rows; the exact leg rank-selects inside the finest level's target bins only",
+    "sketch_quantile_curve" -> "serving reads the persisted 3-level histogram artifact (g_qhist_curve, <=336 rows with carried mn/mx/n); cumulatives window over the aggregated bin rows; the exact leg is the ONE remaining raw scan, rank-selecting inside the finest level's target bins only",
     "dedup_semantic_curve" -> "the dedup_embedding bucketed pair chain once; the 4-rung ladder is filters over candidate pairs — zero extra corpus work",
     "graph_lpa_curve" -> "3 LPA rounds over the cached g_knn edges with each round's labels referenced once by the union (prefix rounds re-derive per branch, <=2x LPA cost); modularity censuses join the <=3N label rows",
     "events_chi2" -> "one combinable groupBy onto the <=7x|types| grid; marginals and the full row x col expected grid are tiny cross joins; chi terms fold on the 1e-6 bigint grid",

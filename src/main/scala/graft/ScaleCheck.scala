@@ -162,7 +162,8 @@ object ScaleCheck {
       "events_markov_stationary", "vec_pca_residual",
       "multimodal_bmp_resize", "graph_knn_degree_curve",
       "vec_mds2d", "dedup_upsert", "vec_graph_compact",
-      "vec_graph_append", "graph_lpa_curve").filter(only)) {
+      "vec_graph_append", "graph_lpa_curve", "sketch_quantiles",
+      "sketch_quantile_curve").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -76,6 +76,23 @@ object SparkEntry {
         WmCache.ensure(s, dir)
         s.sql(sparkGenFor(s, dir).graphCompactSql(Some(appendLinksView(s, dir))))
       }),
+      // quantile sketches over the PERSISTED histogram artifact: the
+      // inline mm/bn CTEs are multi-referenced and Catalyst re-inlines
+      // per reference (~11 lineitem scans executed for the 128-bin
+      // key — the r10 warm-gate drift's one real plan cause); the
+      // artifact carries (bin, c, mn, mx, n) so the serving readout
+      // pays ONE raw corpus scan (the exact in-bin selection pass)
+      // plus ≤128-row view scans. Oracles inline everything.
+      "sketch_quantiles" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_qhist", sparkGen.quantHistBuildSql)
+        s.sql(sparkGen.sketchQuantilesSql(Some("g_qhist")))
+      }),
+      "sketch_quantile_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_qhist_curve", sparkGen.quantCurveHistBuildSql)
+        s.sql(sparkGen.sketchQuantileCurveSql(Some("g_qhist_curve")))
+      }),
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)
       "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
       // real audio FEATURE extraction over the decoded PCM payload
