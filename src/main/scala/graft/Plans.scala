@@ -94,6 +94,7 @@ object Plans {
     "graph_lpa_curve" -> "(r10) the curve references the label table x3 and the undirected edges x3, so the serving path reads the checkpointed 3-round label scratch (g_lpa_rounds) + the betweenness-shared g_edges_sym view — six cheap parquet scans where the inline form re-ran the LPA rounds and the edge dedup per reference (measured 6.2 -> 0.56 s warm at sf0.1)",
     "search_maxsim_pruned" -> "stage-1 pruning with ZERO added shuffles: the sign-bucket candidate flags are 4 extra max(case bucket in <literal probes>) columns inside the SAME masked-max groupBy that computes the similarity maxes, and the full + candidate-only rankings are two sequential windows over ONE aggregate pass (never two evaluations of the corpus aggregate). The windows here are INHERENT to the eval, not a missed rewrite: n_cand = sum(f) needs every ranked row (no rn<=k filter for RewriteWindowTopK to subsume), and restructuring into three bounded aggregates would re-derive the corpus-priced score table per reference — the SERVING path with the bounded-state ranking is search_maxsim",
     "wm_nn_decode" -> "the MLP forward pass is ONE map-only corpus scan — all ~1.4k multiply-adds per row run as unrolled literal arithmetic inside whole-stage codegen (weights are plan-time literals, the planesFor convention; codegen CSE computes each hidden unit once despite the projection collapse), then one 49-column aggregation and a 24-row readout off the 1-row result (cross join against the literal position grid — the aggregate is referenced ONCE, never per-position)",
+    "wm_nn_decode_deep" -> "the depth-6 residual forward pass builds the quantized-logit artifact ONCE per session/dir as a mapPartitions JVM pass (operators.NnDeep — Catalyst optimization alone on the unrolled ~9k-literal tree costs ~45 s per action and its fused codegen units overflow janino's 64 KB method cap; the JVM pass is bit-identical by shared folded constants + identical IEEE step order, hash-proven against the DuckDB inline chain at two SFs); serving = one 49-column aggregation over the <=N-row parquet artifact + the 24-row readout — map-only, no shuffle, embarrassingly parallel at any corpus size",
     "vec_graph_compact" -> "reverse-link merge touching ONLY the affected adjacency: the append batch's beam-search links come from the SHARED g_applinks scratch artifact (built once per session/dir — vec_graph_append reads the same product, so the compact serving leg never re-runs the 3-hop beam), reverse candidates are the forward links flipped (delta-sized), and the K-cap prune is one window over (affected base edges UNION candidates) — the unaffected graph is never re-ranked; census rows are small tagged aggregations",
     "dedup_upsert" -> "pair-table maintenance without a rebuild: the stale drop is a FILTER over the scratch-persisted pair artifact, the re-sign touches only the 5% updated docs, and the new-pair discovery is a DELTA-vs-post band join (delta-sized left side) — the full corpus is never re-paired; the per-hamming census + integer checksums are small aggregations over the maintained set",
     "search_maxsim" -> "late-interaction MaxSim with NO (token x term) pair shuffle: query-term vectors are plan-time JVM literals (WmConst.maxsimVec), doc-token vectors derive over the DISTINCT vocabulary (vocab-sized, not token-count-sized), and the per-(doc, term) maxes are 12 masked max columns in ONE map-side-combinable groupBy over the bounded 16-token explode; the two cross joins are against <= 12-row literal tables (broadcast nested loops). Ranking: the rn<=10 window rendering is REWRITTEN by RewriteWindowTopK into the bounded-state graft_topk_rows aggregate (the ObjectHashAggregate pair + posexplode below — map-side partials keep <= 10 rows per query per partition, the exchange carries O(|Q|*10), nothing sorts the |Q|*N stream); MaxSimTopKSpec pins the rewrite",

@@ -14,6 +14,19 @@ object QDebug {
       return
     }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    if (name == "__nnbuild__") {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      Tables.register(s, sfDir)
+      val df = s.sql(new graft.sqlgen.Gen(graft.sqlgen.SparkDialect).nnDeepLogitsBuildSql)
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("WholeStageCodegen") || l.contains("Project ["))
+        .map(_.take(120)).mkString("\n"))
+      s.stop(); return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)

@@ -46,6 +46,27 @@ object Scratch {
     df
   }
 
+  /** Build-or-read a PROGRAMMATIC scratch table: same keying,
+    * memoization, and fallback as [[table]], but the rows come from
+    * `mk` (a typed/mapPartitions build) and `version` pins the build's
+    * semantics in the cache key — the convention passes the equivalent
+    * generated SQL text, so any change to the declared arithmetic
+    * auto-invalidates the artifact exactly like an SQL edit would. */
+  def tableDf(spark: SparkSession, dir: String, name: String,
+              version: => String)(mk: => DataFrame): DataFrame = {
+    val df = mem.computeIfAbsent((spark, dir, name), _ => {
+      val viaScratch = WmCache.scratchRoot(spark).flatMap { root =>
+        try Some(ensureScratchDf(spark, dir, root, name, version, mk))
+        catch { case e: Exception =>
+          System.err.println(s"[scratch] $name failed (${e.getMessage}), " +
+            "falling back to localCheckpoint"); None }
+      }
+      viaScratch.getOrElse(mk.localCheckpoint())
+    })
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** Fingerprint of every source parquet file in `dir` — any table
     * refresh invalidates every doc-side scratch key (coarser than
     * per-build lineage, but always safe and one stat() per file). */
@@ -74,8 +95,20 @@ object Scratch {
   }
 
   private def ensureScratch(spark: SparkSession, dir: String, root: File,
-                            name: String, sql: String): DataFrame = {
-    val base = new File(root, "doc-" + cacheKey(dir, name, sql))
+                            name: String, sql: String): DataFrame =
+    ensureScratchFrom(spark, dir, root, name,
+      cacheKey(dir, name, sql), spark.sql(sql))
+
+  private def ensureScratchDf(spark: SparkSession, dir: String, root: File,
+                              name: String, version: String,
+                              mk: => DataFrame): DataFrame =
+    ensureScratchFrom(spark, dir, root, name,
+      cacheKey(dir, name, "df:" + version), mk)
+
+  private def ensureScratchFrom(spark: SparkSession, dir: String, root: File,
+                                name: String, key: String,
+                                mk: => DataFrame): DataFrame = {
+    val base = new File(root, "doc-" + key)
     if (!new File(base, "_DONE").exists()) {
       val tmp = new File(root,
         s"${base.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -84,7 +117,7 @@ object Scratch {
         spark.sessionState.conf.numShufflePartitions.toLong,
         Tables.vectorCount(spark, dir) / 200000L)).toInt
       val p = new File(tmp, name).getAbsolutePath
-      spark.sql(sql).repartition(parts).write.mode("overwrite").parquet(p)
+      mk.repartition(parts).write.mode("overwrite").parquet(p)
       new File(tmp, "_DONE").createNewFile()
       if (!tmp.renameTo(base)) {
         // lost a race: a COMPLETE winner serves everyone — drop ours

@@ -93,6 +93,26 @@ object SparkEntry {
         Scratch.table(s, dir, "g_qhist_curve", sparkGen.quantCurveHistBuildSql)
         s.sql(sparkGen.sketchQuantileCurveSql(Some("g_qhist_curve")))
       }),
+      // deep NN witness over the PERSISTED quantized-logit table: the
+      // depth-6 forward pass is a ~9k-literal expression tree whose
+      // Catalyst optimization alone costs seconds per action
+      // (data-independent), so the logits build once per session/dir
+      // and the census aggregates the parquet rows. Oracle inlines
+      // the full chain.
+      "wm_nn_decode_deep" -> ((s, dir) => {
+        Tables.register(s, dir)
+        // the logits artifact builds as a mapPartitions JVM forward
+        // pass (operators.NnDeep — Catalyst optimization ALONE on the
+        // unrolled ~9k-literal SQL tree costs ~45 s per action, and
+        // its fused codegen units overflow janino's 64 KB method cap);
+        // arithmetic is bit-identical to the generated chain by shared
+        // constants + identical IEEE step order (NnDeepSpec pins it),
+        // and the rendered build SQL text versions the cache key, so
+        // any arithmetic change invalidates the artifact
+        Scratch.tableDf(s, dir, "g_nn_deep_logits",
+          sparkGen.nnDeepLogitsBuildSql)(graft.operators.NnDeep.logits(s, dir))
+        s.sql(sparkGen.nnDecodeDeepSql(Some("g_nn_deep_logits")))
+      }),
       // real WAV decode (synthesize → encode → chunk-walk parse → stats)
       "multimodal_wav_stats" -> ((s, dir) => graft.operators.Wav.wavStats(s, dir)),
       // real audio FEATURE extraction over the decoded PCM payload

@@ -139,6 +139,21 @@ object WmConst {
   def cauchyShiftFor(t: Int, j: Int): Double =
     Prf.prfMod(1000003, "l1b", t, j).toDouble / 1000003.0
 
+  /** Folded LayerNorm→linear constants of the deep decoder witness
+    * (the inference-time LN-fold — see Queries.nnDeepChainCtes): for
+    * output unit j over tags (W, γ, β), returns (c_k = γ_k·w_jk, Σc,
+    * Σβ_k·w_jk). ONE derivation shared by the SQL generator and the
+    * mapPartitions build (operators.NnDeep), so the two renderings of
+    * the same arithmetic can never drift. */
+  def nnDeepFold(tagW: String, tagG: String, tagB: String, j: Int): (Array[Double], Double, Double) = {
+    val c = Array.tabulate(Dim)(k0 =>
+      (1.0 + nnWeight(tagG, k0 + 1, 0)) * nnWeight(tagW, j, k0 + 1))
+    val cSum = (1 to Dim).map(k => c(k - 1)).sum
+    val bSum = (1 to Dim).map(k =>
+      nnWeight(tagB, k, 0) * nnWeight(tagW, j, k)).sum
+    (c, cSum, bSum)
+  }
+
   /** MinHash universal-hash coefficients: mh_r(h) = (a_r*h + b_r) mod
     * 2^31-1, h the 31-bit shingle hash. a odd-ish nonzero. */
   val MinhashP = 2147483647L // 2^31 - 1

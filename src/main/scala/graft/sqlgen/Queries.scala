@@ -11604,6 +11604,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ag cross join ${rangeTable("mm", "m", 1, 24)}""".stripMargin
     },
 
+    // NN-DECODER DEEP WITNESS (21r2, r10 verdict item 5) — see
+    // nnDecodeDeepSql for the full design commentary; the Spark
+    // serving path (SparkEntry.programmatic) aggregates the persisted
+    // g_nn_deep_logits artifact instead of re-planning the ~9k-literal
+    // forward-pass tree per action.
+    "wm_nn_decode_deep" -> nnDecodeDeepSql(None),
+
     // MULTI-VECTOR LATE-INTERACTION RETRIEVAL (21q) — the ColBERT
     // score shape (Khattab & Zaharia 2020, public): a query is a SET
     // of term vectors, a doc a SET of token vectors, and
@@ -12271,6 +12278,148 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
            |from ap join ex on ex.lbl = ap.lbl""".stripMargin
     }
+  }
+
+  /** The deep NN-decoder witness's forward-pass CTE chain, ending in
+    * qx(p1..p24) — per-row 1e-6-quantized logits of the depth-6
+    * residual MLP (see [[nnDecodeDeepSql]] for the full design
+    * commentary). Shared by the inline oracle rendering and the
+    * Spark-side logits artifact build. */
+  private def nnDeepChainCtes: String = {
+    import graft.functions.WmConst
+    val depth = 6
+    val hid = 1 to 8
+    val dims = 1 to Dim
+    val out = 1 to 24
+    def lit(x: Double) = s"cast($x as double)"
+    def gamma(tag: String, k: Int) = 1.0 + WmConst.nnWeight(tag, k, 0)
+    // LayerNorm's learnable affine FOLDS into the next linear layer at
+    // plan time (the standard inference-time LN/BN-fold deployment
+    // optimization): with n_k = (x_k − μ)/σ·γ_k + β_k,
+    //   Σ_k n_k·w_jk = (Σ_k x_k·(γ_k w_jk) − μ·Σ_k γ_k w_jk)/σ + Σ_k β_k w_jk
+    // so each hidden unit is ONE 64-term literal dot over x plus two
+    // folded constants — no stage ever carries both the x and the
+    // normalized representation, which keeps every CTE boundary at
+    // ≤ 73 live columns. That bound is what keeps the whole chain
+    // codegen-clean: past ~128 live columns Spark cannot extract
+    // per-operator consume methods (the 255-JVM-arg limit) and inlines
+    // every fused projection into one processNext() that overflows
+    // janino's 64 KB method cap (observed: the unfolded rendering fell
+    // back to interpreted execution, 10× slower).
+    def foldedDot(b: Int, tagW: String, tagG: String, tagB: String,
+                  j: Int, xOf: Int => String): (String, Double, Double) = {
+      val (c, cSum, bSum) = WmConst.nnDeepFold(tagW, tagG, tagB, j)
+      val terms = dims.map(k => s"${xOf(k)} * ${lit(c(k - 1))}").mkString(" + ")
+      (terms, cSum, bSum)
+    }
+    val sb = new StringBuilder
+    // the residual stream lives ON the 1e-6 lattice: the input projects
+    // onto it, and every block output re-grids — the vec_data_drift
+    // moment convention, which also stops cross-block drift
+    sb.append(s"x0 as (select id, ${dims.map(k =>
+      s"${roundAway(d)(s"${d.arrIdx0("v", s"${k - 1}")} * 1000000", 0)} / cast(1000000 as double) as x$k").mkString(", ")} from nv)")
+    def momentStages(b: String, src: String): Unit = {
+      val s1 = dims.map(k => s"x$k * cast(1000000 as double)").mkString(" + ")
+      val s2 = dims.map(k => s"(x$k * cast(1000000 as double)) * (x$k * cast(1000000 as double))").mkString(" + ")
+      sb.append(s",\nmm$b as (select *, ($s1) / cast(64 as double) / cast(1000000 as double) as mu, ($s2) / cast(64 as double) / cast(1000000000000 as double) as m2 from $src)")
+      sb.append(s",\nsv$b as (select id, ${dims.map(k => s"x$k").mkString(", ")}, mu, sqrt(greatest(m2 - mu * mu, cast(0 as double)) + cast(0.000001 as double)) as sg from mm$b)")
+    }
+    // Spark-only exchanges between the two 512-term projections of
+    // each block: a whole-stage-codegen unit's fused code lands in one
+    // processNext() past janino's 64 KB method cap once two unrolled
+    // fc layers share a unit (observed — the fused units fell back to
+    // interpreted execution, 10× slower, and the failed 5-14k-line
+    // compile attempts dominated the build's wall clock). Rows are
+    // (id + ≤66 doubles); the chain is built ONCE per session/dir
+    // into the parquet scratch, so the exchanges are build-time-only.
+    val blockBarrier = "" // no exchanges: the build runs with whole-stage
+    // fusion OFF (SparkEntry), so there is no 64 KB unit to split, and
+    // every exchange would cost an AQE re-planning round over this
+    // ~9k-literal tree (measured: the barrier'd build spent ~2× longer
+    // planning than executing)
+    for (b <- 1 to depth) {
+      momentStages(b.toString, s"x${b - 1}")
+      val hs = hid.map { j =>
+        val (terms, cSum, bSum) = foldedDot(b, s"dw1_$b", s"ng$b", s"nh$b", j, k => s"x$k")
+        s"greatest(${lit(WmConst.nnWeight(s"db1_$b", j, 0) + bSum)} + (($terms) - mu * ${lit(cSum)}) / sg, cast(0 as double)) as h$j"
+      }.mkString(", ")
+      sb.append(s",\nh$b as (select ${blockBarrier}id, ${dims.map(k => s"x$k").mkString(", ")}, $hs from sv$b)")
+      val xs = dims.map { k =>
+        val terms = hid.map(j => s"h$j * ${lit(WmConst.nnWeight(s"dw2_$b", k, j))}").mkString(" + ")
+        s"${roundAway(d)(s"(x$k + ${lit(WmConst.nnWeight(s"db2_$b", k, 0))} + $terms) * 1000000", 0)} / cast(1000000 as double) as x$k"
+      }.mkString(", ")
+      sb.append(s",\nx$b as (select ${blockBarrier}id, $xs from h$b)")
+    }
+    momentStages("F", s"x$depth")
+    // the 24-logit head (out-LN folded the same way) splits into
+    // thirds so no projection method exceeds 512 unrolled terms; each
+    // third re-states mu/sg pass-throughs, and a Spark-only exchange
+    // between thirds stops CollapseProject re-fusing them (the
+    // pass-through g's are cheap references)
+    val headBarrier = "" // see blockBarrier
+    def logitThird(ms: Seq[Int], prev: Seq[Int], src: String) = {
+      val gs = ms.map { m =>
+        val (terms, cSum, bSum) = foldedDot(0, "dwo", "ngF", "nhF", m, k => s"x$k")
+        s"(${lit(WmConst.nnWeight("dbo", m, 0) + bSum)} + (($terms) - mu * ${lit(cSum)}) / sg) as g$m"
+      }
+      val keep = if (ms.last < 24)
+        ", " + dims.map(k => s"x$k").mkString(", ") + ", mu, sg" else ""
+      s"(select $headBarrier" + "id, " +
+        (prev.map(m => s"g$m") ++ gs).mkString(", ") + keep + s" from $src)"
+    }
+    val q6 = out.map(m => s"${bigint(roundAway(d)(s"g$m * 1000000", 0))} as p$m").mkString(", ")
+    s"""$nvCtes,
+       |${sb.toString},
+       |ga as ${logitThird(1 to 8, Seq.empty, "svF")},
+       |gb as ${logitThird(9 to 16, 1 to 8, "ga")},
+       |gx as ${logitThird(17 to 24, (1 to 16).toSeq, "gb")},
+       |qx as (select $q6 from gx)""".stripMargin
+  }
+
+  /** Spark-side build of the deep witness's quantized-logit table —
+    * scratch-persisted once per (session, dir): the ~9k-literal
+    * forward-pass tree costs seconds of Catalyst optimization PER
+    * ACTION (flat, data-independent), so the serving readout
+    * aggregates the parquet artifact instead of re-planning the
+    * chain. */
+  def nnDeepLogitsBuildSql: String =
+    s"with $nnDeepChainCtes\nselect ${(1 to 24).map(m => s"p$m").mkString(", ")} from qx"
+
+  /** NN-DECODER DEEP WITNESS (21r2, r10 verdict item 5) — the
+    * reference decoder's ARCHITECTURE SHAPE reproduced with exact
+    * arithmetic (decoder.py:6-52: depth-6 pre-norm RESIDUAL MLP
+    * blocks — LayerNorm → fc1 → GELU → dropout → fc2 → +x — then
+    * out-LayerNorm → msg_len logit head). Differences, each stated:
+    * GELU → ReLU (max(0,·) has no libm divergence; GELU's erf/tanh
+    * ulp-diverges across engines), dropout → identity (it IS the
+    * identity at inference), hidden width 4·dim → 8 (each block's
+    * unrolled fc must fit janino's 64 KB per-method codegen limit).
+    * LayerNorm runs on the integer grid (the vec_data_drift moment
+    * convention): per-dim 1e-6 quantization, per-row sums of
+    * integer-valued doubles in a FIXED left-to-right parse order, one
+    * division per moment, learnable γ/β as PRF literals — and the
+    * per-block re-grid pins every block boundary to the 1e-6 lattice,
+    * so nothing accumulates across 6 blocks. All weights PRF-pinned
+    * literals (training stays the §6 non-goal). Output: the
+    * wm_nn_decode census (24 rows — bit position, ones count/rate,
+    * mean logit). `logitsFrom`: Some(view) aggregates the persisted
+    * logits artifact; None inlines the chain (the oracle). */
+  def nnDecodeDeepSql(logitsFrom: Option[String]): String = {
+    val out = 1 to 24
+    val qxSrc = logitsFrom match {
+      case Some(v) => s"qx as (select * from $v)"
+      case None    => nnDeepChainCtes
+    }
+    s"""with $qxSrc,
+       |ag as (select ${bigint("count(*)")} as n,
+       |  ${out.map(m => s"${bigint(s"sum(case when p$m > 0 then 1 else 0 end)")} as o$m").mkString(",\n|  ")},
+       |  ${out.map(m => s"${bigint(s"sum(p$m)")} as s$m").mkString(",\n|  ")}
+       |from qx)
+       |select ${bigint("mm.m")} as bit_pos,
+       |  case mm.m ${out.map(m => s"when $m then o$m").mkString(" ")} end as n_ones,
+       |  ${roundAway(d)(s"(case mm.m ${out.map(m => s"when $m then o$m").mkString(" ")} end) / cast(n as double)", 4)} as ones_rate,
+       |  ${roundAway(d)(s"(case mm.m ${out.map(m => s"when $m then s$m").mkString(" ")} end) / cast(n as double) / 1000000", 6)} as mean_logit
+       |from ag cross join ${rangeTable("mm", "m", 1, 24)}""".stripMargin
   }
 
   /** HNSW MERGE/COMPACTION AFTER APPENDS (4k4) — vec_graph_append's
