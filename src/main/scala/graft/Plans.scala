@@ -97,6 +97,8 @@ object Plans {
     "wm_nn_decode_deep" -> "the depth-6 residual forward pass builds the quantized-logit artifact ONCE per session/dir as a mapPartitions JVM pass (operators.NnDeep — Catalyst optimization alone on the unrolled ~9k-literal tree costs ~45 s per action and its fused codegen units overflow janino's 64 KB method cap; the JVM pass is bit-identical by shared folded constants + identical IEEE step order, hash-proven against the DuckDB inline chain at two SFs); serving = one 49-column aggregation over the <=N-row parquet artifact + the 24-row readout — map-only, no shuffle, embarrassingly parallel at any corpus size",
     "vec_graph_compact" -> "reverse-link merge touching ONLY the affected adjacency: the append batch's beam-search links come from the SHARED g_applinks scratch artifact (built once per session/dir — vec_graph_append reads the same product, so the compact serving leg never re-runs the 3-hop beam), reverse candidates are the forward links flipped (delta-sized), and the K-cap prune is one window over (affected base edges UNION candidates) — the unaffected graph is never re-ranked; census rows are small tagged aggregations",
     "dedup_upsert" -> "pair-table maintenance without a rebuild: the stale drop is a FILTER over the scratch-persisted pair artifact, the re-sign touches only the 5% updated docs, and the new-pair discovery is a DELTA-vs-post band join (delta-sized left side) — the full corpus is never re-paired; the per-hamming census + integer checksums are small aggregations over the maintained set",
+    "dedup_upsert_minhash" -> "the dedup_upsert shape for the MINHASH family: stale drop filters the kept g_mhpairs artifact, the re-shingle/re-minhash touches only the 5% updated docs, new pairs come from the delta-vs-post band join over the persisted g_mhsig signatures — the corpus is never re-paired; per-match-count census + integer checksums are small aggregations",
+    "vec_ivf_reindex_delete" -> "delete-side IVF maintenance: ONE anti-join of the served g_ivf_asg view against the PRF tombstone set (no retrain, no re-assignment — the production delete path), then two per-cell count aggregations and a left join — cell-count-sized output, corpus touched once",
     "search_maxsim" -> "late-interaction MaxSim with NO (token x term) pair shuffle: query-term vectors are plan-time JVM literals (WmConst.maxsimVec), doc-token vectors derive over the DISTINCT vocabulary (vocab-sized, not token-count-sized), and the per-(doc, term) maxes are 12 masked max columns in ONE map-side-combinable groupBy over the bounded 16-token explode; the two cross joins are against <= 12-row literal tables (broadcast nested loops). Ranking: the rn<=10 window rendering is REWRITTEN by RewriteWindowTopK into the bounded-state graft_topk_rows aggregate (the ObjectHashAggregate pair + posexplode below — map-side partials keep <= 10 rows per query per partition, the exchange carries O(|Q|*10), nothing sorts the |Q|*N stream); MaxSimTopKSpec pins the rewrite",
     "vec_topk_pq" -> "PQ: codebooks train on a 512-row sample, ONE corpus pass encodes 8 codes/vector (map-side max(struct) argmax over broadcast centroids), ADC scan joins the tiny |Q|*M*K lookup onto the code table — corpus-side state is codes, not vectors",
     "graph_pagerank" -> "3 unrolled power-iteration steps over the g_knn view: each one edge join + map-side-combinable groupBy(dst); INTEGER picorank arithmetic so the iterated sums are aggregation-order-proof",

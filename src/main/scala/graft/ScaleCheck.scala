@@ -163,7 +163,8 @@ object ScaleCheck {
       "multimodal_bmp_resize", "graph_knn_degree_curve",
       "vec_mds2d", "dedup_upsert", "vec_graph_compact",
       "vec_graph_append", "graph_lpa_curve", "sketch_quantiles",
-      "sketch_quantile_curve", "wm_nn_decode_deep").filter(only)) {
+      "sketch_quantile_curve", "wm_nn_decode_deep",
+      "dedup_upsert_minhash", "vec_ivf_reindex_delete").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -93,6 +93,19 @@ object SparkEntry {
         Scratch.table(s, dir, "g_qhist_curve", sparkGen.quantCurveHistBuildSql)
         s.sql(sparkGen.sketchQuantileCurveSql(Some("g_qhist_curve")))
       }),
+      // CDC maintenance of the MINHASH index: the kept signature table
+      // (g_mhsig) and its banded pair artifact (g_mhpairs) maintained
+      // under the deterministic delete/update feed — stale pairs
+      // filtered, only the 5% delta re-signed and band-joined against
+      // the post state (the dedup_upsert shape for the other signature
+      // family; r10 verdict item 7). Oracle inlines both builds.
+      "dedup_upsert_minhash" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        Scratch.table(s, dir, "g_mhpairs",
+          sparkGen.minhashPairsFromSigsSql("g_mhsig"))
+        s.sql(sparkGen.dedupUpsertMinhashSql(Some("g_mhsig"), Some("g_mhpairs")))
+      }),
       // deep NN witness over the PERSISTED quantized-logit table: the
       // depth-6 forward pass is a ~9k-literal expression tree whose
       // Catalyst optimization alone costs seconds per action
@@ -748,6 +761,7 @@ object SparkEntry {
         "dedup_quality_impact" -> duckGen.dedupQualityImpactSql(None),
         "dedup_cross_source" -> duckGen.dedupCrossSourceSql(None),
         "dedup_upsert" -> duckGen.dedupUpsertSql(None, None),
+        "dedup_upsert_minhash" -> duckGen.dedupUpsertMinhashSql(None, None),
         "dedup_jaccard" -> duckGen.dedupJaccardSql(None),
         "dedup_containment" -> duckGen.dedupContainmentSql(None),
         "vec_mmr" -> duckGen.mmrSql(None),

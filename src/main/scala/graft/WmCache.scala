@@ -56,7 +56,7 @@ object WmCache {
     "vec_topk_sq_lsh", "vec_topk_filtered_lsh",
     "vec_hard_negatives", "ann_recall_eval",
     "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivf_pq", "vec_topk_ivf_pq_rerank",
-    "dedup_semantic", "vec_ivf_reindex", "vec_cluster_stats",
+    "dedup_semantic", "vec_ivf_reindex", "vec_ivf_reindex_delete", "vec_cluster_stats",
     "vec_topk_binary", "vec_topk_binary_rerank",
     "ann_nprobe_curve", "wm_capacity", "vec_topk_ivf_bq",
     "vec_topk_graph", "vec_append", "index_catalog", "vec_outliers",

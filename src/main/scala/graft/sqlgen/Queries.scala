@@ -1308,6 +1308,102 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |union all select 'final_pairs' as metric, ${bigint("hamming")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from fin group by hamming""".stripMargin
   }
 
+  /** MinHash band rows from a (doc_id, m0..m15) signature source —
+    * the `bands` clause of minhashBandsCtes over an arbitrary CTE. */
+  private def minhashBandFrom(name: String, src: String): String = {
+    val sigs = arrLit((0 until 8).map(k => s"m${2 * k} * 2147483648 + m${2 * k + 1}"))
+    s"""$name as (select b1 - 1 as band, sig, ${(0 until 16).map(r => s"m$r").mkString(", ")}, doc_id
+       |          from ${d.explodeFrom(src, sigs, "b1", "sig", (0 until 16).map(r => s"m$r") :+ "doc_id")} _$name)""".stripMargin
+  }
+
+  /** The banded MinHash candidate-pair build over a persisted
+    * signature view (doc_a < doc_b, mm = matching-hash count, est ≥
+    * 0.1 ⟺ mm ≥ 2 — exactly dedup_minhash's pair semantics) — the
+    * kept pair artifact the CDC maintenance path updates. Spark-only
+    * serving SQL (the oracle always inlines the chain); the
+    * REPARTITION hint undoes the one-split scan of the small persisted
+    * sig parquet (see simhashPairsFromSigsSql). */
+  def minhashPairsFromSigsSql(sigView: String): String = {
+    val hint = if (d.name == "spark") "/*+ REPARTITION(doc_id) */ " else ""
+    s"""with ms as (select ${hint}doc_id, ${(0 until 16).map(r => s"m$r").mkString(", ")} from $sigView),
+       |${minhashBandFrom("bnd", "ms")},
+       |cand as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) as mm
+       |         from bnd a join bnd b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
+       |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, ${bigint("mm")} as mm
+       |from cand where mm >= 2""".stripMargin
+  }
+
+  /** CDC-UPSERT MAINTENANCE OF THE MINHASH INDEX (r10 verdict
+    * item 7) — dedup_upsert's twin for the OTHER kept signature
+    * family: the same deterministic CDC batch (5% deletes doc_id %
+    * 20 = 3, 5% updates % 20 = 7 with two suffix tokens) applied to
+    * the persisted minhash signature table (g_mhsig) and its banded
+    * candidate-pair artifact (g_mhpairs). Maintenance = (1) stale
+    * filter over the kept pairs, (2) re-shingle + re-minhash ONLY the
+    * updated 5% (delta-sized word pipeline), (3) band-join the delta
+    * signatures against the POST-state table — delta × corpus, never
+    * corpus². Maintained set ≡ a full rebuild on the post-state
+    * corpus EXACTLY: a pair's band collisions depend only on its two
+    * signatures, untouched pairs keep theirs, and every pair with a
+    * changed endpoint is re-derived by the delta join
+    * (UpsertMinhashSpec proves it pair-for-pair against a brute JVM
+    * rebuild). Output: tagged op counts + stale/delta pair counts +
+    * the final per-match-count census with exact integer checksums. */
+  def dedupUpsertMinhashSql(sigsFrom: Option[String], pairsFrom: Option[String]): String = {
+    val p = WmConst.MinhashP
+    val mcols = (0 until 16).map(r => s"m$r").mkString(", ")
+    val sigCtes = sigsFrom match {
+      case Some(v) if d.name == "spark" =>
+        s"ms as (select /*+ REPARTITION(doc_id) */ doc_id, $mcols from $v)"
+      case Some(v) => s"ms as (select doc_id, $mcols from $v)"
+      case None =>
+        s"""$wordCtes,
+           |$minhashBandsCtes,
+           |ms as (select doc_id, $mcols from mh)""".stripMargin
+    }
+    val pairCtes = pairsFrom match {
+      case Some(v) => s"cand as (select doc_a as da, doc_b as db, mm from $v)"
+      case None =>
+        s"""candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) as mm
+           |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+           |cand as (select da, db, mm from candp where mm >= 2)""".stripMargin
+    }
+    val umins = (0 until 16).map { r =>
+      val (a, b) = WmConst.minhashCoef(r)
+      s"min(($a * h + $b) % $p) as m$r"
+    }.mkString(",\n|         ")
+    val ck = s"coalesce(sum(da * 1048573 + db), 0)"
+    s"""with $sigCtes,
+       |$pairCtes,
+       |dl as (select doc_id from documents where doc_id % 20 = 3),
+       |uw as (select doc_id, ${splitWs("lower(concat(text, ' updated cdc'))")} as ws from documents where doc_id % 20 = 7),
+       |uwx as (select * from ${d.explodeFrom("uw", "ws", "wpos", "wd", Seq("doc_id"))} _ux),
+       |ush3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+       |                lead(wd, 2) over (partition by doc_id order by wpos) as w3
+       |         from uwx),
+       |ushx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from ush3 where w3 is not null),
+       |ush31 as (select doc_id, ${d.hex2int("substr(md5(sh), 1, 15)")} % $p as h from ushx),
+       |umh as (select doc_id,
+       |         $umins
+       |       from ush31 group by doc_id),
+       |post as (select doc_id, $mcols from ms where doc_id % 20 <> 3 and doc_id % 20 <> 7
+       |         union all select doc_id, $mcols from umh),
+       |${minhashBandFrom("ub", "umh")},
+       |${minhashBandFrom("pb", "post")},
+       |dc0 as (select distinct least(a.doc_id, b.doc_id) as da, greatest(a.doc_id, b.doc_id) as db,
+       |          (${minhashMatches("a", "b")}) as mm
+       |        from ub a join pb b on a.band = b.band and a.sig = b.sig and a.doc_id <> b.doc_id),
+       |dc as (select da, db, mm from dc0 where mm >= 2),
+       |stale as (select da, db from cand where da % 20 = 3 or da % 20 = 7 or db % 20 = 3 or db % 20 = 7),
+       |keep as (select da, db, mm from cand where da % 20 <> 3 and da % 20 <> 7 and db % 20 <> 3 and db % 20 <> 7),
+       |fin as (select da, db, mm from keep union all select da, db, mm from dc)
+       |select 'deleted_docs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(doc_id), 0)")} as checksum from dl
+       |union all select 'updated_docs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(doc_id), 0)")} as checksum from umh
+       |union all select 'stale_pairs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from stale
+       |union all select 'delta_pairs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from dc
+       |union all select 'final_pairs' as metric, ${bigint("mm")} as k, ${bigint("count(*)")} as n, ${bigint(ck)} as checksum from fin group by mm""".stripMargin
+  }
+
   /** Unrolled 6-round min-label propagation turning near-dup PAIRS into
     * deletion groups (doc → keeper = min doc_id of its component) —
     * the ORACLE-CHECKED fixed-round form of operators.Components (which
@@ -4720,6 +4816,36 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |select ${bigint("old_cell")} as old_cell, ${bigint("new_cell")} as new_cell,
          |  ${bigint("n")} as n_carriers, ${bigint("case when old_cell = new_cell then 0 else 1 end")} as moved
          |from mv""".stripMargin
+    },
+
+    // IVF DELETE-SIDE INDEX MAINTENANCE (4e2, r10 verdict item 8) —
+    // the missing leg of the lifecycle matrix: vec_ivf_reindex covers
+    // update-in-place re-assignment and vec_delete counts tombstoned
+    // rows across every index family, but nothing re-checked the IVF
+    // CELL state after deletion. Deletes never retrain or re-assign —
+    // the maintained assignment table is ONE anti-join of the served
+    // asgF against the tombstone set (the production delete path:
+    // faiss remove_ids / Milvus delete just drop posting entries) —
+    // and this key audits what that does to the routing layout:
+    // per-cell before/after/deleted counts and the deleted share (a
+    // skewed delete feed hollows out specific cells — the signal that
+    // schedules a retrain). Tombstones = the PRF tenth vec_delete
+    // uses, so the two keys describe the same maintenance event.
+    "vec_ivf_reindex_delete" -> {
+      val ivfPart =
+        if (views) viewAlias("asgF", "g_ivf_asg")
+        else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      s"""with $nvCtes,
+         |$ivfPart,
+         |del as (select id from nn where ${prfMod(d)(1048576, "'vdel'", "id")} < 104858),
+         |b as (select cell, ${bigint("count(*)")} as n0 from asgF group by cell),
+         |af as (select g.cell, ${bigint("count(*)")} as n1 from asgF g
+         |       where not exists (select 1 from del where del.id = g.id) group by g.cell)
+         |select ${bigint("b.cell")} as cell, ${bigint("b.n0")} as n_before,
+         |  ${bigint("coalesce(af.n1, 0)")} as n_after,
+         |  ${bigint("b.n0 - coalesce(af.n1, 0)")} as n_deleted,
+         |  ${roundAway(d)("(b.n0 - coalesce(af.n1, 0)) / cast(b.n0 as double)", 4)} as del_share
+         |from b left join af on af.cell = b.cell""".stripMargin
     },
 
     // training-mix temperature sampling — the per-source sampling

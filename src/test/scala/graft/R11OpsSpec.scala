@@ -150,4 +150,30 @@ class R11OpsSpec extends AnyFunSuite {
     check("ann_recall_eval_ip", mipsCands, (qv, c) => (-ip(qv, byId(c)), c))
     check("ann_recall_eval_l1", l1Cands, (qv, c) => (l1d(qv, byId(c)), c))
   }
+
+  test("vec_ivf_reindex_delete: exact per-cell census of the tombstone anti-join") {
+    Tables.register(spark, TestSpark.Sf)
+    WmCache.ensure(spark, TestSpark.Sf)
+    val asg = spark.table("g_ivf_asg").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell"))
+    val del = asg.map(_._1).filter(id =>
+      graft.functions.Prf.prfMod(1048576, "vdel", id) < 104858).toSet
+    assert(del.nonEmpty, "the PRF tombstone set must be non-empty at this SF")
+    val before = asg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val after = asg.filterNot(a => del(a._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("vec_ivf_reindex_delete")(spark, TestSpark.Sf)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[Long]("n_deleted"), r.getAs[Double]("del_share"))).toMap
+    assert(got.keySet == before.keySet, "one row per populated cell")
+    before.foreach { case (cell, n0) =>
+      val n1 = after.getOrElse(cell, 0L)
+      val (g0, g1, gd, gs) = got(cell)
+      assert(g0 == n0 && g1 == n1 && gd == n0 - n1, s"cell $cell counts")
+      assert(gs == rr((n0 - n1).toDouble / n0, 4), s"cell $cell share")
+    }
+    // conservation: deletions across cells = tombstoned assigned rows
+    assert(got.values.map(_._3).sum == del.size.toLong)
+  }
 }
