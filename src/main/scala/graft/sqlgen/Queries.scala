@@ -12327,9 +12327,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |ap as (select lbl, r, bin, bc, cumbefore,
            |         ${roundAway(d)(s"mn + (bin + (r - cumbefore) / cast(bc as double)) * (mx - mn) / cast($b as double)", 4)} as approx_v
            |       from td),
-           |lr as (select t.bin, s.x, row_number() over (partition by t.bin order by s.x) as lrk
-           |       from src s join (select distinct bin, mn, mx from td) t
-           |         on least(${b - 1}, greatest(0, cast(floor((s.x - t.mn) * cast($b as double) / (t.mx - t.mn)) as bigint))) = t.bin),
+           |mx1 as (select min(mn) as mn, min(mx) as mx from bc),
+           |sb as (select s.x, least(${b - 1}, greatest(0, cast(floor((s.x - m.mn) * cast($b as double) / (m.mx - m.mn)) as bigint))) as bin
+           |       from src s cross join mx1 m),
+           |lr as (select sb.bin, sb.x, row_number() over (partition by sb.bin order by sb.x) as lrk
+           |       from sb join (select distinct bin from td) tbins on tbins.bin = sb.bin),
            |ex as (select t.lbl, min(l.x) as exact_v
            |       from td t join lr l on l.bin = t.bin and l.lrk = t.r - t.cumbefore
            |       group by t.lbl)
@@ -12394,9 +12396,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |ap as (select lv, lbl, r, bin, bc, cumbefore,
            |         ${roundAway(d)("mn + (bin + (r - cumbefore) / cast(bc as double)) * (mx - mn) / cast(lv as double)", 4)} as approx_v
            |       from td),
-           |lr as (select t.bin, s.x, row_number() over (partition by t.bin order by s.x) as lrk
-           |       from src s join (select distinct bin, mn, mx from td where lv = 256) t
-           |         on least(255, greatest(0, cast(floor((s.x - t.mn) * cast(256 as double) / (t.mx - t.mn)) as bigint))) = t.bin),
+           |mx1 as (select min(mn) as mn, min(mx) as mx from bc),
+           |sb as (select s.x, least(255, greatest(0, cast(floor((s.x - m.mn) * cast(256 as double) / (m.mx - m.mn)) as bigint))) as bin
+           |       from src s cross join mx1 m),
+           |lr as (select sb.bin, sb.x, row_number() over (partition by sb.bin order by sb.x) as lrk
+           |       from sb join (select distinct bin from td where lv = 256) tbins on tbins.bin = sb.bin),
            |ex as (select t.lbl, min(l.x) as exact_v
            |       from td t join lr l on l.bin = t.bin and l.lrk = t.r - t.cumbefore
            |       where t.lv = 256 group by t.lbl)
