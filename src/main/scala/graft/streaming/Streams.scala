@@ -1186,6 +1186,53 @@ object Streams {
       }
   }
 
+  case class MhBandDelta(docId: Long, band: Int, sigv: Long, delta: Int)
+
+  /** Streaming CDC-upsert maintenance of the MINHASH index — the
+    * incremental twin of the batch `dedup_upsert_minhash` path,
+    * exactly the [[upsertStream]] contract applied to the other kept
+    * signature family: a stream of (ts, doc_id, text) upserts (empty
+    * text = DELETE) keeps each doc's 16-hash minhash signature as
+    * state (functions.MinHash — the integer-exact JVM twin of the
+    * generated chain; docs with < 3 tokens carry no signature, like
+    * the SQL's shingle filter) and emits the BAND-ROW DELTA an index
+    * maintainer applies to its g_mhpairs blocking table: −1 rows for
+    * the outgoing signature's 8 bands, +1 for the incoming one's.
+    * The bands partition the 16 hashes, so the accumulated +1 rows
+    * per doc reassemble the exact signature (m₂ᵦ = v div 2³¹ …) — on
+    * an insert-only replay the maintained state equals the batch
+    * minhash signature table long-for-long however the stream splits
+    * (StreamingUpsertMinhashSpec pins it, plus the update/delete
+    * retract-then-assert protocol). State is 128 bytes per live
+    * signed doc; deleted docs drop their state row. */
+  def upsertMinhashStream(ups: Dataset[(Timestamp, Long, String)]): Dataset[MhBandDelta] = {
+    import ups.sparkSession.implicits._
+    ups
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Seq[Long], MhBandDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (docId, it, state: GroupState[Seq[Long]]) =>
+          var cur: Option[Seq[Long]] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[MhBandDelta]
+          it.toSeq.sortBy(_._1.getTime).foreach { case (_, _, text) =>
+            val next =
+              if (text.isEmpty) None else graft.functions.MinHash.sig(text)
+            if (next != cur) {
+              cur.foreach(s => graft.functions.MinHash.bands(s).foreach {
+                case (b, v) => out += MhBandDelta(docId, b, v, -1) })
+              next.foreach(s => graft.functions.MinHash.bands(s).foreach {
+                case (b, v) => out += MhBandDelta(docId, b, v, 1) })
+              cur = next
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   def concurrencyStream(sessions: Dataset[(Long, Long)]): Dataset[ConcPoint] = {
     import sessions.sparkSession.implicits._
     sessions
