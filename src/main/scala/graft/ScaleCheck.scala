@@ -48,9 +48,11 @@ object ScaleCheck {
     val nDocs = spark.table("documents").count()
     val scaledPlanes = Wm.lshPlanesFor(n)
     val scaledBands = Wm.simhashBandsFor(nDocs)
+    val scaledL1J = Wm.l1HashesFor(n)
     println(s"[scale] corpus=$dir n_vectors=$n n_docs=$nDocs" +
       s" planes: static=${Wm.LshPlanes} scaled=$scaledPlanes" +
-      s" simhash_bands: static=${Wm.SimhashBands} scaled=$scaledBands")
+      s" simhash_bands: static=${Wm.SimhashBands} scaled=$scaledBands" +
+      s" l1_hashes: static=2 scaled=$scaledL1J")
 
     // optional comma-separated op filter: the 30-100× decade runs only
     // re-measure the heaviest families instead of the full sweep
@@ -61,7 +63,8 @@ object ScaleCheck {
         .getOrElse(_ => true)
 
     val genStatic = new Gen(SparkDialect)
-    val genScaled = new Gen(SparkDialect, lshPlanes = scaledPlanes)
+    val genScaled = new Gen(SparkDialect, lshPlanes = scaledPlanes,
+      l1Hashes = scaledL1J)
     // the N-derived SimHash band geometry (Wm.simhashBandsFor): same
     // pair semantics at the oracle floor, wider bands once the corpus
     // outgrows 5×12 — the gap is what the §4 band ladder buys
@@ -77,7 +80,9 @@ object ScaleCheck {
       "wm_extract_ids", "vec_graph_append", "ann_filter_strategy_curve",
       "graph_spectral", "graph_percolation_curve",
       "vec_topk_graph_filtered", "vec_bq_rotation",
-      "ann_recall_after_delete", "vec_graph_compact"
+      "ann_recall_after_delete", "vec_graph_compact",
+      "vec_topk_ip_lsh", "vec_topk_l1_lsh",
+      "ann_recall_eval_ip", "ann_recall_eval_l1"
       /* graph_betweenness + graph_closeness + graph_knn_degree_curve
        * run through the programmatic path (scratch edges) */)
     // plane-independent heavies: linear text/ANN paths (the banded
@@ -108,8 +113,7 @@ object ScaleCheck {
       "decontaminate_ngram_curve", "text_lang_mix", "events_periodogram",
       "q12_shipmode", "q21_waiting_supplier", "q_gini_revenue",
       "events_ab_uplift_deciles", "search_maxsim", "wm_nn_decode",
-      "search_maxsim_pruned", "vec_topk_ip_lsh", "vec_topk_l1_lsh",
-      "ann_recall_eval_ip", "ann_recall_eval_l1")
+      "search_maxsim_pruned")
 
     def run(gen: Gen, name: String): Double = {
       // the two HNSW-maintenance keys live as Option[links] methods now

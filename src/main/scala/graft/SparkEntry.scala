@@ -18,7 +18,7 @@ object SparkEntry {
   // (the sf0.1 bench, any production dir) get right-sized buckets
   // instead of ever-fatter ones.
   private val sparkGens =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Gen]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Gen]()
   private def sparkGenFor(s: SparkSession, dir: String): Gen = {
     val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
     // the doc-side analog: the SimHash band split widens once the
@@ -27,8 +27,12 @@ object SparkEntry {
     // At the verify/smoke/bench SFs simhashBandsFor floors at the
     // static default, so the oracle renderings are unaffected.
     val bands = graft.sqlgen.Wm.simhashBandsFor(Tables.docCount(s, dir))
-    sparkGens.computeIfAbsent((planes, bands), { case (p, b) =>
-      new Gen(SparkDialect, useViews = true, lshPlanes = p, simhashBands = b) })
+    // the L1 rung's AND-construction depth (r11): grows past ~45k
+    // vectors, floors at the static default below
+    val l1j = graft.sqlgen.Wm.l1HashesFor(Tables.vectorCount(s, dir))
+    sparkGens.computeIfAbsent((planes, bands, l1j), { case (p, b, j) =>
+      new Gen(SparkDialect, useViews = true, lshPlanes = p, simhashBands = b,
+        l1Hashes = j) })
   }
   private lazy val sparkGen = new Gen(SparkDialect, useViews = true)
   private lazy val duckGen  = new Gen(DuckDialect)

@@ -61,6 +61,18 @@ object Wm {
   def simhashBandsFor(nDocs: Long): Int =
     Seq(5, 4, 3, 2).find(b =>
       math.pow(2.0, 60.0 / b + 1.0) >= nDocs.toDouble * b / 50.0).getOrElse(2)
+  /** L1 (Cauchy p-stable) hashes-per-table — the selectivity knob of
+    * the vec_topk_l1_lsh rung (the lshPlanesFor convention applied to
+    * the AND-construction): each extra concatenated hash multiplies a
+    * far pair's joint-collision probability by p_far ≈ 1/3 (the w = 6
+    * collision rate at this corpus's typical L1 distance), so J grows
+    * logarithmically to hold per-table random-candidate mass linear in
+    * N. Floors at the static default (2) through the verify/smoke/
+    * bench SFs, so the dumped oracle SQL is scale-independent; the
+    * rungs arm at 3 past ~45k vectors, 4 past ~135k (the 100× decade
+    * runs at 4). */
+  def l1HashesFor(nVecs: Long): Int =
+    math.max(2, math.ceil(math.log(nVecs / 5000.0) / math.log(3.0)).toInt)
   /** Landmark count for the landmark-MDS layout (vec_mds2d /
     * operators.Mds — de Silva & Tenenbaum 2004): m is a CONSTANT, so
     * the m×m eigensolve is bounded driver math at any corpus size. */
@@ -127,7 +139,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
                 params: WmParams = WmParams.Default,
                 lshPlanes: Int = Wm.LshPlanes,
                 decontEvalMod: Int = Wm.DecontEvalMod,
-                simhashBands: Int = Wm.SimhashBands) {
+                simhashBands: Int = Wm.SimhashBands,
+                l1Hashes: Int = 2) {
   require(60 % simhashBands == 0,
     s"simhashBands must divide the 60-bit signature: $simhashBands")
   import Prim._
@@ -267,7 +280,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * from any table agreeing on all J. Shared by vec_topk_l1_lsh and
     * its recall eval. */
   private val L1Tables = 2
-  private val L1Hashes = 2
+  private val L1Hashes = l1Hashes // N-derived at scale: Wm.l1HashesFor
   private val L1Width = 6.0
   private lazy val l1LshCtes: String = {
     def hashes(t: Int): String = (1 to L1Hashes).map { j =>
@@ -10921,8 +10934,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // (joint equality = the AND-construction), L tables OR the
     // recall. Geometry (L=2, J=2, w=6) sized to this corpus's
     // low-contrast L1 profile (near-10 ≈ 6.5–7.8 vs median ≈ 9 — see
-    // the recall eval's measured rows); at larger N the knob is J
-    // (selectivity) exactly as lshPlanesFor grows the cosine bits.
+    // the recall eval's measured rows); the selectivity knob J is
+    // N-derived and wired into the entrypoint (Wm.l1HashesFor — the
+    // lshPlanesFor convention; floors at 2 through the verify SFs,
+    // arms 3 past ~45k vectors, 4 past ~135k).
     // Exact L1 re-rank only within candidates.
     "vec_topk_l1_lsh" -> {
       val l1 = (1 to Dim).map(p0 => s"abs(${el("qa.v", p0)} - ${el("ca.v", p0)})").mkString(" + ")

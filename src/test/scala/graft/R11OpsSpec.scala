@@ -151,6 +151,23 @@ class R11OpsSpec extends AnyFunSuite {
     check("ann_recall_eval_l1", l1Cands, (qv, c) => (l1d(qv, byId(c)), c))
   }
 
+  test("l1HashesFor: exact boundaries, and the verify SFs sit at the static floor") {
+    // J = max(2, ceil(log3(N/5000))) — each extra concatenated hash
+    // multiplies far-pair joint collisions by p_far ≈ 1/3, so J holds
+    // per-table random-candidate mass linear in N
+    assert(Wm.l1HashesFor(1L) == 2)
+    assert(Wm.l1HashesFor(5000L) == 2)
+    assert(Wm.l1HashesFor(45000L) == 2)   // 5000·3² exactly — still 2
+    assert(Wm.l1HashesFor(45001L) == 3)   // the first armed rung
+    assert(Wm.l1HashesFor(135000L) == 3)
+    assert(Wm.l1HashesFor(135001L) == 4)  // the 100× decade (200k) runs at 4
+    assert(Wm.l1HashesFor(200000L) == 4)
+    // the verify/smoke SFs floor at the static default, so the dumped
+    // oracle SQL is scale-independent (the lshPlanesFor convention)
+    Tables.register(spark, TestSpark.Sf)
+    assert(Wm.l1HashesFor(Tables.vectorCount(spark, TestSpark.Sf)) == 2)
+  }
+
   test("vec_ivf_reindex_delete: exact per-cell census of the tombstone anti-join") {
     Tables.register(spark, TestSpark.Sf)
     WmCache.ensure(spark, TestSpark.Sf)
