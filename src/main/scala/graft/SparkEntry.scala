@@ -97,6 +97,28 @@ object SparkEntry {
         Scratch.table(s, dir, "g_qhist_curve", sparkGen.quantCurveHistBuildSql)
         s.sql(sparkGen.sketchQuantileCurveSql(Some("g_qhist_curve")))
       }),
+      // RESIDUAL IVFADC (true faiss IVF_PQ, §2 row 4d2): the product
+      // codebooks train on x − centroid(cell(x)) — within a coarse
+      // cell the residuals occupy a far smaller ball, so the same
+      // 8×16 budget buys a finer quantization. The residual codebook
+      // and codes persist as scratch artifacts over the cached IVF
+      // views (build-once/serve-many); oracles inline the full chain.
+      "vec_topk_ivfpq_res" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        Scratch.table(s, dir, "g_rpq_ct", gen.rpqTrainBuildSql)
+        Scratch.table(s, dir, "g_rpq_codes", gen.rpqCodesBuildSql)
+        s.sql(gen.ivfPqResSql(Some(("g_rpq_ct", "g_rpq_codes"))))
+      }),
+      "vec_ivfpq_res_distortion" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        Scratch.table(s, dir, "g_rpq_ct", gen.rpqTrainBuildSql)
+        Scratch.table(s, dir, "g_rpq_codes", gen.rpqCodesBuildSql)
+        s.sql(gen.ivfPqResDistortionSql(Some(("g_rpq_ct", "g_rpq_codes"))))
+      }),
       // CDC maintenance of the MINHASH index: the kept signature table
       // (g_mhsig) and its banded pair artifact (g_mhpairs) maintained
       // under the deterministic delete/update feed — stale pairs
@@ -759,6 +781,8 @@ object SparkEntry {
         "wm_recover_registry" -> duckGen.wmRecoverRegistrySql(None),
         "vec_graph_append" -> duckGen.graphAppendSql(None),
         "vec_graph_compact" -> duckGen.graphCompactSql(None),
+        "vec_topk_ivfpq_res" -> duckGen.ivfPqResSql(None),
+        "vec_ivfpq_res_distortion" -> duckGen.ivfPqResDistortionSql(None),
         "dedup_components" -> duckGen.dedupComponentsSql(None),
         "dedup_apply" -> duckGen.dedupApplySql(None),
         "dedup_cluster_rep" -> duckGen.dedupClusterRepSql(None),

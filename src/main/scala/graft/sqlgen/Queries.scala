@@ -506,11 +506,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * column `n`: nested-array transform + a single explode (an 8-way
     * union of slice scans multiplied every CTE re-reference by 8
     * source reads). */
-  private lazy val pqSlices: String =
+  private def pqSlicesOf(col: String): String =
     d.arrTransform(d.intSeq("0", (PqSubspaces - 1).toString), "mm",
-      (1 to PqSubDim).map(j => d.arrIdx0("n", s"mm * $PqSubDim + ${j - 1}")).mkString(
+      (1 to PqSubDim).map(j => d.arrIdx0(col, s"mm * $PqSubDim + ${j - 1}")).mkString(
         if (d.name == "spark") "array(" else "[", ", ",
         if (d.name == "spark") ")" else "]"))
+  private lazy val pqSlices: String = pqSlicesOf("n")
 
   /** PQ corpus slicing: par4, vsub(id, m, sv). */
   private lazy val pqBaseCtes: String =
@@ -565,6 +566,166 @@ final class Gen(d: Dialect, useViews: Boolean = false,
         pqQueryCtes).mkString(",\n")
     else
       Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes, pqQueryCtes).mkString(",\n")
+
+  // ---------------------------------------------------------------- //
+  // RESIDUAL PQ (true IVFADC, r11 — §2 row 4d2): faiss IVF_PQ trains
+  // the product codebooks on the RESIDUAL x − centroid(cell(x)), not
+  // the raw vector — within a coarse cell the residuals occupy a far
+  // smaller ball than the corpus, so the same 8×16 codebook budget
+  // buys a finer quantization (vec_ivfpq_res_distortion measures the
+  // win against the raw-PQ chain per subspace). Same chain shape as
+  // the raw PQ: sampled one-step Lloyd per subspace, one full-corpus
+  // encode pass, per-query ADC — except the query side derives a
+  // PER-PROBED-CELL query residual (q − centroid) and its own LUT.
+  // ---------------------------------------------------------------- //
+
+  /** Per-row residuals over the assigned corpus — rres(id, cell, rv)
+    * with rv = n − centroid(cell). Needs nn + ct2 + asgF upstream. */
+  private lazy val rresCtes: String =
+    s"""rres as (select a.id, a.cell, ${d.arrTransform(d.intSeq("0", (Dim - 1).toString), "k", s"${d.arrIdx0("v0.n", "k")} - ${d.arrIdx0("c0.cv", "k")}")} as rv
+       |         from asgF a join nn v0 on v0.id = a.id join ct2 c0 on c0.cell = a.cell),
+       |rsub as (select id, cell, m1 - 1 as m, sv from ${d.explodeFrom("rres", pqSlicesOf("rv"), "m1", "sv", Seq("id", "cell"))} _rs)""".stripMargin
+
+  /** Residual-codebook TRAIN (ends in rct1(m, cell, cv)) — the
+    * pqTrainCtes discipline over residual subvectors. */
+  private lazy val rpqTrainCtes: String = {
+    val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
+    val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
+    s"""par4r as (select cast(count(*) as double) as cnt from nn),
+       |rtr as (select v.id, v.m, v.sv from rsub v cross join par4r
+       |       where ${prfMod(d)(1048576, "'rpqtrain'", "v.id")} < $thrT),
+       |rct0 as (select v.m, v.id as cell, v.sv as cv from rsub v cross join par4r
+       |        where ${prfMod(d)(1048576, "'rpqseed'", "v.id")} < $thrS),
+       |rsc0 as (select t.id, t.m, c.cell, ${d.dot("t.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
+       |        from rtr t join rct0 c on c.m = t.m),
+       |ra0 as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+       |         select id, m, max(${d.structLit2("s", "score", "c", "-cell")}) as mx from rsc0 group by id, m) _ra0),
+       |rtx as (select a.m, a.cell, x.sp, x.v1 from ra0 a
+       |       join ${d.explodeFrom("rtr", "sv", "sp", "v1", Seq("id", "m"))} x on x.id = a.id and x.m = a.m),
+       |rcm as (select m, cell, sp, round(avg(v1), 6) as cval from rtx group by m, cell, sp),
+       |rct1 as ${if (d.name == "duckdb") "materialized " else ""}(select m, cell, ${d.arrAggOrdered("cval", "sp")} as cv from rcm group by m, cell)""".stripMargin
+  }
+
+  /** Residual ENCODE (ends in rcodes(id, m, cell)). */
+  private lazy val rpqEncodeCtes: String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    s"""rsall as $matKw(select v.id, v.m, c.cell, ${d.dot("v.sv", "c.cv")} as dt, ${d.dot("c.cv", "c.cv")} as c2
+       |               from rsub v join rct1 c on c.m = v.m),
+       |rcodes as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
+       |            select id, m, max(${d.structLit2("s", "dt - 0.5 * c2", "c", "-cell")}) as mx from rsall group by id, m) _rcf)""".stripMargin
+  }
+
+  /** Query-side residual ADC LUT: per (query, PROBED cell) the query
+    * residual q − centroid(pcell), sliced, against the residual
+    * codebook — carries q2 (= ‖qr_m‖²) so the summed ADC distance
+    * compares across probed cells. */
+  private lazy val rpqQueryCtes: String =
+    s"""qres as (select qp.qid, qp.cell as pcell, ${d.arrTransform(d.intSeq("0", (Dim - 1).toString), "k", s"${d.arrIdx0("q0.n", "k")} - ${d.arrIdx0("c1.cv", "k")}")} as rv
+       |         from qpr qp join nq q0 on q0.id = qp.qid join ct2 c1 on c1.cell = qp.cell),
+       |qrsub as (select qid, pcell, m1 - 1 as m, sv from ${d.explodeFrom("qres", pqSlicesOf("rv"), "m1", "sv", Seq("qid", "pcell"))} _qrs),
+       |rqlut as (select v.qid, v.pcell, v.m, c.cell,
+       |            ${d.dot("v.sv", "v.sv")} as q2, ${d.dot("v.sv", "c.cv")} as qdot, ${d.dot("c.cv", "c.cv")} as c2
+       |          from qrsub v join rct1 c on c.m = v.m)""".stripMargin
+
+  /** The residual index chain: cached artifact views on the Spark
+    * side (built once per session/dir by SparkEntry), the full inline
+    * train+encode for the oracle. */
+  private def rpqChain(idx: Option[(String, String)]): String = idx match {
+    case Some((ctV, cdV)) =>
+      Seq(viewAlias("rct1", ctV), viewAlias("rcodes", cdV)).mkString(",\n")
+    case None =>
+      Seq(rresCtes, rpqTrainCtes, rpqEncodeCtes).mkString(",\n")
+  }
+
+  /** Spark-side artifact builds (read the cached IVF views). */
+  def rpqTrainBuildSql: String =
+    s"""with $nvCtes,
+       |${viewAlias("ct2", "g_ivf_ct")},
+       |${viewAlias("asgF", "g_ivf_asg")},
+       |$rresCtes,
+       |$rpqTrainCtes
+       |select m, cell, cv from rct1""".stripMargin
+  def rpqCodesBuildSql: String =
+    s"""with $nvCtes,
+       |${viewAlias("ct2", "g_ivf_ct")},
+       |${viewAlias("asgF", "g_ivf_asg")},
+       |${viewAlias("rct1", "g_rpq_ct")},
+       |$rresCtes,
+       |$rpqEncodeCtes
+       |select id, m, cell from rcodes""".stripMargin
+
+  /** RESIDUAL IVFADC top-k (4d2) — the canonical faiss IVF_PQ serving
+    * layout: coarse routing (top-nprobe cells), candidates scored by
+    * the asymmetric distance between the PER-CELL query residual and
+    * the candidates' residual codes:
+    *   d̂²(q, x) = Σ_m (‖qr_m‖² − 2·qr_m·code_m + ‖code_m‖²),
+    * ranked ascending (the ‖qr_m‖² term rides the LUT so scores
+    * compare across probed cells). Per-(qid, cid) sums fold through
+    * the ordered-array dot (the vec_topk_ivf_pq determinism
+    * convention); exact re-ranking of the winners is what
+    * `vec_topk_ivf` provides. `idx`: Some((codebook, codes) views) =
+    * the Spark serving path; None inlines the chain (the oracle). */
+  def ivfPqResSql(idx: Option[(String, String)]): String = {
+    val ones = d.castDoubleArray(arrLit(Seq.fill(PqSubspaces)("1.0")))
+    s"""with $nvCtes, $exnCte,
+       |${ivfChain(needAssign = true)},
+       |${rpqChain(idx)},
+       |$rpqQueryCtes,
+       |cnd as (select qp.qid, a.id as cid, a.cell as pcell from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
+       |adc as (select ${bcast("c")}c.qid, c.cid,
+       |          ${d.arrAggOrdered("q.q2 - 2 * q.qdot + q.c2", "q.m")} as da
+       |        from cnd c join rcodes k on k.id = c.cid
+       |        join rqlut q on q.qid = c.qid and q.pcell = c.pcell and q.m = k.m and q.cell = k.cell
+       |        group by c.qid, c.cid),
+       |p as (select qid, cid, round(${d.dot("da", ones)}, 6) as approx_d2 from adc)
+       |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, approx_d2, ${bigint("rn")} as rn
+       |from (select qid, cid, approx_d2, row_number() over (partition by qid order by approx_d2, cid) as rn from p) _t
+       |where rn <= 10""".stripMargin
+  }
+
+  /** RESIDUAL-vs-RAW PQ distortion (4d2's measurement): per subspace
+    * the mean/max reconstruction error of the residual codes against
+    * the raw-PQ codes over the SAME corpus and codebook budget — the
+    * number that justifies the residual layout (faiss trains IVF_PQ
+    * exactly this way). Same exact-sum discipline as
+    * vec_pq_distortion (per-row mse on the 1e-9 grid, decimal sums). */
+  def ivfPqResDistortionSql(idx: Option[(String, String)]): String = {
+    val rawChain =
+      if (views) Seq(pqBaseCtes, viewAlias("pct1", "g_pq_ct"),
+        viewAlias("codes", "g_pq_codes")).mkString(",\n")
+      else Seq(pqBaseCtes, pqTrainCtes, pqEncodeCtes).mkString(",\n")
+    val ivfPart =
+      if (views) Seq(viewAlias("ct2", "g_ivf_ct"), viewAlias("asgF", "g_ivf_asg")).mkString(",\n")
+      else Seq(ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+    def mse(vs: String, cs: String) =
+      roundAway(d)(s"${d.dot(s"$vs.sv", s"$vs.sv")} - 2 * ${d.dot(s"$vs.sv", s"$cs.cv")} + ${d.dot(s"$cs.cv", s"$cs.cv")}", 9)
+    val resPart = idx match {
+      // serving: cached codebook/codes views + the residual subvector
+      // derivation (rsub) over the cached IVF views; the oracle's
+      // rpqChain(None) already contains rresCtes
+      case Some(_) => Seq(rpqChain(idx), rresCtes).mkString(",\n")
+      case None    => rpqChain(None)
+    }
+    s"""with $nvCtes, $exnCte,
+       |$ivfPart,
+       |$rawChain,
+       |$resPart,
+       |er as (select k.m, ${mse("v", "c")} as mse
+       |       from codes k join vsub v on v.id = k.id and v.m = k.m
+       |                    join pct1 c on c.m = k.m and c.cell = k.cell),
+       |err as (select k.m, ${mse("v", "c")} as mse
+       |        from rcodes k join rsub v on v.id = k.id and v.m = k.m
+       |                      join rct1 c on c.m = k.m and c.cell = k.cell),
+       |era as (select m, ${bigint("count(*)")} as n,
+       |          ${roundAway(d)("cast(sum(cast(mse as decimal(28, 9))) as double) / count(*)", 6)} as mean_raw
+       |        from er group by m),
+       |erra as (select m, ${roundAway(d)("cast(sum(cast(mse as decimal(28, 9))) as double) / count(*)", 6)} as mean_res
+       |         from err group by m)
+       |select ${bigint("a.m")} as subspace, a.n as n_vectors,
+       |  a.mean_raw as mean_mse_raw, b.mean_res as mean_mse_residual,
+       |  ${roundAway(d)("case when b.mean_res > 0 then a.mean_raw / b.mean_res end", 4)} as improvement
+       |from era a join erra b on b.m = a.m""".stripMargin
+  }
 
   private val HllM = 256
   /** Per-source m=256 HLL register chain shared by
@@ -12437,7 +12598,6 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val dims = 1 to Dim
     val out = 1 to 24
     def lit(x: Double) = s"cast($x as double)"
-    def gamma(tag: String, k: Int) = 1.0 + WmConst.nnWeight(tag, k, 0)
     // LayerNorm's learnable affine FOLDS into the next linear layer at
     // plan time (the standard inference-time LN/BN-fold deployment
     // optimization): with n_k = (x_k − μ)/σ·γ_k + β_k,
@@ -12451,7 +12611,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // every fused projection into one processNext() that overflows
     // janino's 64 KB method cap (observed: the unfolded rendering fell
     // back to interpreted execution, 10× slower).
-    def foldedDot(b: Int, tagW: String, tagG: String, tagB: String,
+    def foldedDot(tagW: String, tagG: String, tagB: String,
                   j: Int, xOf: Int => String): (String, Double, Double) = {
       val (c, cSum, bSum) = WmConst.nnDeepFold(tagW, tagG, tagB, j)
       val terms = dims.map(k => s"${xOf(k)} * ${lit(c(k - 1))}").mkString(" + ")
@@ -12485,7 +12645,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     for (b <- 1 to depth) {
       momentStages(b.toString, s"x${b - 1}")
       val hs = hid.map { j =>
-        val (terms, cSum, bSum) = foldedDot(b, s"dw1_$b", s"ng$b", s"nh$b", j, k => s"x$k")
+        val (terms, cSum, bSum) = foldedDot(s"dw1_$b", s"ng$b", s"nh$b", j, k => s"x$k")
         s"greatest(${lit(WmConst.nnWeight(s"db1_$b", j, 0) + bSum)} + (($terms) - mu * ${lit(cSum)}) / sg, cast(0 as double)) as h$j"
       }.mkString(", ")
       sb.append(s",\nh$b as (select ${blockBarrier}id, ${dims.map(k => s"x$k").mkString(", ")}, $hs from sv$b)")
@@ -12504,7 +12664,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val headBarrier = "" // see blockBarrier
     def logitThird(ms: Seq[Int], prev: Seq[Int], src: String) = {
       val gs = ms.map { m =>
-        val (terms, cSum, bSum) = foldedDot(0, "dwo", "ngF", "nhF", m, k => s"x$k")
+        val (terms, cSum, bSum) = foldedDot("dwo", "ngF", "nhF", m, k => s"x$k")
         s"(${lit(WmConst.nnWeight("dbo", m, 0) + bSum)} + (($terms) - mu * ${lit(cSum)}) / sg) as g$m"
       }
       val keep = if (ms.last < 24)
