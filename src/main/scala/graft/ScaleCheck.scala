@@ -169,7 +169,8 @@ object ScaleCheck {
       "vec_graph_append", "graph_lpa_curve", "sketch_quantiles",
       "sketch_quantile_curve", "wm_nn_decode_deep",
       "dedup_upsert_minhash", "vec_ivf_reindex_delete",
-      "vec_topk_ivfpq_res", "vec_ivfpq_res_distortion").filter(only)) {
+      "vec_topk_ivfpq_res", "vec_ivfpq_res_distortion",
+      "search_hybrid_upsert", "ann_recall_eval_ivfpq_res").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -97,6 +97,28 @@ object SparkEntry {
         Scratch.table(s, dir, "g_qhist_curve", sparkGen.quantCurveHistBuildSql)
         s.sql(sparkGen.sketchQuantileCurveSql(Some("g_qhist_curve")))
       }),
+      // per-type value quantiles over the PERSISTED per-group
+      // histogram (the g_qhist split keyed per event type — r11
+      // verdict item 3: the inline per-group plan executed 30 parquet
+      // scans via mm/bn CTE re-inlining). One raw events scan remains
+      // (the exact in-bin selection); oracles inline everything.
+      "events_value_quantiles" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_evqhist", sparkGen.evQuantHistBuildSql)
+        s.sql(sparkGen.eventsValueQuantilesSql(Some("g_evqhist")))
+      }),
+      // shingle-size curve over the PERSISTED (w, df, m) census: the
+      // inline union chain's sh/df/dfc CTEs re-inline per reference
+      // under Catalyst (the executed r11 plan ran 13 Window nodes /
+      // 12 corpus scans — the heaviest text pass ~12×). The census
+      // build is ONE 8-lead window pass with the 4 widths stack()ed
+      // out map-side; every curve readout folds from census rows
+      // (zero raw scans at serve time). Oracle inlines everything.
+      "dedup_shingle_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_shcensus", sparkGen.shingleCensusBuildSql)
+        s.sql(sparkGen.dedupShingleCurveSql(Some("g_shcensus")))
+      }),
       // RESIDUAL IVFADC (true faiss IVF_PQ, §2 row 4d2): the product
       // codebooks train on x − centroid(cell(x)) — within a coarse
       // cell the residuals occupy a far smaller ball, so the same
@@ -111,6 +133,14 @@ object SparkEntry {
         Scratch.table(s, dir, "g_rpq_codes", gen.rpqCodesBuildSql)
         s.sql(gen.ivfPqResSql(Some(("g_rpq_ct", "g_rpq_codes"))))
       }),
+      "ann_recall_eval_ivfpq_res" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        Scratch.table(s, dir, "g_rpq_ct", gen.rpqTrainBuildSql)
+        Scratch.table(s, dir, "g_rpq_codes", gen.rpqCodesBuildSql)
+        s.sql(gen.annRecallEvalIvfPqResSql(Some(("g_rpq_ct", "g_rpq_codes"))))
+      }),
       "vec_ivfpq_res_distortion" -> ((s, dir) => {
         Tables.register(s, dir)
         WmCache.ensure(s, dir)
@@ -118,6 +148,18 @@ object SparkEntry {
         Scratch.table(s, dir, "g_rpq_ct", gen.rpqTrainBuildSql)
         Scratch.table(s, dir, "g_rpq_codes", gen.rpqCodesBuildSql)
         s.sql(gen.ivfPqResDistortionSql(Some(("g_rpq_ct", "g_rpq_codes"))))
+      }),
+      // CDC maintenance of the HYBRID SCORE STACK (r11 verdict item
+      // 5): the kept per-doc stats artifact (g_hyb_stats — integer
+      // BM25 inputs + feature-hash sums) maintained under the
+      // deterministic delete/update feed; only the 5% delta is
+      // re-tokenized, the global BM25 stats refold from the post
+      // table, and the fused top-10 re-serves from stats alone.
+      // Oracle inlines the stats build.
+      "search_hybrid_upsert" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_hyb_stats", sparkGen.hybStatsBuildSql)
+        s.sql(sparkGen.searchHybridUpsertSql(Some("g_hyb_stats")))
       }),
       // CDC maintenance of the MINHASH index: the kept signature table
       // (g_mhsig) and its banded pair artifact (g_mhpairs) maintained
@@ -503,6 +545,57 @@ object SparkEntry {
       // verdict item 7), then the pre-decode / re-embed / post-decode
       // passes all read the materialized rows. Oracle inlines the att
       // CTE (DuckHints materializes it there).
+      // Burrows' Delta over the PERSISTED (source, word, z) table:
+      // the inline plan re-derived the corpus word census per `pre`/
+      // `z` reference (710 nodes / 48 scans — r11 verdict item 7);
+      // the artifact is |sources|·30 rows and the serving readout is
+      // one self-join over it. Oracle inlines the full chain.
+      "text_burrows_delta" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_bdz", sparkGen.bdzBuildSql)
+        s.sql(sparkGen.textBurrowsDeltaSql(Some("g_bdz")))
+      }),
+      // sampled-audit curve over the PERSISTED per-id decode-stats
+      // table: the corpus-priced per-id projection aggregation (axa)
+      // was re-derived per downstream reference inline (tier censuses
+      // + vote ladder — the r11 regression cluster). One corpus pass
+      // at build; serving folds from O(N)-row scans. Oracle inlines.
+      "wm_audit_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_audit_dec_p$planes"
+        Scratch.table(s, dir, v, gen.auditDecodeBuildSql)
+        s.sql(gen.wmAuditCurveSql(Some(v)))
+      }),
+      // RFM segmentation over the PERSISTED per-user feature table
+      // (the kept artifact of a production segmentation): inline, the
+      // per-user events aggregation re-inlined per reference — 3
+      // median censuses + count + segment join = the r11 plan's 20
+      // events scans. Oracle inlines everything.
+      "events_rfm" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_rfm_user", sparkGen.rfmUserBuildSql)
+        s.sql(sparkGen.eventsRfmSql(Some("g_rfm_user")))
+      }),
+      // multi-tenant watermarking over a PERSISTED tenant-B stego
+      // overlay: the carrier re-selection windows + B-key QIM embed
+      // are a build-once artifact (the wm_repair damage-snapshot
+      // treatment — r11's inline plan was a 615-node tree with 58
+      // scans / 30 BNLJs from Catalyst CTE re-inlining of the
+      // overlay + the two extraction chains). Oracle inlines it all.
+      "wm_multi_tenant" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        // plane count in the scratch name: the build reads g_indeg /
+        // exn whose ROWS depend on the bucket geometry
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_mtb_stego_p$planes"
+        Scratch.table(s, dir, v, gen.mtbStegoBuildSql)
+        s.sql(gen.wmMultiTenantSql(Some(v)))
+      }),
       "wm_repair" -> ((s, dir) => {
         Tables.register(s, dir)
         WmCache.ensure(s, dir)

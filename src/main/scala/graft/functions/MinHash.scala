@@ -17,9 +17,14 @@ object MinHash {
   private val P = WmConst.MinhashP
 
   /** The 16-hash signature; None for a doc with no 3-gram (fewer than
-    * 3 tokens — the SQL chain emits no mh row for such docs). */
+    * 3 tokens — the SQL chain emits no mh row for such docs). The
+    * split keeps EMPTY tokens (limit -1), exactly like the SQL chain:
+    * Spark's `split(text, '\\s+')` keeps the leading empty string of
+    * whitespace-padded text and (limit -1) the trailing one, and those
+    * empties flow into concat_ws shingles — filtering them here would
+    * diverge the signature for padded text (r11 ADVICE). */
   def sig(text: String): Option[Seq[Long]] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks: Array[String] = text.toLowerCase.split("\\s+", -1)
     if (toks.length < 3) None
     else {
       val hs = toks.sliding(3).map(_.mkString(" ")).toSet

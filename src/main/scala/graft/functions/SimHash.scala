@@ -16,8 +16,13 @@ import graft.sqlgen.Wm
 object SimHash {
   val Bits = 60
 
+  /** Split keeps EMPTY tokens (limit -1), exactly like the SQL chain:
+    * Spark's `split(text, '\\s+')` keeps the leading/trailing empty
+    * strings of whitespace-padded text and the wh word counts include
+    * them — filtering here would diverge the signature for padded
+    * text (the minhash r11-ADVICE divergence, same root cause). */
   def sig(text: String): Long = {
-    val counts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val counts = text.toLowerCase.split("\\s+", -1).toSeq
       .groupBy(identity).view.mapValues(_.length.toLong)
     val sums = new Array[Long](Bits)
     counts.foreach { case (wd, cnt) =>

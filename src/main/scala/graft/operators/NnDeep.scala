@@ -65,8 +65,10 @@ object NnDeep {
       s2 = s2 + q * q
       k += 1
     }
-    val mu = s1 / 64.0 / 1000000.0
-    val m2 = s2 / 64.0 / 1.0e12
+    // divisor derived from Dim, mirroring nnDeepChainCtes (r11
+    // ADVICE); the 1e12 is the (1e6)² lattice scale, not Dim
+    val mu = s1 / Dim.toDouble / 1000000.0
+    val m2 = s2 / Dim.toDouble / 1.0e12
     (mu, math.sqrt(math.max(m2 - mu * mu, 0.0) + 0.000001))
   }
 

@@ -683,6 +683,40 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |where rn <= 10""".stripMargin
   }
 
+  /** ANN index-quality monitoring for the RESIDUAL IVFADC rung
+    * (r11 verdict item 6 — the one serving chain without recall
+    * receipts): the ann_recall_eval protocol applied to
+    * [[ivfPqResSql]]'s exact candidate + ADC ranking — brute cosine
+    * truth top-10 per fixed query (in-query, same as every recall
+    * key), approx top-10 by the residual-ADC distance over the
+    * probed-cell candidates, recall@10 + candidate count per query.
+    * On normalized vectors L2 and cosine orders coincide, so the
+    * comparison is apples-to-apples. `idx` as in ivfPqResSql. */
+  def annRecallEvalIvfPqResSql(idx: Option[(String, String)]): String = {
+    val ones = d.castDoubleArray(arrLit(Seq.fill(PqSubspaces)("1.0")))
+    s"""with $nvCtes, $exnCte,
+       |${ivfChain(needAssign = true)},
+       |${rpqChain(idx)},
+       |$rpqQueryCtes,
+       |qt as (select id as qid, n as qn from nn where id in ($qIdLit)),
+       |bp as (select qt.qid, nn.id as cid, round(${d.dot("qt.qn", "nn.n")}, 6) as sim from qt join nn on nn.id <> qt.qid),
+       |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by sim desc, cid) as rn from bp) _b where rn <= 10),
+       |cnd as (select qp.qid, a.id as cid, a.cell as pcell from qpr qp join asgF a on a.cell = qp.cell and a.id <> qp.qid),
+       |adc as (select ${bcast("c")}c.qid, c.cid,
+       |          ${d.arrAggOrdered("q.q2 - 2 * q.qdot + q.c2", "q.m")} as da
+       |        from cnd c join rcodes k on k.id = c.cid
+       |        join rqlut q on q.qid = c.qid and q.pcell = c.pcell and q.m = k.m and q.cell = k.cell
+       |        group by c.qid, c.cid),
+       |p as (select qid, cid, round(${d.dot("da", ones)}, 6) as approx_d2 from adc),
+       |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by approx_d2, cid) as rn from p) _t where rn <= 10),
+       |nc as (select qid, ${bigint("count(*)")} as n_cand from cnd group by qid)
+       |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
+       |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
+       |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
+       |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+       |group by b.qid""".stripMargin
+  }
+
   /** RESIDUAL-vs-RAW PQ distortion (4d2's measurement): per subspace
     * the mean/max reconstruction error of the residual codes against
     * the raw-PQ codes over the SAME corpus and codebook budget — the
@@ -1020,6 +1054,450 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * at carrier-row size but needless); None inlines it (the DuckDB
     * oracle, which materializes ≥2-ref CTEs via DuckHints). Both
     * forms hold exactly the same rows. */
+  /** The per-(source, function-word) Burrows z-score table — the tiny
+    * (|sources| x 30)-row product of the whole stylometry chain,
+    * persisted as the Spark serving artifact (r11 verdict item 7: the
+    * inline plan was a 710-node tree with 48 scans — `pre` is
+    * referenced 3x by the rank union and `z` 2x by the final
+    * self-join, and Catalyst re-derives the corpus word census per
+    * reference). The build ranks the censored candidate set with ONE
+    * row_number window over the <=240-row bucket-top-30 domain
+    * (value-identical to the oracle's 1+count(strictly-before) union
+    * rank: the (c desc, wd) order is total), so the build itself pays
+    * the corpus explode only for the census and source-count passes. */
+  def bdzBuildSql: String =
+    s"""with $wordCtes,
+       |wc as (select wd, ${bigint("count(*)")} as c from wx group by wd),
+       |pre as (select wd, c from (
+       |  select wd, c, row_number() over (partition by ${prfMod(d)(8, "'bbkt'", "wd")} order by c desc, wd) as prn
+       |  from wc) _p where prn <= 30),
+       |top as (select wd from (
+       |  select wd, row_number() over (order by c desc, wd) as rn from pre) _r where rn <= 30),
+       |sw as (select dd.source, x.wd from wx x join documents dd on dd.doc_id = x.doc_id),
+       |stot as (select source, ${bigint("count(*)")} as n from sw group by source),
+       |scnt as (select s.source, s.wd, ${bigint("count(*)")} as c
+       |         from sw s join top t on t.wd = s.wd group by s.source, s.wd),
+       |grid as (select st.source, t.wd, st.n, ${bigint("coalesce(sc.c, 0)")} as c
+       |         from stot st cross join top t
+       |         left join scnt sc on sc.source = st.source and sc.wd = t.wd),
+       |ppb as (select source, wd, ${d.idiv("c * 1000000000", "n")} as p from grid),
+       |ws as (select wd, ${bigint("count(*)")} as s, ${bigint("sum(p)")} as sp,
+       |              ${bigint("sum(p * p)")} as spp
+       |       from ppb group by wd),
+       |z as (select p.source, p.wd,
+       |        case when w.s * w.spp - w.sp * w.sp = 0 then ${bigint("0")}
+       |             else ${bigint(roundAway(d)("(p.p - cast(w.sp as double) / w.s) / sqrt((cast(w.s as double) * w.spp - cast(w.sp as double) * w.sp) / (cast(w.s as double) * (w.s - 1))) * 1000000", 0))}
+       |        end as zq
+       |      from ppb p join ws w on w.wd = p.wd)
+       |select source, wd, zq from z""".stripMargin
+
+  /** Burrows' Delta stylometry (30ac) — `zView`: Some(view) reads the
+    * parquet-backed z-score artifact ([[bdzBuildSql]]); the serving
+    * readout is ONE self-join over |sources|·30 rows. None inlines
+    * the full chain (the DuckDB oracle). */
+  def textBurrowsDeltaSql(zView: Option[String]): String = zView match {
+    case Some(v) =>
+      s"""with z as (select source, wd, zq from $v)
+         |select a.source as source_a, b.source as source_b,
+         |  ${roundAway(d)("cast(sum(abs(a.zq - b.zq)) as double) / 30 / 1000000", 4)} as delta_burrows,
+         |  ${bigint("count(*)")} as n_words
+         |from z a join z b on b.wd = a.wd and b.source > a.source
+         |group by a.source, b.source""".stripMargin
+    case None =>
+      s"""with $wordCtes,
+         |wc as (select wd, ${bigint("count(*)")} as c from wx group by wd),
+         |pre as (select wd, c from (
+         |  select wd, c, row_number() over (partition by ${prfMod(d)(8, "'bbkt'", "wd")} order by c desc, wd) as prn
+         |  from wc) _p where prn <= 30),
+         |rk as (select a.wd, ${bigint("1 + count(*)")} as rank from pre a
+         |       join pre b on b.c > a.c or (b.c = a.c and b.wd < a.wd)
+         |       group by a.wd, a.c
+         |       union all
+         |       select a.wd, ${bigint("1")} as rank from pre a
+         |       where not exists (select 1 from pre b where b.c > a.c or (b.c = a.c and b.wd < a.wd))),
+         |top as (select wd from rk where rank <= 30),
+         |sw as (select dd.source, x.wd from wx x join documents dd on dd.doc_id = x.doc_id),
+         |stot as (select source, ${bigint("count(*)")} as n from sw group by source),
+         |scnt as (select s.source, s.wd, ${bigint("count(*)")} as c
+         |         from sw s join top t on t.wd = s.wd group by s.source, s.wd),
+         |grid as (select st.source, t.wd, st.n, ${bigint("coalesce(sc.c, 0)")} as c
+         |         from stot st cross join top t
+         |         left join scnt sc on sc.source = st.source and sc.wd = t.wd),
+         |ppb as (select source, wd, ${d.idiv("c * 1000000000", "n")} as p from grid),
+         |ws as (select wd, ${bigint("count(*)")} as s, ${bigint("sum(p)")} as sp,
+         |              ${bigint("sum(p * p)")} as spp
+         |       from ppb group by wd),
+         |z as (select p.source, p.wd,
+         |        case when w.s * w.spp - w.sp * w.sp = 0 then ${bigint("0")}
+         |             else ${bigint(roundAway(d)("(p.p - cast(w.sp as double) / w.s) / sqrt((cast(w.s as double) * w.spp - cast(w.sp as double) * w.sp) / (cast(w.s as double) * (w.s - 1))) * 1000000", 0))}
+         |        end as zq
+         |      from ppb p join ws w on w.wd = p.wd)
+         |select a.source as source_a, b.source as source_b,
+         |  ${roundAway(d)("cast(sum(abs(a.zq - b.zq)) as double) / 30 / 1000000", 4)} as delta_burrows,
+         |  ${bigint("count(*)")} as n_words
+         |from z a join z b on b.wd = a.wd and b.source > a.source
+         |group by a.source, b.source""".stripMargin
+  }
+
+  /** The per-id audit decode-stats table (id, nr, q0..q15, lv) behind
+    * wm_audit_curve's Spark serving path (r12 regression-cluster fix):
+    * ONE corpus pass (full_t -> per-id projection sums + the PRF
+    * sampling tier), multi-referenced downstream by the tier censuses
+    * and the CRC/vote ladder — inline, Catalyst re-derived the
+    * corpus aggregation per reference. */
+  def auditDecodeBuildSql: String = {
+    val qS = (0 until MsgLen).map(g =>
+      s"sum(val * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+    val u = prfUniform(d)("'aud'", "id")
+    val lv = s"case when $u < 0.10 then 0 when $u < 0.25 then 1 when $u < 0.50 then 2 else 3 end"
+    s"""${wmChain("stego")},
+       |$fullCte,
+       |axa as (select id, sqrt(sum(val * val)) as nr,
+       |            $qS
+       |        from full_t group by id)
+       |select id, nr, ${(0 until MsgLen).map(g => s"q$g").mkString(", ")}, $lv as lv from axa""".stripMargin
+  }
+
+  /** Sampled-audit tuning curve (16f) — `alvView`: Some(view) reads
+    * the parquet-backed per-id decode-stats artifact
+    * ([[auditDecodeBuildSql]], the Spark serving path: the tier
+    * censuses and vote ladder re-inline as O(N)-row parquet scans);
+    * None inlines everything (the DuckDB oracle). Values identical:
+    * the artifact holds exactly the inline alv rows. */
+  def wmAuditCurveSql(alvView: Option[String]): String = {
+    val qS = (0 until MsgLen).map(g =>
+      s"sum(val * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+    def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+    val u = prfUniform(d)("'aud'", "id")
+    val lv = s"case when $u < 0.10 then 0 when $u < 0.25 then 1 when $u < 0.50 then 2 else 3 end"
+    val head = alvView match {
+      case Some(v) =>
+        // msgbits is the only piece of the chain the readout still
+        // needs; the REPARTITION hint undoes the one-split scan of
+        // the small persisted artifact
+        s"""with $msgbitsCte,
+           |alv as (select /*+ REPARTITION(id) */ * from $v)""".stripMargin
+      case None =>
+        s"""${wmChain("stego")},
+           |$fullCte,
+           |axa as (select id, sqrt(sum(val * val)) as nr,
+           |            $qS
+           |        from full_t group by id),
+           |alv as (select id, nr, ${(0 until MsgLen).map(g => s"q$g").mkString(", ")}, $lv as lv from axa)""".stripMargin
+    }
+    s"""$head,
+       |axb as (select id, lv, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+       |        from alv),
+       |axh as (select id, lv, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+       |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+       |        from axb),
+       |avl as (select id, lv, idx as blk, pbits from axh where crc = ${d.arrIdx0(crcLit, "idx")}),
+       |avx as (select lv, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("avl", "pbits", "p1", "b", Seq("lv", "blk"))} _avx),
+       |ks as (select kpos as k from ${rangeTable("kk", "kpos", 0, 3)}),
+       |art as (select ks.k, x.blk, x.bit_idx,
+       |          sum(case when x.lv <= ks.k then 2 * x.b - 1 else 0 end) as vote,
+       |          ${bigint("sum(case when x.lv <= ks.k then 1 else 0 end)")} as n
+       |        from avx x cross join ks group by ks.k, x.blk, x.bit_idx),
+       |asc2 as (select ks.k, ${bigint("sum(case when a.lv <= ks.k then 1 else 0 end)")} as n_scanned
+       |         from alv a cross join ks group by ks.k),
+       |acar as (select ks.k, ${bigint("sum(case when v.lv <= ks.k then 1 else 0 end)")} as n_valid
+       |         from avl v cross join ks group by ks.k),
+       |aer as (select ks.k,
+       |          ${bigint("sum(case when v.n is null or v.n = 0 or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
+       |          ${bigint("count(distinct case when v.n > 0 then v.blk end)")} as blocks_live
+       |        from ks cross join msgbits m
+       |        left join art v on v.k = ks.k and v.blk = m.blk and v.bit_idx = m.j
+       |        group by ks.k)
+       |select ${roundAway(d)("case e.k when 0 then 0.10 when 1 then 0.25 when 2 then 0.50 else 1.00 end", 2)} as sample_share,
+       |  s.n_scanned, c.n_valid, e.blocks_live,
+       |  e.errors, ${roundAway(d)("e.errors / cast(256 as double)", 4)} as ber,
+       |  ${bigint("case when e.errors = 0 then 1 else 0 end")} as fully_recoverable
+       |from aer e join asc2 s on s.k = e.k join acar c on c.k = e.k""".stripMargin
+  }
+
+  /** The per-doc hybrid-search sufficient-statistics table
+    * (doc_id, dl, tf1..tf3, nrm2, qdot) — the kept artifact BEHIND the
+    * two-leg score table (r11 verdict item 5): dl + per-term tfs are
+    * BM25's per-doc inputs (its global stats n/sdl/df fold from these
+    * rows), nrm2/qdot are the feature-hash cosine leg's integer sums.
+    * Every column is an integer count/signed sum, so CDC maintenance
+    * and the censuses over it are integer-exact in both engines. */
+  def hybStatsBuildSql: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(case when wd = '$t' then 1 else 0 end) as tf${i + 1}" }
+    val qCase = s"(case ${(0 until FhDim).map(i =>
+      s"when f.ix = $i then ${fhQueryVec(i)}").mkString(" ")} else 0 end)"
+    s"""with $wordCtes,
+       |dt as (select doc_id, ${bigint("count(*)")} as dl, ${tfs.map(t => bigint(t.split(" as ")(0)) + " as " + t.split(" as ")(1)).mkString(", ")}
+       |       from wx group by doc_id),
+       |fh0 as (select doc_id, ${prfMod(d)(FhDim, "'fh'", "wd")} as ix,
+       |          case when ${prfMod(d)(2, "'fhs'", "wd")} = 0 then 1 else -1 end as sg
+       |        from wx),
+       |fh as (select doc_id, ix, ${bigint("sum(sg)")} as dv from fh0 group by doc_id, ix),
+       |dn as (select doc_id, ${bigint("sum(dv * dv)")} as nrm2 from fh group by doc_id),
+       |qd as (select f.doc_id, ${bigint(s"sum(f.dv * $qCase)")} as qdot from fh f group by f.doc_id)
+       |select dt.doc_id, dt.dl, dt.tf1, dt.tf2, dt.tf3, n.nrm2, q.qdot
+       |from dt join dn n on n.doc_id = dt.doc_id join qd q on q.doc_id = dt.doc_id""".stripMargin
+  }
+
+  /** CDC-UPSERT MAINTENANCE OF THE HYBRID SCORE STACK (r11 verdict
+    * item 5 — the last kept artifact family without a maintenance
+    * path): the canonical delete (doc_id % 20 = 3) / update
+    * (% 20 = 7, text + ' updated cdc') feed applied to the kept
+    * per-doc stats table ([[hybStatsBuildSql]]). Why stats, not
+    * scores: a changed doc shifts BOTH of its own legs AND the BM25
+    * global stats (n, Σdl, df_t) — so every doc's bm25 moves. The
+    * maintained path re-tokenizes ONLY the 5% delta (uw chain), keeps
+    * every untouched doc's integer stat row, refolds the global stats
+    * from the post table (O(docs) fold, no text pass), and re-scores +
+    * re-ranks from stats alone. Output: CDC censuses (integer
+    * checksums over the maintained stat rows) + the post-CDC fused
+    * top-10 (the full RRF serving readout over the maintained state).
+    * `statsFrom`: Some(view) reads the persisted artifact (Spark);
+    * None inlines the base-corpus stats build (the DuckDB oracle).
+    * The maintained-equals-rebuild identity is spec-proved
+    * (SearchHybridUpsertSpec brute-rebuilds the post corpus). */
+  def searchHybridUpsertSql(statsFrom: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val tfsOver = (col: String) => Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"${bigint(s"sum(case when $col = '$t' then 1 else 0 end)")} as tf${i + 1}" }.mkString(", ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"sum(case when tf${i + 1} > 0 then 1 else 0 end) as df${i + 1}").mkString(", ")
+    val qn2 = fhQueryVec.map(v => v * v).sum
+    val sqrtQn2 = math.sqrt(qn2.toDouble)
+    val qCase = s"(case ${(0 until FhDim).map(i =>
+      s"when f.ix = $i then ${fhQueryVec(i)}").mkString(" ")} else 0 end)"
+    val hs = statsFrom match {
+      case Some(v) =>
+        s"hs as (select /*+ REPARTITION(doc_id) */ doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $v)"
+      case None =>
+        s"hs as $matKw(${hybStatsBuildSql.replace("\n", " ")})"
+    }
+    val ckStats = "coalesce(sum(doc_id * 1048573 + dl * 31 + tf1 * 7 + tf2 * 11 + tf3 * 13 + nrm2 * 3 + qdot), 0)"
+    s"""with $hs,
+       |dlx as (select doc_id from documents where doc_id % 20 = 3),
+       |uw as (select doc_id, ${splitWs("lower(concat(text, ' updated cdc'))")} as ws from documents where doc_id % 20 = 7),
+       |uwx as (select * from ${d.explodeFrom("uw", "ws", "wpos", "wd", Seq("doc_id"))} _ux),
+       |udt as (select doc_id, ${bigint("count(*)")} as dl, ${tfsOver("wd")}
+       |        from uwx group by doc_id),
+       |ufh0 as (select doc_id, ${prfMod(d)(FhDim, "'fh'", "wd")} as ix,
+       |           case when ${prfMod(d)(2, "'fhs'", "wd")} = 0 then 1 else -1 end as sg
+       |         from uwx),
+       |ufh as (select doc_id, ix, ${bigint("sum(sg)")} as dv from ufh0 group by doc_id, ix),
+       |udn as (select doc_id, ${bigint("sum(dv * dv)")} as nrm2 from ufh group by doc_id),
+       |uqd as (select f.doc_id, ${bigint(s"sum(f.dv * $qCase)")} as qdot from ufh f group by f.doc_id),
+       |ust as $matKw(select udt.doc_id, udt.dl, udt.tf1, udt.tf2, udt.tf3, n.nrm2, q.qdot
+       |       from udt join udn n on n.doc_id = udt.doc_id join uqd q on q.doc_id = udt.doc_id),
+       |dt as $matKw(select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from hs where doc_id % 20 <> 3 and doc_id % 20 <> 7
+       |       union all select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from ust),
+       |st as $matKw(select count(*) as n, sum(dl) as sdl, $dfs from dt),
+       |scs as (select dt.doc_id, ${roundAway(d)(bm25Score, 6)} as bm25,
+       |          ${roundAway(d)(s"dt.qdot / (sqrt(cast(dt.nrm2 as double)) * cast($sqrtQn2 as double))", 6)} as csim
+       |        from dt cross join st where dt.tf1 + dt.tf2 + dt.tf3 > 0),
+       |sem as (select doc_id, bm25, csim from scs),
+       |$rrfRankCtes,
+       |stale as (select doc_id from hs where doc_id % 20 = 3 or doc_id % 20 = 7)
+       |select 'deleted_docs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(doc_id), 0)")} as checksum from dlx
+       |union all select 'updated_docs', ${bigint("-1")}, ${bigint("count(*)")}, ${bigint("coalesce(sum(doc_id), 0)")} from ust
+       |union all select 'stale_stats', ${bigint("-1")}, ${bigint("count(*)")}, ${bigint("coalesce(sum(doc_id), 0)")} from stale
+       |union all select 'delta_stats', ${bigint("-1")}, ${bigint("count(*)")}, ${bigint(ckStats)} from ust
+       |union all select 'final_stats', ${bigint("-1")}, ${bigint("count(*)")}, ${bigint(ckStats)} from dt
+       |union all select 'top10', ${bigint("rk")}, ${bigint("doc_id")}, ${bigint("rl * 1048576 + rs")} from fin where rk <= 10""".stripMargin
+  }
+
+  /** The per-user RFM feature table (user_id, rec, freq, mon, mg) —
+    * the kept artifact of the segmentation: O(users) rows derived from
+    * one events pass. Multi-referenced downstream (3 median censuses,
+    * the count, the segment join) — inline, Catalyst re-inlined the
+    * per-user aggregation per reference (the r11 executed plan ran 20
+    * events scans; the regression-cluster adjudication this round). */
+  def rfmUserBuildSql: String =
+    s"""with ue as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day, cast(value as decimal(18,6)) as v from events),
+       |mxd as (select max(day) as mx from ue),
+       |u as (select user_id, count(*) as freq, sum(v) as mon,
+       |        min(mxd.mx) - max(day) as rec
+       |      from ue cross join mxd group by user_id)
+       |select user_id, rec, freq, mon,
+       |  cast(floor(cast(mon as double) / cast(10 as double)) as bigint) as mg
+       |from u""".stripMargin
+
+  /** RFM user-value segmentation (40e) — `userView`: Some(view) reads
+    * the parquet-backed per-user table ([[rfmUserBuildSql]], the Spark
+    * serving path: every census/median/segment reference re-inlines as
+    * an O(users) parquet scan instead of re-running the events
+    * aggregation); None inlines everything (the DuckDB oracle).
+    * Values identical: the artifact holds exactly the inline ug rows. */
+  def eventsRfmSql(userView: Option[String]): String = {
+    val head = userView match {
+      case Some(v) =>
+        s"""with ug as (select /*+ REPARTITION(user_id) */ user_id, rec, freq, mon, mg from $v),
+           |nt as (select count(*) as cnt from ug),""".stripMargin
+      case None =>
+        s"""with ue as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day, cast(value as decimal(18,6)) as v from events),
+           |mxd as (select max(day) as mx from ue),
+           |u as (select user_id, count(*) as freq, sum(v) as mon,
+           |        min(mxd.mx) - max(day) as rec
+           |      from ue cross join mxd group by user_id),
+           |ug as (select user_id, rec, freq, mon,
+           |         cast(floor(cast(mon as double) / cast(10 as double)) as bigint) as mg
+           |       from u),
+           |nt as (select count(*) as cnt from u),""".stripMargin
+    }
+    s"""$head
+       |rd as (select rec as x, count(*) as c from ug group by rec),
+         |rc as (select a.x, sum(b.c) as cum from rd a join rd b on b.x <= a.x group by a.x),
+         |rmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from rc cross join nt),
+         |fd as (select freq as x, count(*) as c from ug group by freq),
+         |fc as (select a.x, sum(b.c) as cum from fd a join fd b on b.x <= a.x group by a.x),
+         |fmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from fc cross join nt),
+         |md as (select mg as x, count(*) as c from ug group by mg),
+         |mc as (select a.x, sum(b.c) as cum from md a join md b on b.x <= a.x group by a.x),
+         |mmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from mc cross join nt),
+         |seg as (select u.user_id, u.rec, u.freq, u.mon,
+         |          concat(case when u.rec <= r.med then 'R+' else 'R-' end,
+         |                 case when u.freq > f.med then 'F+' else 'F-' end,
+         |                 case when u.mg > m.med then 'M+' else 'M-' end) as segment
+         |        from ug u cross join rmed r cross join fmed f cross join mmed m)
+         |select segment, ${bigint("count(*)")} as n_users,
+         |  round(sum(rec) / cast(count(*) as double), 2) as avg_recency_days,
+         |  round(sum(freq) / cast(count(*) as double), 2) as avg_frequency,
+         |  round(cast(sum(mon) as double) / cast(count(*) as double), 2) as avg_monetary
+         |from seg group by segment""".stripMargin
+  }
+
+  /** MULTI-TENANT WATERMARKING (15d) — `bView`: Some(view) reads the
+    * scratch-persisted tenant-B stego overlay ([[mtbStegoBuildSql]] —
+    * the Spark serving path: the carrier re-selection windows and the
+    * B-key QIM embed become a build-once parquet artifact, so the two
+    * extraction chains that each re-reference the combined stego
+    * table re-inline as cheap parquet scans; the r11 inline plan was
+    * a 615-node tree with 58 scans / 30 BNLJs under Catalyst CTE
+    * re-inlining — the wm_repair r9 treatment applied here); None
+    * inlines the full overlay chain (the DuckDB oracle). Values
+    * identical: the artifact holds exactly the inline bstego rows. */
+  def wmMultiTenantSql(bView: Option[String]): String =
+    wmMultiTenantRender(bView, buildOnly = false)
+
+  /** The tenant-B stego overlay build (pool sizing -> carrier
+    * re-selection at the doubled pool -> B-key QIM embed), ending in
+    * bstego(id, pos, sval) — the kept artifact of the multi-tenant
+    * serving split. */
+  def mtbStegoBuildSql: String = wmMultiTenantRender(None, buildOnly = true)
+
+  private def wmMultiTenantRender(bView: Option[String], buildOnly: Boolean): String = {
+
+      val key2 = "tenant-b-key"
+      val msg2 = "TENANT-B-MSG-002" // exactly 16 bytes
+      val kc2 = WmConst.keyed(key2)
+      val cipher2 = Crypto.encryptToBase64(msg2, key2)
+      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
+      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
+      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
+      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
+      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
+      val pSums2 = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shift2(g: Int) = {
+        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSq2 = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
+      val esScore = s"(-ln(${prfUniform(d)("'sel'", P, "vec_id")})) / " +
+        "(case when in_degree = 0 then 0.9 when in_degree = 1 then 0.7 when in_degree = 2 then 0.5 when in_degree = 3 then 0.4 else 0.3 end)"
+      def exCtes(pfx: String, wf: Int => String, src: String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from $src group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      val msg2bitsCte =
+        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
+           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
+      def errExpr(v: String, m: String) =
+        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
+      val head =
+        if (views) "with " + Seq(nvCtes, exnCte, msgbitsCte,
+          viewAlias("indeg", "g_indeg"), viewAlias("stego", "g_stego")).mkString(",\n")
+        else fullChain("stego")
+      val bChainInline =
+        s"""mtpar as (select nvec, target, least(target + cast(floor(target * 0.5) as bigint), nvec) as pool
+         |          from (select nvec, greatest(cast(floor(nvec * $Rate) as bigint), $Blocks) as target
+         |                from (select count(*) as nvec from nn) _n) _t),
+         |mdc as (select in_degree, count(*) as c from indeg group by in_degree),
+         |mdo as (select a.in_degree, sum(case when b.in_degree < a.in_degree then b.c else cast(0 as bigint) end) as off
+         |        from mdc a cross join mdc b group by a.in_degree),
+         |mdrk as (select i.vec_id, i.in_degree,
+         |           o.off + row_number() over (partition by i.in_degree order by i.vec_id) as dr
+         |         from indeg i join mdo o on o.in_degree = i.in_degree),
+         |msc as (select vec_id, in_degree, dr, $esScore as score from mdrk),
+         |mcp as (select s.vec_id, s.score, least(cast(floor(s.score * 8) as bigint), 255) as sb
+         |        from msc s cross join mtpar p where s.dr <= p.pool),
+         |mscnt as (select sb, count(*) as c from mcp group by sb),
+         |msoff as (select a.sb, sum(case when b.sb < a.sb then b.c else cast(0 as bigint) end) as off
+         |          from mscnt a cross join mscnt b group by a.sb),
+         |msel as (select c.vec_id,
+         |           o.off + row_number() over (partition by c.sb order by c.score, c.vec_id) as sel_rank
+         |         from mcp c join msoff o on o.sb = c.sb),
+         |bcar as (select vec_id, cast((sel_rank - p.target - 1) % $Blocks as bigint) as blk
+         |         from msel cross join mtpar p where sel_rank > p.target and sel_rank <= p.pool),
+         |bcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+         |         from bcar c join exn x on x.id = c.vec_id),
+         |teagg as (select id, blk, max(nrm) as nrm,
+         |            $pSums2
+         |          from bcex group by id, blk),
+         |tesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
+         |         from teagg),
+         |teshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSq2) as pn
+         |          from tesh),
+         |bstego as (select x.id, x.pos,
+         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |           from bcex x join teshn e on e.id = x.id)""".stripMargin
+      // the REPARTITION hint undoes the one-split scan of the small
+      // persisted overlay parquet (the r10 lesson: a sub-threshold
+      // file reads as ONE split and the downstream union + per-id
+      // aggregation would stream through a single task)
+      val bChain = bView match {
+        case Some(v) => s"bstego as (select /*+ REPARTITION(id) */ id, pos, sval from $v)"
+        case None    => bChainInline
+      }
+      if (buildOnly)
+        s"""$head,
+           |$bChainInline
+           |select id, pos, sval from bstego""".stripMargin
+      else
+      s"""$head,
+|$bChain,
+         |allst as (select id, pos, sval from stego union all select id, pos, sval from bstego),
+         |${exCtes("a_", wLitOf, "allst")},
+         |${exCtes("b_", w2LitOf, "allst")},
+         |$msg2bitsCte,
+         |ea as (select m.blk as blk, ${errExpr("v", "m")} as errors_tenant_a,
+         |         ${bigint("coalesce(max(v.n), 0)")} as n_valid_a
+         |       from msgbits m left join a_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
+         |eb as (select m.blk as blk, ${errExpr("v", "m")} as errors_tenant_b,
+         |         ${bigint("coalesce(max(v.n), 0)")} as n_valid_b
+         |       from msgbits2 m left join b_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
+         |select ${bigint("ea.blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("ea.errors_tenant_a")} as errors_tenant_a, ea.n_valid_a,
+         |  ${bigint("eb.errors_tenant_b")} as errors_tenant_b, eb.n_valid_b
+         |from ea join eb on eb.blk = ea.blk""".stripMargin
+  }
+
   def wmRepairSql(attView: Option[String]): String = {
     val attSrc = attView match {
       case Some(v) => s"att as (select id, pos, sval from $v)"
@@ -1524,6 +2002,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * rebuild). Output: tagged op counts + stale/delta pair counts +
     * the final per-match-count census with exact integer checksums. */
   def dedupUpsertMinhashSql(sigsFrom: Option[String], pairsFrom: Option[String]): String = {
+    // the pairsFrom=None branch references the `bands` CTE, which only
+    // exists when sigsFrom=None renders minhashBandsCtes — a mixed
+    // Some/None call would emit invalid SQL (r11 ADVICE)
+    require(sigsFrom.isDefined == pairsFrom.isDefined,
+      "sigsFrom and pairsFrom must both be views or both inline")
     val p = WmConst.MinhashP
     val mcols = (0 until 16).map(r => s"m$r").mkString(", ")
     val sigCtes = sigsFrom match {
@@ -2092,14 +2575,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * bucket-local row_number — no single-partition window); the fused
     * top-10 reuses the q3 bucketed-candidates + pairwise-rank pattern
     * over ≤ 160 survivor rows. */
-  def hybridRrfSql(from: Option[String]): String = {
-    val matKw = if (d.name == "duckdb") "materialized " else ""
-    val sem = from match {
-      case Some(v) => s"sem as (select doc_id, bm25, csim from $v)"
-      case None    => s"sem as $matKw(${hybridScoresBuildSql.replace("\n", " ")})"
-    }
-    s"""with $sem,
-       |lb as (select doc_id, bm25, csim,
+  /** The RRF rank chain (per-leg exact global ranks via the grid-rank
+    * pattern + fused top-10 via bucketed pre-rank), referencing a
+    * `sem(doc_id, bm25, csim)` CTE — shared by [[hybridRrfSql]] and
+    * the CDC maintenance key [[searchHybridUpsertSql]]. Ends in
+    * `fin(doc_id, rl, rs, bm25, csim, fscore, rk)`. */
+  private lazy val rrfRankCtes: String =
+    s"""lb as (select doc_id, bm25, csim,
        |         greatest(cast(-8 as bigint), least(cast(31 as bigint), cast(floor(bm25) as bigint))) as gb,
        |         greatest(cast(-17 as bigint), least(cast(16 as bigint), cast(floor(csim * 16) as bigint))) as gs
        |       from sem),
@@ -2124,7 +2606,16 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |          from rrf) _c where prn <= 10),
        |fin as (select a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore,
        |          1 + sum(case when b.fscore > a.fscore or (b.fscore = a.fscore and b.doc_id < a.doc_id) then 1 else 0 end) as rk
-       |        from c10 a cross join c10 b group by a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore)
+       |        from c10 a cross join c10 b group by a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore)""".stripMargin
+
+  def hybridRrfSql(from: Option[String]): String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    val sem = from match {
+      case Some(v) => s"sem as (select doc_id, bm25, csim from $v)"
+      case None    => s"sem as $matKw(${hybridScoresBuildSql.replace("\n", " ")})"
+    }
+    s"""with $sem,
+       |$rrfRankCtes
        |select ${bigint("doc_id")} as doc_id, ${bigint("rk")} as fused_rank,
        |  ${bigint("rl")} as lex_rank, ${bigint("rs")} as sem_rank,
        |  ${roundAway(d)("fscore", 6)} as rrf_score, bm25, csim as cos_sim
@@ -4103,41 +4594,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // guard, stated). Corpus work: the one word explode + a
     // vocabulary groupBy; everything after is ≤ 600 grid rows.
     // 190-row output (unordered source pairs).
-    "text_burrows_delta" -> {
-      s"""with $wordCtes,
-         |wc as (select wd, ${bigint("count(*)")} as c from wx group by wd),
-         |pre as (select wd, c from (
-         |  select wd, c, row_number() over (partition by ${prfMod(d)(8, "'bbkt'", "wd")} order by c desc, wd) as prn
-         |  from wc) _p where prn <= 30),
-         |rk as (select a.wd, ${bigint("1 + count(*)")} as rank from pre a
-         |       join pre b on b.c > a.c or (b.c = a.c and b.wd < a.wd)
-         |       group by a.wd, a.c
-         |       union all
-         |       select a.wd, ${bigint("1")} as rank from pre a
-         |       where not exists (select 1 from pre b where b.c > a.c or (b.c = a.c and b.wd < a.wd))),
-         |top as (select wd from rk where rank <= 30),
-         |sw as (select dd.source, x.wd from wx x join documents dd on dd.doc_id = x.doc_id),
-         |stot as (select source, ${bigint("count(*)")} as n from sw group by source),
-         |scnt as (select s.source, s.wd, ${bigint("count(*)")} as c
-         |         from sw s join top t on t.wd = s.wd group by s.source, s.wd),
-         |grid as (select st.source, t.wd, st.n, ${bigint("coalesce(sc.c, 0)")} as c
-         |         from stot st cross join top t
-         |         left join scnt sc on sc.source = st.source and sc.wd = t.wd),
-         |ppb as (select source, wd, ${d.idiv("c * 1000000000", "n")} as p from grid),
-         |ws as (select wd, ${bigint("count(*)")} as s, ${bigint("sum(p)")} as sp,
-         |              ${bigint("sum(p * p)")} as spp
-         |       from ppb group by wd),
-         |z as (select p.source, p.wd,
-         |        case when w.s * w.spp - w.sp * w.sp = 0 then ${bigint("0")}
-         |             else ${bigint(roundAway(d)("(p.p - cast(w.sp as double) / w.s) / sqrt((cast(w.s as double) * w.spp - cast(w.sp as double) * w.sp) / (cast(w.s as double) * (w.s - 1))) * 1000000", 0))}
-         |        end as zq
-         |      from ppb p join ws w on w.wd = p.wd)
-         |select a.source as source_a, b.source as source_b,
-         |  ${roundAway(d)("cast(sum(abs(a.zq - b.zq)) as double) / 30 / 1000000", 4)} as delta_burrows,
-         |  ${bigint("count(*)")} as n_words
-         |from z a join z b on b.wd = a.wd and b.source > a.source
-         |group by a.source, b.source""".stripMargin
-    },
+    "text_burrows_delta" -> textBurrowsDeltaSql(None),
 
   )
 
@@ -4542,36 +4999,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // anywhere — the shuffle keys are (type) for stats/bins and
     // (type, bin) for the selection window; both scale with group
     // count, not row count.
-    "events_value_quantiles" -> {
-      val b = 64
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      s"""with src as (select event_type as et, cast(value as double) as x from events),
-         |mm as $matKw(select et, min(x) as mn, max(x) as mx, count(*) as n from src group by et),
-         |bn as (select s.et, s.x, least(${b - 1}, greatest(0, cast(floor((s.x - mm.mn) * cast($b as double) / (mm.mx - mm.mn)) as bigint))) as bin
-         |       from src s join mm on mm.et = s.et),
-         |bc as $matKw(select et, bin, ${bigint("count(*)")} as c from bn group by et, bin),
-         |cum as $matKw(select a.et, a.bin, a.c, ${bigint("sum(b.c)")} as cumc
-         |       from bc a join bc b on b.et = a.et and b.bin <= a.bin group by a.et, a.bin, a.c),
-         |qs as (select mm.et, _q.lbl, ${bigint("cast(ceil(_q.qv * mm.n) as bigint)")} as r from
-         |         (select 'p50' as lbl, cast(0.5 as double) as qv
-         |          union all select 'p95', cast(0.95 as double)) _q cross join mm),
-         |tb as (select qs.et, qs.lbl, qs.r, min(cum.bin) as bin
-         |       from qs join cum on cum.et = qs.et and cum.cumc >= qs.r group by qs.et, qs.lbl, qs.r),
-         |td as (select tb.et, tb.lbl, tb.r, tb.bin, cum.c as bc2, cum.cumc - cum.c as cumbefore
-         |       from tb join cum on cum.et = tb.et and cum.bin = tb.bin),
-         |ap as (select td.et, td.lbl, td.r, td.bin, td.bc2, td.cumbefore,
-         |         ${roundAway(d)(s"mm.mn + (td.bin + (td.r - td.cumbefore) / cast(td.bc2 as double)) * (mm.mx - mm.mn) / cast($b as double)", 4)} as approx_v
-         |       from td join mm on mm.et = td.et),
-         |lr as (select bn.et, bn.bin, bn.x, row_number() over (partition by bn.et, bn.bin order by bn.x) as lrk
-         |       from bn join (select distinct et, bin from td) tb2 on tb2.et = bn.et and tb2.bin = bn.bin),
-         |ex as (select t.et, t.lbl, min(l.x) as exact_v
-         |       from td t join lr l on l.et = t.et and l.bin = t.bin and l.lrk = t.r - t.cumbefore
-         |       group by t.et, t.lbl)
-         |select ap.et as event_type, ap.lbl as quantile, ex.exact_v,
-         |  ap.approx_v,
-         |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
-         |from ap join ex on ex.et = ap.et and ex.lbl = ap.lbl""".stripMargin
-    },
+    "events_value_quantiles" -> eventsValueQuantilesSql(None),
 
     // triangle count / transitivity over the kNN proximity graph — the
     // graph-quality metric next to in-degree and PageRank. The count
@@ -4872,6 +5300,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // single-partition window); the fused top-10 reuses the q3
     // bucketed-candidates + pairwise-rank pattern over ≤ 160 rows.
     "search_hybrid_rrf" -> hybridRrfSql(None),
+
+    // CDC-UPSERT MAINTENANCE OF THE HYBRID SCORE STACK — see
+    // searchHybridUpsertSql (r11 verdict item 5: the two-leg score
+    // artifact's maintenance path; per-doc integer stats kept, 5%
+    // delta re-tokenized, global BM25 stats refolded, full RRF top-10
+    // re-served from stats alone).
+    "search_hybrid_upsert" -> searchHybridUpsertSql(None),
 
     // BPE tokenizer training — the merge-learning loop every LLM data
     // pipeline runs before tokenization, trained (as real BPE trainers
@@ -5219,6 +5654,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // SAMPLE, never the full query stream); the LSH leg reads the
     // shared buckets. n_cand exposes the probe cost the recall was
     // bought at — recall/cost is THE index-tuning tradeoff curve.
+    // recall receipts for the residual-IVFADC serving rung — see
+    // annRecallEvalIvfPqResSql (r11 verdict item 6).
+    "ann_recall_eval_ivfpq_res" -> annRecallEvalIvfPqResSql(None),
+
     "ann_recall_eval" ->
       s"""${wmChain("lsh")},
          |q as (select id as qid, n as qn from nn where id in ($qIdLit)),
@@ -6297,35 +6736,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // a per-user-sized table. Per-user aggregation is one combinable
     // groupBy; segment assembly is three broadcast-able scalar joins.
     // Spend sums are decimal-exact; each mean is ONE double division.
-    "events_rfm" ->
-      s"""with ue as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day, cast(value as decimal(18,6)) as v from events),
-         |mxd as (select max(day) as mx from ue),
-         |u as (select user_id, count(*) as freq, sum(v) as mon,
-         |        min(mxd.mx) - max(day) as rec
-         |      from ue cross join mxd group by user_id),
-         |ug as (select user_id, rec, freq, mon,
-         |         cast(floor(cast(mon as double) / cast(10 as double)) as bigint) as mg
-         |       from u),
-         |nt as (select count(*) as cnt from u),
-         |rd as (select rec as x, count(*) as c from ug group by rec),
-         |rc as (select a.x, sum(b.c) as cum from rd a join rd b on b.x <= a.x group by a.x),
-         |rmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from rc cross join nt),
-         |fd as (select freq as x, count(*) as c from ug group by freq),
-         |fc as (select a.x, sum(b.c) as cum from fd a join fd b on b.x <= a.x group by a.x),
-         |fmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from fc cross join nt),
-         |md as (select mg as x, count(*) as c from ug group by mg),
-         |mc as (select a.x, sum(b.c) as cum from md a join md b on b.x <= a.x group by a.x),
-         |mmed as (select min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as med from mc cross join nt),
-         |seg as (select u.user_id, u.rec, u.freq, u.mon,
-         |          concat(case when u.rec <= r.med then 'R+' else 'R-' end,
-         |                 case when u.freq > f.med then 'F+' else 'F-' end,
-         |                 case when u.mg > m.med then 'M+' else 'M-' end) as segment
-         |        from ug u cross join rmed r cross join fmed f cross join mmed m)
-         |select segment, ${bigint("count(*)")} as n_users,
-         |  round(sum(rec) / cast(count(*) as double), 2) as avg_recency_days,
-         |  round(sum(freq) / cast(count(*) as double), 2) as avg_frequency,
-         |  round(cast(sum(mon) as double) / cast(count(*) as double), 2) as avg_monetary
-         |from seg group by segment""".stripMargin,
+    "events_rfm" -> eventsRfmSql(None),
 
     // MULTI-TENANT WATERMARKING — the COOPERATIVE complement of
     // wm_overwrite's adversarial cell (Sheppard, Safavi-Naini,
@@ -6347,103 +6758,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // plan-time literals; no corpus-wide work beyond the served
     // chain. 16-row output: per-block errors + valid-carrier counts
     // for both tenants.
-    "wm_multi_tenant" -> {
-      val key2 = "tenant-b-key"
-      val msg2 = "TENANT-B-MSG-002" // exactly 16 bytes
-      val kc2 = WmConst.keyed(key2)
-      val cipher2 = Crypto.encryptToBase64(msg2, key2)
-      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
-      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
-        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
-      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
-      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
-      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
-      val pSums2 = (0 until MsgLen).map(g =>
-        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
-      def shift2(g: Int) = {
-        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
-        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
-      }
-      val pnSq2 = (0 until MsgLen).map(g =>
-        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
-      val esScore = s"(-ln(${prfUniform(d)("'sel'", P, "vec_id")})) / " +
-        "(case when in_degree = 0 then 0.9 when in_degree = 1 then 0.7 when in_degree = 2 then 0.5 when in_degree = 3 then 0.4 else 0.3 end)"
-      def exCtes(pfx: String, wf: Int => String, src: String) = {
-        val qS = (0 until MsgLen).map(g =>
-          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
-        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
-        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
-           |            $qS
-           |          from $src group by id),
-           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
-           |        from ${pfx}xagg),
-           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
-           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
-           |        from ${pfx}xb),
-           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
-           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
-           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
-           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
-      }
-      val msg2bitsCte =
-        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
-           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
-      def errExpr(v: String, m: String) =
-        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
-      val head =
-        if (views) "with " + Seq(nvCtes, exnCte, msgbitsCte,
-          viewAlias("indeg", "g_indeg"), viewAlias("stego", "g_stego")).mkString(",\n")
-        else fullChain("stego")
-      s"""$head,
-         |mtpar as (select nvec, target, least(target + cast(floor(target * 0.5) as bigint), nvec) as pool
-         |          from (select nvec, greatest(cast(floor(nvec * $Rate) as bigint), $Blocks) as target
-         |                from (select count(*) as nvec from nn) _n) _t),
-         |mdc as (select in_degree, count(*) as c from indeg group by in_degree),
-         |mdo as (select a.in_degree, sum(case when b.in_degree < a.in_degree then b.c else cast(0 as bigint) end) as off
-         |        from mdc a cross join mdc b group by a.in_degree),
-         |mdrk as (select i.vec_id, i.in_degree,
-         |           o.off + row_number() over (partition by i.in_degree order by i.vec_id) as dr
-         |         from indeg i join mdo o on o.in_degree = i.in_degree),
-         |msc as (select vec_id, in_degree, dr, $esScore as score from mdrk),
-         |mcp as (select s.vec_id, s.score, least(cast(floor(s.score * 8) as bigint), 255) as sb
-         |        from msc s cross join mtpar p where s.dr <= p.pool),
-         |mscnt as (select sb, count(*) as c from mcp group by sb),
-         |msoff as (select a.sb, sum(case when b.sb < a.sb then b.c else cast(0 as bigint) end) as off
-         |          from mscnt a cross join mscnt b group by a.sb),
-         |msel as (select c.vec_id,
-         |           o.off + row_number() over (partition by c.sb order by c.score, c.vec_id) as sel_rank
-         |         from mcp c join msoff o on o.sb = c.sb),
-         |bcar as (select vec_id, cast((sel_rank - p.target - 1) % $Blocks as bigint) as blk
-         |         from msel cross join mtpar p where sel_rank > p.target and sel_rank <= p.pool),
-         |bcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
-         |         from bcar c join exn x on x.id = c.vec_id),
-         |teagg as (select id, blk, max(nrm) as nrm,
-         |            $pSums2
-         |          from bcex group by id, blk),
-         |tesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
-         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
-         |         from teagg),
-         |teshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
-         |            sqrt(1 + $pnSq2) as pn
-         |          from tesh),
-         |bstego as (select x.id, x.pos,
-         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
-         |           from bcex x join teshn e on e.id = x.id),
-         |allst as (select id, pos, sval from stego union all select id, pos, sval from bstego),
-         |${exCtes("a_", wLitOf, "allst")},
-         |${exCtes("b_", w2LitOf, "allst")},
-         |$msg2bitsCte,
-         |ea as (select m.blk as blk, ${errExpr("v", "m")} as errors_tenant_a,
-         |         ${bigint("coalesce(max(v.n), 0)")} as n_valid_a
-         |       from msgbits m left join a_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
-         |eb as (select m.blk as blk, ${errExpr("v", "m")} as errors_tenant_b,
-         |         ${bigint("coalesce(max(v.n), 0)")} as n_valid_b
-         |       from msgbits2 m left join b_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
-         |select ${bigint("ea.blk")} as blk, ${bigint("16")} as n_bits,
-         |  ${bigint("ea.errors_tenant_a")} as errors_tenant_a, ea.n_valid_a,
-         |  ${bigint("eb.errors_tenant_b")} as errors_tenant_b, eb.n_valid_b
-         |from ea join eb on eb.blk = ea.blk""".stripMargin
-    },
+    "wm_multi_tenant" -> wmMultiTenantSql(None),
 
     // WATERMARK REPAIR — the maintenance leg of the lifecycle
     // (backup/restore recovers the PRE-embed state; THIS recovers the
@@ -6563,46 +6878,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // path, and wm_extract_null quantifies the same gate on clean
     // data. Errors fall monotonically as the scan widens: 123 → 56 →
     // 37 → 7.
-    "wm_audit_curve" -> {
-      val qS = (0 until MsgLen).map(g =>
-        s"sum(val * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
-      def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
-      val u = prfUniform(d)("'aud'", "id")
-      val lv = s"case when $u < 0.10 then 0 when $u < 0.25 then 1 when $u < 0.50 then 2 else 3 end"
-      s"""${wmChain("stego")},
-         |$fullCte,
-         |axa as (select id, sqrt(sum(val * val)) as nr,
-         |            $qS
-         |        from full_t group by id),
-         |alv as (select id, nr, ${(0 until MsgLen).map(g => s"q$g").mkString(", ")}, $lv as lv from axa),
-         |axb as (select id, lv, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
-         |        from alv),
-         |axh as (select id, lv, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
-         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
-         |        from axb),
-         |avl as (select id, lv, idx as blk, pbits from axh where crc = ${d.arrIdx0(crcLit, "idx")}),
-         |avx as (select lv, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("avl", "pbits", "p1", "b", Seq("lv", "blk"))} _avx),
-         |ks as (select kpos as k from ${rangeTable("kk", "kpos", 0, 3)}),
-         |art as (select ks.k, x.blk, x.bit_idx,
-         |          sum(case when x.lv <= ks.k then 2 * x.b - 1 else 0 end) as vote,
-         |          ${bigint("sum(case when x.lv <= ks.k then 1 else 0 end)")} as n
-         |        from avx x cross join ks group by ks.k, x.blk, x.bit_idx),
-         |asc2 as (select ks.k, ${bigint("sum(case when a.lv <= ks.k then 1 else 0 end)")} as n_scanned
-         |         from alv a cross join ks group by ks.k),
-         |acar as (select ks.k, ${bigint("sum(case when v.lv <= ks.k then 1 else 0 end)")} as n_valid
-         |         from avl v cross join ks group by ks.k),
-         |aer as (select ks.k,
-         |          ${bigint("sum(case when v.n is null or v.n = 0 or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
-         |          ${bigint("count(distinct case when v.n > 0 then v.blk end)")} as blocks_live
-         |        from ks cross join msgbits m
-         |        left join art v on v.k = ks.k and v.blk = m.blk and v.bit_idx = m.j
-         |        group by ks.k)
-         |select ${roundAway(d)("case e.k when 0 then 0.10 when 1 then 0.25 when 2 then 0.50 else 1.00 end", 2)} as sample_share,
-         |  s.n_scanned, c.n_valid, e.blocks_live,
-         |  e.errors, ${roundAway(d)("e.errors / cast(256 as double)", 4)} as ber,
-         |  ${bigint("case when e.errors = 0 then 1 else 0 end")} as fully_recoverable
-         |from aer e join asc2 s on s.k = e.k join acar c on c.k = e.k""".stripMargin
-    },
+    "wm_audit_curve" -> wmAuditCurveSql(None),
 
     // EXPLAINED-VARIANCE LADDER — the dimensionality-budget readout
     // behind every compression choice in §2 (matryoshka prefix dims,
@@ -7445,9 +7721,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |wf as (select s.source, w.wd, ${bigint("count(*)")} as df
          |       from dw w join src s on s.doc_id = w.doc_id group by s.source, w.wd),
          |cn as (select source, ${bigint("sum(df * df)")} as n2 from wf group by source),
-         |dt as (select w.doc_id, f.source, ${bigint("sum(f.df)")} as dot
+         |dt as (select ${bcast("f")}w.doc_id, f.source, ${bigint("sum(f.df)")} as dot
          |       from dw w join wf f on f.wd = w.wd group by w.doc_id, f.source),
-         |sc as (select dt.doc_id, dt.source,
+         |sc as (select ${bcast("cn")}dt.doc_id, dt.source,
          |         ${roundAway(d)("dt.dot / (sqrt(cast(dn.ndw as double)) * sqrt(cast(cn.n2 as double)))", 6)} as score
          |       from dt join dn on dn.doc_id = dt.doc_id
          |               join cn on cn.source = dt.source),
@@ -9380,43 +9656,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // to — the quantity the DF-cap exists to kill), max df, p99 df
     // (rank selection
     // over the df DOMAIN, never a corpus sort), and the boilerplate
-    // mass share (df ≥ 5). ONE lead window pass computes all 8
-    // lookaheads (same window spec → one WindowExec), the 4 widths
-    // are map-side projections of that pass unioned, then one
-    // (w, shingle) groupBy. md5-prefix shingle ids as in the served
+    // mass share (df ≥ 5). The Spark serving path scratch-persists
+    // the (w, df, m) census (shingleCensusBuildSql — ONE window pass,
+    // the 4 widths stack()ed out of it map-side) and folds every
+    // readout from census rows; this oracle rendering inlines the
+    // full union chain. md5-prefix shingle ids as in the served
     // dedup chain (identical hashing both engines).
-    "dedup_shingle_curve" -> {
-      val leads = (1 to 8).map(i =>
-        s"lead(wd, $i) over (partition by doc_id order by wpos) as w${i + 1}").mkString(",\n         |        ")
-      def gram(k: Int): String = {
-        val cols = (1 to k).map(i => if (i == 1) "wd" else s"w$i").mkString(", ")
-        s"select $k as w, doc_id, ${d.hex2int(s"substr(md5(concat_ws(' ', $cols)), 1, 15)")} as g from ld where w$k is not null"
-      }
-      s"""with $wordCtes,
-         |ld as (select doc_id, wd,
-         |        $leads
-         |       from wx),
-         |sh as (${Seq(3, 5, 7, 9).map(gram).mkString("\n         | union all ")}),
-         |df as (select w, g, ${bigint("count(*)")} as df
-         |       from (select distinct w, doc_id, g from sh) _d group by w, g),
-         |dfc as (select w, df, ${bigint("count(*)")} as m from df group by w, df),
-         |tot as (select w, ${bigint("sum(df * m)")} as n_shingles, ${bigint("sum(m)")} as n_distinct,
-         |          ${bigint(s"sum(${d.idiv("df * (df - 1)", "2")} * m)")} as collision_mass,
-         |          ${bigint("max(df)")} as max_df,
-         |          ${bigint("sum(case when df >= 5 then df * m else 0 end)")} as boiler_mass
-         |        from dfc group by w),
-         |p99 as (select w, ${bigint("min(df)")} as p99_df from (
-         |          select c.w, c.df,
-         |            ${bigint("sum(c.m) over (partition by c.w order by c.df rows between unbounded preceding and current row)")} as cm,
-         |            t.n_distinct
-         |          from dfc c join tot t on t.w = c.w) _p
-         |        where cm * 100 >= n_distinct * 99 group by w)
-         |select ${bigint("t.w")} as shingle_w, t.n_shingles, t.n_distinct,
-         |  ${roundAway(d)("cast(t.n_distinct as double) / t.n_shingles", 4)} as distinct_ratio,
-         |  t.collision_mass, t.max_df, p.p99_df,
-         |  ${roundAway(d)("cast(t.boiler_mass as double) / t.n_shingles", 4)} as boilerplate_share
-         |from tot t join p99 p on p.w = t.w""".stripMargin
-    },
+    "dedup_shingle_curve" -> dedupShingleCurveSql(None),
 
     // ANN ENSEMBLE (RRF FUSION) RECALL — do three cheap approximate
     // indexes beat each alone? The reciprocal-rank-fusion trick
@@ -12421,6 +12667,94 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * the whole bn chain). Parquet-backed, every re-reference is a
     * ≤128-row scan; measured 2.0-2.2 s warm floor → sub-second at
     * sf0.1. */
+  /** The (w, df, m) shingle-census artifact behind
+    * dedup_shingle_curve's Spark serving path (r12): for each width
+    * w ∈ {3,5,7,9} and document-frequency value df, m = how many
+    * distinct shingles occur in exactly df documents. This is the
+    * complete sufficient statistic for the curve's readouts (totals,
+    * collision mass, max/p99 df, boilerplate share all fold from it),
+    * and it is tiny — O(|distinct df values| × 4) rows. Why an
+    * artifact: the inline rendering's sh/df/dfc CTEs are
+    * multi-referenced and Catalyst re-inlines per reference — the
+    * executed inline plan ran 13 Window nodes / 12 corpus scans (the
+    * r11 verdict's one SURVEY-claim-vs-plan contradiction). The build
+    * itself is genuinely ONE pass: a single 8-lead window over the
+    * exploded words, the 4 widths stack()ed out of that pass map-side
+    * (no union branches for Catalyst to re-inline the window into),
+    * then the two groupBys. Spark-only (stack is Spark syntax); the
+    * DuckDB oracle keeps the full inline union chain — value parity
+    * holds because the stacked (w, g) rows are exactly the union
+    * branches' rows (the case-null guard reproduces each branch's
+    * `where w_k is not null`). */
+  def shingleCensusBuildSql: String = {
+    val leads = (1 to 8).map(i =>
+      s"lead(wd, $i) over (partition by doc_id order by wpos) as w${i + 1}").mkString(",\n       |        ")
+    def gramHash(k: Int): String = {
+      val cols = (1 to k).map(i => if (i == 1) "wd" else s"w$i").mkString(", ")
+      s"case when w$k is not null then ${d.hex2int(s"substr(md5(concat_ws(' ', $cols)), 1, 15)")} end"
+    }
+    val stackArgs = Seq(3, 5, 7, 9).map(k => s"$k, ${gramHash(k)}")
+      .mkString(",\n       |          ")
+    s"""with $wordCtes,
+       |ld as (select doc_id, wd,
+       |        $leads
+       |       from wx),
+       |sh as (select doc_id, w, g from (
+       |         select doc_id, stack(4,
+       |          $stackArgs) as (w, g)
+       |         from ld) _s where g is not null),
+       |df as (select w, g, ${bigint("count(*)")} as df
+       |       from (select distinct w, doc_id, g from sh) _d group by w, g)
+       |select w, df, ${bigint("count(*)")} as m from df group by w, df""".stripMargin
+  }
+
+  /** Shingle-size tuning curve (25g) — `censusFrom`: Some(view) reads
+    * the parquet-backed (w, df, m) census ([[shingleCensusBuildSql]],
+    * the Spark serving path; ZERO raw scans remain, every readout
+    * folds from census rows); None inlines the full union chain (the
+    * DuckDB oracle). The readout text below is shared verbatim, so
+    * the two renderings are value-identical by construction. */
+  def dedupShingleCurveSql(censusFrom: Option[String]): String = {
+    val readout =
+      s"""tot as (select w, ${bigint("sum(df * m)")} as n_shingles, ${bigint("sum(m)")} as n_distinct,
+         |          ${bigint(s"sum(${d.idiv("df * (df - 1)", "2")} * m)")} as collision_mass,
+         |          ${bigint("max(df)")} as max_df,
+         |          ${bigint("sum(case when df >= 5 then df * m else 0 end)")} as boiler_mass
+         |        from dfc group by w),
+         |p99 as (select w, ${bigint("min(df)")} as p99_df from (
+         |          select c.w, c.df,
+         |            ${bigint("sum(c.m) over (partition by c.w order by c.df rows between unbounded preceding and current row)")} as cm,
+         |            t.n_distinct
+         |          from dfc c join tot t on t.w = c.w) _p
+         |        where cm * 100 >= n_distinct * 99 group by w)
+         |select ${bigint("t.w")} as shingle_w, t.n_shingles, t.n_distinct,
+         |  ${roundAway(d)("cast(t.n_distinct as double) / t.n_shingles", 4)} as distinct_ratio,
+         |  t.collision_mass, t.max_df, p.p99_df,
+         |  ${roundAway(d)("cast(t.boiler_mass as double) / t.n_shingles", 4)} as boilerplate_share
+         |from tot t join p99 p on p.w = t.w""".stripMargin
+    censusFrom match {
+      case Some(v) =>
+        s"""with dfc as (select w, df, m from $v),
+           |$readout""".stripMargin
+      case None =>
+        val leads = (1 to 8).map(i =>
+          s"lead(wd, $i) over (partition by doc_id order by wpos) as w${i + 1}").mkString(",\n           |        ")
+        def gram(k: Int): String = {
+          val cols = (1 to k).map(i => if (i == 1) "wd" else s"w$i").mkString(", ")
+          s"select $k as w, doc_id, ${d.hex2int(s"substr(md5(concat_ws(' ', $cols)), 1, 15)")} as g from ld where w$k is not null"
+        }
+        s"""with $wordCtes,
+           |ld as (select doc_id, wd,
+           |        $leads
+           |       from wx),
+           |sh as (${Seq(3, 5, 7, 9).map(gram).mkString("\n           | union all ")}),
+           |df as (select w, g, ${bigint("count(*)")} as df
+           |       from (select distinct w, doc_id, g from sh) _d group by w, g),
+           |dfc as (select w, df, ${bigint("count(*)")} as m from df group by w, df),
+           |$readout""".stripMargin
+    }
+  }
+
   def quantHistBuildSql: String = {
     val b = 128
     s"""with src as (select cast(l_extendedprice as double) as x from lineitem),
@@ -12429,6 +12763,95 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |       from src cross join mm)
        |select bin, ${bigint("count(*)")} as c, min(mn) as mn, min(mx) as mx, ${bigint("min(n)")} as n
        |from bn group by bin""".stripMargin
+  }
+
+  /** The per-event-type 64-bin histogram artifact behind
+    * events_value_quantiles' Spark serving path (r12) — the g_qhist
+    * design keyed per group: (et, bin, c, mn, mx, n) with each type's
+    * min/max/count carried as columns so no readout re-derives the
+    * per-group moments. Why: the inline rendering's mm/bn/bc/cum CTEs
+    * are multi-referenced and Catalyst re-inlines per reference — the
+    * r11 executed plan ran 30 parquet scans (the same trap fixed for
+    * sketch_quantiles in r11, verdict item 3 this round). */
+  def evQuantHistBuildSql: String = {
+    val b = 64
+    s"""with src as (select event_type as et, cast(value as double) as x from events),
+       |mm as (select et, min(x) as mn, max(x) as mx, count(*) as n from src group by et),
+       |bn as (select s.et, s.x, least(${b - 1}, greatest(0, cast(floor((s.x - mm.mn) * cast($b as double) / (mm.mx - mm.mn)) as bigint))) as bin,
+       |         mm.mn, mm.mx, mm.n
+       |       from src s join mm on mm.et = s.et)
+       |select et, bin, ${bigint("count(*)")} as c, min(mn) as mn, min(mx) as mx, ${bigint("min(n)")} as n
+       |from bn group by et, bin""".stripMargin
+  }
+
+  /** Per-type value quantiles (37p): mergeable per-group 64-bin sketch
+    * + exact two-pass rank selection. `histFrom`: Some(view) reads the
+    * parquet-backed per-type histogram artifact ([[evQuantHistBuildSql]]
+    * — the Spark serving path; ONE raw events scan remains, for the
+    * exact in-bin selection, every other reference is a ≤|types|·64-row
+    * view scan); None inlines everything (the DuckDB oracle). Values
+    * identical: the artifact carries the same per-type mn/mx/n the
+    * inline mm computes, every downstream expression rendered with the
+    * identical IEEE step order. */
+  def eventsValueQuantilesSql(histFrom: Option[String]): String = {
+    val b = 64
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    histFrom match {
+      case None =>
+        s"""with src as (select event_type as et, cast(value as double) as x from events),
+           |mm as $matKw(select et, min(x) as mn, max(x) as mx, count(*) as n from src group by et),
+           |bn as (select s.et, s.x, least(${b - 1}, greatest(0, cast(floor((s.x - mm.mn) * cast($b as double) / (mm.mx - mm.mn)) as bigint))) as bin
+           |       from src s join mm on mm.et = s.et),
+           |bc as $matKw(select et, bin, ${bigint("count(*)")} as c from bn group by et, bin),
+           |cum as $matKw(select a.et, a.bin, a.c, ${bigint("sum(b.c)")} as cumc
+           |       from bc a join bc b on b.et = a.et and b.bin <= a.bin group by a.et, a.bin, a.c),
+           |qs as (select mm.et, _q.lbl, ${bigint("cast(ceil(_q.qv * mm.n) as bigint)")} as r from
+           |         (select 'p50' as lbl, cast(0.5 as double) as qv
+           |          union all select 'p95', cast(0.95 as double)) _q cross join mm),
+           |tb as (select qs.et, qs.lbl, qs.r, min(cum.bin) as bin
+           |       from qs join cum on cum.et = qs.et and cum.cumc >= qs.r group by qs.et, qs.lbl, qs.r),
+           |td as (select tb.et, tb.lbl, tb.r, tb.bin, cum.c as bc2, cum.cumc - cum.c as cumbefore
+           |       from tb join cum on cum.et = tb.et and cum.bin = tb.bin),
+           |ap as (select td.et, td.lbl, td.r, td.bin, td.bc2, td.cumbefore,
+           |         ${roundAway(d)(s"mm.mn + (td.bin + (td.r - td.cumbefore) / cast(td.bc2 as double)) * (mm.mx - mm.mn) / cast($b as double)", 4)} as approx_v
+           |       from td join mm on mm.et = td.et),
+           |lr as (select bn.et, bn.bin, bn.x, row_number() over (partition by bn.et, bn.bin order by bn.x) as lrk
+           |       from bn join (select distinct et, bin from td) tb2 on tb2.et = bn.et and tb2.bin = bn.bin),
+           |ex as (select t.et, t.lbl, min(l.x) as exact_v
+           |       from td t join lr l on l.et = t.et and l.bin = t.bin and l.lrk = t.r - t.cumbefore
+           |       group by t.et, t.lbl)
+           |select ap.et as event_type, ap.lbl as quantile, ex.exact_v,
+           |  ap.approx_v,
+           |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
+           |from ap join ex on ex.et = ap.et and ex.lbl = ap.lbl""".stripMargin
+      case Some(v) =>
+        s"""with src as (select event_type as et, cast(value as double) as x from events),
+           |bc as (select et, bin, c, mn, mx, n from $v),
+           |st as (select et, min(mn) as mn, min(mx) as mx, max(n) as n from bc group by et),
+           |cum as (select a.et, a.bin, a.c, ${bigint("sum(b.c)")} as cumc
+           |        from bc a join bc b on b.et = a.et and b.bin <= a.bin group by a.et, a.bin, a.c),
+           |qs as (select st.et, _q.lbl, ${bigint("cast(ceil(_q.qv * st.n) as bigint)")} as r from
+           |         (select 'p50' as lbl, cast(0.5 as double) as qv
+           |          union all select 'p95', cast(0.95 as double)) _q cross join st),
+           |tb as (select qs.et, qs.lbl, qs.r, min(cum.bin) as bin
+           |       from qs join cum on cum.et = qs.et and cum.cumc >= qs.r group by qs.et, qs.lbl, qs.r),
+           |td as (select tb.et, tb.lbl, tb.r, tb.bin, cum.c as bc2, cum.cumc - cum.c as cumbefore
+           |       from tb join cum on cum.et = tb.et and cum.bin = tb.bin),
+           |ap as (select td.et, td.lbl, td.r, td.bin, td.bc2, td.cumbefore,
+           |         ${roundAway(d)(s"st.mn + (td.bin + (td.r - td.cumbefore) / cast(td.bc2 as double)) * (st.mx - st.mn) / cast($b as double)", 4)} as approx_v
+           |       from td join st on st.et = td.et),
+           |sb as (select s.et, s.x, least(${b - 1}, greatest(0, cast(floor((s.x - st.mn) * cast($b as double) / (st.mx - st.mn)) as bigint))) as bin
+           |       from src s join st on st.et = s.et),
+           |lr as (select sb.et, sb.bin, sb.x, row_number() over (partition by sb.et, sb.bin order by sb.x) as lrk
+           |       from sb join (select distinct et, bin from td) tb2 on tb2.et = sb.et and tb2.bin = sb.bin),
+           |ex as (select t.et, t.lbl, min(l.x) as exact_v
+           |       from td t join lr l on l.et = t.et and l.bin = t.bin and l.lrk = t.r - t.cumbefore
+           |       group by t.et, t.lbl)
+           |select ap.et as event_type, ap.lbl as quantile, ex.exact_v,
+           |  ap.approx_v,
+           |  ${roundAway(d)("abs(ap.approx_v - ex.exact_v) / ex.exact_v", 6)} as rel_err
+           |from ap join ex on ex.et = ap.et and ex.lbl = ap.lbl""".stripMargin
+    }
   }
 
   /** The 3-level (16/64/256-bin) histogram artifact behind
@@ -12626,7 +13049,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     def momentStages(b: String, src: String): Unit = {
       val s1 = dims.map(k => s"x$k * cast(1000000 as double)").mkString(" + ")
       val s2 = dims.map(k => s"(x$k * cast(1000000 as double)) * (x$k * cast(1000000 as double))").mkString(" + ")
-      sb.append(s",\nmm$b as (select *, ($s1) / cast(64 as double) / cast(1000000 as double) as mu, ($s2) / cast(64 as double) / cast(1000000000000 as double) as m2 from $src)")
+      // divisor derived from Dim (r11 ADVICE: the hard-coded 64 and
+      // the JVM twin's would stay mutually consistent but silently
+      // wrong if Dim ever changed); text identical at Dim = 64
+      sb.append(s",\nmm$b as (select *, ($s1) / cast($Dim as double) / cast(1000000 as double) as mu, ($s2) / cast($Dim as double) / cast(1000000000000 as double) as m2 from $src)")
       sb.append(s",\nsv$b as (select id, ${dims.map(k => s"x$k").mkString(", ")}, mu, sqrt(greatest(m2 - mu * mu, cast(0 as double)) + cast(0.000001 as double)) as sg from mm$b)")
     }
     // Spark-only exchanges between the two 512-term projections of

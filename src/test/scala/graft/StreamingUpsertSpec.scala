@@ -72,4 +72,21 @@ class StreamingUpsertSpec extends AnyFunSuite {
       assert(after((nid, 0)) == afterInsert((nid, 0)), "no-op upsert is silent")
     } finally q.stop()
   }
+
+  test("simhash JVM twin matches the SQL signature chain for whitespace-padded text (r11 ADVICE)") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "  leading pad tokens here",
+      2L -> "trailing pad tokens here   ",
+      3L -> "   both  sides   padded text here  ",
+      4L -> "no padding four tokens")
+    texts.toDF("doc_id", "text").createOrReplaceTempView("pad_docs_sim")
+    val sql = new graft.sqlgen.Gen(graft.sqlgen.SparkDialect).simhashSigBuildSql
+      .replaceFirst("(?s)^with ", "with documents as (select doc_id, text from pad_docs_sim), ")
+    val got = spark.sql(sql).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, t) <- texts)
+      assert(got(id) == graft.functions.SimHash.sig(t),
+        s"doc $id: JVM twin vs SQL chain on padded text")
+  }
 }

@@ -13,8 +13,11 @@ class UpsertMinhashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val P = WmConst.MinhashP
 
+  // Mirrors the SQL chain's token convention: split keeps EMPTY
+  // tokens (Spark split uses limit -1 — leading/trailing empties of
+  // whitespace-padded text survive and flow into shingles).
   private def minhash(text: String): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase.split("\\s+", -1)
     val shingles = toks.sliding(3).filter(_.length == 3)
       .map(_.mkString(" ")).toSet
     val hs = shingles.toArray.map(sh => Prf.prf(sh) % P)
@@ -76,5 +79,26 @@ class UpsertMinhashSpec extends AnyFunSuite {
       val want = if (ps.isEmpty) None else Some((ps.size.toLong, ck(ps)))
       assert(got.get(("final_pairs", mm.toLong)) == want, s"match count $mm census")
     }
+  }
+
+  test("minhash JVM twin matches the SQL signature chain for whitespace-padded text (r11 ADVICE)") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "  leading pad tokens here",
+      2L -> "trailing pad tokens here   ",
+      3L -> "   both  sides   padded text here  ",
+      4L -> "no padding four tokens",
+      5L -> " x y ")
+    texts.toDF("doc_id", "text").createOrReplaceTempView("pad_docs")
+    // the rendered build SQL verbatim, with the documents table
+    // shadowed by a CTE over the padded fixture
+    val sql = new graft.sqlgen.Gen(graft.sqlgen.SparkDialect).minhashSigBuildSql
+      .replaceFirst("(?s)^with ", "with documents as (select doc_id, text from pad_docs), ")
+    val got = spark.sql(sql).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    for ((id, t) <- texts)
+      assert(got.get(id) == graft.functions.MinHash.sig(t).map(_.toSeq),
+        s"doc $id: JVM twin vs SQL chain on padded text")
+    assert(got.contains(1L) && got.contains(3L), "padded docs must produce signatures")
   }
 }
