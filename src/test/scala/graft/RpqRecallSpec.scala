@@ -56,6 +56,11 @@ class RpqRecallSpec extends AnyFunSuite {
       // pin the honest band, not an aspirational number.
       assert(meanRecall >= 0.25, s"mean recall@10 $meanRecall fell out of the PQ-ADC band")
       assert(maxFrac <= 0.15, s"candidate fraction $maxFrac — the rung must stay sublinear")
-    } finally spark.catalog.dropTempView("embeddings")
+    } finally {
+      // restore the real table for subsequent suites sharing the session
+      Tables.register(spark, TestSpark.Sf)
+      spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+        .createOrReplaceTempView("embeddings")
+    }
   }
 }
