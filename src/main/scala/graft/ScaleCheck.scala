@@ -170,7 +170,14 @@ object ScaleCheck {
       "sketch_quantile_curve", "wm_nn_decode_deep",
       "dedup_upsert_minhash", "vec_ivf_reindex_delete",
       "vec_topk_ivfpq_res", "vec_ivfpq_res_distortion",
-      "search_hybrid_upsert", "ann_recall_eval_ivfpq_res").filter(only)) {
+      "search_hybrid_upsert", "ann_recall_eval_ivfpq_res",
+      "events_value_quantiles", "events_rfm", "wm_audit_curve",
+      "text_centroid_classify",
+      // serving paths of the r12 artifact splits (their flatQs/chainQs
+      // entries measure the INLINE oracle shape; these measure what
+      // the bench actually executes — printed second when both match)
+      "dedup_shingle_curve", "text_burrows_delta",
+      "wm_multi_tenant").filter(only)) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val s = timeSec { fn(spark, dir).count(); () }

@@ -159,7 +159,13 @@ object SparkEntry {
       "search_hybrid_upsert" -> ((s, dir) => {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_hyb_stats", sparkGen.hybStatsBuildSql)
-        s.sql(sparkGen.searchHybridUpsertSql(Some("g_hyb_stats")))
+        Scratch.table(s, dir, "g_hyb_delta", sparkGen.hybDeltaBuildSql)
+        Scratch.table(s, dir, "g_hyb_post",
+          sparkGen.hybPostBuildSql("g_hyb_stats", "g_hyb_delta"))
+        Scratch.table(s, dir, "g_hyb_scores_post",
+          sparkGen.hybPostScoresBuildSql("g_hyb_post"))
+        s.sql(sparkGen.searchHybridUpsertSql(
+          Some(("g_hyb_stats", "g_hyb_delta", "g_hyb_post", "g_hyb_scores_post"))))
       }),
       // CDC maintenance of the MINHASH index: the kept signature table
       // (g_mhsig) and its banded pair artifact (g_mhpairs) maintained
@@ -545,6 +551,16 @@ object SparkEntry {
       // verdict item 7), then the pre-decode / re-embed / post-decode
       // passes all read the materialized rows. Oracle inlines the att
       // CTE (DuckHints materializes it there).
+      // Rocchio classifier over the PERSISTED (doc, word) presence
+      // table: the r11 plan re-ran the corpus explode per reference
+      // (3x — doc sizes, centroids, scoring join; the 4-rep-stable
+      // regression cluster). Build once; serving joins parquet scans
+      // with the vocabulary-bounded sides broadcast. Oracle inlines.
+      "text_centroid_classify" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_docwords", sparkGen.docWordsBuildSql)
+        s.sql(sparkGen.textCentroidClassifySql(Some("g_docwords")))
+      }),
       // Burrows' Delta over the PERSISTED (source, word, z) table:
       // the inline plan re-derived the corpus word census per `pre`/
       // `z` reference (710 nodes / 48 scans — r11 verdict item 7);

@@ -1139,6 +1139,54 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |group by a.source, b.source""".stripMargin
   }
 
+  /** The distinct (doc_id, word) presence table — the corpus-side
+    * kept artifact of the Rocchio classifier (the presence matrix a
+    * production fastText-style filter keeps): ONE word explode +
+    * distinct, persisted. Why: the classifier references it 3x (doc
+    * sizes, source centroids, the scoring join) and Catalyst
+    * re-inlines per reference — the r11 plan executed the corpus
+    * explode 3x (part of the 4-rep-stable regression cluster). */
+  def docWordsBuildSql: String =
+    s"""with $wordCtes
+       |select distinct doc_id, wd from wx""".stripMargin
+
+  /** Nearest-centroid source classifier (28c) — `dwView`: Some(view)
+    * reads the persisted presence table (Spark; the three consumers
+    * re-inline as parquet scans, the corpus explode runs once at
+    * build); None inlines everything (the DuckDB oracle). The scoring
+    * join broadcasts the vocabulary-bounded wf/cn tables in both
+    * renderings (r12 — the aggregated subtrees carry no size stats,
+    * so the plan fell to SortMergeJoin without the hint). */
+  def textCentroidClassifySql(dwView: Option[String]): String = {
+    val head = dwView match {
+      case Some(v) =>
+        s"""with dw as (select /*+ REPARTITION(doc_id) */ doc_id, wd from $v),"""
+      case None =>
+        s"""with $wordCtes,
+           |dw as (select distinct doc_id, wd from wx),""".stripMargin
+    }
+    s"""$head
+       |dn as (select doc_id, ${bigint("count(*)")} as ndw from dw group by doc_id),
+       |src as (select doc_id, source from documents),
+       |wf as (select s.source, w.wd, ${bigint("count(*)")} as df
+       |       from dw w join src s on s.doc_id = w.doc_id group by s.source, w.wd),
+       |cn as (select source, ${bigint("sum(df * df)")} as n2 from wf group by source),
+       |dt as (select ${bcast("f")}w.doc_id, f.source, ${bigint("sum(f.df)")} as dot
+       |       from dw w join wf f on f.wd = w.wd group by w.doc_id, f.source),
+       |sc as (select ${bcast("cn")}dt.doc_id, dt.source,
+       |         ${roundAway(d)("dt.dot / (sqrt(cast(dn.ndw as double)) * sqrt(cast(cn.n2 as double)))", 6)} as score
+       |       from dt join dn on dn.doc_id = dt.doc_id
+       |               join cn on cn.source = dt.source),
+       |pr as (select doc_id, ${d.fieldOf("mx", "s")} as pred from (
+       |  select doc_id, max(${d.structLit2("sc", "score", "s", "source")}) as mx
+       |  from sc group by doc_id) _pr)
+       |select s.source as true_source, ${bigint("count(*)")} as n_docs,
+       |  ${bigint("sum(case when pr.pred = s.source then 1 else 0 end)")} as n_correct,
+       |  round(sum(case when pr.pred = s.source then 1 else 0 end) / cast(count(*) as double), 4) as accuracy
+       |from src s join pr on pr.doc_id = s.doc_id
+       |group by s.source""".stripMargin
+  }
+
   /** The per-id audit decode-stats table (id, nr, q0..q15, lv) behind
     * wm_audit_curve's Spark serving path (r12 regression-cluster fix):
     * ONE corpus pass (full_t -> per-id projection sums + the PRF
@@ -1240,6 +1288,54 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |from dt join dn n on n.doc_id = dt.doc_id join qd q on q.doc_id = dt.doc_id""".stripMargin
   }
 
+  /** The re-tokenized DELTA stats (the %20=7 updated docs) — one
+    * 5%-of-corpus text pass, persisted so the serving readout's many
+    * references re-inline as tiny parquet scans instead of re-running
+    * the delta explode (Catalyst re-inlines per reference — the
+    * inline form re-derived the delta chain ~12x through the
+    * ust/dt/sem reference tree). */
+  def hybDeltaBuildSql: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"${bigint(s"sum(case when wd = '$t' then 1 else 0 end)")} as tf${i + 1}" }.mkString(", ")
+    val qCase = s"(case ${(0 until FhDim).map(i =>
+      s"when f.ix = $i then ${fhQueryVec(i)}").mkString(" ")} else 0 end)"
+    s"""with uw as (select doc_id, ${splitWs("lower(concat(text, ' updated cdc'))")} as ws from documents where doc_id % 20 = 7),
+       |uwx as (select * from ${d.explodeFrom("uw", "ws", "wpos", "wd", Seq("doc_id"))} _ux),
+       |udt as (select doc_id, ${bigint("count(*)")} as dl, $tfs
+       |        from uwx group by doc_id),
+       |ufh0 as (select doc_id, ${prfMod(d)(FhDim, "'fh'", "wd")} as ix,
+       |           case when ${prfMod(d)(2, "'fhs'", "wd")} = 0 then 1 else -1 end as sg
+       |         from uwx),
+       |ufh as (select doc_id, ix, ${bigint("sum(sg)")} as dv from ufh0 group by doc_id, ix),
+       |udn as (select doc_id, ${bigint("sum(dv * dv)")} as nrm2 from ufh group by doc_id),
+       |uqd as (select f.doc_id, ${bigint(s"sum(f.dv * $qCase)")} as qdot from ufh f group by f.doc_id)
+       |select udt.doc_id, udt.dl, udt.tf1, udt.tf2, udt.tf3, n.nrm2, q.qdot
+       |from udt join udn n on n.doc_id = udt.doc_id join uqd q on q.doc_id = udt.doc_id""".stripMargin
+  }
+
+  /** The maintained POST stats table = keep(untouched) ∪ delta — the
+    * CDC maintainer's kept output (the g_mhsig analog for this
+    * family), one pass over two parquet artifacts. */
+  def hybPostBuildSql(statsV: String, deltaV: String): String =
+    s"""select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $statsV where doc_id % 20 <> 3 and doc_id % 20 <> 7
+       |union all select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $deltaV""".stripMargin
+
+  /** The REFRESHED two-leg score table over the maintained post stats
+    * — the serving artifact the maintainer hands back to the hybrid
+    * stack (g_hybrid_scores' post-CDC analog): global stats refold in
+    * one aggregation over the post view, scores in one projection. */
+  def hybPostScoresBuildSql(postV: String): String = {
+    val dfs = Bm25Terms.indices.map(i =>
+      s"sum(case when tf${i + 1} > 0 then 1 else 0 end) as df${i + 1}").mkString(", ")
+    val qn2 = fhQueryVec.map(v => v * v).sum
+    val sqrtQn2 = math.sqrt(qn2.toDouble)
+    s"""with dt as (select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $postV),
+       |st as (select count(*) as n, sum(dl) as sdl, $dfs from dt)
+       |select dt.doc_id, ${roundAway(d)(bm25Score, 6)} as bm25,
+       |  ${roundAway(d)(s"dt.qdot / (sqrt(cast(dt.nrm2 as double)) * cast($sqrtQn2 as double))", 6)} as csim
+       |from dt cross join st where dt.tf1 + dt.tf2 + dt.tf3 > 0""".stripMargin
+  }
+
   /** CDC-UPSERT MAINTENANCE OF THE HYBRID SCORE STACK (r11 verdict
     * item 5 — the last kept artifact family without a maintenance
     * path): the canonical delete (doc_id % 20 = 3) / update
@@ -1247,55 +1343,50 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * per-doc stats table ([[hybStatsBuildSql]]). Why stats, not
     * scores: a changed doc shifts BOTH of its own legs AND the BM25
     * global stats (n, Σdl, df_t) — so every doc's bm25 moves. The
-    * maintained path re-tokenizes ONLY the 5% delta (uw chain), keeps
-    * every untouched doc's integer stat row, refolds the global stats
-    * from the post table (O(docs) fold, no text pass), and re-scores +
-    * re-ranks from stats alone. Output: CDC censuses (integer
-    * checksums over the maintained stat rows) + the post-CDC fused
-    * top-10 (the full RRF serving readout over the maintained state).
-    * `statsFrom`: Some(view) reads the persisted artifact (Spark);
-    * None inlines the base-corpus stats build (the DuckDB oracle).
-    * The maintained-equals-rebuild identity is spec-proved
-    * (SearchHybridUpsertSpec brute-rebuilds the post corpus). */
-  def searchHybridUpsertSql(statsFrom: Option[String]): String = {
+    * maintained path re-tokenizes ONLY the 5% delta
+    * ([[hybDeltaBuildSql]]), keeps every untouched doc's integer stat
+    * row ([[hybPostBuildSql]]), refolds the global stats from the post
+    * table (O(docs) fold, no text pass), and re-scores + re-ranks from
+    * stats alone. Output: CDC censuses (integer checksums over the
+    * maintained stat rows) + the post-CDC fused top-10 (the full RRF
+    * serving readout over the maintained state).
+    * `views`: Some((stats, delta, post)) reads the three persisted
+    * artifacts (Spark — every downstream reference re-inlines as a
+    * parquet scan); None inlines everything (the DuckDB oracle, CTEs
+    * materialized there). The maintained-equals-rebuild identity is
+    * spec-proved (SearchHybridUpsertSpec brute-rebuilds the post
+    * corpus). */
+  def searchHybridUpsertSql(views: Option[(String, String, String, String)]): String = {
     val matKw = if (d.name == "duckdb") "materialized " else ""
-    val tfsOver = (col: String) => Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"${bigint(s"sum(case when $col = '$t' then 1 else 0 end)")} as tf${i + 1}" }.mkString(", ")
     val dfs = Bm25Terms.indices.map(i =>
       s"sum(case when tf${i + 1} > 0 then 1 else 0 end) as df${i + 1}").mkString(", ")
     val qn2 = fhQueryVec.map(v => v * v).sum
     val sqrtQn2 = math.sqrt(qn2.toDouble)
-    val qCase = s"(case ${(0 until FhDim).map(i =>
-      s"when f.ix = $i then ${fhQueryVec(i)}").mkString(" ")} else 0 end)"
-    val hs = statsFrom match {
-      case Some(v) =>
-        s"hs as (select /*+ REPARTITION(doc_id) */ doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $v)"
-      case None =>
-        s"hs as $matKw(${hybStatsBuildSql.replace("\n", " ")})"
-    }
     val ckStats = "coalesce(sum(doc_id * 1048573 + dl * 31 + tf1 * 7 + tf2 * 11 + tf3 * 13 + nrm2 * 3 + qdot), 0)"
-    s"""with $hs,
+    val srcCtes = views match {
+      case Some((hsV, ustV, dtV, scV)) =>
+        s"""hs as (select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $hsV),
+           |ust as (select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $ustV),
+           |dt as (select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from $dtV),
+           |sem as (select /*+ REPARTITION(doc_id) */ doc_id, bm25, csim from $scV)""".stripMargin
+      case None =>
+        s"""hs as $matKw(${hybStatsBuildSql.replace("\n", " ")}),
+           |ust as $matKw(${hybDeltaBuildSql.replace("\n", " ")}),
+           |dt as $matKw(select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from hs where doc_id % 20 <> 3 and doc_id % 20 <> 7
+           |       union all select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from ust)""".stripMargin
+    }
+    val semCtes =
+      if (views.isDefined) "" // sem reads the refreshed score artifact
+      else
+        s"""st as $matKw(select count(*) as n, sum(dl) as sdl, $dfs from dt),
+           |scs as (select dt.doc_id, ${roundAway(d)(bm25Score, 6)} as bm25,
+           |          ${roundAway(d)(s"dt.qdot / (sqrt(cast(dt.nrm2 as double)) * cast($sqrtQn2 as double))", 6)} as csim
+           |        from dt cross join st where dt.tf1 + dt.tf2 + dt.tf3 > 0),
+           |sem as (select doc_id, bm25, csim from scs),
+           |""".stripMargin
+    s"""with $srcCtes,
        |dlx as (select doc_id from documents where doc_id % 20 = 3),
-       |uw as (select doc_id, ${splitWs("lower(concat(text, ' updated cdc'))")} as ws from documents where doc_id % 20 = 7),
-       |uwx as (select * from ${d.explodeFrom("uw", "ws", "wpos", "wd", Seq("doc_id"))} _ux),
-       |udt as (select doc_id, ${bigint("count(*)")} as dl, ${tfsOver("wd")}
-       |        from uwx group by doc_id),
-       |ufh0 as (select doc_id, ${prfMod(d)(FhDim, "'fh'", "wd")} as ix,
-       |           case when ${prfMod(d)(2, "'fhs'", "wd")} = 0 then 1 else -1 end as sg
-       |         from uwx),
-       |ufh as (select doc_id, ix, ${bigint("sum(sg)")} as dv from ufh0 group by doc_id, ix),
-       |udn as (select doc_id, ${bigint("sum(dv * dv)")} as nrm2 from ufh group by doc_id),
-       |uqd as (select f.doc_id, ${bigint(s"sum(f.dv * $qCase)")} as qdot from ufh f group by f.doc_id),
-       |ust as $matKw(select udt.doc_id, udt.dl, udt.tf1, udt.tf2, udt.tf3, n.nrm2, q.qdot
-       |       from udt join udn n on n.doc_id = udt.doc_id join uqd q on q.doc_id = udt.doc_id),
-       |dt as $matKw(select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from hs where doc_id % 20 <> 3 and doc_id % 20 <> 7
-       |       union all select doc_id, dl, tf1, tf2, tf3, nrm2, qdot from ust),
-       |st as $matKw(select count(*) as n, sum(dl) as sdl, $dfs from dt),
-       |scs as (select dt.doc_id, ${roundAway(d)(bm25Score, 6)} as bm25,
-       |          ${roundAway(d)(s"dt.qdot / (sqrt(cast(dt.nrm2 as double)) * cast($sqrtQn2 as double))", 6)} as csim
-       |        from dt cross join st where dt.tf1 + dt.tf2 + dt.tf3 > 0),
-       |sem as (select doc_id, bm25, csim from scs),
-       |$rrfRankCtes,
+       |$semCtes$rrfRankCtes,
        |stale as (select doc_id from hs where doc_id % 20 = 3 or doc_id % 20 = 7)
        |select 'deleted_docs' as metric, ${bigint("-1")} as k, ${bigint("count(*)")} as n, ${bigint("coalesce(sum(doc_id), 0)")} as checksum from dlx
        |union all select 'updated_docs', ${bigint("-1")}, ${bigint("count(*)")}, ${bigint("coalesce(sum(doc_id), 0)")} from ust
@@ -1304,6 +1395,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |union all select 'final_stats', ${bigint("-1")}, ${bigint("count(*)")}, ${bigint(ckStats)} from dt
        |union all select 'top10', ${bigint("rk")}, ${bigint("doc_id")}, ${bigint("rl * 1048576 + rs")} from fin where rk <= 10""".stripMargin
   }
+
 
   /** The per-user RFM feature table (user_id, rec, freq, mon, mg) —
     * the kept artifact of the segmentation: O(users) rows derived from
@@ -7713,28 +7805,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // (doc × matched-source) stream is ≤ |sources| × doc presence
     // rows, all map-side-combinable. Output: per-source census +
     // accuracy.
-    "text_centroid_classify" ->
-      s"""with $wordCtes,
-         |dw as (select distinct doc_id, wd from wx),
-         |dn as (select doc_id, ${bigint("count(*)")} as ndw from dw group by doc_id),
-         |src as (select doc_id, source from documents),
-         |wf as (select s.source, w.wd, ${bigint("count(*)")} as df
-         |       from dw w join src s on s.doc_id = w.doc_id group by s.source, w.wd),
-         |cn as (select source, ${bigint("sum(df * df)")} as n2 from wf group by source),
-         |dt as (select ${bcast("f")}w.doc_id, f.source, ${bigint("sum(f.df)")} as dot
-         |       from dw w join wf f on f.wd = w.wd group by w.doc_id, f.source),
-         |sc as (select ${bcast("cn")}dt.doc_id, dt.source,
-         |         ${roundAway(d)("dt.dot / (sqrt(cast(dn.ndw as double)) * sqrt(cast(cn.n2 as double)))", 6)} as score
-         |       from dt join dn on dn.doc_id = dt.doc_id
-         |               join cn on cn.source = dt.source),
-         |pr as (select doc_id, ${d.fieldOf("mx", "s")} as pred from (
-         |  select doc_id, max(${d.structLit2("sc", "score", "s", "source")}) as mx
-         |  from sc group by doc_id) _pr)
-         |select s.source as true_source, ${bigint("count(*)")} as n_docs,
-         |  ${bigint("sum(case when pr.pred = s.source then 1 else 0 end)")} as n_correct,
-         |  round(sum(case when pr.pred = s.source then 1 else 0 end) / cast(count(*) as double), 4) as accuracy
-         |from src s join pr on pr.doc_id = s.doc_id
-         |group by s.source""".stripMargin,
+    "text_centroid_classify" -> textCentroidClassifySql(None),
 
     // AMS F₂ SKETCH — the second-moment / SELF-JOIN-SIZE estimator
     // (Alon–Matias–Szegedy 1996): sixteen ±1-signed frequency sums
