@@ -258,6 +258,36 @@ object SparkEntry {
         Tables.register(s, dir)
         s.sql(sparkGen.dedupCrossSourceSql(Some(simPairsView(s, dir))))
       }),
+      // rotated-BQ search over the PERSISTED packed rotated codes
+      // (g_rbq — the rotated twin of the cached g_bq; inline, the
+      // 64-sum rotation butterfly executed 3x via rbq re-inlines).
+      // Oracle inlines everything.
+      "vec_bq_rotation" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        Scratch.table(s, dir, "g_rbq", sparkGen.rbqBuildSql)
+        s.sql(sparkGen.vecBqRotationSql(Some("g_rbq")))
+      }),
+      // winnowing pairs over the PERSISTED fingerprint index (the
+      // kept artifact of a winnowing pipeline; inline, the word
+      // pipeline + 3 window passes re-ran under both self-join
+      // sides). Oracle inlines the chain.
+      "dedup_winnow" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_winnow", sparkGen.winnowFpBuildSql)
+        s.sql(sparkGen.dedupWinnowSql(Some("g_winnow")))
+      }),
+      // the banded SimHash pair pass over the PERSISTED signature
+      // table (g_simsigs — the kept artifact the whole simpairs
+      // family stages through; the inline chain re-ran the corpus
+      // word pipeline under both sides of the band self-join). The
+      // band join + hamming verify stay live in the serving path;
+      // the oracle inlines the full chain.
+      "dedup_simhash_pairs" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_simsigs", sparkGen.simhashSigBuildSql)
+        s.sql(sparkGenFor(s, dir).simhashPairsFromSigsSql("g_simsigs"))
+      }),
       // CDC-upsert maintenance of the kept pair artifact (the
       // delete/update half of dedup_incremental): reads BOTH scratch
       // artifacts a production pipeline maintains — the signature
@@ -319,6 +349,44 @@ object SparkEntry {
         Tables.register(s, dir)
         decontShinglesView(s, dir)
         s.sql(sparkGen.decontaminateBloomSql(Some(("g_dsh_ev", "g_dsh_tr"))))
+      }),
+      // the per-source word-frequency family reads the PERSISTED
+      // unigram-LM artifact (g_srcwf — inline, each key re-ran the
+      // corpus explode once per wf reference: 4-5 passes each).
+      // Oracles inline the chain.
+      "text_js_divergence" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.textJsDivergenceSql(Some("g_srcwf")))
+      }),
+      "text_kl_divergence" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.textKlDivergenceSql(Some("g_srcwf")))
+      }),
+      "text_keywords_llr" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.textKeywordsLlrSql(Some("g_srcwf")))
+      }),
+      "text_simpson" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.textSimpsonSql(Some("g_srcwf")))
+      }),
+      // the Bloom sketch keys read the SAME kept shingle indexes the
+      // decontamination family serves from (r12 — inline, evd/trd
+      // re-ran the corpus shingle chain once per reference: 3-4
+      // corpus passes each). Oracles inline the chain.
+      "sketch_bloom" -> ((s, dir) => {
+        Tables.register(s, dir)
+        decontShinglesView(s, dir)
+        s.sql(sparkGen.sketchBloomSql(Some(("g_dsh_ev", "g_dsh_tr"))))
+      }),
+      "sketch_bloom_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        decontShinglesView(s, dir)
+        s.sql(sparkGen.sketchBloomCurveSql(Some(("g_dsh_ev", "g_dsh_tr"))))
       }),
       // removal-effect attribution: the journey pass (lag windows over
       // the events scan) is the only corpus-priced work and runs once
@@ -490,6 +558,41 @@ object SparkEntry {
         Scratch.table(s, dir, "g_bpe_vocab", sparkGen.bpeVocabBuildSql)
         s.sql(sparkGen.bpeMergesSql(Some("g_bpe_vocab")))
       }),
+      // the banded MinHash candidate family over the PERSISTED
+      // signature table (g_mhsig — the kept LSH index every dedup
+      // pipeline persists; the r11 inline plans re-ran the corpus
+      // word pipeline once per `bands`/`shx` reference: 2x for the
+      // pair pass, 5x for the exact-verify legs) and, for the
+      // verify/tuning legs, the PERSISTED shingle profile (g_mhshx —
+      // the decont-shingle-index pattern). Oracles inline the chain.
+      "dedup_minhash" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        s.sql(sparkGen.dedupMinhashSql(Some(("g_mhsig", None))))
+      }),
+      "dedup_incremental" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        s.sql(sparkGen.dedupIncrementalSql(Some(("g_mhsig", None))))
+      }),
+      "dedup_minhash_verify" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
+        s.sql(sparkGen.dedupMinhashVerifySql(Some(("g_mhsig", Some("g_mhshx")))))
+      }),
+      "dedup_threshold_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
+        s.sql(sparkGen.dedupThresholdCurveSql(Some(("g_mhsig", Some("g_mhshx")))))
+      }),
+      "dedup_minhash_calibration" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
+        Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
+        s.sql(sparkGen.dedupMinhashCalibrationSql(Some(("g_mhsig", Some("g_mhshx")))))
+      }),
       // band-geometry tuning curve over the checkpointed minhash
       // signature table (the curve SQL references the signatures 17
       // times — Catalyst re-inlines multi-referenced CTEs, so the
@@ -612,17 +715,68 @@ object SparkEntry {
         Scratch.table(s, dir, v, gen.mtbStegoBuildSql)
         s.sql(gen.wmMultiTenantSql(Some(v)))
       }),
+      // overwriting attack over a PERSISTED pirate-overwritten stego
+      // table (the wm_multi_tenant overlay treatment — r12: planning
+      // ALONE on the inline tree cost ~1.5 s per action because the
+      // pirate embed chain re-inlined under both extraction legs;
+      // the artifact holds exactly the inline ostego rows). Oracle
+      // inlines the full chain.
+      "wm_overwrite" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_ow_stego_p$planes"
+        Scratch.table(s, dir, v, gen.owStegoBuildSql)
+        s.sql(gen.wmOverwriteSql(Some(v)))
+      }),
+      // collusion attack over a PERSISTED colluder-averaged table
+      // (same overlay treatment; serving = ONE extraction chain over
+      // the parquet artifact). Oracle inlines the full chain.
+      "wm_collusion" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val v = s"g_coll_stego_p$planes"
+        Scratch.table(s, dir, v, gen.collStegoBuildSql)
+        s.sql(gen.wmCollusionSql(Some(v)))
+      }),
+      // Δ tuning curve over the PERSISTED rung-shift state + the
+      // rung-tagged attacked ladder (the overlay treatment again —
+      // serving is one extraction chain over a parquet scan + two
+      // tiny folds). Oracle inlines the full chain.
+      "wm_delta_curve" -> ((s, dir) => {
+        Tables.register(s, dir)
+        WmCache.ensure(s, dir)
+        val gen = sparkGenFor(s, dir)
+        val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
+        val shiftV = s"g_dc_shift_p$planes"
+        val attV = s"g_dc_att_p$planes"
+        Scratch.table(s, dir, shiftV, gen.dcShiftBuildSql)
+        Scratch.table(s, dir, attV, gen.dcAttBuildSql(shiftV))
+        s.sql(gen.wmDeltaCurveSql(Some((shiftV, attV))))
+      }),
       "wm_repair" -> ((s, dir) => {
         Tables.register(s, dir)
         WmCache.ensure(s, dir)
         val gen = sparkGenFor(s, dir)
         // plane count in the scratch name: the build SQL's TEXT doesn't
         // change with the bucket geometry (it reads the g_stego view),
-        // but its ROWS do — the name keys the cache to the layout
+        // but its ROWS do — the name keys the cache to the layout.
+        // r12 serving split: the damage snapshot (att), the pre-decode
+        // validity table (predec) and the REPAIRED table (fixed) are
+        // the repair job's kept artifacts; serving runs ONE extraction
+        // chain (post-decode) instead of three (the inline plan's
+        // planning alone cost ~1.9 s per action). Oracle inlines all.
         val planes = graft.sqlgen.Wm.lshPlanesFor(Tables.vectorCount(s, dir))
         val v = s"g_wm_att_p$planes"
+        val predecV = s"g_wm_predec_p$planes"
+        val fixedV = s"g_wm_fixed_p$planes"
         Scratch.table(s, dir, v, gen.wmAttackBuildSql)
-        s.sql(gen.wmRepairSql(Some(v)))
+        Scratch.table(s, dir, predecV, gen.wmPredecBuildSql(v))
+        Scratch.table(s, dir, fixedV, gen.wmFixedBuildSql(v, predecV))
+        s.sql(gen.wmRepairServeSql(predecV, fixedV))
       }),
       // sampled betweenness over a PERSISTED symmetrized edge table:
       // the BFS levels and the Brandes successor join reference the

@@ -1590,7 +1590,767 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from ea join eb on eb.blk = ea.blk""".stripMargin
   }
 
-  def wmRepairSql(attView: Option[String]): String = {
+
+  /** WATERMARK OVERWRITING ATTACK (15b) — `owView`: Some(view) reads
+    * the scratch-persisted overwritten-stego table ([[owStegoBuildSql]]
+    * — the wm_multi_tenant overlay treatment: the pirate's second QIM
+    * embed becomes a build-once parquet artifact, so the two
+    * extraction chains that each re-reference the overwritten table
+    * re-inline as cheap parquet scans instead of re-running the
+    * embed chain per leg); None inlines the full chain (the DuckDB
+    * oracle). Values identical: the artifact holds exactly the
+    * inline ostego rows. */
+  def wmOverwriteSql(owView: Option[String]): String =
+    wmOverwriteRender(owView, buildOnly = false)
+
+  /** The pirate-key overwritten-stego build (second QIM embed over
+    * the marked table), ending in ostego(id, pos, sval) — the kept
+    * attack snapshot of the overwrite serving split. */
+  def owStegoBuildSql: String = wmOverwriteRender(None, buildOnly = true)
+
+  private def wmOverwriteRender(owView: Option[String], buildOnly: Boolean): String = {
+      val key2 = "pirate-key"
+      val msg2 = "PIRATE-MARK-0002" // exactly 16 bytes, like Wm.Message
+      val kc2 = WmConst.keyed(key2)
+      val cipher2 = Crypto.encryptToBase64(msg2, key2)
+      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
+      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
+      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
+      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
+      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
+      val pSums2 = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shift2(g: Int) = {
+        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSq2 = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
+      // blind extraction from the overwritten rows with either key's
+      // weights (the extractCtes shape, names prefixed per leg)
+      def exCtes(pfx: String, wf: Int => String, src: String) = {
+        val qS = (0 until MsgLen).map(g =>
+          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+           |            $qS
+           |          from $src group by id),
+           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+           |        from ${pfx}xagg),
+           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+           |        from ${pfx}xb),
+           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
+           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
+           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
+      }
+      val msg2bitsCte =
+        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
+           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
+      def errExpr(v: String, m: String) =
+        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
+      val owChainInline =
+        s"""ocex as (select c.vec_id as id, c.blk, s.pos, s.sval / x.nrm as nval, x.nrm
+         |         from carriers c join stego s on s.id = c.vec_id join exn x on x.id = s.id and x.pos = s.pos),
+         |oeagg as (select id, blk, max(nrm) as nrm,
+         |            $pSums2
+         |          from ocex group by id, blk),
+         |oesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
+         |         from oeagg),
+         |oeshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSq2) as pn
+         |          from oesh),
+         |ostego as (select x.id, x.pos,
+         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |           from ocex x join oeshn e on e.id = x.id)""".stripMargin
+      val owChain = owView match {
+        // the REPARTITION hint undoes the one-split scan of the small
+        // persisted overlay parquet (the r10 lesson — see
+        // wmMultiTenantRender's bChain)
+        case Some(v) => s"ostego as (select /*+ REPARTITION(id) */ id, pos, sval from $v)"
+        case None    => owChainInline
+      }
+      if (buildOnly)
+        s"""${wmChain("overwrite")},
+           |$owChainInline
+           |select id, pos, sval from ostego""".stripMargin
+      else
+      s"""${wmChain("overwrite")},
+         |$owChain,
+         |${exCtes("a_", wLitOf, "ostego")},
+         |${exCtes("b_", w2LitOf, "ostego")},
+         |$msg2bitsCte,
+         |eo as (select m.blk as blk, ${errExpr("v", "m")} as errors_original
+         |       from msgbits m left join a_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
+         |en as (select m.blk as blk, ${errExpr("v", "m")} as errors_pirate
+         |       from msgbits2 m left join b_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
+         |select ${bigint("eo.blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("eo.errors_original")} as errors_original,
+         |  ${bigint("en.errors_pirate")} as errors_pirate
+         |from eo join en on en.blk = eo.blk""".stripMargin
+  }
+
+
+  /** COLLUSION (AVERAGING) ATTACK (15c) — `collView`: Some(view)
+    * reads the scratch-persisted colluder-averaged table
+    * ([[collStegoBuildSql]] — the overlay treatment of
+    * wm_multi_tenant/wm_overwrite: the colluder's second embed and
+    * the per-cell average become a build-once parquet artifact, so
+    * the serving plan is ONE extraction chain over a parquet scan);
+    * None inlines the full chain (the DuckDB oracle). Values
+    * identical: the artifact holds exactly the inline coll rows. */
+  def wmCollusionSql(collView: Option[String]): String =
+    wmCollusionRender(collView, buildOnly = false)
+
+  /** The colluder-averaged table build (second independent embed from
+    * the clean corpus + per-cell average of the two marked copies),
+    * ending in coll(id, pos, sval). */
+  def collStegoBuildSql: String = wmCollusionRender(None, buildOnly = true)
+
+  private def wmCollusionRender(collView: Option[String], buildOnly: Boolean): String = {
+      val key2 = "colluder-key"
+      val msg2 = "COLLUDER-MARK-03" // exactly 16 bytes, like Wm.Message
+      val kc2 = WmConst.keyed(key2)
+      val cipher2 = Crypto.encryptToBase64(msg2, key2)
+      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
+      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
+        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
+      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
+      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
+      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
+      val pSums2 = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shift2(g: Int) = {
+        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+      }
+      val pnSq2 = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
+      val qS = (0 until MsgLen).map(g =>
+        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+      def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+      val msg2bitsCte =
+        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
+           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
+      val collChainInline =
+        s"""ccex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+         |         from carriers c join exn x on x.id = c.vec_id),
+         |ceagg as (select id, blk, max(nrm) as nrm,
+         |            $pSums2
+         |          from ccex group by id, blk),
+         |cesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
+         |         from ceagg),
+         |ceshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |            sqrt(1 + $pnSq2) as pn
+         |          from cesh),
+         |cstego as (select x.id, x.pos,
+         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+         |           from ccex x join ceshn e on e.id = x.id),
+         |coll as (select s.id, s.pos, (s.sval + c2.sval) / 2 as sval
+         |         from stego s join cstego c2 on c2.id = s.id and c2.pos = s.pos)""".stripMargin
+      val collChain = collView match {
+        // REPARTITION: see wmMultiTenantRender's bChain
+        case Some(v) => s"coll as (select /*+ REPARTITION(id) */ id, pos, sval from $v)"
+        case None    => collChainInline
+      }
+      if (buildOnly)
+        s"""${wmChain("overwrite")},
+           |$collChainInline
+           |select id, pos, sval from coll""".stripMargin
+      else
+      s"""${wmChain("overwrite")},
+         |$collChain,
+         |cxagg as (select id, sqrt(sum(sval * sval)) as nr,
+         |            $qS
+         |          from coll group by id),
+         |cxb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+         |        from cxagg),
+         |cxh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+         |        from cxb),
+         |cvalid as (select id, idx as blk, pbits from cxh where crc = ${d.arrIdx0(crcLit, "idx")}),
+         |cvx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("cvalid", "pbits", "p1", "b", Seq("blk"))} _cvx),
+         |cvotes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+         |           from cvx group by blk, bit_idx),
+         |$msg2bitsCte,
+         |eb as (select m1.blk, m1.j, m1.bit as b1, m2.bit as b2,
+         |         case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m1.bit then 1 else 0 end as err
+         |       from msgbits m1 join msgbits2 m2 on m2.blk = m1.blk and m2.j = m1.j
+         |       left join cvotes v on v.blk = m1.blk and v.bit_idx = m1.j)
+         |select ${bigint("blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("sum(case when b1 = b2 then 1 else 0 end)")} as n_agree_bits,
+         |  ${bigint("sum(err)")} as errors_colluded,
+         |  ${bigint("sum(case when b1 = b2 then err else 0 end)")} as errors_on_agree,
+         |  ${bigint("sum(case when b1 <> b2 then err else 0 end)")} as errors_on_disagree
+         |from eb group by blk""".stripMargin
+  }
+
+
+  /** QIM step (Δ) tuning curve (16e) — `dcViews`: Some((shift, att))
+    * reads the scratch-persisted rung-shift state rn
+    * ([[dcShiftBuildSql]]) and the rung-tagged attacked-stego ladder
+    * rat ([[dcAttBuildSql]]), so the serving plan is ONE extraction
+    * chain over a parquet scan + two tiny folds (planning on the
+    * inline tree cost ~1.6 s per action — the r12 wm-overlay
+    * treatment); None inlines the full chain (the DuckDB oracle).
+    * Values identical: the artifacts hold exactly the inline rn/rat
+    * rows. */
+  def wmDeltaCurveSql(dcViews: Option[(String, String)]): String =
+    wmDeltaCurveRender(dcViews, buildOnly = None)
+
+  /** The rung-shift state build (per-(rung, carrier) QIM shifts +
+    * drift), ending in rn(k, dl, id, nrm, sharr, pn, driftq). */
+  def dcShiftBuildSql: String = wmDeltaCurveRender(None, buildOnly = Some("rn"))
+
+  /** The rung-tagged attacked-stego ladder build over the persisted
+    * shift state, ending in rat(k, dl, id, pos, sval). */
+  def dcAttBuildSql(shiftView: String): String =
+    wmDeltaCurveRender(Some((shiftView, "")), buildOnly = Some("rat"))
+
+  private def wmDeltaCurveRender(dcViews: Option[(String, String)],
+                                 buildOnly: Option[String]): String = {
+      // the 4 rungs run through ONE rung-tagged embed chain + ONE
+      // extract chain (Δ is a COLUMN over a 4-row spine, not a literal
+      // per copied chain) — same arithmetic, same IEEE ops, a quarter
+      // of the plan (the unrolled-per-rung form planned 8 chains and
+      // was the suite's slowest key at 7.5 s)
+      val pS = (0 until MsgLen).map(g =>
+        s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+      def shiftE(g: Int) = {
+        val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
+        s"((2 * cast(floor((p$g / dl - $bit) / 2 + 0.5) as bigint) + $bit) * dl - p$g)"
+      }
+      val pnSq = (0 until MsgLen).map(g =>
+        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
+      val drift = "(1 + " + (0 until MsgLen).map(g =>
+        s"sh$g * p$g / ${kc.groupCnt(g)}").mkString(" + ") + ")"
+      val qS = (0 until MsgLen).map(g =>
+        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+      def bitE(g: Int) = s"((cast(floor(q$g / nr / dl + 0.5) as bigint) % 2) + 2) % 2"
+      val shiftChainInline =
+        s"""dcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+         |         from carriers c join exn x on x.id = c.vec_id),
+         |deagg as (select id, blk, max(nrm) as nrm,
+         |            $pS
+         |          from dcex group by id, blk),
+         |dls as (select case k when 0 then cast(0.05 as double) when 1 then cast(0.10 as double)
+         |                      when 2 then cast(0.15 as double) else cast(0.25 as double) end as dl, k
+         |        from ${rangeTable("kk", "k", 0, 3)}),
+         |rsh as (select g.k, g.dl, a.id, a.nrm, ${(0 until MsgLen).map(g => s"a.p$g").mkString(", ")},
+         |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
+         |        from deagg a cross join dls g),
+         |rn as (select k, dl, id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+         |          sqrt(1 + $pnSq) as pn,
+         |          ${bigint(roundAway(d)(s"$drift / sqrt(1 + $pnSq) * 1000000000", 0))} as driftq
+         |       from rsh)""".stripMargin
+      val ratInline =
+        s"""rat as (select e.k, e.dl, x.id, x.pos,
+         |           (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm
+         |             + 0.05 * ${prfGauss(d)("'dc'", "e.k", "x.id", "x.pos")} as sval
+         |        from dcex x join rn e on e.id = x.id)""".stripMargin
+      (dcViews, buildOnly) match {
+        case (None, Some("rn")) =>
+          s"""${wmChain("overwrite")},
+             |$shiftChainInline
+             |select k, dl, id, nrm, sharr, pn, driftq from rn""".stripMargin
+        case (Some((shiftV, _)), Some("rat")) =>
+          s"""${wmChain("overwrite")},
+             |dcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
+             |         from carriers c join exn x on x.id = c.vec_id),
+             |rn as (select /*+ REPARTITION(id) */ k, dl, id, nrm, sharr, pn, driftq from $shiftV),
+             |$ratInline
+             |select k, dl, id, pos, sval from rat""".stripMargin
+        case _ =>
+          val (shiftSrc, ratSrc) = dcViews match {
+            case Some((shiftV, attV)) =>
+              (s"rn as (select /*+ REPARTITION(id) */ k, dl, id, nrm, sharr, pn, driftq from $shiftV)",
+               s"rat as (select /*+ REPARTITION(id) */ k, dl, id, pos, sval from $attV)")
+            case None => (shiftChainInline, ratInline)
+          }
+          // the dls spine must exist for the rer fold in the view-backed
+          // rendering (inline it comes with the shift chain)
+          val spine = dcViews match {
+            case Some(_) =>
+              s"""dls as (select case k when 0 then cast(0.05 as double) when 1 then cast(0.10 as double)
+                 |                      when 2 then cast(0.15 as double) else cast(0.25 as double) end as dl, k
+                 |        from ${rangeTable("kk", "k", 0, 3)}),
+                 |""".stripMargin
+            case None => ""
+          }
+          s"""${wmChain("overwrite")},
+             |$shiftSrc,
+             |$ratSrc,
+             |${spine}rxa as (select k, id, max(dl) as dl, sqrt(sum(sval * sval)) as nr,
+         |            $qS
+         |        from rat group by k, id),
+         |rxb as (select k, id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+         |        from rxa),
+         |rxh as (select k, id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+         |        from rxb),
+         |rvl as (select k, id, idx as blk, pbits from rxh where crc = ${d.arrIdx0(crcLit, "idx")}),
+         |rvx as (select k, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("rvl", "pbits", "p1", "b", Seq("k", "blk"))} _rvx),
+         |rvt as (select k, blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+         |        from rvx group by k, blk, bit_idx),
+         |rer as (select g.k, ${bigint(s"sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
+         |          ${bigint("count(distinct case when v.vote is not null then v.blk end)")} as blocks_live
+         |        from dls g cross join msgbits m
+         |        left join rvt v on v.k = g.k and v.blk = m.blk and v.bit_idx = m.j
+         |        group by g.k),
+         |rdr as (select k, max(dl) as dl, ${bigint("count(*)")} as nc, ${bigint("sum(driftq)")} as sd,
+         |          ${bigint("min(driftq)")} as mnd from rn group by k)
+         |select ${roundAway(d)("dd.dl", 2)} as delta_step, ${bigint("256")} as n_bits, e.errors,
+         |  ${roundAway(d)("e.errors / cast(256 as double)", 4)} as ber,
+         |  e.blocks_live,
+         |  ${roundAway(d)("cast(dd.sd as double) / dd.nc / 1000000000", 6)} as mean_cosine,
+         |  ${roundAway(d)("cast(dd.mnd as double) / 1000000000", 6)} as min_cosine
+         |from rer e join rdr dd on dd.k = e.k""".stripMargin
+      }
+  }
+
+
+  /** Rotated 1-bit quantization (RaBitQ-style, 4v2) — `rbqView`:
+    * Some(view) reads the scratch-persisted PACKED ROTATED CODES
+    * (g_rbq — the index artifact a rotated-BQ deployment actually
+    * keeps, the rotated twin of the cached g_bq; inline, the 64-sum
+    * rotation aggregate re-ran once per rbq reference — the hamming
+    * leg reads it on BOTH join sides — so the butterfly executed 3x);
+    * None inlines everything (the DuckDB oracle). The bit-balance
+    * census still derives from one live rotation pass. */
+  def vecBqRotationSql(rbqView: Option[String]): String =
+    vecBqRotationRender(rbqView, buildOnly = false)
+
+  /** The packed rotated-code build, ending in rbq(id, hi, lo). */
+  def rbqBuildSql: String = vecBqRotationRender(None, buildOnly = true)
+
+  private def vecBqRotationRender(rbqView: Option[String], buildOnly: Boolean): String = {
+      // W[k] = row k of (1/8)·H·D: H[k][p] = (-1)^popcount(k&p), D[p] =
+      // keyed-PRF sign — plan-time literal weight arrays (the msgLit
+      // convention). The rotation is ONE 64-masked-sum HashAggregate
+      // over the exploded rows (the stegoCtes shape: aggregates are
+      // codegen'd AND optimizer barriers, so downstream consumers read
+      // the 64 r-columns instead of re-deriving the transform — the
+      // per-row array-lambda butterfly and the 64-unrolled-dot
+      // projection both fall out of whole-stage codegen and measured
+      // 28-41 s at 20k vectors; this form is ~2 s). Signs are computed
+      // on the RAW exploded values — H·D·x and H·D·(x/‖x‖) share signs
+      // (positive scaling), and only signs feed the bits. Float-sum
+      // order inside the aggregate is engine-managed, but every
+      // downstream output folds integer sign counts, so the hash gate
+      // is order-proof; a sign itself flips only if |r_k| < the
+      // reorder ulp (~1e-15·‖x‖) — probability ~1e-8 over this
+      // corpus's cells, stated as the boundary.
+      def wRotLit(k: Int): String = weightLit((0 until Dim).map { pp =>
+        val h = if (java.lang.Integer.bitCount(k & pp) % 2 == 0) 1.0 else -1.0
+        val dSign = if (graft.functions.Prf.prf("rotd", pp) % 2 == 0) 1.0 else -1.0
+        h * dSign * 0.125
+      })
+      val rotSums = (0 until Dim).map(k =>
+        s"sum(val * ${d.arrIdx0(wRotLit(k), "pos - 1")}) as r$k").mkString(",\n|         ")
+      val rotCtes =
+        s"""rot as (select id,
+           |         $rotSums
+           |       from exn group by id)""".stripMargin
+      val rhi = (0 until 32).map(k =>
+        s"(case when r$k > 0 then ${1L << (31 - k)} else 0 end)").mkString(" + ")
+      val rlo = (32 until Dim).map(k =>
+        s"(case when r$k > 0 then ${1L << (63 - k)} else 0 end)").mkString(" + ")
+      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
+                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
+      def ham(tag: String, bqT: String) =
+        s"""${tag}p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
+           |        from (select id as qid, hi as qhi, lo as qlo from $bqT where id in ($qIdLit)) q
+           |        join $bqT b on b.id <> q.qid),
+           |${tag}t as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from ${tag}p) _${tag}h where rn <= 10)""".stripMargin
+      def legSel(tag: String, onesT: String) =
+        s"""select '$tag' as leg,
+           |  ${roundAway(d)(s"sum(abs(cast(ones as double) / nv - 0.5)) / $Dim", 4)} as mean_balance_dev,
+           |  ${roundAway(d)("sum(4 * (cast(ones as double) / nv) * (1 - cast(ones as double) / nv))", 4)} as effective_bits
+           |from $onesT""".stripMargin
+      val pre = if (views) Seq(nvCtes, exnCte, bqChain) else Seq(nvCtes, bqChain)
+      val rbqInline = s"rbq as (select id, ${bigint(rhi)} as hi, ${bigint(rlo)} as lo from rot)"
+      if (buildOnly)
+        return s"""with ${pre.mkString(",\n")},
+           |$rotCtes,
+           |$rbqInline
+           |select id, hi, lo from rbq""".stripMargin
+      val rbqCte = rbqView match {
+        case Some(v) => s"rbq as (select /*+ REPARTITION(id) */ id, hi, lo from $v)"
+        case None    => rbqInline
+      }
+
+      s"""with ${pre.mkString(",\n")},
+         |$rotCtes,
+         |$rbqCte,
+         |exact as (select qid, cid from (
+         |    select q.id as qid, c.id as cid, row_number() over (partition by q.id order by ${d.dot("q.n", "c.n")} desc, c.id) as rn
+         |    from (select id, n from nn where id in ($qIdLit)) q join nn c on c.id <> q.id) _e
+         |  where rn <= 10),
+         |rawones as (select pos as k, ${bigint("count(*)")} as nv, ${bigint("sum(case when val > 0 then 1 else 0 end)")} as ones from exn group by pos),
+         |rotones0 as (select ${bigint("count(*)")} as nv, ${(0 until Dim).map(k => s"${bigint(s"sum(case when r$k > 0 then 1 else 0 end)")} as o$k").mkString(", ")} from rot),
+         |rotones as (select kk as k, nv, ones from ${d.explodeFrom("rotones0", arrLit((0 until Dim).map(k => s"o$k")), "kk", "ones", Seq("nv"))} _ro),
+         |${ham("rw", "bq")},
+         |${ham("rt", "rbq")},
+         |nq as (select ${bigint("count(distinct qid)")} as nq from exact),
+         |hits as (select 'raw' as leg, ${bigint("count(*)")} as h from rwt t join exact e on e.qid = t.qid and e.cid = t.cid
+         |         union all
+         |         select 'rotated' as leg, ${bigint("count(*)")} as h from rtt t join exact e on e.qid = t.qid and e.cid = t.cid),
+         |legs as (${legSel("raw", "rawones")}
+         |         union all
+         |         ${legSel("rotated", "rotones")})
+         |select l.leg, l.mean_balance_dev, l.effective_bits,
+         |  ${roundAway(d)("h.h / (cast(10 as double) * q.nq)", 4)} as recall10
+         |from legs l join hits h on h.leg = l.leg cross join nq q""".stripMargin
+  }
+
+
+  /** Bloom membership sketch (30o) — `dsh`: Some((ev, tr)) reads the
+    * persisted decont shingle indexes (g_dsh_ev / g_dsh_tr — the SAME
+    * kept artifacts the decontaminate keys serve from; inline, the
+    * corpus shingle chain ran once per side reference). None inlines
+    * (the DuckDB oracle). */
+  def sketchBloomSql(dsh: Option[(String, String)]): String = {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      val (evdCte, trdCte) = dsh match {
+        case Some((ev, tr)) =>
+          (s"evd as (select distinct g from $ev)",
+           s"trd as (select distinct g from $tr)")
+        case None => ("", "")
+      }
+      dsh match {
+        case Some(_) =>
+          s"""with $evdCte,
+         |${bloomBuildCtes("evd")},
+         |$trdCte,
+         |qr as (select trd.g, case when e.g is not null then 1 else 0 end as ise,
+         |              ${(0 until BloomK).map(i => s"${bloomPos(i, "trd.g")} as q$i").mkString(", ")}
+         |       from trd left join evd e on e.g = trd.g),
+         |ht as (select ise, case when ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")} then 1 else 0 end as h
+         |       from qr)
+         |select bs.n_eval as n_eval_shingles, bs.n_bits_set,
+         |  ${roundAway(d)(s"bs.n_bits_set / cast($BloomBits as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(bs.n_bits_set / cast($BloomBits as double), $BloomK)", 6)} as fpr_expected,
+         |  ${bigint("a.n_probes")} as n_probes, ${bigint("a.n_members")} as n_members,
+         |  ${bigint("a.n_hits")} as n_hits, ${bigint("a.n_false_pos")} as n_false_pos,
+         |  ${roundAway(d)("a.n_false_pos / cast(a.n_probes - a.n_members as double)", 6)} as fpr_measured
+         |from bs cross join (select count(*) as n_probes, sum(ise) as n_members,
+         |                           sum(h) as n_hits, sum(h * (1 - ise)) as n_false_pos
+         |                    from ht) a""".stripMargin
+        case None =>
+          s"""with $wordCtes,
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+         |evd as $matKw(select distinct g from shev),
+         |${bloomBuildCtes("evd")},
+         |trd as (select distinct g from shtr),
+         |qr as (select trd.g, case when e.g is not null then 1 else 0 end as ise,
+         |              ${(0 until BloomK).map(i => s"${bloomPos(i, "trd.g")} as q$i").mkString(", ")}
+         |       from trd left join evd e on e.g = trd.g),
+         |ht as (select ise, case when ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")} then 1 else 0 end as h
+         |       from qr)
+         |select bs.n_eval as n_eval_shingles, bs.n_bits_set,
+         |  ${roundAway(d)(s"bs.n_bits_set / cast($BloomBits as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(bs.n_bits_set / cast($BloomBits as double), $BloomK)", 6)} as fpr_expected,
+         |  ${bigint("a.n_probes")} as n_probes, ${bigint("a.n_members")} as n_members,
+         |  ${bigint("a.n_hits")} as n_hits, ${bigint("a.n_false_pos")} as n_false_pos,
+         |  ${roundAway(d)("a.n_false_pos / cast(a.n_probes - a.n_members as double)", 6)} as fpr_measured
+         |from bs cross join (select count(*) as n_probes, sum(ise) as n_members,
+         |                           sum(h) as n_hits, sum(h * (1 - ise)) as n_false_pos
+         |                    from ht) a""".stripMargin
+      }
+  }
+
+
+  /** Bloom m-bits tuning curve (30o3) — same serving split as
+    * [[sketchBloomSql]]: the persisted decont shingle indexes replace
+    * the 3-4 inline corpus shingle passes (evd was referenced 3x,
+    * each re-running the explode + lead window). */
+  def sketchBloomCurveSql(dsh: Option[(String, String)]): String = {
+      val matKw = if (d.name == "duckdb") "materialized " else ""
+      // double-hashing probe position i under m bits, m a column
+      def posM(g: String, i: String, m: String) =
+        s"((($g) % $m + ($i) * (2 * (${d.idiv(g, m)} % ${d.idiv(m, "2")}) + 1)) % $m)"
+      val (evdCte, trdCte) = dsh match {
+        case Some((ev, tr)) =>
+          (s"evd as (select distinct g from $ev)",
+           s"trd as (select distinct g from $tr)")
+        case None => ("", "")
+      }
+      dsh match {
+        case Some(_) =>
+          s"""with $evdCte,
+         |$trdCte,
+         |geo as (select ${bigint("4096")} as m union all select ${bigint("32768")} as m union all select ${bigint("262144")} as m),
+         |evp as (select x.m, ${posM("evd.g", "ki.i", "x.m")} as pos
+         |        from evd cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
+         |pd as (select distinct m, pos from evp),
+         |ns as (select m, ${bigint("count(*)")} as n_bits_set from pd group by m),
+         |ne as (select ${bigint("count(*)")} as n_eval from evd),
+         |tq as (select t.g, case when e.g is not null then 1 else 0 end as ise,
+         |              x.m, ${posM("t.g", "ki.i", "x.m")} as pos
+         |       from trd t left join evd e on e.g = t.g
+         |       cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
+         |hq as (select t.m, t.g, ${bigint("max(t.ise)")} as ise,
+         |              ${bigint("sum(case when p.pos is not null then 1 else 0 end)")} as nm
+         |       from tq t left join pd p on p.m = t.m and p.pos = t.pos
+         |       group by t.m, t.g),
+         |res as (select m, ${bigint("count(*)")} as n_probes, ${bigint("sum(ise)")} as n_members,
+         |               ${bigint(s"sum(case when nm = $BloomK and ise = 0 then 1 else 0 end)")} as n_false_pos
+         |        from hq group by m)
+         |select ${bigint("r.m")} as m_bits,
+         |  ${roundAway(d)("r.m / cast(ne.n_eval as double)", 2)} as bits_per_key,
+         |  ns.n_bits_set,
+         |  ${roundAway(d)("ns.n_bits_set / cast(r.m as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(ns.n_bits_set / cast(r.m as double), $BloomK)", 6)} as fpr_expected,
+         |  r.n_probes, r.n_members, r.n_false_pos,
+         |  ${roundAway(d)("r.n_false_pos / cast(r.n_probes - r.n_members as double)", 6)} as fpr_measured
+         |from res r join ns on ns.m = r.m cross join ne""".stripMargin
+        case None =>
+          s"""with $wordCtes,
+         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
+         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
+         |evd as $matKw(select distinct g from shev),
+         |trd as $matKw(select distinct g from shtr),
+         |geo as (select ${bigint("4096")} as m union all select ${bigint("32768")} as m union all select ${bigint("262144")} as m),
+         |evp as (select x.m, ${posM("evd.g", "ki.i", "x.m")} as pos
+         |        from evd cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
+         |pd as (select distinct m, pos from evp),
+         |ns as (select m, ${bigint("count(*)")} as n_bits_set from pd group by m),
+         |ne as (select ${bigint("count(*)")} as n_eval from evd),
+         |tq as (select t.g, case when e.g is not null then 1 else 0 end as ise,
+         |              x.m, ${posM("t.g", "ki.i", "x.m")} as pos
+         |       from trd t left join evd e on e.g = t.g
+         |       cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
+         |hq as (select t.m, t.g, ${bigint("max(t.ise)")} as ise,
+         |              ${bigint("sum(case when p.pos is not null then 1 else 0 end)")} as nm
+         |       from tq t left join pd p on p.m = t.m and p.pos = t.pos
+         |       group by t.m, t.g),
+         |res as (select m, ${bigint("count(*)")} as n_probes, ${bigint("sum(ise)")} as n_members,
+         |               ${bigint(s"sum(case when nm = $BloomK and ise = 0 then 1 else 0 end)")} as n_false_pos
+         |        from hq group by m)
+         |select ${bigint("r.m")} as m_bits,
+         |  ${roundAway(d)("r.m / cast(ne.n_eval as double)", 2)} as bits_per_key,
+         |  ns.n_bits_set,
+         |  ${roundAway(d)("ns.n_bits_set / cast(r.m as double)", 6)} as fill_ratio,
+         |  ${roundAway(d)(s"pow(ns.n_bits_set / cast(r.m as double), $BloomK)", 6)} as fpr_expected,
+         |  r.n_probes, r.n_members, r.n_false_pos,
+         |  ${roundAway(d)("r.n_false_pos / cast(r.n_probes - r.n_members as double)", 6)} as fpr_measured
+         |from res r join ns on ns.m = r.m cross join ne""".stripMargin
+      }
+  }
+
+
+  /** Per-source word-frequency table build (source, wd, k) — the kept
+    * unigram-LM artifact the divergence/keyword family serves from
+    * (r12: inline, each key re-ran the corpus explode once per wf
+    * reference — 4-5 passes each for the JS/KL/LLR keys). */
+  def srcWordFreqBuildSql: String =
+    s"""with $wordCtes,
+       |srcx as (select doc_id, source from documents),
+       |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+       |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd)
+       |select source, wd, k from wf""".stripMargin
+
+
+  def textJsDivergenceSql(wfView: Option[String]): String = {
+      def lg(x: String): String =
+        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      val wfHead = wfView match {
+        case Some(v) => s"wf as (select /*+ REPARTITION(wd) */ source, wd, k from $v)"
+        case None => s"""$wordCtes,
+         |srcx as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd)""".stripMargin
+      }
+      s"""with $wfHead,
+         |ns as (select source, ${bigint("sum(k)")} as n_src from wf group by source),
+         |pr as (select a.source as s1, a.n_src as n1, b.source as s2, b.n_src as n2
+         |       from ns a join ns b on a.source < b.source),
+         |wk as (select pr.s1, pr.s2, pr.n1, pr.n2, wf.wd from pr join wf on wf.source = pr.s1
+         |       union
+         |       select pr.s1, pr.s2, pr.n1, pr.n2, wf.wd from pr join wf on wf.source = pr.s2),
+         |t as (select k.s1, k.s2, k.n1, k.n2,
+         |        coalesce(a.k, ${bigint("0")}) as c1, coalesce(b.k, ${bigint("0")}) as c2
+         |      from wk k left join wf a on a.source = k.s1 and a.wd = k.wd
+         |                left join wf b on b.source = k.s2 and b.wd = k.wd),
+         |tm as (select s1, s2, n1, n2,
+         |         case when c1 > 0 then c1 * (${lg("2 * c1 * n2")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end as tp,
+         |         case when c2 > 0 then c2 * (${lg("2 * c2 * n1")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end as tq
+         |       from t),
+         |agg as (select s1, s2, n1, n2, ${bigint("sum(tp)")} as sp, ${bigint("sum(tq)")} as sq
+         |        from tm group by s1, s2, n1, n2)
+         |select s1 as source_a, s2 as source_b, n1 as n_tokens_a, n2 as n_tokens_b,
+         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000", 6)} as js_nats,
+         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000 / ln(cast(2 as double))", 4)} as js_normalized
+         |from agg""".stripMargin
+  }
+
+  def textKlDivergenceSql(wfView: Option[String]): String = {
+      def lg(x: String): String =
+        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
+      val wfHead = wfView match {
+        case Some(v) => s"wf as (select /*+ REPARTITION(wd) */ source, wd, k from $v)"
+        case None => s"""$wordCtes,
+         |srcx as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd)""".stripMargin
+      }
+      s"""with $wfHead,
+         |ns as (select source, ${bigint("sum(k)")} as n_src, ${bigint("count(*)")} as n_types from wf group by source),
+         |cw as (select wd, ${bigint("sum(k)")} as c from wf group by wd),
+         |nt as (select ${bigint("sum(k)")} as n from wf),
+         |terms as (select wf.source,
+         |            wf.k * (${lg("wf.k")} - ${lg("ns.n_src")} - ${lg("cw.c")} + ${lg("nt.n")}) as t9
+         |          from wf join ns on ns.source = wf.source
+         |                  join cw on cw.wd = wf.wd cross join nt),
+         |agg as (select source, ${bigint("sum(t9)")} as s9 from terms group by source)
+         |select a.source, ns.n_src as n_tokens, ns.n_types,
+         |  ${roundAway(d)("cast(a.s9 as double) / ns.n_src / 1000000000", 6)} as kl_nats,
+         |  ${roundAway(d)("exp(cast(a.s9 as double) / ns.n_src / 1000000000)", 4)} as perplexity_ratio
+         |from agg a join ns on ns.source = a.source""".stripMargin
+  }
+
+  def textKeywordsLlrSql(wfView: Option[String]): String = {
+      // x·round(ln(x)·1e9) with the x = 0 → 0 convention
+      def xlnx(x: String): String =
+        s"(case when ($x) > 0 then ($x) * ${bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))} else 0 end)"
+      val wfHead = wfView match {
+        case Some(v) => s"wf as (select /*+ REPARTITION(wd) */ source, wd, k from $v)"
+        case None => s"""$wordCtes,
+         |src as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join src s on s.doc_id = w.doc_id group by s.source, w.wd)""".stripMargin
+      }
+      s"""with $wfHead,
+         |ns as (select source, ${bigint("sum(k)")} as n_src from wf group by source),
+         |cw as (select wd, ${bigint("sum(k)")} as c_wd from wf group by wd),
+         |nt as (select ${bigint("sum(k)")} as n from wf),
+         |cell as (select wf.source, wf.wd, wf.k,
+         |           cw.c_wd - wf.k as k12, ns.n_src - wf.k as k21,
+         |           nt.n - ns.n_src - (cw.c_wd - wf.k) as k22,
+         |           ns.n_src, cw.c_wd, nt.n
+         |         from wf join ns on ns.source = wf.source
+         |                 join cw on cw.wd = wf.wd cross join nt),
+         |llr as (select source, wd, k,
+         |          ${xlnx("k")} + ${xlnx("k12")} + ${xlnx("k21")} + ${xlnx("k22")}
+         |          - ${xlnx("n_src")} - ${xlnx("n - n_src")}
+         |          - ${xlnx("c_wd")} - ${xlnx("n - c_wd")}
+         |          + ${xlnx("n")} as t9
+         |        from cell),
+         |rk as (select source, wd, k, t9,
+         |         row_number() over (partition by source order by t9 desc, wd) as rn
+         |       from llr)
+         |select source, wd as word, ${bigint("k")} as n_in_source,
+         |  ${roundAway(d)("2.0 * t9 / 1000000000", 4)} as llr, ${bigint("rn")} as rank
+         |from rk where rn <= 5""".stripMargin
+  }
+
+  def textSimpsonSql(wfView: Option[String]): String = {
+
+      val wfHead = wfView match {
+        case Some(v) => s"wf as (select /*+ REPARTITION(wd) */ source, wd, k from $v)"
+        case None => s"""$wordCtes,
+         |srcx as (select doc_id, source from documents),
+         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
+         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd)""".stripMargin
+      }
+      s"""with $wfHead,
+         |agg as (select source, ${bigint("sum(k)")} as n, ${bigint("count(*)")} as n_types,
+         |               ${bigint("sum(k * (k - 1))")} as rep from wf group by source)
+         |select source, n as n_tokens, n_types,
+         |  case when n > 1
+         |       then ${roundAway(d)("cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as simpson_lambda,
+         |  case when n > 1
+         |       then ${roundAway(d)("cast(1 as double) - cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as diversity,
+         |  case when rep > 0
+         |       then ${roundAway(d)("cast(n * (n - 1) as double) / cast(rep as double)", 2)} end as eff_vocab
+         |from agg""".stripMargin
+  }
+
+  def wmRepairSql(attView: Option[String]): String =
+    wmRepairRender(attView, None)
+
+  /** Serving split of wm_repair (r12): the pre-decode validity table
+    * (predec — id, blk, pbits of CRC-valid carriers in the damaged
+    * snapshot) and the REPAIRED table (fixed — the repair job's kept
+    * output) persist as scratch artifacts, so the serving plan is ONE
+    * extraction chain (post-decode over `fixed`) plus cheap folds of
+    * the tiny predec rows; the inline plan ran THREE heavy chains
+    * (pre-decode, re-embed, post-decode) and planning alone cost
+    * ~1.9 s per action. Values identical: the artifacts hold exactly
+    * the inline pre_valid/fixed rows; the oracle inlines everything. */
+  def wmRepairServeSql(predecV: String, fixedV: String): String =
+    wmRepairRender(None, Some((predecV, fixedV)))
+
+  /** Pre-decode validity build over the damaged snapshot, ending in
+    * pre_valid(id, blk, pbits). */
+  def wmPredecBuildSql(attV: String): String =
+    s"""${wmChain("overwrite")},
+       |att as (select id, pos, sval from $attV),
+       |${repairExC("pre_", "att")}
+       |select id, blk, pbits from pre_valid""".stripMargin
+
+  /** Repaired-table build over the damaged snapshot + the persisted
+    * pre-decode validity artifact, ending in fixed(id, pos, sval). */
+  def wmFixedBuildSql(attV: String, predecV: String): String = {
+    val pS = (0 until MsgLen).map(g =>
+      s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
+    def shiftE(g: Int) = {
+      val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
+      s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
+    }
+    val pnSqR = (0 until MsgLen).map(g =>
+      s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
+    s"""${wmChain("overwrite")},
+       |att as (select id, pos, sval from $attV),
+       |pre_valid as (select id, blk, pbits from $predecV),
+       |dmg as (select c.vec_id, c.blk from carriers c
+       |        left join pre_valid v on v.id = c.vec_id where v.id is null),
+       |dn as (select a.id, sqrt(sum(a.sval * a.sval)) as nrm
+       |       from att a join dmg m on m.vec_id = a.id group by a.id),
+       |dcex as (select m.vec_id as id, m.blk, a.pos, a.sval / n.nrm as nval, n.nrm
+       |         from dmg m join att a on a.id = m.vec_id join dn n on n.id = m.vec_id),
+       |reagg as (select id, blk, max(nrm) as nrm,
+       |            $pS
+       |          from dcex group by id, blk),
+       |resh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
+       |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
+       |         from reagg),
+       |reshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
+       |            sqrt(1 + $pnSqR) as pn
+       |          from resh),
+       |rfix as (select x.id, x.pos,
+       |           (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
+       |         from dcex x join reshn e on e.id = x.id),
+       |fixed as (select a.id, a.pos, a.sval from att a
+       |          left join dmg m on m.vec_id = a.id where m.vec_id is null
+       |          union all select id, pos, sval from rfix)
+       |select id, pos, sval from fixed""".stripMargin
+  }
+
+  /** The extraction-chain CTE block shared by wm_repair's renderings
+    * (the exC shape of the overlay family). */
+  private def repairExC(pfx: String, src: String): String = {
+    val qS = (0 until MsgLen).map(g =>
+      s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+    def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
+    s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
+       |            $qS
+       |          from $src group by id),
+       |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+       |        from ${pfx}xagg),
+       |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+       |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+       |        from ${pfx}xb),
+       |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")})""".stripMargin
+  }
+
+  private def wmRepairRender(attView: Option[String],
+                             serveViews: Option[(String, String)]): String = {
     val attSrc = attView match {
       case Some(v) => s"att as (select id, pos, sval from $v)"
       case None    => wmAttCte
@@ -1623,6 +2383,31 @@ final class Gen(d: Dialect, useViews: Boolean = false,
         s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
       def errExpr(v: String, m: String) =
         s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
+      serveViews match {
+        case Some((predecV, fixedV)) =>
+          return s"""${wmChain("overwrite")},
+         |pre_valid as (select id, blk, pbits from $predecV),
+         |pre_vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("pre_valid", "pbits", "p1", "b", Seq("blk"))} _pre_vx),
+         |pre_votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+         |           from pre_vx group by blk, bit_idx),
+         |dmg as (select c.vec_id, c.blk from carriers c
+         |        left join pre_valid v on v.id = c.vec_id where v.id is null),
+         |fixed as (select /*+ REPARTITION(id) */ id, pos, sval from $fixedV),
+         |${exC("post_", "fixed")},
+         |nrep as (select ${bigint("count(*)")} as n_repaired from dmg),
+         |epre as (select m.blk as blk, ${errExpr("v", "m")} as pre_errors,
+         |           ${bigint("coalesce(max(v.n), 0)")} as pre_valid
+         |         from msgbits m left join pre_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
+         |epost as (select m.blk as blk, ${errExpr("v", "m")} as post_errors,
+         |            ${bigint("coalesce(max(v.n), 0)")} as post_valid
+         |          from msgbits m left join post_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
+         |select ${bigint("a.blk")} as blk, ${bigint("16")} as n_bits,
+         |  ${bigint("a.pre_errors")} as pre_errors, a.pre_valid,
+         |  ${bigint("b.post_errors")} as post_errors, b.post_valid,
+         |  n.n_repaired
+         |from epre a join epost b on b.blk = a.blk cross join nrep n""".stripMargin
+        case None => ()
+      }
       s"""${wmChain("overwrite")},
          |$attSrc,
          |${exC("pre_", "att")},
@@ -1738,13 +2523,27 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       case None    => "e2 as (select src, dst from knn union select dst, src from knn)"
     }
     def q6(x: String) = bigint(roundAway(d)(x, 0))
+    // r12: each hop references its predecessor exactly ONCE — the
+    // vec_topk_graph identity-edge carry (e2i = real edges tagged 0 ∪
+    // per-node identity edges tagged 1; identity rows pass a state row
+    // through unchanged, real edges fire only from the step-k
+    // frontier). The union-all form referenced prev twice per hop, so
+    // Catalyst re-inlined the whole BFS 2^k-fold (the executed r11
+    // plan was 484 nodes / 63 scans / 92 exchanges). Rows identical:
+    // (qs, node, step) is unique in every w_k, so the regroup
+    // preserves carried rows exactly and sums the new frontier exactly
+    // like the per-hop group-by did.
     def hop(prev: String, next: String, k: Int): String =
-      s"""$next as (select qs, node, step, c from $prev union all
-         |       select v.qs, e.dst as node, ${bigint((k + 1).toString)} as step, ${bigint("sum(v.c)")} as c
-         |       from $prev v join e2 e on e.src = v.node where v.step = $k
-         |       group by v.qs, e.dst)""".stripMargin
+      s"""$next as (select qs, node, step, ${bigint("sum(c)")} as c from (
+         |       select v.qs, case when e.iden = 1 then v.node else e.dst end as node,
+         |              case when e.iden = 1 then v.step else ${bigint((k + 1).toString)} end as step,
+         |              v.c
+         |       from $prev v join e2i e on e.src = v.node and (e.iden = 1 or v.step = $k)) _$next
+         |       group by qs, node, step)""".stripMargin
     s"""${wmChain("knn")},
        |$e2,
+       |e2i as (select src, dst, 0 as iden from e2
+       |        union all select id as src, id as dst, 1 as iden from nn),
        |srcs as (select id from (select id, ${prf(d)("'btw'", "id")} as pr from nn) _p order by pr, id limit 4),
        |w0 as (select s.id as qs, s.id as node, ${bigint("0")} as step, ${bigint("1")} as c from srcs s),
        |${hop("w0", "w1", 0)},
@@ -1815,12 +2614,19 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       case None    => "e2 as (select src, dst from knn union select dst, src from knn)"
     }
     def q6(x: String) = bigint(roundAway(d)(x, 0))
+    // r12: single-reference hops via the identity-edge carry (see
+    // graphBetweennessSql) — the union-all form re-inlined the BFS
+    // 2^k-fold under Catalyst. Rows identical: triples are unique in
+    // every r_k and the distinct dedupes only within the new frontier.
     def hop(prev: String, next: String, k: Int): String =
-      s"""$next as (select qs, node, step from $prev union all
-         |       select distinct v.qs, e.dst as node, ${bigint((k + 1).toString)} as step
-         |       from $prev v join e2 e on e.src = v.node where v.step = $k)""".stripMargin
+      s"""$next as (select distinct qs, node, step from (
+         |       select v.qs, case when e.iden = 1 then v.node else e.dst end as node,
+         |              case when e.iden = 1 then v.step else ${bigint((k + 1).toString)} end as step
+         |       from $prev v join e2i e on e.src = v.node and (e.iden = 1 or v.step = $k)) _$next)""".stripMargin
     s"""${wmChain("knn")},
        |$e2,
+       |e2i as (select src, dst, 0 as iden from e2
+       |        union all select id as src, id as dst, 1 as iden from nn),
        |srcs as (select id from (select id, ${prf(d)("'cls'", "id")} as pr from nn) _p order by pr, id limit 8),
        |r0 as (select s.id as qs, s.id as node, ${bigint("0")} as step from srcs s),
        |${hop("r0", "r1", 0)},
@@ -1849,6 +2655,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * Generate — a transform-lambda over the split array gets the
     * split substituted into EVERY element access by projection
     * collapse (observed 10x slowdown). */
+  /** The distinct (doc, 3-shingle) rows the minhash signatures derive
+    * from — factored so the shingle profile can persist as its own
+    * scratch artifact (the verify-stage index, r12). */
+  private lazy val minhashShingleCtes: String =
+    s"""sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+       |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
+       |        from wx),
+       |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null)""".stripMargin
+
   private lazy val minhashBandsCtes: String = {
     val p = WmConst.MinhashP
     val mins = (0 until 16).map { r =>
@@ -1856,10 +2671,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       s"min(($a * h + $b) % $p) as m$r"
     }.mkString(",\n|         ")
     val sigs = arrLit((0 until 8).map(k => s"m${2 * k} * 2147483648 + m${2 * k + 1}"))
-    s"""sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-       |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
-       |        from wx),
-       |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
+    s"""$minhashShingleCtes,
        |sh31 as (select doc_id, ${d.hex2int("substr(md5(sh), 1, 15)")} % $p as h from shx),
        |mh as (select doc_id,
        |         $mins
@@ -1867,6 +2679,84 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |bands as (select b1 - 1 as band, sig, ${(0 until 16).map(r => s"m$r").mkString(", ")}, doc_id
        |          from ${d.explodeFrom("mh", sigs, "b1", "sig", (0 until 16).map(r => s"m$r") :+ "doc_id")} _bx)""".stripMargin
   }
+
+  /** Winnowing fingerprint chain ending in the DF-capped ok(doc_id, f)
+    * table — the kept fingerprint index of a winnowing dedup pipeline
+    * (Schleimer et al. 2003). */
+  private lazy val winnowOkCtes: String = {
+    val matKw = if (d.name == "duckdb") "materialized " else ""
+    s"""$wordCtes,
+       |kg as (select doc_id, wpos, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as h
+       |       from (select doc_id, wpos, wd,
+       |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+       |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
+       |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
+       |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
+       |             from wx) _s where w5 is not null),
+       |wn as (select doc_id,
+       |         min(h) over (partition by doc_id order by wpos rows between current row and 3 following) as wh,
+       |         lead(wpos, 3) over (partition by doc_id order by wpos) as wend
+       |       from kg),
+       |fp as $matKw(select distinct doc_id, wh as f from wn where wend is not null),
+       |ok as $matKw(select doc_id, f from (
+       |        select doc_id, f, count(*) over (partition by f) as df from fp) _o
+       |      where df <= 64)""".stripMargin
+  }
+
+  /** Winnowing fingerprint-index build SQL (Spark side). */
+  def winnowFpBuildSql: String =
+    s"""with $winnowOkCtes
+       |select doc_id, f from ok""".stripMargin
+
+  /** Winnowing near-dup pairs — `fpView`: Some(view) reads the
+    * persisted fingerprint index (the inline chain re-ran the word
+    * pipeline + 3 window passes under BOTH sides of the self-join);
+    * None inlines the full chain (the DuckDB oracle). */
+  def dedupWinnowSql(fpView: Option[String]): String = {
+    val head = fpView match {
+      case Some(v) => s"ok as (select /*+ REPARTITION(doc_id) */ doc_id, f from $v)"
+      case None    => winnowOkCtes
+    }
+    s"""with $head
+       |select ${bigint("a.doc_id")} as doc_a, ${bigint("b.doc_id")} as doc_b,
+       |  ${bigint("count(*)")} as n_shared_fp
+       |from ok a join ok b on a.f = b.f and a.doc_id < b.doc_id
+       |group by a.doc_id, b.doc_id
+       |having count(*) >= 2""".stripMargin
+  }
+
+  /** Shingle-profile build SQL (Spark side): the kept distinct
+    * (doc_id, sh) index the verify/calibration legs re-read. */
+  def minhashShxBuildSql: String =
+    s"""with $wordCtes,
+       |$minhashShingleCtes
+       |select doc_id, sh from shx""".stripMargin
+
+  /** View-backed head of the banded minhash chain: signatures come
+    * from the persisted g_mhsig artifact instead of re-running the
+    * word pipeline (serving split, r12 — the oracle inlines). The
+    * `bands` rows are identical to minhashBandsCtes' by construction
+    * (same explode over the same 16-column signature rows). */
+  private def minhashSigHeadCtes(sigView: String): String = {
+    val hint = if (d.name == "spark") "/*+ REPARTITION(doc_id) */ " else ""
+    s"""ms as (select ${hint}doc_id, ${(0 until 16).map(r => s"m$r").mkString(", ")} from $sigView),
+       |${minhashBandFrom("bands", "ms")}""".stripMargin
+  }
+
+  /** Head CTE block of the minhash candidate family: Some((sig, shx))
+    * reads the persisted signature table (and, when the key needs the
+    * exact-verify leg, the persisted shingle profile as `shx`); None
+    * renders the full inline word pipeline. */
+  private def minhashHead(mhViews: Option[(String, Option[String])]): String =
+    mhViews match {
+      case Some((sig, shxV)) =>
+        val hint = if (d.name == "spark") "/*+ REPARTITION(doc_id) */ " else ""
+        minhashSigHeadCtes(sig) + (shxV match {
+          case Some(v) => s",\nshx as (select ${hint}doc_id, sh from $v)"
+          case None    => ""
+        })
+      case None => s"$wordCtes,\n$minhashBandsCtes"
+    }
 
   /** Matching-minhash count between two band-row aliases. */
   private def minhashMatches(a: String, b: String): String =
@@ -3322,20 +4212,14 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from (select md5(text) as h, count(*) as c, min(doc_id) as first_doc
          |      from documents group by md5(text) having count(*) > 1) _g""".stripMargin,
 
-    "dedup_minhash" ->
-      // one md5 per distinct shingle, then 16 universal-hash minhashes
-      // (a_r*h+b_r mod 2^31-1: products stay < 2^62, exact in both
-      // engines). The 16 signature values ride along through the band
-      // explode, so candidate similarity (the standard matching-minhash
-      // Jaccard estimate) needs NO second pass over the shingle sets —
-      // the expensive text scan runs exactly once. The wordCtes→bands
-      // chain is shared with dedup_incremental (minhashBandsCtes).
-      s"""with $wordCtes,
-         |$minhashBandsCtes,
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
-         |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, round(cast(est as double), 4) as jaccard_est
-         |from candp where est >= 0.1""".stripMargin,
+    // one md5 per distinct shingle, then 16 universal-hash minhashes
+    // (a_r*h+b_r mod 2^31-1: products stay < 2^62, exact in both
+    // engines). The 16 signature values ride along through the band
+    // explode, so candidate similarity (the standard matching-minhash
+    // Jaccard estimate) needs NO second pass over the shingle sets —
+    // the expensive text scan runs exactly once. The wordCtes→bands
+    // chain is shared with dedup_incremental (minhashBandsCtes).
+    "dedup_minhash" -> dedupMinhashSql(None),
 
     // INCREMENTAL dedup — the production shape after the corpus is
     // already deduped: a new delta batch (doc_id % 10 = 0 stands in
@@ -3348,19 +4232,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // the delta computes fresh signatures. Per new doc the best corpus
     // match comes from one max(struct) aggregation (no window); is_dup
     // applies the standard 0.5 MinHash-Jaccard dedup threshold.
-    "dedup_incremental" ->
-      s"""with $wordCtes,
-         |$minhashBandsCtes,
-         |bt as (select * from bands where doc_id % 10 = 0),
-         |cb as (select * from bands where doc_id % 10 <> 0),
-         |candp as (select distinct bt.doc_id as nd, cb.doc_id as cd, (${minhashMatches("bt", "cb")}) / 16.0 as est
-         |          from bt join cb on bt.band = cb.band and bt.sig = cb.sig),
-         |best as (select nd, max(${d.structLit2("e", "est", "c", "-cd")}) as mx
-         |         from candp where est >= 0.1 group by nd)
-         |select ${bigint("nd")} as new_doc, ${bigint(s"-(${d.fieldOf("mx", "c")})")} as match_doc,
-         |  round(cast(${d.fieldOf("mx", "e")} as double), 4) as jaccard_est,
-         |  ${bigint(s"case when ${d.fieldOf("mx", "e")} >= 0.5 then 1 else 0 end")} as is_dup
-         |from best""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalSql(None),
 
     "dedup_simhash" ->
       s"""with $wordCtes,
@@ -4133,18 +5005,24 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // explode feeds both tf and df; the per-doc argmax is the two-
     // aggregation pattern (max score, then min word among ties) — no
     // window, fully map-side-combinable, N rows out.
+    // r12: df and the per-doc best ride WINDOWS over the one
+    // (doc, word) aggregate — tf is already (doc, word)-grained, so
+    // count(*) over (partition by wd) IS the document frequency; the
+    // inline join form re-ran the corpus explode under tf, dfq, and
+    // both `scored` references (4 explodes). Values identical.
     "text_tfidf" ->
       s"""with $wordCtes,
          |tf as (select doc_id, wd, count(*) as tf from wx group by doc_id, wd),
-         |dfq as (select wd, count(distinct doc_id) as df from wx group by wd),
          |nd as (select cast(count(*) as double) as n from documents),
-         |scored as (select tf.doc_id, tf.wd,
-         |             round(tf.tf * ln(nd.n / dfq.df), 6) as tfidf
-         |           from tf join dfq on dfq.wd = tf.wd cross join nd),
-         |tw as (select doc_id, max(tfidf) as best from scored group by doc_id)
-         |select ${bigint("s.doc_id")} as doc_id, min(s.wd) as top_term, t.best as tfidf
-         |from scored s join tw t on t.doc_id = s.doc_id and s.tfidf = t.best
-         |group by s.doc_id, t.best""".stripMargin,
+         |scored as (select doc_id, wd,
+         |             round(tf * ln(nd.n / df), 6) as tfidf
+         |           from (select tf.*, count(*) over (partition by wd) as df from tf) _s
+         |           cross join nd),
+         |tw as (select doc_id, wd, tfidf,
+         |         max(tfidf) over (partition by doc_id) as best from scored)
+         |select ${bigint("doc_id")} as doc_id, min(wd) as top_term, best as tfidf
+         |from tw where tfidf = best
+         |group by doc_id, best""".stripMargin,
 
     // data-quality profile of a fact table (null/distinct/min/max per
     // column) — the profiling pass a 100 TB ingestion runs before
@@ -4489,13 +5367,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       s"""with $wordCtes,
          |bg as (select doc_id, wd as w1, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
          |bgn as (select doc_id, w1, w2 from bg where w2 is not null),
-         |cb as (select w1, w2, count(*) as c12 from bgn group by w1, w2),
-         |chd as (select w1, count(*) as c1 from bgn group by w1),
          |dc as (select doc_id, w1, w2, count(*) as c from bgn group by doc_id, w1, w2),
-         |t as (select d2.doc_id, ${prf(d)("'lm'", "concat_ws(' ', d2.w1, d2.w2)")} % 1048576 as hb,
-         |             d2.c, b.c12, h.c1
-         |      from dc d2 join cb b on b.w1 = d2.w1 and b.w2 = d2.w2
-         |                join chd h on h.w1 = d2.w1),
+         |t as (select doc_id, ${prf(d)("'lm'", "concat_ws(' ', w1, w2)")} % 1048576 as hb,
+         |             c, c12, c1
+         |      from (select doc_id, w1, w2, c,
+         |              sum(c) over (partition by w1, w2) as c12,
+         |              sum(c) over (partition by w1) as c1
+         |            from dc) d2),
          |agg as (select doc_id, sum(c) as n, $ts as ts from t group by doc_id),
          |sc as (select doc_id, n, -(${d.dot("ts", ones)}) / n as nll from agg where n > 0)
          |select ${bigint("doc_id")} as doc_id, ${bigint("n")} as n_bigrams,
@@ -4910,29 +5788,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // bounded by fill^k (measured vs expected reported side by side).
     // All integer arithmetic (PRF positions, set-bit array, contains)
     // → bit-identical engines.
-    "sketch_bloom" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      s"""with $wordCtes,
-         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
-         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
-         |evd as $matKw(select distinct g from shev),
-         |${bloomBuildCtes("evd")},
-         |trd as (select distinct g from shtr),
-         |qr as (select trd.g, case when e.g is not null then 1 else 0 end as ise,
-         |              ${(0 until BloomK).map(i => s"${bloomPos(i, "trd.g")} as q$i").mkString(", ")}
-         |       from trd left join evd e on e.g = trd.g),
-         |ht as (select ise, case when ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")} then 1 else 0 end as h
-         |       from qr)
-         |select bs.n_eval as n_eval_shingles, bs.n_bits_set,
-         |  ${roundAway(d)(s"bs.n_bits_set / cast($BloomBits as double)", 6)} as fill_ratio,
-         |  ${roundAway(d)(s"pow(bs.n_bits_set / cast($BloomBits as double), $BloomK)", 6)} as fpr_expected,
-         |  ${bigint("a.n_probes")} as n_probes, ${bigint("a.n_members")} as n_members,
-         |  ${bigint("a.n_hits")} as n_hits, ${bigint("a.n_false_pos")} as n_false_pos,
-         |  ${roundAway(d)("a.n_false_pos / cast(a.n_probes - a.n_members as double)", 6)} as fpr_measured
-         |from bs cross join (select count(*) as n_probes, sum(ise) as n_members,
-         |                           sum(h) as n_hits, sum(h * (1 - ise)) as n_false_pos
-         |                    from ht) a""".stripMargin
-    },
+    "sketch_bloom" -> sketchBloomSql(None),
 
     // BLOOM m-BITS TUNING CURVE — the bits-per-key frontier that sizes
     // every production Bloom deployment (next to sketch_hll_curve and
@@ -4946,42 +5802,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // positions present in the level's distinct-position set (value-
     // identical to the packed-bitset test, and the join stays
     // per-(m, pos) bounded). Integer counts until the final divisions.
-    "sketch_bloom_curve" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      // double-hashing probe position i under m bits, m a column
-      def posM(g: String, i: String, m: String) =
-        s"((($g) % $m + ($i) * (2 * (${d.idiv(g, m)} % ${d.idiv(m, "2")}) + 1)) % $m)"
-      s"""with $wordCtes,
-         |${shingleSideCte("shev", s"doc_id % $decontEvalMod = 0")},
-         |${shingleSideCte("shtr", s"doc_id % $decontEvalMod <> 0")},
-         |evd as $matKw(select distinct g from shev),
-         |trd as $matKw(select distinct g from shtr),
-         |geo as (select ${bigint("4096")} as m union all select ${bigint("32768")} as m union all select ${bigint("262144")} as m),
-         |evp as (select x.m, ${posM("evd.g", "ki.i", "x.m")} as pos
-         |        from evd cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
-         |pd as (select distinct m, pos from evp),
-         |ns as (select m, ${bigint("count(*)")} as n_bits_set from pd group by m),
-         |ne as (select ${bigint("count(*)")} as n_eval from evd),
-         |tq as (select t.g, case when e.g is not null then 1 else 0 end as ise,
-         |              x.m, ${posM("t.g", "ki.i", "x.m")} as pos
-         |       from trd t left join evd e on e.g = t.g
-         |       cross join geo x cross join ${rangeTable("ki", "i", 0, BloomK - 1)}),
-         |hq as (select t.m, t.g, ${bigint("max(t.ise)")} as ise,
-         |              ${bigint("sum(case when p.pos is not null then 1 else 0 end)")} as nm
-         |       from tq t left join pd p on p.m = t.m and p.pos = t.pos
-         |       group by t.m, t.g),
-         |res as (select m, ${bigint("count(*)")} as n_probes, ${bigint("sum(ise)")} as n_members,
-         |               ${bigint(s"sum(case when nm = $BloomK and ise = 0 then 1 else 0 end)")} as n_false_pos
-         |        from hq group by m)
-         |select ${bigint("r.m")} as m_bits,
-         |  ${roundAway(d)("r.m / cast(ne.n_eval as double)", 2)} as bits_per_key,
-         |  ns.n_bits_set,
-         |  ${roundAway(d)("ns.n_bits_set / cast(r.m as double)", 6)} as fill_ratio,
-         |  ${roundAway(d)(s"pow(ns.n_bits_set / cast(r.m as double), $BloomK)", 6)} as fpr_expected,
-         |  r.n_probes, r.n_members, r.n_false_pos,
-         |  ${roundAway(d)("r.n_false_pos / cast(r.n_probes - r.n_members as double)", 6)} as fpr_measured
-         |from res r join ns on ns.m = r.m cross join ne""".stripMargin
-    },
+    "sketch_bloom_curve" -> sketchBloomCurveSql(None),
 
     // the Bloom prefilter COMPOSED with the exact decontamination join
     // — output IDENTICAL to `decontaminate` (Bloom admits no false
@@ -5060,12 +5881,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3
          |             from wx) _s where w3 is not null),
          |sc as $matKw(select sh, ${bigint("count(*)")} as c from s3 group by sh),
-         |cells as $matKw(select rr.r, ${prf(d)("'cms3'", "rr.r", "sh")} % $w as col, sum(c) as cell
-         |         from sc cross join ${rangeTable("rr", "r", 0, rows - 1)} group by rr.r, ${prf(d)("'cms3'", "rr.r", "sh")} % $w),
-         |est as (select sc.sh, sc.c, min(cells.cell) as est
-         |        from sc cross join ${rangeTable("r2", "r", 0, rows - 1)}
-         |        join cells on cells.r = r2.r and cells.col = ${prf(d)("'cms3'", "r2.r", "sh")} % $w
-         |        group by sc.sh, sc.c)
+         |scr as (select sc.sh, sc.c, rr.r, ${prf(d)("'cms3'", "rr.r", "sh")} % $w as col
+         |        from sc cross join ${rangeTable("rr", "r", 0, rows - 1)}),
+         |est as (select sh, c, min(cell) as est from (
+         |          select sh, c, sum(c) over (partition by r, col) as cell from scr) _e
+         |        group by sh, c)
          |select ${bigint("est - c")} as overestimate, ${bigint("count(*)")} as n_keys
          |from est group by est - c""".stripMargin
     },
@@ -5455,17 +6275,19 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |         ${d.hex2int(s"substr(md5(${d.strAggOrdered("concat(wd, ' ')", "wpos")}), 1, 15)")} as h
          |       from wx group by doc_id, ${d.idiv("wpos - 1", paraTok.toString)}
          |       having count(*) = $paraTok),
-         |hdf as (select h from pg group by h
-         |        having count(distinct doc_id) between 2 and $dfCap),
-         |ph as (select distinct p.doc_id, p.h from pg p join hdf f on f.h = p.h),
-         |pairs as (select a.doc_id as da, b.doc_id as db, ${bigint("count(*)")} as n_shared
+         |pgn as (select doc_id, h, ${bigint("count(*) over (partition by doc_id)")} as np from pg),
+         |phn as (select doc_id, h, max(np) as np from pgn group by doc_id, h),
+         |ph as (select doc_id, h, np from (
+         |         select doc_id, h, np, count(*) over (partition by h) as df from phn) _f
+         |       where df between 2 and $dfCap),
+         |pairs as (select a.doc_id as da, b.doc_id as db, ${bigint("count(*)")} as n_shared,
+         |            max(a.np) as np_a, max(b.np) as np_b
          |          from ph a join ph b on a.h = b.h and a.doc_id < b.doc_id
-         |          group by a.doc_id, b.doc_id),
-         |pc as (select doc_id, ${bigint("count(*)")} as np from pg group by doc_id)
+         |          group by a.doc_id, b.doc_id)
          |select ${bigint("p.da")} as da, ${bigint("p.db")} as db, p.n_shared,
-         |  ca.np as np_a, cb.np as np_b,
-         |  ${roundAway(d)("p.n_shared / cast(least(ca.np, cb.np) as double)", 4)} as containment
-         |from pairs p join pc ca on ca.doc_id = p.da join pc cb on cb.doc_id = p.db""".stripMargin
+         |  p.np_a, p.np_b,
+         |  ${roundAway(d)("p.n_shared / cast(least(p.np_a, p.np_b) as double)", 4)} as containment
+         |from pairs p""".stripMargin
     },
 
     "dedup_substring" -> {
@@ -5477,8 +6299,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       from (select doc_id, wpos, wd,
          |               $leads
          |             from wx) _w where x8 is not null),
-         |dh as (select h from w8 group by h having count(distinct doc_id) >= 2),
-         |dw as (select w8.doc_id, w8.wpos from w8 join dh on dh.h = w8.h),
+         |dw as (select doc_id, wpos from (
+         |         select doc_id, wpos,
+         |           min(doc_id) over (partition by h) as h_mn,
+         |           max(doc_id) over (partition by h) as h_mx
+         |         from w8) _dw where h_mn <> h_mx),
          |br as (select doc_id, wpos,
          |         case when wpos - lag(wpos) over (partition by doc_id order by wpos) <= 8 then 0 else 1 end as brk
          |       from dw),
@@ -6325,30 +7150,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // join — the step that keeps shared-phrase hot keys from going
     // quadratic at 100 TB (same role as the simhash band cap);
     // the join itself is hash-partitioned on fingerprint value.
-    "dedup_winnow" -> {
-      val matKw = if (d.name == "duckdb") "materialized " else ""
-      s"""with $wordCtes,
-         |kg as (select doc_id, wpos, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as h
-         |       from (select doc_id, wpos, wd,
-         |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
-         |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
-         |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
-         |             from wx) _s where w5 is not null),
-         |wn as (select doc_id,
-         |         min(h) over (partition by doc_id order by wpos rows between current row and 3 following) as wh,
-         |         lead(wpos, 3) over (partition by doc_id order by wpos) as wend
-         |       from kg),
-         |fp as $matKw(select distinct doc_id, wh as f from wn where wend is not null),
-         |ok as $matKw(select doc_id, f from (
-         |        select doc_id, f, count(*) over (partition by f) as df from fp) _o
-         |      where df <= 64)
-         |select ${bigint("a.doc_id")} as doc_a, ${bigint("b.doc_id")} as doc_b,
-         |  ${bigint("count(*)")} as n_shared_fp
-         |from ok a join ok b on a.f = b.f and a.doc_id < b.doc_id
-         |group by a.doc_id, b.doc_id
-         |having count(*) >= 2""".stripMargin
-    },
+    "dedup_winnow" -> dedupWinnowSql(None),
 
     // Embedding OUTLIER / OOD detection — the training-data filter
     // that surfaces vectors far from their own cluster (mislabeled,
@@ -6405,24 +7207,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // error. Scale: the shingle table is the already-priced corpus
     // pass; the verify joins are candidate-bounded (the whole point
     // of LSH).
-    "dedup_minhash_verify" ->
-      s"""with $wordCtes,
-         |$minhashBandsCtes,
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-         |cand as (select da, db, est from candp where est >= 0.1),
-         |sz as (select doc_id, count(*) as ns from shx group by doc_id),
-         |iv as (select c.da, c.db, count(*) as i
-         |       from cand c join shx sa on sa.doc_id = c.da
-         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
-         |       group by c.da, c.db)
-         |select ${bigint("c.da")} as doc_a, ${bigint("c.db")} as doc_b,
-         |  round(cast(c.est as double), 4) as jaccard_est,
-         |  round(coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0)), 4) as jaccard_true,
-         |  round(abs(cast(c.est as double) - coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0))), 4) as abs_err
-         |from cand c
-         |join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
-         |left join iv on iv.da = c.da and iv.db = c.db""".stripMargin,
+    "dedup_minhash_verify" -> dedupMinhashVerifySql(None),
 
     // PER-DOC NOVELTY RATE — the marginal-content signal a streaming
     // curation pipeline scores every incoming doc with (Heaps' law
@@ -6438,10 +7223,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       s"""with $wordCtes,
          |${shingleSideCte("shn", "1 = 1")},
          |dg as (select distinct doc_id, g from shn),
-         |fs as (select g, ${bigint("min(doc_id)")} as fdoc from dg group by g),
-         |nv as (select d.doc_id, ${bigint("count(*)")} as n_shingles,
-         |         ${bigint("sum(case when fs.fdoc = d.doc_id then 1 else 0 end)")} as n_novel
-         |       from dg d join fs on fs.g = d.g group by d.doc_id)
+         |fw as (select doc_id, ${bigint("min(doc_id) over (partition by g)")} as fdoc from dg),
+         |nv as (select doc_id, ${bigint("count(*)")} as n_shingles,
+         |         ${bigint("sum(case when fdoc = doc_id then 1 else 0 end)")} as n_novel
+         |       from fw group by doc_id)
          |select ${bigint("doc_id")} as doc_id, n_shingles, n_novel,
          |  ${roundAway(d)("n_novel / cast(n_shingles as double)", 4)} as novelty_rate
          |from nv""".stripMargin,
@@ -6456,36 +7241,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // count, distinct docs implicated (the union of both sides —
     // what a keep-one policy would touch), and the mean true jaccard
     // of survivors (6dp-quantized before the exact decimal mean).
-    "dedup_threshold_curve" ->
-      s"""with $wordCtes,
-         |$minhashBandsCtes,
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-         |cand as (select da, db, est from candp where est >= 0.1),
-         |sz as (select doc_id, ${bigint("count(*)")} as ns from shx group by doc_id),
-         |iv as (select c.da, c.db, ${bigint("count(*)")} as i
-         |       from cand c join shx sa on sa.doc_id = c.da
-         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
-         |       group by c.da, c.db),
-         |tj as (select c.da, c.db,
-         |         ${roundAway(d)("coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0))", 6)} as jt
-         |       from cand c
-         |       join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
-         |       left join iv on iv.da = c.da and iv.db = c.db),
-         |th as (select ${bigint("50")} as t_centi union all select ${bigint("70")} union all select ${bigint("90")}),
-         |pa as (select t.t_centi, ${bigint("count(*)")} as n_pairs,
-         |         ${roundAway(d)("cast(sum(cast(j.jt as decimal(18, 6))) as double) / count(*)", 4)} as mean_jaccard
-         |       from tj j join th t on j.jt >= t.t_centi / 100.0 group by t.t_centi),
-         |sides as (select t.t_centi, j.da as d2 from tj j join th t on j.jt >= t.t_centi / 100.0
-         |          union
-         |          select t.t_centi, j.db as d2 from tj j join th t on j.jt >= t.t_centi / 100.0),
-         |nd as (select t_centi, ${bigint("count(*)")} as n_docs from sides group by t_centi)
-         |select ${bigint("th.t_centi")} as t_centi,
-         |  ${bigint("coalesce(pa.n_pairs, 0)")} as n_dup_pairs,
-         |  ${bigint("coalesce(nd.n_docs, 0)")} as n_docs_implicated,
-         |  pa.mean_jaccard
-         |from th left join pa on pa.t_centi = th.t_centi
-         |        left join nd on nd.t_centi = th.t_centi""".stripMargin,
+    "dedup_threshold_curve" -> dedupThresholdCurveSql(None),
 
     // Bigram PMI association mining — the collocation signal behind
     // phrase detection (word2vec's phrase pass, Mikolov et al. 2013:
@@ -7241,15 +7997,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |       from supplier s
          |       join nation n on n.n_nationkey = s.s_nationkey
          |       join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'EUROPE'),
-         |pm as (select pc.l_partkey, min(pc.cost) as mc
-         |       from pc join eu on eu.s_suppkey = pc.l_suppkey
-         |       join part p on p.p_partkey = pc.l_partkey and p.p_type = 'LARGE'
-         |       group by pc.l_partkey)
-         |select ${bigint("pc.l_partkey")} as p_partkey, ${bigint("pc.l_suppkey")} as s_suppkey,
-         |  eu.s_name, eu.n_name, ${roundAway(d)("pc.cost", 4)} as unit_cost
-         |from pc
-         |join eu on eu.s_suppkey = pc.l_suppkey
-         |join pm on pm.l_partkey = pc.l_partkey and pc.cost = pm.mc""".stripMargin,
+         |base as (select pc.l_partkey, pc.l_suppkey, pc.cost, eu.s_name, eu.n_name
+         |         from pc join eu on eu.s_suppkey = pc.l_suppkey
+         |         join part p on p.p_partkey = pc.l_partkey and p.p_type = 'LARGE')
+         |select ${bigint("l_partkey")} as p_partkey, ${bigint("l_suppkey")} as s_suppkey,
+         |  s_name, n_name, ${roundAway(d)("cost", 4)} as unit_cost
+         |from (select b.*, min(b.cost) over (partition by b.l_partkey) as mc from base b) _m
+         |where cost = mc""".stripMargin,
 
     // TPC-H Q9 shape: product-type profit — the five-join star with a
     // SUBTRACTIVE aggregate (revenue minus supply cost) rolled up by
@@ -7377,15 +8131,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |             partition by ${prfMod(d)(16, "'cb'", "w1", "w2")}
          |             order by n_total desc, w1, w2) as prn
          |           from agg a) _b where prn <= 20),
-         |rk as (select a.w1, a.w2,
-         |         1 + sum(case when b.n_total > a.n_total
-         |                   or (b.n_total = a.n_total and (b.w1 < a.w1 or (b.w1 = a.w1 and b.w2 < a.w2)))
-         |                 then 1 else 0 end) as rn
-         |       from cand a cross join cand b group by a.w1, a.w2)
-         |select c.w1, c.w2, ${bigint("c.n_d1")} as n_d1, ${bigint("c.n_d2")} as n_d2,
-         |  ${bigint("c.n_d3")} as n_d3, ${bigint("c.n_total")} as n_total, ${bigint("rk.rn")} as rn
-         |from cand c join rk on rk.w1 = c.w1 and rk.w2 = c.w2
-         |where rk.rn <= 20""".stripMargin,
+         |rk as (select w1, w2, n_d1, n_d2, n_d3, n_total,
+         |         row_number() over (order by n_total desc, w1, w2) as rn
+         |       from cand)
+         |select w1, w2, ${bigint("n_d1")} as n_d1, ${bigint("n_d2")} as n_d2,
+         |  ${bigint("n_d3")} as n_d3, ${bigint("n_total")} as n_total, ${bigint("rn")} as rn
+         |from rk
+         |where rn <= 20""".stripMargin,
 
     // LABEL-PROPAGATION COMMUNITIES — synchronous LPA (Raghavan et al.
     // 2007) over the served kNN proximity graph: each round every node
@@ -7853,36 +8605,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // scale-equivariant up to the same factor) or coarsen the ln grid
     // to 1e-6, same escape hatch as the other bigint-grid keys
     // (events_autocorr, graph_assortativity, data_shard_manifest).
-    "text_keywords_llr" -> {
-      // x·round(ln(x)·1e9) with the x = 0 → 0 convention
-      def xlnx(x: String): String =
-        s"(case when ($x) > 0 then ($x) * ${bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))} else 0 end)"
-      s"""with $wordCtes,
-         |src as (select doc_id, source from documents),
-         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
-         |       from wx w join src s on s.doc_id = w.doc_id group by s.source, w.wd),
-         |ns as (select source, ${bigint("sum(k)")} as n_src from wf group by source),
-         |cw as (select wd, ${bigint("sum(k)")} as c_wd from wf group by wd),
-         |nt as (select ${bigint("sum(k)")} as n from wf),
-         |cell as (select wf.source, wf.wd, wf.k,
-         |           cw.c_wd - wf.k as k12, ns.n_src - wf.k as k21,
-         |           nt.n - ns.n_src - (cw.c_wd - wf.k) as k22,
-         |           ns.n_src, cw.c_wd, nt.n
-         |         from wf join ns on ns.source = wf.source
-         |                 join cw on cw.wd = wf.wd cross join nt),
-         |llr as (select source, wd, k,
-         |          ${xlnx("k")} + ${xlnx("k12")} + ${xlnx("k21")} + ${xlnx("k22")}
-         |          - ${xlnx("n_src")} - ${xlnx("n - n_src")}
-         |          - ${xlnx("c_wd")} - ${xlnx("n - c_wd")}
-         |          + ${xlnx("n")} as t9
-         |        from cell),
-         |rk as (select source, wd, k, t9,
-         |         row_number() over (partition by source order by t9 desc, wd) as rn
-         |       from llr)
-         |select source, wd as word, ${bigint("k")} as n_in_source,
-         |  ${roundAway(d)("2.0 * t9 / 1000000000", 4)} as llr, ${bigint("rn")} as rank
-         |from rk where rn <= 5""".stripMargin
-    },
+    "text_keywords_llr" -> textKeywordsLlrSql(None),
 
     // NEW vs RETURNING DAILY CENSUS — the simplest growth readout
     // every analytics deck opens with (and the events suite lacked):
@@ -8047,19 +8770,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // twice (next hop + census), so hop h re-derives ≤ h edge joins
     // of the cached view — O(h²) bounded joins total, corpus-priced
     // only through the edge table.
+    // r12: the frontier carries its FIRST-HOP column, so every level
+    // census folds from the final frontier alone (f_k = nodes with
+    // first_hop ≤ k — the sets are monotone under the identity
+    // edges); the level-union form referenced every f_k twice and
+    // Catalyst re-inlined the whole expansion 2^k-fold. Counts
+    // identical by the monotone-set identity.
     "graph_hops_reach" -> {
-      def hop(prev: String, next: String) =
-        s"$next as (select distinct f.qid, e.dst as id from $prev f join e2 e on e.src = f.id)"
+      def hop(prev: String, next: String, k: Int) =
+        s"""$next as (select qid, id, ${bigint("min(h)")} as h from (
+           |  select f.qid, e.dst as id, case when e.iden = 1 then f.h else ${bigint(k.toString)} end as h
+           |  from $prev f join e2i e on e.src = f.id) _$next group by qid, id)""".stripMargin
       s"""${wmChain("knn")},
-         |e2 as (select src, dst from knn union all select id as src, id as dst from nn),
-         |f0 as (select id as qid, id from nn where id in ($qIdLit)),
-         |${hop("f0", "f1")},
-         |${hop("f1", "f2")},
-         |${hop("f2", "f3")},
-         |${hop("f3", "f4")}
-         |select ${bigint("qid")} as qid, ${bigint("hops")} as hops, ${bigint("count(*)")} as n_reached
-         |from (select qid, 1 as hops, id from f1 union all select qid, 2 as hops, id from f2
-         |      union all select qid, 3 as hops, id from f3 union all select qid, 4 as hops, id from f4) _u
+         |e2i as (select src, dst, 0 as iden from knn
+         |        union all select id as src, id as dst, 1 as iden from nn),
+         |f0 as (select id as qid, id, ${bigint("0")} as h from nn where id in ($qIdLit)),
+         |${hop("f0", "f1", 1)},
+         |${hop("f1", "f2", 2)},
+         |${hop("f2", "f3", 3)},
+         |${hop("f3", "f4", 4)},
+         |sp as (select 1 as hops union all select 2 union all select 3 union all select 4)
+         |select ${bigint("qid")} as qid, ${bigint("hops")} as hops,
+         |  ${bigint("count(case when h <= hops then 1 end)")} as n_reached
+         |from f4 cross join sp
          |group by qid, hops""".stripMargin
     },
 
@@ -8360,17 +9093,43 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
       }
       val levels = Seq(1, 2, 3, 5) // sigma in centi-units
-      def legs = levels.map { c =>
-        val sigma = s"0.${"%02d".format(c)}"
-        s"""a$c as (select id, pos, sval + $sigma * ${prfGauss(d)("'bwc'", "id", "pos")} as sval from stego),
-           |${exC(s"l${c}_", s"a$c")},
-           |e$c as (select ${bigint(c.toString)} as sigma_centi,
-           |          ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
-           |        from msgbits m left join l${c}_votes v on v.blk = m.blk and v.bit_idx = m.j)""".stripMargin
-      }
+      // r12: the 4 σ legs run through ONE rung-tagged attack table +
+      // ONE extraction chain (σ is a COLUMN over a 4-row spine — the
+      // wm_delta_curve lesson; the unrolled-per-leg form planned 4
+      // extraction chains and its planning ALONE cost ~0.9 s per
+      // action). Same noise stream, same per-level addends — the
+      // per-level sums see the identical multisets the per-leg chains
+      // summed, and every σ literal renders through the same
+      // cast(0.0c as double) path.
+      val sigmaExpr = "case s" + levels.dropRight(1).map(c =>
+        s" when $c then cast(0.${"%02d".format(c)} as double)").mkString +
+        s" else cast(0.${"%02d".format(levels.last)} as double) end"
+      val sgSpine = levels.map(c => s"select $c as s").mkString(" union all ")
+      val qS = (0 until MsgLen).map(g =>
+        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
+      def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
       s"""${wmChain("stego")},
-         |${legs.mkString(",\n")},
-         |cu as (${levels.map(c => s"select sigma_centi, errors from e$c").mkString(" union all ")})
+         |sg as (select ${bigint("s")} as s from ($sgSpine) _sg),
+         |aall as (select g.s, t.id, t.pos,
+         |           t.sval + ($sigmaExpr) * ${prfGauss(d)("'bwc'", "t.id", "t.pos")} as sval
+         |         from stego t cross join sg g),
+         |cxagg as (select s, id, sqrt(sum(sval * sval)) as nr,
+         |            $qS
+         |          from aall group by s, id),
+         |cxb as (select s, id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
+         |        from cxagg),
+         |cxh as (select s, id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
+         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
+         |        from cxb),
+         |cvalid as (select s, id, idx as blk, pbits from cxh where crc = ${d.arrIdx0(crcLit, "idx")}),
+         |cvx as (select s, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("cvalid", "pbits", "p1", "b", Seq("s", "blk"))} _cvx),
+         |cvotes as (select s, blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
+         |           from cvx group by s, blk, bit_idx),
+         |cu as (select g.s as sigma_centi,
+         |         ${bigint("sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors
+         |       from sg g cross join msgbits m
+         |       left join cvotes v on v.s = g.s and v.blk = m.blk and v.bit_idx = m.j
+         |       group by g.s)
          |select sigma_centi, ${bigint("256")} as n_bits, errors,
          |  ${roundAway(d)("errors / cast(256 as double)", 4)} as ber
          |from cu""".stripMargin
@@ -8391,76 +9150,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // extraction is one aggregation + the tiny vote; all pirate
     // constants (groups, signs, message bits) are plan-time literals
     // of the second key — no extra corpus pass anywhere.
-    "wm_overwrite" -> {
-      val key2 = "pirate-key"
-      val msg2 = "PIRATE-MARK-0002" // exactly 16 bytes, like Wm.Message
-      val kc2 = WmConst.keyed(key2)
-      val cipher2 = Crypto.encryptToBase64(msg2, key2)
-      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
-      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
-        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
-      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
-      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
-      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
-      val pSums2 = (0 until MsgLen).map(g =>
-        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
-      def shift2(g: Int) = {
-        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
-        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
-      }
-      val pnSq2 = (0 until MsgLen).map(g =>
-        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
-      // blind extraction from the overwritten rows with either key's
-      // weights (the extractCtes shape, names prefixed per leg)
-      def exCtes(pfx: String, wf: Int => String, src: String) = {
-        val qS = (0 until MsgLen).map(g =>
-          s"sum(sval * ${d.arrIdx0(wf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
-        def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
-        s"""${pfx}xagg as (select id, sqrt(sum(sval * sval)) as nr,
-           |            $qS
-           |          from $src group by id),
-           |${pfx}xb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
-           |        from ${pfx}xagg),
-           |${pfx}xh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
-           |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
-           |        from ${pfx}xb),
-           |${pfx}valid as (select id, idx as blk, pbits from ${pfx}xh where crc = ${d.arrIdx0(crcLit, "idx")}),
-           |${pfx}vx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom(s"${pfx}valid", "pbits", "p1", "b", Seq("blk"))} _${pfx}vx),
-           |${pfx}votes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
-           |           from ${pfx}vx group by blk, bit_idx)""".stripMargin
-      }
-      val msg2bitsCte =
-        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
-           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
-      def errExpr(v: String, m: String) =
-        s"sum(case when $v.vote is null or (case when $v.vote > 0 then 1 else 0 end) <> $m.bit then 1 else 0 end)"
-      s"""${wmChain("overwrite")},
-         |ocex as (select c.vec_id as id, c.blk, s.pos, s.sval / x.nrm as nval, x.nrm
-         |         from carriers c join stego s on s.id = c.vec_id join exn x on x.id = s.id and x.pos = s.pos),
-         |oeagg as (select id, blk, max(nrm) as nrm,
-         |            $pSums2
-         |          from ocex group by id, blk),
-         |oesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
-         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
-         |         from oeagg),
-         |oeshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
-         |            sqrt(1 + $pnSq2) as pn
-         |          from oesh),
-         |ostego as (select x.id, x.pos,
-         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
-         |           from ocex x join oeshn e on e.id = x.id),
-         |${exCtes("a_", wLitOf, "ostego")},
-         |${exCtes("b_", w2LitOf, "ostego")},
-         |$msg2bitsCte,
-         |eo as (select m.blk as blk, ${errExpr("v", "m")} as errors_original
-         |       from msgbits m left join a_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk),
-         |en as (select m.blk as blk, ${errExpr("v", "m")} as errors_pirate
-         |       from msgbits2 m left join b_votes v on v.blk = m.blk and v.bit_idx = m.j group by m.blk)
-         |select ${bigint("eo.blk")} as blk, ${bigint("16")} as n_bits,
-         |  ${bigint("eo.errors_original")} as errors_original,
-         |  ${bigint("en.errors_pirate")} as errors_pirate
-         |from eo join en on en.blk = eo.blk""".stripMargin
-    },
+    "wm_overwrite" -> wmOverwriteSql(None),
 
     // LAG-k AUTOCORRELATION (ACF) — the seasonality/memory diagnostic
     // over the daily event-count series (Box–Jenkins 1970; the check
@@ -8848,30 +9538,31 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |rk as (select source, h, row_number() over (partition by source order by h) as rn from wh),
          |tops as (select source, h from rk where rn <= 64),
          |ex as (select source, ${bigint("count(*)")} as n from wh group by source),
-         |prs as (select a.source as sa, b.source as sb from ex a join ex b on a.source < b.source),
-         |uh0 as (select p.sa, p.sb, t.h, 1 as ina, 0 as inb
-         |        from prs p join tops t on t.source = p.sa
-         |        union all
-         |        select p.sa, p.sb, t.h, 0 as ina, 1 as inb
-         |        from prs p join tops t on t.source = p.sb),
-         |uh as (select sa, sb, h, max(ina) as ina, max(inb) as inb
+         |prs as (select a.source as sa, b.source as sb, a.n as na, b.n as nb
+         |        from ex a join ex b on a.source < b.source),
+         |uh0 as (select p.sa, p.sb, p.na, p.nb, t.h,
+         |          case when t.source = p.sa then 1 else 0 end as ina,
+         |          case when t.source = p.sb then 1 else 0 end as inb
+         |        from prs p join tops t on t.source = p.sa or t.source = p.sb),
+         |uh as (select sa, sb, h, max(ina) as ina, max(inb) as inb,
+         |         max(na) as na, max(nb) as nb
          |       from uh0 group by sa, sb, h),
-         |urk as (select sa, sb, h, ina, inb,
+         |urk as (select sa, sb, h, ina, inb, na, nb,
          |          row_number() over (partition by sa, sb order by h) as rn from uh),
          |uk as (select sa, sb, max(h) as hk, ${bigint("count(*)")} as nk,
-         |          ${bigint("sum(case when ina = 1 and inb = 1 then 1 else 0 end)")} as nboth
+         |          ${bigint("sum(case when ina = 1 and inb = 1 then 1 else 0 end)")} as nboth,
+         |          max(na) as na, max(nb) as nb
          |       from urk where rn <= 64 group by sa, sb),
          |ixa as (select a.source as sa, b.source as sb, ${bigint("count(*)")} as ni
          |        from wh a join wh b on b.h = a.h and a.source < b.source
          |        group by a.source, b.source)
          |select u.sa as source_a, u.sb as source_b,
-         |  ea.n + eb.n - coalesce(i.ni, 0) as n_union_exact,
-         |  ${roundAway(d)("cast(coalesce(i.ni, 0) as double) / (ea.n + eb.n - coalesce(i.ni, 0))", 4)} as jaccard_exact,
+         |  u.na + u.nb - coalesce(i.ni, 0) as n_union_exact,
+         |  ${roundAway(d)("cast(coalesce(i.ni, 0) as double) / (u.na + u.nb - coalesce(i.ni, 0))", 4)} as jaccard_exact,
          |  ${roundAway(d)(estU, 4)} as union_est,
          |  ${roundAway(d)("cast(nboth as double) / nk", 4)} as jaccard_est,
-         |  ${roundAway(d)(s"abs(($estU) - (ea.n + eb.n - coalesce(i.ni, 0))) / (ea.n + eb.n - coalesce(i.ni, 0))", 4)} as union_rel_err
+         |  ${roundAway(d)(s"abs(($estU) - (u.na + u.nb - coalesce(i.ni, 0))) / (u.na + u.nb - coalesce(i.ni, 0))", 4)} as union_rel_err
          |from uk u
-         |join ex ea on ea.source = u.sa join ex eb on eb.source = u.sb
          |left join ixa i on i.sa = u.sa and i.sb = u.sb""".stripMargin
     },
 
@@ -8891,26 +9582,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // 8.4·10¹⁰) caps n_s at ~10⁸ tokens/source on the 1e-9 grid —
     // past that coarsen to 1e-6 (ceiling ×1000), the LLR escape
     // hatch. exp only in the final perplexity-ratio column.
-    "text_kl_divergence" -> {
-      def lg(x: String): String =
-        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
-      s"""with $wordCtes,
-         |srcx as (select doc_id, source from documents),
-         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
-         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd),
-         |ns as (select source, ${bigint("sum(k)")} as n_src, ${bigint("count(*)")} as n_types from wf group by source),
-         |cw as (select wd, ${bigint("sum(k)")} as c from wf group by wd),
-         |nt as (select ${bigint("sum(k)")} as n from wf),
-         |terms as (select wf.source,
-         |            wf.k * (${lg("wf.k")} - ${lg("ns.n_src")} - ${lg("cw.c")} + ${lg("nt.n")}) as t9
-         |          from wf join ns on ns.source = wf.source
-         |                  join cw on cw.wd = wf.wd cross join nt),
-         |agg as (select source, ${bigint("sum(t9)")} as s9 from terms group by source)
-         |select a.source, ns.n_src as n_tokens, ns.n_types,
-         |  ${roundAway(d)("cast(a.s9 as double) / ns.n_src / 1000000000", 6)} as kl_nats,
-         |  ${roundAway(d)("exp(cast(a.s9 as double) / ns.n_src / 1000000000)", 4)} as perplexity_ratio
-         |from agg a join ns on ns.source = a.source""".stripMargin
-    },
+    "text_kl_divergence" -> textKlDivergenceSql(None),
 
     // SIMPSON CONCENTRATION / DIVERSITY per source — the
     // repeat-probability readout (Simpson 1949: λ = Σ nᵢ(nᵢ−1) /
@@ -8926,21 +9598,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // tokens/source — far past any real slice; pre-scale counts past
     // it. Null guard: all-distinct sources (λ = 0) report null
     // effective vocabulary rather than ∞.
-    "text_simpson" ->
-      s"""with $wordCtes,
-         |srcx as (select doc_id, source from documents),
-         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
-         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd),
-         |agg as (select source, ${bigint("sum(k)")} as n, ${bigint("count(*)")} as n_types,
-         |               ${bigint("sum(k * (k - 1))")} as rep from wf group by source)
-         |select source, n as n_tokens, n_types,
-         |  case when n > 1
-         |       then ${roundAway(d)("cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as simpson_lambda,
-         |  case when n > 1
-         |       then ${roundAway(d)("cast(1 as double) - cast(rep as double) / cast(n * (n - 1) as double)", 6)} end as diversity,
-         |  case when rep > 0
-         |       then ${roundAway(d)("cast(n * (n - 1) as double) / cast(rep as double)", 2)} end as eff_vocab
-         |from agg""".stripMargin,
+    "text_simpson" -> textSimpsonSql(None),
 
     // REPEAT-PURCHASE CADENCE — the inter-order-gap distribution
     // behind replenishment forecasting and churn thresholds ("a
@@ -9222,71 +9880,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // only scalar shift math + one bounded extract aggregation over
     // rate·N carrier rows. 4-row output: the frontier a deployment
     // reads to pick its Δ.
-    "wm_delta_curve" -> {
-      // the 4 rungs run through ONE rung-tagged embed chain + ONE
-      // extract chain (Δ is a COLUMN over a 4-row spine, not a literal
-      // per copied chain) — same arithmetic, same IEEE ops, a quarter
-      // of the plan (the unrolled-per-rung form planned 8 chains and
-      // was the suite's slowest key at 7.5 s)
-      val pS = (0 until MsgLen).map(g =>
-        s"sum(nval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
-      def shiftE(g: Int) = {
-        val bit = d.arrIdx0(msgLit, s"blk * $MsgLen + $g")
-        s"((2 * cast(floor((p$g / dl - $bit) / 2 + 0.5) as bigint) + $bit) * dl - p$g)"
-      }
-      val pnSq = (0 until MsgLen).map(g =>
-        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc.groupCnt(g)}").mkString(" + ")
-      val drift = "(1 + " + (0 until MsgLen).map(g =>
-        s"sh$g * p$g / ${kc.groupCnt(g)}").mkString(" + ") + ")"
-      val qS = (0 until MsgLen).map(g =>
-        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
-      def bitE(g: Int) = s"((cast(floor(q$g / nr / dl + 0.5) as bigint) % 2) + 2) % 2"
-      s"""${wmChain("overwrite")},
-         |dcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
-         |         from carriers c join exn x on x.id = c.vec_id),
-         |deagg as (select id, blk, max(nrm) as nrm,
-         |            $pS
-         |          from dcex group by id, blk),
-         |dls as (select case k when 0 then cast(0.05 as double) when 1 then cast(0.10 as double)
-         |                      when 2 then cast(0.15 as double) else cast(0.25 as double) end as dl, k
-         |        from ${rangeTable("kk", "k", 0, 3)}),
-         |rsh as (select g.k, g.dl, a.id, a.nrm, ${(0 until MsgLen).map(g => s"a.p$g").mkString(", ")},
-         |           ${(0 until MsgLen).map(g => s"${shiftE(g)} as sh$g").mkString(",\n|           ")}
-         |        from deagg a cross join dls g),
-         |rn as (select k, dl, id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
-         |          sqrt(1 + $pnSq) as pn,
-         |          ${bigint(roundAway(d)(s"$drift / sqrt(1 + $pnSq) * 1000000000", 0))} as driftq
-         |       from rsh),
-         |rat as (select e.k, e.dl, x.id, x.pos,
-         |           (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm
-         |             + 0.05 * ${prfGauss(d)("'dc'", "e.k", "x.id", "x.pos")} as sval
-         |        from dcex x join rn e on e.id = x.id),
-         |rxa as (select k, id, max(dl) as dl, sqrt(sum(sval * sval)) as nr,
-         |            $qS
-         |        from rat group by k, id),
-         |rxb as (select k, id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
-         |        from rxa),
-         |rxh as (select k, id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
-         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
-         |        from rxb),
-         |rvl as (select k, id, idx as blk, pbits from rxh where crc = ${d.arrIdx0(crcLit, "idx")}),
-         |rvx as (select k, blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("rvl", "pbits", "p1", "b", Seq("k", "blk"))} _rvx),
-         |rvt as (select k, blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
-         |        from rvx group by k, blk, bit_idx),
-         |rer as (select g.k, ${bigint(s"sum(case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m.bit then 1 else 0 end)")} as errors,
-         |          ${bigint("count(distinct case when v.vote is not null then v.blk end)")} as blocks_live
-         |        from dls g cross join msgbits m
-         |        left join rvt v on v.k = g.k and v.blk = m.blk and v.bit_idx = m.j
-         |        group by g.k),
-         |rdr as (select k, max(dl) as dl, ${bigint("count(*)")} as nc, ${bigint("sum(driftq)")} as sd,
-         |          ${bigint("min(driftq)")} as mnd from rn group by k)
-         |select ${roundAway(d)("dd.dl", 2)} as delta_step, ${bigint("256")} as n_bits, e.errors,
-         |  ${roundAway(d)("e.errors / cast(256 as double)", 4)} as ber,
-         |  e.blocks_live,
-         |  ${roundAway(d)("cast(dd.sd as double) / dd.nc / 1000000000", 6)} as mean_cosine,
-         |  ${roundAway(d)("cast(dd.mnd as double) / 1000000000", 6)} as min_cosine
-         |from rer e join rdr dd on dd.k = e.k""".stripMargin
-    },
+    "wm_delta_curve" -> wmDeltaCurveSql(None),
 
   )
 
@@ -9641,34 +10235,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // rows; the word table joins each pair twice by equality (union
     // + two left joins — no OR-join BNLJ). Bigint ceiling c·N <
     // 2^63 to ~10⁹ tokens/source (then pre-scale counts, §4 ladder).
-    "text_js_divergence" -> {
-      def lg(x: String): String =
-        bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
-      s"""with $wordCtes,
-         |srcx as (select doc_id, source from documents),
-         |wf as (select s.source, w.wd, ${bigint("count(*)")} as k
-         |       from wx w join srcx s on s.doc_id = w.doc_id group by s.source, w.wd),
-         |ns as (select source, ${bigint("sum(k)")} as n_src from wf group by source),
-         |pr as (select a.source as s1, a.n_src as n1, b.source as s2, b.n_src as n2
-         |       from ns a join ns b on a.source < b.source),
-         |wk as (select pr.s1, pr.s2, pr.n1, pr.n2, wf.wd from pr join wf on wf.source = pr.s1
-         |       union
-         |       select pr.s1, pr.s2, pr.n1, pr.n2, wf.wd from pr join wf on wf.source = pr.s2),
-         |t as (select k.s1, k.s2, k.n1, k.n2,
-         |        coalesce(a.k, ${bigint("0")}) as c1, coalesce(b.k, ${bigint("0")}) as c2
-         |      from wk k left join wf a on a.source = k.s1 and a.wd = k.wd
-         |                left join wf b on b.source = k.s2 and b.wd = k.wd),
-         |tm as (select s1, s2, n1, n2,
-         |         case when c1 > 0 then c1 * (${lg("2 * c1 * n2")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end as tp,
-         |         case when c2 > 0 then c2 * (${lg("2 * c2 * n1")} - ${lg("c1 * n2 + c2 * n1")}) else ${bigint("0")} end as tq
-         |       from t),
-         |agg as (select s1, s2, n1, n2, ${bigint("sum(tp)")} as sp, ${bigint("sum(tq)")} as sq
-         |        from tm group by s1, s2, n1, n2)
-         |select s1 as source_a, s2 as source_b, n1 as n_tokens_a, n2 as n_tokens_b,
-         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000", 6)} as js_nats,
-         |  ${roundAway(d)("(cast(sp as double) / n1 + cast(sq as double) / n2) / cast(2 as double) / 1000000000 / ln(cast(2 as double))", 4)} as js_normalized
-         |from agg""".stripMargin
-    },
+    "text_js_divergence" -> textJsDivergenceSql(None),
 
     // PEAK SESSION CONCURRENCY — the capacity-planning number behind
     // provisioning (max simultaneous sessions, per day and overall),
@@ -9949,74 +10516,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // raw leg's exact shapes. At 100 TB the rotated code table is the
     // same 8 bytes/vector — the rotation costs one extra map pass at
     // index build, nothing at query time.
-    "vec_bq_rotation" -> {
-      // W[k] = row k of (1/8)·H·D: H[k][p] = (-1)^popcount(k&p), D[p] =
-      // keyed-PRF sign — plan-time literal weight arrays (the msgLit
-      // convention). The rotation is ONE 64-masked-sum HashAggregate
-      // over the exploded rows (the stegoCtes shape: aggregates are
-      // codegen'd AND optimizer barriers, so downstream consumers read
-      // the 64 r-columns instead of re-deriving the transform — the
-      // per-row array-lambda butterfly and the 64-unrolled-dot
-      // projection both fall out of whole-stage codegen and measured
-      // 28-41 s at 20k vectors; this form is ~2 s). Signs are computed
-      // on the RAW exploded values — H·D·x and H·D·(x/‖x‖) share signs
-      // (positive scaling), and only signs feed the bits. Float-sum
-      // order inside the aggregate is engine-managed, but every
-      // downstream output folds integer sign counts, so the hash gate
-      // is order-proof; a sign itself flips only if |r_k| < the
-      // reorder ulp (~1e-15·‖x‖) — probability ~1e-8 over this
-      // corpus's cells, stated as the boundary.
-      def wRotLit(k: Int): String = weightLit((0 until Dim).map { pp =>
-        val h = if (java.lang.Integer.bitCount(k & pp) % 2 == 0) 1.0 else -1.0
-        val dSign = if (graft.functions.Prf.prf("rotd", pp) % 2 == 0) 1.0 else -1.0
-        h * dSign * 0.125
-      })
-      val rotSums = (0 until Dim).map(k =>
-        s"sum(val * ${d.arrIdx0(wRotLit(k), "pos - 1")}) as r$k").mkString(",\n|         ")
-      val rotCtes =
-        s"""rot as (select id,
-           |         $rotSums
-           |       from exn group by id)""".stripMargin
-      val rhi = (0 until 32).map(k =>
-        s"(case when r$k > 0 then ${1L << (31 - k)} else 0 end)").mkString(" + ")
-      val rlo = (32 until Dim).map(k =>
-        s"(case when r$k > 0 then ${1L << (63 - k)} else 0 end)").mkString(" + ")
-      val (xh, xl) = if (d.name == "spark") ("(q.qhi ^ b.hi)", "(q.qlo ^ b.lo)")
-                     else ("xor(q.qhi, b.hi)", "xor(q.qlo, b.lo)")
-      def ham(tag: String, bqT: String) =
-        s"""${tag}p as (select q.qid, b.id as cid, bit_count($xh) + bit_count($xl) as hamming
-           |        from (select id as qid, hi as qhi, lo as qlo from $bqT where id in ($qIdLit)) q
-           |        join $bqT b on b.id <> q.qid),
-           |${tag}t as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by hamming, cid) as rn from ${tag}p) _${tag}h where rn <= 10)""".stripMargin
-      def legSel(tag: String, onesT: String) =
-        s"""select '$tag' as leg,
-           |  ${roundAway(d)(s"sum(abs(cast(ones as double) / nv - 0.5)) / $Dim", 4)} as mean_balance_dev,
-           |  ${roundAway(d)("sum(4 * (cast(ones as double) / nv) * (1 - cast(ones as double) / nv))", 4)} as effective_bits
-           |from $onesT""".stripMargin
-      val pre = if (views) Seq(nvCtes, exnCte, bqChain) else Seq(nvCtes, bqChain)
-      s"""with ${pre.mkString(",\n")},
-         |$rotCtes,
-         |rbq as (select id, ${bigint(rhi)} as hi, ${bigint(rlo)} as lo from rot),
-         |exact as (select qid, cid from (
-         |    select q.id as qid, c.id as cid, row_number() over (partition by q.id order by ${d.dot("q.n", "c.n")} desc, c.id) as rn
-         |    from (select id, n from nn where id in ($qIdLit)) q join nn c on c.id <> q.id) _e
-         |  where rn <= 10),
-         |rawones as (select pos as k, ${bigint("count(*)")} as nv, ${bigint("sum(case when val > 0 then 1 else 0 end)")} as ones from exn group by pos),
-         |rotones0 as (select ${bigint("count(*)")} as nv, ${(0 until Dim).map(k => s"${bigint(s"sum(case when r$k > 0 then 1 else 0 end)")} as o$k").mkString(", ")} from rot),
-         |rotones as (select kk as k, nv, ones from ${d.explodeFrom("rotones0", arrLit((0 until Dim).map(k => s"o$k")), "kk", "ones", Seq("nv"))} _ro),
-         |${ham("rw", "bq")},
-         |${ham("rt", "rbq")},
-         |nq as (select ${bigint("count(distinct qid)")} as nq from exact),
-         |hits as (select 'raw' as leg, ${bigint("count(*)")} as h from rwt t join exact e on e.qid = t.qid and e.cid = t.cid
-         |         union all
-         |         select 'rotated' as leg, ${bigint("count(*)")} as h from rtt t join exact e on e.qid = t.qid and e.cid = t.cid),
-         |legs as (${legSel("raw", "rawones")}
-         |         union all
-         |         ${legSel("rotated", "rotones")})
-         |select l.leg, l.mean_balance_dev, l.effective_bits,
-         |  ${roundAway(d)("h.h / (cast(10 as double) * q.nq)", 4)} as recall10
-         |from legs l join hits h on h.leg = l.leg cross join nq q""".stripMargin
-    },
+    "vec_bq_rotation" -> vecBqRotationSql(None),
 
     "vec_bq_bit_balance" ->
       s"""with $nvCtes, $exnCte,
@@ -10127,35 +10627,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // land on the 1e-4 round grid first, then sum as EXACT bigints —
     // each bin mean is one division. Pair work = the verify stage's
     // (banded candidates only, est ≥ 0.1 floor stated).
-    "dedup_minhash_calibration" ->
-      s"""with $wordCtes,
-         |$minhashBandsCtes,
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-         |cand as (select da, db, round(cast(est as double), 4) as est from candp where est >= 0.1),
-         |sz as (select doc_id, count(*) as ns from shx group by doc_id),
-         |iv as (select c.da, c.db, count(*) as i
-         |       from cand c join shx sa on sa.doc_id = c.da
-         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
-         |       group by c.da, c.db),
-         |pv as (select c.est,
-         |         round(coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0)), 4) as jt
-         |       from cand c
-         |       join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
-         |       left join iv on iv.da = c.da and iv.db = c.db),
-         |bn as (select ${bigint("floor(jt * 10)")} as bin, est, jt from pv),
-         |ag as (select bin, ${bigint("count(*)")} as n_pairs,
-         |         ${bigint(s"sum(${bigint(roundAway(d)("est * 10000", 0))})")} as sest,
-         |         ${bigint(s"sum(${bigint(roundAway(d)("jt * 10000", 0))})")} as strue,
-         |         ${bigint(s"sum(${bigint(roundAway(d)("abs(est - jt) * 10000", 0))})")} as serr
-         |       from bn group by bin)
-         |select bin as true_jaccard_decile,
-         |  ${roundAway(d)("bin / cast(10 as double)", 1)} as bin_lo, n_pairs,
-         |  ${roundAway(d)("cast(strue as double) / 10000 / n_pairs", 4)} as mean_true,
-         |  ${roundAway(d)("cast(sest as double) / 10000 / n_pairs", 4)} as mean_est,
-         |  ${roundAway(d)("cast(serr as double) / 10000 / n_pairs", 4)} as mean_abs_err,
-         |  ${roundAway(d)("cast(sest - strue as double) / 10000 / n_pairs", 4)} as mean_bias
-         |from ag""".stripMargin,
+    "dedup_minhash_calibration" -> dedupMinhashCalibrationSql(None),
 
     // DAY-OVER-DAY MIX SHIFT — the drift alarm every ingestion
     // pipeline runs (did yesterday's event-type mix change?): exact
@@ -10211,7 +10683,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |        from wx),
          |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
          |df as (select sh, ${bigint("count(*)")} as df from shx group by sh),
-         |th as (select greatest(${bigint("5")}, ${bigint("cast(ceil(count(distinct doc_id) / cast(100 as double)) as bigint)")}) as thr from shx),
+         |th as (select greatest(${bigint("5")}, ${bigint("cast(ceil(count(*) / cast(100 as double)) as bigint)")}) as thr
+         |       from w where ${d.arrLen("ws")} >= 3),
          |bl as (select df.sh from df cross join th where df.df >= th.thr),
          |dc as (select x.doc_id, ${bigint("count(*)")} as n_sh,
          |         ${bigint("sum(case when b.sh is not null then 1 else 0 end)")} as n_boiler
@@ -10346,35 +10819,47 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // DOMAIN (time-span-bounded, never user-count-sized — the
     // q_ship_latency convention) and the exact-integer mean. 2-row
     // output.
+    // r12: the three stage minima ride STACKED conditional windows on
+    // ONE user-partitioned pass (same partition spec → one shuffle,
+    // no re-shuffle between the three Window nodes), and the census /
+    // quantile folds all derive from single-referenced aggregates —
+    // the inline join-chain form re-scanned events once per stage CTE
+    // reference (~10 scans executed). Values identical: v0/c0/p0 are
+    // the same conditional minima the join chain derived, and the
+    // median/p90 selections fold from the same (stage, minute) rows.
     "events_funnel_time" -> {
       val e = s"select user_id, event_type, ${evSec("ts")} as sec from events where event_type in ('view', 'click', 'purchase')"
-      s"""with fv as (select user_id, min(sec) as v0 from ($e) _e where event_type = 'view' group by user_id),
-         |fc as (select e.user_id, min(e.sec) as c0
-         |       from ($e) e join fv on fv.user_id = e.user_id
-         |       where e.event_type = 'click' and e.sec >= fv.v0 group by e.user_id),
-         |fp as (select e.user_id, min(e.sec) as p0
-         |       from ($e) e join fc on fc.user_id = e.user_id
-         |       where e.event_type = 'purchase' and e.sec >= fc.c0 group by e.user_id),
-         |lat as (select 1 as stage, fc.user_id, fc.c0 - fv.v0 as dt
-         |        from fc join fv on fv.user_id = fc.user_id
-         |        union all
-         |        select 2 as stage, fp.user_id, fp.p0 - fc.c0 as dt
-         |        from fp join fc on fc.user_id = fp.user_id),
-         |mg as (select stage, ${d.idiv("dt", "60")} as mnt, dt from lat),
-         |ag as (select stage, ${bigint("count(*)")} as n, ${bigint("sum(dt)")} as sdt from mg group by stage),
-         |mc as (select stage, mnt, ${bigint("count(*)")} as m from mg group by stage, mnt),
-         |cw as (select c.stage, c.mnt,
-         |         ${bigint("sum(c.m) over (partition by c.stage order by c.mnt rows between unbounded preceding and current row)")} as cm,
-         |         a.n
-         |       from mc c join ag a on a.stage = c.stage),
-         |med as (select stage, ${bigint("min(mnt)")} as v from cw where cm * 2 >= n group by stage),
-         |p90 as (select stage, ${bigint("min(mnt)")} as v from cw where cm * 10 >= n * 9 group by stage)
-         |select ${bigint("a.stage")} as stage,
-         |  case when a.stage = 1 then 'view_to_click' else 'click_to_purchase' end as transition,
-         |  a.n as n_converted,
-         |  ${roundAway(d)("cast(a.sdt as double) / a.n / 60", 4)} as mean_minutes,
-         |  m.v as median_minutes, p.v as p90_minutes
-         |from ag a join med m on m.stage = a.stage join p90 p on p.stage = a.stage""".stripMargin
+      s"""with w1 as (select user_id, event_type, sec,
+         |        min(case when event_type = 'view' then sec end) over (partition by user_id) as v0
+         |      from ($e) _e),
+         |w2 as (select user_id, event_type, sec, v0,
+         |        min(case when event_type = 'click' and v0 is not null and sec >= v0 then sec end) over (partition by user_id) as c0
+         |      from w1),
+         |w3 as (select user_id, v0, c0,
+         |        min(case when event_type = 'purchase' and c0 is not null and sec >= c0 then sec end) over (partition by user_id) as p0
+         |      from w2),
+         |u as (select user_id, max(v0) as v0, max(c0) as c0, max(p0) as p0 from w3 group by user_id),
+         |lat as (select st.stage, u.user_id,
+         |          case when st.stage = 1 then u.c0 - u.v0 else u.p0 - u.c0 end as dt
+         |        from u cross join (select 1 as stage union all select 2) st
+         |        where (st.stage = 1 and u.c0 is not null) or (st.stage = 2 and u.p0 is not null)),
+         |mc as (select stage, ${d.idiv("dt", "60")} as mnt, ${bigint("count(*)")} as m, ${bigint("sum(dt)")} as sdt
+         |       from lat group by stage, ${d.idiv("dt", "60")}),
+         |cw as (select stage, mnt, m, sdt,
+         |         ${bigint("sum(m) over (partition by stage order by mnt rows between unbounded preceding and current row)")} as cm,
+         |         ${bigint("sum(m) over (partition by stage)")} as n,
+         |         ${bigint("sum(sdt) over (partition by stage)")} as tsdt
+         |       from mc),
+         |q as (select stage, ${bigint("max(n)")} as n, ${bigint("max(tsdt)")} as sdt,
+         |        ${bigint("min(case when cm * 2 >= n then mnt end)")} as med,
+         |        ${bigint("min(case when cm * 10 >= n * 9 then mnt end)")} as p90
+         |      from cw group by stage)
+         |select ${bigint("stage")} as stage,
+         |  case when stage = 1 then 'view_to_click' else 'click_to_purchase' end as transition,
+         |  n as n_converted,
+         |  ${roundAway(d)("cast(sdt as double) / n / 60", 4)} as mean_minutes,
+         |  med as median_minutes, p90 as p90_minutes
+         |from q""".stripMargin
     },
 
     // OPEN ORDER-LINE BACKLOG — the fulfillment work-in-progress
@@ -10530,21 +11015,26 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // graph_hops_reach (stated horizon: nodes beyond 4 hops are
     // outside the census); per-query output, exact integers to the
     // final divisions.
+    // r12: same first-hop carry as graph_hops_reach — the level
+    // censuses fold from the final frontier (n at hop j = first_hop ≤
+    // j rows), replacing the 2^k re-inline of the per-level unions.
     "graph_path_length" -> {
-      def hop(prev: String, next: String) =
-        s"$next as (select distinct f.qid, e.dst as id from $prev f join e2 e on e.src = f.id)"
+      def hop(prev: String, next: String, k: Int) =
+        s"""$next as (select qid, id, ${bigint("min(h)")} as h from (
+           |  select f.qid, e.dst as id, case when e.iden = 1 then f.h else ${bigint(k.toString)} end as h
+           |  from $prev f join e2i e on e.src = f.id) _$next group by qid, id)""".stripMargin
       s"""${wmChain("knn")},
-         |e2 as (select src, dst from knn union all select id as src, id as dst from nn),
-         |f0 as (select id as qid, id from nn where id in ($qIdLit)),
-         |${hop("f0", "f1")},
-         |${hop("f1", "f2")},
-         |${hop("f2", "f3")},
-         |${hop("f3", "f4")},
-         |cn as (select qid, 0 as hops, ${bigint("count(*)")} as n from f0 group by qid
-         |       union all select qid, 1 as hops, ${bigint("count(*)")} from f1 group by qid
-         |       union all select qid, 2 as hops, ${bigint("count(*)")} from f2 group by qid
-         |       union all select qid, 3 as hops, ${bigint("count(*)")} from f3 group by qid
-         |       union all select qid, 4 as hops, ${bigint("count(*)")} from f4 group by qid),
+         |e2i as (select src, dst, 0 as iden from knn
+         |        union all select id as src, id as dst, 1 as iden from nn),
+         |f0 as (select id as qid, id, ${bigint("0")} as h from nn where id in ($qIdLit)),
+         |${hop("f0", "f1", 1)},
+         |${hop("f1", "f2", 2)},
+         |${hop("f2", "f3", 3)},
+         |${hop("f3", "f4", 4)},
+         |sp as (select 0 as hops union all select 1 union all select 2
+         |       union all select 3 union all select 4),
+         |cn as (select qid, hops, ${bigint("count(case when h <= hops then 1 end)")} as n
+         |       from f4 cross join sp group by qid, hops),
          |wn as (select qid, hops, n,
          |         n - lag(n) over (partition by qid order by hops) as new_at,
          |         max(n) over (partition by qid) as mxn
@@ -10674,72 +11164,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // bit-agreement so that structure is visible). Cost: one extra
     // embed chain + one extract over carrier rows — no new corpus
     // pass beyond the bounded rate·N carrier work.
-    "wm_collusion" -> {
-      val key2 = "colluder-key"
-      val msg2 = "COLLUDER-MARK-03" // exactly 16 bytes, like Wm.Message
-      val kc2 = WmConst.keyed(key2)
-      val cipher2 = Crypto.encryptToBase64(msg2, key2)
-      val msg2Lit = arrLit(WmConst.msgBits(cipher2).flatMap(_.toSeq).toSeq)
-      def w2LitOf(g: Int) = weightLit((1 to Dim).map(p =>
-        if (kc2.dimGroup(p) == g) kc2.dimSign(p) else 0.0))
-      val s2Lit = d.castDoubleArray(arrLit((1 to Dim).map(p => kc2.dimSign(p).toString)))
-      val g2Lit = arrLit((1 to Dim).map(kc2.dimGroup(_)))
-      val cnt2PosLit = arrLit((1 to Dim).map(p => kc2.groupCnt(kc2.dimGroup(p))))
-      val pSums2 = (0 until MsgLen).map(g =>
-        s"sum(nval * ${d.arrIdx0(w2LitOf(g), "pos - 1")}) as p$g").mkString(",\n|            ")
-      def shift2(g: Int) = {
-        val bit = d.arrIdx0(msg2Lit, s"blk * $MsgLen + $g")
-        s"((2 * cast(floor((p$g / $Delta - $bit) / 2 + 0.5) as bigint) + $bit) * $Delta - p$g)"
-      }
-      val pnSq2 = (0 until MsgLen).map(g =>
-        s"(2 * sh$g * p$g + sh$g * sh$g) / ${kc2.groupCnt(g)}").mkString(" + ")
-      val qS = (0 until MsgLen).map(g =>
-        s"sum(sval * ${d.arrIdx0(wLitOf(g), "pos - 1")}) as q$g").mkString(",\n|            ")
-      def bitE(g: Int) = s"((cast(floor(q$g / nr / $Delta + 0.5) as bigint) % 2) + 2) % 2"
-      val msg2bitsCte =
-        s"""msgbits2 as (select blk, j, ${bitOf(d)(s"ascii(substr('$cipher2', cast(blk * 2 + ${d.idiv("j", "8")} + 1 as int), 1))", "j % 8", 8)} as bit
-           |             from ${rangeTable("b2", "blk", 0, Blocks - 1)} cross join ${rangeTable("j2", "j", 0, 15)})""".stripMargin
-      s"""${wmChain("overwrite")},
-         |ccex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
-         |         from carriers c join exn x on x.id = c.vec_id),
-         |ceagg as (select id, blk, max(nrm) as nrm,
-         |            $pSums2
-         |          from ccex group by id, blk),
-         |cesh as (select id, nrm, ${(0 until MsgLen).map(g => s"p$g").mkString(", ")},
-         |           ${(0 until MsgLen).map(g => s"${shift2(g)} as sh$g").mkString(",\n|           ")}
-         |         from ceagg),
-         |ceshn as (select id, nrm, ${arrLit((0 until MsgLen).map(g => s"sh$g"))} as sharr,
-         |            sqrt(1 + $pnSq2) as pn
-         |          from cesh),
-         |cstego as (select x.id, x.pos,
-         |             (x.nval + ${d.arrIdx0(s2Lit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(g2Lit, "x.pos - 1"))} / ${d.arrIdx0(cnt2PosLit, "x.pos - 1")}) / e.pn * x.nrm as sval
-         |           from ccex x join ceshn e on e.id = x.id),
-         |coll as (select s.id, s.pos, (s.sval + c2.sval) / 2 as sval
-         |         from stego s join cstego c2 on c2.id = s.id and c2.pos = s.pos),
-         |cxagg as (select id, sqrt(sum(sval * sval)) as nr,
-         |            $qS
-         |          from coll group by id),
-         |cxb as (select id, ${(0 until MsgLen).map(g => s"${bitE(g)} as b$g").mkString(",\n|          ")}
-         |        from cxagg),
-         |cxh as (select id, b0 * 8 + b1 * 4 + b2 * 2 + b3 as idx, b4 * 8 + b5 * 4 + b6 * 2 + b7 as crc,
-         |          ${arrLit((8 until MsgLen).map(g => s"b$g"))} as pbits
-         |        from cxb),
-         |cvalid as (select id, idx as blk, pbits from cxh where crc = ${d.arrIdx0(crcLit, "idx")}),
-         |cvx as (select blk, p1 - 1 as bit_idx, b from ${d.explodeFrom("cvalid", "pbits", "p1", "b", Seq("blk"))} _cvx),
-         |cvotes as (select blk, bit_idx, sum(2 * b - 1) as vote, count(*) as n
-         |           from cvx group by blk, bit_idx),
-         |$msg2bitsCte,
-         |eb as (select m1.blk, m1.j, m1.bit as b1, m2.bit as b2,
-         |         case when v.vote is null or (case when v.vote > 0 then 1 else 0 end) <> m1.bit then 1 else 0 end as err
-         |       from msgbits m1 join msgbits2 m2 on m2.blk = m1.blk and m2.j = m1.j
-         |       left join cvotes v on v.blk = m1.blk and v.bit_idx = m1.j)
-         |select ${bigint("blk")} as blk, ${bigint("16")} as n_bits,
-         |  ${bigint("sum(case when b1 = b2 then 1 else 0 end)")} as n_agree_bits,
-         |  ${bigint("sum(err)")} as errors_colluded,
-         |  ${bigint("sum(case when b1 = b2 then err else 0 end)")} as errors_on_agree,
-         |  ${bigint("sum(case when b1 <> b2 then err else 0 end)")} as errors_on_disagree
-         |from eb group by blk""".stripMargin
-    },
+    "wm_collusion" -> wmCollusionSql(None),
 
     // WELCH'S t ON EVENT VALUE BY VARIANT — the continuous-metric
     // companion of events_ab_test's proportion z (the test an
@@ -12525,6 +12950,111 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${roundAway(d)("1.0 - cast(ab_ as double) / 1000000000000", 6)} as mass_unabsorbed
        |from re cross join sre""".stripMargin
   }
+
+
+  def dedupThresholdCurveSql(mhViews: Option[(String, Option[String])]): String =
+    s"""with ${minhashHead(mhViews)},
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+         |cand as (select da, db, est from candp where est >= 0.1),
+         |sz as (select doc_id, ${bigint("count(*)")} as ns from shx group by doc_id),
+         |iv as (select c.da, c.db, ${bigint("count(*)")} as i
+         |       from cand c join shx sa on sa.doc_id = c.da
+         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
+         |       group by c.da, c.db),
+         |tj as (select c.da, c.db,
+         |         ${roundAway(d)("coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0))", 6)} as jt
+         |       from cand c
+         |       join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
+         |       left join iv on iv.da = c.da and iv.db = c.db),
+         |th as (select ${bigint("50")} as t_centi union all select ${bigint("70")} union all select ${bigint("90")}),
+         |pa as (select t.t_centi, ${bigint("count(*)")} as n_pairs,
+         |         ${roundAway(d)("cast(sum(cast(j.jt as decimal(18, 6))) as double) / count(*)", 4)} as mean_jaccard
+         |       from tj j join th t on j.jt >= t.t_centi / 100.0 group by t.t_centi),
+         |sides as (select t.t_centi, j.da as d2 from tj j join th t on j.jt >= t.t_centi / 100.0
+         |          union
+         |          select t.t_centi, j.db as d2 from tj j join th t on j.jt >= t.t_centi / 100.0),
+         |nd as (select t_centi, ${bigint("count(*)")} as n_docs from sides group by t_centi)
+         |select ${bigint("th.t_centi")} as t_centi,
+         |  ${bigint("coalesce(pa.n_pairs, 0)")} as n_dup_pairs,
+         |  ${bigint("coalesce(nd.n_docs, 0)")} as n_docs_implicated,
+         |  pa.mean_jaccard
+         |from th left join pa on pa.t_centi = th.t_centi
+         |        left join nd on nd.t_centi = th.t_centi""".stripMargin
+
+  def dedupMinhashCalibrationSql(mhViews: Option[(String, Option[String])]): String =
+    s"""with ${minhashHead(mhViews)},
+         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+         |cand as (select da, db, round(cast(est as double), 4) as est from candp where est >= 0.1),
+         |sz as (select doc_id, count(*) as ns from shx group by doc_id),
+         |iv as (select c.da, c.db, count(*) as i
+         |       from cand c join shx sa on sa.doc_id = c.da
+         |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
+         |       group by c.da, c.db),
+         |pv as (select c.est,
+         |         round(coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0)), 4) as jt
+         |       from cand c
+         |       join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
+         |       left join iv on iv.da = c.da and iv.db = c.db),
+         |bn as (select ${bigint("floor(jt * 10)")} as bin, est, jt from pv),
+         |ag as (select bin, ${bigint("count(*)")} as n_pairs,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("est * 10000", 0))})")} as sest,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("jt * 10000", 0))})")} as strue,
+         |         ${bigint(s"sum(${bigint(roundAway(d)("abs(est - jt) * 10000", 0))})")} as serr
+         |       from bn group by bin)
+         |select bin as true_jaccard_decile,
+         |  ${roundAway(d)("bin / cast(10 as double)", 1)} as bin_lo, n_pairs,
+         |  ${roundAway(d)("cast(strue as double) / 10000 / n_pairs", 4)} as mean_true,
+         |  ${roundAway(d)("cast(sest as double) / 10000 / n_pairs", 4)} as mean_est,
+         |  ${roundAway(d)("cast(serr as double) / 10000 / n_pairs", 4)} as mean_abs_err,
+         |  ${roundAway(d)("cast(sest - strue as double) / 10000 / n_pairs", 4)} as mean_bias
+         |from ag""".stripMargin
+
+  /** Banded MinHash near-dup candidates — `mhViews`: Some((sig, _))
+    * reads the persisted signature table (g_mhsig — the kept LSH
+    * index artifact; the inline plan re-ran the word pipeline once
+    * per `bands` reference, 2x under the self-join); None inlines
+    * the full chain (the DuckDB oracle). Rows identical by
+    * construction: `bands` explodes the same 16-column signature
+    * rows either way. */
+  def dedupMinhashSql(mhViews: Option[(String, Option[String])]): String =
+    s"""with ${minhashHead(mhViews)},
+       |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+       |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
+       |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, round(cast(est as double), 4) as jaccard_est
+       |from candp where est >= 0.1""".stripMargin
+
+  def dedupIncrementalSql(mhViews: Option[(String, Option[String])]): String =
+    s"""with ${minhashHead(mhViews)},
+       |bt as (select * from bands where doc_id % 10 = 0),
+       |cb as (select * from bands where doc_id % 10 <> 0),
+       |candp as (select distinct bt.doc_id as nd, cb.doc_id as cd, (${minhashMatches("bt", "cb")}) / 16.0 as est
+       |          from bt join cb on bt.band = cb.band and bt.sig = cb.sig),
+       |best as (select nd, max(${d.structLit2("e", "est", "c", "-cd")}) as mx
+       |         from candp where est >= 0.1 group by nd)
+       |select ${bigint("nd")} as new_doc, ${bigint(s"-(${d.fieldOf("mx", "c")})")} as match_doc,
+       |  round(cast(${d.fieldOf("mx", "e")} as double), 4) as jaccard_est,
+       |  ${bigint(s"case when ${d.fieldOf("mx", "e")} >= 0.5 then 1 else 0 end")} as is_dup
+       |from best""".stripMargin
+
+  def dedupMinhashVerifySql(mhViews: Option[(String, Option[String])]): String =
+    s"""with ${minhashHead(mhViews)},
+       |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+       |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+       |cand as (select da, db, est from candp where est >= 0.1),
+       |sz as (select doc_id, count(*) as ns from shx group by doc_id),
+       |iv as (select c.da, c.db, count(*) as i
+       |       from cand c join shx sa on sa.doc_id = c.da
+       |                   join shx sb on sb.doc_id = c.db and sb.sh = sa.sh
+       |       group by c.da, c.db)
+       |select ${bigint("c.da")} as doc_a, ${bigint("c.db")} as doc_b,
+       |  round(cast(c.est as double), 4) as jaccard_est,
+       |  round(coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0)), 4) as jaccard_true,
+       |  round(abs(cast(c.est as double) - coalesce(iv.i, 0) / (za.ns + zb.ns - coalesce(iv.i, 0))), 4) as abs_err
+       |from cand c
+       |join sz za on za.doc_id = c.da join sz zb on zb.doc_id = c.db
+       |left join iv on iv.da = c.da and iv.db = c.db""".stripMargin
 
   /** The corpus minhash-signature table (doc_id, m0..m15) — the
     * production scratch every LSH dedup pipeline persists; the band
