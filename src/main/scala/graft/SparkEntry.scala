@@ -268,6 +268,29 @@ object SparkEntry {
         Scratch.table(s, dir, "g_rbq", sparkGen.rbqBuildSql)
         s.sql(sparkGen.vecBqRotationSql(Some("g_rbq")))
       }),
+      // the L1 (Cauchy p-stable) LSH rung over the PERSISTED bucket
+      // table (r13): inline, `bkt` was referenced twice (query filter
+      // + candidate join) and Catalyst re-ran the J×L unrolled 64-term
+      // hash projections over the corpus per reference; the artifact
+      // is the kept L1 index, the candidate join + exact re-rank stay
+      // live. The hash-count J keys the scratch name (the N-derived
+      // geometry convention). Oracles inline the chain.
+      "vec_topk_l1_lsh" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val gen = sparkGenFor(s, dir)
+        val j = graft.sqlgen.Wm.l1HashesFor(Tables.vectorCount(s, dir))
+        val v = s"g_l1bkt_j$j"
+        Scratch.table(s, dir, v, gen.l1BktBuildSql)
+        s.sql(gen.vecTopkL1LshSql(Some(v)))
+      }),
+      "ann_recall_eval_l1" -> ((s, dir) => {
+        Tables.register(s, dir)
+        val gen = sparkGenFor(s, dir)
+        val j = graft.sqlgen.Wm.l1HashesFor(Tables.vectorCount(s, dir))
+        val v = s"g_l1bkt_j$j"
+        Scratch.table(s, dir, v, gen.l1BktBuildSql)
+        s.sql(gen.annRecallEvalL1Sql(Some(v)))
+      }),
       // winnowing pairs over the PERSISTED fingerprint index (the
       // kept artifact of a winnowing pipeline; inline, the word
       // pipeline + 3 window passes re-ran under both self-join
@@ -373,6 +396,35 @@ object SparkEntry {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
         s.sql(sparkGen.textSimpsonSql(Some("g_srcwf")))
+      }),
+      // the KMV sketch family reads the SAME persisted unigram
+      // artifact (r13 — g_srcwf's rows ARE the distinct (source, word)
+      // pairs the bottom-k hash sets derive from; inline, each wh
+      // reference re-ran the corpus explode + distinct: 2 for the
+      // curve, 4 for the overlap key's rank/census/exact-overlap
+      // legs). Oracles inline the chain.
+      "sketch_kmv" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.kmvSql(Seq(16, 64, 256), wfView = Some("g_srcwf")))
+      }),
+      "sketch_kmv_overlap" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.kmvOverlapSql(Some("g_srcwf")))
+      }),
+      // boilerplate coverage over the SAME persisted 3-shingle profile
+      // the minhash verify legs read (g_mhshx — identical distinct
+      // (doc_id, sh) definition): shx is referenced twice (df census +
+      // per-doc coverage join) and Catalyst re-inlines per reference,
+      // so the inline form ran the corpus shingle window chain twice
+      // (the #1 gate key, r12 verdict item 3). The doc-count threshold
+      // folds from the profile too (docs with >= 3 words == docs with
+      // >= 1 shingle). Oracle inlines the full chain.
+      "text_boilerplate_share" -> ((s, dir) => {
+        Tables.register(s, dir)
+        Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
+        s.sql(sparkGen.textBoilerplateShareSql(Some("g_mhshx")))
       }),
       // the Bloom sketch keys read the SAME kept shingle indexes the
       // decontamination family serves from (r12 — inline, evd/trd
@@ -490,7 +542,13 @@ object SparkEntry {
       "dedup_tier_eval" -> ((s, dir) => {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
-        s.sql(sparkGen.dedupTierEvalSql(Some(("g_mhsig", simPairsView(s, dir)))))
+        // r13: the exact-Jaccard truth leg reads the persisted 3-shingle
+        // profile (g_mhshx) instead of re-running the corpus word
+        // pipeline 3x under Catalyst CTE re-inlining (tg is referenced
+        // by gsz + both self-join sides). Oracle inlines the chain.
+        Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
+        s.sql(sparkGen.dedupTierEvalSql(
+          Some(("g_mhsig", simPairsView(s, dir), "g_mhshx"))))
       }),
       // second-stage rerank + Kendall-τ agreement ladder over the
       // same cached two-leg score table (Queries.rerankAgreementSql)
@@ -523,7 +581,8 @@ object SparkEntry {
       // pure-SQL k=64 window rendering (kmvSql)
       "sketch_kmv_native" -> ((s, dir) => {
         Tables.register(s, dir)
-        s.sql(sparkGen.kmvSql(Seq(64), native = true))
+        Scratch.table(s, dir, "g_srcwf", sparkGen.srcWordFreqBuildSql)
+        s.sql(sparkGen.kmvSql(Seq(64), native = true, wfView = Some("g_srcwf")))
       }),
       // the native TypedImperativeAggregate count-min sketch
       // (functions.CmsAgg): the aggregation buffer IS the 4x16 long

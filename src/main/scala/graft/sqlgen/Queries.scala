@@ -282,18 +282,33 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private val L1Tables = 2
   private val L1Hashes = l1Hashes // N-derived at scale: Wm.l1HashesFor
   private val L1Width = 6.0
-  private lazy val l1LshCtes: String = {
+  private def l1BktSelect: String = {
     def hashes(t: Int): String = (1 to L1Hashes).map { j =>
       val a = WmConst.cauchyFor(t, j)
       val b = WmConst.cauchyShiftFor(t, j) * L1Width
       s"cast(floor((${wdot("v", a.toSeq)} + cast($b as double)) / cast($L1Width as double)) as bigint) as h$j"
     }.mkString(", ")
-    val hashEq = (1 to L1Hashes).map(j => s"b.h$j = q.h$j").mkString(" and ")
-    val buckets = (0 until L1Tables)
+    (0 until L1Tables)
       .map(t => s"select id, $t as t, ${hashes(t)} from ev")
       .mkString(" union all ")
+  }
+  /** Build SQL for the persisted Cauchy-LSH bucket table (Spark side,
+    * r13): (id, t, h1..hJ) — the kept L1 index. Inline, `bkt` is
+    * referenced twice (query filter + candidate join) and each
+    * reference re-ran the J×L unrolled 64-term hash projections over
+    * the corpus; the artifact makes both references parquet scans
+    * while the candidate join and exact re-rank stay live. */
+  def l1BktBuildSql: String =
+    s"""with ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings)
+       |${l1BktSelect}""".stripMargin
+  private def l1LshCtes(bktView: Option[String]): String = {
+    val hashEq = (1 to L1Hashes).map(j => s"b.h$j = q.h$j").mkString(" and ")
+    val bkt = bktView match {
+      case Some(v) => s"bkt as (select id, t, ${(1 to L1Hashes).map(j => s"h$j").mkString(", ")} from $v)"
+      case None    => s"bkt as ($l1BktSelect)"
+    }
     s"""ev as (select vec_id as id, ${d.castDoubleArray("embedding")} as v from embeddings),
-       |bkt as ($buckets),
+       |$bkt,
        |qb as (select * from bkt where id in ($qIdLit)),
        |cnd as (select distinct q.id as qid, b.id as cid
        |        from qb q join bkt b on b.t = q.t and $hashEq and b.id <> q.id)""".stripMargin
@@ -301,6 +316,39 @@ final class Gen(d: Dialect, useViews: Boolean = false,
 
   /** The fixed query-id list as a SQL IN-list. */
   private val qIdLit = QueryIds.mkString(", ")
+
+  /** L1 ANN rung (see the sqls4 key comment). `bktView`: Some(v) reads
+    * the persisted Cauchy-LSH bucket table (l1BktBuildSql); None
+    * inlines it (the DuckDB oracle). */
+  def vecTopkL1LshSql(bktView: Option[String]): String = {
+    val l1 = (1 to Dim).map(p0 => s"abs(${el("qa.v", p0)} - ${el("ca.v", p0)})").mkString(" + ")
+    s"""with ${l1LshCtes(bktView)},
+       |p as (select c.qid, c.cid, round($l1, 6) as dist
+       |      from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid)
+       |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, dist, ${bigint("rn")} as rn
+       |from (select qid, cid, dist, row_number() over (partition by qid order by dist, cid) as rn from p) _t
+       |where rn <= 10""".stripMargin
+  }
+
+  /** L1-rung recall eval (see the sqls4 key comment). Same bktView
+    * contract as vecTopkL1LshSql. */
+  def annRecallEvalL1Sql(bktView: Option[String]): String = {
+    def l1(a: String, b: String) =
+      (1 to Dim).map(p0 => s"abs(${el(a, p0)} - ${el(b, p0)})").mkString(" + ")
+    s"""with ${l1LshCtes(bktView)},
+       |bp as (select q.id as qid, c.id as cid, round(${l1("q.v", "c.v")}, 6) as dist
+       |       from (select id, v from ev where id in ($qIdLit)) q join ev c on c.id <> q.id),
+       |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by dist, cid) as rn from bp) _b where rn <= 10),
+       |lp as (select c.qid, c.cid, round(${l1("qa.v", "ca.v")}, 6) as dist
+       |       from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid),
+       |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by dist, cid) as rn from lp) _l where rn <= 10),
+       |nc as (select qid, count(*) as n_cand from cnd group by qid)
+       |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
+       |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
+       |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
+       |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
+       |group by b.qid""".stripMargin
+  }
 
   /** Approximate kNN graph (K=16), the HNSW-graph analog
     * (reference: pg_func.py:104-122 build_hnsw_index/compute_in_degrees).
@@ -2516,7 +2564,23 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * is one join + one combinable sum per step). A length-d walk
     * reaching a node whose minimum reach step is d IS a shortest
     * path, so σ = the walk count at min step — extracted with ONE
-    * min(struct(step, count)) aggregation. */
+    * min(struct(step, count)) aggregation.
+    *
+    * Backward (Brandes) pass, r13: the level table `vt` is referenced
+    * exactly ONCE. The old successor join (vt ⋈ e2 ⋈ vt) + the
+    * d1 ⟵ d2 dependency chain referenced vt twice and sp three times,
+    * and Catalyst re-inlined the whole 3-hop walk chain per reference
+    * (352 nodes / 45 scans / 56 exchanges executed). The rewrite uses
+    * the SAME identity-edge carry as the forward pass: vt ⋈ e2i emits
+    * each node's own (sig, dist) as a marker row (iden = 1) alongside
+    * its out-edge pushes (iden = 0), a window over (qs, dst) attaches
+    * the target's sig/dist to every push — reproducing the second vt
+    * join — and the δ₂ → δ₁ dependency resolves with one more window
+    * keyed (qs, producer-v | consumer-w), which is exactly the old
+    * d2-at-node-w lookup because a row is a producer iff dv = 2.
+    * Values identical: same q6 contribution expressions, bigint sums
+    * (order-free), and the (qs, v, dv) grouping reproduces the old
+    * d1 ∪ d2 rows one-for-one. */
   def graphBetweennessSql(edgesView: Option[String]): String = {
     val e2 = edgesView match {
       case Some(v) => s"e2 as (select src, dst from $v)"
@@ -2552,18 +2616,23 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |vt as (select qs, node, ${bigint(d.fieldOf("mx", "s"))} as dist, ${bigint(d.fieldOf("mx", "c"))} as sig from (
        |    select qs, node, min(${d.structLit2("s", "step", "c", "c")}) as mx
        |    from w3 group by qs, node) _vt),
-       |sp as (select a.qs, a.node as v, b.node as w, a.sig as sv, b.sig as sw, a.dist as dv
-       |       from vt a join e2 e on e.src = a.node
-       |       join vt b on b.qs = a.qs and b.node = e.dst and b.dist = a.dist + 1),
-       |d2 as (select qs, v as node, ${bigint(s"sum(${q6("cast(sv as double) / sw * 1000000")})")} as del
-       |       from sp where dv = 2 group by qs, v),
-       |d1 as (select s2.qs, s2.v as node,
-       |         ${bigint(s"sum(${q6("cast(s2.sv as double) / s2.sw * (1000000 + coalesce(dd.del, 0))")})")} as del
-       |       from sp s2 left join d2 dd on dd.qs = s2.qs and dd.node = s2.w
-       |       where s2.dv = 1 group by s2.qs, s2.v)
+       |spx as (select v.qs, e.dst as w, e.iden, v.node as v, v.sig as sv, v.dist as dv
+       |        from vt v join e2i e on e.src = v.node),
+       |spw as (select qs, w, iden, v, sv, dv,
+       |          max(case when iden = 1 then sv end) over (partition by qs, w) as sw,
+       |          max(case when iden = 1 then dv end) over (partition by qs, w) as dw
+       |        from spx),
+       |sp as (select qs, v, w, sv, sw, dv from spw
+       |       where iden = 0 and dw = dv + 1 and dv in (1, 2)),
+       |spd as (select qs, v, dv, sv, sw,
+       |          ${bigint(s"sum(case when dv = 2 then ${q6("cast(sv as double) / sw * 1000000")} end) over (partition by qs, case when dv = 2 then v else w end)")} as del2
+       |        from sp),
+       |dd as (select qs, v as node,
+       |         ${bigint(s"sum(case when dv = 2 then ${q6("cast(sv as double) / sw * 1000000")} else ${q6("cast(sv as double) / sw * (1000000 + coalesce(del2, 0))")} end)")} as del
+       |       from spd group by qs, v, dv)
        |select ${bigint("node")} as node, ${bigint("count(*)")} as n_source_terms,
        |  ${roundAway(d)("sum(del) / cast(1000000 as double)", 4)} as betweenness
-       |from (select qs, node, del from d1 union all select qs, node, del from d2) _u
+       |from dd
        |group by node""".stripMargin
   }
 
@@ -2731,6 +2800,61 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     s"""with $wordCtes,
        |$minhashShingleCtes
        |select doc_id, sh from shx""".stripMargin
+
+  /** BOILERPLATE COVERAGE BY SOURCE (see the sqls4 key comment). r13:
+    * `shxFrom` = Some(view) reads the persisted 3-shingle profile —
+    * the SAME distinct (doc_id, sh) rows as g_mhshx (identical
+    * minhashShingleCtes definition), so the serving path pays parquet
+    * scans where the inline form re-ran the corpus word pipeline + the
+    * 2-lead window chain once per shx reference (df + dc — the
+    * executed r12 plan was 163 nodes / 12 scans / 7 Windows, the #1
+    * gate key). The N-derived threshold's doc census also folds from
+    * the profile: count(distinct doc_id) over shx ≡ count(*) of docs
+    * with ≥ 3 words (a doc has a 3-shingle iff it has ≥ 3 words — the
+    * lead(2) row exists exactly then, empty-string tokens included in
+    * both counts). None inlines the full chain (the DuckDB oracle). */
+  def textBoilerplateShareSql(shxFrom: Option[String]): String = {
+    val head = shxFrom match {
+      case Some(v) =>
+        s"""shx as (select doc_id, sh from $v),
+           |df as (select sh, ${bigint("count(*)")} as df from shx group by sh),
+           |th as (select greatest(${bigint("5")}, ${bigint("cast(ceil(count(distinct doc_id) / cast(100 as double)) as bigint)")}) as thr
+           |       from $v),""".stripMargin
+      case None =>
+        s"""$wordCtes,
+           |sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+           |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
+           |        from wx),
+           |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
+           |df as (select sh, ${bigint("count(*)")} as df from shx group by sh),
+           |th as (select greatest(${bigint("5")}, ${bigint("cast(ceil(count(*) / cast(100 as double)) as bigint)")}) as thr
+           |       from w where ${d.arrLen("ws")} >= 3),""".stripMargin
+    }
+    s"""with $head
+       |bl as (select df.sh from df cross join th where df.df >= th.thr),
+       |dc as (select x.doc_id, ${bigint("count(*)")} as n_sh,
+       |         ${bigint("sum(case when b.sh is not null then 1 else 0 end)")} as n_boiler
+       |       from shx x left join bl b on b.sh = x.sh group by x.doc_id),
+       |dp as (select d.source, c.doc_id, c.n_sh, c.n_boiler,
+       |         ${d.idiv("c.n_boiler * 100", "c.n_sh")} as pct
+       |       from dc c join documents d on d.doc_id = c.doc_id),
+       |ag as (select source, ${bigint("count(*)")} as n_docs,
+       |         ${bigint(s"sum(${bigint(roundAway(d)("cast(n_boiler as double) / n_sh * 1000000", 0))})")} as ssh
+       |       from dp group by source),
+       |pc as (select source, pct, ${bigint("count(*)")} as m from dp group by source, pct),
+       |p90 as (select source, ${bigint("min(pct)")} as p90_pct from (
+       |          select c.source, c.pct,
+       |            ${bigint("sum(c.m) over (partition by c.source order by c.pct rows between unbounded preceding and current row)")} as cm,
+       |            a.n_docs
+       |          from pc c join ag a on a.source = c.source) _p
+       |        where cm * 10 >= n_docs * 9 group by source),
+       |bv as (select ${bigint("count(*)")} as n_boiler_vocab from bl)
+       |select a.source, a.n_docs,
+       |  ${roundAway(d)("cast(a.ssh as double) / 1000000 / a.n_docs", 4)} as mean_boiler_share,
+       |  p.p90_pct as p90_boiler_pct,
+       |  v.n_boiler_vocab
+       |from ag a join p90 p on p.source = a.source cross join bv v""".stripMargin
+  }
 
   /** View-backed head of the banded minhash chain: signatures come
     * from the persisted g_mhsig artifact instead of re-running the
@@ -3208,31 +3332,46 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * chain (DuckDB-materialized). */
   def dedupQualityImpactSql(pairsFrom: Option[String]): String = {
     val (ctes, last) = componentsCtes(pairsFrom)
+    // r13: single-pass readout. The old shape computed the member
+    // quality table `mem` and then referenced it SEVEN times through
+    // kmin/kbest/sall/smin/sbest (Catalyst re-inlines multi-referenced
+    // CTEs, so the 6-round label chain + the quality projection
+    // re-executed per reference — the executed plan was 376 nodes / 50
+    // scans / 84 exchanges). Both keeper policies are per-component
+    // argmins/argmaxes, so they attach to every member row as TWO
+    // windows over the SAME comp partition (one exchange), and all
+    // five per-source censuses fold in ONE aggregation. Values are
+    // identical: min(id) over comp ≡ the kmin join, max(struct(qi,
+    // -id)) over comp ≡ the kbest join, and the conditional sums
+    // reproduce each census exactly (sum-of-cases = the joined counts,
+    // 0 where the old left joins produced null — coalesce'd to 0 in
+    // the output there too). One documents reference instead of two
+    // (the quality projection reads the SAME joined row).
     s"""$ctes,
-       |dq as (select doc_id, length(text) as n_chars, ${d.arrLen(splitWs("text"))} as n_words,
-       |         length(${regexReplaceAll("text", "[^a-zA-Z]", "")}) as n_alpha
-       |       from documents),
-       |mem as (select l.lbl as comp, l.id, dd.source,
+       |mem as (select l.lbl as comp, l.id, q.source,
        |          ${bigint(roundAway(d)("round((case when q.n_words >= 20 and q.n_words <= 80 then 1.0 else 0.5 end) * (q.n_alpha / q.n_chars), 4) * 10000", 0))} as qi
-       |        from $last l join dq q on q.doc_id = l.id
-       |        join documents dd on dd.doc_id = l.id),
-       |kmin as (select comp, min(id) as keeper from mem group by comp),
-       |kbest as (select comp, ${bigint(s"-(${d.fieldOf("mx", "ni")})")} as keeper from (
-       |    select comp, max(${d.structLit2("q", "qi", "ni", "-id")}) as mx from mem group by comp) _kb),
-       |sall as (select source, ${bigint("count(*)")} as n_members, ${bigint("sum(qi)")} as sq from mem group by source),
-       |smin as (select m.source, ${bigint("count(*)")} as n_kept, ${bigint("sum(m.qi)")} as sq
-       |         from mem m join kmin k on k.comp = m.comp and k.keeper = m.id group by m.source),
-       |sbest as (select m.source, ${bigint("count(*)")} as n_kept, ${bigint("sum(m.qi)")} as sq
-       |          from mem m join kbest k on k.comp = m.comp and k.keeper = m.id group by m.source)
-       |select a.source, a.n_members,
-       |  ${bigint("coalesce(n.n_kept, 0)")} as kept_minid,
-       |  ${bigint("coalesce(b.n_kept, 0)")} as kept_bestq,
-       |  case when n.n_kept > 0 then ${roundAway(d)("cast(n.sq as double) / n.n_kept / 10000", 4)} end as mean_q_kept_minid,
-       |  case when b.n_kept > 0 then ${roundAway(d)("cast(b.sq as double) / b.n_kept / 10000", 4)} end as mean_q_kept_bestq,
-       |  case when a.n_members > coalesce(n.n_kept, 0)
-       |       then ${roundAway(d)("cast(a.sq - coalesce(n.sq, 0) as double) / (a.n_members - coalesce(n.n_kept, 0)) / 10000", 4)} end as mean_q_dropped_minid
-       |from sall a left join smin n on n.source = a.source
-       |left join sbest b on b.source = a.source""".stripMargin
+       |        from $last l join (
+       |          select doc_id, source, length(text) as n_chars, ${d.arrLen(splitWs("text"))} as n_words,
+       |                 length(${regexReplaceAll("text", "[^a-zA-Z]", "")}) as n_alpha
+       |          from documents) q on q.doc_id = l.id),
+       |mw as (select source, id, qi,
+       |         min(id) over (partition by comp) as kmin,
+       |         ${bigint(s"-(${d.fieldOf(s"(max(${d.structLit2("q", "qi", "ni", "-id")}) over (partition by comp))", "ni")})")} as kbest
+       |       from mem),
+       |ag as (select source, ${bigint("count(*)")} as n_members, ${bigint("sum(qi)")} as sq,
+       |         ${bigint("sum(case when id = kmin then 1 else 0 end)")} as n_min,
+       |         ${bigint("sum(case when id = kmin then qi else 0 end)")} as sq_min,
+       |         ${bigint("sum(case when id = kbest then 1 else 0 end)")} as n_best,
+       |         ${bigint("sum(case when id = kbest then qi else 0 end)")} as sq_best
+       |       from mw group by source)
+       |select source, n_members,
+       |  n_min as kept_minid,
+       |  n_best as kept_bestq,
+       |  case when n_min > 0 then ${roundAway(d)("cast(sq_min as double) / n_min / 10000", 4)} end as mean_q_kept_minid,
+       |  case when n_best > 0 then ${roundAway(d)("cast(sq_best as double) / n_best / 10000", 4)} end as mean_q_kept_bestq,
+       |  case when n_members > n_min
+       |       then ${roundAway(d)("cast(sq - sq_min as double) / (n_members - n_min) / 10000", 4)} end as mean_q_dropped_minid
+       |from ag""".stripMargin
   }
 
   /** CROSS-SOURCE NEAR-DUP MATRIX — which sources copy from each
@@ -3324,11 +3463,19 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * error contract; the filter builds from the eval shingles and
     * screens the training side map-side before the exact join. */
   def decontaminateBloomSql(from: Option[(String, String)]): String =
+    // r13: trq is a plain projection — (doc_id, g) is already distinct
+    // on the training side (both the g_dsh_tr build and the inline
+    // shtr CTE end in select distinct), so the old `min(...) group by
+    // doc_id, g` was an identity aggregation whose exchange shuffled
+    // the full training shingle table (the probe side, the biggest
+    // table in the query) for nothing. bloomPos is a handful of
+    // integer ops; evaluating it inline (twice per probe, via the
+    // bloomTest word/bit fetches) costs far less than the shuffle did.
     s"""with ${decontSides(from, matEv = true)},
        |evg as (select distinct g from ev),
        |${bloomBuildCtes("evg")},
-       |trq as (select doc_id, g, ${(0 until BloomK).map(i => s"min(${bloomPos(i)}) as q$i").mkString(", ")}
-       |        from tr group by doc_id, g),
+       |trq as (select doc_id, g, ${(0 until BloomK).map(i => s"${bloomPos(i)} as q$i").mkString(", ")}
+       |        from tr),
        |trh as (select trq.doc_id, trq.g from trq
        |        where ${(0 until BloomK).map(i => bloomTest(s"q$i")).mkString(" and ")})
        |select ${bigint("trh.doc_id")} as train_doc, ${bigint("ev.eval_doc")} as eval_doc,
@@ -3673,12 +3820,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * runnable at 100 TB. A pair sharing zero 3-grams has J = 0, so
     * candidates outside the truth join are exact false positives —
     * no approximation anywhere in the scoring. */
-  def dedupTierEvalSql(views: Option[(String, String)]): String = {
+  def dedupTierEvalSql(views: Option[(String, String, String)]): String = {
     val matKw = if (d.name == "duckdb") "materialized " else ""
     val idivOp = if (d.name == "spark") "div" else "//"
     val xorAB = if (d.name == "spark") "a.sig ^ b.sig" else "xor(a.sig, b.sig)"
     val tiers = views match {
-      case Some((mhV, spV)) =>
+      case Some((mhV, spV, _)) =>
         s"""mh as (select * from $mhV),
            |scand0 as (select doc_a as da, doc_b as db, hamming from $spV),
            |scand as (select c.da, c.db from scand0 c
@@ -3697,20 +3844,36 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |          from sbnd a join sbnd b on a.bb = b.bb and a.bandv = b.bandv and a.doc_id < b.doc_id
            |          where bit_count($xorAB) <= ${SimhashBands - 1})""".stripMargin
     }
+    // r13: the truth sample's 3-shingle table `tg` is the SAME distinct
+    // (doc_id, sh) rows the persisted minhash shingle profile (g_mhshx,
+    // minhashShxBuildSql — identical minhashShingleCtes definition)
+    // already holds, filtered to the sample. tg is referenced three
+    // times (gsz + both sides of the truth self-join), and Catalyst
+    // re-inlines per reference — the inline form re-ran the corpus
+    // word pipeline + the 2-lead window chain 3× (457 nodes / 41 scans
+    // / 16 Windows executed). View-backed those are three cheap
+    // parquet scans, and wordCtes drops out of the Spark rendering
+    // entirely. The oracle inlines the full chain (None).
+    val shingles = views match {
+      case Some((_, _, shxV)) =>
+        s"""tg as (select m.doc_id, m.sh from $shxV m join samp s on s.doc_id = m.doc_id)"""
+      case None =>
+        s"""tw as (select x.doc_id, x.wpos, x.wd from wx x join samp s on s.doc_id = x.doc_id),
+           |t3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
+           |         lead(wd, 2) over (partition by doc_id order by wpos) as w3 from tw),
+           |tg as $matKw(select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from t3 where w3 is not null)""".stripMargin
+    }
+    val head = if (views.isDefined) "" else s"$wordCtes,\n"
     val bandSig = (0 until 8).map(k =>
       s"when bk = $k then m${2 * k} * 2147483648 + m${2 * k + 1}").mkString("case ", " ", " end")
-    s"""with $wordCtes,
-       |samp as (select doc_id from documents where ${prfMod(d)(100, "'dteval'", "doc_id")} < 10),
+    s"""with ${head}samp as (select doc_id from documents where ${prfMod(d)(100, "'dteval'", "doc_id")} < 10),
        |$tiers,
        |mbs as (select m.* from mh m join samp s on s.doc_id = m.doc_id),
        |mbnd as (select doc_id, bk, $bandSig as bsig
        |         from mbs cross join ${rangeTable("b8", "bk", 0, 7)}),
        |mcand as (select distinct a.doc_id as da, b.doc_id as db
        |          from mbnd a join mbnd b on a.bk = b.bk and a.bsig = b.bsig and a.doc_id < b.doc_id),
-       |tw as (select x.doc_id, x.wpos, x.wd from wx x join samp s on s.doc_id = x.doc_id),
-       |t3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-       |         lead(wd, 2) over (partition by doc_id order by wpos) as w3 from tw),
-       |tg as $matKw(select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from t3 where w3 is not null),
+       |$shingles,
        |gsz as (select doc_id, ${bigint("count(*)")} as n from tg group by doc_id),
        |inter as (select a.doc_id as da, b.doc_id as db, ${bigint("count(*)")} as i
        |          from tg a join tg b on a.sh = b.sh and a.doc_id < b.doc_id
@@ -5249,11 +5412,32 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // one map-side-combinable count; a FREQUENCY FLOOR instead of a
     // global top-k keeps the plan sort-free and the output total-order
     // deterministic.
-    "text_ngram_freq" ->
-      s"""with $wordCtes,
-         |bg as (select wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
-         |fr as (select concat_ws(' ', wd, w2) as bigram, count(*) as freq from bg where w2 is not null group by concat_ws(' ', wd, w2))
-         |select bigram, ${bigint("freq")} as freq from fr where freq >= 20""".stripMargin,
+    // r13 (Spark side): bigrams pair up MAP-SIDE — the posexplode
+    // keeps the split array `ws` as a sibling attribute, so the next
+    // word is one element_at(ws, pos + 1) on the SAME row instead of a
+    // lead() window (whose doc_id exchange + per-doc sort carried the
+    // whole exploded corpus for a purely row-local pairing). The array
+    // stays an attribute produced once per row by the Generate's child
+    // (no split() re-substitution — the projection-collapse trap the
+    // minhash shingle comment documents). Rows identical: lead(1) over
+    // (doc_id, wpos) on the exploded array IS the adjacent element,
+    // and the case guard is the `w2 is not null` bound. The DuckDB
+    // oracle keeps the window rendering.
+    "text_ngram_freq" -> {
+      if (d.name == "spark")
+        s"""with w as (select doc_id, ${splitWs("lower(text)")} as ws from documents),
+           |bg as (select concat_ws(' ', wd, w2) as bigram from (
+           |         select v0 as wd, case when p0 + 2 <= size(ws) then element_at(ws, p0 + 2) end as w2
+           |         from w lateral view posexplode(ws) _pe as p0, v0) _x
+           |       where w2 is not null),
+           |fr as (select bigram, count(*) as freq from bg group by bigram)
+           |select bigram, ${bigint("freq")} as freq from fr where freq >= 20""".stripMargin
+      else
+        s"""with $wordCtes,
+           |bg as (select wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
+           |fr as (select concat_ws(' ', wd, w2) as bigram, count(*) as freq from bg where w2 is not null group by concat_ws(' ', wd, w2))
+           |select bigram, ${bigint("freq")} as freq from fr where freq >= 20""".stripMargin
+    },
 
     // token-length histogram per source (sequence-length planning for
     // training batches): one pass, group on (source, bucket).
@@ -8633,28 +8817,36 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // missing from a half (churn/acquisition ARE the interesting
     // cells). One combinable (user, half) groupBy; the matrix is ≤ 9
     // cells. Integer end to end.
+    // r13 restructure (values identical, guide §2.3/§2.4): (a) the
+    // per-half median folds from ONE (half, c) census via running-sum
+    // windows — the old self-join median referenced the uh aggregation
+    // four times and Catalyst re-inlined the events groupBy per
+    // reference (17 scans / 44 exchanges executed); c is unique per
+    // half in the census, so the ROWS running sum equals the old
+    // b.c <= a.c join-sum exactly. (b) tier pivots to one row per
+    // user in ONE aggregation — max(case) over at most one row per
+    // (user, half) — replacing the allu spine + two tier self-joins
+    // (tier was referenced twice); every events user has >= 1 uh row,
+    // so the pivoted user set IS allu, and a user absent from a half
+    // reads null -> 'absent' exactly like the old left joins.
     "events_segment_migration" ->
       s"""with ev as (select user_id, ${d.idiv(evSec("ts"), "86400")} as day from events),
          |bounds as (select min(day) as d0 from ev),
          |uh as (select user_id, case when day < b.d0 + 15 then 0 else 1 end as half, ${bigint("count(*)")} as c
          |       from ev cross join bounds b group by user_id, case when day < b.d0 + 15 then 0 else 1 end),
+         |uhc as (select half, c, ${bigint("count(*)")} as cnt2 from uh group by half, c),
          |med as (select half, min(case when cum >= cast(ceil(cnt * 0.5) as bigint) then x end) as m from (
-         |  select a.half, a.c as x, sum(b.cnt2) as cum from
-         |    (select half, c, count(*) as cnt2 from uh group by half, c) a
-         |    join (select half, c, count(*) as cnt2 from uh group by half, c) b
-         |      on b.half = a.half and b.c <= a.c
-         |  group by a.half, a.c) _r
-         |  cross join (select half as h2, count(*) as cnt from uh group by half) _n
-         |  where _r.half = _n.h2 group by half),
+         |  select half, c as x,
+         |    ${bigint("sum(cnt2) over (partition by half order by c rows between unbounded preceding and current row)")} as cum,
+         |    ${bigint("sum(cnt2) over (partition by half)")} as cnt
+         |  from uhc) _r group by half),
          |tier as (select u.user_id, u.half,
          |           case when u.c > m.m then 'high' else 'low' end as tier
          |         from uh u join med m on m.half = u.half),
-         |allu as (select distinct user_id from ev),
-         |mat as (select coalesce(t0.tier, 'absent') as tier_from,
-         |               coalesce(t1.tier, 'absent') as tier_to, a.user_id
-         |        from allu a
-         |        left join (select user_id, tier from tier where half = 0) t0 on t0.user_id = a.user_id
-         |        left join (select user_id, tier from tier where half = 1) t1 on t1.user_id = a.user_id)
+         |mat as (select user_id,
+         |          coalesce(max(case when half = 0 then tier end), 'absent') as tier_from,
+         |          coalesce(max(case when half = 1 then tier end), 'absent') as tier_to
+         |        from tier group by user_id)
          |select tier_from, tier_to, ${bigint("count(*)")} as n_users
          |from mat group by tier_from, tier_to""".stripMargin,
 
@@ -8836,8 +9028,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // behind text_vocab_coverage's empirical ladder — a corpus whose
     // slope drifts far from −1 is boilerplate- or spam-shaped):
     // global top-100 via the bucketed pre-rank (16-way PRF-keyed
-    // partitioned windows, exact pairwise ranks over ≤ 1600
-    // survivors — no single-partition sort), both logs quantized onto
+    // partitioned windows), then ONE bounded row_number() over the
+    // ≤ 1600 survivors (r13 — ordered by (c desc, wd), identical to
+    // the old pairwise 1 + count(strictly-greater) rank because wd is
+    // unique; the self-join + NOT EXISTS referenced `pre` 3× and
+    // Catalyst re-inlined the corpus census per reference). Never a
+    // corpus sort. Both logs quantized onto
     // an exact 1e-6 integer grid (libm ulp differences vanish; the
     // micro-ints keep every OLS moment inside bigint), slope /
     // intercept / r² from the exact integer moments with float math
@@ -8848,12 +9044,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |pre as (select wd, c from (
          |  select wd, c, row_number() over (partition by ${prfMod(d)(16, "'zbkt'", "wd")} order by c desc, wd) as prn
          |  from wc) _p where prn <= 100),
-         |rk as (select a.c, ${bigint("1 + count(*)")} as rank from pre a
-         |       join pre b on b.c > a.c or (b.c = a.c and b.wd < a.wd)
-         |       group by a.wd, a.c
-         |       union all
-         |       select a.c, ${bigint("1")} as rank from pre a
-         |       where not exists (select 1 from pre b where b.c > a.c or (b.c = a.c and b.wd < a.wd))),
+         |rk as (select c, ${bigint("row_number() over (order by c desc, wd)")} as rank from pre),
          |top as (select rank, c from rk where rank <= 100),
          |lg as (select ${bigint(roundAway(d)("ln(cast(rank as double)) * 1000000", 0))} as x,
          |              ${bigint(roundAway(d)("ln(cast(c as double)) * 1000000", 0))} as y
@@ -9528,43 +9719,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // source lists are df-bounded) — the measured-error honesty rule
     // every sketch key follows. Small-set branch: nk < k ⇒ the union
     // sketch IS the union, estimates become exact counts.
-    "sketch_kmv_overlap" -> {
-      val estU = "case when nk < 64 then cast(nk as double) " +
-        "else cast(63 as double) * cast(1152921504606846976 as double) / cast(hk + 1 as double) end"
-      s"""with $wordCtes,
-         |src as (select doc_id, source from documents),
-         |wh as (select distinct s.source, ${prf(d)("'kmv'", "w.wd")} as h
-         |       from wx w join src s on s.doc_id = w.doc_id),
-         |rk as (select source, h, row_number() over (partition by source order by h) as rn from wh),
-         |tops as (select source, h from rk where rn <= 64),
-         |ex as (select source, ${bigint("count(*)")} as n from wh group by source),
-         |prs as (select a.source as sa, b.source as sb, a.n as na, b.n as nb
-         |        from ex a join ex b on a.source < b.source),
-         |uh0 as (select p.sa, p.sb, p.na, p.nb, t.h,
-         |          case when t.source = p.sa then 1 else 0 end as ina,
-         |          case when t.source = p.sb then 1 else 0 end as inb
-         |        from prs p join tops t on t.source = p.sa or t.source = p.sb),
-         |uh as (select sa, sb, h, max(ina) as ina, max(inb) as inb,
-         |         max(na) as na, max(nb) as nb
-         |       from uh0 group by sa, sb, h),
-         |urk as (select sa, sb, h, ina, inb, na, nb,
-         |          row_number() over (partition by sa, sb order by h) as rn from uh),
-         |uk as (select sa, sb, max(h) as hk, ${bigint("count(*)")} as nk,
-         |          ${bigint("sum(case when ina = 1 and inb = 1 then 1 else 0 end)")} as nboth,
-         |          max(na) as na, max(nb) as nb
-         |       from urk where rn <= 64 group by sa, sb),
-         |ixa as (select a.source as sa, b.source as sb, ${bigint("count(*)")} as ni
-         |        from wh a join wh b on b.h = a.h and a.source < b.source
-         |        group by a.source, b.source)
-         |select u.sa as source_a, u.sb as source_b,
-         |  u.na + u.nb - coalesce(i.ni, 0) as n_union_exact,
-         |  ${roundAway(d)("cast(coalesce(i.ni, 0) as double) / (u.na + u.nb - coalesce(i.ni, 0))", 4)} as jaccard_exact,
-         |  ${roundAway(d)(estU, 4)} as union_est,
-         |  ${roundAway(d)("cast(nboth as double) / nk", 4)} as jaccard_est,
-         |  ${roundAway(d)(s"abs(($estU) - (u.na + u.nb - coalesce(i.ni, 0))) / (u.na + u.nb - coalesce(i.ni, 0))", 4)} as union_rel_err
-         |from uk u
-         |left join ixa i on i.sa = u.sa and i.sb = u.sb""".stripMargin
-    },
+    "sketch_kmv_overlap" -> kmvOverlapSql(None),
 
     // PER-SOURCE KL DIVERGENCE from the corpus word distribution —
     // the drift/contamination readout between a slice and its parent
@@ -10676,38 +10831,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // grid sums) and p90 by rank selection over the ≤ 101-value
     // percent DOMAIN. Docs under 3 words have no shingles and are
     // absent (stated). One shingle pass + vocabulary-sized joins.
-    "text_boilerplate_share" ->
-      s"""with $wordCtes,
-         |sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
-         |        from wx),
-         |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null),
-         |df as (select sh, ${bigint("count(*)")} as df from shx group by sh),
-         |th as (select greatest(${bigint("5")}, ${bigint("cast(ceil(count(*) / cast(100 as double)) as bigint)")}) as thr
-         |       from w where ${d.arrLen("ws")} >= 3),
-         |bl as (select df.sh from df cross join th where df.df >= th.thr),
-         |dc as (select x.doc_id, ${bigint("count(*)")} as n_sh,
-         |         ${bigint("sum(case when b.sh is not null then 1 else 0 end)")} as n_boiler
-         |       from shx x left join bl b on b.sh = x.sh group by x.doc_id),
-         |dp as (select d.source, c.doc_id, c.n_sh, c.n_boiler,
-         |         ${d.idiv("c.n_boiler * 100", "c.n_sh")} as pct
-         |       from dc c join documents d on d.doc_id = c.doc_id),
-         |ag as (select source, ${bigint("count(*)")} as n_docs,
-         |         ${bigint(s"sum(${bigint(roundAway(d)("cast(n_boiler as double) / n_sh * 1000000", 0))})")} as ssh
-         |       from dp group by source),
-         |pc as (select source, pct, ${bigint("count(*)")} as m from dp group by source, pct),
-         |p90 as (select source, ${bigint("min(pct)")} as p90_pct from (
-         |          select c.source, c.pct,
-         |            ${bigint("sum(c.m) over (partition by c.source order by c.pct rows between unbounded preceding and current row)")} as cm,
-         |            a.n_docs
-         |          from pc c join ag a on a.source = c.source) _p
-         |        where cm * 10 >= n_docs * 9 group by source),
-         |bv as (select ${bigint("count(*)")} as n_boiler_vocab from bl)
-         |select a.source, a.n_docs,
-         |  ${roundAway(d)("cast(a.ssh as double) / 1000000 / a.n_docs", 4)} as mean_boiler_share,
-         |  p.p90_pct as p90_boiler_pct,
-         |  v.n_boiler_vocab
-         |from ag a join p90 p on p.source = a.source cross join bv v""".stripMargin,
+    "text_boilerplate_share" -> textBoilerplateShareSql(None),
 
     // INDEX STORAGE-vs-RECALL LADDER — SURVEY §4's memory ladder
     // (512 B raw → 128 B matryoshka-16 → 64 B SQ8 → 8 B PQ/BQ) as ONE
@@ -11435,17 +11559,40 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // vectors; pre-scale to milli-units there). Levels beyond the
     // served cell count degenerate to the native partition (stated —
     // the curve flattens, which IS the elbow readout).
+    // r13 (Spark side): the per-(cell, pos) coordinate sums fold as 64
+    // per-column aggregates over the member rows, then stack() back to
+    // (cell, pos, s9) rows map-side — the explode form pushed N×64
+    // rows through the hash aggregate for the same 64 decimal sums per
+    // cell (exec 0.60 s warm; the explode row expansion was the cost,
+    // not the shuffle — partial aggregation compresses both). Values
+    // identical: same decimal(28,9) sums of the same 1e-9-rounded
+    // elements (decimal addition is exact, order-free), and the
+    // stacked (cell, pos, s9) rows are exactly the explode form's
+    // rows (every member vector has all 64 positions). The DuckDB
+    // oracle keeps the explode rendering (stack is Spark syntax).
     "vec_kmeans_elbow" -> {
       val chain =
         if (views) viewAlias("asgF", "g_ivf_asg")
         else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
+      val csum =
+        if (d.name == "spark") {
+          val cols = (1 to Dim).map(p =>
+            s"sum(cast(${roundAway(d)(el("n", p), 9)} as decimal(28, 9))) as s$p").mkString(",\n         |           ")
+          val stackArgs = (1 to Dim).map(p => s"$p, s$p").mkString(", ")
+          s"""csum0 as (select cell,
+             |           $cols
+             |         from mem group by cell),
+             |csum as (select cell, pos, s9 from (
+             |           select cell, stack($Dim, $stackArgs) as (pos, s9) from csum0) _cs)""".stripMargin
+        } else
+          s"""mx as (select cell, pos, val from ${d.explodeFrom("mem", "n", "pos", "val", Seq("cell"))} _mx),
+             |csum as (select cell, pos,
+             |           sum(cast(${roundAway(d)("val", 9)} as decimal(28, 9))) as s9
+             |         from mx group by cell, pos)""".stripMargin
       s"""with $nvCtes,
          |$chain,
          |mem as (select a.cell, nn.n from asgF a join nn on nn.id = a.id),
-         |mx as (select cell, pos, val from ${d.explodeFrom("mem", "n", "pos", "val", Seq("cell"))} _mx),
-         |csum as (select cell, pos,
-         |           sum(cast(${roundAway(d)("val", 9)} as decimal(28, 9))) as s9
-         |         from mx group by cell, pos),
+         |$csum,
          |cc as (select cell, ${bigint("count(*)")} as n from asgF group by cell),
          |lv as (select 1 as l union all select 2 union all select 4 union all
          |       select 8 union all select 16 union all select 32),
@@ -11713,10 +11860,28 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // window over the census — the q_ship_latency convention).
     // Integer end to end; three column-pruned scans (one narrow
     // column each) + two combinable groupBys per key. 3-row output.
+    // r13: (a) the Spark side unpivots the three key columns MAP-SIDE
+    // with one stack() over ONE lineitem scan (the union-all form read
+    // the table three times; the oracle keeps it — stack is Spark
+    // syntax); (b) the readout folds in ONE aggregation over `cum` —
+    // the old p99/share/final triple referenced cum three times and
+    // Catalyst re-inlined the whole kc→cnt→cen chain per reference
+    // (12 scans / 14 exchanges executed). Values identical: cumk is
+    // non-decreasing in c, so {c : cumk >= ceil(.99 nk)} is
+    // upward-closed — its min c IS the old p99.c99, and because
+    // rows_at_or_above decreases in c, the max of rows_at_or_above
+    // over that same set IS the old share.r99 (evaluated at c99).
     "q_key_skew" -> {
-      s"""with kc as (select 'l_orderkey' as keycol, l_orderkey as k from lineitem
-         |      union all select 'l_partkey', l_partkey from lineitem
-         |      union all select 'l_suppkey', l_suppkey from lineitem),
+      val kc =
+        if (d.name == "spark")
+          s"""kc as (select keycol, k from (
+             |  select stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey) as (keycol, k)
+             |  from lineitem) _kc)""".stripMargin
+        else
+          s"""kc as (select 'l_orderkey' as keycol, l_orderkey as k from lineitem
+             |      union all select 'l_partkey', l_partkey from lineitem
+             |      union all select 'l_suppkey', l_suppkey from lineitem)""".stripMargin
+      s"""with $kc,
          |cnt as (select keycol, k, ${bigint("count(*)")} as c from kc group by keycol, k),
          |cen as (select keycol, c, ${bigint("count(*)")} as m from cnt group by keycol, c),
          |cum as (select keycol, c, m,
@@ -11724,20 +11889,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |          ${bigint("sum(m) over (partition by keycol)")} as nk,
          |          ${bigint("sum(c * m) over (partition by keycol)")} as nr,
          |          ${bigint("sum(c * m) over (partition by keycol order by c desc)")} as rows_at_or_above
-         |        from cen),
-         |p99 as (select keycol, ${bigint("min(case when cumk >= cast(ceil(nk * 0.99) as bigint) then c end)")} as c99
-         |        from cum group by keycol),
-         |share as (select cu.keycol, ${bigint("max(cu.rows_at_or_above)")} as r99
-         |          from cum cu join p99 on p99.keycol = cu.keycol and cu.c >= p99.c99
-         |          group by cu.keycol)
-         |select cu.keycol as key_column, ${bigint("max(cu.nk)")} as n_keys, ${bigint("max(cu.nr)")} as n_rows,
-         |  ${bigint("max(cu.c)")} as max_rows_per_key,
-         |  ${roundAway(d)("cast(max(cu.nr) as double) / max(cu.nk)", 4)} as mean_rows_per_key,
-         |  ${bigint("max(p99.c99)")} as p99_rows_per_key,
-         |  ${roundAway(d)("cast(max(cu.c) as double) * max(cu.nk) / max(cu.nr)", 4)} as skew_factor,
-         |  ${roundAway(d)("cast(max(sh.r99) as double) / max(cu.nr)", 6)} as p99_share
-         |from cum cu join p99 on p99.keycol = cu.keycol join share sh on sh.keycol = cu.keycol
-         |group by cu.keycol""".stripMargin
+         |        from cen)
+         |select keycol as key_column, ${bigint("max(nk)")} as n_keys, ${bigint("max(nr)")} as n_rows,
+         |  ${bigint("max(c)")} as max_rows_per_key,
+         |  ${roundAway(d)("cast(max(nr) as double) / max(nk)", 4)} as mean_rows_per_key,
+         |  ${bigint("min(case when cumk >= cast(ceil(nk * 0.99) as bigint) then c end)")} as p99_rows_per_key,
+         |  ${roundAway(d)("cast(max(c) as double) * max(nk) / max(nr)", 4)} as skew_factor,
+         |  ${roundAway(d)("cast(max(case when cumk >= cast(ceil(nk * 0.99) as bigint) then rows_at_or_above end) as double) / max(nr)", 6)} as p99_share
+         |from cum
+         |group by keycol""".stripMargin
     },
 
     // MAX-INNER-PRODUCT top-k over the RAW (unnormalized) vectors —
@@ -11842,37 +12002,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // lshPlanesFor convention; floors at 2 through the verify SFs,
     // arms 3 past ~45k vectors, 4 past ~135k).
     // Exact L1 re-rank only within candidates.
-    "vec_topk_l1_lsh" -> {
-      val l1 = (1 to Dim).map(p0 => s"abs(${el("qa.v", p0)} - ${el("ca.v", p0)})").mkString(" + ")
-      s"""with $l1LshCtes,
-         |p as (select c.qid, c.cid, round($l1, 6) as dist
-         |      from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid)
-         |select ${bigint("qid")} as qid, ${bigint("cid")} as neighbor_id, dist, ${bigint("rn")} as rn
-         |from (select qid, cid, dist, row_number() over (partition by qid order by dist, cid) as rn from p) _t
-         |where rn <= 10""".stripMargin
-    },
+    "vec_topk_l1_lsh" -> vecTopkL1LshSql(None),
 
     // L1-rung index-quality monitoring: the ann_recall_eval protocol
     // applied to the Cauchy p-stable family — brute L1 top-10 (the
     // vec_topk_l1 baseline) vs the rung's candidate-restricted
     // top-10, per query.
-    "ann_recall_eval_l1" -> {
-      def l1(a: String, b: String) =
-        (1 to Dim).map(p0 => s"abs(${el(a, p0)} - ${el(b, p0)})").mkString(" + ")
-      s"""with $l1LshCtes,
-         |bp as (select q.id as qid, c.id as cid, round(${l1("q.v", "c.v")}, 6) as dist
-         |       from (select id, v from ev where id in ($qIdLit)) q join ev c on c.id <> q.id),
-         |bt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by dist, cid) as rn from bp) _b where rn <= 10),
-         |lp as (select c.qid, c.cid, round(${l1("qa.v", "ca.v")}, 6) as dist
-         |       from cnd c join ev qa on qa.id = c.qid join ev ca on ca.id = c.cid),
-         |lt as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by dist, cid) as rn from lp) _l where rn <= 10),
-         |nc as (select qid, count(*) as n_cand from cnd group by qid)
-         |select ${bigint("b.qid")} as qid, ${bigint("coalesce(min(nc.n_cand), 0)")} as n_cand,
-         |  ${bigint("sum(case when l.cid is not null then 1 else 0 end)")} as hits,
-         |  round(sum(case when l.cid is not null then 1 else 0 end) / cast(10.0 as double), 2) as recall10
-         |from bt b left join nc on nc.qid = b.qid left join lt l on l.qid = b.qid and l.cid = b.cid
-         |group by b.qid""".stripMargin
-    },
+    "ann_recall_eval_l1" -> annRecallEvalL1Sql(None),
 
     // EVENT-TYPE CORRELATION MATRIX — which daily metrics move
     // together (the contemporaneous all-pairs companion of
@@ -14013,16 +14149,30 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * both engines. Sources with fewer than k distinct values ARE the
     * sketch (nk < k ⇒ the estimate is the exact count — the standard
     * KMV small-set convention). */
-  def kmvSql(levels: Seq[Int], native: Boolean = false): String = {
+  def kmvSql(levels: Seq[Int], native: Boolean = false,
+             wfView: Option[String] = None): String = {
     val kmax = levels.max
     val lvCte = levels.map(k => s"select $k as k").mkString(" union all ")
     val est = "case when nk < k then cast(nk as double) " +
       "else cast(k - 1 as double) * cast(1152921504606846976 as double) / cast(hk + 1 as double) end"
-    val shared =
-      s"""with $wordCtes,
-         |src as (select doc_id, source from documents),
-         |wh as (select distinct s.source, ${prf(d)("'kmv'", "w.wd")} as h
-         |       from wx w join src s on s.doc_id = w.doc_id)""".stripMargin
+    // r13: wfView = Some(v) derives the per-source distinct hash set
+    // from the persisted unigram-LM artifact (g_srcwf holds every
+    // distinct (source, wd) pair — its rows ARE the distinct pairs, so
+    // distinct(source, prf(wd)) over it is value-identical to the
+    // inline corpus explode). wh is multi-referenced (rank window +
+    // exact census here, + both exact-overlap sides in the overlap
+    // key) and Catalyst re-inlines per reference — view-backed each
+    // reference is a cheap vocabulary-sized parquet scan instead of a
+    // corpus explode + distinct. None inlines (the DuckDB oracle).
+    val shared = wfView match {
+      case Some(v) =>
+        s"""with wh as (select distinct source, ${prf(d)("'kmv'", "wd")} as h from $v)"""
+      case None =>
+        s"""with $wordCtes,
+           |src as (select doc_id, source from documents),
+           |wh as (select distinct s.source, ${prf(d)("'kmv'", "w.wd")} as h
+           |       from wx w join src s on s.doc_id = w.doc_id)""".stripMargin
+    }
     val sketch =
       if (native) {
         require(levels.length == 1, "native KMV renders one level")
@@ -14048,6 +14198,62 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${roundAway(d)(est, 4)} as kmv_est,
        |  ${roundAway(d)(s"abs(($est) - n_exact) / n_exact", 4)} as rel_err
        |from kk""".stripMargin
+  }
+
+  /** KMV SET ALGEBRA (see the sqls4 key comment). r13: `wfView` —
+    * Some(v) derives the per-source hash set from the persisted
+    * g_srcwf unigram artifact (the kmvSql treatment: wh is referenced
+    * FOUR times here — rank window, exact census, both exact-overlap
+    * sides — and each inline reference re-ran the corpus explode +
+    * distinct); None inlines (the DuckDB oracle). The pair expansion
+    * is the two equi-join legs unioned with na/nb carried through prs
+    * — the r12 OR-join form planned as a BroadcastNestedLoopJoin
+    * (pairs × tops row test, quadratic in n_sources; the nearby 'no
+    * OR-join BNLJ' rule, ADVICE r12). Rows identical: sa < sb means a
+    * tops row matches exactly one side of the OR. */
+  def kmvOverlapSql(wfView: Option[String]): String = {
+    val estU = "case when nk < 64 then cast(nk as double) " +
+      "else cast(63 as double) * cast(1152921504606846976 as double) / cast(hk + 1 as double) end"
+    val head = wfView match {
+      case Some(v) =>
+        s"""with wh as (select distinct source, ${prf(d)("'kmv'", "wd")} as h from $v)"""
+      case None =>
+        s"""with $wordCtes,
+           |src as (select doc_id, source from documents),
+           |wh as (select distinct s.source, ${prf(d)("'kmv'", "w.wd")} as h
+           |       from wx w join src s on s.doc_id = w.doc_id)""".stripMargin
+    }
+    s"""$head,
+       |rk as (select source, h, row_number() over (partition by source order by h) as rn from wh),
+       |tops as (select source, h from rk where rn <= 64),
+       |ex as (select source, ${bigint("count(*)")} as n from wh group by source),
+       |prs as (select a.source as sa, b.source as sb, a.n as na, b.n as nb
+       |        from ex a join ex b on a.source < b.source),
+       |uh0 as (select p.sa, p.sb, p.na, p.nb, t.h, 1 as ina, 0 as inb
+       |        from prs p join tops t on t.source = p.sa
+       |        union all
+       |        select p.sa, p.sb, p.na, p.nb, t.h, 0 as ina, 1 as inb
+       |        from prs p join tops t on t.source = p.sb),
+       |uh as (select sa, sb, h, max(ina) as ina, max(inb) as inb,
+       |         max(na) as na, max(nb) as nb
+       |       from uh0 group by sa, sb, h),
+       |urk as (select sa, sb, h, ina, inb, na, nb,
+       |          row_number() over (partition by sa, sb order by h) as rn from uh),
+       |uk as (select sa, sb, max(h) as hk, ${bigint("count(*)")} as nk,
+       |          ${bigint("sum(case when ina = 1 and inb = 1 then 1 else 0 end)")} as nboth,
+       |          max(na) as na, max(nb) as nb
+       |       from urk where rn <= 64 group by sa, sb),
+       |ixa as (select a.source as sa, b.source as sb, ${bigint("count(*)")} as ni
+       |        from wh a join wh b on b.h = a.h and a.source < b.source
+       |        group by a.source, b.source)
+       |select u.sa as source_a, u.sb as source_b,
+       |  u.na + u.nb - coalesce(i.ni, 0) as n_union_exact,
+       |  ${roundAway(d)("cast(coalesce(i.ni, 0) as double) / (u.na + u.nb - coalesce(i.ni, 0))", 4)} as jaccard_exact,
+       |  ${roundAway(d)(estU, 4)} as union_est,
+       |  ${roundAway(d)("cast(nboth as double) / nk", 4)} as jaccard_est,
+       |  ${roundAway(d)(s"abs(($estU) - (u.na + u.nb - coalesce(i.ni, 0))) / (u.na + u.nb - coalesce(i.ni, 0))", 4)} as union_rel_err
+       |from uk u
+       |left join ixa i on i.sa = u.sa and i.sb = u.sb""".stripMargin
   }
 
   /** The PCA moments pass (the eigensolve's st0 stage) ALONE: one
