@@ -34,7 +34,7 @@ object Bench {
     * common-key drift was protocol-shaped but unprovable as such:
     * nothing recorded how many reps each number came from). */
   private val Protocol =
-    "coverage:warm1x1 cheapest-first; refine:expensive-first warm median-of-reps; result=min over all timed runs; per-key stats=[min,median,reps]"
+    "coverage:warm1x1 cheapest-first; refine:expensive-first warm median-of-reps; result=min over all timed runs; per-key stats=[min,median,reps]; builds=per-artifact cold build seconds actually paid this run (scratch hits pay none — r12 verdict item 2)"
 
   def main(args: Array[String]): Unit = {
     val tEntry = System.nanoTime()
@@ -129,9 +129,17 @@ object Bench {
       // ADVICE point — a '#full'/'#warn' tail line reproduces the
       // r7 'parsed: null' failure mode under a wall-clock kill)
       System.err.println("#full " + json(all))
+      // per-artifact build seconds this run actually paid (r12 verdict
+      // item 2 — the measurement-honesty column: a warm scratch pays
+      // none and the map is empty; a cold/invalidated scratch shows
+      // each g_* build as its own number, the wm_chain_build precedent
+      // generalized). bench_full.json only — the stdout checkpoint
+      // line is unchanged, so the driver's parser sees the same shape.
+      val builds = Scratch.buildSeconds
+      val buildsJson = s""","builds":${json(builds.toSeq.sortBy(_._1))},"builds_total":${r3(builds.values.sum)}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"queries":${json(all)},"stats":$statsJson,"protocol":${"\"" + Protocol + "\""},"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+        s"""{"queries":${json(all)},"stats":$statsJson$buildsJson,"protocol":${"\"" + Protocol + "\""},"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
       catch { case e: Throwable =>
         // a silent failure would leave a stale file that reads as current
         System.err.println(s"#warn bench_full.json write failed: ${e.getMessage}") }

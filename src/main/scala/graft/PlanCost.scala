@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanCost {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.PlanCost <key,key,...> [sfDir]")
+      sys.exit(2)
+    }
     val keys = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")

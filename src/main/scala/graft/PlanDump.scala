@@ -9,6 +9,10 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.PlanDump <key,key,...> <tag> [sfDir] [outDir]")
+      sys.exit(2)
+    }
     val keys = args(0).split(",").toSeq
     val tag = args(1)
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"

@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.TimeOne <key,key,...> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val keys = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3

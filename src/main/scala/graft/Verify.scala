@@ -20,9 +20,10 @@ import java.nio.file.{Files, Paths}
   *    main thread first, and Scratch.table memoizes via
   *    computeIfAbsent) — wall time ≈ single-threaded / pool size;
   *  - INCREMENTAL re-runs: each key gets a signature file under the
-  *    sibling metadata dir `outDir/_sigs/<key>` (NOT inside the
-  *    parquet output dir, where a non-conventional glob over the dump
-  *    would trip on it) keyed on (compiled-classes fingerprint | data
+  *    SIBLING metadata dir `<outDir>_sigs/<key>` (outside the dump
+  *    dir entirely — r13: the driver's comparator globs outDir's
+  *    subdirectories as query outputs, so a `_sigs` dir inside it
+  *    graded as a parquet-read error row) keyed on (compiled-classes fingerprint | data
   *    fingerprint | oracle SQL), so re-running after a kill skips
   *    everything already dumped by the same build on the same data. Any recompile or testdata
   *    refresh invalidates every signature — stale dumps are
@@ -174,7 +175,10 @@ object Verify {
     watchdog.setDaemon(true)
     watchdog.start()
 
-    val sigsDir = new File(outDir, "_sigs")
+    // SIBLING path, not inside outDir (r12 verdict #4: the driver's
+    // comparator globs outDir's subdirectories as query outputs and
+    // reported `_sigs` as a parquet-read error row every round)
+    val sigsDir = new File(outDir.stripSuffix("/") + "_sigs")
     if (incr) sigsDir.mkdirs()
     val idx = new java.util.concurrent.atomic.AtomicInteger(0)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -121,7 +121,9 @@ object WmCache {
         inChains(stages) { case (view, sql) =>
           // eager: computes the stage NOW (against the views registered
           // so far) and registers a lineage-free LogicalRDD view
+          val t0 = System.nanoTime()
           val df = spark.sql(sql).localCheckpoint()
+          Scratch.logBuild(view, (System.nanoTime() - t0) / 1e9)
           df.createOrReplaceTempView(view)
           df
         }
@@ -189,7 +191,9 @@ object WmCache {
         Tables.vectorCount(spark, dir) / 200000L)).toInt
       inChains(stages) { case (view, sql) =>
         val p = new File(tmp, view).getAbsolutePath
+        val t0 = System.nanoTime()
         spark.sql(sql).repartition(parts).write.mode("overwrite").parquet(p)
+        Scratch.logBuild(view, (System.nanoTime() - t0) / 1e9)
         // downstream stages read the materialized rows, not the plan
         spark.read.parquet(p).createOrReplaceTempView(view)
       }

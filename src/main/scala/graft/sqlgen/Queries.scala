@@ -1848,19 +1848,31 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * Values identical: the artifacts hold exactly the inline rn/rat
     * rows. */
   def wmDeltaCurveSql(dcViews: Option[(String, String)]): String =
-    wmDeltaCurveRender(dcViews, buildOnly = None)
+    wmDeltaCurveRender(dcViews.map(_._1), dcViews.map(_._2), buildOnly = None)
 
   /** The rung-shift state build (per-(rung, carrier) QIM shifts +
     * drift), ending in rn(k, dl, id, nrm, sharr, pn, driftq). */
-  def dcShiftBuildSql: String = wmDeltaCurveRender(None, buildOnly = Some("rn"))
+  def dcShiftBuildSql: String =
+    wmDeltaCurveRender(None, None, buildOnly = Some("rn"))
 
   /** The rung-tagged attacked-stego ladder build over the persisted
     * shift state, ending in rat(k, dl, id, pos, sval). */
   def dcAttBuildSql(shiftView: String): String =
-    wmDeltaCurveRender(Some((shiftView, "")), buildOnly = Some("rat"))
+    wmDeltaCurveRender(Some(shiftView), None, buildOnly = Some("rat"))
 
-  private def wmDeltaCurveRender(dcViews: Option[(String, String)],
+  /** `shiftFrom` / `attFrom` are independent view sources (r13,
+    * ADVICE r12: the ("view", "") sentinel tuple that previously
+    * selected the rat build could render an empty view name into SQL
+    * if the pattern match were reordered — the build target is now
+    * explicit in the parameters). Serving requires both views or
+    * neither. */
+  private def wmDeltaCurveRender(shiftFrom: Option[String],
+                                 attFrom: Option[String],
                                  buildOnly: Option[String]): String = {
+      require(buildOnly.isDefined || shiftFrom.isDefined == attFrom.isDefined,
+        "wm_delta_curve serving needs both views or neither")
+      require(buildOnly != Some("rat") || shiftFrom.isDefined,
+        "the rat build reads the persisted shift state")
       // the 4 rungs run through ONE rung-tagged embed chain + ONE
       // extract chain (Δ is a COLUMN over a 4-row spine, not a literal
       // per copied chain) — same arithmetic, same IEEE ops, a quarter
@@ -1900,12 +1912,12 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |           (x.nval + ${d.arrIdx0(sLit, "x.pos - 1")} * ${d.arrIdx0("e.sharr", d.arrIdx0(gLit, "x.pos - 1"))} / ${d.arrIdx0(cntPosLit, "x.pos - 1")}) / e.pn * x.nrm
          |             + 0.05 * ${prfGauss(d)("'dc'", "e.k", "x.id", "x.pos")} as sval
          |        from dcex x join rn e on e.id = x.id)""".stripMargin
-      (dcViews, buildOnly) match {
-        case (None, Some("rn")) =>
+      (buildOnly, shiftFrom) match {
+        case (Some("rn"), _) =>
           s"""${wmChain("overwrite")},
              |$shiftChainInline
              |select k, dl, id, nrm, sharr, pn, driftq from rn""".stripMargin
-        case (Some((shiftV, _)), Some("rat")) =>
+        case (Some("rat"), Some(shiftV)) =>
           s"""${wmChain("overwrite")},
              |dcex as (select c.vec_id as id, c.blk, x.pos, x.val / x.nrm as nval, x.nrm
              |         from carriers c join exn x on x.id = c.vec_id),
@@ -1913,15 +1925,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
              |$ratInline
              |select k, dl, id, pos, sval from rat""".stripMargin
         case _ =>
-          val (shiftSrc, ratSrc) = dcViews match {
-            case Some((shiftV, attV)) =>
+          val (shiftSrc, ratSrc) = (shiftFrom, attFrom) match {
+            case (Some(shiftV), Some(attV)) =>
               (s"rn as (select /*+ REPARTITION(id) */ k, dl, id, nrm, sharr, pn, driftq from $shiftV)",
                s"rat as (select /*+ REPARTITION(id) */ k, dl, id, pos, sval from $attV)")
-            case None => (shiftChainInline, ratInline)
+            case _ => (shiftChainInline, ratInline)
           }
           // the dls spine must exist for the rer fold in the view-backed
           // rendering (inline it comes with the shift chain)
-          val spine = dcViews match {
+          val spine = shiftFrom match {
             case Some(_) =>
               s"""dls as (select case k when 0 then cast(0.05 as double) when 1 then cast(0.10 as double)
                  |                      when 2 then cast(0.15 as double) else cast(0.25 as double) end as dl, k
@@ -11559,40 +11571,23 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // vectors; pre-scale to milli-units there). Levels beyond the
     // served cell count degenerate to the native partition (stated —
     // the curve flattens, which IS the elbow readout).
-    // r13 (Spark side): the per-(cell, pos) coordinate sums fold as 64
-    // per-column aggregates over the member rows, then stack() back to
-    // (cell, pos, s9) rows map-side — the explode form pushed N×64
-    // rows through the hash aggregate for the same 64 decimal sums per
-    // cell (exec 0.60 s warm; the explode row expansion was the cost,
-    // not the shuffle — partial aggregation compresses both). Values
-    // identical: same decimal(28,9) sums of the same 1e-9-rounded
-    // elements (decimal addition is exact, order-free), and the
-    // stacked (cell, pos, s9) rows are exactly the explode form's
-    // rows (every member vector has all 64 positions). The DuckDB
-    // oracle keeps the explode rendering (stack is Spark syntax).
+    // r13 audit: a column-wise rewrite (64 per-column decimal sums +
+    // stack, replacing the explode) was tried and MEASURED WORSE
+    // (exec 0.60 -> 1.57 s, planning 0.13 -> 0.51 s): 64 wide decimal
+    // aggregate buffers lose to the explode's single-column hash
+    // aggregate with map-side partials. Kept as-is — the explode form
+    // is the measured optimum here.
     "vec_kmeans_elbow" -> {
       val chain =
         if (views) viewAlias("asgF", "g_ivf_asg")
         else Seq(exnCte, ivfTrainCtes, ivfAssignCtes).mkString(",\n")
-      val csum =
-        if (d.name == "spark") {
-          val cols = (1 to Dim).map(p =>
-            s"sum(cast(${roundAway(d)(el("n", p), 9)} as decimal(28, 9))) as s$p").mkString(",\n         |           ")
-          val stackArgs = (1 to Dim).map(p => s"$p, s$p").mkString(", ")
-          s"""csum0 as (select cell,
-             |           $cols
-             |         from mem group by cell),
-             |csum as (select cell, pos, s9 from (
-             |           select cell, stack($Dim, $stackArgs) as (pos, s9) from csum0) _cs)""".stripMargin
-        } else
-          s"""mx as (select cell, pos, val from ${d.explodeFrom("mem", "n", "pos", "val", Seq("cell"))} _mx),
-             |csum as (select cell, pos,
-             |           sum(cast(${roundAway(d)("val", 9)} as decimal(28, 9))) as s9
-             |         from mx group by cell, pos)""".stripMargin
       s"""with $nvCtes,
          |$chain,
          |mem as (select a.cell, nn.n from asgF a join nn on nn.id = a.id),
-         |$csum,
+         |mx as (select cell, pos, val from ${d.explodeFrom("mem", "n", "pos", "val", Seq("cell"))} _mx),
+         |csum as (select cell, pos,
+         |           sum(cast(${roundAway(d)("val", 9)} as decimal(28, 9))) as s9
+         |         from mx group by cell, pos),
          |cc as (select cell, ${bigint("count(*)")} as n from asgF group by cell),
          |lv as (select 1 as l union all select 2 union all select 4 union all
          |       select 8 union all select 16 union all select 32),
