@@ -29,6 +29,10 @@ object TimeOne {
       val runs = Seq.fill(reps)(t(k)).sorted
       println(f"TIME $k%-32s min=${runs.head}%6.3f med=${runs(runs.size / 2)}%6.3f reps=$reps")
     }
+    // cold-build evidence: any artifact this run actually built (r13)
+    Scratch.buildSeconds.toSeq.sortBy(-_._2).foreach { case (n, s) =>
+      println(f"BUILD $n%-32s sec=$s%6.3f")
+    }
     spark.stop()
   }
 }

@@ -234,17 +234,32 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * (reference builds a faiss HNSW: database/pgvector/pg_func.py:104).
     */
   /** LSH bucket rows (id, t, b) over any (id, n)-shaped source table. */
-  private def lshBucketSql(src: String): String = {
-    def bExpr(t: Int): String =
-      (0 until lshPlanes).map { p =>
-        val dotp = wdot("n", WmConst.planesFor(t, p).toSeq)
-        s"(case when ($dotp) > 0 then ${1 << p} else 0 end)"
-      }.mkString("cast(", " + ", " as bigint)")
+  private def lshBucketExpr(t: Int): String =
+    (0 until lshPlanes).map { p =>
+      val dotp = wdot("n", WmConst.planesFor(t, p).toSeq)
+      s"(case when ($dotp) > 0 then ${1 << p} else 0 end)"
+    }.mkString("cast(", " + ", " as bigint)")
+  private def lshBucketSql(src: String): String =
     (0 until LshTables).map(t =>
-      s"select id, $t as t, ${bExpr(t)} as b from $src").mkString(" union all ")
-  }
+      s"select id, $t as t, ${lshBucketExpr(t)} as b from $src").mkString(" union all ")
 
   private val lshCtes = "bkt as (" + lshBucketSql("nn") + ")"
+
+  /** Single-scan g_bkt BUILD (Spark-only, r13): all L bucket ids
+    * compute in ONE corpus pass and stack() out map-side — the
+    * union-all form scanned + normalized the corpus once per table.
+    * Rows identical to the inline bkt CTE (same bucket expressions,
+    * stack's first column is the same t literal), so every consumer —
+    * and the oracle's inline rendering — is unaffected. */
+  def lshBucketStackBuildSql: String = {
+    val cols = (0 until LshTables).map(t => s"${lshBucketExpr(t)} as b$t").mkString(",\n       |         ")
+    val stackArgs = (0 until LshTables).map(t => s"$t, b$t").mkString(", ")
+    s"""with $nvCtes,
+       |bks as (select id,
+       |         $cols
+       |        from nn)
+       |select id, t, b from (select id, stack($LshTables, $stackArgs) as (t, b) from bks) _s""".stripMargin
+  }
 
   /** MIPS (norm-augmented) sign-LSH routing — ev/nv + the 1-row max
     * norm + augmented corpus buckets + un-augmented query buckets +
@@ -493,14 +508,24 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |  select id, max(${d.structLit2("s", "sim", "c", "-cell")}) as mx from $csim group by id) _$asg)""".stripMargin
     def lloyd(asg: String, cm: String, ct: String) =
       s"""$cm as (select a.cell, x.pos, round(avg(x.val / x.nrm), 6) as cval
-         |        from $asg a join exn x on x.id = a.id group by a.cell, x.pos),
+         |        from $asg a join exnt x on x.id = a.id group by a.cell, x.pos),
          |$ct as (select cell, ${d.arrAggOrdered("cval", "pos")} as cv from $cm group by cell)""".stripMargin
     val lloydChain = (0 until lloydSteps).map(t =>
       s"""${csimFrom(s"ct$t", s"csim$t", "tr")},
          |${asgFrom(s"csim$t", s"asg$t")},
          |${lloyd(s"asg$t", s"cm${t + 1}", s"ct${t + 1}")}""".stripMargin).mkString(",\n")
+    // r13: the Lloyd mean passes read exnt — the exploded rows of the
+    // SAMPLE only (the same 'ivftrain' membership predicate applied
+    // below the explode; rows identical to the old `asg join exn`
+    // because asg ids are a subset of the sample by construction, the
+    // filter-then-explode commute). The old form referenced the FULL
+    // corpus explode from both Lloyd steps, and each reference
+    // re-inlined it — two N×64-row generates for an E[8√N]-row sample.
     s"""par2 as (select $thr as thr, $thrT as thrt from (select cast(count(*) as double) as cnt from nn) _c),
        |tr as (select nn.id, nn.n from nn cross join par2 where ${prfMod(d)(1048576, "'ivftrain'", "nn.id")} < thrt),
+       |exnt as (select * from ${d.explodeFrom(
+            s"(select nv.id, nv.nrm, nv.v from nv cross join par2 where ${prfMod(d)(1048576, "'ivftrain'", "nv.id")} < thrt) _tf",
+            "v", "pos", "val", Seq("id", "nrm"))} _xt),
        |ct0 as (select nn.id as cell, nn.n as cv from nn cross join par2 where ${prfMod(d)(1048576, "'ivfseed'", "nn.id")} < thr),
        |$lloydChain""".stripMargin
   }
@@ -571,10 +596,18 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private lazy val pqTrainCtes: String = {
     val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
     val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
-    s"""ptr as (select v.id, v.m, v.sv from vsub v cross join par4
-       |       where ${prfMod(d)(1048576, "'pqtrain'", "v.id")} < $thrT),
-       |pct0 as (select v.m, v.id as cell, v.sv as cv from vsub v cross join par4
-       |        where ${prfMod(d)(1048576, "'pqseed'", "v.id")} < $thrS),
+    // r13: the sample/seed rows FILTER FIRST, SLICE AFTER — the id
+    // predicate commutes with the per-row slice transform, so the rows
+    // are identical to the old `vsub where prf(id) < thr` form, but
+    // the 8-way slice generate runs over E[512] / E[16] rows instead
+    // of the whole corpus (vsub was referenced by both ptr and pct0,
+    // and Catalyst re-inlined the N×8 slice explode per reference).
+    s"""ptr as (select id, m1 - 1 as m, sv from ${d.explodeFrom(
+          s"(select nn.id, nn.n from nn cross join par4 where ${prfMod(d)(1048576, "'pqtrain'", "nn.id")} < $thrT) _ptf",
+          pqSlices, "m1", "sv", Seq("id"))} _ptr),
+       |pct0 as (select m1 - 1 as m, id as cell, sv as cv from ${d.explodeFrom(
+          s"(select nn.id, nn.n from nn cross join par4 where ${prfMod(d)(1048576, "'pqseed'", "nn.id")} < $thrS) _psf",
+          pqSlices, "m1", "sv", Seq("id"))} _pc0),
        |psc0 as (select t.id, t.m, c.cell, ${d.dot("t.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
        |        from ptr t join pct0 c on c.m = t.m),
        |pa0 as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
@@ -1044,7 +1077,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * builds on the views registered before it, so the whole chain is
     * computed exactly once per (session, sf dir). Spark-dialect only. */
   def cacheStages: Seq[(String, String)] = Seq(
-    "g_bkt" -> s"with ${Seq(nvCtes, lshCtes).mkString(",\n")}\nselect id, t, b from bkt",
+    // r13: one corpus scan + stack instead of the L-scan union (rows
+    // identical — lshBucketStackBuildSql; serving queries and the
+    // oracle's inline bkt CTE are untouched)
+    "g_bkt" -> lshBucketStackBuildSql,
     "g_knn" -> s"with ${Seq(nvCtes, viewAlias("bkt", "g_bkt"), knnCtes).mkString(",\n")}\nselect src, dst, sim, rn from knn",
     "g_indeg" -> s"with ${Seq(nvCtes, viewAlias("knn", "g_knn"), indegCte).mkString(",\n")}\nselect vec_id, in_degree from indeg",
     "g_carriers" -> s"with ${Seq(nvCtes, viewAlias("indeg", "g_indeg"), carrierCtes).mkString(",\n")}\nselect vec_id, in_degree, sel_rank, blk from carriers",
