@@ -400,12 +400,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * decontaminate_bloom before this split). */
   private def shingleSideCte(name: String, pred: String): String =
     s"""$name as (select doc_id, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5)), 1, 15)")} as g
-       |       from (select doc_id, wd,
-       |                    lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-       |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3,
-       |                    lead(wd, 3) over (partition by doc_id order by wpos) as w4,
-       |                    lead(wd, 4) over (partition by doc_id order by wpos) as w5
-       |             from (select doc_id, wpos, wd from wx where $pred) _f) _s
+       |       from (${adjWordsFrom(5,
+            s"(select doc_id, ws from w where $pred) _f",
+            s"(select doc_id, wpos, wd from wx where $pred) _f")}) _s
        |       where w5 is not null)""".stripMargin
 
   /** Pair-tagged 5-gram chain shared by `dedup_jaccard` /
@@ -2776,9 +2773,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * from — factored so the shingle profile can persist as its own
     * scratch artifact (the verify-stage index, r12). */
   private lazy val minhashShingleCtes: String =
-    s"""sh3 as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-       |               lead(wd, 2) over (partition by doc_id order by wpos) as w3
-       |        from wx),
+    s"""sh3 as (${adjWordsFrom(3)}),
        |shx as (select distinct doc_id, concat_ws(' ', wd, w2, w3) as sh from sh3 where w3 is not null)""".stripMargin
 
   private lazy val minhashBandsCtes: String = {
@@ -2961,6 +2956,32 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private val wordCtes =
     s"""w as (select doc_id, ${splitWs("lower(text)")} as ws from documents),
        |wx as (select * from ${d.explodeFrom("w", "ws", "wpos", "wd", Seq("doc_id"))} _wx)""".stripMargin
+
+  /** Adjacent-word columns (doc_id[, wpos], wd, w2..w$k) — the shared
+    * n-gram pairing (r13). Spark: MAP-SIDE off the kept split array —
+    * the posexplode keeps `ws` as a sibling attribute, so each
+    * following word is one guarded element_at on the SAME row (no
+    * doc_id exchange, no per-doc sort; the array is produced once per
+    * row by the Generate's child, sidestepping the projection-collapse
+    * re-substitution trap the minhash shingle comment documents).
+    * DuckDB: the lead() window form (the oracle rendering). Rows
+    * identical: lead(i) over (doc_id, wpos) on the exploded array IS
+    * element i ahead, null exactly when past the end (array elements
+    * are never null). `wSrc` must expose (doc_id, ws) and `wxSrc`
+    * (doc_id, wpos, wd) — wordCtes' w/wx by default. */
+  private def adjWordsFrom(k: Int, wSrc: String = "w", wxSrc: String = "wx",
+                           withPos: Boolean = false): String =
+    if (d.name == "spark") {
+      val pos = if (withPos) ", p0 + 1 as wpos" else ""
+      val cols = (2 to k).map(i =>
+        s", case when p0 + $i <= size(ws) then element_at(ws, p0 + $i) end as w$i").mkString
+      s"select doc_id$pos, v0 as wd$cols from $wSrc lateral view posexplode(ws) _pe as p0, v0"
+    } else {
+      val pos = if (withPos) ", wpos" else ""
+      val cols = (2 to k).map(i =>
+        s", lead(wd, ${i - 1}) over (partition by doc_id order by wpos) as w$i").mkString
+      s"select doc_id$pos, wd$cols from $wxSrc"
+    }
 
   /** SimHash candidate chain ending in cand(da, db, hamming) — shared
     * by dedup_simhash_pairs and the components grouping. The hamming
@@ -5138,9 +5159,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "text_repetition" ->
       s"""with $wordCtes,
          |g3 as (select doc_id, concat_ws(' ', wd, w2, w3) as g
-         |       from (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2,
-         |                    lead(wd, 2) over (partition by doc_id order by wpos) as w3
-         |             from wx) _g where w3 is not null),
+         |       from (${adjWordsFrom(3)}) _g where w3 is not null),
          |gc as (select doc_id, g, count(*) as c from g3 group by doc_id, g)
          |select ${bigint("doc_id")} as doc_id,
          |  ${bigint("sum(c)")} as n_grams, ${bigint("count(*)")} as n_distinct,
@@ -5177,18 +5196,13 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // so the curve shape is always complete.
     "decontaminate_ngram_curve" -> {
       val ns = Seq(5, 8, 13)
-      val leads = (2 to 13).map(k =>
-        s"lead(wd, ${k - 1}) over (partition by doc_id order by wpos) as w$k")
-        .mkString(",\n|               ")
       def gOf(n: Int) = {
         val words = "wd" +: (2 to n).map(k => s"w$k")
         s"case when w$n is not null then ${d.hex2int(s"substr(md5(concat_ws(' ', ${words.mkString(", ")})), 1, 15)")} end"
       }
       val gCase = s"case gn.n ${ns.map(n => s"when $n then g$n").mkString(" ")} end"
       s"""with $wordCtes,
-         |ld as (select doc_id, wd,
-         |               $leads
-         |       from wx),
+         |ld as (${adjWordsFrom(13)}),
          |sh as (select doc_id, ${ns.map(n => s"${gOf(n)} as g$n").mkString(",\n|         ")}
          |       from ld),
          |nsp as (${ns.map(n => s"select $n as n").mkString(" union all ")}),
@@ -6523,14 +6537,9 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     },
 
     "dedup_substring" -> {
-      val leads = (2 to 8).map(k =>
-        s"lead(wd, ${k - 1}) over (partition by doc_id order by wpos) as x$k")
-        .mkString(",\n|               ")
       s"""with $wordCtes,
-         |w8 as (select doc_id, wpos, ${d.hex2int("substr(md5(concat_ws(' ', wd, x2, x3, x4, x5, x6, x7, x8)), 1, 15)")} as h
-         |       from (select doc_id, wpos, wd,
-         |               $leads
-         |             from wx) _w where x8 is not null),
+         |w8 as (select doc_id, wpos, ${d.hex2int("substr(md5(concat_ws(' ', wd, w2, w3, w4, w5, w6, w7, w8)), 1, 15)")} as h
+         |       from (${adjWordsFrom(8, withPos = true)}) _w where w8 is not null),
          |dw as (select doc_id, wpos from (
          |         select doc_id, wpos,
          |           min(doc_id) over (partition by h) as h_mn,
@@ -7488,7 +7497,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
       s"""with $wordCtes,
          |ug as (select wd, count(*) as c1 from wx group by wd),
          |nw as (select count(*) as t from wx),
-         |bg as (select doc_id, wd, lead(wd, 1) over (partition by doc_id order by wpos) as w2 from wx),
+         |bg as (${adjWordsFrom(2)}),
          |bc as (select wd, w2, count(*) as c12 from bg where w2 is not null group by wd, w2),
          |nb as (select count(*) as t from bg where w2 is not null)
          |select concat_ws(' ', bc.wd, bc.w2) as bigram, ${bigint("bc.c12")} as freq,
@@ -8342,12 +8351,8 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // window anywhere). Integer counts end to end.
     "text_cooccur" ->
       s"""with $wordCtes,
-         |co as (select doc_id, wd,
-         |         lead(wd, 1) over (partition by doc_id order by wpos) as c1,
-         |         lead(wd, 2) over (partition by doc_id order by wpos) as c2,
-         |         lead(wd, 3) over (partition by doc_id order by wpos) as c3
-         |       from wx),
-         |px as (select * from ${d.explodeFrom("co", arrLit(Seq("c1", "c2", "c3")), "dist", "cw", Seq("wd"))} _px),
+         |co as (${adjWordsFrom(4)}),
+         |px as (select * from ${d.explodeFrom("co", arrLit(Seq("w2", "w3", "w4")), "dist", "cw", Seq("wd"))} _px),
          |pc as (select case when wd <= cw then wd else cw end as w1,
          |              case when wd <= cw then cw else wd end as w2,
          |              dist
@@ -11115,8 +11120,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     "text_entropy_rate" -> {
       def lnq9(x: String) = bigint(roundAway(d)(s"ln(cast($x as double)) * 1000000000", 0))
       s"""with $wordCtes,
-         |bg as (select wd as w1, lead(wd, 1) over (partition by doc_id order by wpos) as w2
-         |       from wx),
+         |bg as (select wd as w1, w2 from (${adjWordsFrom(2)}) _bg),
          |t as (select w1, w2, ${bigint("count(*)")} as c from bg where w2 is not null group by w1, w2),
          |tt as (select w1, ${bigint("sum(c)")} as n from t group by w1),
          |hr as (select ${bigint(s"sum(t.c * (${lnq9("tt.n")} - ${lnq9("t.c")}))")} as num,
@@ -13455,8 +13459,6 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * branches' rows (the case-null guard reproduces each branch's
     * `where w_k is not null`). */
   def shingleCensusBuildSql: String = {
-    val leads = (1 to 8).map(i =>
-      s"lead(wd, $i) over (partition by doc_id order by wpos) as w${i + 1}").mkString(",\n       |        ")
     def gramHash(k: Int): String = {
       val cols = (1 to k).map(i => if (i == 1) "wd" else s"w$i").mkString(", ")
       s"case when w$k is not null then ${d.hex2int(s"substr(md5(concat_ws(' ', $cols)), 1, 15)")} end"
@@ -13464,9 +13466,7 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     val stackArgs = Seq(3, 5, 7, 9).map(k => s"$k, ${gramHash(k)}")
       .mkString(",\n       |          ")
     s"""with $wordCtes,
-       |ld as (select doc_id, wd,
-       |        $leads
-       |       from wx),
+       |ld as (${adjWordsFrom(9)}),
        |sh as (select doc_id, w, g from (
        |         select doc_id, stack(4,
        |          $stackArgs) as (w, g)
