@@ -624,10 +624,21 @@ object SparkEntry {
       // pair pass, 5x for the exact-verify legs) and, for the
       // verify/tuning legs, the PERSISTED shingle profile (g_mhshx —
       // the decont-shingle-index pattern). Oracles inline the chain.
+      // r13: the minhash candidate family serves from the kept banded
+      // PAIR artifact (g_mhpairs — already maintained for the CDC
+      // upsert key; its mm >= 2 filter IS the est >= 0.1 cut for
+      // integer mm), so the band self-join runs once at build time
+      // instead of once per serving reference (calibration referenced
+      // `cand` twice — the band join re-inlined per reference). The
+      // exact-verify legs (shingle joins) stay live; oracles inline
+      // the full chain.
       "dedup_minhash" -> ((s, dir) => {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
-        s.sql(sparkGen.dedupMinhashSql(Some(("g_mhsig", None))))
+        Scratch.table(s, dir, "g_mhpairs",
+          sparkGen.minhashPairsFromSigsSql("g_mhsig"))
+        s.sql(sparkGen.dedupMinhashSql(Some(("g_mhsig", None)),
+          pairsFrom = Some("g_mhpairs")))
       }),
       "dedup_incremental" -> ((s, dir) => {
         Tables.register(s, dir)
@@ -638,19 +649,28 @@ object SparkEntry {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
         Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
-        s.sql(sparkGen.dedupMinhashVerifySql(Some(("g_mhsig", Some("g_mhshx")))))
+        Scratch.table(s, dir, "g_mhpairs",
+          sparkGen.minhashPairsFromSigsSql("g_mhsig"))
+        s.sql(sparkGen.dedupMinhashVerifySql(Some(("g_mhsig", Some("g_mhshx"))),
+          pairsFrom = Some("g_mhpairs")))
       }),
       "dedup_threshold_curve" -> ((s, dir) => {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
         Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
-        s.sql(sparkGen.dedupThresholdCurveSql(Some(("g_mhsig", Some("g_mhshx")))))
+        Scratch.table(s, dir, "g_mhpairs",
+          sparkGen.minhashPairsFromSigsSql("g_mhsig"))
+        s.sql(sparkGen.dedupThresholdCurveSql(Some(("g_mhsig", Some("g_mhshx"))),
+          pairsFrom = Some("g_mhpairs")))
       }),
       "dedup_minhash_calibration" -> ((s, dir) => {
         Tables.register(s, dir)
         Scratch.table(s, dir, "g_mhsig", sparkGen.minhashSigBuildSql)
         Scratch.table(s, dir, "g_mhshx", sparkGen.minhashShxBuildSql)
-        s.sql(sparkGen.dedupMinhashCalibrationSql(Some(("g_mhsig", Some("g_mhshx")))))
+        Scratch.table(s, dir, "g_mhpairs",
+          sparkGen.minhashPairsFromSigsSql("g_mhsig"))
+        s.sql(sparkGen.dedupMinhashCalibrationSql(Some(("g_mhsig", Some("g_mhshx"))),
+          pairsFrom = Some("g_mhpairs")))
       }),
       // band-geometry tuning curve over the checkpointed minhash
       // signature table (the curve SQL references the signatures 17

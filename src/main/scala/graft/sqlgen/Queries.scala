@@ -3802,9 +3802,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |          select doc_id, rl, rs, bm25, csim, fscore,
        |            row_number() over (partition by doc_id % 16 order by fscore desc, doc_id) as prn
        |          from rrf) _c where prn <= 10),
-       |fin as (select a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore,
-       |          1 + sum(case when b.fscore > a.fscore or (b.fscore = a.fscore and b.doc_id < a.doc_id) then 1 else 0 end) as rk
-       |        from c10 a cross join c10 b group by a.doc_id, a.rl, a.rs, a.bm25, a.csim, a.fscore)""".stripMargin
+       |fin as (select doc_id, rl, rs, bm25, csim, fscore,
+       |          row_number() over (order by fscore desc, doc_id) as rk
+       |        from c10)""".stripMargin
+    // r13: fin's exact rank is ONE bounded row_number over the ≤ 160
+    // pre-ranked survivors (ordered (fscore desc, doc_id) — identical
+    // to the old 1 + count(strictly-greater) pairwise rank because
+    // doc_id is unique). The cross-join form referenced c10 twice and
+    // Catalyst re-inlined the whole grid-rank chain (two 50k-row
+    // windows + offsets) per reference.
 
   def hybridRrfSql(from: Option[String]): String = {
     val matKw = if (d.name == "duckdb") "materialized " else ""
@@ -3847,15 +3853,15 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |         row_number() over (partition by doc_id % 16 order by csim desc, doc_id) as prn
        |       from sem),
        |cand as (select doc_id, bm25, csim from pr where prn <= 30),
-       |sl as (select a.doc_id, a.bm25, a.csim,
-       |         1 + sum(case when b.csim > a.csim or (b.csim = a.csim and b.doc_id < a.doc_id) then 1 else 0 end) as rn1
-       |       from cand a cross join cand b group by a.doc_id, a.bm25, a.csim),
+       |sl as (select doc_id, bm25, csim,
+       |         ${bigint("row_number() over (order by csim desc, doc_id)")} as rn1
+       |       from cand),
        |s30 as (select doc_id, rn1,
        |          ${roundAway(d)("csim * cast(0.7 as double) + (bm25 / (abs(bm25) + 1)) * cast(0.3 as double)", 6)} as ce
        |        from sl where rn1 <= 30),
-       |r2 as (select a.doc_id, a.rn1, a.ce,
-       |         1 + sum(case when b.ce > a.ce or (b.ce = a.ce and b.doc_id < a.doc_id) then 1 else 0 end) as rn2
-       |       from s30 a cross join s30 b group by a.doc_id, a.rn1, a.ce),
+       |r2 as (select doc_id, rn1, ce,
+       |         ${bigint("row_number() over (order by ce desc, doc_id)")} as rn2
+       |       from s30),
        |ks as (select 5 as k union all select 10 as k union all select 30 as k),
        |pairs as (select k.k, a.rn1 as a1, b.rn1 as b1, a.rn2 as a2, b.rn2 as b2
        |          from r2 a join r2 b on a.doc_id < b.doc_id
@@ -13123,11 +13129,29 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   }
 
 
-  def dedupThresholdCurveSql(mhViews: Option[(String, Option[String])]): String =
+  /** Shared candidate head of the verify/threshold/calibration legs:
+    * `pairsFrom` = Some(v) reads the persisted banded pair artifact
+    * (g_mhpairs, minhashPairsFromSigsSql — its mm >= 2 filter IS the
+    * est >= 0.1 cut exactly: est = mm/16 and the only integer mm with
+    * 0.1 <= mm/16 < 0.125 does not exist), so the band self-join runs
+    * once at build time instead of once per serving reference; None
+    * renders the live band join (the oracle, and the pairless keys).
+    * est = mm / 16.0 is the identical double either way. */
+  private def minhashCandCte(pairsFrom: Option[String],
+                             name: String = "cand"): String =
+    pairsFrom match {
+      case Some(pv) =>
+        s"""$name as (select doc_a as da, doc_b as db, mm / 16.0 as est from $pv)"""
+      case None =>
+        s"""candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+           |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
+           |$name as (select da, db, est from candp where est >= 0.1)""".stripMargin
+    }
+
+  def dedupThresholdCurveSql(mhViews: Option[(String, Option[String])],
+                             pairsFrom: Option[String] = None): String =
     s"""with ${minhashHead(mhViews)},
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-         |cand as (select da, db, est from candp where est >= 0.1),
+         |${minhashCandCte(pairsFrom)},
          |sz as (select doc_id, ${bigint("count(*)")} as ns from shx group by doc_id),
          |iv as (select c.da, c.db, ${bigint("count(*)")} as i
          |       from cand c join shx sa on sa.doc_id = c.da
@@ -13153,11 +13177,11 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |from th left join pa on pa.t_centi = th.t_centi
          |        left join nd on nd.t_centi = th.t_centi""".stripMargin
 
-  def dedupMinhashCalibrationSql(mhViews: Option[(String, Option[String])]): String =
+  def dedupMinhashCalibrationSql(mhViews: Option[(String, Option[String])],
+                                 pairsFrom: Option[String] = None): String =
     s"""with ${minhashHead(mhViews)},
-         |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-         |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-         |cand as (select da, db, round(cast(est as double), 4) as est from candp where est >= 0.1),
+         |${minhashCandCte(pairsFrom, "cand0")},
+         |cand as (select da, db, round(cast(est as double), 4) as est from cand0),
          |sz as (select doc_id, count(*) as ns from shx group by doc_id),
          |iv as (select c.da, c.db, count(*) as i
          |       from cand c join shx sa on sa.doc_id = c.da
@@ -13189,12 +13213,26 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     * the full chain (the DuckDB oracle). Rows identical by
     * construction: `bands` explodes the same 16-column signature
     * rows either way. */
-  def dedupMinhashSql(mhViews: Option[(String, Option[String])]): String =
-    s"""with ${minhashHead(mhViews)},
-       |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-       |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
-       |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, round(cast(est as double), 4) as jaccard_est
-       |from candp where est >= 0.1""".stripMargin
+  def dedupMinhashSql(mhViews: Option[(String, Option[String])],
+                      pairsFrom: Option[String] = None): String =
+    pairsFrom match {
+      case Some(pv) =>
+        // r13: the key's output IS the kept banded pair artifact plus
+        // the estimate column (the dedup_components/g_simpairs
+        // precedent: serving reads the candidate-pair table the
+        // pipeline maintains; mm >= 2 ≡ est >= 0.1 for integer mm, and
+        // mm / 16.0 is the identical double). The oracle inlines the
+        // full chain (None), hash-gating serving ≡ recompute.
+        s"""select ${bigint("doc_a")} as doc_a, ${bigint("doc_b")} as doc_b,
+           |  round(cast(mm / 16.0 as double), 4) as jaccard_est
+           |from $pv""".stripMargin
+      case None =>
+        s"""with ${minhashHead(mhViews)},
+           |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
+           |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id)
+           |select ${bigint("da")} as doc_a, ${bigint("db")} as doc_b, round(cast(est as double), 4) as jaccard_est
+           |from candp where est >= 0.1""".stripMargin
+    }
 
   def dedupIncrementalSql(mhViews: Option[(String, Option[String])]): String =
     s"""with ${minhashHead(mhViews)},
@@ -13209,11 +13247,10 @@ final class Gen(d: Dialect, useViews: Boolean = false,
        |  ${bigint(s"case when ${d.fieldOf("mx", "e")} >= 0.5 then 1 else 0 end")} as is_dup
        |from best""".stripMargin
 
-  def dedupMinhashVerifySql(mhViews: Option[(String, Option[String])]): String =
+  def dedupMinhashVerifySql(mhViews: Option[(String, Option[String])],
+                            pairsFrom: Option[String] = None): String =
     s"""with ${minhashHead(mhViews)},
-       |candp as (select distinct a.doc_id as da, b.doc_id as db, (${minhashMatches("a", "b")}) / 16.0 as est
-       |          from bands a join bands b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id),
-       |cand as (select da, db, est from candp where est >= 0.1),
+       |${minhashCandCte(pairsFrom)},
        |sz as (select doc_id, count(*) as ns from shx group by doc_id),
        |iv as (select c.da, c.db, count(*) as i
        |       from cand c join shx sa on sa.doc_id = c.da
