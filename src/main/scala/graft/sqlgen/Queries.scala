@@ -669,11 +669,20 @@ final class Gen(d: Dialect, useViews: Boolean = false,
   private lazy val rpqTrainCtes: String = {
     val thrT = "least(1048576, cast(floor(cast(1048576 as double) * 512 / cnt) as bigint))"
     val thrS = "least(1048576, cast(floor(cast(1048576 as double) * 16 / cnt) as bigint))"
+    // r13: sample/seed rows FILTER FIRST (the id predicate commutes
+    // with the residual transform + slice explode), so the residual
+    // join + N×8 slice generate run over E[512] / E[16] rows — the
+    // old form re-inlined the full-corpus rsub chain under both rtr
+    // and rct0 (the pqTrainCtes fix applied to the residual twin).
+    def rsubOf(name: String, key: String, thr: String): String =
+      s"""${name}0 as (select a.id, ${d.arrTransform(d.intSeq("0", (Dim - 1).toString), "k", s"${d.arrIdx0("v0.n", "k")} - ${d.arrIdx0("c0.cv", "k")}")} as rv
+         |        from asgF a join nn v0 on v0.id = a.id join ct2 c0 on c0.cell = a.cell
+         |        cross join par4r where ${prfMod(d)(1048576, s"'$key'", "a.id")} < $thr),
+         |$name as (select id, m1 - 1 as m, sv from ${d.explodeFrom(s"${name}0", pqSlicesOf("rv"), "m1", "sv", Seq("id"))} _$name)""".stripMargin
     s"""par4r as (select cast(count(*) as double) as cnt from nn),
-       |rtr as (select v.id, v.m, v.sv from rsub v cross join par4r
-       |       where ${prfMod(d)(1048576, "'rpqtrain'", "v.id")} < $thrT),
-       |rct0 as (select v.m, v.id as cell, v.sv as cv from rsub v cross join par4r
-       |        where ${prfMod(d)(1048576, "'rpqseed'", "v.id")} < $thrS),
+       |${rsubOf("rtr", "rpqtrain", thrT)},
+       |${rsubOf("rct0x", "rpqseed", thrS)},
+       |rct0 as (select m, id as cell, sv as cv from rct0x),
        |rsc0 as (select t.id, t.m, c.cell, ${d.dot("t.sv", "c.cv")} - 0.5 * ${d.dot("c.cv", "c.cv")} as score
        |        from rtr t join rct0 c on c.m = t.m),
        |ra0 as (select id, m, -(${d.fieldOf("mx", "c")}) as cell from (
@@ -2071,20 +2080,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
            |$rotCtes,
            |$rbqInline
            |select id, hi, lo from rbq""".stripMargin
+      // r13 (serving path): the rotated sign census folds from the
+      // ARTIFACT's packed bits — bit k of hi/lo is set exactly when
+      // r_k > 0 by the rbq build definition, so sum(bit_k) ≡
+      // sum(case when r_k > 0 ...) as exact integers, and the whole
+      // 64-masked-sum rotation aggregate (plus its 4096-literal
+      // weight arrays, ~0.4 s of pure planning) drops out of the
+      // serving plan. The oracle (None) keeps the inline rot census.
       val rbqCte = rbqView match {
         case Some(v) => s"rbq as (select /*+ REPARTITION(id) */ id, hi, lo from $v)"
         case None    => rbqInline
       }
+      val rotHead = rbqView match {
+        case Some(_) =>
+          val oCols = (0 until Dim).map { k =>
+            val (col, w) = if (k < 32) ("hi", 1L << (31 - k)) else ("lo", 1L << (63 - k))
+            s"${bigint(s"sum((${d.idiv(col, w.toString)}) % 2)")} as o$k"
+          }.mkString(", ")
+          s"""$rbqCte,
+             |rotones0 as (select ${bigint("count(*)")} as nv, $oCols from rbq),""".stripMargin
+        case None =>
+          s"""$rotCtes,
+             |$rbqCte,
+             |rotones0 as (select ${bigint("count(*)")} as nv, ${(0 until Dim).map(k => s"${bigint(s"sum(case when r$k > 0 then 1 else 0 end)")} as o$k").mkString(", ")} from rot),""".stripMargin
+      }
 
       s"""with ${pre.mkString(",\n")},
-         |$rotCtes,
-         |$rbqCte,
+         |$rotHead
          |exact as (select qid, cid from (
          |    select q.id as qid, c.id as cid, row_number() over (partition by q.id order by ${d.dot("q.n", "c.n")} desc, c.id) as rn
          |    from (select id, n from nn where id in ($qIdLit)) q join nn c on c.id <> q.id) _e
          |  where rn <= 10),
          |rawones as (select pos as k, ${bigint("count(*)")} as nv, ${bigint("sum(case when val > 0 then 1 else 0 end)")} as ones from exn group by pos),
-         |rotones0 as (select ${bigint("count(*)")} as nv, ${(0 until Dim).map(k => s"${bigint(s"sum(case when r$k > 0 then 1 else 0 end)")} as o$k").mkString(", ")} from rot),
          |rotones as (select kk as k, nv, ones from ${d.explodeFrom("rotones0", arrLit((0 until Dim).map(k => s"o$k")), "kk", "ones", Seq("nv"))} _ro),
          |${ham("rw", "bq")},
          |${ham("rt", "rbq")},
@@ -10559,21 +10586,56 @@ final class Gen(d: Dialect, useViews: Boolean = false,
          |          min(case when method = 'ivf' then rn end) as ri,
          |          min(case when method = 'bq' then rn end) as rb
          |        from legs group by qid, cid),
-         |sc as (select qid, cid,
-         |         coalesce(cast(1 as double) / (60 + rl), cast(0 as double))
-         |           + coalesce(cast(1 as double) / (60 + ri), cast(0 as double))
-         |           + coalesce(cast(1 as double) / (60 + rb), cast(0 as double)) as score
-         |       from piv),
-         |et as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by score desc, cid) as rn from sc) _e where rn <= 10),
-         |allm as (select method, qid, cid from legs
-         |         union all select 'rrf' as method, qid, cid from et),
-         |hits as (select m.method, ${bigint("count(*)")} as n_pairs,
-         |           ${bigint("sum(case when b.cid is not null then 1 else 0 end)")} as hits
-         |         from allm m left join bt b on b.qid = m.qid and b.cid = m.cid
-         |         group by m.method)
-         |select method, n_pairs, hits,
-         |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10
-         |from hits""".stripMargin
+         |${
+           // r13 (Spark side): the whole readout folds in ONE pass over
+           // piv — a per-pair rrf-rank window + one conditional
+           // aggregation + a 4-row stack. The union form referenced
+           // `legs` twice (piv + allm), and Catalyst re-inlined all
+           // three candidate legs (incl. the |Q|·N Hamming pass) per
+           // reference. Values identical: legs' per-method rows are
+           // exactly the piv rows with that method's rank non-null
+           // ((method, qid, cid) is unique), the rrf top-10 is the
+           // same window, and bt joins at most once per (qid, cid).
+           // The DuckDB oracle keeps the union rendering.
+           if (d.name == "spark")
+             s"""sc as (select qid, cid, rl, ri, rb,
+                |         coalesce(cast(1 as double) / (60 + rl), cast(0 as double))
+                |           + coalesce(cast(1 as double) / (60 + ri), cast(0 as double))
+                |           + coalesce(cast(1 as double) / (60 + rb), cast(0 as double)) as score
+                |       from piv),
+                |scr as (select qid, cid, rl, ri, rb,
+                |          row_number() over (partition by qid order by score desc, cid) as rrn
+                |        from sc),
+                |hx as (select s.rl, s.ri, s.rb, s.rrn,
+                |         case when b.cid is not null then 1 else 0 end as hit
+                |       from scr s left join bt b on b.qid = s.qid and b.cid = s.cid),
+                |agg as (select
+                |          ${bigint("count(rl)")} as n_l, ${bigint("sum(case when rl is not null then hit else 0 end)")} as h_l,
+                |          ${bigint("count(ri)")} as n_i, ${bigint("sum(case when ri is not null then hit else 0 end)")} as h_i,
+                |          ${bigint("count(rb)")} as n_b, ${bigint("sum(case when rb is not null then hit else 0 end)")} as h_b,
+                |          ${bigint("sum(case when rrn <= 10 then 1 else 0 end)")} as n_r, ${bigint("sum(case when rrn <= 10 then hit else 0 end)")} as h_r
+                |        from hx)
+                |select method, n_pairs, hits,
+                |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10
+                |from (select stack(4, 'lsh', n_l, h_l, 'ivf', n_i, h_i, 'bq', n_b, h_b, 'rrf', n_r, h_r) as (method, n_pairs, hits)
+                |      from agg) _s""".stripMargin
+           else
+             s"""sc as (select qid, cid,
+                |         coalesce(cast(1 as double) / (60 + rl), cast(0 as double))
+                |           + coalesce(cast(1 as double) / (60 + ri), cast(0 as double))
+                |           + coalesce(cast(1 as double) / (60 + rb), cast(0 as double)) as score
+                |       from piv),
+                |et as (select qid, cid from (select qid, cid, row_number() over (partition by qid order by score desc, cid) as rn from sc) _e where rn <= 10),
+                |allm as (select method, qid, cid from legs
+                |         union all select 'rrf' as method, qid, cid from et),
+                |hits as (select m.method, ${bigint("count(*)")} as n_pairs,
+                |           ${bigint("sum(case when b.cid is not null then 1 else 0 end)")} as hits
+                |         from allm m left join bt b on b.qid = m.qid and b.cid = m.cid
+                |         group by m.method)
+                |select method, n_pairs, hits,
+                |  ${roundAway(d)("cast(hits as double) / 50", 4)} as recall10
+                |from hits""".stripMargin
+         }""".stripMargin
     },
 
     // EXPONENTIAL INTERARRIVAL FIT — is user traffic Poisson? The
