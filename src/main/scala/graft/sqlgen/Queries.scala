@@ -6546,16 +6546,38 @@ final class Gen(d: Dialect, useViews: Boolean = false,
     // Pair work = Σ_h df(h)² ≤ 20·Σ df(h) — linear in paragraphs.
     // Output per pair: shared paragraphs, each side's paragraph
     // count, containment vs the smaller doc.
+    // r13 (Spark side): the 8-token paragraph hash computes MAP-SIDE —
+    // one explode over the per-doc block indexes with the block string
+    // concatenated from the kept split array (ws stays a Generate-child
+    // attribute, so no split() re-substitution), instead of a corpus
+    // (doc, block) shuffle + per-group collect_list sort. Rows
+    // identical: a complete block exists iff 8k+8 <= len (the old
+    // `having count(*) = 8`), the concatenated string is the same
+    // "w1 w2 ... w8 " the ordered string-agg built, and the per-doc
+    // paragraph count np = len div 8 = the old count(*) window. The
+    // DuckDB oracle keeps the group-by rendering.
     "dedup_paragraph" -> {
       val paraTok = 8
       val dfCap = 20
+      val head =
+        if (d.name == "spark") {
+          val blockStr = (1 to paraTok).map(i =>
+            s"element_at(ws, $paraTok * k + $i), ' '").mkString("concat(", ", ", ")")
+          s"""pg as (select doc_id, k as pno,
+             |         ${d.hex2int(s"substr(md5($blockStr), 1, 15)")} as h,
+             |         ${bigint(s"size(ws) div $paraTok")} as np
+             |       from w lateral view explode(case when size(ws) >= $paraTok
+             |         then sequence(0, cast(size(ws) div $paraTok - 1 as int)) else array() end) _pk as k),
+             |phn as (select doc_id, h, max(np) as np from pg group by doc_id, h),""".stripMargin
+        } else
+          s"""pg as (select doc_id, ${d.idiv("wpos - 1", paraTok.toString)} as pno,
+             |         ${d.hex2int(s"substr(md5(${d.strAggOrdered("concat(wd, ' ')", "wpos")}), 1, 15)")} as h
+             |       from wx group by doc_id, ${d.idiv("wpos - 1", paraTok.toString)}
+             |       having count(*) = $paraTok),
+             |pgn as (select doc_id, h, ${bigint("count(*) over (partition by doc_id)")} as np from pg),
+             |phn as (select doc_id, h, max(np) as np from pgn group by doc_id, h),""".stripMargin
       s"""with $wordCtes,
-         |pg as (select doc_id, ${d.idiv("wpos - 1", paraTok.toString)} as pno,
-         |         ${d.hex2int(s"substr(md5(${d.strAggOrdered("concat(wd, ' ')", "wpos")}), 1, 15)")} as h
-         |       from wx group by doc_id, ${d.idiv("wpos - 1", paraTok.toString)}
-         |       having count(*) = $paraTok),
-         |pgn as (select doc_id, h, ${bigint("count(*) over (partition by doc_id)")} as np from pg),
-         |phn as (select doc_id, h, max(np) as np from pgn group by doc_id, h),
+         |$head
          |ph as (select doc_id, h, np from (
          |         select doc_id, h, np, count(*) over (partition by h) as df from phn) _f
          |       where df between 2 and $dfCap),
